@@ -1,0 +1,404 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Registry of driver-checkable queries (SparkEntry.queries) with their
+  * DuckDB oracle SQL. Each entry exercises one operator family from
+  * SURVEY.md §2 on the driver's testdata tables.
+  *
+  * Conventions for oracle hash-parity:
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - double aggregations go through Exact.sum2/avg2 (decimal-exact,
+  *    order-independent — see Exact.scala);
+  *  - every result has a total deterministic ORDER BY;
+  *  - date/timestamp OUTPUT columns are emitted as 'yyyy-MM-dd' strings on
+  *    both sides (pandas reads Spark's date32 as datetime.date but
+  *    DuckDB's DATE as midnight Timestamp — textual compare would
+  *    mismatch). Filters still use native date types for pushdown.
+  */
+object Queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Presentation-edge date formatting (see class doc). */
+  private def dstr(c: org.apache.spark.sql.Column) = date_format(c, "yyyy-MM-dd")
+  private def dstrSql(col: String): String = s"strftime($col, '%Y-%m-%d')"
+
+  // ---- §2.2 filters / projections -----------------------------------
+
+  /** F1+O1: equality filter + projection + sort (snapshots.py:56-64). */
+  val f1Snapshot: Q = (s, d) => {
+    import s.implicits._
+    Relational.snapshot(
+      Tables.orders(s, d),
+      date_trunc("month", $"o_orderdate") === lit("1995-03-01").cast("timestamp") &&
+        $"o_orderstatus" === "F",
+      Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      Seq("o_orderkey"))
+  }
+  val f1SnapshotSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE date_trunc('month', o_orderdate) = TIMESTAMP '1995-03-01'
+      |  AND o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin
+
+  /** F2: BETWEEN range predicate (snapshots.py:100-108). */
+  val f2Range: Q = (s, d) => {
+    import s.implicits._
+    Relational.range(Tables.lineitem(s, d), to_date($"l_shipdate"),
+        java.sql.Date.valueOf("1996-01-01"), java.sql.Date.valueOf("1996-03-31"))
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        dstr($"l_shipdate").as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+  val f2RangeSql: String =
+    s"""SELECT l_orderkey, l_linenumber, l_quantity, ${dstrSql("l_shipdate")} AS ship_date
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** F5: dynamic IN-list filter (backfill_volume.py:95-98). */
+  val f5InList: Q = (s, d) => {
+    import s.implicits._
+    Tables.part(s, d)
+      .filter($"p_brand".isin("Brand#1", "Brand#3", "Brand#5") && $"p_size" >= 10)
+      .select($"p_partkey", $"p_name", $"p_brand", $"p_size")
+      .orderBy("p_partkey")
+  }
+  val f5InListSql: String =
+    """SELECT p_partkey, p_name, p_brand, p_size FROM part
+      |WHERE p_brand IN ('Brand#1','Brand#3','Brand#5') AND p_size >= 10
+      |ORDER BY p_partkey""".stripMargin
+
+  /** F6: threshold filter (volume.py:64-66). */
+  val f6Threshold: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_quantity" >= 45 && $"l_discount" > 0.05)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+  val f6ThresholdSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+      |WHERE l_quantity >= 45 AND l_discount > 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** F7+F8+S6: single-key filter plus incremental cursor
+    * (timelines.py:54-62; generate_volume_rankings.py:93).
+    */
+  val f8Incremental: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT" &&
+        to_date($"o_orderdate") > lit("2000-12-31").cast("date"))
+      .select($"o_orderkey", dstr($"o_orderdate").as("order_date"), $"o_totalprice")
+      .orderBy("o_orderkey")
+  }
+  val f8IncrementalSql: String =
+    s"""SELECT o_orderkey, ${dstrSql("o_orderdate")} AS order_date, o_totalprice FROM orders
+      |WHERE o_orderpriority = '1-URGENT' AND CAST(o_orderdate AS DATE) > DATE '2000-12-31'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- §2.4 aggregations --------------------------------------------
+
+  /** A1: grouped daily counts (analytics.py:52-60). */
+  val a1CountByDay: Q = (s, d) => {
+    import s.implicits._
+    Relational.countBy(Tables.orders(s, d), dstr($"o_orderdate"), "order_date", "n_orders")
+  }
+  val a1CountByDaySql: String =
+    s"""SELECT ${dstrSql("o_orderdate")} AS order_date, COUNT(*) AS n_orders
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** A3: HAVING count-below-threshold (completeness.py:79-89). */
+  val a3Having: Q = (s, d) => {
+    import s.implicits._
+    Relational.havingCountLt(Tables.orders(s, d), dstr($"o_orderdate"), "order_date", 3L)
+  }
+  val a3HavingSql: String =
+    s"""SELECT ${dstrSql("o_orderdate")} AS order_date, COUNT(*) AS n
+       |FROM orders GROUP BY 1 HAVING COUNT(*) < 3 ORDER BY 1""".stripMargin
+
+  /** A4+S6: scalar MIN/MAX cursor probe (timelines.py:94-105,129-140). */
+  val a4MinMax: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d).agg(
+      dstr(min($"o_orderdate")).as("first_date"),
+      dstr(max($"o_orderdate")).as("last_date"),
+      count(lit(1)).as("n_rows"))
+  }
+  val a4MinMaxSql: String =
+    s"""SELECT ${dstrSql("MIN(o_orderdate)")} AS first_date,
+       |${dstrSql("MAX(o_orderdate)")} AS last_date, COUNT(*) AS n_rows FROM orders""".stripMargin
+
+  /** A5: multi-aggregate per group — TPC-H Q1 shape (volume.py:169-196). */
+  val a5MultiAgg: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        Exact.sum2($"l_quantity").as("sum_qty"),
+        Exact.sum2($"l_extendedprice").as("sum_price"),
+        Exact.avg2($"l_quantity").as("avg_qty"),
+        Exact.avg2($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+  val a5MultiAggSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |${Exact.sum2Sql("l_quantity")} AS sum_qty,
+       |${Exact.sum2Sql("l_extendedprice")} AS sum_price,
+       |${Exact.avg2Sql("l_quantity")} AS avg_qty,
+       |${Exact.avg2Sql("l_discount")} AS avg_disc,
+       |COUNT(*) AS count_order,
+       |MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+       |FROM lineitem GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** A6: single-slice market summary (volume.py:259-283). */
+  val a6Summary: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .filter(year($"o_orderdate") === 1996)
+      .agg(
+        Exact.sum2($"o_totalprice").as("total_price"),
+        count(lit(1)).as("n_orders"),
+        Exact.avg2($"o_totalprice").as("avg_price"))
+  }
+  val a6SummarySql: String =
+    s"""SELECT ${Exact.sum2Sql("o_totalprice")} AS total_price,
+       |COUNT(*) AS n_orders, ${Exact.avg2Sql("o_totalprice")} AS avg_price
+       |FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996""".stripMargin
+
+  /** A7: exact COUNT(DISTINCT) global stats (generate_stats.py:17-27). */
+  val a7DistinctCounts: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d).agg(
+      countDistinct($"o_custkey").as("n_cust"),
+      countDistinct(to_date($"o_orderdate")).as("n_days"),
+      count(lit(1)).as("n_orders"))
+  }
+  val a7DistinctCountsSql: String =
+    """SELECT COUNT(DISTINCT o_custkey) AS n_cust,
+      |COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+      |COUNT(*) AS n_orders FROM orders""".stripMargin
+
+  /** A8: conditional counts — matview refresh shape (availability_db.py:232-242). */
+  val a8Conditional: Q = (s, d) => {
+    import s.implicits._
+    Relational.conditionalCounts(Tables.orders(s, d),
+      year($"o_orderdate"), "order_year", $"o_orderstatus" === "F")
+  }
+  val a8ConditionalSql: String =
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+      |COUNT(*) AS total,
+      |SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS matched,
+      |SUM(CASE WHEN NOT (o_orderstatus = 'F') THEN 1 ELSE 0 END) AS unmatched
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** A9: DISTINCT projection (snapshots.py:100-108). */
+  val a9Distinct: Q = (s, d) =>
+    Relational.distinctOf(Tables.customer(s, d), Seq("c_mktsegment")).orderBy("c_mktsegment")
+  val a9DistinctSql: String =
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+  /** A10+O2: per-key average + top-K (QUERY_EXAMPLES.md:231-241). */
+  val a10TopAvg: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_suppkey")
+      .agg(Exact.avg2($"l_extendedprice").as("avg_price"), count(lit(1)).as("n_items"))
+      .orderBy($"avg_price".desc, $"l_suppkey")
+      .limit(10)
+  }
+  val a10TopAvgSql: String =
+    s"""SELECT l_suppkey, ${Exact.avg2Sql("l_extendedprice")} AS avg_price,
+       |COUNT(*) AS n_items FROM lineitem GROUP BY l_suppkey
+       |ORDER BY avg_price DESC, l_suppkey LIMIT 10""".stripMargin
+
+  // ---- §2.3 joins ---------------------------------------------------
+
+  /** J1: equi inner join + grouped rollup. Customer is the small dimension
+    * → explicit broadcast (no shuffle of orders at scale).
+    * (generate_volume_rankings.py:150)
+    */
+  val j1InnerJoin: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(Exact.sum2($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+  val j1InnerJoinSql: String =
+    s"""SELECT c_mktsegment, ${Exact.sum2Sql("o_totalprice")} AS revenue,
+       |COUNT(*) AS n_orders
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** J2: left outer join + COALESCE(measure, 0)
+    * (generate_volume_rankings.py:151 + :147).
+    */
+  val j2LeftJoin: Q = (s, d) => {
+    import s.implicits._
+    val perCust = Tables.orders(s, d).groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    Relational.leftJoinWithDefault(
+        Tables.customer(s, d).withColumn("o_custkey", $"c_custkey"),
+        perCust, Seq("o_custkey"), "n_orders", lit(0L))
+      .select($"c_custkey", $"c_name", $"n_orders")
+      .orderBy("c_custkey")
+  }
+  val j2LeftJoinSql: String =
+    """SELECT c_custkey, c_name, COALESCE(n_orders, 0) AS n_orders
+      |FROM customer LEFT JOIN
+      |(SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1) o
+      |ON c_custkey = o_custkey ORDER BY c_custkey""".stripMargin
+
+  /** J3: anti-join — keys never seen on the right (analytics.py:94-108). */
+  val j3Anti: Q = (s, d) => {
+    import s.implicits._
+    Relational.antiJoin(
+        Tables.customer(s, d).withColumn("o_custkey", $"c_custkey"),
+        Tables.orders(s, d), Seq("o_custkey"))
+      .select($"c_custkey", $"c_name")
+      .orderBy("c_custkey")
+  }
+  val j3AntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** J4: day-over-day delta anti-join — present on d-1, gone on d
+    * (analytics.py:142-156, with C1 interval arithmetic).
+    */
+  val j4Delta: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val dayN = to_date(lit("2024-01-05"))
+    val prev = ev.filter(to_date($"ts") === date_sub(dayN, 1)).select($"user_id").distinct()
+    val cur = ev.filter(to_date($"ts") === dayN).select($"user_id").distinct()
+    Relational.antiJoin(prev, cur, Seq("user_id")).orderBy("user_id")
+  }
+  val j4DeltaSql: String =
+    """SELECT DISTINCT user_id FROM events
+      |WHERE CAST(ts AS DATE) = DATE '2024-01-05' - INTERVAL 1 DAY
+      |  AND user_id NOT IN (SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05')
+      |ORDER BY user_id""".stripMargin
+
+  /** J5+C2: continuity gaps — generated date series anti-join
+    * (validation/continuity.py:74-87).
+    */
+  val j5Continuity: Q = (s, d) =>
+    Validation.continuityGaps(s, Tables.events(s, d)
+        .withColumn("event_date", to_date(col("ts"))),
+      "event_date", "2024-01-01", "2024-03-31")
+      .select(dstr(col("event_date")).as("event_date"))
+  val j5ContinuitySql: String =
+    """SELECT CAST(d AS VARCHAR) AS event_date FROM
+      |(SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-03-31', INTERVAL 1 DAY)) AS DATE) AS d)
+      |WHERE d NOT IN (SELECT DISTINCT CAST(ts AS DATE) FROM events)
+      |ORDER BY d""".stripMargin
+
+  /** J6: key-set diff/intersect with origin tag (cross_check.py:129-137). */
+  val j6SetOps: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    Validation.keySetDiff(
+      ev.filter($"event_type" === "purchase"),
+      ev.filter($"event_type" === "signup"),
+      "user_id")
+  }
+  val j6SetOpsSql: String =
+    """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+      |SELECT user_id, 'only_a' AS side FROM a WHERE user_id NOT IN (SELECT user_id FROM b)
+      |UNION ALL
+      |SELECT user_id, 'only_b' AS side FROM b WHERE user_id NOT IN (SELECT user_id FROM a)
+      |UNION ALL
+      |SELECT user_id, 'both' AS side FROM a WHERE user_id IN (SELECT user_id FROM b)
+      |ORDER BY side, user_id""".stripMargin
+
+  /** J7: duplicate-key overlap guard (generate_volume_rankings.py:274-282). */
+  val j7Overlap: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).withColumn("event_date", to_date($"ts"))
+    val existing = ev.filter($"event_date" <= lit("2024-01-10"))
+    val fresh = ev.filter($"event_date" >= lit("2024-01-08"))
+    Relational.overlap(existing, fresh, Seq("event_date"))
+      .select(dstr($"event_date").as("event_date")).orderBy("event_date")
+  }
+  val j7OverlapSql: String =
+    """SELECT DISTINCT CAST(a.event_date AS VARCHAR) AS event_date FROM
+      |(SELECT CAST(ts AS DATE) AS event_date FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-10') a
+      |JOIN (SELECT CAST(ts AS DATE) AS event_date FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-08') b
+      |USING (event_date) ORDER BY event_date""".stripMargin
+
+  /** J8: consistency diff via full outer join (verify-database-consistency.py:287-334). */
+  val j8FullOuterDiff: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val a = ev.filter(month($"ts") === 1).groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val b = ev.filter(month($"ts") === 2).groupBy($"user_id").agg(count(lit(1)).as("n"))
+    Validation.consistencyDiff(a, b, "user_id", "n")
+  }
+  val j8FullOuterDiffSql: String =
+    """WITH a AS (SELECT user_id, COUNT(*) AS a_val FROM events WHERE EXTRACT(month FROM ts) = 1 GROUP BY 1),
+      |b AS (SELECT user_id, COUNT(*) AS b_val FROM events WHERE EXTRACT(month FROM ts) = 2 GROUP BY 1)
+      |SELECT user_id, a_val, b_val FROM a FULL OUTER JOIN b USING (user_id)
+      |WHERE a_val IS DISTINCT FROM b_val ORDER BY user_id""".stripMargin
+
+  // ---- registry -----------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "q_f1_snapshot" -> f1Snapshot,
+    "q_f2_range" -> f2Range,
+    "q_f5_inlist" -> f5InList,
+    "q_f6_threshold" -> f6Threshold,
+    "q_f8_incremental" -> f8Incremental,
+    "q_a1_count_by_day" -> a1CountByDay,
+    "q_a3_having" -> a3Having,
+    "q_a4_minmax" -> a4MinMax,
+    "q_a5_multiagg" -> a5MultiAgg,
+    "q_a6_summary" -> a6Summary,
+    "q_a7_distinct_counts" -> a7DistinctCounts,
+    "q_a8_conditional" -> a8Conditional,
+    "q_a9_distinct" -> a9Distinct,
+    "q_a10_top_avg" -> a10TopAvg,
+    "q_j1_inner_join" -> j1InnerJoin,
+    "q_j2_left_join" -> j2LeftJoin,
+    "q_j3_anti" -> j3Anti,
+    "q_j4_delta" -> j4Delta,
+    "q_j5_continuity" -> j5Continuity,
+    "q_j6_set_ops" -> j6SetOps,
+    "q_j7_overlap" -> j7Overlap,
+    "q_j8_full_outer_diff" -> j8FullOuterDiff
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_f1_snapshot" -> f1SnapshotSql,
+    "q_f2_range" -> f2RangeSql,
+    "q_f5_inlist" -> f5InListSql,
+    "q_f6_threshold" -> f6ThresholdSql,
+    "q_f8_incremental" -> f8IncrementalSql,
+    "q_a1_count_by_day" -> a1CountByDaySql,
+    "q_a3_having" -> a3HavingSql,
+    "q_a4_minmax" -> a4MinMaxSql,
+    "q_a5_multiagg" -> a5MultiAggSql,
+    "q_a6_summary" -> a6SummarySql,
+    "q_a7_distinct_counts" -> a7DistinctCountsSql,
+    "q_a8_conditional" -> a8ConditionalSql,
+    "q_a9_distinct" -> a9DistinctSql,
+    "q_a10_top_avg" -> a10TopAvgSql,
+    "q_j1_inner_join" -> j1InnerJoinSql,
+    "q_j2_left_join" -> j2LeftJoinSql,
+    "q_j3_anti" -> j3AntiSql,
+    "q_j4_delta" -> j4DeltaSql,
+    "q_j5_continuity" -> j5ContinuitySql,
+    "q_j6_set_ops" -> j6SetOpsSql,
+    "q_j7_overlap" -> j7OverlapSql,
+    "q_j8_full_outer_diff" -> j8FullOuterDiffSql
+  )
+}
