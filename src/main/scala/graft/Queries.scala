@@ -22,8 +22,8 @@ object Queries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Presentation-edge date formatting (see class doc). */
-  private def dstr(c: org.apache.spark.sql.Column) = date_format(c, "yyyy-MM-dd")
-  private def dstrSql(col: String): String = s"strftime($col, '%Y-%m-%d')"
+  private[graft] def dstr(c: org.apache.spark.sql.Column) = date_format(c, "yyyy-MM-dd")
+  private[graft] def dstrSql(col: String): String = s"strftime($col, '%Y-%m-%d')"
 
   // ---- §2.2 filters / projections -----------------------------------
 
@@ -375,7 +375,7 @@ object Queries {
     "q_j6_set_ops" -> j6SetOps,
     "q_j7_overlap" -> j7Overlap,
     "q_j8_full_outer_diff" -> j8FullOuterDiff
-  )
+  ) ++ WindowQueries.all
 
   val oracles: Map[String, String] = Map(
     "q_f1_snapshot" -> f1SnapshotSql,
@@ -400,5 +400,5 @@ object Queries {
     "q_j6_set_ops" -> j6SetOpsSql,
     "q_j7_overlap" -> j7OverlapSql,
     "q_j8_full_outer_diff" -> j8FullOuterDiffSql
-  )
+  ) ++ WindowQueries.oracles
 }

@@ -1,0 +1,248 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.{Exact, Rankings, Windowed}
+
+/** Window-function query cluster (SURVEY.md §2.5 W1–W7 + §2.6 O2/O3) —
+  * the reference's richest operator family and the parity centerpiece.
+  *
+  * All queries derive a per-(date, user) "daily volume" frame from the
+  * events table — the exact shape of the reference's per-(date, symbol)
+  * fact table — then apply the same window pipeline as
+  * generate_volume_rankings.py:95-153.
+  *
+  * Scale: the daily frame is one map-side-combined groupBy shuffle;
+  * every window partitions by date or by symbol, so no global sort and
+  * no single-partition OVER () on unbounded input anywhere.
+  */
+object WindowQueries {
+  import Queries.{Q, dstr, dstrSql}
+
+  /** Shared base: events → one row per (date, user_id) with exact volume.
+    * Mirrors the reference's daily_availability grain (schema.py:68-95).
+    */
+  def dailyUserVolume(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(to_date($"ts").as("date"), $"user_id")
+      .agg(Exact.sum2($"value").as("volume"), count(lit(1)).as("trade_count"))
+  }
+  val dailySql: String =
+    s"""daily AS (
+       |  SELECT CAST(ts AS DATE) AS date, user_id,
+       |         ${Exact.sum2Sql("value")} AS volume,
+       |         COUNT(*) AS trade_count
+       |  FROM events GROUP BY 1, 2)""".stripMargin
+  /** Same CTE with the reference's column name (`symbol`). */
+  val dailySymbolSql: String =
+    s"""daily AS (
+       |  SELECT CAST(ts AS DATE) AS date, user_id AS symbol,
+       |         ${Exact.sum2Sql("value")} AS volume,
+       |         COUNT(*) AS trade_count
+       |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  private val Dec25 = DecimalType(25, 2)
+  /** Order-independent windowed total (see Exact): decimal sum per date. */
+  private def dayTotal(c: Column): Column =
+    sum(c.cast(Dec25)).over(Window.partitionBy("date")).cast(DoubleType)
+  private val dayTotalSql =
+    "CAST(SUM(CAST(volume AS DECIMAL(25,2))) OVER (PARTITION BY date) AS DOUBLE)"
+
+  // ---- W1 + O2: global rank over a filtered one-day cohort, top-K ----
+
+  /** W1/O2: RANK() OVER (ORDER BY volume DESC) on one day, top 10
+    * (volume.py:54,68-81). Global window is safe: input is one day's
+    * cohort, bounded by symbol-universe size.
+    */
+  val w1RankTopN: Q = (s, d) => {
+    import s.implicits._
+    dailyUserVolume(s, d)
+      .filter($"date" === lit("2024-01-05").cast("date"))
+      .withColumn("rnk", Windowed.globalRank($"volume".desc))
+      .select($"user_id", $"volume", $"rnk")
+      .orderBy("rnk", "user_id")
+      .limit(10)
+  }
+  val w1RankTopNSql: String =
+    s"""WITH $dailySql
+       |SELECT user_id, volume, RANK() OVER (ORDER BY volume DESC) AS rnk
+       |FROM daily WHERE date = DATE '2024-01-05'
+       |ORDER BY rnk, user_id LIMIT 10""".stripMargin
+
+  // ---- W2 + W3: dense rank + percent rank per date --------------------
+
+  val w2w3DensePct: Q = (s, d) => {
+    import s.implicits._
+    dailyUserVolume(s, d)
+      .withColumn("rnk", Windowed.denseRankIn("date", $"volume".desc))
+      .withColumn("pctl", Windowed.percentRankIn("date", $"volume".desc).cast(FloatType))
+      .select(dstr($"date").as("date"), $"user_id", $"rnk", $"pctl")
+      .orderBy("date", "rnk", "user_id")
+  }
+  val w2w3DensePctSql: String =
+    s"""WITH $dailySql
+       |SELECT ${dstrSql("date")} AS date, user_id,
+       |  DENSE_RANK() OVER (PARTITION BY date ORDER BY volume DESC) AS rnk,
+       |  CAST(PERCENT_RANK() OVER (PARTITION BY date ORDER BY volume DESC) * 100 AS FLOAT) AS pctl
+       |FROM daily ORDER BY date, rnk, user_id""".stripMargin
+
+  // ---- W4: unbounded partition totals ---------------------------------
+
+  val w4PartitionTotal: Q = (s, d) => {
+    import s.implicits._
+    dailyUserVolume(s, d)
+      .withColumn("day_total", dayTotal($"volume"))
+      .withColumn("day_n", count(lit(1)).over(Window.partitionBy("date")))
+      .select(dstr($"date").as("date"), $"user_id", $"volume", $"day_total", $"day_n")
+      .orderBy("date", "user_id")
+  }
+  val w4PartitionTotalSql: String =
+    s"""WITH $dailySql
+       |SELECT ${dstrSql("date")} AS date, user_id, volume,
+       |  $dayTotalSql AS day_total,
+       |  COUNT(*) OVER (PARTITION BY date) AS day_n
+       |FROM daily ORDER BY date, user_id""".stripMargin
+
+  // ---- W5: row-offset LAG ladder --------------------------------------
+
+  /** LAG is row-offset over observed rows, not calendar days —
+    * bug-compatible with generate_volume_rankings.py:129-132.
+    */
+  val w5LagLadder: Q = (s, d) => {
+    import s.implicits._
+    val ranked = dailyUserVolume(s, d)
+      .withColumn("rnk", Windowed.denseRankIn("date", $"volume".desc))
+    Seq(1, 7).foldLeft(ranked) { (df, n) =>
+      df.withColumn(s"chg_${n}d",
+        (col("rnk") - Windowed.lagBy(col("rnk"), n, "user_id", "date")).cast(ShortType))
+    }
+      .select(dstr($"date").as("date"), $"user_id", $"rnk", $"chg_1d", $"chg_7d")
+      .orderBy("user_id", "date")
+  }
+  val w5LagLadderSql: String =
+    s"""WITH $dailySql,
+       |ranked AS (SELECT date, user_id,
+       |  DENSE_RANK() OVER (PARTITION BY date ORDER BY volume DESC) AS rnk FROM daily)
+       |SELECT ${dstrSql("date")} AS date, user_id, rnk,
+       |  CAST(rnk - LAG(rnk, 1) OVER (PARTITION BY user_id ORDER BY date) AS SMALLINT) AS chg_1d,
+       |  CAST(rnk - LAG(rnk, 7) OVER (PARTITION BY user_id ORDER BY date) AS SMALLINT) AS chg_7d
+       |FROM ranked ORDER BY user_id, date""".stripMargin
+
+  // ---- W6: trailing row-frame rolling aggregates ----------------------
+
+  val w6Rolling: Q = (s, d) => {
+    import s.implicits._
+    val w = Windowed.trailing("user_id", "date", 6)
+    dailyUserVolume(s, d)
+      .withColumn("days_in_7", count(lit(1)).over(w))
+      .withColumn("vol_7", sum($"volume".cast(Dec25)).over(w).cast(DoubleType))
+      .select(dstr($"date").as("date"), $"user_id", $"days_in_7", $"vol_7")
+      .orderBy("user_id", "date")
+  }
+  val w6RollingSql: String =
+    s"""WITH $dailySql
+       |SELECT ${dstrSql("date")} AS date, user_id,
+       |  COUNT(*) OVER w AS days_in_7,
+       |  CAST(SUM(CAST(volume AS DECIMAL(25,2))) OVER w AS DOUBLE) AS vol_7
+       |FROM daily
+       |WINDOW w AS (PARTITION BY user_id ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, date""".stripMargin
+
+  // ---- W7: derived share-of-total with NULLIF guard -------------------
+
+  val w7Share: Q = (s, d) => {
+    import s.implicits._
+    dailyUserVolume(s, d)
+      .withColumn("total", dayTotal($"volume"))
+      .withColumn("share_pct",
+        Windowed.shareOfTotalPct($"volume", $"total").cast(FloatType))
+      .select(dstr($"date").as("date"), $"user_id", $"share_pct")
+      .orderBy("date", "user_id")
+  }
+  val w7ShareSql: String =
+    s"""WITH $dailySql
+       |SELECT ${dstrSql("date")} AS date, user_id,
+       |  CAST(volume / NULLIF($dayTotalSql, 0) * 100 AS FLOAT) AS share_pct
+       |FROM daily ORDER BY date, user_id""".stripMargin
+
+  // ---- Full rankings pipeline (§3.3, the parity centerpiece) ----------
+
+  val rankingsPipeline: Q = (s, d) => {
+    import s.implicits._
+    Rankings.pipeline(dailyUserVolume(s, d).withColumnRenamed("user_id", "symbol"))
+      .withColumn("date", dstr(col("date")))
+      .orderBy("date", "rank", "symbol")
+  }
+  val rankingsPipelineSql: String =
+    s"""WITH $dailySymbolSql
+       |, ranked AS (
+       |  SELECT date, symbol, volume, trade_count,
+       |    DENSE_RANK() OVER (PARTITION BY date ORDER BY volume DESC) AS rank_i,
+       |    PERCENT_RANK() OVER (PARTITION BY date ORDER BY volume DESC) * 100 AS pctl,
+       |    $dayTotalSql AS total_volume
+       |  FROM daily),
+       |lagged AS (
+       |  SELECT *,
+       |    CAST(rank_i - LAG(rank_i, 1) OVER (PARTITION BY symbol ORDER BY date) AS SMALLINT) AS rank_change_1d,
+       |    CAST(rank_i - LAG(rank_i, 7) OVER (PARTITION BY symbol ORDER BY date) AS SMALLINT) AS rank_change_7d,
+       |    CAST(rank_i - LAG(rank_i, 14) OVER (PARTITION BY symbol ORDER BY date) AS SMALLINT) AS rank_change_14d,
+       |    CAST(rank_i - LAG(rank_i, 30) OVER (PARTITION BY symbol ORDER BY date) AS SMALLINT) AS rank_change_30d
+       |  FROM ranked)
+       |SELECT ${dstrSql("date")} AS date, symbol,
+       |  CAST(rank_i AS SMALLINT) AS rank,
+       |  volume AS quote_volume_usdt, trade_count,
+       |  rank_change_1d, rank_change_7d, rank_change_14d, rank_change_30d,
+       |  CAST(pctl AS FLOAT) AS percentile,
+       |  CAST(volume / NULLIF(total_volume, 0) * 100 AS FLOAT) AS market_share_pct,
+       |  CAST(COUNT(*) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS TINYINT) AS days_available
+       |FROM lagged ORDER BY date, rank, symbol""".stripMargin
+
+  // ---- O3: recency top-K ---------------------------------------------
+
+  /** O3: ORDER BY date DESC LIMIT n — volume trend over last 7 days
+    * (volume.py:219-232).
+    */
+  val o3Recency: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n"), Exact.sum2($"value").as("vol"))
+      .orderBy($"d".desc)
+      .limit(7)
+      .select(dstr($"d").as("day"), $"n", $"vol")
+      .orderBy("day")
+  }
+  val o3RecencySql: String =
+    s"""SELECT ${dstrSql("d")} AS day, n, vol FROM (
+       |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+       |         ${Exact.sum2Sql("value")} AS vol
+       |  FROM events GROUP BY 1 ORDER BY d DESC LIMIT 7)
+       |ORDER BY day""".stripMargin
+
+  // ---- registry -------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "q_w1_rank_topn" -> w1RankTopN,
+    "q_w2w3_dense_pct" -> w2w3DensePct,
+    "q_w4_partition_total" -> w4PartitionTotal,
+    "q_w5_lag_ladder" -> w5LagLadder,
+    "q_w6_rolling" -> w6Rolling,
+    "q_w7_share" -> w7Share,
+    "q_rankings_pipeline" -> rankingsPipeline,
+    "q_o3_recency" -> o3Recency
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_w1_rank_topn" -> w1RankTopNSql,
+    "q_w2w3_dense_pct" -> w2w3DensePctSql,
+    "q_w4_partition_total" -> w4PartitionTotalSql,
+    "q_w5_lag_ladder" -> w5LagLadderSql,
+    "q_w6_rolling" -> w6RollingSql,
+    "q_w7_share" -> w7ShareSql,
+    "q_rankings_pipeline" -> rankingsPipelineSql,
+    "q_o3_recency" -> o3RecencySql
+  )
+}
