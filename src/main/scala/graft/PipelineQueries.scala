@@ -1,0 +1,345 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.{Dedup, TextOps, Vectors}
+
+/** Training-data pipeline queries: deduplication (exact / MinHash-LSH /
+  * SimHash), embedding similarity search (brute-force + LSH-bucketed),
+  * and text analysis (language ID, quality, token counts, fingerprints).
+  *
+  * The dedup corpus is derived deterministically from the documents
+  * table: originals ∪ near-duplicates (first token dropped, ids
+  * +100000, every 5th doc) ∪ exact copies (ids +200000, every 7th doc).
+  * Natural near-dups don't exist in the synthetic data (max pairwise
+  * 3-gram Jaccard ≈ 0.03), so planting them makes the pipelines'
+  * recall observable and oracle-checkable.
+  */
+object PipelineQueries {
+  import Queries.Q
+  import TextOps.{hash60Sql, seededHash60Sql}
+
+  /** Dedup corpus: documents + planted near/exact duplicates. */
+  def corpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id".as("id"), $"text")
+    val near = docs.filter($"id" % 5 === 0)
+      .select(($"id" + 100000).as("id"),
+        regexp_replace($"text", "^\\S+\\s+", "").as("text"))
+    val exact = docs.filter($"id" % 7 === 0)
+      .select(($"id" + 200000).as("id"), $"text")
+    docs.unionByName(near).unionByName(exact)
+  }
+  val corpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, regexp_replace(text, '^\S+\s+', '') FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** Shared shingle-set CTE (distinct word 3-grams per id). */
+  val shingleSql: String =
+    """sh AS (
+      |  SELECT DISTINCT id, unnest(list_transform(generate_series(1, len(toks) - 2),
+      |         i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |  FROM (SELECT id, string_split_regex(text, '\s+') AS toks FROM corpus))""".stripMargin
+
+  // ---- D1: exact dedup ------------------------------------------------
+
+  val d1Exact: Q = (s, d) =>
+    Dedup.exactGroups(corpus(s, d), "id", "text").orderBy("content_hash")
+  val d1ExactSql: String =
+    s"""WITH $corpusSql
+       |SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+       |  MIN(id) AS keep_id,
+       |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS ids
+       |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY content_hash""".stripMargin
+
+  // ---- D2: MinHash + LSH near-dup pairs -------------------------------
+
+  val d2MinHashLsh: Q = (s, d) =>
+    Dedup.nearDupPairs(corpus(s, d), "id", "text").orderBy("ia", "ib")
+  val d2MinHashLshSql: String =
+    s"""WITH $corpusSql,
+       |$shingleSql,
+       |mh AS (
+       |  SELECT id, j, MIN(${seededHash60Sql("j", "sh")}) AS m
+       |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS j) seeds GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT id, j // 4 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.ia, c.ib, COUNT(*) AS inter
+       |  FROM cand c JOIN sh x ON x.id = c.ia JOIN sh y ON y.id = c.ib AND y.sh = x.sh
+       |  GROUP BY 1, 2)
+       |SELECT i.ia, i.ib, i.inter * 1.0 / (na.n + nb.n - i.inter) AS jac
+       |FROM inter i JOIN sizes na ON na.id = i.ia JOIN sizes nb ON nb.id = i.ib
+       |WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.5
+       |ORDER BY ia, ib""".stripMargin
+
+  // ---- D3: SimHash fingerprints --------------------------------------
+
+  /** Production path is the custom SimHashAgg Aggregator; the oracle
+    * computes the same value the explode-per-bit way — passing proves
+    * the aggregator bit-exact.
+    */
+  val d3SimHash: Q = (s, d) => {
+    import s.implicits._
+    Dedup.simhash(
+        Tables.documents(s, d).select($"doc_id".as("id"), $"text"),
+        "id", "text")
+      .select($"id".as("doc_id"), $"simhash")
+      .orderBy("doc_id")
+  }
+  val d3SimHashSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents),
+       |h AS (SELECT doc_id, ${hash60Sql("t")} AS hv FROM tok),
+       |bits AS (
+       |  SELECT doc_id, i, SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM h, (SELECT unnest(generate_series(0, 59)) AS i) b GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- D4: SimHash near-dup pairs via band bucketing ------------------
+
+  val d4SimHashPairs: Q = (s, d) =>
+    Dedup.simhashPairs(Dedup.simhash(corpus(s, d), "id", "text"), maxDist = 6)
+      .orderBy("ia", "ib")
+  val d4SimHashPairsSql: String =
+    s"""WITH $corpusSql,
+       |tok AS (SELECT id, unnest(string_split_regex(text, '\\s+')) AS t FROM corpus),
+       |h AS (SELECT id, ${hash60Sql("t")} AS hv FROM tok),
+       |bits AS (
+       |  SELECT id, i, SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM h, (SELECT unnest(generate_series(0, 59)) AS i) b GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS simhash
+       |  FROM bits GROUP BY id),
+       |banded AS (
+       |  SELECT id, simhash, b, (simhash >> (15 * b)) & 32767 AS chunk
+       |  FROM sim, (SELECT unnest(generate_series(0, 3)) AS b) t),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS ia, b2.id AS ib,
+       |    CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
+       |  FROM banded a JOIN banded b2 ON a.b = b2.b AND a.chunk = b2.chunk AND a.id < b2.id)
+       |SELECT ia, ib, hamming FROM pairs WHERE hamming <= 6 ORDER BY ia, ib""".stripMargin
+
+  // ---- E1: brute-force cosine top-k -----------------------------------
+
+  val e1KnnBrute: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id".as("vid"), $"label", $"embedding".cast("array<double>").as("e"))
+    val q = vecs.filter($"vid" === 0).select($"e")
+    Vectors.knnBruteForce(vecs.filter($"vid" =!= 0), q, 10)
+      .select($"vid".as("vec_id"), $"label", $"cos_sim")
+  }
+  val e1KnnBruteSql: String =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, label,
+      |  list_dot_product(e, qe) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS cos_sim
+      |FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id <> 0) x, q
+      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  // ---- E2: LSH-bucketed ANN ------------------------------------------
+
+  val e2AnnLsh: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("e"))
+    val buckets = Vectors.lshBuckets(vecs, "e", "vec_id", nPlanes = 4, dim = 64)
+    val joined = vecs.join(buckets, $"vec_id" === $"vid").drop("vid")
+    val q = joined.filter($"vec_id" === 0)
+      .select($"e".as("qe"), $"bucket".as("qb"))
+    joined.filter($"vec_id" =!= 0)
+      .join(broadcast(q), $"bucket" === $"qb")
+      .withColumn("cos_sim", Vectors.cosine($"e", $"qe"))
+      .select($"vec_id", $"label", $"bucket", $"cos_sim")
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(5)
+  }
+  val e2AnnLshSql: String =
+    s"""WITH planes AS (
+       |  SELECT p, list_transform(generate_series(1, 64), j ->
+       |    CASE WHEN ${hash60Sql("CAST(p AS VARCHAR)||'_'||CAST(j AS VARCHAR)")} % 2 = 1
+       |         THEN 1.0 ELSE -1.0 END) AS w
+       |  FROM (SELECT unnest(generate_series(0, 3)) AS p)),
+       |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, SUM(CASE WHEN list_dot_product(e, w) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+       |  FROM v, planes GROUP BY vec_id),
+       |j AS (SELECT v.vec_id, v.label, v.e, sig.bucket FROM v JOIN sig USING (vec_id)),
+       |q AS (SELECT e AS qe, bucket AS qb FROM j WHERE vec_id = 0)
+       |SELECT j.vec_id, j.label, j.bucket,
+       |  list_dot_product(j.e, q.qe) / (sqrt(list_dot_product(j.e, j.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS cos_sim
+       |FROM j, q WHERE j.vec_id <> 0 AND j.bucket = q.qb
+       |ORDER BY cos_sim DESC, j.vec_id LIMIT 5""".stripMargin
+
+  // ---- T1: language ID (marker-word heuristic) ------------------------
+
+  private val langMarkers = Seq(
+    "en" -> Seq("the", "a"), "fr" -> Seq("le", "la"), "es" -> Seq("el", "y"),
+    "de" -> Seq("der", "und"), "zh" -> Seq("的", "是"))
+
+  val t1LangId: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"lang", TextOps.tokens($"text").as("toks"))
+    val scored = langMarkers.foldLeft(base) { case (df, (l, ms)) =>
+      df.withColumn(s"sc_$l", TextOps.markerCount(col("toks"), ms))
+    }
+    val g = greatest(langMarkers.map { case (l, _) => col(s"sc_$l") }: _*)
+    val pred = langMarkers.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"sc_$l") === g, lit(l)).otherwise(acc)
+    }
+    scored
+      .withColumn("pred", when(g === 0, lit("und")).otherwise(pred))
+      .select($"doc_id", $"lang", $"pred", $"sc_en", $"sc_fr", $"sc_es", $"sc_de", $"sc_zh")
+      .orderBy("doc_id")
+  }
+  val t1LangIdSql: String = {
+    val scores = langMarkers.map { case (l, ms) =>
+      s"len(list_filter(toks, t -> t IN (${ms.map(m => s"'$m'").mkString(",")}))) AS sc_$l"
+    }.mkString(",\n  ")
+    val g = langMarkers.map { case (l, _) => s"sc_$l" }.mkString("greatest(", ", ", ")")
+    val cases = langMarkers.map { case (l, _) => s"WHEN sc_$l = $g THEN '$l'" }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |scored AS (SELECT doc_id, lang, $scores FROM t)
+       |SELECT doc_id, lang,
+       |  CASE WHEN $g = 0 THEN 'und' $cases ELSE 'und' END AS pred,
+       |  sc_en, sc_fr, sc_es, sc_de, sc_zh
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- T2: quality scoring -------------------------------------------
+
+  private val stopwords = Seq("the", "a", "of", "and")
+
+  val t2Quality: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", length($"text").as("n_chars_c"),
+        TextOps.tokens($"text").as("toks"))
+      .withColumn("n_tok", size($"toks"))
+      .withColumn("n_uniq", size(array_distinct($"toks")))
+      .withColumn("stop_n", TextOps.markerCount($"toks", stopwords))
+      .withColumn("uniq_ratio", $"n_uniq" * lit(1.0) / $"n_tok")
+      .withColumn("stop_ratio", $"stop_n" * lit(1.0) / $"n_tok")
+      .withColumn("quality_score",
+        least(lit(1.0), $"n_tok" / 100.0) * $"uniq_ratio" * (lit(1.0) - $"stop_ratio"))
+      .select($"doc_id", $"n_chars_c", $"n_tok", $"n_uniq", $"stop_n",
+        $"uniq_ratio", $"stop_ratio", $"quality_score")
+      .orderBy("doc_id")
+  }
+  val t2QualitySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, length(text) AS n_chars_c, string_split_regex(text, '\\s+') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, n_chars_c, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,
+       |    len(list_filter(toks, t -> t IN (${stopwords.map(w => s"'$w'").mkString(",")}))) AS stop_n
+       |  FROM t)
+       |SELECT doc_id, n_chars_c, n_tok, n_uniq, stop_n,
+       |  n_uniq * 1.0 / n_tok AS uniq_ratio,
+       |  stop_n * 1.0 / n_tok AS stop_ratio,
+       |  least(1.0, n_tok / 100.0) * (n_uniq * 1.0 / n_tok) * (1.0 - stop_n * 1.0 / n_tok) AS quality_score
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---- T3: token counting (whitespace + BPE-ish regex) ----------------
+
+  val t3Tokens: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        size(TextOps.tokens($"text")).as("ws_tokens"),
+        size(regexp_extract_all($"text", lit(TextOps.BpePattern), lit(0))).as("bpe_tokens"),
+        length($"text").as("n_chars_c"))
+      .withColumn("chars_per_tok", $"n_chars_c" * lit(1.0) / $"ws_tokens")
+      .orderBy("doc_id")
+  }
+  val t3TokensSql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens,
+      |  length(text) AS n_chars_c,
+      |  length(text) * 1.0 / len(string_split_regex(text, '\s+')) AS chars_per_tok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- T4: document fingerprinting (shingle hash extremes) ------------
+
+  val t4Fingerprint: Q = (s, d) => {
+    import s.implicits._
+    Dedup.shingleSet(
+        Tables.documents(s, d).select($"doc_id".as("id"), $"text"), "id", "text", 3)
+      .groupBy($"id".as("doc_id"))
+      .agg(
+        min(TextOps.hash60($"sh")).as("fp_min"),
+        max(TextOps.hash60($"sh")).as("fp_max"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy("doc_id")
+  }
+  val t4FingerprintSql: String =
+    s"""WITH ${shingleSql.replace("FROM corpus", "FROM (SELECT doc_id AS id, text FROM documents) corpus")}
+       |SELECT id AS doc_id, MIN(${hash60Sql("sh")}) AS fp_min,
+       |  MAX(${hash60Sql("sh")}) AS fp_max, COUNT(*) AS n_shingles
+       |FROM sh GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ---- M1: multimodal binary-column metadata --------------------------
+
+  /** Opaque-binary plumbing: treat content as a blob, extract typed
+    * metadata (byte length, content hash, header bytes). The testdata
+    * has no true media files, so text bytes stand in for the blob; the
+    * decode stage itself is `Multimodal.decodeStub` (non-SQL).
+    */
+  val m1BinaryMeta: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        length($"text".cast("binary")).as("n_bytes"),
+        md5($"text".cast("binary")).as("content_md5"),
+        lower(hex(substring($"text", 1, 8).cast("binary"))).as("header_hex"))
+      .orderBy("doc_id")
+  }
+  val m1BinaryMetaSql: String =
+    """SELECT doc_id, source,
+      |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  lower(hex(CAST(substr(text, 1, 8) AS BLOB))) AS header_hex
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- registry -------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "q_d1_exact_dedup" -> d1Exact,
+    "q_d2_minhash_lsh" -> d2MinHashLsh,
+    "q_d3_simhash" -> d3SimHash,
+    "q_d4_simhash_pairs" -> d4SimHashPairs,
+    "q_e1_knn_brute" -> e1KnnBrute,
+    "q_e2_ann_lsh" -> e2AnnLsh,
+    "q_t1_langid" -> t1LangId,
+    "q_t2_quality" -> t2Quality,
+    "q_t3_tokens" -> t3Tokens,
+    "q_t4_fingerprint" -> t4Fingerprint,
+    "q_m1_binary_meta" -> m1BinaryMeta
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_d1_exact_dedup" -> d1ExactSql,
+    "q_d2_minhash_lsh" -> d2MinHashLshSql,
+    "q_d3_simhash" -> d3SimHashSql,
+    "q_d4_simhash_pairs" -> d4SimHashPairsSql,
+    "q_e1_knn_brute" -> e1KnnBruteSql,
+    "q_e2_ann_lsh" -> e2AnnLshSql,
+    "q_t1_langid" -> t1LangIdSql,
+    "q_t2_quality" -> t2QualitySql,
+    "q_t3_tokens" -> t3TokensSql,
+    "q_t4_fingerprint" -> t4FingerprintSql,
+    "q_m1_binary_meta" -> m1BinaryMetaSql
+  )
+}

@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document deduplication for training-data pipelines: exact (content
+  * hash), MinHash + LSH banding (near-dup at scale), and SimHash.
+  *
+  * Scale design (the point of using Spark at all):
+  *  - every stage is a keyed shuffle with map-side combine — shingle
+  *    explosion never leaves the map side un-aggregated;
+  *  - candidate generation is a self-equi-join on (band, signature),
+  *    which Catalyst executes as a shuffled hash join on the bucket key —
+  *    quadratic work happens only WITHIN a bucket, never globally;
+  *  - exact Jaccard verification runs only on LSH candidates, so the
+  *    pairwise stage is linear in candidate count, not O(n²) in corpus.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the minimum id as
+    * canonical, report sorted duplicate-id lists.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col(idCol)).as("keep_id"),
+        array_join(transform(sort_array(collect_list(col(idCol))),
+          _.cast(StringType)), ",").as("ids"))
+      .filter(col("n_copies") > 1)
+
+  /** Distinct (id, shingle) pairs — the set representation used by both
+    * minhash and the exact-Jaccard verifier.
+    */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
+      .distinct()
+
+  /** MinHash signatures: k seeded hash functions, one row per (id, seed)
+    * with the per-seed minimum. One shuffle on (id, seed) with map-side
+    * combine — the exploded (shingle × seed) stream never shuffles raw.
+    */
+  def minhash(shingles: DataFrame, k: Int): DataFrame =
+    shingles
+      .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
+      .groupBy(col("id"), col("j"))
+      .agg(min(TextOps.seededHash60(col("j"), col("sh"))).as("m"))
+
+  /** LSH banding: group the k minhashes into bands of `rowsPerBand`,
+    * signature = comma-joined minhashes in seed order; candidate pairs
+    * are ids sharing any (band, signature) bucket.
+    */
+  def lshCandidates(mh: DataFrame, rowsPerBand: Int): DataFrame = {
+    val bands = mh
+      .withColumn("band", (col("j") / rowsPerBand).cast(IntegerType))
+      .groupBy(col("id"), col("band"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("j"), col("m")))),
+          x => x.getField("m").cast(StringType)), ",").as("sig"))
+    val a = bands.select(col("band"), col("sig"), col("id").as("ia"))
+    val b = bands.select(col("band"), col("sig"), col("id").as("ib"))
+    a.join(b, Seq("band", "sig")).where(col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs, against the shingle sets.
+    * inter/union computed from set sizes: |A∩B| via equi-join on shingle,
+    * |A∪B| = |A|+|B|−|A∩B|.
+    */
+  def jaccardVerify(cand: DataFrame, shingles: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(shingles.select(col("id").as("ia"), col("sh")), Seq("ia"))
+      .join(shingles.select(col("id").as("ib"), col("sh")), Seq("ib", "sh"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("ia"), col("n").as("na")), Seq("ia"))
+      .join(sizes.select(col("id").as("ib"), col("n").as("nb")), Seq("ib"))
+      .withColumn("jac",
+        col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
+  }
+
+  /** Full near-dup pipeline: shingle → minhash(k) → LSH(bands) →
+    * exact-Jaccard ≥ threshold.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, shingleN)
+    val cand = lshCandidates(minhash(sh, k), rowsPerBand)
+    jaccardVerify(cand, sh)
+      .filter(col("jac") >= threshold)
+      .select(col("ia"), col("ib"), col("jac"))
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** 60-bit SimHash folded over per-token hash60 values.
+    *
+    * Custom `Aggregator` instead of the naive explode(60 bits)×groupBy
+    * formulation: the 60-counter state merges associatively inside each
+    * partition, so the shuffle carries one 60-int buffer per (group ×
+    * partition) instead of 60 rows per token. Bit-for-bit equal to the
+    * SQL formulation (verified against the DuckDB oracle, which computes
+    * it the explode way).
+    */
+  class SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    def zero: Array[Int] = new Array[Int](60)
+    def reduce(b: Array[Int], hv: Long): Array[Int] = {
+      var i = 0
+      while (i < 60) { b(i) += (((hv >> i) & 1L).toInt * 2) - 1; i += 1 }
+      b
+    }
+    def merge(x: Array[Int], y: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 60) { x(i) += y(i); i += 1 }
+      x
+    }
+    def finish(b: Array[Int]): Long = {
+      var out = 0L; var i = 0
+      while (i < 60) { if (b(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+    def bufferEncoder: Encoder[Array[Int]] = Encoders.javaSerialization[Array[Int]]
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+  private lazy val simhashUdaf = udaf(new SimHashAgg, Encoders.scalaLong)
+
+  /** Per-document SimHash over whitespace tokens (term frequency
+    * weighted — each occurrence votes).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("t"))
+      .select(col("id"), TextOps.hash60(col("t")).as("hv"))
+      .groupBy("id")
+      .agg(simhashUdaf(col("hv")).as("simhash"))
+
+  /** SimHash near-dup candidates by band bucketing: 4 bands of 15 bits;
+    * pairs sharing any band are verified by Hamming distance ≤ maxDist.
+    */
+  def simhashPairs(sh: DataFrame, maxDist: Int): DataFrame = {
+    val banded = sh.withColumn("b", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk",
+        expr("(simhash >> (15 * b)) & 32767"))
+    val a = banded.select(col("b"), col("chunk"),
+      col("id").as("ia"), col("simhash").as("sa"))
+    val bb = banded.select(col("b"), col("chunk"),
+      col("id").as("ib"), col("simhash").as("sb"))
+    a.join(bb, Seq("b", "chunk")).where(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        expr("bit_count(sa ^ sb)").cast(IntegerType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, word shingles, a portable 60-bit content hash, language
+  * ID scoring, quality ratios, and token counting.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (higher-order array functions, regexp) — no Scala UDFs in the hot
+  * path, so whole-stage codegen spans the full pipeline.
+  *
+  * The hash is md5-based (not Spark's xxhash64) so that any engine can
+  * reproduce it — the DuckDB oracle computes the identical value with
+  * `('0x'||substr(md5(x),1,15))::BIGINT`.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Word n-gram shingles: ["a","b","c","d"] with n=3 →
+    * ["a b c", "b c d"]. Empty array when fewer than n tokens
+    * (guarded: Spark's `sequence(1, k)` counts DOWN when k < 1).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - n + 1),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Portable 60-bit positive hash: first 15 hex chars of md5.
+    * Oracle equivalent: `('0x'||substr(md5(x),1,15))::BIGINT`.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  def hash60Sql(x: String): String = s"('0x'||substr(md5($x),1,15))::BIGINT"
+
+  /** Seeded variant for minhash families: hash of "<seed>:<value>". */
+  def seededHash60(seed: Column, c: Column): Column =
+    hash60(concat(seed.cast(StringType), lit(":"), c))
+  def seededHash60Sql(seed: String, x: String): String =
+    hash60Sql(s"CAST($seed AS VARCHAR)||':'||$x")
+
+  /** Count of tokens belonging to a marker set (language-ID signal). */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+
+  /** BPE-ish subword tokenizer regex: letter runs, single digits,
+    * single punctuation marks. Shared verbatim with the oracle (RE2 and
+    * Java regex agree on this subset).
+    */
+  val BpePattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+}
