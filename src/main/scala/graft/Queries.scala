@@ -375,7 +375,7 @@ object Queries {
     "q_j6_set_ops" -> j6SetOps,
     "q_j7_overlap" -> j7Overlap,
     "q_j8_full_outer_diff" -> j8FullOuterDiff
-  ) ++ WindowQueries.all ++ PipelineQueries.all
+  ) ++ WindowQueries.all ++ PipelineQueries.all ++ ScalarQueries.all
 
   val oracles: Map[String, String] = Map(
     "q_f1_snapshot" -> f1SnapshotSql,
@@ -400,5 +400,5 @@ object Queries {
     "q_j6_set_ops" -> j6SetOpsSql,
     "q_j7_overlap" -> j7OverlapSql,
     "q_j8_full_outer_diff" -> j8FullOuterDiffSql
-  ) ++ WindowQueries.oracles ++ PipelineQueries.oracles
+  ) ++ WindowQueries.oracles ++ PipelineQueries.oracles ++ ScalarQueries.oracles
 }

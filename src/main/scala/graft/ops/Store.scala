@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Partitioned-Parquet storage with UPSERT semantics (SURVEY.md §1.3,
+  * §2.1 S2–S4) — the reference's `INSERT OR REPLACE` keyed on
+  * (date, symbol) re-expressed for an immutable columnar store.
+  *
+  * Design (SURVEY §7.4.1):
+  *  - data lives partitioned by a coarse time column; an upsert batch
+  *    rewrites ONLY the partitions it touches (dynamic partition
+  *    overwrite), merging old+new and keeping the latest row per key —
+  *    a 20-day re-probe rewrites 20 partitions, never the archive;
+  *  - dedup-on-read (`latestByKey`) gives exactly-one-row-per-key views
+  *    even if a writer crashed between attempts (idempotent re-runs);
+  *  - the summary table is a derived aggregate refreshed after ingest
+  *    (the reference's materialized view, availability_db.py:232-242).
+  */
+object Store {
+
+  /** Latest row per key by `tsCol` (row_number = 1), with a total
+    * tie-break column so re-runs are deterministic.
+    * Reference upsert semantics: availability_db.py:97,162.
+    */
+  def latestByKey(df: DataFrame, keys: Seq[String], tsCol: String,
+                  tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).desc, col(tieBreak).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Initial load: write partitioned by `partCol`. */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+
+  /** UPSERT a batch: merge with the existing rows of ONLY the touched
+    * partitions, keep the newest row per key, and dynamically overwrite
+    * just those partitions. All other partitions are untouched on disk,
+    * so cost scales with the re-probe window, not the table.
+    */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+             partCol: String, keys: Seq[String], tsCol: String,
+             tieBreak: String): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val existing = spark.read.parquet(path)
+    // Partition pruning: only read partitions present in the update batch.
+    val touched = updates.select(col(partCol)).distinct()
+    val affected = existing.join(broadcast(touched), Seq(partCol), "left_semi")
+    val merged = latestByKey(
+      affected.unionByName(updates.select(existing.columns.map(col): _*)),
+      keys, tsCol, tieBreak)
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+  }
+
+  /** Derived summary table (the reference's daily_symbol_counts
+    * materialized view): per-partition totals refreshed post-ingest.
+    */
+  def refreshSummary(df: DataFrame, partCol: String, cond: org.apache.spark.sql.Column,
+                     summaryPath: String): Unit =
+    df.groupBy(col(partCol))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(cond, 1L).otherwise(0L)).as("matched"),
+        sum(when(!cond, 1L).otherwise(0L)).as("unmatched"))
+      .write.mode(SaveMode.Overwrite).parquet(summaryPath)
+
+  /** Additive schema migration (schema.py:9-42 ADD COLUMN): nulls for
+    * history, no rewrite of existing files needed when reading with
+    * mergeSchema or an explicit target schema.
+    */
+  def addColumns(df: DataFrame, cols: Map[String, DataType]): DataFrame =
+    cols.foldLeft(df) { case (acc, (name, dt)) =>
+      if (acc.columns.contains(name)) acc
+      else acc.withColumn(name, lit(null).cast(dt))
+    }
+
+  /** Append guard (S7): reject a batch whose `keyCol` values overlap the
+    * existing archive (generate_volume_rankings.py:274-293).
+    */
+  def appendWithOverlapCheck(existing: DataFrame, fresh: DataFrame,
+                             keyCol: String): DataFrame = {
+    val overlap = existing.select(keyCol).distinct()
+      .join(fresh.select(keyCol).distinct(), Seq(keyCol), "inner")
+    if (!overlap.isEmpty)
+      throw new IllegalArgumentException(
+        s"duplicate $keyCol values in append batch: " +
+          overlap.limit(5).collect().map(_.get(0)).mkString(", "))
+    existing.unionByName(fresh)
+  }
+}
