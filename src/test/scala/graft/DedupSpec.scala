@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextOps}
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank " +
+      "while morning light spreads across quiet fields and birds begin their " +
+      "long slow journey south before winter arrives with heavy snow again"
+    Seq(
+      (1L, base),
+      (2L, base),                                    // exact dup of 1
+      (3L, base.split(" ", 2)(1)),                   // near dup (first token dropped)
+      (4L, "completely different content about spark catalyst optimizer rules and codegen stages here"),
+      (5L, "short text"))
+      .toDF("id", "text")
+  }
+
+  test("exactGroups finds only the exact duplicate pair, keeps min id") {
+    val g = Dedup.exactGroups(docs, "id", "text").collect()
+    g.length shouldBe 1
+    g.head.getAs[Long]("keep_id") shouldBe 1L
+    g.head.getAs[String]("ids") shouldBe "1,2"
+    g.head.getAs[Long]("n_copies") shouldBe 2L
+  }
+
+  test("minhash-LSH near-dup pipeline finds exact and near pairs, not unrelated docs") {
+    val pairs = Dedup.nearDupPairs(docs, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    keys should contain((1L, 2L)) // exact → jaccard 1.0
+    keys should contain((1L, 3L)) // near
+    keys should contain((2L, 3L))
+    pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 shouldBe 1.0
+    keys.flatMap(p => Set(p._1, p._2)) should not contain 4L
+    keys.flatMap(p => Set(p._1, p._2)) should not contain 5L
+  }
+
+  test("shingles: fewer tokens than n yields empty array, not a reversed sequence") {
+    import spark.implicits._
+    val out = Seq("a b", "a b c d").toDF("text")
+      .select(TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    out(0) shouldBe Seq.empty
+    out(1) shouldBe Seq("a b c", "b c d")
+  }
+
+  test("SimHashAgg aggregator is bit-identical to the explode formulation") {
+    import spark.implicits._
+    val viaAgg = Dedup.simhash(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Reference formulation: explode 60 bits per token hash, majority vote.
+    val viaExplode = docs
+      .select(col("id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .select(col("id"), TextOps.hash60(col("t")).as("hv"))
+      .withColumn("i", explode(sequence(lit(0), lit(59))))
+      .groupBy("id", "i")
+      .agg(sum(when(expr("(shiftright(hv, i) & 1) = 1"), 1).otherwise(-1)).as("s"))
+      .groupBy("id")
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0L)).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaAgg shouldBe viaExplode
+  }
+
+  test("simhashPairs: exact duplicates at hamming 0, unrelated docs filtered") {
+    val sh = Dedup.simhash(docs, "id", "text")
+    val pairs = Dedup.simhashPairs(sh, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    pairs((1L, 2L)) shouldBe 0
+    pairs.keySet.flatMap(p => Set(p._1, p._2)) should not contain 4L
+  }
+
+  test("hash60 is stable and within 60 bits") {
+    import spark.implicits._
+    val vals = Seq("x", "x", "y").toDF("s")
+      .select(TextOps.hash60(col("s")).as("h")).collect().map(_.getLong(0))
+    vals(0) shouldBe vals(1)
+    vals(0) should not be vals(2)
+    all(vals) should be >= 0L
+    all(vals) should be < (1L << 60)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+import graft.ops.Store
+
+/** Upsert/replace semantics (tests/test_database/test_availability_db.py:33-51
+  * and FIXTURES.md §1–§2): re-probing the same (date, symbol) replaces the
+  * row; other partitions are untouched on disk.
+  */
+class StoreSpec extends SparkSpec {
+
+  private def grid(probeTs: String, size: Long) = {
+    import spark.implicits._
+    val ts = Timestamp.valueOf(probeTs)
+    (for {
+      d <- Seq("2024-01-15", "2024-01-16", "2024-01-17")
+      s <- Seq("BTCUSDT", "ETHUSDT", "SOLUSDT")
+    } yield (Date.valueOf(d), s, true, size + s.length, ts))
+      .toDF("date", "symbol", "available", "file_size_bytes", "probe_timestamp")
+  }
+
+  test("upsert replaces re-probed rows and keeps counts stable") {
+    val path = Files.createTempDirectory("graft-upsert").toString + "/t"
+    Store.writePartitioned(grid("2024-01-18 02:00:00", 8000000L), path, "date")
+
+    // Re-probe one date with new sizes and a later probe timestamp.
+    val reprobe = grid("2024-01-19 02:00:00", 9000000L)
+      .filter(col("date") === Date.valueOf("2024-01-16"))
+    Store.upsert(spark, path, reprobe, "date",
+      Seq("date", "symbol"), "probe_timestamp", "file_size_bytes")
+
+    val after = spark.read.parquet(path)
+    after.count() shouldBe 9 // upsert, not append
+    val jan16 = after.filter(col("date") === Date.valueOf("2024-01-16"))
+      .select("file_size_bytes").collect().map(_.getLong(0))
+    all(jan16) should be >= 9000000L
+    val jan15 = after.filter(col("date") === Date.valueOf("2024-01-15"))
+      .select("file_size_bytes").collect().map(_.getLong(0))
+    all(jan15) should be < 9000000L
+  }
+
+  test("upsert with a brand-new partition appends it") {
+    val path = Files.createTempDirectory("graft-upsert2").toString + "/t"
+    Store.writePartitioned(grid("2024-01-18 02:00:00", 8000000L), path, "date")
+    import spark.implicits._
+    val fresh = Seq((Date.valueOf("2024-01-18"), "BTCUSDT", true, 7L,
+        Timestamp.valueOf("2024-01-19 02:00:00")))
+      .toDF("date", "symbol", "available", "file_size_bytes", "probe_timestamp")
+    Store.upsert(spark, path, fresh, "date",
+      Seq("date", "symbol"), "probe_timestamp", "file_size_bytes")
+    spark.read.parquet(path).count() shouldBe 10
+  }
+
+  test("latestByKey keeps exactly the newest row per key") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1, Timestamp.valueOf("2024-01-01 00:00:00"), 10L),
+      ("a", 1, Timestamp.valueOf("2024-01-02 00:00:00"), 20L),
+      ("b", 2, Timestamp.valueOf("2024-01-01 00:00:00"), 30L))
+      .toDF("k1", "k2", "ts", "v")
+    val latest = Store.latestByKey(df, Seq("k1", "k2"), "ts", "v")
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    latest shouldBe Map("a" -> 20L, "b" -> 30L)
+  }
+
+  test("appendWithOverlapCheck rejects duplicate keys (test_rankings_generation.py:392-415)") {
+    import spark.implicits._
+    val existing = Seq(("2024-01-15", 1), ("2024-01-16", 2)).toDF("d", "v")
+    val dup = Seq(("2024-01-16", 3)).toDF("d", "v")
+    val ok = Seq(("2024-01-17", 3)).toDF("d", "v")
+    an[IllegalArgumentException] should be thrownBy
+      Store.appendWithOverlapCheck(existing, dup, "d")
+    Store.appendWithOverlapCheck(existing, ok, "d").count() shouldBe 3
+  }
+
+  test("addColumns is additive and idempotent (schema.py:9-42 migration)") {
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("id", "s")
+    val migrated = Store.addColumns(df, Map(
+      "quote_volume_usdt" -> DoubleType, "id" -> LongType))
+    migrated.columns.toSeq shouldBe Seq("id", "s", "quote_volume_usdt")
+    migrated.schema("id").dataType shouldBe IntegerType // existing untouched
+    migrated.select("quote_volume_usdt").collect().head.isNullAt(0) shouldBe true
+  }
+}
