@@ -1,0 +1,175 @@
+package graft.ingest
+
+import java.time.LocalDate
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Probe-record shape (probing/s3_vision.py:24-34). */
+case class ProbeResult(
+    symbol: String,
+    date: java.sql.Date,
+    available: Boolean,
+    file_size_bytes: Option[Long],
+    last_modified: Option[java.sql.Timestamp],
+    url: String,
+    status_code: Int,
+    probe_timestamp: java.sql.Timestamp)
+
+/** Ingestion-side adapters (SURVEY.md §2.1 S10–S17): URL building with
+  * Unicode-safe percent-encoding, file-listing parsers, 1d-kline CSV
+  * mapping, symbol classification, and probe fan-out plumbing.
+  *
+  * Network collectors are injected as functions so tests (and offline
+  * environments) supply fixtures; the Spark side — domain cross-join,
+  * partitioned fan-out via mapPartitions, record assembly — is real.
+  */
+object Ingest {
+
+  // ---- C11: percent-encoding (s3_vision.py:64-72) ---------------------
+
+  /** Percent-encode like Python's `urllib.parse.quote(s, safe="")`:
+    * UTF-8 bytes, unreserved = ALPHA / DIGIT / '-' / '.' / '_' / '~'.
+    * (java.net.URLEncoder is NOT equivalent: it emits '+' for space and
+    * keeps '*'.) Goldens: tests/test_probing/test_unicode_symbols.py:29-80.
+    */
+  def percentEncode(s: String): String = {
+    val sb = new StringBuilder
+    s.getBytes("UTF-8").foreach { b =>
+      val c = b & 0xff
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~')
+        sb.append(c.toChar)
+      else sb.append(f"%%$c%02X")
+    }
+    sb.toString
+  }
+
+  private val encodeUdf = udf(percentEncode _)
+
+  /** Probe URL for (symbol, date) — s3_vision.py:64-72 pattern. */
+  def probeUrl(symbol: Column, date: Column): Column = {
+    val enc = encodeUdf(symbol)
+    concat(
+      lit("https://data.binance.vision/data/futures/um/daily/klines/"),
+      enc, lit("/1m/"), enc, lit("-1m-"),
+      date_format(date, "yyyy-MM-dd"), lit(".zip"))
+  }
+
+  // ---- C13: symbol classification (s3_symbol_discovery.py:149-179) ----
+
+  /** "delivery" iff the symbol ends `_YYMMDD` with a VALID date (strict
+    * calendar check via try_to_date, e.g. _991332 stays perpetual);
+    * otherwise "perpetual". Pure built-ins — no UDF.
+    */
+  def classifySymbol(symbol: Column): Column = {
+    val suffix = regexp_extract(symbol, "_([0-9]{6})$", 1)
+    when(suffix =!= "" &&
+        call_function("try_to_date", suffix, lit("yyMMdd")).isNotNull,
+      lit("delivery")).otherwise(lit("perpetual"))
+  }
+
+  // ---- S13: AWS-CLI listing parser (aws_s3_lister.py:60-120) ----------
+
+  /** Parse `aws s3 ls` stdout lines ("DATE TIME SIZE FILENAME") into
+    * availability records, excluding .CHECKSUM entries and malformed
+    * lines — all regexp/split built-ins, fully distributed.
+    */
+  def parseAwsLs(lines: DataFrame, lineCol: String, symbol: String): DataFrame = {
+    val pat = s"^(\\d{4}-\\d{2}-\\d{2}) (\\d{2}:\\d{2}:\\d{2}) +(\\d+) (.*)$$"
+    val fnamePat = java.util.regex.Pattern.quote(symbol) + "-1m-(\\d{4}-\\d{2}-\\d{2})\\.zip$"
+    lines
+      // try_* variants: malformed lines yield NULL and are filtered, they
+      // must not abort the job (ANSI mode makes plain casts throw).
+      .withColumn("last_modified",
+        call_function("try_to_timestamp", concat(regexp_extract(col(lineCol), pat, 1),
+          lit(" "), regexp_extract(col(lineCol), pat, 2))))
+      .withColumn("file_size_bytes",
+        when(regexp_extract(col(lineCol), pat, 3) =!= "",
+          regexp_extract(col(lineCol), pat, 3)).cast(LongType))
+      .withColumn("filename", regexp_extract(col(lineCol), pat, 4))
+      .withColumn("date", call_function("try_to_date", regexp_extract(col("filename"), fnamePat, 1)))
+      .filter(col("date").isNotNull && !col("filename").contains(".CHECKSUM"))
+      .withColumn("symbol", lit(symbol))
+      .withColumn("url", concat(
+        lit("https://data.binance.vision/data/futures/um/daily/klines/"),
+        lit(symbol), lit("/1m/"), col("filename")))
+      .select("symbol", "date", "file_size_bytes", "last_modified", "url")
+  }
+
+  // ---- S14: 1d-kline CSV → 9 metrics (aws_s3_lister.py:235-294) -------
+
+  /** Map raw 1d-kline CSV content (header-optional, 12 positional
+    * fields) to the 9 volume/price metrics. Input: one row per
+    * (symbol, date, csv_content). Malformed content (wrong row or field
+    * count) yields `parse_ok = false` with NULL metrics — the caller
+    * decides whether to fail the batch (reference raises, ADR-0003).
+    */
+  def parseKlineCsv(df: DataFrame, symbolCol: String, dateCol: String,
+                    csvCol: String): DataFrame = {
+    val rows = split(regexp_replace(col(csvCol), "\r", ""), "\n")
+    val dataRows = filter(rows, r => length(trim(r)) > 0)
+    // Header-optional: 2 rows → take the 2nd, 1 row → take it.
+    val row = when(size(dataRows) === 2, element_at(dataRows, 2))
+      .when(size(dataRows) === 1, element_at(dataRows, 1))
+    val f = split(row, ",")
+    def num(i: Int) = element_at(f, i).cast(DoubleType)
+    df.select(
+        col(symbolCol).as("symbol"), col(dateCol).as("date"),
+        f.as("f"), (row.isNotNull && size(split(row, ",")) === 12).as("parse_ok"))
+      .select(
+        col("symbol"), col("date"), col("parse_ok"),
+        when(col("parse_ok"), element_at(col("f"), 8).cast(DoubleType)).as("quote_volume_usdt"),
+        when(col("parse_ok"), element_at(col("f"), 9).cast(LongType)).as("trade_count"),
+        when(col("parse_ok"), element_at(col("f"), 6).cast(DoubleType)).as("volume_base"),
+        when(col("parse_ok"), element_at(col("f"), 10).cast(DoubleType)).as("taker_buy_volume_base"),
+        when(col("parse_ok"), element_at(col("f"), 11).cast(DoubleType)).as("taker_buy_quote_volume_usdt"),
+        when(col("parse_ok"), element_at(col("f"), 2).cast(DoubleType)).as("open_price"),
+        when(col("parse_ok"), element_at(col("f"), 3).cast(DoubleType)).as("high_price"),
+        when(col("parse_ok"), element_at(col("f"), 4).cast(DoubleType)).as("low_price"),
+        when(col("parse_ok"), element_at(col("f"), 5).cast(DoubleType)).as("close_price"))
+      .drop("f")
+  }
+
+  // ---- S11/S12: probe fan-out (batch_prober.py:65-201) ----------------
+
+  /** 20-day-style lookback window: end = today−1, start = end−(n−1)
+    * (run_daily_update.py:44-48; FIXTURES.md §8).
+    */
+  def lookbackWindow(today: LocalDate, days: Int): (LocalDate, LocalDate) = {
+    val end = today.minusDays(1)
+    (end.minusDays(days - 1L), end)
+  }
+
+  /** Distributed probe fan-out: dates × symbols domain, repartitioned so
+    * each Spark task runs a batch with its own pooled client (the
+    * executor-task grid replaces the reference's ThreadPoolExecutor(150)).
+    * The prober is injected — HTTP in production, fixtures in tests.
+    */
+  def probeDomain(spark: SparkSession, dates: Seq[LocalDate], symbols: Seq[String],
+                  parallelism: Int)(prober: (String, LocalDate) => ProbeResult): Dataset[ProbeResult] = {
+    import spark.implicits._
+    val domain = for (d <- dates; s <- symbols) yield (s, d.toString)
+    spark.createDataset(domain)
+      .repartition(parallelism)
+      .mapPartitions { it =>
+        // One connection pool per task/partition in the real adapter
+        // (s3_vision.py:16-21 pool; batch_prober.py:49-63 DNS warm).
+        it.map { case (s, d) => prober(s, LocalDate.parse(d)) }
+      }
+  }
+
+  // ---- S16: symbols.json loader (config/symbol_loader.py:15-87) -------
+
+  /** Load {metadata, perpetual_symbols: [...], delivery_symbols: [...]}
+    * into a (symbol, kind) frame destined for broadcast.
+    */
+  def loadSymbols(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("multiLine", true).json(path)
+    val perp = raw.select(explode(col("perpetual_symbols")).as("symbol"))
+      .withColumn("kind", lit("perpetual"))
+    val deliv = raw.select(explode(col("delivery_symbols")).as("symbol"))
+      .withColumn("kind", lit("delivery"))
+    perp.unionByName(deliv)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming idioms for the reference's incremental patterns
+  * (SURVEY.md §2.9): the rankings archive's "process only rows after the
+  * cursor" append (generate_volume_rankings.py:346-379) becomes a file
+  *-source stream with `Trigger.AvailableNow` — the checkpoint replaces
+  * the hand-rolled max(date) cursor, exactly-once per input file, and
+  * the same code serves a continuous deployment by switching trigger.
+  */
+object Incremental {
+
+  /** Incremental append: each invocation processes only files not yet
+    * recorded in the checkpoint, applies `transform`, and appends to
+    * `sinkPath`. Returns after draining available input.
+    */
+  def appendAvailableNow(spark: SparkSession, sourcePath: String, schema: StructType,
+                         checkpoint: String, sinkPath: String)
+                        (transform: DataFrame => DataFrame): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 32)
+      .parquet(sourcePath)
+      .transform(transform)
+      .writeStream
+      .format("parquet")
+      .option("path", sinkPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Watermarked tumbling-window counts — the streaming shape of the
+    * daily-counts summary (A1/A8) with bounded state: late rows beyond
+    * the watermark are dropped, state for closed windows is evicted.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, watermark: String,
+                     window: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+}

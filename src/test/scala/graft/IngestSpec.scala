@@ -1,0 +1,109 @@
+package graft
+
+import java.time.LocalDate
+import org.apache.spark.sql.functions._
+import graft.ingest.{Ingest, ProbeResult}
+
+class IngestSpec extends SparkSpec {
+
+  test("percent-encoding matches Python quote(safe='') goldens (test_unicode_symbols.py:29-80)") {
+    Ingest.percentEncode("币安人生USDT") shouldBe
+      "%E5%B8%81%E5%AE%89%E4%BA%BA%E7%94%9FUSDT"
+    Ingest.percentEncode("🚀USDT") shouldBe "%F0%9F%9A%80USDT"
+    Ingest.percentEncode("BTCUSDT") shouldBe "BTCUSDT"
+    Ingest.percentEncode("A B*C") shouldBe "A%20B%2AC" // space is %20, not '+'
+  }
+
+  test("probe URL matches the s3_vision.py:64-72 pattern") {
+    import spark.implicits._
+    val url = Seq(("BTCUSDT", java.sql.Date.valueOf("2024-01-15")))
+      .toDF("symbol", "date")
+      .select(Ingest.probeUrl(col("symbol"), col("date")).as("url"))
+      .collect().head.getString(0)
+    url shouldBe "https://data.binance.vision/data/futures/um/daily/klines/" +
+      "BTCUSDT/1m/BTCUSDT-1m-2024-01-15.zip"
+  }
+
+  test("classifySymbol: valid _YYMMDD suffix → delivery, invalid date → perpetual (FIXTURES.md §10)") {
+    import spark.implicits._
+    val out = Seq("BTCUSDT", "BTCUSDT_231229", "ETHUSDT_991332", "A_B", "X_12345")
+      .toDF("symbol")
+      .select(col("symbol"), Ingest.classifySymbol(col("symbol")).as("kind"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    out("BTCUSDT") shouldBe "perpetual"
+    out("BTCUSDT_231229") shouldBe "delivery"
+    out("ETHUSDT_991332") shouldBe "perpetual" // month 13 is not a date
+    out("A_B") shouldBe "perpetual"
+    out("X_12345") shouldBe "perpetual" // 5 digits
+  }
+
+  test("parseAwsLs: data rows parsed, CHECKSUM and malformed lines dropped (aws_s3_lister.py:60-120)") {
+    import spark.implicits._
+    val lines = Seq(
+      "2022-03-21 01:58:10      56711 BTCUSDT-1m-2019-12-31.zip",
+      "2022-03-21 01:58:10         92 BTCUSDT-1m-2019-12-31.zip.CHECKSUM",
+      "2022-03-22 02:00:00      60000 BTCUSDT-1m-2020-01-01.zip",
+      "garbage line",
+      "").toDF("line")
+    val out = Ingest.parseAwsLs(lines, "line", "BTCUSDT").orderBy("date").collect()
+    out.length shouldBe 2
+    out(0).getAs[java.sql.Date]("date").toString shouldBe "2019-12-31"
+    out(0).getAs[Long]("file_size_bytes") shouldBe 56711L
+    out(0).getAs[String]("url") should endWith("BTCUSDT/1m/BTCUSDT-1m-2019-12-31.zip")
+    out(1).getAs[java.sql.Date]("date").toString shouldBe "2020-01-01"
+  }
+
+  test("parseKlineCsv maps the 12 positional fields to 9 metrics, header-optional (FIXTURES.md §9)") {
+    import spark.implicits._
+    val data = "1705276800000,42000.1,43000.9,41500.5,42500.3,12345.6," +
+      "1705363199999,523456789.12,98765,6000.3,255000000.5,0"
+    val withHeader = "open_time,open,high,low,close,volume,close_time," +
+      "quote_volume,count,taker_buy_volume,taker_buy_quote_volume,ignore\n" + data
+    val bad = "only,three,fields"
+    val df = Seq(
+      ("BTCUSDT", "2024-01-15", data),
+      ("ETHUSDT", "2024-01-15", withHeader),
+      ("BAD", "2024-01-15", bad)).toDF("symbol", "date", "csv")
+    val out = Ingest.parseKlineCsv(df, "symbol", "date", "csv")
+      .collect().map(r => r.getAs[String]("symbol") -> r).toMap
+    out("BTCUSDT").getAs[Boolean]("parse_ok") shouldBe true
+    out("BTCUSDT").getAs[Double]("quote_volume_usdt") shouldBe 523456789.12
+    out("BTCUSDT").getAs[Long]("trade_count") shouldBe 98765L
+    out("BTCUSDT").getAs[Double]("open_price") shouldBe 42000.1
+    out("BTCUSDT").getAs[Double]("close_price") shouldBe 42500.3
+    out("BTCUSDT").getAs[Double]("taker_buy_quote_volume_usdt") shouldBe 255000000.5
+    out("ETHUSDT").getAs[Boolean]("parse_ok") shouldBe true
+    out("ETHUSDT").getAs[Double]("quote_volume_usdt") shouldBe 523456789.12
+    out("BAD").getAs[Boolean]("parse_ok") shouldBe false
+    out("BAD").isNullAt(out("BAD").fieldIndex("quote_volume_usdt")) shouldBe true
+  }
+
+  test("lookbackWindow date math (test_20day_lookback.py:24-60, FIXTURES.md §8)") {
+    val today = LocalDate.parse("2024-01-20")
+    Ingest.lookbackWindow(today, 1) shouldBe
+      (LocalDate.parse("2024-01-19"), LocalDate.parse("2024-01-19"))
+    Ingest.lookbackWindow(today, 7) shouldBe
+      (LocalDate.parse("2024-01-13"), LocalDate.parse("2024-01-19"))
+    Ingest.lookbackWindow(today, 20) shouldBe
+      (LocalDate.parse("2023-12-31"), LocalDate.parse("2024-01-19"))
+  }
+
+  test("probeDomain fans out dates × symbols through mapPartitions with an injected prober") {
+    val dates = Seq(LocalDate.parse("2024-01-15"), LocalDate.parse("2024-01-16"))
+    val symbols = Seq("BTCUSDT", "NEWCOINUSDT")
+    val ts = java.sql.Timestamp.valueOf("2024-01-17 02:00:00")
+    val out = Ingest.probeDomain(spark, dates, symbols, parallelism = 4) { (s, d) =>
+      val ok = s == "BTCUSDT"
+      ProbeResult(s, java.sql.Date.valueOf(d), ok,
+        if (ok) Some(8421945L) else None, None,
+        s"https://example/${Ingest.percentEncode(s)}-1m-$d.zip",
+        if (ok) 200 else 404, ts)
+    }.collect()
+    out.length shouldBe 4
+    out.count(_.available) shouldBe 2
+    out.filter(!_.available).foreach { p =>
+      p.status_code shouldBe 404
+      p.file_size_bytes shouldBe None
+    }
+  }
+}
