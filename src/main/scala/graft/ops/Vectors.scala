@@ -40,7 +40,7 @@ object Vectors {
     * long. One explode(nPlanes) + keyed groupBy — map-side combined.
     */
   def lshBuckets(vecs: DataFrame, vecCol: String, idCol: String, nPlanes: Int, dim: Int): DataFrame =
-    vecs.select(col(idCol).as("vid"), col(vecCol).as("e"))
+    Partitioning.spread(vecs).select(col(idCol).as("vid"), col(vecCol).as("e"))
       .withColumn("p", explode(sequence(lit(0), lit(nPlanes - 1))))
       .withColumn("s", dot(col("e"), hyperplane(col("p"), dim)))
       .groupBy("vid")
@@ -51,7 +51,7 @@ object Vectors {
     * no shuffle until the final top-k (TakeOrdered, no global sort).
     */
   def knnBruteForce(vecs: DataFrame, query: DataFrame, k: Int): DataFrame =
-    vecs.crossJoin(broadcast(query.select(col("e").as("qe"))))
+    Partitioning.spread(vecs).crossJoin(broadcast(query.select(col("e").as("qe"))))
       .withColumn("cos_sim", cosine(col("e"), col("qe")))
       .drop("e", "qe")
       .orderBy(col("cos_sim").desc, col("vid"))
