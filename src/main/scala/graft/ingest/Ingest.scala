@@ -69,6 +69,18 @@ object Ingest {
       lit("delivery")).otherwise(lit("perpetual"))
   }
 
+  // ---- C10: RFC-2822 timestamp parse (s3_vision.py:86-93) -------------
+
+  /** Parse an HTTP `Last-Modified` header ("Tue, 16 Jan 2024 02:15:32
+    * GMT") to a timestamp; NULL on malformed input (probe rows keep
+    * last_modified nullable rather than failing the batch).
+    */
+  def parseRfc2822(c: Column): Column =
+    // Spark 4's parser rejects day-of-week ('EEE') in parse patterns;
+    // the weekday is redundant in RFC 2822 — strip it and parse the rest.
+    call_function("try_to_timestamp",
+      regexp_replace(c, "^[A-Za-z]{3}, ", ""), lit("dd MMM yyyy HH:mm:ss zzz"))
+
   // ---- S13: AWS-CLI listing parser (aws_s3_lister.py:60-120) ----------
 
   /** Parse `aws s3 ls` stdout lines ("DATE TIME SIZE FILENAME") into

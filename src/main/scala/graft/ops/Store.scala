@@ -79,6 +79,14 @@ object Store {
       else acc.withColumn(name, lit(null).cast(dt))
     }
 
+  /** S8: result export — CSV with header or snappy parquet
+    * (docs/guides/QUERY_EXAMPLES.md:259-271 COPY ... TO).
+    */
+  def exportCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  def exportParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "snappy").parquet(path)
+
   /** Append guard (S7): reject a batch whose `keyCol` values overlap the
     * existing archive (generate_volume_rankings.py:274-293).
     */

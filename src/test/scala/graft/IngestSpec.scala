@@ -78,6 +78,14 @@ class IngestSpec extends SparkSpec {
     out("BAD").isNullAt(out("BAD").fieldIndex("quote_volume_usdt")) shouldBe true
   }
 
+  test("parseRfc2822 parses Last-Modified headers, NULL on garbage (s3_vision.py:86-93)") {
+    import spark.implicits._
+    val out = Seq("Tue, 16 Jan 2024 02:15:32 GMT", "not a date")
+      .toDF("lm").select(Ingest.parseRfc2822(col("lm")).as("ts")).collect()
+    out(0).getTimestamp(0).toInstant.toString shouldBe "2024-01-16T02:15:32Z"
+    out(1).isNullAt(0) shouldBe true
+  }
+
   test("lookbackWindow date math (test_20day_lookback.py:24-60, FIXTURES.md §8)") {
     val today = LocalDate.parse("2024-01-20")
     Ingest.lookbackWindow(today, 1) shouldBe

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{MediaRecord, Multimodal}
+
+class MultimodalSpec extends SparkSpec {
+
+  private val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 1, 2, 3)
+  private val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 9, 9)
+  private val wav = "RIFF1234WAVEfmt ".getBytes("UTF-8")
+  private val junk = "hello world this is not media".getBytes("UTF-8")
+
+  private def records = {
+    import spark.implicits._
+    Seq(
+      MediaRecord(1L, "image", png),
+      MediaRecord(2L, "image", jpeg),
+      MediaRecord(3L, "audio", wav),
+      MediaRecord(4L, "image", junk)).toDS()
+  }
+
+  test("sniffFormat detects container magic bytes") {
+    Multimodal.sniffFormat(png) shouldBe "png"
+    Multimodal.sniffFormat(jpeg) shouldBe "jpeg"
+    Multimodal.sniffFormat(wav) shouldBe "wav"
+    Multimodal.sniffFormat(junk) shouldBe "unknown"
+  }
+
+  test("decodeFeatures yields typed metadata + fixed-width features, deterministically") {
+    val out = Multimodal.decodeFeatures(records, batchSize = 2)
+      .collect().map(d => d.media_id -> d).toMap
+    out(1L).meta.format shouldBe "png"
+    out(1L).meta.valid shouldBe true
+    out(1L).meta.n_bytes shouldBe png.length.toLong
+    out(4L).meta.valid shouldBe false
+    out.values.foreach(_.features.length shouldBe 16)
+    // Deterministic across runs (stub is pure):
+    val again = Multimodal.decodeFeatures(records, batchSize = 3)
+      .collect().map(d => d.media_id -> d.features.toSeq).toMap
+    out.map { case (k, v) => k -> v.features.toSeq } shouldBe again
+  }
+
+  test("decoded output is a queryable DataFrame with nested meta schema") {
+    val df = Multimodal.decodeFeatures(records).toDF()
+    df.select(col("media_id"), col("meta.format"), col("meta.n_bytes"))
+      .filter(col("meta.valid"))
+      .count() shouldBe 3
+  }
+
+  test("balanceBySize range-partitions on payload size") {
+    import spark.implicits._
+    val df = records.toDF()
+    val balanced = Multimodal.balanceBySize(df, "content", 2)
+    balanced.columns should not contain "__sz"
+    balanced.count() shouldBe 4
+  }
+
+  test("sampleFrames splits payloads into evenly spaced slices") {
+    val frames = Multimodal.sampleFrames(records, nFrames = 4)
+    val byId = frames.collect().groupBy(_.getLong(0))
+    byId(3L).length shouldBe 4
+    // Frame bytes reassemble a prefix of the original payload.
+    val joined = byId(3L).sortBy(_.getInt(1)).flatMap(_.getAs[Array[Byte]](2))
+    wav.take(joined.length).toSeq shouldBe joined.toSeq
+  }
+}

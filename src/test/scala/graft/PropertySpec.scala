@@ -1,0 +1,61 @@
+package graft
+
+import java.time.LocalDate
+import org.scalacheck.{Gen, Prop, Properties}
+import graft.ingest.Ingest
+import graft.ops.Dedup
+
+/** ScalaCheck properties for the pure (driver-side) kernels. */
+object PropertySpec extends Properties("graft") {
+
+  property("percentEncode is reversible via URLDecoder") =
+    Prop.forAll(Gen.asciiPrintableStr, Gen.listOf(Gen.oneOf("币", "🚀", "é", "日"))) {
+      (ascii, uni) =>
+        val s = ascii + uni.mkString
+        java.net.URLDecoder.decode(Ingest.percentEncode(s), "UTF-8") == s
+    }
+
+  property("percentEncode output is pure unreserved/percent-hex ASCII") =
+    Prop.forAll { (s: String) =>
+      Ingest.percentEncode(s).forall(c =>
+        c.isLetterOrDigit && c < 128 || "-._~%".contains(c))
+    }
+
+  property("lookbackWindow spans exactly n days ending yesterday") =
+    Prop.forAll(Gen.choose(1, 400), Gen.choose(0L, 20000L)) { (n, epochDay) =>
+      val today = LocalDate.ofEpochDay(epochDay)
+      val (start, end) = Ingest.lookbackWindow(today, n)
+      end == today.minusDays(1) &&
+        java.time.temporal.ChronoUnit.DAYS.between(start, end) == n - 1
+    }
+
+  property("SimHashAgg merge is commutative and associative (shuffle-order independent)") =
+    Prop.forAll(Gen.listOfN(30, Gen.long), Gen.listOfN(30, Gen.long), Gen.listOfN(30, Gen.long)) {
+      (xs, ys, zs) =>
+        val agg = new Dedup.SimHashAgg
+        def fold(ls: List[Long]) = ls.foldLeft(agg.zero.clone)(agg.reduce)
+        def m(a: Array[Int], b: Array[Int]) = agg.merge(a.clone, b.clone)
+        val ab_c = agg.finish(m(m(fold(xs), fold(ys)), fold(zs)))
+        val a_bc = agg.finish(m(fold(xs), m(fold(ys), fold(zs))))
+        val cba = agg.finish(m(m(fold(zs), fold(ys)), fold(xs)))
+        ab_c == a_bc && ab_c == cba
+    }
+
+  property("SimHashAgg equals single-pass fold (partitioning invariance)") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.long), Gen.choose(1, 10)) { (hs, k) =>
+      val agg = new Dedup.SimHashAgg
+      val whole = agg.finish(hs.foldLeft(agg.zero.clone)(agg.reduce))
+      val chunked = agg.finish(
+        hs.grouped(k).map(_.foldLeft(agg.zero.clone)(agg.reduce))
+          .reduce((a, b) => agg.merge(a, b)))
+      whole == chunked
+    }
+
+  property("classify/decode stub determinism: same bytes, same meta") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val b = bytes.toArray
+      val (m1, f1) = graft.ops.Multimodal.decodeStub(b)
+      val (m2, f2) = graft.ops.Multimodal.decodeStub(b)
+      m1 == m2 && f1.toSeq == f2.toSeq && m1.n_bytes == b.length.toLong
+    }
+}
