@@ -27,26 +27,34 @@ object Queries {
 
   // ---- §2.2 filters / projections -----------------------------------
 
-  /** F1+O1: equality filter + projection + sort (snapshots.py:56-64). */
+  /** F1+O1: equality filter + projection + sort (snapshots.py:56-64).
+    * The month-equality predicate is expressed as a half-open range on
+    * the raw column (NOT `date_trunc(col) = x`) so it pushes down into
+    * the parquet scan and prunes row groups on min/max stats.
+    */
   val f1Snapshot: Q = (s, d) => {
     import s.implicits._
     Relational.snapshot(
       Tables.orders(s, d),
-      date_trunc("month", $"o_orderdate") === lit("1995-03-01").cast("timestamp") &&
+      $"o_orderdate" >= lit("1995-03-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1995-04-01").cast("timestamp") &&
         $"o_orderstatus" === "F",
       Seq("o_orderkey", "o_custkey", "o_totalprice"),
       Seq("o_orderkey"))
   }
   val f1SnapshotSql: String =
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-      |WHERE date_trunc('month', o_orderdate) = TIMESTAMP '1995-03-01'
+      |WHERE o_orderdate >= TIMESTAMP '1995-03-01' AND o_orderdate < TIMESTAMP '1995-04-01'
       |  AND o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin
 
-  /** F2: BETWEEN range predicate (snapshots.py:100-108). */
+  /** F2: BETWEEN range predicate (snapshots.py:100-108). Range on the
+    * raw timestamp column (pushable) rather than on `to_date(col)`.
+    */
   val f2Range: Q = (s, d) => {
     import s.implicits._
-    Relational.range(Tables.lineitem(s, d), to_date($"l_shipdate"),
-        java.sql.Date.valueOf("1996-01-01"), java.sql.Date.valueOf("1996-03-31"))
+    Relational.range(Tables.lineitem(s, d), $"l_shipdate",
+        java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("1996-03-31 23:59:59.999999"))
       .select($"l_orderkey", $"l_linenumber", $"l_quantity",
         dstr($"l_shipdate").as("ship_date"))
       .orderBy("l_orderkey", "l_linenumber")
@@ -90,7 +98,7 @@ object Queries {
     import s.implicits._
     Tables.orders(s, d)
       .filter($"o_orderpriority" === "1-URGENT" &&
-        to_date($"o_orderdate") > lit("2000-12-31").cast("date"))
+        $"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
       .select($"o_orderkey", dstr($"o_orderdate").as("order_date"), $"o_totalprice")
       .orderBy("o_orderkey")
   }

@@ -1,0 +1,192 @@
+package graft.api
+
+import java.sql.{Date, Timestamp}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Exact, Rankings, Relational, Store, Validation, Windowed}
+
+/** The 17-column fact row (reference: database/schema.py:68-95; probe
+  * fields s3_vision.py:24-34; ADR-0007 volume columns nullable for the
+  * 2019 gap).
+  */
+case class AvailabilityRecord(
+    date: Date,
+    symbol: String,
+    available: Boolean,
+    file_size_bytes: Option[Long],
+    last_modified: Option[Timestamp],
+    url: String,
+    status_code: Int,
+    probe_timestamp: Timestamp,
+    quote_volume_usdt: Option[Double] = None,
+    trade_count: Option[Long] = None,
+    volume_base: Option[Double] = None,
+    taker_buy_volume_base: Option[Double] = None,
+    taker_buy_quote_volume_usdt: Option[Double] = None,
+    open_price: Option[Double] = None,
+    high_price: Option[Double] = None,
+    low_price: Option[Double] = None,
+    close_price: Option[Double] = None)
+
+/** The reference's user-facing query API (the queries package), re-expressed as
+  * pure DataFrame transforms over the availability fact table. A user of
+  * the reference calls the same operations with the same semantics; each
+  * returns a DataFrame whose plan pushes filters into the scan.
+  */
+object AvailabilityQueries {
+
+  // ---- snapshots (queries/snapshots.py) -------------------------------
+
+  /** Symbols available on one date, sorted (snapshots.py:56-64). */
+  def availableSymbolsOnDate(df: DataFrame, d: Date): DataFrame =
+    Relational.snapshot(df,
+      col("date") === lit(d) && col("available"),
+      Seq("symbol", "file_size_bytes", "last_modified"), Seq("symbol"))
+
+  /** Distinct symbols seen available in a date range (snapshots.py:100-108). */
+  def symbolsInRange(df: DataFrame, start: Date, end: Date): DataFrame =
+    df.filter(col("date").between(lit(start), lit(end)) && col("available"))
+      .select("symbol").distinct().orderBy("symbol")
+
+  // ---- timelines (queries/timelines.py) -------------------------------
+
+  /** Full availability timeline for one symbol (timelines.py:54-62). */
+  def symbolTimeline(df: DataFrame, symbol: String): DataFrame =
+    df.filter(col("symbol") === symbol)
+      .select("date", "available", "file_size_bytes")
+      .orderBy("date")
+
+  /** First date the symbol was available (timelines.py:94-105). */
+  def firstListingDate(df: DataFrame, symbol: String): DataFrame =
+    df.filter(col("symbol") === symbol && col("available"))
+      .agg(min("date").as("first_date"))
+
+  /** Most recent available date (timelines.py:129-140). */
+  def lastAvailableDate(df: DataFrame, symbol: String): DataFrame =
+    df.filter(col("symbol") === symbol && col("available"))
+      .agg(max("date").as("last_date"))
+
+  // ---- analytics (queries/analytics.py) -------------------------------
+
+  /** Per-day available-symbol counts (analytics.py:52-60). */
+  def dailyAvailabilityCounts(df: DataFrame): DataFrame =
+    df.filter(col("available"))
+      .groupBy("date").agg(count(lit(1)).as("symbol_count"))
+      .orderBy("date")
+
+  /** Symbols first available on `d` — never available before
+    * (analytics.py:94-108, NOT IN → left_anti).
+    */
+  def newListings(df: DataFrame, d: Date): DataFrame = {
+    val today = df.filter(col("date") === lit(d) && col("available")).select("symbol")
+    val before = df.filter(col("date") < lit(d) && col("available")).select("symbol")
+    Relational.antiJoin(today, before, Seq("symbol")).orderBy("symbol")
+  }
+
+  /** Symbols available on d−1 but not on d (analytics.py:142-156). */
+  def delistings(df: DataFrame, d: Date): DataFrame = {
+    val prev = df.filter(col("date") === date_sub(lit(d), 1) && col("available")).select("symbol")
+    val today = df.filter(col("date") === lit(d) && col("available")).select("symbol")
+    Relational.antiJoin(prev, today, Seq("symbol")).orderBy("symbol")
+  }
+
+  // ---- volume (queries/volume.py) -------------------------------------
+
+  /** Top-N by quote volume on a date, with rank / market share /
+    * percentile over the day's cohort (volume.py:40-81; W1+W4+W7).
+    */
+  def topSymbolsByVolume(df: DataFrame, d: Date, n: Int,
+                         minVolume: Option[Double] = None): DataFrame = {
+    val base0 = df.filter(col("date") === lit(d) && col("available") &&
+      col("quote_volume_usdt").isNotNull)
+    val base = minVolume.fold(base0)(m => base0.filter(col("quote_volume_usdt") >= m))
+    base
+      .withColumn("rank", Windowed.globalRank(col("quote_volume_usdt").desc))
+      .withColumn("total", Windowed.partitionTotal(col("quote_volume_usdt")))
+      .withColumn("cohort_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("market_share_pct",
+        round(Windowed.shareOfTotalPct(col("quote_volume_usdt"), col("total")), 2))
+      .withColumn("percentile",
+        round((col("cohort_n") - col("rank")) * lit(100.0) / col("cohort_n"), 2))
+      .select("symbol", "quote_volume_usdt", "trade_count", "rank",
+        "market_share_pct", "percentile")
+      .orderBy(col("quote_volume_usdt").desc, col("symbol"))
+      .limit(n)
+  }
+
+  /** Average/min/max volume for one symbol over a range (volume.py:169-196). */
+  def averageVolume(df: DataFrame, symbol: String, start: Date, end: Date): DataFrame =
+    df.filter(col("symbol") === symbol &&
+        col("date").between(lit(start), lit(end)) &&
+        col("quote_volume_usdt").isNotNull)
+      .agg(
+        Exact.avg2(col("quote_volume_usdt")).as("avg_volume"),
+        count(lit(1)).as("n_days"),
+        min(col("quote_volume_usdt")).as("min_volume"),
+        max(col("quote_volume_usdt")).as("max_volume"))
+
+  /** Whole-market totals for one date (volume.py:259-283). */
+  def marketSummary(df: DataFrame, d: Date): DataFrame =
+    df.filter(col("date") === lit(d) && col("quote_volume_usdt").isNotNull)
+      .agg(
+        Exact.sum2(col("quote_volume_usdt")).as("total_volume_usdt"),
+        sum(col("trade_count")).as("total_trades"),
+        count(lit(1)).as("active_symbols"),
+        Exact.avg2(col("quote_volume_usdt")).as("avg_volume_usdt"))
+
+  /** Last-N-days volume trend for a symbol (volume.py:219-232). */
+  def volumeTrend(df: DataFrame, symbol: String, days: Int): DataFrame =
+    df.filter(col("symbol") === symbol && col("quote_volume_usdt").isNotNull)
+      .select("date", "quote_volume_usdt", "trade_count")
+      .orderBy(col("date").desc)
+      .limit(days)
+
+  // ---- rankings archive (§3.3) ----------------------------------------
+
+  /** Incremental rankings refresh: compute the 13-column pipeline for
+    * rows after the archive's max date and append with the overlap
+    * guard (generate_volume_rankings.py:346-379 + :259-293).
+    */
+  def refreshRankingsArchive(spark: SparkSession, df: DataFrame,
+                             archivePath: String): Unit = {
+    val daily = df.filter(col("available") && col("quote_volume_usdt").isNotNull)
+      .select(col("date"), col("symbol"),
+        col("quote_volume_usdt").as("volume"), col("trade_count"))
+    val exists = new java.io.File(archivePath).exists()
+    val fresh =
+      if (!exists) Rankings.pipeline(daily)
+      else {
+        val cursor = spark.read.parquet(archivePath)
+          .agg(max("date")).collect()(0).getDate(0)
+        Rankings.pipeline(daily.filter(col("date") > lit(cursor)))
+      }
+    if (!exists) Store.exportParquet(fresh, archivePath)
+    else {
+      val existing = spark.read.parquet(archivePath)
+      val merged = Store.appendWithOverlapCheck(existing, fresh, "date")
+      // write via temp + swap: parquet can't overwrite its own input
+      val tmp = archivePath + ".tmp"
+      Store.exportParquet(merged, tmp)
+      def rmRec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmRec)); f.delete(): Unit
+      }
+      val dst = new java.io.File(archivePath)
+      rmRec(dst)
+      new java.io.File(tmp).renameTo(dst): Unit
+    }
+  }
+
+  // ---- validators (validation/*.py) -----------------------------------
+
+  /** Continuity gaps over the observed span (continuity.py:74-87). */
+  def continuityGaps(spark: SparkSession, df: DataFrame,
+                     start: String, end: String): DataFrame =
+    Validation.continuityGaps(spark,
+      df.select(col("date").as("gap_date")), "gap_date", start, end)
+
+  /** Dates probing fewer than `minSymbols` (completeness.py:79-89). */
+  def incompleteDates(df: DataFrame, minSymbols: Long): DataFrame =
+    Validation.incompleteKeys(df.select(col("date").cast("string").as("date")),
+      "date", minSymbols)
+}

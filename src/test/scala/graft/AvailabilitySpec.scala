@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+import org.apache.spark.sql.functions._
+import graft.api.{AvailabilityQueries => AQ, AvailabilityRecord}
+
+/** Domain-API goldens over the reference's fixture grids
+  * (tests/conftest.py:84-122; tests/test_queries/test_snapshots.py;
+  * FIXTURES.md §1–§4).
+  */
+class AvailabilitySpec extends SparkSpec {
+
+  private val ts = Timestamp.valueOf("2024-01-18 02:00:00")
+
+  private def rec(d: String, sym: String, avail: Boolean = true,
+                  vol: Option[Double] = None, trades: Option[Long] = None) =
+    AvailabilityRecord(Date.valueOf(d), sym, avail,
+      if (avail) Some(8000000L + sym.length) else None, None,
+      s"https://data.binance.vision/data/futures/um/daily/klines/$sym/1m/$sym-1m-$d.zip",
+      if (avail) 200 else 404, ts, vol, trades)
+
+  /** 3 dates × 3 symbols populated grid (conftest.py:84-122). */
+  private lazy val grid = {
+    import spark.implicits._
+    (for {
+      d <- Seq("2024-01-15", "2024-01-16", "2024-01-17")
+      s <- Seq("BTCUSDT", "ETHUSDT", "SOLUSDT")
+    } yield rec(d, s)).toDF()
+  }
+
+  test("snapshot: 3 rows sorted by symbol; out-of-range date → empty (test_snapshots.py:8-82)") {
+    val snap = AQ.availableSymbolsOnDate(grid, Date.valueOf("2024-01-15")).collect()
+    snap.map(_.getString(0)).toSeq shouldBe Seq("BTCUSDT", "ETHUSDT", "SOLUSDT")
+    AQ.availableSymbolsOnDate(grid, Date.valueOf("2030-01-01")).count() shouldBe 0
+  }
+
+  test("range: distinct symbols over the span") {
+    AQ.symbolsInRange(grid, Date.valueOf("2024-01-15"), Date.valueOf("2024-01-17"))
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("BTCUSDT", "ETHUSDT", "SOLUSDT")
+  }
+
+  test("timeline + first/last dates for a symbol") {
+    AQ.symbolTimeline(grid, "BTCUSDT").count() shouldBe 3
+    AQ.firstListingDate(grid, "BTCUSDT").collect()(0).getDate(0).toString shouldBe "2024-01-15"
+    AQ.lastAvailableDate(grid, "BTCUSDT").collect()(0).getDate(0).toString shouldBe "2024-01-17"
+  }
+
+  test("daily counts; new listings and delistings via anti-joins") {
+    import spark.implicits._
+    val df = grid.unionByName(Seq(
+      rec("2024-01-16", "NEWUSDT"),               // listed on the 16th
+      rec("2024-01-17", "NEWUSDT", avail = false) // gone on the 17th
+    ).toDF())
+    AQ.dailyAvailabilityCounts(df).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap shouldBe
+      Map("2024-01-15" -> 3L, "2024-01-16" -> 4L, "2024-01-17" -> 3L)
+    AQ.newListings(df, Date.valueOf("2024-01-16")).collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("NEWUSDT")
+    AQ.delistings(df, Date.valueOf("2024-01-17")).collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("NEWUSDT")
+  }
+
+  /** Volume ladder fixture (FIXTURES.md §4). */
+  private lazy val volGrid = {
+    import spark.implicits._
+    val ladder = Seq("BTCUSDT" -> 1e9, "ETHUSDT" -> 5e8, "SOLUSDT" -> 1e8,
+      "BNBUSDT" -> 5e7, "ADAUSDT" -> 1e7)
+    (for ((s, v) <- ladder)
+      yield rec("2024-01-15", s, vol = Some(v), trades = Some((v / 1000).toLong))).toDF()
+  }
+
+  test("top-N by volume: rank, share, percentile (volume.py:40-81)") {
+    val top = AQ.topSymbolsByVolume(volGrid, Date.valueOf("2024-01-15"), 3).collect()
+    top.map(_.getString(0)).toSeq shouldBe Seq("BTCUSDT", "ETHUSDT", "SOLUSDT")
+    top.head.getAs[Int]("rank") shouldBe 1
+    top.head.getAs[Double]("market_share_pct") shouldBe 60.24 +- 0.01
+    top.head.getAs[Double]("percentile") shouldBe 80.0
+    // min_volume filter drops the tail
+    AQ.topSymbolsByVolume(volGrid, Date.valueOf("2024-01-15"), 10,
+      minVolume = Some(1e8)).count() shouldBe 3
+  }
+
+  test("market summary and average volume aggregate correctly") {
+    val ms = AQ.marketSummary(volGrid, Date.valueOf("2024-01-15")).collect()(0)
+    ms.getAs[Double]("total_volume_usdt") shouldBe 1.66e9 +- 1
+    ms.getAs[Long]("active_symbols") shouldBe 5L
+    val av = AQ.averageVolume(volGrid, "BTCUSDT",
+      Date.valueOf("2024-01-01"), Date.valueOf("2024-01-31")).collect()(0)
+    av.getAs[Double]("avg_volume") shouldBe 1e9
+    av.getAs[Long]("n_days") shouldBe 1L
+  }
+
+  test("rankings archive: initial build + incremental append + overlap rejection") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-archive").toString + "/rankings"
+    val d1 = (for ((s, v) <- Seq("BTCUSDT" -> 1e9, "ETHUSDT" -> 5e8))
+      yield rec("2024-01-15", s, vol = Some(v), trades = Some(1L))).toDF()
+    AQ.refreshRankingsArchive(spark, d1, path)
+    spark.read.parquet(path).count() shouldBe 2
+
+    val d2 = d1.unionByName((for ((s, v) <- Seq("BTCUSDT" -> 1.1e9))
+      yield rec("2024-01-16", s, vol = Some(v), trades = Some(1L))).toDF())
+    AQ.refreshRankingsArchive(spark, d2, path) // cursor skips the 15th
+    val out = spark.read.parquet(path)
+    out.count() shouldBe 3
+    out.agg(max("date")).collect()(0).getDate(0).toString shouldBe "2024-01-16"
+  }
+
+  test("validators: continuity gaps and incomplete dates") {
+    import spark.implicits._
+    val gappy = Seq(rec("2024-01-15", "BTCUSDT"), rec("2024-01-17", "BTCUSDT")).toDF()
+    AQ.continuityGaps(spark, gappy, "2024-01-15", "2024-01-17")
+      .collect().map(_.getDate(0).toString).toSeq shouldBe Seq("2024-01-16")
+    AQ.incompleteDates(grid, 3L).count() shouldBe 0
+    AQ.incompleteDates(grid.filter(col("symbol") =!= "BTCUSDT" ||
+      col("date") =!= Date.valueOf("2024-01-16")), 3L)
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("2024-01-16")
+  }
+}
