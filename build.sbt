@@ -26,6 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local mode = driver-only JVM; leave headroom for caches + 32 threads
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // local mode = driver-only JVM. Keep the heap MODEST: on this
+  // virtualized host a large heap (48g+) makes G1 grow the young gen and
+  // every fresh-page touch costs a slow host page fault — measured 4-17x
+  // uniform slowdown on allocation-heavy stages vs an 8-12g heap.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

@@ -24,7 +24,11 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Pipelines persist intermediates (shingle sets, band signatures);
+      // drop them so later queries aren't squeezed by leaked cache blocks.
+      spark.catalog.clearCache()
+      dt
     }
 
     // Warmup: touch each table family + the window/codegen paths once.

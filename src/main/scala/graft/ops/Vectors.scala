@@ -2,49 +2,61 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+import graft.functions.VectorExpressions
 
 /** Embedding similarity search: brute-force cosine top-k as the exact
   * baseline, and a random-hyperplane LSH bucketed variant as the
   * 100 TB scale path (bucket first, brute-force only within the bucket).
   *
-  * All arithmetic is double-precision sequential folds over the array in
-  * index order (`zip_with` + `aggregate`), which makes results
-  * bit-identical across engines computing the same formula — no UDFs,
-  * everything codegen'd.
+  * Vector math runs through native codegen'd Catalyst expressions
+  * (graft.functions.VectorExpressions) — a tight primitive loop in
+  * whole-stage codegen, bit-identical to the sequential-fold formulation
+  * the DuckDB oracle computes.
   */
 object Vectors {
 
-  /** Sequential left-fold sum of an array<double> column. */
-  private def arraySum(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x)
+  /** Cosine similarity of two array<float|double> columns (native). */
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosine_sim(a, b)
 
-  def dot(a: Column, b: Column): Column =
-    arraySum(zip_with(a, b, (x, y) => x * y))
+  /** Index-order dot product (native). */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot_product(a, b)
 
-  def norm(a: Column): Column = sqrt(arraySum(transform(a, x => x * x)))
-
-  /** Cosine similarity of two array<double> columns. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
-
-  /** Deterministic pseudo-random ±1.0 hyperplane weights for plane `p`
-    * over `dim` dimensions, derived from the portable hash — any engine
-    * regenerates the identical planes (no RNG, no state).
+  /** Reference composable formulation (higher-order functions) — kept
+    * for the equivalence spec; CodegenFallback, do not use in hot paths.
     */
-  def hyperplane(p: Column, dim: Int): Column =
-    transform(sequence(lit(1), lit(dim)), j =>
-      when(TextOps.hash60(concat(p.cast(StringType), lit("_"), j.cast(StringType))) % 2 === 1,
-        lit(1.0)).otherwise(lit(-1.0)))
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
+    def s(c: Column) = aggregate(c, lit(0.0), (acc, x) => acc + x)
+    def d(x: Column, y: Column) = s(zip_with(x, y, (p, q) => p * q))
+    d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
+  }
 
-  /** LSH bucket id for each vector: `nPlanes` sign bits packed into a
-    * long. One explode(nPlanes) + keyed groupBy — map-side combined.
+  /** Deterministic ±1.0 hyperplane for plane `p`, derived from the
+    * portable md5 hash — identical to the SQL formulation
+    * `CASE WHEN hash60(p||'_'||j) % 2 = 1 THEN 1.0 ELSE -1.0 END`
+    * over j = 1..dim, but computed ONCE on the driver (the planes are
+    * data-independent) instead of per row.
     */
-  def lshBuckets(vecs: DataFrame, vecCol: String, idCol: String, nPlanes: Int, dim: Int): DataFrame =
-    Partitioning.spread(vecs).select(col(idCol).as("vid"), col(vecCol).as("e"))
-      .withColumn("p", explode(sequence(lit(0), lit(nPlanes - 1))))
-      .withColumn("s", dot(col("e"), hyperplane(col("p"), dim)))
-      .groupBy("vid")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L)).as("bucket"))
+  def hyperplaneValues(p: Int, dim: Int): Seq[Double] =
+    (1 to dim).map { j =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${p}_$j".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 1) 1.0 else -1.0
+    }
+
+  /** LSH bucket id per vector: `nPlanes` sign bits packed into a long.
+    * Entirely map-side — the planes are literal constant arrays and the
+    * bucket is a fold of sign tests, so there is NO explode and NO
+    * shuffle (the previous formulation shuffled rows × planes).
+    */
+  def lshBuckets(vecs: DataFrame, vecCol: String, idCol: String, nPlanes: Int, dim: Int): DataFrame = {
+    val bucket = (0 until nPlanes).map { p =>
+      val plane = typedlit(hyperplaneValues(p, dim))
+      when(dot(col(vecCol), plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Partitioning.spread(vecs)
+      .select(col(idCol).as("vid"), bucket.as("bucket"))
+  }
 
   /** Exact brute-force top-k cosine neighbors of one query vector.
     * The single-row query side is broadcast; the scan side streams —

@@ -29,6 +29,38 @@ class VectorsSpec extends SparkSpec {
     out.toSeq shouldBe Seq(1L, 2L)
   }
 
+  test("native codegen'd cosine is bit-identical to the higher-order-function fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((Array.fill(64)(rnd.nextDouble() * 2 - 1),
+      Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      Vectors.cosine(col("a"), col("b")).as("native"),
+      Vectors.cosineHof(col("a"), col("b")).as("hof")).collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
+  }
+
+  test("native cosine handles float arrays without a cast") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(2.0f, 4.0f))).toDF("a", "b")
+    df.select(Vectors.cosine(col("a"), col("b"))).collect()
+      .head.getDouble(0) shouldBe 1.0 +- 1e-12
+  }
+
+  test("driver-side hyperplanes equal the portable-hash SQL formulation") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val sqlPlane = Seq(0, 1, 2, 3).toDF("p")
+      .select(col("p"), transform(sequence(lit(1), lit(8)), j =>
+        when(TextOps.hash60(concat(col("p").cast("string"), lit("_"),
+          j.cast("string"))) % 2 === 1, 1.0).otherwise(-1.0)).as("w"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    (0 to 3).foreach { p =>
+      Vectors.hyperplaneValues(p, 8) shouldBe sqlPlane(p)
+    }
+  }
+
   test("lshBuckets is deterministic and groups identical vectors together") {
     import spark.implicits._
     val vecs = Seq(
