@@ -31,11 +31,18 @@ object TextOps {
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast(ArrayType(StringType)))
 
-  /** Portable 60-bit positive hash: first 15 hex chars of md5.
+  /** Portable 60-bit positive hash: first 15 hex nibbles of md5.
     * Oracle equivalent: `('0x'||substr(md5(x),1,15))::BIGINT`.
+    * Native codegen'd expression (graft.functions.Hash60) — the
+    * composable `conv(substring(md5(c),1,15),16,10)` form produces the
+    * same value but pays two string materializations per call.
     */
-  def hash60(c: Column): Column =
+  def hash60(c: Column): Column = graft.functions.Hash60.hash60(c)
+
+  /** Composable reference formulation (kept for the equivalence spec). */
+  private[graft] def hash60Composable(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
   def hash60Sql(x: String): String = s"('0x'||substr(md5($x),1,15))::BIGINT"
 
   /** Seeded variant for minhash families: hash of "<seed>:<value>". */

@@ -83,4 +83,15 @@ class DedupSpec extends SparkSpec {
     all(vals) should be >= 0L
     all(vals) should be < (1L << 60)
   }
+
+  test("native Hash60 is identical to conv(substring(md5)) across random strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val strs = Seq.fill(500)(rnd.alphanumeric.take(rnd.nextInt(40) + 1).mkString) ++
+      Seq("币安人生USDT", "🚀USDT", "", "0:a b c")
+    val out = strs.toDF("s").select(
+      TextOps.hash60(col("s")).as("native"),
+      TextOps.hash60Composable(col("s")).as("composable")).collect()
+    out.foreach(r => r.getLong(0) shouldBe r.getLong(1))
+  }
 }
