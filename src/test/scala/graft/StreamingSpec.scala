@@ -31,6 +31,47 @@ class StreamingSpec extends SparkSpec {
     out.filter(col("id") === 3L).select("doubled").collect().head.getDouble(0) shouldBe 60.0
   }
 
+  test("sessionize: gap closes sessions, watermark timeout flushes the open one") {
+    import spark.implicits._
+    import graft.streaming.{SessionEvent, Sessionize}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[SessionEvent]
+    val q = Sessionize.sessions(input.toDS(), gapMs = 60000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // User 1: two bursts separated by > 1 minute → two sessions.
+      input.addData(
+        SessionEvent(1L, t("2024-01-01 10:00:00"), "view"),
+        SessionEvent(1L, t("2024-01-01 10:00:30"), "click"),
+        SessionEvent(1L, t("2024-01-01 10:05:00"), "view"),
+        SessionEvent(2L, t("2024-01-01 10:00:10"), "view"))
+      q.processAllAvailable()
+      // First burst closed by the in-batch gap; user 2's lone session is
+      // flushed by timeout once the watermark (max event time) passes
+      // its end + gap — both visible after the drain.
+      var rows = spark.table("sessions_out").as[graft.streaming.Session].collect()
+      rows.map(s => (s.user_id, s.n_events)).toSet shouldBe Set((1L, 2), (2L, 1))
+
+      // Advance the watermark far past everything → timeouts flush opens.
+      input.addData(SessionEvent(99L, t("2024-01-01 11:00:00"), "view"))
+      q.processAllAvailable()
+      input.addData(SessionEvent(99L, t("2024-01-01 12:00:00"), "view"))
+      q.processAllAvailable()
+
+      rows = spark.table("sessions_out").as[graft.streaming.Session].collect()
+      val byUser = rows.groupBy(_.user_id)
+      byUser(1L).map(_.n_events).sorted.toSeq shouldBe Seq(1, 2)
+      byUser(2L).head.n_events shouldBe 1
+      val s1 = byUser(1L).minBy(_.session_start.getTime)
+      s1.session_start shouldBe t("2024-01-01 10:00:00")
+      s1.session_end shouldBe t("2024-01-01 10:00:30")
+    } finally q.stop()
+  }
+
   test("windowedCounts groups into tumbling windows with a watermark") {
     import spark.implicits._
     // Batch-mode execution of the same plan validates the window/agg shape.
