@@ -181,6 +181,44 @@ object PipelineQueries {
        |FROM j, q WHERE j.vec_id <> 0 AND j.bucket = q.qb
        |ORDER BY cos_sim DESC, j.vec_id LIMIT 5""".stripMargin
 
+  // ---- E3: IVF ANN (sampled coarse centroids) -------------------------
+
+  /** IVF with a sampled coarse quantizer (centroids = vectors with
+    * vec_id < 8 — deterministic, no RNG/k-means iterations), nProbe=3,
+    * top-5 within probed cells for query vec 0.
+    */
+  val e3AnnIvf: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id".as("vid"), $"embedding".cast("array<double>").as("e"))
+    val centroids = vecs.filter($"vid" < 8)
+      .select($"vid".as("cid"), $"e".as("ce"))
+    val assigned = Vectors.ivfAssign(vecs.filter($"vid" =!= 0), centroids)
+    val q = vecs.filter($"vid" === 0).select($"e")
+    Vectors.ivfSearch(assigned, centroids, q, nProbe = 3, k = 5)
+      .select($"vid".as("vec_id"), $"cid", $"cos_sim")
+  }
+  val e3AnnIvfSql: String =
+    """WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cent AS (SELECT vid AS cid, e AS ce FROM v WHERE vid < 8),
+      |q AS (SELECT e AS qe FROM v WHERE vid = 0),
+      |assigned AS (
+      |  SELECT vid, cid, e FROM (
+      |    SELECT v.vid, c.cid, v.e,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vid ORDER BY
+      |        list_dot_product(v.e, c.ce) / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+      |        c.cid) AS rn
+      |    FROM v, cent c WHERE v.vid <> 0)
+      |  WHERE rn = 1),
+      |cells AS (
+      |  SELECT cid FROM cent, q
+      |  ORDER BY list_dot_product(ce, qe) / (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe))) DESC, cid
+      |  LIMIT 3)
+      |SELECT a.vid AS vec_id, a.cid,
+      |  list_dot_product(a.e, q.qe) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS cos_sim
+      |FROM assigned a JOIN cells USING (cid), q
+      |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
+
   // ---- T1: language ID (marker-word heuristic) ------------------------
 
   private val langMarkers = Seq(
@@ -322,6 +360,7 @@ object PipelineQueries {
     "q_d4_simhash_pairs" -> d4SimHashPairs,
     "q_e1_knn_brute" -> e1KnnBrute,
     "q_e2_ann_lsh" -> e2AnnLsh,
+    "q_e3_ann_ivf" -> e3AnnIvf,
     "q_t1_langid" -> t1LangId,
     "q_t2_quality" -> t2Quality,
     "q_t3_tokens" -> t3Tokens,
@@ -336,6 +375,7 @@ object PipelineQueries {
     "q_d4_simhash_pairs" -> d4SimHashPairsSql,
     "q_e1_knn_brute" -> e1KnnBruteSql,
     "q_e2_ann_lsh" -> e2AnnLshSql,
+    "q_e3_ann_ivf" -> e3AnnIvfSql,
     "q_t1_langid" -> t1LangIdSql,
     "q_t2_quality" -> t2QualitySql,
     "q_t3_tokens" -> t3TokensSql,

@@ -58,6 +58,41 @@ object Vectors {
       .select(col(idCol).as("vid"), bucket.as("bucket"))
   }
 
+  /** IVF coarse assignment: each vector goes to its nearest centroid
+    * (argmax cosine, ties by centroid id). Centroids are broadcast; the
+    * scan side never shuffles — at 100 TB this is one map-side pass.
+    * Returns (vid, cid, e).
+    */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vid").orderBy(col("cos").desc, col("cid"))
+    Partitioning.spread(vecs)
+      .crossJoin(broadcast(centroids.select(col("cid"), col("ce"))))
+      .withColumn("cos", cosine(col("e"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vid", "cid", "e")
+  }
+
+  /** IVF search: rank cells by query-to-centroid cosine, brute-force
+    * only the `nProbe` nearest cells. The probed-cell set is a tiny
+    * broadcast; candidate work scales with nProbe/k of the corpus.
+    */
+  def ivfSearch(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
+                nProbe: Int, k: Int): DataFrame = {
+    val cells = centroids.crossJoin(broadcast(query.select(col("e").as("qe"))))
+      .withColumn("ccos", cosine(col("ce"), col("qe")))
+      .orderBy(col("ccos").desc, col("cid"))
+      .limit(nProbe)
+      .select("cid")
+    assigned.join(broadcast(cells), Seq("cid"))
+      .crossJoin(broadcast(query.select(col("e").as("qe"))))
+      .withColumn("cos_sim", cosine(col("e"), col("qe")))
+      .select(col("vid"), col("cid"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vid"))
+      .limit(k)
+  }
+
   /** Exact brute-force top-k cosine neighbors of one query vector.
     * The single-row query side is broadcast; the scan side streams —
     * no shuffle until the final top-k (TakeOrdered, no global sort).

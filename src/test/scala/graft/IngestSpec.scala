@@ -96,6 +96,19 @@ class IngestSpec extends SparkSpec {
       (LocalDate.parse("2023-12-31"), LocalDate.parse("2024-01-19"))
   }
 
+  test("loadSymbols reads the symbols.json shape into a (symbol, kind) frame (FIXTURES.md §10)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-symbols")
+    val f = dir.resolve("symbols.json")
+    java.nio.file.Files.writeString(f,
+      """{ "metadata": { "total_perpetual": 2, "total_delivery": 1 },
+        |  "perpetual_symbols": ["BTCUSDT", "ETHUSDT"],
+        |  "delivery_symbols": ["BTCUSDT_231229"] }""".stripMargin)
+    val out = Ingest.loadSymbols(spark, f.toString)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    out shouldBe Map("BTCUSDT" -> "perpetual", "ETHUSDT" -> "perpetual",
+      "BTCUSDT_231229" -> "delivery")
+  }
+
   test("probeDomain fans out dates × symbols through mapPartitions with an injected prober") {
     val dates = Seq(LocalDate.parse("2024-01-15"), LocalDate.parse("2024-01-16"))
     val symbols = Seq("BTCUSDT", "NEWCOINUSDT")

@@ -61,6 +61,21 @@ class VectorsSpec extends SparkSpec {
     }
   }
 
+  test("IVF with nProbe = all cells recovers the exact brute-force top-k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vid", "e")
+    val centroids = vecs.filter(col("vid") < 4).select(col("vid").as("cid"), col("e").as("ce"))
+    val q = vecs.filter(col("vid") === 0L).select(col("e"))
+    val assigned = Vectors.ivfAssign(vecs.filter(col("vid") =!= 0L), centroids)
+    val ivf = Vectors.ivfSearch(assigned, centroids, q, nProbe = 4, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = Vectors.knnBruteForce(vecs.filter(col("vid") =!= 0L), q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    ivf shouldBe brute
+  }
+
   test("lshBuckets is deterministic and groups identical vectors together") {
     import spark.implicits._
     val vecs = Seq(
