@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Bucketed, Skew}
+
+/** Scale-pattern specs: salted skew join equivalence and bucketed
+  * shuffle-free joins.
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("saltedJoin is row-identical to the plain join on a skewed key") {
+    import spark.implicits._
+    // 10k rows of one hot key + a long tail.
+    val large = ((1 to 10000).map(i => ("hot", i.toLong)) ++
+      (1 to 100).map(i => (s"k$i", i.toLong))).toDF("k", "v")
+    val small = (Seq("hot") ++ (1 to 100).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, s"dim$i") }.toDF("k", "name")
+
+    val plain = large.join(small, Seq("k"))
+    val salted = Skew.saltedJoin(large, small, Seq("k"), saltBuckets = 8)
+
+    salted.count() shouldBe plain.count()
+    // Exact multiset equality via sorted canonical projection.
+    val a = plain.select("k", "v", "name").collect()
+      .map(_.toSeq.mkString("|")).sorted
+    val b = salted.select("k", "v", "name").collect()
+      .map(_.toSeq.mkString("|")).sorted
+    a.toSeq shouldBe b.toSeq
+  }
+
+  test("salt actually spreads the hot key across buckets") {
+    import spark.implicits._
+    val large = (1 to 1000).map(i => ("hot", i)).toDF("k", "v")
+    val n = Skew.saltLeft(large, 8).select("__salt").distinct().count()
+    n should be > 4L
+  }
+
+  test("bucketed-by-key tables join with zero exchanges") {
+    import spark.implicits._
+    val facts = (1 to 2000).map(i => (i.toLong % 97, s"f$i", i * 1.0))
+      .toDF("key", "payload", "amt")
+    val dims = (0L until 97L).map(k => (k, s"dim$k")).toDF("key", "name")
+    Bucketed.writeBucketed(facts, "facts_b", "key", 8)
+    Bucketed.writeBucketed(dims, "dims_b", "key", 8)
+    // Disable broadcast so the join would normally need a shuffle.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketed.bucketedJoin(spark, "facts_b", "dims_b", Seq("key"))
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should not include "Exchange hashpartitioning"
+      joined.count() shouldBe 2000
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}
