@@ -164,16 +164,17 @@ object AvailabilityQueries {
     if (!exists) Store.exportParquet(fresh, archivePath)
     else {
       val existing = spark.read.parquet(archivePath)
+      // Eager localCheckpoint materializes the merged rows and CUTS the
+      // lineage to the files we are about to overwrite — the archive is
+      // small by design (~20 MB in the reference), so this is cheap and
+      // avoids a tmp-dir swap that stales Spark's file-listing caches.
       val merged = Store.appendWithOverlapCheck(existing, fresh, "date")
-      // write via temp + swap: parquet can't overwrite its own input
-      val tmp = archivePath + ".tmp"
-      Store.exportParquet(merged, tmp)
-      def rmRec(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rmRec)); f.delete(): Unit
-      }
-      val dst = new java.io.File(archivePath)
-      rmRec(dst)
-      new java.io.File(tmp).renameTo(dst): Unit
+        .localCheckpoint(true)
+      Store.exportParquet(merged, archivePath)
+      // Evict stale file listings under both the raw and the
+      // filesystem-qualified key.
+      spark.catalog.refreshByPath(archivePath)
+      spark.catalog.refreshByPath("file:" + archivePath)
     }
   }
 
