@@ -65,8 +65,7 @@ object PipelineQueries {
     s"""WITH $corpusSql,
        |$shingleSql,
        |mh AS (
-       |  SELECT id, j, MIN(${seededHash60Sql("j", "sh")}) AS m
-       |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS j) seeds GROUP BY 1, 2),
+       |${Dedup.minhashSql(16)}),
        |bands AS (
        |  SELECT id, j // 4 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
        |  FROM mh GROUP BY 1, 2),

@@ -56,15 +56,48 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signatures: k seeded hash functions, one row per (id, seed)
-    * with the per-seed minimum. One shuffle on (id, seed) with map-side
-    * combine — the exploded (shingle × seed) stream never shuffles raw.
+  /** Universal-hash family for minhash: h_j(x) = (a_j·h + b_j) mod 2^30
+    * over the 30-bit base content hash. One md5 per shingle instead of
+    * k; the per-seed constants derive from the same portable hash so
+    * any engine regenerates them. All values stay < 2^61 — no 64-bit
+    * overflow on either engine.
     */
-  def minhash(shingles: DataFrame, k: Int): DataFrame =
-    shingles
-      .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
-      .groupBy(col("id"), col("j"))
-      .agg(min(TextOps.seededHash60(col("j"), col("sh"))).as("m"))
+  private[graft] val MinhashMask = (1L << 30) - 1
+  private[graft] def minhashA(j: Int): Long =
+    (graft.functions.Hash60Impl.hash60(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"a:$j")) & MinhashMask) | 1L
+  private[graft] def minhashB(j: Int): Long =
+    graft.functions.Hash60Impl.hash60(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"b:$j")) & MinhashMask
+
+  /** MinHash signatures: base hash per shingle (one md5), then k
+    * universal-hash permutations as literal integer arithmetic. One
+    * shuffle on (id, seed) with map-side combine — the exploded
+    * (shingle × seed) stream never shuffles raw.
+    */
+  def minhash(shingles: DataFrame, k: Int): DataFrame = {
+    val h30 = (TextOps.hash60(col("sh")).bitwiseAND(lit(MinhashMask))).as("h")
+    val perms = (0 until k).map { j =>
+      struct(lit(j).as("j"),
+        ((col("h") * minhashA(j) + minhashB(j)) % lit(MinhashMask + 1)).as("hv"))
+    }
+    shingles.select(col("id"), h30)
+      .select(col("id"), explode(array(perms: _*)).as("p"))
+      .groupBy(col("id"), col("p.j").as("j"))
+      .agg(min(col("p.hv")).as("m"))
+  }
+
+  /** Oracle SQL for the same signatures (shared constants). */
+  def minhashSql(k: Int): String = {
+    val cases = (0 until k).map(j =>
+      s"((h * ${minhashA(j)} + ${minhashB(j)}) % ${MinhashMask + 1})")
+    s"""SELECT id, j, MIN(CASE ${
+      (0 until k).map(j => s"WHEN j = $j THEN ${cases(j)}").mkString(" ")
+    } END) AS m
+       |FROM (SELECT id, ${TextOps.hash60Sql("sh")} & $MinhashMask AS h FROM sh),
+       |     (SELECT unnest(generate_series(0, ${k - 1})) AS j)
+       |GROUP BY 1, 2""".stripMargin
+  }
 
   /** LSH banding: group the k minhashes into bands of `rowsPerBand`,
     * signature = comma-joined minhashes in seed order; candidate pairs
