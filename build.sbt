@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // every fresh-page touch costs a slow host page fault — measured 4-17x
   // uniform slowdown on allocation-heavy stages vs an 8-12g heap.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // Whole-stage codegen emits one class per stage; across a ~50-query
+  // session the default 240m JIT code cache fills and HotSpot silently
+  // stops compiling — late queries ran 5x slower until this was raised.
+  "-XX:ReservedCodeCacheSize=1g",
 )
