@@ -34,13 +34,23 @@ object Dedup {
   /** Distinct (id, shingle) pairs — the set representation used by both
     * minhash and the exact-Jaccard verifier.
     *
-    * Formulated as posexplode + windowed LEAD + concat_ws rather than the
-    * natural `transform(sequence, i -> array_join(slice(...)))`: Spark's
-    * higher-order array functions are CodegenFallback (interpreted, ~80 µs
-    * per shingle measured), while the window path stays entirely inside
-    * whole-stage codegen and is ~30× faster. Output is identical.
+    * Uses the custom `ShingleGenerator` (one pass over the string,
+    * rows stream partition-locally): the natural
+    * `transform(sequence, i -> array_join(slice(...)))` is interpreted
+    * (~80 µs/shingle measured) and the windowed-LEAD rewrite costs a
+    * per-document shuffle + sort. The generator needs neither.
     */
-  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    Partitioning.spread(df)
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleGenerator.shingles(col(textCol), n).as("sh"))
+      .distinct()
+
+  /** Windowed-LEAD formulation (built-ins only) — kept for the
+    * equivalence spec.
+    */
+  private[graft] def shingleSetWindowed(df: DataFrame, idCol: String,
+                                        textCol: String, n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("pos")
     val toks = Partitioning.spread(df)

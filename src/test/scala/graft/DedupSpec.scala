@@ -39,6 +39,15 @@ class DedupSpec extends SparkSpec {
     keys.flatMap(p => Set(p._1, p._2)) should not contain 5L
   }
 
+  test("ShingleGenerator matches the windowed-LEAD formulation exactly") {
+    val a = Dedup.shingleSet(docs, "id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Dedup.shingleSetWindowed(docs, "id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    a shouldBe b
+    a.map(_._1) should not contain 5L // "short text": fewer tokens than n
+  }
+
   test("shingles: fewer tokens than n yields empty array, not a reversed sequence") {
     import spark.implicits._
     val out = Seq("a b", "a b c d").toDF("text")
