@@ -4,15 +4,29 @@ import org.apache.spark.sql.SparkSession
 import graft.SparkEntry
 
 /** CLI surface (reference: cli/main.py + cli/query.py): list the query
-  * registry, run a query with text/JSON output, or print its optimized
-  * physical plan.
+  * registry, run a query with text/JSON output, print its physical
+  * plan, or run the availability-domain commands against a fact-table
+  * path (the reference's `query snapshot|timeline|analytics|volume`).
   *
   * Usage:
   *   graft.cli.Main list
   *   graft.cli.Main run <query> <sfDir> [--json] [--limit N]
   *   graft.cli.Main explain <query> <sfDir>
+  *   graft.cli.Main snapshot  <factPath> <yyyy-MM-dd> [--json]
+  *   graft.cli.Main timeline  <factPath> <symbol>     [--json]
+  *   graft.cli.Main analytics <factPath>              [--json]
+  *   graft.cli.Main volume    <factPath> <yyyy-MM-dd> [--top N] [--json]
   */
 object Main {
+  import graft.api.AvailabilityQueries
+
+  private def emit(df: org.apache.spark.sql.DataFrame, rest: Seq[String]): Unit = {
+    val limit = rest.sliding(2).collectFirst {
+      case Seq("--limit", n) => n.toInt
+    }.getOrElse(1000)
+    if (rest.contains("--json")) df.limit(limit).toJSON.collect().foreach(println)
+    else df.show(limit, truncate = false)
+  }
   private def session(): SparkSession = graft.Sessions.local("graft-cli")
 
   def main(args: Array[String]): Unit = args.toList match {
@@ -45,9 +59,37 @@ object Main {
           spark.stop()
       }
 
+    case "snapshot" :: path :: date :: rest =>
+      val spark = session()
+      emit(AvailabilityQueries.availableSymbolsOnDate(
+        spark.read.parquet(path), java.sql.Date.valueOf(date)), rest)
+      spark.stop()
+
+    case "timeline" :: path :: symbol :: rest =>
+      val spark = session()
+      emit(AvailabilityQueries.symbolTimeline(spark.read.parquet(path), symbol), rest)
+      spark.stop()
+
+    case "analytics" :: path :: rest =>
+      val spark = session()
+      emit(AvailabilityQueries.dailyAvailabilityCounts(spark.read.parquet(path)), rest)
+      spark.stop()
+
+    case "volume" :: path :: date :: rest =>
+      val spark = session()
+      val n = rest.sliding(2).collectFirst {
+        case Seq("--top", v) => v.toInt
+      }.getOrElse(10)
+      emit(AvailabilityQueries.topSymbolsByVolume(
+        spark.read.parquet(path), java.sql.Date.valueOf(date), n), rest)
+      spark.stop()
+
     case _ =>
       System.err.println(
-        "usage: list | run <query> <sfDir> [--json] [--limit N] | explain <query> <sfDir>")
+        "usage: list | run <query> <sfDir> [--json] [--limit N] | " +
+          "explain <query> <sfDir> | snapshot <path> <date> | " +
+          "timeline <path> <symbol> | analytics <path> | " +
+          "volume <path> <date> [--top N]")
       sys.exit(2)
   }
 }

@@ -28,13 +28,19 @@ import org.apache.spark.sql.types._
   */
 object Rankings {
 
-  /** Full 13-column rankings frame.
+  /** Full rankings frame (13 columns with `generationTs`, matching
+    * generate_volume_rankings.py:38-52; 12 without — the timestamp is
+    * omitted by default because it would make oracle hash-comparison
+    * nondeterministic).
     *
     * @param daily input with exactly one row per (date, symbol):
     *              date DATE, symbol STRING, volume DOUBLE (non-null),
     *              trade_count LONG.
+    * @param generationTs batch stamp for the archive's
+    *                     generation_timestamp column.
     */
-  def pipeline(daily: DataFrame): DataFrame = {
+  def pipeline(daily: DataFrame,
+               generationTs: Option[java.sql.Timestamp] = None): DataFrame = {
     val perDate = Window.partitionBy("date").orderBy(col("volume").desc, col("symbol"))
     val perDateAll = Window.partitionBy("date")
     val perSymbol = Window.partitionBy("symbol").orderBy("date")
@@ -66,12 +72,14 @@ object Rankings {
       .withColumn("percentile", col("percentile").cast(FloatType))
       .withColumn("rank", col("rank").cast(ShortType))
 
-    out.select(
+    val base = out.select(
       col("date"), col("symbol"), col("rank"),
       col("volume").as("quote_volume_usdt"), col("trade_count"),
       col("rank_change_1d"), col("rank_change_7d"),
       col("rank_change_14d"), col("rank_change_30d"),
-      col("percentile"), col("market_share_pct"), col("days_available")
-    ).orderBy("date", "rank", "symbol")
+      col("percentile"), col("market_share_pct"), col("days_available"))
+    generationTs.fold(base)(ts =>
+        base.withColumn("generation_timestamp", lit(ts)))
+      .orderBy("date", "rank", "symbol")
   }
 }

@@ -94,6 +94,12 @@ class RankingsSpec extends SparkSpec {
       "percentile" -> FloatType, "market_share_pct" -> FloatType,
       "days_available" -> ByteType)
     out.schema.fields.map(f => f.name -> f.dataType).toSeq shouldBe expected
+    // With a batch stamp the 13th reference column appears (µs timestamp).
+    val stamped = Rankings.pipeline(daily,
+      Some(java.sql.Timestamp.valueOf("2024-01-20 03:00:00")))
+    stamped.schema.fields.last.name shouldBe "generation_timestamp"
+    stamped.schema.fields.last.dataType shouldBe TimestampType
+    stamped.select("generation_timestamp").distinct().count() shouldBe 1
   }
 
   test("trailing days_available counts observed rows, capped at 30 (generate_volume_rankings.py:114-118)") {
