@@ -350,6 +350,50 @@ object PipelineQueries {
       |  lower(hex(CAST(substr(text, 1, 8) AS BLOB))) AS header_hex
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- U1: SQL set operations (§2.7) ----------------------------------
+
+  /** UNION / INTERSECT / EXCEPT over symbol-like key sets. */
+  val u1SetOps: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val big = ev.filter($"value" >= 50).select($"user_id").distinct()
+    val err = ev.filter($"event_type" === "error").select($"user_id").distinct()
+    val united = big.union(err).distinct().withColumn("op", lit("union"))
+    val both = big.intersect(err).withColumn("op", lit("intersect"))
+    val only = big.except(err).withColumn("op", lit("except"))
+    united.unionByName(both).unionByName(only).orderBy("op", "user_id")
+  }
+  val u1SetOpsSql: String =
+    """WITH big AS (SELECT DISTINCT user_id FROM events WHERE value >= 50),
+      |err AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+      |SELECT user_id, 'union' AS op FROM (SELECT user_id FROM big UNION SELECT user_id FROM err)
+      |UNION ALL
+      |SELECT user_id, 'intersect' AS op FROM (SELECT user_id FROM big INTERSECT SELECT user_id FROM err)
+      |UNION ALL
+      |SELECT user_id, 'except' AS op FROM (SELECT user_id FROM big EXCEPT SELECT user_id FROM err)
+      |ORDER BY op, user_id""".stripMargin
+
+  // ---- M2: multimodal decode (rows-only — the decode stage is not SQL) --
+
+  /** Batched decode of opaque binary payloads (documents' bytes stand in
+    * for media blobs): typed metadata + fixed-width features via
+    * `Multimodal.decodeFeatures`. No oracle — the decode stub is not
+    * SQL-expressible; the driver records a rows-only check and
+    * `MultimodalSpec` covers semantics.
+    */
+  val m2Decode: Q = (s, d) => {
+    import s.implicits._
+    val records = Tables.documents(s, d)
+      .select($"doc_id".as("media_id"), lit("text").as("kind"),
+        $"text".cast("binary").as("content"))
+      .as[graft.ops.MediaRecord]
+    graft.ops.Multimodal.decodeFeatures(records, batchSize = 64).toDF()
+      .select($"media_id", $"kind", $"meta.format".as("format"),
+        $"meta.n_bytes".as("n_bytes"), $"meta.valid".as("valid"),
+        element_at($"features", 1).as("f0"))
+      .orderBy("media_id")
+  }
+
   // ---- registry -------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -364,7 +408,9 @@ object PipelineQueries {
     "q_t2_quality" -> t2Quality,
     "q_t3_tokens" -> t3Tokens,
     "q_t4_fingerprint" -> t4Fingerprint,
-    "q_m1_binary_meta" -> m1BinaryMeta
+    "q_m1_binary_meta" -> m1BinaryMeta,
+    "q_u1_set_ops" -> u1SetOps,
+    "q_m2_decode" -> m2Decode
   )
 
   val oracles: Map[String, String] = Map(
@@ -379,6 +425,8 @@ object PipelineQueries {
     "q_t2_quality" -> t2QualitySql,
     "q_t3_tokens" -> t3TokensSql,
     "q_t4_fingerprint" -> t4FingerprintSql,
-    "q_m1_binary_meta" -> m1BinaryMetaSql
+    "q_m1_binary_meta" -> m1BinaryMetaSql,
+    "q_u1_set_ops" -> u1SetOpsSql
+    // q_m2_decode: intentionally no oracle (non-SQL-expressible decode)
   )
 }
