@@ -80,12 +80,53 @@ object Dedup {
     graft.functions.Hash60Impl.hash60(
       org.apache.spark.unsafe.types.UTF8String.fromString(s"b:$j")) & MinhashMask
 
-  /** MinHash signatures: base hash per shingle (one md5), then k
-    * universal-hash permutations as literal integer arithmetic. One
-    * shuffle on (id, seed) with map-side combine — the exploded
-    * (shingle × seed) stream never shuffles raw.
+  /** One-pass minhash signature aggregator: the k per-seed minima live
+    * in one Array[Long] buffer per group (SURVEY §7.4.8's
+    * TypedImperativeAggregate niche, expressed as an `Aggregator`).
+    * Versus the explode(k)×groupBy formulation this shuffles one
+    * signature row per (group × partition) instead of k combined rows,
+    * and never materializes the shingle×seed stream.
+    */
+  class MinHashSigAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+    def reduce(b: Array[Long], h: Long): Array[Long] = {
+      var j = 0
+      while (j < k) {
+        val v = (h * minhashA(j) + minhashB(j)) % (MinhashMask + 1)
+        if (v < b(j)) b(j) = v
+        j += 1
+      }
+      b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var j = 0
+      while (j < k) { if (y(j) < x(j)) x(j) = y(j); j += 1 }
+      x
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+  private lazy val minhash16 = udaf(new MinHashSigAgg(16), Encoders.scalaLong)
+
+  /** MinHash signatures (id, j, m): base hash per shingle (one md5),
+    * then k universal-hash permutations folded by `MinHashSigAgg`.
+    * Currently wired for k = 16.
     */
   def minhash(shingles: DataFrame, k: Int): DataFrame = {
+    require(k == 16, "registered aggregator instance is k=16")
+    shingles
+      .select(col("id"),
+        TextOps.hash60(col("sh")).bitwiseAND(lit(MinhashMask)).as("h"))
+      .groupBy(col("id"))
+      .agg(minhash16(col("h")).as("sig"))
+      .select(col("id"), posexplode(col("sig")).as(Seq("j", "m")))
+  }
+
+  /** Explode×groupBy formulation (built-ins only) — equivalence spec. */
+  private[graft] def minhashExploded(shingles: DataFrame, k: Int): DataFrame = {
     val h30 = (TextOps.hash60(col("sh")).bitwiseAND(lit(MinhashMask))).as("h")
     val perms = (0 until k).map { j =>
       struct(lit(j).as("j"),

@@ -57,6 +57,15 @@ class DedupSpec extends SparkSpec {
     out(1) shouldBe Seq("a b c", "b c d")
   }
 
+  test("MinHashSigAgg equals the explode×groupBy formulation exactly") {
+    val sh = Dedup.shingleSet(docs, "id", "text", 3)
+    val a = Dedup.minhash(sh, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val b = Dedup.minhashExploded(sh, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    a shouldBe b
+  }
+
   test("SimHashAgg aggregator is bit-identical to the explode formulation") {
     import spark.implicits._
     val viaAgg = Dedup.simhash(docs, "id", "text")
