@@ -114,7 +114,25 @@ object ScalarQueries {
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
       |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin
 
+  /** The SQL entry point: ONE dialect-portable SQL string executed
+    * verbatim by both `spark.sql` (over registered temp views) and the
+    * DuckDB oracle — join + filter + aggregate + HAVING + order.
+    */
+  val sharedSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY c_mktsegment HAVING COUNT(*) > 10
+      |ORDER BY c_mktsegment""".stripMargin
+
+  val sql1Shared: Q = (s, d) => {
+    Tables.createViews(s, d)
+    s.sql(sharedSql)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_sql1_shared" -> sql1Shared,
     "q_s1_latest_by_key" -> s1LatestByKey,
     "q_c1_date_arith" -> c1DateArith,
     "q_c12_regex" -> c12Regex,
@@ -123,6 +141,7 @@ object ScalarQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sql1_shared" -> sharedSql,
     "q_s1_latest_by_key" -> s1LatestByKeySql,
     "q_c1_date_arith" -> c1DateArithSql,
     "q_c12_regex" -> c12RegexSql,

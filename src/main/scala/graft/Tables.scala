@@ -15,6 +15,17 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Register every table as a temp view for the `spark.sql` surface.
+    * `events` goes through its nanos-normalizing loader.
+    */
+  def createViews(spark: SparkSession, sfDir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      load(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    events(spark, sfDir).createOrReplaceTempView("events")
+  }
+
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
   def customer(spark: SparkSession, d: String): DataFrame = load(spark, d, "customer")
