@@ -82,6 +82,44 @@ object PipelineQueries {
        |WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.5
        |ORDER BY ia, ib""".stripMargin
 
+  // ---- D2b: duplicate clusters (connected components over pairs) ------
+
+  /** Cluster the minhash-LSH near-dup pairs into components; each member
+    * reports its cluster's canonical (minimum) id. Oracle: recursive-CTE
+    * transitive closure in DuckDB over the identical pair set.
+    */
+  val d2bDupClusters: Q = (s, d) =>
+    Dedup.dupClusters(Dedup.nearDupPairs(corpus(s, d), "id", "text"))
+      .orderBy("cluster_id", "id")
+  val d2bDupClustersSql: String =
+    s"""WITH RECURSIVE $corpusSql,
+       |$shingleSql,
+       |mh AS (
+       |${Dedup.minhashSql(16)}),
+       |bands AS (
+       |  SELECT id, j // 4 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.ia, c.ib, COUNT(*) AS inter
+       |  FROM cand c JOIN sh x ON x.id = c.ia JOIN sh y ON y.id = c.ib AND y.sh = x.sh
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT i.ia, i.ib
+       |  FROM inter i JOIN sizes na ON na.id = i.ia JOIN sizes nb ON nb.id = i.ib
+       |  WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.5),
+       |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labels AS (
+       |  SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
+       |SELECT cluster_id, id FROM labels ORDER BY cluster_id, id""".stripMargin
+
   // ---- D3: SimHash fingerprints --------------------------------------
 
   /** Production path is the custom SimHashAgg Aggregator; the oracle
@@ -399,6 +437,7 @@ object PipelineQueries {
   val all: Map[String, Q] = Map(
     "q_d1_exact_dedup" -> d1Exact,
     "q_d2_minhash_lsh" -> d2MinHashLsh,
+    "q_d2b_dup_clusters" -> d2bDupClusters,
     "q_d3_simhash" -> d3SimHash,
     "q_d4_simhash_pairs" -> d4SimHashPairs,
     "q_e1_knn_brute" -> e1KnnBrute,
@@ -416,6 +455,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q_d1_exact_dedup" -> d1ExactSql,
     "q_d2_minhash_lsh" -> d2MinHashLshSql,
+    "q_d2b_dup_clusters" -> d2bDupClustersSql,
     "q_d3_simhash" -> d3SimHashSql,
     "q_d4_simhash_pairs" -> d4SimHashPairsSql,
     "q_e1_knn_brute" -> e1KnnBruteSql,

@@ -209,6 +209,43 @@ object Dedup {
       .select(col("ia"), col("ib"), col("jac"))
   }
 
+  /** Connected components over near-dup pairs: every document gets the
+    * minimum id reachable through the pair graph (= a canonical
+    * "keep" id per duplicate cluster).
+    *
+    * Label-propagation to fixpoint: each round joins labels across
+    * edges and keeps the per-node minimum. The driver loop only checks
+    * convergence counts (orchestration, not data); per-round lineage is
+    * cut with localCheckpoint. Near-dup clusters have tiny diameters,
+    * so rounds ≈ log(cluster size) — 2-3 in practice.
+    */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("ia").as("a"), col("ib").as("b"))
+      .unionByName(pairs.select(col("ib").as("a"), col("ia").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id"), col("a").as("label"))
+      .distinct()
+      .groupBy("id").agg(min("label").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .select(col("a").as("id"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("label").as("cluster_id"), col("id"))
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** 60-bit SimHash folded over per-token hash60 values.

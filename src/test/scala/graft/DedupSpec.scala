@@ -57,6 +57,15 @@ class DedupSpec extends SparkSpec {
     out(1) shouldBe Seq("a b c", "b c d")
   }
 
+  test("dupClusters groups transitive near-dups under the minimum id") {
+    import spark.implicits._
+    // 1-2, 2-3 (transitive via 2), and an unrelated pair 8-9.
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("ia", "ib")
+    val out = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L)
+  }
+
   test("MinHashSigAgg equals the explode×groupBy formulation exactly") {
     val sh = Dedup.shingleSet(docs, "id", "text", 3)
     val a = Dedup.minhash(sh, 16)
