@@ -209,7 +209,7 @@ object PipelineQueries {
        |  FROM (SELECT unnest(generate_series(0, 3)) AS p)),
        |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |sig AS (
-       |  SELECT vec_id, SUM(CASE WHEN list_dot_product(e, w) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+       |  SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(e, w) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS bucket
        |  FROM v, planes GROUP BY vec_id),
        |j AS (SELECT v.vec_id, v.label, v.e, sig.bucket FROM v JOIN sig USING (vec_id)),
        |q AS (SELECT e AS qe, bucket AS qb FROM j WHERE vec_id = 0)
@@ -432,6 +432,43 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  /** M2a: the SQL-expressible half of the decode pipeline — the typed
+    * metadata columns (`format`/`n_bytes`/`valid`) that `decodeFeatures`
+    * emits, checked against a hex-prefix CASE oracle over the raw blob.
+    * Gives the decode plumbing a driver-verifiable correctness signal;
+    * the feature vector itself stays spec-only (the decode is a stub).
+    */
+  val m2aMeta: Q = (s, d) => {
+    import s.implicits._
+    val records = Tables.documents(s, d)
+      .select($"doc_id".as("media_id"), lit("text").as("kind"),
+        $"text".cast("binary").as("content"))
+      .as[graft.ops.MediaRecord]
+    graft.ops.Multimodal.decodeFeatures(records, batchSize = 64).toDF()
+      .select($"media_id", $"kind", $"meta.format".as("format"),
+        $"meta.n_bytes".as("n_bytes"), $"meta.valid".as("valid"))
+      .orderBy("media_id")
+  }
+  // Mirrors Multimodal.sniffFormat byte-for-byte: PNG \x89PNG (>=8 bytes),
+  // JPEG FFD8 (>=3), MP4 'ftyp' at offset 4 (>=12), WAV 'RIFF' (>=4).
+  val m2aMetaSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, 'text' AS kind,
+      |    CASE
+      |      WHEN octet_length(CAST(text AS BLOB)) >= 8
+      |        AND substr(hex(CAST(text AS BLOB)), 1, 8) = '89504E47' THEN 'png'
+      |      WHEN octet_length(CAST(text AS BLOB)) >= 3
+      |        AND substr(hex(CAST(text AS BLOB)), 1, 4) = 'FFD8' THEN 'jpeg'
+      |      WHEN octet_length(CAST(text AS BLOB)) >= 12
+      |        AND substr(hex(CAST(text AS BLOB)), 9, 8) = '66747970' THEN 'mp4'
+      |      WHEN octet_length(CAST(text AS BLOB)) >= 4
+      |        AND substr(hex(CAST(text AS BLOB)), 1, 8) = '52494646' THEN 'wav'
+      |      ELSE 'unknown' END AS format,
+      |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      |  FROM documents)
+      |SELECT media_id, kind, format, n_bytes, (format <> 'unknown') AS valid
+      |FROM m ORDER BY media_id""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -449,7 +486,8 @@ object PipelineQueries {
     "q_t4_fingerprint" -> t4Fingerprint,
     "q_m1_binary_meta" -> m1BinaryMeta,
     "q_u1_set_ops" -> u1SetOps,
-    "q_m2_decode" -> m2Decode
+    "q_m2_decode" -> m2Decode,
+    "q_m2a_meta" -> m2aMeta
   )
 
   val oracles: Map[String, String] = Map(
@@ -466,7 +504,9 @@ object PipelineQueries {
     "q_t3_tokens" -> t3TokensSql,
     "q_t4_fingerprint" -> t4FingerprintSql,
     "q_m1_binary_meta" -> m1BinaryMetaSql,
-    "q_u1_set_ops" -> u1SetOpsSql
-    // q_m2_decode: intentionally no oracle (non-SQL-expressible decode)
+    "q_u1_set_ops" -> u1SetOpsSql,
+    // q_m2_decode: intentionally no oracle (non-SQL-expressible decode);
+    // its SQL-expressible metadata half is oracled as q_m2a_meta.
+    "q_m2a_meta" -> m2aMetaSql
   )
 }

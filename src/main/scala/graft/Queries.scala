@@ -118,6 +118,24 @@ object Queries {
     s"""SELECT ${dstrSql("o_orderdate")} AS order_date, COUNT(*) AS n_orders
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** A2: grouped daily counts restricted to a date range
+    * (analytics.py:160-204) — the API's `symbolCountByDateRange` shape:
+    * pushed range predicate + single keyed shuffle with map-side combine.
+    */
+  val a2RangeCount: Q = (s, d) => {
+    import s.implicits._
+    Relational.countBy(
+      Tables.orders(s, d).filter(
+        $"o_orderdate" >= lit("1995-06-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1995-09-01").cast("timestamp")),
+      dstr($"o_orderdate"), "order_date", "available_count")
+  }
+  val a2RangeCountSql: String =
+    s"""SELECT ${dstrSql("o_orderdate")} AS order_date, COUNT(*) AS available_count
+       |FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '1995-06-01' AND o_orderdate < TIMESTAMP '1995-09-01'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** A3: HAVING count-below-threshold (completeness.py:79-89). */
   val a3Having: Q = (s, d) => {
     import s.implicits._
@@ -202,8 +220,8 @@ object Queries {
   val a8ConditionalSql: String =
     """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
       |COUNT(*) AS total,
-      |SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS matched,
-      |SUM(CASE WHEN NOT (o_orderstatus = 'F') THEN 1 ELSE 0 END) AS unmatched
+      |CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+      |CAST(SUM(CASE WHEN NOT (o_orderstatus = 'F') THEN 1 ELSE 0 END) AS BIGINT) AS unmatched
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** A9: DISTINCT projection (snapshots.py:100-108). */
@@ -367,6 +385,7 @@ object Queries {
     "q_f6_threshold" -> f6Threshold,
     "q_f8_incremental" -> f8Incremental,
     "q_a1_count_by_day" -> a1CountByDay,
+    "q_a2_range_count" -> a2RangeCount,
     "q_a3_having" -> a3Having,
     "q_a4_minmax" -> a4MinMax,
     "q_a5_multiagg" -> a5MultiAgg,
@@ -392,6 +411,7 @@ object Queries {
     "q_f6_threshold" -> f6ThresholdSql,
     "q_f8_incremental" -> f8IncrementalSql,
     "q_a1_count_by_day" -> a1CountByDaySql,
+    "q_a2_range_count" -> a2RangeCountSql,
     "q_a3_having" -> a3HavingSql,
     "q_a4_minmax" -> a4MinMaxSql,
     "q_a5_multiagg" -> a5MultiAggSql,

@@ -74,6 +74,16 @@ object AvailabilityQueries {
       .groupBy("date").agg(count(lit(1)).as("symbol_count"))
       .orderBy("date")
 
+  /** A2: per-day available-symbol counts restricted to a date range
+    * (analytics.py:160-204). Same single-shuffle shape as
+    * `dailyAvailabilityCounts`, with the range predicate pushed into the
+    * scan (partition pruning when the table is date-partitioned).
+    */
+  def symbolCountByDateRange(df: DataFrame, start: Date, end: Date): DataFrame =
+    df.filter(col("date").between(lit(start), lit(end)) && col("available"))
+      .groupBy("date").agg(count(lit(1)).as("available_count"))
+      .orderBy("date")
+
   /** Symbols first available on `d` — never available before
     * (analytics.py:94-108, NOT IN → left_anti).
     */
@@ -114,6 +124,26 @@ object AvailabilityQueries {
       .orderBy(col("quote_volume_usdt").desc, col("symbol"))
       .limit(n)
   }
+
+  /** Volume percentile ranking for ONE symbol on a date
+    * (volume.py:96-146): rank over the day's available cohort, cohort
+    * size, and `percentile` = share of symbols ranked strictly below.
+    * The global window runs on an already-filtered one-day cohort
+    * (bounded by construction — same rationale as `Windowed.globalRank`);
+    * the symbol filter applies AFTER ranking, since the rank needs the
+    * whole cohort. Returns 0 rows when the symbol has no volume that day,
+    * mirroring the reference's `None`.
+    */
+  def volumePercentile(df: DataFrame, symbol: String, d: Date): DataFrame =
+    df.filter(col("date") === lit(d) && col("available") &&
+        col("quote_volume_usdt").isNotNull)
+      .withColumn("rank", Windowed.globalRank(col("quote_volume_usdt").desc))
+      .withColumn("total_symbols", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(col("symbol") === symbol)
+      .withColumn("percentile",
+        round((col("total_symbols") - col("rank")) * lit(100.0) / col("total_symbols"), 2))
+      .select("symbol", "rank", "total_symbols", "percentile")
 
   /** Average/min/max volume for one symbol over a range (volume.py:169-196). */
   def averageVolume(df: DataFrame, symbol: String, start: Date, end: Date): DataFrame =

@@ -84,12 +84,36 @@ object Main {
         spark.read.parquet(path), java.sql.Date.valueOf(date), n), rest)
       spark.stop()
 
+    // reference `query range <start> <end>` (cli/query.py:70-89,182):
+    // distinct symbols available in the range; --counts switches to the
+    // per-day count variant (analytics.py:160-204).
+    case "range" :: path :: start :: end :: rest =>
+      val spark = session()
+      val df =
+        if (rest.contains("--counts"))
+          AvailabilityQueries.symbolCountByDateRange(spark.read.parquet(path),
+            java.sql.Date.valueOf(start), java.sql.Date.valueOf(end))
+        else
+          AvailabilityQueries.symbolsInRange(spark.read.parquet(path),
+            java.sql.Date.valueOf(start), java.sql.Date.valueOf(end))
+      emit(df, rest)
+      spark.stop()
+
+    // reference `query volume percentile <symbol> <date>` (volume.py:96-146)
+    case "percentile" :: path :: symbol :: date :: rest =>
+      val spark = session()
+      emit(AvailabilityQueries.volumePercentile(
+        spark.read.parquet(path), symbol, java.sql.Date.valueOf(date)), rest)
+      spark.stop()
+
     case _ =>
       System.err.println(
         "usage: list | run <query> <sfDir> [--json] [--limit N] | " +
           "explain <query> <sfDir> | snapshot <path> <date> | " +
           "timeline <path> <symbol> | analytics <path> | " +
-          "volume <path> <date> [--top N]")
+          "volume <path> <date> [--top N] | " +
+          "range <path> <start> <end> [--counts] | " +
+          "percentile <path> <symbol> <date>")
       sys.exit(2)
   }
 }

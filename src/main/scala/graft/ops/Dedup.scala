@@ -88,11 +88,16 @@ object Dedup {
     * and never materializes the shingle×seed stream.
     */
   class MinHashSigAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    // The (a_j, b_j) constants are pure functions of j — computed once per
+    // aggregator instance, NOT per input row: minhashA/B each run an MD5
+    // digest, and reduce() is the hottest loop of the dedup family.
+    private val as: Array[Long] = Array.tabulate(k)(minhashA)
+    private val bs: Array[Long] = Array.tabulate(k)(minhashB)
     def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
     def reduce(b: Array[Long], h: Long): Array[Long] = {
       var j = 0
       while (j < k) {
-        val v = (h * minhashA(j) + minhashB(j)) % (MinhashMask + 1)
+        val v = (h * as(j) + bs(j)) % (MinhashMask + 1)
         if (v < b(j)) b(j) = v
         j += 1
       }
@@ -155,6 +160,21 @@ object Dedup {
     * are ids sharing any (band, signature) bucket.
     */
   def lshCandidates(mh: DataFrame, rowsPerBand: Int): DataFrame = {
+    val (cand, bands) = lshCandidatesWithHandle(mh, rowsPerBand)
+    // Candidate pairs are tiny relative to the corpus — materialize them
+    // eagerly so the banded frame's cache can be released immediately
+    // instead of leaking blocks across invocations.
+    val out = cand.localCheckpoint(eager = true)
+    bands.unpersist()
+    out
+  }
+
+  /** Candidates plus the persisted bands frame, for callers that manage
+    * the cache lifetime themselves (the full pipeline releases it after
+    * its own eager materialization).
+    */
+  private[graft] def lshCandidatesWithHandle(
+      mh: DataFrame, rowsPerBand: Int): (DataFrame, DataFrame) = {
     // Referenced by both sides of the self-join: persist + eager
     // materialization, or the minhash chain executes twice and the two
     // copies race to fill the cache within one job.
@@ -168,8 +188,9 @@ object Dedup {
     bands.count()
     val a = bands.select(col("band"), col("sig"), col("id").as("ia"))
     val b = bands.select(col("band"), col("sig"), col("id").as("ib"))
-    a.join(b, Seq("band", "sig")).where(col("ia") < col("ib"))
+    val cand = a.join(b, Seq("band", "sig")).where(col("ia") < col("ib"))
       .select("ia", "ib").distinct()
+    (cand, bands)
   }
 
   /** Exact n-gram Jaccard for candidate pairs, against the shingle sets.
@@ -203,10 +224,17 @@ object Dedup {
     val sh = shingleSet(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.count()
-    val cand = lshCandidates(minhash(sh, k), rowsPerBand)
-    jaccardVerify(cand, sh)
+    val (cand, bands) = lshCandidatesWithHandle(minhash(sh, k), rowsPerBand)
+    // The verified pair set is small (linear in candidates, not corpus):
+    // materialize it eagerly, then release every cache block this pipeline
+    // pinned — repeated invocations must not leak storage memory.
+    val out = jaccardVerify(cand, sh)
       .filter(col("jac") >= threshold)
       .select(col("ia"), col("ib"), col("jac"))
+      .localCheckpoint(eager = true)
+    bands.unpersist()
+    sh.unpersist()
+    out
   }
 
   /** Connected components over near-dup pairs: every document gets the
@@ -228,6 +256,13 @@ object Dedup {
       .distinct()
       .groupBy("id").agg(min("label").as("label"))
       .localCheckpoint(true)
+    // Labels only ever decrease (min-propagation), so the label sum is a
+    // strictly decreasing convergence witness: unchanged sum == fixpoint.
+    // One cheap aggregate over the just-checkpointed blocks per round,
+    // instead of a join-based diff (which was a second full shuffle).
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).first().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
       val viaNeighbors = edges
@@ -236,10 +271,9 @@ object Dedup {
       val next = labels.unionByName(viaNeighbors)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
-      converged = next
-        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
     }
     edges.unpersist()

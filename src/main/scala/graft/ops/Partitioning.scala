@@ -14,6 +14,13 @@ import org.apache.spark.sql.DataFrame
 object Partitioning {
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // `df.inputFiles` reads the file listing off the analyzed plan —
+    // unlike `df.rdd.getNumPartitions`, which forces a SECOND full
+    // physical planning of the whole upstream plan (and bypasses AQE)
+    // just to read a count. A non-file-backed frame reports 0 files and
+    // is left alone: its partitioning came from a shuffle we shouldn't
+    // second-guess.
+    val nFiles = df.inputFiles.length
+    if (nFiles > 0 && nFiles < target) df.repartition(target) else df
   }
 }

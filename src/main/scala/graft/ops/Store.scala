@@ -46,15 +46,30 @@ object Store {
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
              partCol: String, keys: Seq[String], tsCol: String,
              tieBreak: String): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val existing = spark.read.parquet(path)
-    // Partition pruning: only read partitions present in the update batch.
-    val touched = updates.select(col(partCol)).distinct()
-    val affected = existing.join(broadcast(touched), Seq(partCol), "left_semi")
-    val merged = latestByKey(
-      affected.unionByName(updates.select(existing.columns.map(col): _*)),
-      keys, tsCol, tieBreak)
-    merged.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+    val overwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
+    val savedMode = spark.conf.getOption(overwriteModeKey)
+    spark.conf.set(overwriteModeKey, "dynamic")
+    try {
+      val existing = spark.read.parquet(path)
+      // Partition pruning: only read partitions present in the update batch.
+      val touched = updates.select(col(partCol)).distinct()
+      val affected = existing.join(broadcast(touched), Seq(partCol), "left_semi")
+      val merged = latestByKey(
+        affected.unionByName(updates.select(existing.columns.map(col): _*)),
+        keys, tsCol, tieBreak)
+      // Lineage cut BEFORE the overwrite: without it the write job both
+      // reads and deletes the same partitions, and a mid-commit failure
+      // destroys the only copy of the touched data. The merged batch is
+      // bounded by the re-probe window, so materializing it is cheap
+      // relative to the archive. (Same pattern as refreshRankingsArchive.)
+      merged.localCheckpoint(eager = true)
+        .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+    } finally {
+      savedMode match {
+        case Some(m) => spark.conf.set(overwriteModeKey, m)
+        case None    => spark.conf.unset(overwriteModeKey)
+      }
+    }
   }
 
   /** Derived summary table (the reference's daily_symbol_counts

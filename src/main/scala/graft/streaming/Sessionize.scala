@@ -59,8 +59,16 @@ object Sessionize {
             }
             cur.foreach { s =>
               state.update(s)
-              if (!state.hasTimedOut)
-                state.setTimeoutTimestamp(s.endMs + gapMs)
+              if (!state.hasTimedOut) {
+                // Spark rejects a timeout at-or-before the current
+                // watermark (IllegalArgumentException, failing the whole
+                // batch). A group whose events arrived just inside the
+                // watermark can legally produce endMs + gap <= watermark:
+                // clamp so the session times out on the next trigger
+                // instead of crashing the query.
+                val wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(math.max(s.endMs + gapMs, wm + 1))
+              }
             }
             out.iterator
           }

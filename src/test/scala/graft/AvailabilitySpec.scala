@@ -81,6 +81,24 @@ class AvailabilitySpec extends SparkSpec {
       minVolume = Some(1e8)).count() shouldBe 3
   }
 
+  test("symbolCountByDateRange: per-day counts restricted to the range (analytics.py:160-204)") {
+    import spark.implicits._
+    val df = grid.unionByName(Seq(rec("2024-01-16", "NEWUSDT")).toDF())
+    AQ.symbolCountByDateRange(df, Date.valueOf("2024-01-15"), Date.valueOf("2024-01-16"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toSeq shouldBe
+      Seq("2024-01-15" -> 3L, "2024-01-16" -> 4L) // the 17th is outside the range
+  }
+
+  test("volumePercentile: rank over the day cohort for one symbol (volume.py:96-146)") {
+    val p = AQ.volumePercentile(volGrid, "ETHUSDT", Date.valueOf("2024-01-15")).collect()
+    p.length shouldBe 1
+    p.head.getAs[Int]("rank") shouldBe 2
+    p.head.getAs[Long]("total_symbols") shouldBe 5L
+    p.head.getAs[Double]("percentile") shouldBe 60.0 // (5-2)*100/5
+    // no volume row that day → empty frame, the reference's None
+    AQ.volumePercentile(volGrid, "NOPEUSDT", Date.valueOf("2024-01-15")).count() shouldBe 0
+  }
+
   test("market summary and average volume aggregate correctly") {
     val ms = AQ.marketSummary(volGrid, Date.valueOf("2024-01-15")).collect()(0)
     ms.getAs[Double]("total_volume_usdt") shouldBe 1.66e9 +- 1

@@ -39,6 +39,15 @@ class DedupSpec extends SparkSpec {
     keys.flatMap(p => Set(p._1, p._2)) should not contain 5L
   }
 
+  test("nearDupPairs releases every cache block it pinned") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    Dedup.nearDupPairs(docs, "id", "text", threshold = 0.5).count()
+    // The internal sh/bands persists must be gone; only the eagerly
+    // checkpointed result frame may remain pinned.
+    (sc.getPersistentRDDs.size - before) should be <= 1
+  }
+
   test("ShingleGenerator matches the windowed-LEAD formulation exactly") {
     val a = Dedup.shingleSet(docs, "id", "text", 3)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet

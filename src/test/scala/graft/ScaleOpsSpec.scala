@@ -8,6 +8,23 @@ import graft.ops.{Bucketed, Skew}
   */
 class ScaleOpsSpec extends SparkSpec {
 
+  test("spread fans out under-partitioned file sources and leaves shuffled frames alone") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-spread").toString + "/t"
+    spark.range(100).toDF("id").coalesce(1).write.parquet(dir)
+    val fileDf = spark.read.parquet(dir)
+    val out = graft.ops.Partitioning.spread(fileDf)
+    out.rdd.getNumPartitions shouldBe spark.sparkContext.defaultParallelism
+    // The decision reads the file listing, never df.rdd — the returned
+    // plan is still a parquet scan, not an ExistingRDD round-trip.
+    out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple")) should
+      not include "ExistingRDD"
+    // A frame with no file source (post-shuffle partitioning) is returned as-is.
+    val mem = Seq(1, 2, 3).toDF("id").repartition(4)
+    graft.ops.Partitioning.spread(mem) should be theSameInstanceAs mem
+  }
+
   test("saltedJoin is row-identical to the plain join on a skewed key") {
     import spark.implicits._
     // 10k rows of one hot key + a long tail.

@@ -42,6 +42,22 @@ class StoreSpec extends SparkSpec {
     all(jan15) should be < 9000000L
   }
 
+  test("upsert restores the caller's partitionOverwriteMode") {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val path = Files.createTempDirectory("graft-upsert3").toString + "/t"
+    Store.writePartitioned(grid("2024-01-18 02:00:00", 8000000L), path, "date")
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "static")
+    try {
+      val reprobe = grid("2024-01-19 02:00:00", 9000000L)
+        .filter(col("date") === Date.valueOf("2024-01-16"))
+      Store.upsert(spark, path, reprobe, "date",
+        Seq("date", "symbol"), "probe_timestamp", "file_size_bytes")
+      spark.conf.get(key) shouldBe "static" // not left on "dynamic"
+      spark.read.parquet(path).count() shouldBe 9 // and the upsert itself worked
+    } finally spark.conf.set(key, saved)
+  }
+
   test("upsert with a brand-new partition appends it") {
     val path = Files.createTempDirectory("graft-upsert2").toString + "/t"
     Store.writePartitioned(grid("2024-01-18 02:00:00", 8000000L), path, "date")

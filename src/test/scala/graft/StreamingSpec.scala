@@ -72,6 +72,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize survives a group whose timeout would land at/below the watermark") {
+    import spark.implicits._
+    import graft.streaming.{SessionEvent, Sessionize}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[SessionEvent]
+    val q = Sessionize.sessions(input.toDS(), gapMs = 60000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // Batch 1 pushes the watermark to 12:00.
+      input.addData(SessionEvent(50L, t("2024-01-01 12:00:00"), "view"))
+      q.processAllAvailable()
+      // Batch 2 carries a group whose end + gap (10:01) is far below the
+      // 12:00 watermark: an unclamped setTimeoutTimestamp throws
+      // IllegalArgumentException and fails the whole batch.
+      input.addData(SessionEvent(7L, t("2024-01-01 10:00:00"), "view"))
+      q.processAllAvailable()
+      // Advance again so any surviving open session times out and flushes.
+      input.addData(SessionEvent(50L, t("2024-01-01 13:00:00"), "view"))
+      q.processAllAvailable()
+      q.exception shouldBe empty
+    } finally q.stop()
+  }
+
   test("windowedCounts groups into tumbling windows with a watermark") {
     import spark.implicits._
     // Batch-mode execution of the same plan validates the window/agg shape.

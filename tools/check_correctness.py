@@ -19,9 +19,10 @@ def canon(df: pd.DataFrame):
     def cell(v):
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "NULL"
+        # No float->int normalization: the driver hashes dtype-faithfully,
+        # so a DuckDB HUGEINT surfacing as float64 ("727.0") must FAIL here
+        # exactly as it fails there (oracle SQL needs an explicit BIGINT cast).
         if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
             return repr(v)
         if hasattr(v, "isoformat"):
             s = v.isoformat()
