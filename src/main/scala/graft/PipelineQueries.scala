@@ -256,6 +256,39 @@ object PipelineQueries {
       |FROM assigned a JOIN cells USING (cid), q
       |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
 
+  // ---- E4: embedding-cosine near-dup pairs ----------------------------
+
+  /** The vector-space dedup: LSH-bucketed candidate pairs verified by
+    * exact cosine ≥ 0.4 (threshold tuned to the synthetic corpus — the
+    * brute-force set at 0.4 is 59 pairs at sf0.01; the bucketed result
+    * is the subset sharing a 4-plane bucket, exactly reproduced by the
+    * oracle's identical plane/bucket computation).
+    */
+  val e4CosineDedup: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    Vectors.cosineDupPairs(vecs, "e", "vec_id", nPlanes = 4, dim = 64,
+        threshold = 0.4)
+      .orderBy("ia", "ib")
+  }
+  val e4CosineDedupSql: String =
+    s"""WITH planes AS (
+       |  SELECT p, list_transform(generate_series(1, 64), j ->
+       |    CASE WHEN ${hash60Sql("CAST(p AS VARCHAR)||'_'||CAST(j AS VARCHAR)")} % 2 = 1
+       |         THEN 1.0 ELSE -1.0 END) AS w
+       |  FROM (SELECT unnest(generate_series(0, 3)) AS p)),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(e, w) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+       |  FROM v, planes GROUP BY vec_id),
+       |j AS (SELECT v.vec_id, v.e, sig.bucket FROM v JOIN sig USING (vec_id))
+       |SELECT ia, ib, bucket, cos_sim FROM (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib, a.bucket,
+       |    list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos_sim
+       |  FROM j a JOIN j b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |WHERE cos_sim >= 0.4 ORDER BY ia, ib""".stripMargin
+
   // ---- T1: language ID (marker-word heuristic) ------------------------
 
   private val langMarkers = Seq(
@@ -480,6 +513,7 @@ object PipelineQueries {
     "q_e1_knn_brute" -> e1KnnBrute,
     "q_e2_ann_lsh" -> e2AnnLsh,
     "q_e3_ann_ivf" -> e3AnnIvf,
+    "q_e4_cosine_dedup" -> e4CosineDedup,
     "q_t1_langid" -> t1LangId,
     "q_t2_quality" -> t2Quality,
     "q_t3_tokens" -> t3Tokens,
@@ -499,6 +533,7 @@ object PipelineQueries {
     "q_e1_knn_brute" -> e1KnnBruteSql,
     "q_e2_ann_lsh" -> e2AnnLshSql,
     "q_e3_ann_ivf" -> e3AnnIvfSql,
+    "q_e4_cosine_dedup" -> e4CosineDedupSql,
     "q_t1_langid" -> t1LangIdSql,
     "q_t2_quality" -> t2QualitySql,
     "q_t3_tokens" -> t3TokensSql,

@@ -171,6 +171,105 @@ object Ingest {
       }
   }
 
+  // ---- S15: S3 XML bucket-listing parse (s3_symbol_discovery.py:25-146)
+
+  /** One parsed page of an S3 `ListBucketResult`: the symbol directory
+    * names under the prefix, plus the pagination cursor.
+    */
+  case class S3ListingPage(symbols: Seq[String], isTruncated: Boolean,
+                           nextMarker: Option[String])
+
+  /** Parse one S3 XML listing page: symbols come from
+    * `CommonPrefixes/Prefix` (last path segment), pagination from
+    * `IsTruncated`/`NextMarker`. Namespace-agnostic tag matching — S3
+    * serves the 2006-03-01 namespace but fixtures may omit it.
+    * JDK DOM only; no extra dependencies.
+    */
+  def parseS3ListingPage(xml: String): S3ListingPage = {
+    val factory = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    factory.setNamespaceAware(true) // required for the NS-wildcard lookups below
+    val doc = factory.newDocumentBuilder()
+      .parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
+    def texts(tag: String): Seq[String] = {
+      val nodes = doc.getElementsByTagNameNS("*", tag)
+      (0 until nodes.getLength).map(nodes.item(_).getTextContent)
+    }
+    val prefixes = {
+      val cps = doc.getElementsByTagNameNS("*", "CommonPrefixes")
+      (0 until cps.getLength).flatMap { i =>
+        val kids = cps.item(i).getChildNodes
+        (0 until kids.getLength).collect {
+          case j if "Prefix" == kids.item(j).getLocalName =>
+            kids.item(j).getTextContent
+        }
+      }
+    }
+    val symbols = prefixes.map(_.stripSuffix("/").split("/").last).filter(_.nonEmpty)
+    S3ListingPage(
+      symbols,
+      texts("IsTruncated").headOption.contains("true"),
+      texts("NextMarker").headOption.filter(_.nonEmpty))
+  }
+
+  /** Paginated discovery over the injected page fetcher (HTTP in
+    * production, fixtures in tests): follows `NextMarker`, falling back
+    * to `<prefix><lastSymbol>/` when S3 omits it (the reference's
+    * fallback, s3_symbol_discovery.py:118-127). The page loop is
+    * driver-side by nature — S3 pagination is serial — and the result is
+    * a small dimension destined for broadcast.
+    */
+  def discoverSymbols(fetchPage: Option[String] => String,
+                      prefix: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var marker: Option[String] = None
+    var done = false
+    while (!done) {
+      val page = parseS3ListingPage(fetchPage(marker))
+      out ++= page.symbols
+      if (!page.isTruncated) done = true
+      else page.nextMarker match {
+        case some @ Some(_) => marker = some
+        case None => page.symbols.lastOption match {
+          case Some(last) => marker = Some(s"$prefix$last/")
+          case None       => done = true
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Discovered symbols classified perpetual/delivery, as a broadcastable
+    * (symbol, kind) frame — the Spark-side hand-off of S15 discovery
+    * (s3_symbol_discovery.py:129-146).
+    */
+  def discoveredSymbolsDF(spark: SparkSession,
+                          fetchPage: Option[String] => String,
+                          prefix: String): DataFrame = {
+    import spark.implicits._
+    discoverSymbols(fetchPage, prefix).toDF("symbol")
+      .withColumn("kind", classifySymbol(col("symbol")))
+  }
+
+  // ---- S17: exchangeInfo JSON source (validation/cross_check.py:37-77) -
+
+  /** Parse a Binance `exchangeInfo` response body into the set of
+    * currently-trading USDT perpetual symbols — the API side of the
+    * cross-check validator. Distributed JSON parse (spark.read.json over
+    * a one-row dataset mirrors how a fleet of responses would land);
+    * filter semantics match the reference exactly: contractType
+    * PERPETUAL, status TRADING, symbol ends in USDT.
+    */
+  def parseExchangeInfo(spark: SparkSession, json: String): DataFrame = {
+    import spark.implicits._
+    spark.read.json(Seq(json).toDS)
+      .select(explode(col("symbols")).as("s"))
+      .select(col("s.symbol").as("symbol"), col("s.status").as("status"),
+        col("s.contractType").as("contractType"))
+      .filter(col("contractType") === "PERPETUAL" &&
+        col("status") === "TRADING" && col("symbol").endsWith("USDT"))
+      .select("symbol")
+  }
+
   // ---- S16: symbols.json loader (config/symbol_loader.py:15-87) -------
 
   /** Load {metadata, perpetual_symbols: [...], delivery_symbols: [...]}

@@ -280,6 +280,63 @@ object Dedup {
     labels.select(col("label").as("cluster_id"), col("id"))
   }
 
+  /** Alternating large-star / small-star connected components — the
+    * scale path for graphs whose clusters may chain (label propagation
+    * is O(diameter) rounds; alternation converges in O(log² n) rounds
+    * regardless of diameter). Same output contract as `dupClusters`:
+    * (cluster_id = component minimum, id) for every node.
+    *
+    * Each round is two keyed shuffles (window-min per star center — no
+    * collect_list, so a hub with millions of neighbors never
+    * materializes its adjacency in one buffer) with lineage cut per
+    * round. Public reference: Kiveris et al., "Connected Components in
+    * MapReduce and Beyond" (SoCC '14).
+    */
+  def dupClustersAlternating(pairs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
+
+    // large-star: around every center u, link each LARGER neighbor to
+    // the minimum of the closed neighborhood.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .distinct()
+    }
+    // small-star: orient edges large→small, link center and every
+    // (smaller) neighbor to the neighborhood minimum.
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e
+        .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val withMin = oriented.withColumn("m", least(min(col("v")).over(w), col("u")))
+      withMin.select(col("v").as("a"), col("m").as("b"))
+        .unionByName(withMin.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    var edges = pairs.select(col("ia").as("a"), col("ib").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // Set equality: equal cardinality + empty one-sided difference
+      // (both sides are distinct by construction).
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("a", "b"), "left_anti").isEmpty
+      edges = next
+    }
+    // Fixpoint is a star per component: a → component min. The root
+    // itself labels as its own cluster.
+    edges.select(col("b").as("cluster_id"), col("a").as("id"))
+      .unionByName(edges.select(col("b").as("cluster_id"), col("b").as("id")).distinct())
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** 60-bit SimHash folded over per-token hash60 values.

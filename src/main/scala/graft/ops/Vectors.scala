@@ -93,6 +93,34 @@ object Vectors {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs — the vector-space member of
+    * the dedup family (exact / MinHash / SimHash / cosine): candidates
+    * are vectors sharing a hyperplane-LSH bucket, verified by exact
+    * cosine ≥ threshold.
+    *
+    * Scale shape: bucket assignment is map-side (constant planes, no
+    * explode), the self-join shuffles on the bucket key, so pairwise
+    * work is quadratic only WITHIN a bucket — never all-pairs. More
+    * planes → smaller buckets → cheaper join at lower recall; callers
+    * tune nPlanes to corpus size.
+    */
+  def cosineDupPairs(vecs: DataFrame, vecCol: String, idCol: String,
+                     nPlanes: Int, dim: Int, threshold: Double): DataFrame = {
+    val bucket = (0 until nPlanes).map { p =>
+      val plane = typedlit(hyperplaneValues(p, dim))
+      when(dot(col("e"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val b = Partitioning.spread(vecs)
+      .select(col(idCol).as("vid"), col(vecCol).as("e"))
+      .withColumn("bucket", bucket)
+    val a = b.select(col("bucket"), col("vid").as("ia"), col("e").as("ea"))
+    val c = b.select(col("bucket"), col("vid").as("ib"), col("e").as("eb"))
+    a.join(c, Seq("bucket")).where(col("ia") < col("ib"))
+      .withColumn("cos_sim", cosine(col("ea"), col("eb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("ia", "ib", "bucket", "cos_sim")
+  }
+
   /** Exact brute-force top-k cosine neighbors of one query vector.
     * The single-row query side is broadcast; the scan side streams —
     * no shuffle until the final top-k (TakeOrdered, no global sort).

@@ -75,6 +75,21 @@ class DedupSpec extends SparkSpec {
     out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L)
   }
 
+  test("dupClustersAlternating matches label propagation, including a 50-node chain") {
+    import spark.implicits._
+    // Adversarial long chain (diameter 49) + a triangle + an isolated pair.
+    val chain = (1L until 50L).map(i => (i, i + 1, 1.0))
+    val extra = Seq((100L, 101L, 1.0), (101L, 102L, 1.0), (100L, 102L, 1.0),
+      (200L, 201L, 1.0))
+    val pairs = (chain ++ extra).toDF("ia", "ib", "jac")
+    val expected = Dedup.dupClusters(pairs)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    val got = Dedup.dupClustersAlternating(pairs)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    got shouldBe expected
+    got.filter(_._1 <= 50).map(_._2) shouldBe Set(1L) // one cluster, min root
+  }
+
   test("MinHashSigAgg equals the explode×groupBy formulation exactly") {
     val sh = Dedup.shingleSet(docs, "id", "text", 3)
     val a = Dedup.minhash(sh, 16)

@@ -109,6 +109,62 @@ class IngestSpec extends SparkSpec {
       "BTCUSDT_231229" -> "delivery")
   }
 
+  private def s3Page(symbols: Seq[String], truncated: Boolean,
+                     nextMarker: Option[String]): String = {
+    val prefixes = symbols.map(s =>
+      s"""<CommonPrefixes><Prefix>data/futures/um/daily/klines/$s/</Prefix></CommonPrefixes>""")
+      .mkString("\n")
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/">
+       |  <Name>data.binance.vision</Name>
+       |  <IsTruncated>$truncated</IsTruncated>
+       |  ${nextMarker.fold("")(m => s"<NextMarker>$m</NextMarker>")}
+       |  $prefixes
+       |</ListBucketResult>""".stripMargin
+  }
+
+  test("parseS3ListingPage extracts CommonPrefixes symbols and pagination fields (s3_symbol_discovery.py:96-127)") {
+    val page = Ingest.parseS3ListingPage(
+      s3Page(Seq("BTCUSDT", "ETHUSDT"), truncated = true, Some("data/futures/um/daily/klines/ETHUSDT/")))
+    page.symbols shouldBe Seq("BTCUSDT", "ETHUSDT")
+    page.isTruncated shouldBe true
+    page.nextMarker shouldBe Some("data/futures/um/daily/klines/ETHUSDT/")
+    val last = Ingest.parseS3ListingPage(s3Page(Seq("SOLUSDT"), truncated = false, None))
+    last.isTruncated shouldBe false
+    last.nextMarker shouldBe None
+  }
+
+  test("discoverSymbols follows NextMarker, and falls back to last-symbol marker when absent") {
+    val prefix = "data/futures/um/daily/klines/"
+    // Page flow: explicit NextMarker → fallback marker (truncated, no
+    // NextMarker) → final page.
+    val pages = Map(
+      None -> s3Page(Seq("AAAUSDT", "BBBUSDT"), truncated = true, Some(s"${prefix}BBBUSDT/")),
+      Some(s"${prefix}BBBUSDT/") -> s3Page(Seq("CCCUSDT"), truncated = true, None),
+      Some(s"${prefix}CCCUSDT/") -> s3Page(Seq("DDDUSDT_240329"), truncated = false, None))
+    val markersSeen = scala.collection.mutable.ArrayBuffer.empty[Option[String]]
+    val syms = Ingest.discoverSymbols(m => { markersSeen += m; pages(m) }, prefix)
+    syms shouldBe Seq("AAAUSDT", "BBBUSDT", "CCCUSDT", "DDDUSDT_240329")
+    markersSeen.toSeq shouldBe Seq(None, Some(s"${prefix}BBBUSDT/"), Some(s"${prefix}CCCUSDT/"))
+
+    val df = Ingest.discoveredSymbolsDF(spark, m => pages(m), prefix)
+    df.filter(col("kind") === "delivery").collect().map(_.getString(0)).toSeq shouldBe
+      Seq("DDDUSDT_240329")
+    df.count() shouldBe 4
+  }
+
+  test("parseExchangeInfo keeps only TRADING USDT perpetuals (cross_check.py:37-77)") {
+    val json =
+      """{"timezone":"UTC","symbols":[
+        |{"symbol":"BTCUSDT","status":"TRADING","contractType":"PERPETUAL"},
+        |{"symbol":"ETHUSDT","status":"TRADING","contractType":"PERPETUAL"},
+        |{"symbol":"BTCUSDT_240329","status":"TRADING","contractType":"CURRENT_QUARTER"},
+        |{"symbol":"XYZUSDT","status":"SETTLING","contractType":"PERPETUAL"},
+        |{"symbol":"BTCBUSD","status":"TRADING","contractType":"PERPETUAL"}]}""".stripMargin
+    Ingest.parseExchangeInfo(spark, json).orderBy("symbol")
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("BTCUSDT", "ETHUSDT")
+  }
+
   test("probeDomain fans out dates × symbols through mapPartitions with an injected prober") {
     val dates = Seq(LocalDate.parse("2024-01-15"), LocalDate.parse("2024-01-16"))
     val symbols = Seq("BTCUSDT", "NEWCOINUSDT")
