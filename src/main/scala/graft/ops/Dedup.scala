@@ -260,8 +260,11 @@ object Dedup {
     // strictly decreasing convergence witness: unchanged sum == fixpoint.
     // One cheap aggregate over the just-checkpointed blocks per round,
     // instead of a join-based diff (which was a second full shuffle).
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("label"), lit(0L))).first().getLong(0)
+    // Decimal sum: a BIGINT sum over billions of large ids could overflow,
+    // which ANSI mode turns into a job failure.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).first().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
@@ -272,7 +275,7 @@ object Dedup {
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
       val nextSum = labelSum(next)
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
     }
