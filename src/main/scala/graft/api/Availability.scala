@@ -210,6 +210,21 @@ object AvailabilityQueries {
 
   // ---- validators (validation/*.py) -----------------------------------
 
+  /** Cross-check: the DB's available symbols on a date against the
+    * exchangeInfo API's current symbol set (cross_check.py:79-137) —
+    * one row per symbol tagged `only_db` / `only_api` / `both`. Feed
+    * `apiSymbols` from `Ingest.parseExchangeInfo`.
+    */
+  def crossCheckSymbols(df: DataFrame, apiSymbols: DataFrame, d: Date): DataFrame = {
+    val dbSyms = df.filter(col("date") === lit(d) && col("available")).select("symbol")
+    Validation.keySetDiff(dbSyms, apiSymbols, "symbol")
+      .withColumn("side",
+        when(col("side") === "only_a", "only_db")
+          .when(col("side") === "only_b", "only_api")
+          .otherwise("both"))
+      .orderBy("side", "symbol")
+  }
+
   /** Continuity gaps over the observed span (continuity.py:74-87). */
   def continuityGaps(spark: SparkSession, df: DataFrame,
                      start: String, end: String): DataFrame =

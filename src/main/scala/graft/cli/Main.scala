@@ -106,6 +106,17 @@ object Main {
         spark.read.parquet(path), symbol, java.sql.Date.valueOf(date)), rest)
       spark.stop()
 
+    // reference cross-check validator (cross_check.py:79-137): DB symbols
+    // on a date vs a saved exchangeInfo response body.
+    case "crosscheck" :: path :: jsonPath :: date :: rest =>
+      val spark = session()
+      val body = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(jsonPath)), "UTF-8")
+      val api = graft.ingest.Ingest.parseExchangeInfo(spark, body)
+      emit(AvailabilityQueries.crossCheckSymbols(
+        spark.read.parquet(path), api, java.sql.Date.valueOf(date)), rest)
+      spark.stop()
+
     case _ =>
       System.err.println(
         "usage: list | run <query> <sfDir> [--json] [--limit N] | " +
@@ -113,7 +124,8 @@ object Main {
           "timeline <path> <symbol> | analytics <path> | " +
           "volume <path> <date> [--top N] | " +
           "range <path> <start> <end> [--counts] | " +
-          "percentile <path> <symbol> <date>")
+          "percentile <path> <symbol> <date> | " +
+          "crosscheck <path> <exchangeInfo.json> <date>")
       sys.exit(2)
   }
 }

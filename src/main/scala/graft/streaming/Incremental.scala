@@ -35,6 +35,19 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Streaming exact dedup with bounded state — the stream-time shape of
+    * the training-ingest content-hash dedup (`Dedup.exactGroups` for
+    * batch): duplicates of a key arriving within the watermark horizon
+    * are dropped, and — unlike plain `dropDuplicates` — state for keys
+    * older than the watermark is evicted, so state size is bounded by
+    * the horizon's key cardinality, not the stream's lifetime.
+    */
+  def dedupedStream(events: DataFrame, tsCol: String, watermark: String,
+                    keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Watermarked tumbling-window counts — the streaming shape of the
     * daily-counts summary (A1/A8) with bounded state: late rows beyond
     * the watermark are dropped, state for closed windows is evicted.

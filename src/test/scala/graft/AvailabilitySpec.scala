@@ -125,6 +125,16 @@ class AvailabilitySpec extends SparkSpec {
     out.agg(max("date")).collect()(0).getDate(0).toString shouldBe "2024-01-16"
   }
 
+  test("crossCheckSymbols tags only_db / only_api / both (cross_check.py:79-137)") {
+    import spark.implicits._
+    val api = Seq("BTCUSDT", "ETHUSDT", "FRESHUSDT").toDF("symbol")
+    val out = AQ.crossCheckSymbols(grid, api, Date.valueOf("2024-01-15"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    out.toSet shouldBe Set(
+      ("BTCUSDT", "both"), ("ETHUSDT", "both"),
+      ("SOLUSDT", "only_db"), ("FRESHUSDT", "only_api"))
+  }
+
   test("validators: continuity gaps and incomplete dates") {
     import spark.implicits._
     val gappy = Seq(rec("2024-01-15", "BTCUSDT"), rec("2024-01-17", "BTCUSDT")).toDF()

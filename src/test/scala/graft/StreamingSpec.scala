@@ -72,6 +72,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupedStream drops within-horizon duplicates with bounded state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = Incremental.dedupedStream(
+        input.toDF().toDF("doc_hash", "ts", "txt"), "ts", "10 seconds", Seq("doc_hash"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (1L, t("2024-01-01 10:00:00"), "a"),
+        (1L, t("2024-01-01 10:00:01"), "a-dup"),
+        (2L, t("2024-01-01 10:00:02"), "b"))
+      q.processAllAvailable()
+      // Duplicate of key 1 in a later batch, still within the horizon.
+      input.addData((1L, t("2024-01-01 10:00:03"), "a-dup2"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      rows.length shouldBe 2
+      rows.map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L)
+    } finally q.stop()
+  }
+
   test("sessionize survives a group whose timeout would land at/below the watermark") {
     import spark.implicits._
     import graft.streaming.{SessionEvent, Sessionize}
