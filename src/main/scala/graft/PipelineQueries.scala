@@ -256,6 +256,48 @@ object PipelineQueries {
       |FROM assigned a JOIN cells USING (cid), q
       |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
 
+  // ---- E5: multi-probe LSH ANN ----------------------------------------
+
+  /** E2's LSH search widened to the Hamming-1 probe shell — same
+    * deterministic hyperplanes, so the oracle reproduces the probe-set
+    * computation exactly (query bucket XOR each single plane bit).
+    */
+  val e5AnnMultiprobe: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("e"))
+    val buckets = Vectors.lshBuckets(vecs, "e", "vec_id", nPlanes = 4, dim = 64)
+    val joined = vecs.join(buckets, $"vec_id" === $"vid").drop("vid")
+    val q = joined.filter($"vec_id" === 0)
+      .select($"e".as("qe"), $"bucket".as("qb"))
+    Vectors.lshMultiProbe(joined.filter($"vec_id" =!= 0), q,
+        nPlanes = 4, k = 5, tieCol = "vec_id")
+      .select($"vec_id", $"label", $"bucket", $"cos_sim")
+  }
+  val e5AnnMultiprobeSql: String =
+    s"""WITH planes AS (
+       |  SELECT p, list_transform(generate_series(1, 64), j ->
+       |    CASE WHEN ${hash60Sql("CAST(p AS VARCHAR)||'_'||CAST(j AS VARCHAR)")} % 2 = 1
+       |         THEN 1.0 ELSE -1.0 END) AS w
+       |  FROM (SELECT unnest(generate_series(0, 3)) AS p)),
+       |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(e, w) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+       |  FROM v, planes GROUP BY vec_id),
+       |j AS (SELECT v.vec_id, v.label, v.e, sig.bucket FROM v JOIN sig USING (vec_id)),
+       |q AS (SELECT e AS qe, bucket AS qb FROM j WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT DISTINCT bucket FROM (
+       |    SELECT qb AS bucket FROM q
+       |    UNION ALL
+       |    SELECT xor(qb, (1::BIGINT << p)) AS bucket
+       |    FROM q, (SELECT unnest(generate_series(0, 3)) AS p)))
+       |SELECT j.vec_id, j.label, j.bucket,
+       |  list_dot_product(j.e, q.qe) / (sqrt(list_dot_product(j.e, j.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS cos_sim
+       |FROM j JOIN probes USING (bucket), q
+       |WHERE j.vec_id <> 0
+       |ORDER BY cos_sim DESC, j.vec_id LIMIT 5""".stripMargin
+
   // ---- E4: embedding-cosine near-dup pairs ----------------------------
 
   /** The vector-space dedup: LSH-bucketed candidate pairs verified by
@@ -514,6 +556,7 @@ object PipelineQueries {
     "q_e2_ann_lsh" -> e2AnnLsh,
     "q_e3_ann_ivf" -> e3AnnIvf,
     "q_e4_cosine_dedup" -> e4CosineDedup,
+    "q_e5_ann_multiprobe" -> e5AnnMultiprobe,
     "q_t1_langid" -> t1LangId,
     "q_t2_quality" -> t2Quality,
     "q_t3_tokens" -> t3Tokens,
@@ -534,6 +577,7 @@ object PipelineQueries {
     "q_e2_ann_lsh" -> e2AnnLshSql,
     "q_e3_ann_ivf" -> e3AnnIvfSql,
     "q_e4_cosine_dedup" -> e4CosineDedupSql,
+    "q_e5_ann_multiprobe" -> e5AnnMultiprobeSql,
     "q_t1_langid" -> t1LangIdSql,
     "q_t2_quality" -> t2QualitySql,
     "q_t3_tokens" -> t3TokensSql,

@@ -93,6 +93,31 @@ object Vectors {
       .limit(k)
   }
 
+  /** Multi-probe LSH top-k: score the query's own bucket PLUS every
+    * bucket at Hamming distance 1 (one plane bit flipped). Hyperplane
+    * quantization loses neighbors that fall just across one plane;
+    * probing the 1-flip shell recovers most of that recall for
+    * (nPlanes+1)× the single-bucket candidate count — still a tiny,
+    * bucket-bounded fraction of the corpus, and the probe set is a
+    * broadcast of nPlanes+1 ids (no extra shuffle).
+    *
+    * `bucketed` needs columns `e` (vector) and `bucket`; `query` is one
+    * row (`qe`, `qb`). All other `bucketed` columns pass through;
+    * `tieCol` makes the top-k deterministic.
+    */
+  def lshMultiProbe(bucketed: DataFrame, query: DataFrame, nPlanes: Int,
+                    k: Int, tieCol: String): DataFrame = {
+    val probes = query.select(explode(array_distinct(array(
+      (col("qb") +: (0 until nPlanes).map(p =>
+        col("qb").bitwiseXOR(lit(1L << p)))): _*))).as("bucket"))
+    bucketed.join(broadcast(probes), Seq("bucket"))
+      .crossJoin(broadcast(query.select(col("qe"))))
+      .withColumn("cos_sim", cosine(col("e"), col("qe")))
+      .drop("qe")
+      .orderBy(col("cos_sim").desc, col(tieCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs — the vector-space member of
     * the dedup family (exact / MinHash / SimHash / cosine): candidates
     * are vectors sharing a hyperplane-LSH bucket, verified by exact

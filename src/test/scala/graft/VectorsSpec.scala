@@ -76,6 +76,30 @@ class VectorsSpec extends SparkSpec {
     ivf shouldBe brute
   }
 
+  test("multi-probe LSH recall is at least single-bucket recall, probing only the 1-flip shell") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vid", "e")
+    val buckets = Vectors.lshBuckets(vecs, "e", "vid", nPlanes = 4, dim = 16)
+      .withColumnRenamed("vid", "vid2")
+    val joined = vecs.join(buckets, col("vid") === col("vid2")).drop("vid2")
+    val q = joined.filter(col("vid") === 0L).select(col("e").as("qe"), col("bucket").as("qb"))
+    val corpus = joined.filter(col("vid") =!= 0L)
+
+    val brute = Vectors.knnBruteForce(vecs.filter(col("vid") =!= 0L), q.select(col("qe").as("e")), 5)
+      .collect().map(_.getLong(0)).toSet
+    val single = corpus.join(q, col("bucket") === col("qb"))
+      .withColumn("cos_sim", Vectors.cosine(col("e"), col("qe")))
+      .orderBy(col("cos_sim").desc, col("vid")).limit(5)
+      .collect().map(_.getLong(0)).toSet
+    val multi = Vectors.lshMultiProbe(corpus, q, nPlanes = 4, k = 5, tieCol = "vid")
+      .collect().map(_.getLong(0)).toSet
+
+    (multi & brute).size should be >= (single & brute).size
+    multi.size should be >= single.size // the probe shell can only add candidates
+  }
+
   test("lshBuckets is deterministic and groups identical vectors together") {
     import spark.implicits._
     val vecs = Seq(
