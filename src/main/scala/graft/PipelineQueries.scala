@@ -494,7 +494,12 @@ object PipelineQueries {
     * SQL-expressible; the driver records a rows-only check and
     * `MultimodalSpec` covers semantics.
     */
-  val m2Decode: Q = (s, d) => {
+  /** Shared M2/M2a decode frame: documents as MediaRecords through the
+    * batched decode, metadata flattened. ONE definition so the oracled
+    * metadata query (q_m2a) and the rows-only feature query (q_m2) can
+    * never drift apart.
+    */
+  private def decodedMedia(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
     val records = Tables.documents(s, d)
       .select($"doc_id".as("media_id"), lit("text").as("kind"),
@@ -502,8 +507,14 @@ object PipelineQueries {
       .as[graft.ops.MediaRecord]
     graft.ops.Multimodal.decodeFeatures(records, batchSize = 64).toDF()
       .select($"media_id", $"kind", $"meta.format".as("format"),
-        $"meta.n_bytes".as("n_bytes"), $"meta.valid".as("valid"),
-        element_at($"features", 1).as("f0"))
+        $"meta.n_bytes".as("n_bytes"), $"meta.valid".as("valid"), $"features")
+  }
+
+  val m2Decode: Q = (s, d) => {
+    import s.implicits._
+    decodedMedia(s, d)
+      .withColumn("f0", element_at($"features", 1))
+      .drop("features")
       .orderBy("media_id")
   }
 
@@ -513,17 +524,8 @@ object PipelineQueries {
     * Gives the decode plumbing a driver-verifiable correctness signal;
     * the feature vector itself stays spec-only (the decode is a stub).
     */
-  val m2aMeta: Q = (s, d) => {
-    import s.implicits._
-    val records = Tables.documents(s, d)
-      .select($"doc_id".as("media_id"), lit("text").as("kind"),
-        $"text".cast("binary").as("content"))
-      .as[graft.ops.MediaRecord]
-    graft.ops.Multimodal.decodeFeatures(records, batchSize = 64).toDF()
-      .select($"media_id", $"kind", $"meta.format".as("format"),
-        $"meta.n_bytes".as("n_bytes"), $"meta.valid".as("valid"))
-      .orderBy("media_id")
-  }
+  val m2aMeta: Q = (s, d) =>
+    decodedMedia(s, d).drop("features").orderBy("media_id")
   // Mirrors Multimodal.sniffFormat byte-for-byte: PNG \x89PNG (>=8 bytes),
   // JPEG FFD8 (>=3), MP4 'ftyp' at offset 4 (>=12), WAV 'RIFF' (>=4).
   val m2aMetaSql: String =

@@ -121,6 +121,9 @@ object Queries {
   /** A2: grouped daily counts restricted to a date range
     * (analytics.py:160-204) — the API's `symbolCountByDateRange` shape:
     * pushed range predicate + single keyed shuffle with map-side combine.
+    * The half-open timestamp bound (< 1995-09-01) is the pushable
+    * equivalent of the API's INCLUSIVE date range ending 1995-08-31 —
+    * every timestamp on the last day is included on both sides.
     */
   val a2RangeCount: Q = (s, d) => {
     import s.implicits._

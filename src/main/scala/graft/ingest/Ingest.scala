@@ -188,6 +188,13 @@ object Ingest {
   def parseS3ListingPage(xml: String): S3ListingPage = {
     val factory = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     factory.setNamespaceAware(true) // required for the NS-wildcard lookups below
+    // The body comes off the network: disable DOCTYPE/external entities
+    // so a spoofed listing can't XXE-read driver files or entity-bomb us.
+    factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    factory.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    factory.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    factory.setXIncludeAware(false)
+    factory.setExpandEntityReferences(false)
     val doc = factory.newDocumentBuilder()
       .parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
     def texts(tag: String): Seq[String] = {
@@ -227,15 +234,21 @@ object Ingest {
       val page = parseS3ListingPage(fetchPage(marker))
       out ++= page.symbols
       if (!page.isTruncated) done = true
-      else page.nextMarker match {
-        case some @ Some(_) => marker = some
-        case None => page.symbols.lastOption match {
-          case Some(last) => marker = Some(s"$prefix$last/")
-          case None       => done = true
+      else {
+        val next = page.nextMarker
+          .orElse(page.symbols.lastOption.map(last => s"$prefix$last/"))
+        next match {
+          case Some(m) if marker.contains(m) =>
+            // A flaky endpoint re-serving the same truncated page would
+            // otherwise spin this loop forever (strict-raise, ADR-0003).
+            throw new IllegalStateException(
+              s"S3 listing pagination did not advance past marker $m")
+          case Some(m) => marker = Some(m)
+          case None    => done = true
         }
       }
     }
-    out.result()
+    out.result().distinct // overlapping pages must not yield duplicate rows
   }
 
   /** Discovered symbols classified perpetual/delivery, as a broadcastable

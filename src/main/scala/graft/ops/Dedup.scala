@@ -159,11 +159,15 @@ object Dedup {
     * signature = comma-joined minhashes in seed order; candidate pairs
     * are ids sharing any (band, signature) bucket.
     */
+  /** Standalone candidate generation. NOTE: runs EAGERLY — the pair set
+    * (tiny relative to the corpus) is materialized at call time via
+    * localCheckpoint so the banded frame's cache can be released
+    * immediately instead of leaking blocks across invocations. Callers
+    * composing a larger pipeline that manages cache lifetime should use
+    * `lshCandidatesWithHandle` (as `nearDupPairs` does).
+    */
   def lshCandidates(mh: DataFrame, rowsPerBand: Int): DataFrame = {
     val (cand, bands) = lshCandidatesWithHandle(mh, rowsPerBand)
-    // Candidate pairs are tiny relative to the corpus — materialize them
-    // eagerly so the banded frame's cache can be released immediately
-    // instead of leaking blocks across invocations.
     val out = cand.localCheckpoint(eager = true)
     bands.unpersist()
     out

@@ -13,14 +13,24 @@ import org.apache.spark.sql.DataFrame
   */
 object Partitioning {
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // `df.inputFiles` reads the file listing off the analyzed plan —
-    // unlike `df.rdd.getNumPartitions`, which forces a SECOND full
-    // physical planning of the whole upstream plan (and bypasses AQE)
-    // just to read a count. A non-file-backed frame reports 0 files and
-    // is left alone: its partitioning came from a shuffle we shouldn't
-    // second-guess.
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // `df.inputFiles` + logical-plan stats read the file listing and
+    // size off the analyzed plan — unlike `df.rdd.getNumPartitions`,
+    // which forces a SECOND full physical planning of the whole
+    // upstream plan (and bypasses AQE) just to read a count. A
+    // non-file-backed frame reports 0 files and is left alone: its
+    // partitioning came from a shuffle we shouldn't second-guess.
     val nFiles = df.inputFiles.length
-    if (nFiles > 0 && nFiles < target) df.repartition(target) else df
+    if (nFiles == 0) return df
+    // Estimate the scan's split count the way the reader sizes splits:
+    // total bytes over maxPartitionBytes (file count alone is wrong in
+    // both directions — one 10 GB file yields ~80 splits, and hundreds
+    // of tiny files get packed into a handful).
+    val maxPartitionBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estSplits = (totalBytes / maxPartitionBytes).toLong + 1
+    if (estSplits < target) df.repartition(target) else df
   }
 }

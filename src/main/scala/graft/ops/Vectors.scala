@@ -44,19 +44,25 @@ object Vectors {
       if (java.lang.Long.parseLong(hex, 16) % 2 == 1) 1.0 else -1.0
     }
 
-  /** LSH bucket id per vector: `nPlanes` sign bits packed into a long.
-    * Entirely map-side — the planes are literal constant arrays and the
-    * bucket is a fold of sign tests, so there is NO explode and NO
-    * shuffle (the previous formulation shuffled rows × planes).
+  /** The LSH bucket id expression: `nPlanes` sign bits packed into a
+    * long. SINGLE source of truth for the bucket computation — the
+    * e2/e4/e5 oracles replicate it in SQL, so every Scala user
+    * (`lshBuckets`, `cosineDupPairs`) must share this one definition.
     */
-  def lshBuckets(vecs: DataFrame, vecCol: String, idCol: String, nPlanes: Int, dim: Int): DataFrame = {
-    val bucket = (0 until nPlanes).map { p =>
+  private[graft] def bucketExpr(vecCol: String, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map { p =>
       val plane = typedlit(hyperplaneValues(p, dim))
       when(dot(col(vecCol), plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** LSH bucket id per vector. Entirely map-side — the planes are
+    * literal constant arrays and the bucket is a fold of sign tests, so
+    * there is NO explode and NO shuffle (the previous formulation
+    * shuffled rows × planes).
+    */
+  def lshBuckets(vecs: DataFrame, vecCol: String, idCol: String, nPlanes: Int, dim: Int): DataFrame =
     Partitioning.spread(vecs)
-      .select(col(idCol).as("vid"), bucket.as("bucket"))
-  }
+      .select(col(idCol).as("vid"), bucketExpr(vecCol, nPlanes, dim).as("bucket"))
 
   /** IVF coarse assignment: each vector goes to its nearest centroid
     * (argmax cosine, ties by centroid id). Centroids are broadcast; the
@@ -131,13 +137,9 @@ object Vectors {
     */
   def cosineDupPairs(vecs: DataFrame, vecCol: String, idCol: String,
                      nPlanes: Int, dim: Int, threshold: Double): DataFrame = {
-    val bucket = (0 until nPlanes).map { p =>
-      val plane = typedlit(hyperplaneValues(p, dim))
-      when(dot(col("e"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
     val b = Partitioning.spread(vecs)
       .select(col(idCol).as("vid"), col(vecCol).as("e"))
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", bucketExpr("e", nPlanes, dim))
     val a = b.select(col("bucket"), col("vid").as("ia"), col("e").as("ea"))
     val c = b.select(col("bucket"), col("vid").as("ib"), col("e").as("eb"))
     a.join(c, Seq("bucket")).where(col("ia") < col("ib"))

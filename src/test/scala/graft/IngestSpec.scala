@@ -153,6 +153,21 @@ class IngestSpec extends SparkSpec {
     df.count() shouldBe 4
   }
 
+  test("discoverSymbols raises on a non-advancing pagination marker instead of spinning") {
+    val prefix = "data/futures/um/daily/klines/"
+    val stuck = s3Page(Seq("AAAUSDT"), truncated = true, Some(s"${prefix}AAAUSDT/"))
+    an[IllegalStateException] should be thrownBy
+      Ingest.discoverSymbols(_ => stuck, prefix)
+  }
+
+  test("parseS3ListingPage refuses DOCTYPE payloads (XXE hardening)") {
+    val evil =
+      """<?xml version="1.0"?>
+        |<!DOCTYPE r [<!ENTITY x SYSTEM "file:///etc/passwd">]>
+        |<ListBucketResult><IsTruncated>false</IsTruncated></ListBucketResult>""".stripMargin
+    an[org.xml.sax.SAXParseException] should be thrownBy Ingest.parseS3ListingPage(evil)
+  }
+
   test("parseExchangeInfo keeps only TRADING USDT perpetuals (cross_check.py:37-77)") {
     val json =
       """{"timezone":"UTC","symbols":[
