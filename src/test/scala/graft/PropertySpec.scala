@@ -51,6 +51,17 @@ object PropertySpec extends Properties("graft") {
       whole == chunked
     }
 
+  property("MinHashSigAgg is input-order invariant and merge-partitionable") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.long), Gen.choose(1, 8)) { (hs, k) =>
+      val agg = new Dedup.MinHashSigAgg(16)
+      def fold(ls: Seq[Long]) = ls.foldLeft(agg.zero.clone)(agg.reduce)
+      val whole = fold(hs).toSeq
+      val shuffled = fold(scala.util.Random.shuffle(hs)).toSeq
+      val chunked = hs.grouped(k).map(c => fold(c))
+        .reduce((a, b) => agg.merge(a, b)).toSeq
+      whole == shuffled && whole == chunked
+    }
+
   property("classify/decode stub determinism: same bytes, same meta") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
       val b = bytes.toArray
