@@ -379,6 +379,26 @@ object Queries {
       |SELECT user_id, a_val, b_val FROM a FULL OUTER JOIN b USING (user_id)
       |WHERE a_val IS DISTINCT FROM b_val ORDER BY user_id""".stripMargin
 
+  /** J9 (scale pattern): salted equi-join — row-identical to the plain
+    * join by construction, so the oracle IS the plain join. The salt
+    * spreads each hot key's rows over 8 reducers; correctness must not
+    * depend on the salt assignment, which is exactly what the oracle
+    * compare proves.
+    */
+  val j9Salted: Q = (s, d) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber", $"l_suppkey")
+    val sup = Tables.supplier(s, d)
+      .select($"s_suppkey".as("l_suppkey"), $"s_name")
+    graft.ops.Skew.saltedJoin(li, sup, Seq("l_suppkey"), saltBuckets = 8)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+  val j9SaltedSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, s_name
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   // ---- registry -----------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -404,7 +424,8 @@ object Queries {
     "q_j5_continuity" -> j5Continuity,
     "q_j6_set_ops" -> j6SetOps,
     "q_j7_overlap" -> j7Overlap,
-    "q_j8_full_outer_diff" -> j8FullOuterDiff
+    "q_j8_full_outer_diff" -> j8FullOuterDiff,
+    "q_j9_salted" -> j9Salted
   ) ++ WindowQueries.all ++ PipelineQueries.all ++ ScalarQueries.all
 
   val oracles: Map[String, String] = Map(
@@ -430,6 +451,7 @@ object Queries {
     "q_j5_continuity" -> j5ContinuitySql,
     "q_j6_set_ops" -> j6SetOpsSql,
     "q_j7_overlap" -> j7OverlapSql,
-    "q_j8_full_outer_diff" -> j8FullOuterDiffSql
+    "q_j8_full_outer_diff" -> j8FullOuterDiffSql,
+    "q_j9_salted" -> j9SaltedSql
   ) ++ WindowQueries.oracles ++ PipelineQueries.oracles ++ ScalarQueries.oracles
 }
