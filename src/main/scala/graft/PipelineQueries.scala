@@ -20,6 +20,16 @@ object PipelineQueries {
   import Queries.Q
   import TextOps.{hash60Sql, seededHash60Sql}
 
+  /** Guarded cosine for the oracle SQL — mirrors `Vectors.rankCosine`:
+    * NaN (zero-norm vector) maps to -1.0 so dead embeddings cannot win
+    * top-k slots or pass thresholds on either engine.
+    */
+  private def cosSql(x: String, y: String): String = {
+    val c = s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+    s"(CASE WHEN isnan($c) THEN -1.0 ELSE $c END)"
+  }
+
+
   /** Dedup corpus: documents + planted near/exact duplicates. */
   def corpus(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -178,9 +188,9 @@ object PipelineQueries {
       .select($"vid".as("vec_id"), $"label", $"cos_sim")
   }
   val e1KnnBruteSql: String =
-    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
       |SELECT vec_id, label,
-      |  list_dot_product(e, qe) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS cos_sim
+      |  ${cosSql("e", "qe")} AS cos_sim
       |FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id <> 0) x, q
       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
@@ -196,7 +206,7 @@ object PipelineQueries {
       .select($"e".as("qe"), $"bucket".as("qb"))
     joined.filter($"vec_id" =!= 0)
       .join(broadcast(q), $"bucket" === $"qb")
-      .withColumn("cos_sim", Vectors.cosine($"e", $"qe"))
+      .withColumn("cos_sim", Vectors.rankCosine($"e", $"qe"))
       .select($"vec_id", $"label", $"bucket", $"cos_sim")
       .orderBy($"cos_sim".desc, $"vec_id")
       .limit(5)
@@ -214,7 +224,7 @@ object PipelineQueries {
        |j AS (SELECT v.vec_id, v.label, v.e, sig.bucket FROM v JOIN sig USING (vec_id)),
        |q AS (SELECT e AS qe, bucket AS qb FROM j WHERE vec_id = 0)
        |SELECT j.vec_id, j.label, j.bucket,
-       |  list_dot_product(j.e, q.qe) / (sqrt(list_dot_product(j.e, j.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS cos_sim
+       |  ${cosSql("j.e", "q.qe")} AS cos_sim
        |FROM j, q WHERE j.vec_id <> 0 AND j.bucket = q.qb
        |ORDER BY cos_sim DESC, j.vec_id LIMIT 5""".stripMargin
 
@@ -236,23 +246,23 @@ object PipelineQueries {
       .select($"vid".as("vec_id"), $"cid", $"cos_sim")
   }
   val e3AnnIvfSql: String =
-    """WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |cent AS (SELECT vid AS cid, e AS ce FROM v WHERE vid < 8),
       |q AS (SELECT e AS qe FROM v WHERE vid = 0),
       |assigned AS (
       |  SELECT vid, cid, e FROM (
       |    SELECT v.vid, c.cid, v.e,
       |      ROW_NUMBER() OVER (PARTITION BY v.vid ORDER BY
-      |        list_dot_product(v.e, c.ce) / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+      |        ${cosSql("v.e", "c.ce")} DESC,
       |        c.cid) AS rn
       |    FROM v, cent c WHERE v.vid <> 0)
       |  WHERE rn = 1),
       |cells AS (
       |  SELECT cid FROM cent, q
-      |  ORDER BY list_dot_product(ce, qe) / (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe))) DESC, cid
+      |  ORDER BY ${cosSql("ce", "qe")} DESC, cid
       |  LIMIT 3)
       |SELECT a.vid AS vec_id, a.cid,
-      |  list_dot_product(a.e, q.qe) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS cos_sim
+      |  ${cosSql("a.e", "q.qe")} AS cos_sim
       |FROM assigned a JOIN cells USING (cid), q
       |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
 
@@ -293,7 +303,7 @@ object PipelineQueries {
        |    SELECT xor(qb, (1::BIGINT << p)) AS bucket
        |    FROM q, (SELECT unnest(generate_series(0, 3)) AS p)))
        |SELECT j.vec_id, j.label, j.bucket,
-       |  list_dot_product(j.e, q.qe) / (sqrt(list_dot_product(j.e, j.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS cos_sim
+       |  ${cosSql("j.e", "q.qe")} AS cos_sim
        |FROM j JOIN probes USING (bucket), q
        |WHERE j.vec_id <> 0
        |ORDER BY cos_sim DESC, j.vec_id LIMIT 5""".stripMargin
@@ -327,7 +337,7 @@ object PipelineQueries {
        |j AS (SELECT v.vec_id, v.e, sig.bucket FROM v JOIN sig USING (vec_id))
        |SELECT ia, ib, bucket, cos_sim FROM (
        |  SELECT a.vec_id AS ia, b.vec_id AS ib, a.bucket,
-       |    list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos_sim
+       |    ${cosSql("a.e", "b.e")} AS cos_sim
        |  FROM j a JOIN j b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |WHERE cos_sim >= 0.4 ORDER BY ia, ib""".stripMargin
 
@@ -538,8 +548,9 @@ object PipelineQueries {
       |        AND substr(hex(CAST(text AS BLOB)), 1, 4) = 'FFD8' THEN 'jpeg'
       |      WHEN octet_length(CAST(text AS BLOB)) >= 12
       |        AND substr(hex(CAST(text AS BLOB)), 9, 8) = '66747970' THEN 'mp4'
-      |      WHEN octet_length(CAST(text AS BLOB)) >= 4
-      |        AND substr(hex(CAST(text AS BLOB)), 1, 8) = '52494646' THEN 'wav'
+      |      WHEN octet_length(CAST(text AS BLOB)) >= 12
+      |        AND substr(hex(CAST(text AS BLOB)), 1, 8) = '52494646'
+      |        AND substr(hex(CAST(text AS BLOB)), 17, 8) = '57415645' THEN 'wav'
       |      ELSE 'unknown' END AS format,
       |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
       |  FROM documents)

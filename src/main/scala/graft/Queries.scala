@@ -224,7 +224,7 @@ object Queries {
     """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
       |COUNT(*) AS total,
       |CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS matched,
-      |CAST(SUM(CASE WHEN NOT (o_orderstatus = 'F') THEN 1 ELSE 0 END) AS BIGINT) AS unmatched
+      |COUNT(*) - CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS unmatched
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** A9: DISTINCT projection (snapshots.py:100-108). */

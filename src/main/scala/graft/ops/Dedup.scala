@@ -59,8 +59,10 @@ object Dedup {
     val withLeads = (1 until n).foldLeft(toks) { (acc, k) =>
       acc.withColumn(s"t$k", lead(col("t"), k).over(w))
     }
+    // n == 1 adds no lead columns; "t0" is the token itself.
+    val lastCol = if (n == 1) col("t") else col(s"t${n - 1}")
     withLeads
-      .filter(col(s"t${n - 1}").isNotNull)
+      .filter(lastCol.isNotNull)
       .select(col("id"),
         concat_ws(" ", (col("t") +: (1 until n).map(k => col(s"t$k"))): _*).as("sh"))
       .distinct()
@@ -260,16 +262,21 @@ object Dedup {
       .distinct()
       .groupBy("id").agg(min("label").as("label"))
       .localCheckpoint(true)
-    // Labels only ever decrease (min-propagation), so the label sum is a
-    // strictly decreasing convergence witness: unchanged sum == fixpoint.
-    // One cheap aggregate over the just-checkpointed blocks per round,
-    // instead of a join-based diff (which was a second full shuffle).
-    // Decimal sum: a BIGINT sum over billions of large ids could overflow,
-    // which ANSI mode turns into a job failure.
+    // Labels only ever decrease (min-propagation), so for NUMERIC ids the
+    // label sum is a strictly decreasing convergence witness: unchanged
+    // sum == fixpoint. One cheap aggregate over the just-checkpointed
+    // blocks per round, instead of a join-based diff (a second full
+    // shuffle). Decimal sum: a BIGINT sum over billions of large ids
+    // could overflow, which ANSI mode turns into a job failure.
+    // Non-numeric ids (string doc keys) get the exact join-based diff —
+    // casting them to decimal would throw under ANSI or, worse, null out
+    // and fake instant convergence without it.
+    val numericLabels = labels.schema("label").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO))).first().getDecimal(0)
-    var prevSum = labelSum(labels)
+    var prevSum = if (numericLabels) labelSum(labels) else null
     var converged = false
     while (!converged) {
       val viaNeighbors = edges
@@ -278,9 +285,16 @@ object Dedup {
       val next = labels.unionByName(viaNeighbors)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      if (numericLabels) {
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      } else {
+        converged = next
+          .join(labels.withColumnRenamed("label", "old"), Seq("id"))
+          .filter(col("label") =!= col("old"))
+          .isEmpty
+      }
       labels = next
     }
     edges.unpersist()

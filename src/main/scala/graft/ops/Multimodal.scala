@@ -33,7 +33,10 @@ object Multimodal {
       (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
     else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
     else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "mp4"
-    else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') "wav"
+    // RIFF is a container family (AVI, WEBP, ...): only the WAVE form type
+    // at bytes 8-11 is audio.
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
     else "unknown"
 
   /** STUB decode — deterministic fake standing in for the real codec.
@@ -54,13 +57,16 @@ object Multimodal {
   }
 
   /** Balance partitions by payload size so one partition doesn't hold
-    * all the 4K videos while another holds thumbnails: range-partition
-    * on byte length (cheap metadata, no decode needed).
+    * all the 4K videos while another holds thumbnails. Note this must
+    * NOT range-partition ON the size column — that would cluster the
+    * largest payloads together (equal row counts × largest bytes = the
+    * exact skew we're avoiding). Hash-spreading on a size-independent
+    * key gives every partition the same expected byte load without a
+    * global sort.
     */
   def balanceBySize(df: DataFrame, contentCol: String, partitions: Int): DataFrame =
-    df.withColumn("__sz", length(col(contentCol)))
-      .repartitionByRange(partitions, col("__sz"))
-      .drop("__sz")
+    df.repartition(partitions,
+      pmod(hash(monotonically_increasing_id()), lit(partitions)))
 
   /** Decode + feature-extract in size-bounded batches. The batch shape
     * (`batchSize` records per decode call) mirrors how a vectorized

@@ -41,16 +41,17 @@ object Rankings {
     */
   def pipeline(daily: DataFrame,
                generationTs: Option[java.sql.Timestamp] = None): DataFrame = {
-    val perDate = Window.partitionBy("date").orderBy(col("volume").desc, col("symbol"))
+    // NO symbol tie-break on the ranking window — the reference ranks on
+    // volume alone (ties share a dense rank), and adding one would
+    // change semantics.
+    val perDateByVolume = Window.partitionBy("date").orderBy(col("volume").desc)
     val perDateAll = Window.partitionBy("date")
     val perSymbol = Window.partitionBy("symbol").orderBy("date")
 
     // daily_ranks CTE (generate_volume_rankings.py:98-106)
     val ranked = daily
-      .withColumn("rank", dense_rank().over(
-        Window.partitionBy("date").orderBy(col("volume").desc)))
-      .withColumn("percentile", percent_rank().over(
-        Window.partitionBy("date").orderBy(col("volume").desc)) * 100)
+      .withColumn("rank", dense_rank().over(perDateByVolume))
+      .withColumn("percentile", percent_rank().over(perDateByVolume) * 100)
       .withColumn("total_volume",
         sum(col("volume").cast(DecimalType(25, 2))).over(perDateAll).cast(DoubleType))
 

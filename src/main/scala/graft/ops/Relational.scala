@@ -51,7 +51,9 @@ object Relational {
     df.groupBy(key.as(keyName)).agg(
       count(lit(1)).as("total"),
       sum(when(cond, 1L).otherwise(0L)).as("matched"),
-      sum(when(!cond, 1L).otherwise(0L)).as("unmatched")
+      // NOT total − matched via `!cond`: a null condition satisfies
+      // neither branch and would break total = matched + unmatched.
+      (count(lit(1)) - sum(when(cond, 1L).otherwise(0L))).as("unmatched")
     ).orderBy(keyName)
 
   /** Anti-join: rows of `left` whose key never appears in `right` (J3/J4).

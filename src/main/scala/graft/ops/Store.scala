@@ -81,7 +81,8 @@ object Store {
       .agg(
         count(lit(1)).as("total"),
         sum(when(cond, 1L).otherwise(0L)).as("matched"),
-        sum(when(!cond, 1L).otherwise(0L)).as("unmatched"))
+        // total − matched, so null-condition rows still land in unmatched
+        (count(lit(1)) - sum(when(cond, 1L).otherwise(0L))).as("unmatched"))
       .write.mode(SaveMode.Overwrite).parquet(summaryPath)
 
   /** Additive schema migration (schema.py:9-42 ADD COLUMN): nulls for

@@ -21,6 +21,17 @@ object Vectors {
   /** Index-order dot product (native). */
   def dot(a: Column, b: Column): Column = VectorExpressions.dot_product(a, b)
 
+  /** Cosine for RANKING / threshold contexts. A zero-norm vector's
+    * cosine is 0/0 = NaN, and BOTH Spark and DuckDB order NaN above
+    * every real value (and NaN >= t is true in Spark), so a dead
+    * embedding would win every top-k slot and pass every threshold.
+    * Map NaN to −1.0 — worse than any real similarity.
+    */
+  def rankCosine(a: Column, b: Column): Column = {
+    val c = cosine(a, b)
+    when(isnan(c), lit(-1.0)).otherwise(c)
+  }
+
   /** Reference composable formulation (higher-order functions) — kept
     * for the equivalence spec; CodegenFallback, do not use in hot paths.
     */
@@ -37,11 +48,13 @@ object Vectors {
     * data-independent) instead of per row.
     */
   def hyperplaneValues(p: Int, dim: Int): Seq[Double] =
+    // Hash60Impl IS the portable hash (first 60 bits of md5) — one
+    // implementation shared with minhash and the SQL oracles, instead of
+    // a second hand-rolled md5+hex-parse that must stay bit-identical.
     (1 to dim).map { j =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"${p}_$j".getBytes("UTF-8"))
-        .map(b => f"${b & 0xff}%02x").mkString.substring(0, 15)
-      if (java.lang.Long.parseLong(hex, 16) % 2 == 1) 1.0 else -1.0
+      val h = graft.functions.Hash60Impl.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"${p}_$j"))
+      if (h % 2 == 1) 1.0 else -1.0
     }
 
   /** The LSH bucket id expression: `nPlanes` sign bits packed into a
@@ -69,16 +82,20 @@ object Vectors {
     * scan side never shuffles — at 100 TB this is one map-side pass.
     * Returns (vid, cid, e).
     */
-  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vid").orderBy(col("cos").desc, col("cid"))
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    // argmax as MAX_BY, not a row_number window: the window would hash-
+    // shuffle and sort |corpus| × |centroids| rows (windows have no
+    // partial aggregation), while max_by collapses the per-vector
+    // candidates map-side — the shuffle carries ONE row per vector.
+    // Tie-break matches the window formulation: highest cosine, then
+    // LOWEST centroid id (max of -cid).
     Partitioning.spread(vecs)
       .crossJoin(broadcast(centroids.select(col("cid"), col("ce"))))
-      .withColumn("cos", cosine(col("e"), col("ce")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vid", "cid", "e")
-  }
+      .withColumn("cos", rankCosine(col("e"), col("ce")))
+      .groupBy("vid")
+      .agg(max_by(struct(col("cid"), col("e")),
+        struct(col("cos"), (-col("cid")).as("neg_cid"))).as("best"))
+      .select(col("vid"), col("best.cid").as("cid"), col("best.e").as("e"))
 
   /** IVF search: rank cells by query-to-centroid cosine, brute-force
     * only the `nProbe` nearest cells. The probed-cell set is a tiny
@@ -87,13 +104,13 @@ object Vectors {
   def ivfSearch(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
                 nProbe: Int, k: Int): DataFrame = {
     val cells = centroids.crossJoin(broadcast(query.select(col("e").as("qe"))))
-      .withColumn("ccos", cosine(col("ce"), col("qe")))
+      .withColumn("ccos", rankCosine(col("ce"), col("qe")))
       .orderBy(col("ccos").desc, col("cid"))
       .limit(nProbe)
       .select("cid")
     assigned.join(broadcast(cells), Seq("cid"))
       .crossJoin(broadcast(query.select(col("e").as("qe"))))
-      .withColumn("cos_sim", cosine(col("e"), col("qe")))
+      .withColumn("cos_sim", rankCosine(col("e"), col("qe")))
       .select(col("vid"), col("cid"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vid"))
       .limit(k)
@@ -118,7 +135,7 @@ object Vectors {
         col("qb").bitwiseXOR(lit(1L << p)))): _*))).as("bucket"))
     bucketed.join(broadcast(probes), Seq("bucket"))
       .crossJoin(broadcast(query.select(col("qe"))))
-      .withColumn("cos_sim", cosine(col("e"), col("qe")))
+      .withColumn("cos_sim", rankCosine(col("e"), col("qe")))
       .drop("qe")
       .orderBy(col("cos_sim").desc, col(tieCol))
       .limit(k)
@@ -137,15 +154,26 @@ object Vectors {
     */
   def cosineDupPairs(vecs: DataFrame, vecCol: String, idCol: String,
                      nPlanes: Int, dim: Int, threshold: Double): DataFrame = {
+    // Both sides of the self-join reference this frame: persist + eager
+    // fill, or the scan + spread shuffle + nPlanes×dim dot products all
+    // execute twice (Catalyst can't reuse a non-exchange subtree across
+    // join sides). Same pattern as Dedup.lshCandidatesWithHandle.
     val b = Partitioning.spread(vecs)
       .select(col(idCol).as("vid"), col(vecCol).as("e"))
       .withColumn("bucket", bucketExpr("e", nPlanes, dim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    b.count()
     val a = b.select(col("bucket"), col("vid").as("ia"), col("e").as("ea"))
     val c = b.select(col("bucket"), col("vid").as("ib"), col("e").as("eb"))
-    a.join(c, Seq("bucket")).where(col("ia") < col("ib"))
-      .withColumn("cos_sim", cosine(col("ea"), col("eb")))
+    // The verified pair set is small — materialize it eagerly so the
+    // bucketed cache can be released before returning.
+    val out = a.join(c, Seq("bucket")).where(col("ia") < col("ib"))
+      .withColumn("cos_sim", rankCosine(col("ea"), col("eb")))
       .filter(col("cos_sim") >= threshold)
       .select("ia", "ib", "bucket", "cos_sim")
+      .localCheckpoint(eager = true)
+    b.unpersist()
+    out
   }
 
   /** Exact brute-force top-k cosine neighbors of one query vector.
@@ -154,7 +182,7 @@ object Vectors {
     */
   def knnBruteForce(vecs: DataFrame, query: DataFrame, k: Int): DataFrame =
     Partitioning.spread(vecs).crossJoin(broadcast(query.select(col("e").as("qe"))))
-      .withColumn("cos_sim", cosine(col("e"), col("qe")))
+      .withColumn("cos_sim", rankCosine(col("e"), col("qe")))
       .drop("e", "qe")
       .orderBy(col("cos_sim").desc, col("vid"))
       .limit(k)

@@ -75,6 +75,16 @@ class DedupSpec extends SparkSpec {
     out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L)
   }
 
+  test("dupClusters handles non-numeric ids (string doc keys)") {
+    import spark.implicits._
+    val pairs = Seq(("doc-b", "doc-a", 1.0), ("doc-c", "doc-b", 1.0), ("x-1", "x-2", 1.0))
+      .toDF("ia", "ib", "jac")
+    val got = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getString(1) -> r.getString(0)).toMap
+    got shouldBe Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a",
+      "x-1" -> "x-1", "x-2" -> "x-1")
+  }
+
   test("dupClustersAlternating matches label propagation, including a 50-node chain") {
     import spark.implicits._
     // Adversarial long chain (diameter 49) + a triangle + an isolated pair.

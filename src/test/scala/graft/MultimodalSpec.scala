@@ -24,6 +24,9 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.sniffFormat(jpeg) shouldBe "jpeg"
     Multimodal.sniffFormat(wav) shouldBe "wav"
     Multimodal.sniffFormat(junk) shouldBe "unknown"
+    // RIFF is a container family — only the WAVE form type is audio.
+    Multimodal.sniffFormat("RIFF1234AVI LIST".getBytes("UTF-8")) shouldBe "unknown"
+    Multimodal.sniffFormat("RIFF1234WEBPVP8 ".getBytes("UTF-8")) shouldBe "unknown"
   }
 
   test("decodeFeatures yields typed metadata + fixed-width features, deterministically") {
@@ -47,12 +50,23 @@ class MultimodalSpec extends SparkSpec {
       .count() shouldBe 3
   }
 
-  test("balanceBySize range-partitions on payload size") {
+  test("balanceBySize spreads payloads without clustering the largest together") {
     import spark.implicits._
-    val df = records.toDF()
-    val balanced = Multimodal.balanceBySize(df, "content", 2)
-    balanced.columns should not contain "__sz"
-    balanced.count() shouldBe 4
+    // 32 large payloads + 128 tiny ones: size-range partitioning would
+    // cluster ALL the large ones into the top partition; hash spreading
+    // must distribute them across partitions.
+    val rows = (0 until 32).map(i => MediaRecord(i.toLong, "video", Array.fill(10000)(i.toByte))) ++
+      (32 until 160).map(i => MediaRecord(i.toLong, "image", Array.fill(10)(i.toByte)))
+    val df = rows.toDS().toDF()
+    val balanced = Multimodal.balanceBySize(df, "content", 4)
+    balanced.count() shouldBe 160
+    val largePerPartition = balanced
+      .select(spark_partition_id().as("p"),
+        org.apache.spark.sql.functions.length(col("content")).as("sz"))
+      .filter(col("sz") >= 10000)
+      .groupBy("p").count().collect().map(_.getLong(1))
+    largePerPartition.max should be < 32L // never all in one partition
+    largePerPartition.length should be > 1 // spread over multiple partitions
   }
 
   test("sampleFrames splits payloads into evenly spaced slices") {
