@@ -183,13 +183,22 @@ object AvailabilityQueries {
     val daily = df.filter(col("available") && col("quote_volume_usdt").isNotNull)
       .select(col("date"), col("symbol"),
         col("quote_volume_usdt").as("volume"), col("trade_count"))
-    val exists = new java.io.File(archivePath).exists()
+    // Hadoop FS, not java.io.File: the archive may live on hdfs://
+    // or s3a://, where a driver-local File.exists() is always false and
+    // would silently overwrite the accumulated archive.
+    val hPath = new org.apache.hadoop.fs.Path(archivePath)
+    val exists = hPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(hPath)
     val fresh =
       if (!exists) Rankings.pipeline(daily)
       else {
-        val cursor = spark.read.parquet(archivePath)
-          .agg(max("date")).collect()(0).getDate(0)
-        Rankings.pipeline(daily.filter(col("date") > lit(cursor)))
+        val cursorRow = spark.read.parquet(archivePath)
+          .agg(max("date")).collect()(0)
+        // Empty archive (e.g. a first run over a no-volume slice) has a
+        // NULL cursor; date > NULL would filter out everything forever.
+        if (cursorRow.isNullAt(0)) Rankings.pipeline(daily)
+        else Rankings.pipeline(daily.filter(col("date") > lit(cursorRow.getDate(0))))
       }
     if (!exists) Store.exportParquet(fresh, archivePath)
     else {

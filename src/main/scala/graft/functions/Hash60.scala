@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernel shared by interpreted eval and generated code. */
@@ -35,6 +35,15 @@ object Hash60Impl {
   */
 case class Hash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+
+  // Fail at analysis, not mid-job: a non-string child would otherwise
+  // surface as a codegen ClassCastException on the first row.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hash60 expects a string column, got ${t.sql}")
+    }
 
   override protected def nullSafeEval(input: Any): Any =
     Hash60Impl.hash60(input.asInstanceOf[UTF8String])

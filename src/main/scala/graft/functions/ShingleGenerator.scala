@@ -24,6 +24,14 @@ case class ShingleGenerator(child: Expression, n: Int)
   override def elementSchema: StructType =
     StructType(StructField("sh", StringType, nullable = false) :: Nil)
 
+  // Fail at analysis, not mid-job, for a non-string child.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingles expects a string column, got ${t.sql}")
+    }
+
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val v = child.eval(input)
     if (v == null) return Iterator.empty

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -22,12 +23,31 @@ import org.apache.spark.sql.types._
 abstract class VectorFold extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  // Mismatched lengths or a null element yield NULL (matching the
+  // zip_with/aggregate composable form, which null-pads), never a
+  // silently truncated fold over the common prefix.
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"${getClass.getSimpleName} expects array<float|double> inputs, " +
+          s"got ${left.dataType.sql} / ${right.dataType.sql}")
+    }
+
   protected def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false
     case t => throw new IllegalArgumentException(
       s"${getClass.getSimpleName} expects array<float|double>, got $t")
   }
+
+  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
 
   /** (dot, normLeftSq, normRightSq) → result. */
   protected def finish(dot: Double, nx: Double, ny: Double): Double
@@ -37,10 +57,13 @@ abstract class VectorFold extends BinaryExpression {
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = elemsNullable
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
@@ -57,15 +80,26 @@ abstract class VectorFold extends BinaryExpression {
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       val getX = if (elemIsFloat(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
       val getY = if (elemIsFloat(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
+      val nullCheck =
+        if (elemsNullable)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $d = 0.0, $x2 = 0.0, $y2 = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $xi = $getX;
-         |  final double $yi = $getY;
-         |  $d += $xi * $yi; $x2 += $xi * $xi; $y2 += $yi * $yi;
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $x.numElements();
+         |  double $d = 0.0, $x2 = 0.0, $y2 = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    final double $xi = $getX;
+         |    final double $yi = $getY;
+         |    $d += $xi * $yi; $x2 += $xi * $xi; $y2 += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = ${finishCode(d, x2, y2)};
+         |  }
          |}
-         |${ev.value} = ${finishCode(d, x2, y2)};
        """.stripMargin
     })
 }

@@ -125,22 +125,27 @@ object Ingest {
     val row = when(size(dataRows) === 2, element_at(dataRows, 2))
       .when(size(dataRows) === 1, element_at(dataRows, 1))
     val f = split(row, ",")
-    def num(i: Int) = element_at(f, i).cast(DoubleType)
+    // try_cast, NOT cast: under ANSI (Spark 4 default) a plain cast of a
+    // garbage field would abort the whole batch instead of flagging the
+    // row; parse_ok additionally requires a numeric open_time so a
+    // header-only file (12 names, no data) reads as not-parsed.
+    def tnum(i: Int, t: String) = expr(s"try_cast(element_at(f, $i) AS $t)")
     df.select(
-        col(symbolCol).as("symbol"), col(dateCol).as("date"),
-        f.as("f"), (row.isNotNull && size(split(row, ",")) === 12).as("parse_ok"))
+        col(symbolCol).as("symbol"), col(dateCol).as("date"), f.as("f"),
+        (row.isNotNull && size(f) === 12).as("has12"))
+      .withColumn("parse_ok",
+        col("has12") && tnum(1, "BIGINT").isNotNull)
       .select(
         col("symbol"), col("date"), col("parse_ok"),
-        when(col("parse_ok"), element_at(col("f"), 8).cast(DoubleType)).as("quote_volume_usdt"),
-        when(col("parse_ok"), element_at(col("f"), 9).cast(LongType)).as("trade_count"),
-        when(col("parse_ok"), element_at(col("f"), 6).cast(DoubleType)).as("volume_base"),
-        when(col("parse_ok"), element_at(col("f"), 10).cast(DoubleType)).as("taker_buy_volume_base"),
-        when(col("parse_ok"), element_at(col("f"), 11).cast(DoubleType)).as("taker_buy_quote_volume_usdt"),
-        when(col("parse_ok"), element_at(col("f"), 2).cast(DoubleType)).as("open_price"),
-        when(col("parse_ok"), element_at(col("f"), 3).cast(DoubleType)).as("high_price"),
-        when(col("parse_ok"), element_at(col("f"), 4).cast(DoubleType)).as("low_price"),
-        when(col("parse_ok"), element_at(col("f"), 5).cast(DoubleType)).as("close_price"))
-      .drop("f")
+        when(col("parse_ok"), tnum(8, "DOUBLE")).as("quote_volume_usdt"),
+        when(col("parse_ok"), tnum(9, "BIGINT")).as("trade_count"),
+        when(col("parse_ok"), tnum(6, "DOUBLE")).as("volume_base"),
+        when(col("parse_ok"), tnum(10, "DOUBLE")).as("taker_buy_volume_base"),
+        when(col("parse_ok"), tnum(11, "DOUBLE")).as("taker_buy_quote_volume_usdt"),
+        when(col("parse_ok"), tnum(2, "DOUBLE")).as("open_price"),
+        when(col("parse_ok"), tnum(3, "DOUBLE")).as("high_price"),
+        when(col("parse_ok"), tnum(4, "DOUBLE")).as("low_price"),
+        when(col("parse_ok"), tnum(5, "DOUBLE")).as("close_price"))
   }
 
   // ---- S11/S12: probe fan-out (batch_prober.py:65-201) ----------------
@@ -228,6 +233,7 @@ object Ingest {
   def discoverSymbols(fetchPage: Option[String] => String,
                       prefix: String): Seq[String] = {
     val out = Seq.newBuilder[String]
+    val seen = scala.collection.mutable.Set.empty[String]
     var marker: Option[String] = None
     var done = false
     while (!done) {
@@ -238,12 +244,13 @@ object Ingest {
         val next = page.nextMarker
           .orElse(page.symbols.lastOption.map(last => s"$prefix$last/"))
         next match {
-          case Some(m) if marker.contains(m) =>
-            // A flaky endpoint re-serving the same truncated page would
-            // otherwise spin this loop forever (strict-raise, ADR-0003).
+          case Some(m) if marker.contains(m) || seen(m) =>
+            // A flaky endpoint re-serving a page OR a marker CYCLE
+            // (A→B→A) would otherwise spin this loop forever
+            // (strict-raise, ADR-0003).
             throw new IllegalStateException(
               s"S3 listing pagination did not advance past marker $m")
-          case Some(m) => marker = Some(m)
+          case Some(m) => seen += m; marker = Some(m)
           case None    => done = true
         }
       }

@@ -48,8 +48,18 @@ object Sessionize {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+                // Within the gap of EITHER session bound — a late event
+                // from a previous batch can legally precede the open
+                // session's start, so the start must extend backwards too.
+                case Some(s) if t >= s.startMs - gapMs && t - s.endMs <= gapMs =>
+                  cur = Some(s.copy(startMs = math.min(s.startMs, t),
+                    endMs = math.max(s.endMs, t), n = s.n + 1))
+                // A late straggler entirely before the open session (gap
+                // exceeded on the early side): its own gap horizon has
+                // already passed, so emit it as a closed singleton rather
+                // than corrupting the open session's bounds.
+                case Some(s) if t < s.startMs - gapMs =>
+                  out += Session(uid, new Timestamp(t), new Timestamp(t), 1)
                 case Some(s) =>
                   out += close(s)
                   cur = Some(OpenSession(t, t, 1))

@@ -158,6 +158,23 @@ class IngestSpec extends SparkSpec {
     val stuck = s3Page(Seq("AAAUSDT"), truncated = true, Some(s"${prefix}AAAUSDT/"))
     an[IllegalStateException] should be thrownBy
       Ingest.discoverSymbols(_ => stuck, prefix)
+    // Two-page marker CYCLE (A -> B -> A) must also raise, not loop.
+    val pageA = s3Page(Seq("AAAUSDT"), truncated = true, Some("B"))
+    val pageB = s3Page(Seq("BBBUSDT"), truncated = true, Some("A"))
+    val cyc = Map[Option[String], String](
+      None -> pageA, Some("B") -> pageB, Some("A") -> pageA)
+    an[IllegalStateException] should be thrownBy
+      Ingest.discoverSymbols(cyc(_), prefix)
+  }
+
+  test("parseKlineCsv: header-only file reads parse_ok=false without an ANSI cast abort") {
+    import spark.implicits._
+    val header = "open_time,open,high,low,close,volume,close_time," +
+      "quote_volume,count,taker_buy_volume,taker_buy_quote_volume,ignore"
+    val df = Seq(("BTCUSDT", "2024-01-15", header)).toDF("sym", "dt", "csv")
+    val out = Ingest.parseKlineCsv(df, "sym", "dt", "csv").collect()(0)
+    out.getAs[Boolean]("parse_ok") shouldBe false
+    out.isNullAt(out.fieldIndex("quote_volume_usdt")) shouldBe true
   }
 
   test("parseS3ListingPage refuses DOCTYPE payloads (XXE hardening)") {

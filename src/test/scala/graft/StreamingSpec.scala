@@ -72,6 +72,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: a cross-batch late event extends the session start backwards") {
+    import spark.implicits._
+    import graft.streaming.{SessionEvent, Sessionize}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[SessionEvent]
+    // Generous watermark delay so the out-of-order event is delivered.
+    val q = Sessionize.sessions(input.toDS(), gapMs = 60000L,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_late2")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(SessionEvent(1L, t("2024-01-01 10:00:30"), "view"))
+      q.processAllAvailable()
+      // Late event 5 s BEFORE the open session's start, within the gap.
+      input.addData(SessionEvent(1L, t("2024-01-01 10:00:25"), "click"))
+      q.processAllAvailable()
+      // Push the watermark far past end + gap to flush the session.
+      input.addData(SessionEvent(99L, t("2024-01-01 11:00:00"), "view"))
+      q.processAllAvailable()
+      input.addData(SessionEvent(99L, t("2024-01-01 12:00:00"), "view"))
+      q.processAllAvailable()
+      val s1 = spark.table("sessions_late2").as[graft.streaming.Session]
+        .collect().filter(_.user_id == 1L).head
+      s1.n_events shouldBe 2
+      s1.session_start shouldBe t("2024-01-01 10:00:25") // extended backwards
+      s1.session_end shouldBe t("2024-01-01 10:00:30")
+    } finally q.stop()
+  }
+
   test("dedupedStream drops within-horizon duplicates with bounded state") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

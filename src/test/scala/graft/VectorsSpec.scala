@@ -41,6 +41,17 @@ class VectorsSpec extends SparkSpec {
     out.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
   }
 
+  test("mismatched-length vectors yield NULL, never a truncated-prefix fold") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0)))
+      .toDF("a", "b")
+      .select(Vectors.cosine(col("a"), col("b")).as("c"),
+        Vectors.dot(col("a"), col("b")).as("d"))
+    val row = df.collect()(0)
+    row.isNullAt(0) shouldBe true
+    row.isNullAt(1) shouldBe true
+  }
+
   test("native cosine handles float arrays without a cast") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(2.0f, 4.0f))).toDF("a", "b")
