@@ -18,17 +18,20 @@ object Bench {
 
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+      } finally {
+        // Pipelines persist intermediates (shingle sets, band signatures);
+        // drop them — ALSO on failure — so later queries aren't squeezed
+        // by leaked cache blocks.
+        spark.catalog.clearCache()
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Pipelines persist intermediates (shingle sets, band signatures);
-      // drop them so later queries aren't squeezed by leaked cache blocks.
-      spark.catalog.clearCache()
-      dt
     }
 
     // min of two runs: this host shows multi-second vCPU stalls under

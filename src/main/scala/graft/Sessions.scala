@@ -23,10 +23,12 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      // Straggler mitigation: re-launch tasks stuck on a descheduled
-      // core (this VM shows multi-second vCPU stalls under load).
-      .config("spark.speculation", "true")
-      .config("spark.speculation.multiplier", "3")
+      // NOTE: spark.speculation is deliberately NOT set — the scheduler
+      // only starts the speculation thread on a real cluster
+      // (TaskSchedulerImpl guards it with !isLocal), so under local[N]
+      // it would be a dead setting giving false confidence. Stall
+      // mitigation here is Bench's min-of-N sampling; on a cluster
+      // deployment, enable speculation in the submit conf.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

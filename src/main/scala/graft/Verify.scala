@@ -12,7 +12,16 @@ object Verify {
     def keep(name: String) = only.forall(_.contains(name))
     val spark = Sessions.local("graft-verify")
     new java.io.File(outDir).mkdirs()
+    def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      f.delete()
+    }
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+      // Drop any previous dump FIRST: mode(overwrite) only clears the
+      // target once the write job actually runs, so a query failing at
+      // analysis time would otherwise leave a stale dump that the driver
+      // compare silently validates.
+      deleteRecursively(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -32,7 +41,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+    // Always dump the FULL oracle map: a subset run filtering it too
+    // would clobber the complete file in a reused outDir and leave the
+    // other parquet dumps with no matching oracle to compare against.
+    val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

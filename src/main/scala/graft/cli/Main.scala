@@ -20,16 +20,27 @@ import graft.SparkEntry
 object Main {
   import graft.api.AvailabilityQueries
 
-  private def emit(df: org.apache.spark.sql.DataFrame, rest: Seq[String]): Unit = {
+  private def emit(df: org.apache.spark.sql.DataFrame, rest: Seq[String],
+                   defaultLimit: Int = 1000): Unit = {
     val limit = rest.sliding(2).collectFirst {
       case Seq("--limit", n) => n.toInt
-    }.getOrElse(1000)
+    }.getOrElse(defaultLimit)
     if (rest.contains("--json")) df.limit(limit).toJSON.collect().foreach(println)
     else df.show(limit, truncate = false)
   }
   private def session(): SparkSession = graft.Sessions.local("graft-cli")
 
-  def main(args: Array[String]): Unit = args.toList match {
+  def main(args: Array[String]): Unit =
+    try run(args)
+    catch {
+      // Malformed numeric/date arguments get the usage path, not a raw
+      // stack trace after the session has already started.
+      case e @ (_: NumberFormatException | _: IllegalArgumentException) =>
+        System.err.println(s"bad argument: ${e.getMessage}")
+        sys.exit(2)
+    }
+
+  private def run(args: Array[String]): Unit = args.toList match {
     case "list" :: Nil =>
       SparkEntry.queries.keys.toSeq.sorted.foreach(println)
 
@@ -39,13 +50,7 @@ object Main {
           System.err.println(s"unknown query: $name (try 'list')"); sys.exit(2)
         case Some(fn) =>
           val spark = session()
-          val limit = rest.sliding(2).collectFirst {
-            case Seq("--limit", n) => n.toInt
-          }.getOrElse(20)
-          val df = fn(spark, sfDir)
-          if (rest.contains("--json"))
-            df.limit(limit).toJSON.collect().foreach(println)
-          else df.show(limit, truncate = false)
+          emit(fn(spark, sfDir), rest, defaultLimit = 20)
           spark.stop()
       }
 

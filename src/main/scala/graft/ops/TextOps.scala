@@ -51,8 +51,18 @@ object TextOps {
   def seededHash60Sql(seed: String, x: String): String =
     hash60Sql(s"CAST($seed AS VARCHAR)||':'||$x")
 
-  /** Count of tokens belonging to a marker set (language-ID signal). */
+  /** Count of tokens belonging to a marker set, with multiplicity
+    * (language-ID signal). Computed as Σ_m (n − |array_remove(toks, m)|):
+    * `array_remove` is a regular codegen'd expression, whereas the
+    * natural `size(filter(...))` is a CodegenFallback higher-order
+    * function — interpreted per row in the hottest text-analysis loop.
+    */
   def markerCount(toks: Column, markers: Seq[String]): Column =
+    markers.map(m => size(toks) - size(array_remove(toks, m)))
+      .reduce(_ + _)
+
+  /** Higher-order-function formulation — kept for the equivalence spec. */
+  private[graft] def markerCountHof(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
 
   /** BPE-ish subword tokenizer regex: letter runs, single digits,

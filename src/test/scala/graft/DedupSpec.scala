@@ -135,6 +135,20 @@ class DedupSpec extends SparkSpec {
     pairs.keySet.flatMap(p => Set(p._1, p._2)) should not contain 4L
   }
 
+  test("markerCount (codegen'd array_remove form) equals the higher-order formulation") {
+    import spark.implicits._
+    val df = Seq("the the a cat", "le la le", "", "x", "the le the")
+      .toDF("text")
+      .select(TextOps.tokens(col("text")).as("toks"))
+    val markers = Seq("the", "le")
+    val got = df.select(TextOps.markerCount(col("toks"), markers).as("c"))
+      .collect().map(_.getInt(0)).toSeq
+    val exp = df.select(TextOps.markerCountHof(col("toks"), markers).as("c"))
+      .collect().map(_.getInt(0)).toSeq
+    got shouldBe exp
+    got.head shouldBe 2 // multiplicity counted, not set membership
+  }
+
   test("hash60 is stable and within 60 bits") {
     import spark.implicits._
     val vals = Seq("x", "x", "y").toDF("s")
