@@ -1,0 +1,52 @@
+package graft
+
+/** Plan-shape regression locks for the scale-critical physical
+  * properties the engine is designed around: predicate pushdown into
+  * the parquet scan, broadcast of dimension sides, map-side partial
+  * aggregation, no RDD round-trips, and exchange reuse across window
+  * families. A refactor that silently loses one of these would pass
+  * every value-correctness gate while regressing the 100 TB plan.
+  */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Queries.all(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_f2_range pushes the date range into the parquet scan") {
+    val p = plan("q_f2_range")
+    p should include("PushedFilters")
+    p should include("GreaterThanOrEqual(l_shipdate")
+  }
+
+  test("q_j1_inner_join broadcasts the dimension side") {
+    plan("q_j1_inner_join") should include("BroadcastHashJoin")
+  }
+
+  test("q_a1_count_by_day partial-aggregates before the shuffle") {
+    plan("q_a1_count_by_day") should include("partial_count")
+  }
+
+  test("headline queries never round-trip through an RDD scan") {
+    Seq("q_f1_snapshot", "q_w1_rank_topn", "q_d1_exact_dedup", "q_e1_knn_brute",
+      "q_t4_fingerprint").foreach { n =>
+      withClue(n) { plan(n) should not include "ExistingRDD" }
+    }
+  }
+
+  test("q_rankings_pipeline shares one exchange per window family") {
+    // daily grain + per-date window family + per-symbol window family —
+    // each family's functions must reuse a single hash exchange.
+    val hashExchanges = plan("q_rankings_pipeline")
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    hashExchanges should be <= 4
+  }
+
+  test("q_m2a_meta column-prunes the documents scan") {
+    val p = plan("q_m2a_meta")
+    // doc_id + text only — reading lang/source/ts for a 2-column need
+    // would be a pruning regression.
+    p should include("ReadSchema")
+    p should not include "lang"
+  }
+}
