@@ -97,6 +97,70 @@ object Vectors {
         struct(col("cos"), (-col("cid")).as("neg_cid"))).as("best"))
       .select(col("vid"), col("best.cid").as("cid"), col("best.e").as("e"))
 
+  /** Element-wise mean of an array<double> column as a custom
+    * `Aggregator`: the (sum-vector, count) buffer merges associatively
+    * inside each partition, so the shuffle carries one dim-length buffer
+    * per (group × partition) — never an exploded row per element. The
+    * buffer sizes itself from the first input, so one instance serves
+    * any dimensionality.
+    */
+  class VecMeanAgg extends org.apache.spark.sql.expressions.Aggregator[
+      Array[Double], (Array[Double], Long), Array[Double]] {
+    def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
+    def reduce(b: (Array[Double], Long), a: Array[Double]): (Array[Double], Long) = {
+      val buf = if (b._1.isEmpty) new Array[Double](a.length) else b._1
+      var i = 0
+      while (i < a.length) { buf(i) += a(i); i += 1 }
+      (buf, b._2 + 1)
+    }
+    def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) =
+      if (x._1.isEmpty) y
+      else if (y._1.isEmpty) x
+      else {
+        var i = 0
+        while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
+        (x._1, x._2 + y._2)
+      }
+    def finish(b: (Array[Double], Long)): Array[Double] =
+      if (b._2 == 0) b._1 else b._1.map(_ / b._2)
+    def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+  private lazy val vecMean = org.apache.spark.sql.functions.udaf(new VecMeanAgg,
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]())
+
+  /** Lloyd's k-means for the IVF coarse quantizer — the trained upgrade
+    * over `vid < k` sampling. Deterministic init (the k lowest vector
+    * ids); each iteration is ONE map-side assignment (broadcast
+    * centroids, `ivfAssign`) plus ONE keyed shuffle of partial
+    * (sum, count) buffers; the k × dim centroid table lives on the
+    * driver between iterations, cutting lineage. Cells that lose all
+    * members keep their previous centroid.
+    *
+    * Returns (cid, ce) ready for `ivfAssign` / `ivfSearch`. Centroid
+    * values are floating-point partition-order dependent (like any
+    * distributed mean), so assert on clustering structure, not exact
+    * coordinates.
+    */
+  def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var cent: Seq[(Long, Seq[Double])] = vecs.orderBy("vid").limit(k)
+      .select(col("vid"), col("e")).as[(Long, Seq[Double])].collect().toSeq
+      .zipWithIndex.map { case ((_, e), i) => (i.toLong, e) }
+    for (_ <- 1 to iters) {
+      val cdf = cent.toDF("cid", "ce")
+      val assigned = ivfAssign(vecs, cdf)
+      val means = assigned.groupBy("cid")
+        .agg(vecMean(col("e")).as("ce"))
+        .as[(Long, Seq[Double])].collect().toMap
+      cent = cent.map { case (cid, ce) => (cid, means.getOrElse(cid, ce)) }
+    }
+    cent.toDF("cid", "ce")
+  }
+
   /** IVF search: rank cells by query-to-centroid cosine, brute-force
     * only the `nProbe` nearest cells. The probed-cell set is a tiny
     * broadcast; candidate work scales with nProbe/k of the corpus.

@@ -111,6 +111,32 @@ class VectorsSpec extends SparkSpec {
     multi.size should be >= single.size // the probe shell can only add candidates
   }
 
+  test("kmeansCentroids recovers well-separated clusters (pure cells)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // Three well-separated cluster centers in 8-d; 20 noisy members each.
+    val centers = Seq(
+      Array.tabulate(8)(i => if (i < 3) 10.0 else 0.0),
+      Array.tabulate(8)(i => if (i >= 3 && i < 6) 10.0 else 0.0),
+      Array.tabulate(8)(i => if (i >= 6) 10.0 else 0.0))
+    val vecs = (0 until 60).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.2))
+    }.toDF("vid", "e")
+    val trained = Vectors.kmeansCentroids(vecs, k = 3, iters = 5)
+    val assigned = Vectors.ivfAssign(vecs, trained)
+      .select(col("vid"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Every member of a true cluster must land in the same trained cell,
+    // and the three true clusters must occupy three distinct cells.
+    val cells = (0 until 3).map { g =>
+      val cs = (0 until 60).filter(_ % 3 == g).map(i => assigned(i.toLong)).distinct
+      cs.length shouldBe 1
+      cs.head
+    }
+    cells.distinct.length shouldBe 3
+  }
+
   test("lshBuckets is deterministic and groups identical vectors together") {
     import spark.implicits._
     val vecs = Seq(
