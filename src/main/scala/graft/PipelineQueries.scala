@@ -450,6 +450,52 @@ object PipelineQueries {
        |  MAX(${hash60Sql("sh")}) AS fp_max, COUNT(*) AS n_shingles
        |FROM sh GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ---- T5: repetition metrics (Gopher-style quality rules) ------------
+
+  /** Intra-document repetition signals used by training-data curation
+    * rules (public: Rae et al., "Scaling Language Models" [Gopher],
+    * §A1.1 repetition filters): duplicate-line fraction and the share
+    * of word-bigrams taken by the single most frequent bigram. Both are
+    * per-document keyed aggregations — shingle explosion combines
+    * map-side, so the shuffle carries (doc, bigram, partialCount).
+    */
+  val t5Repetition: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val lineStats = docs
+      .select($"doc_id", explode(split($"text", "\n")).as("line"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct($"line").as("n_distinct"))
+    val bigramStats = docs
+      .select($"doc_id",
+        graft.functions.ShingleGenerator.shingles($"text", 2).as("big"))
+      .groupBy("doc_id", "big").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max($"c").as("maxc"), sum($"c").as("total"))
+    lineStats.join(bigramStats, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_lines",
+        (lit(1.0) - $"n_distinct" * lit(1.0) / $"n_lines").as("dup_line_frac"),
+        ($"maxc" * lit(1.0) / $"total").as("max_bigram_frac"))
+      .orderBy("doc_id")
+  }
+  val t5RepetitionSql: String =
+    """WITH l AS (
+      |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+      |lc AS (
+      |  SELECT doc_id, COUNT(*) AS n_lines, COUNT(DISTINCT line) AS n_distinct
+      |  FROM l GROUP BY 1),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+      |    i -> array_to_string(toks[i:i+1], ' '))) AS big
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)),
+      |bgc AS (SELECT doc_id, big, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |bgm AS (SELECT doc_id, MAX(c) AS maxc, SUM(c) AS total FROM bgc GROUP BY 1)
+      |SELECT lc.doc_id, lc.n_lines,
+      |  1.0 - lc.n_distinct * 1.0 / lc.n_lines AS dup_line_frac,
+      |  bgm.maxc * 1.0 / bgm.total AS max_bigram_frac
+      |FROM lc LEFT JOIN bgm ON lc.doc_id = bgm.doc_id
+      |ORDER BY lc.doc_id""".stripMargin
+
   // ---- M1: multimodal binary-column metadata --------------------------
 
   /** Opaque-binary plumbing: treat content as a blob, extract typed
@@ -574,6 +620,7 @@ object PipelineQueries {
     "q_t2_quality" -> t2Quality,
     "q_t3_tokens" -> t3Tokens,
     "q_t4_fingerprint" -> t4Fingerprint,
+    "q_t5_repetition" -> t5Repetition,
     "q_m1_binary_meta" -> m1BinaryMeta,
     "q_u1_set_ops" -> u1SetOps,
     "q_m2_decode" -> m2Decode,
@@ -595,6 +642,7 @@ object PipelineQueries {
     "q_t2_quality" -> t2QualitySql,
     "q_t3_tokens" -> t3TokensSql,
     "q_t4_fingerprint" -> t4FingerprintSql,
+    "q_t5_repetition" -> t5RepetitionSql,
     "q_m1_binary_meta" -> m1BinaryMetaSql,
     "q_u1_set_ops" -> u1SetOpsSql,
     // q_m2_decode: intentionally no oracle (non-SQL-expressible decode);
