@@ -13,7 +13,9 @@ object Verify {
     val spark = Sessions.local("graft-verify")
     new java.io.File(outDir).mkdirs()
     def deleteRecursively(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      // listFiles() returns null on I/O error — don't NPE the whole run.
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
       f.delete()
     }
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>

@@ -268,11 +268,19 @@ object Dedup {
     // blocks per round, instead of a join-based diff (a second full
     // shuffle). Decimal sum: a BIGINT sum over billions of large ids
     // could overflow, which ANSI mode turns into a job failure.
-    // Non-numeric ids (string doc keys) get the exact join-based diff —
-    // casting them to decimal would throw under ANSI or, worse, null out
-    // and fake instant convergence without it.
-    val numericLabels = labels.schema("label").dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // Only INTEGRAL ids qualify: the decimal(38,0) cast rounds
+    // fractional labels, so a sub-unit decrease would be invisible and
+    // declare convergence before the fixpoint. Non-integral ids
+    // (string doc keys, float ids) get the exact join-based diff.
+    val numericLabels = {
+      import org.apache.spark.sql.types._
+      labels.schema("label").dataType match {
+        // IntegralType itself is private[sql]; enumerate its members.
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType if d.scale == 0 => true
+        case _ => false
+      }
+    }
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO))).first().getDecimal(0)

@@ -63,10 +63,17 @@ object Multimodal {
     * exact skew we're avoiding). Hash-spreading on a size-independent
     * key gives every partition the same expected byte load without a
     * global sort.
+    *
+    * The spread key is a hash of the payload itself: deterministic
+    * under task retry (unlike `monotonically_increasing_id`, whose
+    * position-dependent ids change when a lost shuffle block is
+    * recomputed — rows would move buckets and the replay could
+    * duplicate or drop them, the SPARK-23207 hazard). Byte-identical
+    * payloads co-locating is fine: hash values are independent of
+    * payload SIZE, so expected byte load per partition stays uniform.
     */
   def balanceBySize(df: DataFrame, contentCol: String, partitions: Int): DataFrame =
-    df.repartition(partitions,
-      pmod(hash(monotonically_increasing_id()), lit(partitions)))
+    df.repartition(partitions, hash(col(contentCol)))
 
   /** Decode + feature-extract in size-bounded batches. The batch shape
     * (`batchSize` records per decode call) mirrors how a vectorized

@@ -18,9 +18,15 @@ object Partitioning {
     // `df.inputFiles` + logical-plan stats read the file listing and
     // size off the analyzed plan — unlike `df.rdd.getNumPartitions`,
     // which forces a SECOND full physical planning of the whole
-    // upstream plan (and bypasses AQE) just to read a count. A
-    // non-file-backed frame reports 0 files and is left alone: its
-    // partitioning came from a shuffle we shouldn't second-guess.
+    // upstream plan (and bypasses AQE) just to read a count.
+    //
+    // CONTRACT: a non-file-backed frame reports 0 files and is left
+    // alone, deliberately. Shuffle-derived partitioning must not be
+    // second-guessed, and in-memory inputs are NOT single-partition:
+    // LocalTableScanExec parallelizes a LocalRelation to
+    // `spark.sql.leafNodeDefaultParallelism` (= defaultParallelism by
+    // default) slices, so local test frames already spread without our
+    // help (PartitioningSpec asserts this empirically).
     val nFiles = df.inputFiles.length
     if (nFiles == 0) return df
     // Estimate the scan's split count the way the reader sizes splits:

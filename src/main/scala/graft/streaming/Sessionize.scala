@@ -45,6 +45,14 @@ object Sessionize {
             val sorted = events.toSeq.sortBy(_.ts.getTime)
             val out = ListBuffer.empty[Session]
             var cur = state.getOption
+            // Late stragglers entirely before the open session (gap
+            // exceeded on the early side): their gap horizon has already
+            // passed, so they close within this batch — but consecutive
+            // stragglers within gapMs of EACH OTHER still form one
+            // session, not per-event singletons. Since events are sorted,
+            // all stragglers precede the first in-session event; `early`
+            // accumulates the current straggler chain.
+            var early: Option[OpenSession] = None
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
@@ -54,12 +62,16 @@ object Sessionize {
                 case Some(s) if t >= s.startMs - gapMs && t - s.endMs <= gapMs =>
                   cur = Some(s.copy(startMs = math.min(s.startMs, t),
                     endMs = math.max(s.endMs, t), n = s.n + 1))
-                // A late straggler entirely before the open session (gap
-                // exceeded on the early side): its own gap horizon has
-                // already passed, so emit it as a closed singleton rather
-                // than corrupting the open session's bounds.
                 case Some(s) if t < s.startMs - gapMs =>
-                  out += Session(uid, new Timestamp(t), new Timestamp(t), 1)
+                  early match {
+                    case Some(es) if t - es.endMs <= gapMs =>
+                      early = Some(es.copy(endMs = t, n = es.n + 1))
+                    case Some(es) =>
+                      out += close(es)
+                      early = Some(OpenSession(t, t, 1))
+                    case None =>
+                      early = Some(OpenSession(t, t, 1))
+                  }
                 case Some(s) =>
                   out += close(s)
                   cur = Some(OpenSession(t, t, 1))
@@ -67,6 +79,7 @@ object Sessionize {
                   cur = Some(OpenSession(t, t, 1))
               }
             }
+            early.foreach(es => out += close(es))
             cur.foreach { s =>
               state.update(s)
               if (!state.hasTimedOut) {

@@ -85,6 +85,19 @@ class DedupSpec extends SparkSpec {
       "x-1" -> "x-1", "x-2" -> "x-1")
   }
 
+  test("dupClusters reaches the fixpoint for fractional (double) ids") {
+    import spark.implicits._
+    // A 3-hop chain whose labels all share one integer part: the
+    // decimal(38,0) sum witness rounds every label to 10, so a
+    // sum-based convergence check would declare convergence after
+    // round 1 with 10.4 still labeled 10.3. Fractional ids must take
+    // the exact join-diff path.
+    val pairs = Seq((10.1, 10.2), (10.2, 10.3), (10.3, 10.4)).toDF("ia", "ib")
+    val out = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(0)).toMap
+    out shouldBe Map(10.1 -> 10.1, 10.2 -> 10.1, 10.3 -> 10.1, 10.4 -> 10.1)
+  }
+
   test("dupClustersAlternating matches label propagation, including a 50-node chain") {
     import spark.implicits._
     // Adversarial long chain (diameter 49) + a triangle + an isolated pair.

@@ -67,6 +67,16 @@ class MultimodalSpec extends SparkSpec {
       .groupBy("p").count().collect().map(_.getLong(1))
     largePerPartition.max should be < 32L // never all in one partition
     largePerPartition.length should be > 1 // spread over multiple partitions
+    // The spread key hashes the payload, not a position-dependent id:
+    // re-evaluating the same frame (a task-retry stand-in) must land
+    // every row in the same partition both times.
+    val assign = balanced
+      .select(col("media_id"), spark_partition_id().as("p"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val again = Multimodal.balanceBySize(df, "content", 4)
+      .select(col("media_id"), spark_partition_id().as("p"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assign shouldBe again
   }
 
   test("sampleFrames splits payloads into evenly spaced slices") {

@@ -25,6 +25,16 @@ class ScaleOpsSpec extends SparkSpec {
     graft.ops.Partitioning.spread(mem) should be theSameInstanceAs mem
   }
 
+  test("LocalRelation inputs already parallelize without spread's help") {
+    import spark.implicits._
+    // spread() deliberately leaves non-file frames alone; that contract
+    // relies on LocalTableScanExec slicing local data to
+    // leafNodeDefaultParallelism (= defaultParallelism). Assert it so a
+    // Spark upgrade that broke the assumption fails here, not in prod.
+    val local = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    local.rdd.getNumPartitions shouldBe spark.sparkContext.defaultParallelism
+  }
+
   test("saltedJoin is row-identical to the plain join on a skewed key") {
     import spark.implicits._
     // 10k rows of one hot key + a long tail.

@@ -104,6 +104,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize merges consecutive early stragglers into one session") {
+    import spark.implicits._
+    import graft.streaming.{SessionEvent, Sessionize}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[SessionEvent]
+    // Wide watermark so the stragglers are delivered, not late-filtered.
+    val q = Sessionize.sessions(input.toDS(), gapMs = 60000L,
+        watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("sessions_early")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(SessionEvent(1L, t("2024-01-01 10:20:00"), "view"))
+      q.processAllAvailable()
+      // Two stragglers, both > gap before the open session's start but
+      // within the gap of each other → ONE closed 2-event session, not
+      // two singletons.
+      input.addData(
+        SessionEvent(1L, t("2024-01-01 10:00:00"), "view"),
+        SessionEvent(1L, t("2024-01-01 10:00:30"), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_early").as[graft.streaming.Session]
+        .collect().filter(_.user_id == 1L)
+      rows.length shouldBe 1
+      rows.head.n_events shouldBe 2
+      rows.head.session_start shouldBe t("2024-01-01 10:00:00")
+      rows.head.session_end shouldBe t("2024-01-01 10:00:30")
+    } finally q.stop()
+  }
+
   test("dedupedStream drops within-horizon duplicates with bounded state") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
