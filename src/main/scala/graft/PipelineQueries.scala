@@ -49,12 +49,16 @@ object PipelineQueries {
       |  UNION ALL
       |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
-  /** Shared shingle-set CTE (distinct word 3-grams per id). */
+  /** Shared hashed-shingle-set CTE: distinct (id, hash60(3-gram)) per
+    * id — mirrors `Dedup.shingleHashSet` (the pipeline shuffles 8-byte
+    * hashes, never shingle strings).
+    */
   val shingleSql: String =
-    """sh AS (
-      |  SELECT DISTINCT id, unnest(list_transform(generate_series(1, len(toks) - 2),
-      |         i -> array_to_string(toks[i:i+2], ' '))) AS sh
-      |  FROM (SELECT id, string_split_regex(text, '\s+') AS toks FROM corpus))""".stripMargin
+    s"""sh AS (
+      |  SELECT DISTINCT id, ${hash60Sql("sh")} AS h
+      |  FROM (SELECT id, unnest(list_transform(generate_series(1, len(toks) - 2),
+      |          i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |        FROM (SELECT id, string_split_regex(text, '\\s+') AS toks FROM corpus)))""".stripMargin
 
   // ---- D1: exact dedup ------------------------------------------------
 
@@ -85,7 +89,7 @@ object PipelineQueries {
        |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT c.ia, c.ib, COUNT(*) AS inter
-       |  FROM cand c JOIN sh x ON x.id = c.ia JOIN sh y ON y.id = c.ib AND y.sh = x.sh
+       |  FROM cand c JOIN sh x ON x.id = c.ia JOIN sh y ON y.id = c.ib AND y.h = x.h
        |  GROUP BY 1, 2)
        |SELECT i.ia, i.ib, i.inter * 1.0 / (na.n + nb.n - i.inter) AS jac
        |FROM inter i JOIN sizes na ON na.id = i.ia JOIN sizes nb ON nb.id = i.ib
@@ -115,7 +119,7 @@ object PipelineQueries {
        |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT c.ia, c.ib, COUNT(*) AS inter
-       |  FROM cand c JOIN sh x ON x.id = c.ia JOIN sh y ON y.id = c.ib AND y.sh = x.sh
+       |  FROM cand c JOIN sh x ON x.id = c.ia JOIN sh y ON y.id = c.ib AND y.h = x.h
        |  GROUP BY 1, 2),
        |pairs AS (
        |  SELECT i.ia, i.ib
@@ -129,6 +133,35 @@ object PipelineQueries {
        |labels AS (
        |  SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
        |SELECT cluster_id, id FROM labels ORDER BY cluster_id, id""".stripMargin
+
+  // ---- D5: standalone exact n-gram Jaccard (inverted-index blocking) --
+
+  /** Exact Jaccard near-dup pairs with df-capped inverted-index
+    * blocking — no minhash approximation, so it catches every pair that
+    * shares at least one sub-cap shingle (a recall superset of LSH on
+    * this corpus). Oracle reproduces the identical blocking + verify.
+    */
+  val d5NgramJaccard: Q = (s, d) =>
+    Dedup.ngramJaccardPairs(corpus(s, d), "id", "text").orderBy("ia", "ib")
+  val d5NgramJaccardSql: String =
+    s"""WITH $corpusSql,
+       |$shingleSql,
+       |rare AS (
+       |  SELECT id, h FROM (
+       |    SELECT id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM sh)
+       |  WHERE df <= 100),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM rare a JOIN rare b ON a.h = b.h AND a.id < b.id),
+       |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.ia, c.ib, COUNT(*) AS inter
+       |  FROM cand c JOIN sh x ON x.id = c.ia JOIN sh y ON y.id = c.ib AND y.h = x.h
+       |  GROUP BY 1, 2)
+       |SELECT i.ia, i.ib, i.inter * 1.0 / (na.n + nb.n - i.inter) AS jac
+       |FROM inter i JOIN sizes na ON na.id = i.ia JOIN sizes nb ON nb.id = i.ib
+       |WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.5
+       |ORDER BY ia, ib""".stripMargin
 
   // ---- D3: SimHash fingerprints --------------------------------------
 
@@ -609,6 +642,7 @@ object PipelineQueries {
     "q_d1_exact_dedup" -> d1Exact,
     "q_d2_minhash_lsh" -> d2MinHashLsh,
     "q_d2b_dup_clusters" -> d2bDupClusters,
+    "q_d5_jaccard_ngram" -> d5NgramJaccard,
     "q_d3_simhash" -> d3SimHash,
     "q_d4_simhash_pairs" -> d4SimHashPairs,
     "q_e1_knn_brute" -> e1KnnBrute,
@@ -631,6 +665,7 @@ object PipelineQueries {
     "q_d1_exact_dedup" -> d1ExactSql,
     "q_d2_minhash_lsh" -> d2MinHashLshSql,
     "q_d2b_dup_clusters" -> d2bDupClustersSql,
+    "q_d5_jaccard_ngram" -> d5NgramJaccardSql,
     "q_d3_simhash" -> d3SimHashSql,
     "q_d4_simhash_pairs" -> d4SimHashPairsSql,
     "q_e1_knn_brute" -> e1KnnBruteSql,

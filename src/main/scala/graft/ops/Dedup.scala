@@ -46,6 +46,26 @@ object Dedup {
         graft.functions.ShingleGenerator.shingles(col(textCol), n).as("sh"))
       .distinct()
 
+  /** Hashed shingle sets: distinct (id, h) where h = hash60(shingle).
+    *
+    * This is the representation the full pipeline shuffles, caches, and
+    * joins — 8-byte longs instead of n-word strings. The string never
+    * leaves the map side: hashing happens before the distinct, so the
+    * dedup shuffle, the minhash input, and both sides of the Jaccard
+    * verify join carry fixed-width keys (~4× less shuffle I/O than
+    * 3-word shingle text, independent of document vocabulary). Jaccard
+    * over hashed sets equals Jaccard over string sets up to 60-bit
+    * collisions *within one document pair* (~|A∪B|²/2^61 — negligible),
+    * and the oracle computes the identical hashed formulation, so the
+    * comparison is exact either way.
+    */
+  def shingleHashSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    Partitioning.spread(df)
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleGenerator.shingles(col(textCol), n).as("sh"))
+      .select(col("id"), TextOps.hash60(col("sh")).as("h"))
+      .distinct()
+
   /** Windowed-LEAD formulation (built-ins only) — kept for the
     * equivalence spec.
     */
@@ -118,19 +138,27 @@ object Dedup {
   }
   private lazy val minhash16 = udaf(new MinHashSigAgg(16), Encoders.scalaLong)
 
-  /** MinHash signatures (id, j, m): base hash per shingle (one md5),
-    * then k universal-hash permutations folded by `MinHashSigAgg`.
-    * Currently wired for k = 16.
+  /** MinHash signatures (id, j, m) from pre-hashed shingle sets
+    * (`shingleHashSet` output): k universal-hash permutations of the
+    * 30-bit truncation, folded by `MinHashSigAgg`. Currently wired for
+    * k = 16.
     */
-  def minhash(shingles: DataFrame, k: Int): DataFrame = {
+  def minhashFromHashes(hashes: DataFrame, k: Int): DataFrame = {
     require(k == 16, "registered aggregator instance is k=16")
-    shingles
-      .select(col("id"),
-        TextOps.hash60(col("sh")).bitwiseAND(lit(MinhashMask)).as("h"))
+    hashes
+      .select(col("id"), col("h").bitwiseAND(lit(MinhashMask)).as("h"))
       .groupBy(col("id"))
       .agg(minhash16(col("h")).as("sig"))
       .select(col("id"), posexplode(col("sig")).as(Seq("j", "m")))
   }
+
+  /** MinHash signatures from string shingle sets (one md5 per shingle,
+    * then the k permutations). Kept for the equivalence spec; the
+    * pipeline hashes before the distinct (`shingleHashSet`) instead.
+    */
+  def minhash(shingles: DataFrame, k: Int): DataFrame =
+    minhashFromHashes(
+      shingles.select(col("id"), TextOps.hash60(col("sh")).as("h")), k)
 
   /** Explode×groupBy formulation (built-ins only) — equivalence spec. */
   private[graft] def minhashExploded(shingles: DataFrame, k: Int): DataFrame = {
@@ -145,14 +173,17 @@ object Dedup {
       .agg(min(col("p.hv")).as("m"))
   }
 
-  /** Oracle SQL for the same signatures (shared constants). */
+  /** Oracle SQL for the same signatures (shared constants). Reads the
+    * hashed-shingle CTE `sh(id, h)` — the 60-bit hash is computed once
+    * there, mirroring `shingleHashSet`.
+    */
   def minhashSql(k: Int): String = {
     val cases = (0 until k).map(j =>
       s"((h * ${minhashA(j)} + ${minhashB(j)}) % ${MinhashMask + 1})")
     s"""SELECT id, j, MIN(CASE ${
       (0 until k).map(j => s"WHEN j = $j THEN ${cases(j)}").mkString(" ")
     } END) AS m
-       |FROM (SELECT id, ${TextOps.hash60Sql("sh")} & $MinhashMask AS h FROM sh),
+       |FROM (SELECT id, h & $MinhashMask AS h FROM sh),
        |     (SELECT unnest(generate_series(0, ${k - 1})) AS j)
        |GROUP BY 1, 2""".stripMargin
   }
@@ -199,15 +230,17 @@ object Dedup {
     (cand, bands)
   }
 
-  /** Exact n-gram Jaccard for candidate pairs, against the shingle sets.
+  /** Exact n-gram Jaccard for candidate pairs, against the shingle sets
+    * (string `sh` column or hashed `h` column — pass `setCol`).
     * inter/union computed from set sizes: |A∩B| via equi-join on shingle,
     * |A∪B| = |A|+|B|−|A∩B|.
     */
-  def jaccardVerify(cand: DataFrame, shingles: DataFrame): DataFrame = {
+  def jaccardVerify(cand: DataFrame, shingles: DataFrame,
+                    setCol: String = "sh"): DataFrame = {
     val sizes = shingles.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(shingles.select(col("id").as("ia"), col("sh")), Seq("ia"))
-      .join(shingles.select(col("id").as("ib"), col("sh")), Seq("ib", "sh"))
+      .join(shingles.select(col("id").as("ia"), col(setCol)), Seq("ia"))
+      .join(shingles.select(col("id").as("ib"), col(setCol)), Seq("ib", setCol))
       .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("id").as("ia"), col("n").as("na")), Seq("ia"))
@@ -222,23 +255,61 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
-    // The shingle set feeds minhash AND the verifier (3 plan references):
-    // without persistence the explode+distinct recomputes per reference,
-    // tripling the pipeline's dominant cost at any scale. Materialized
-    // eagerly so concurrent downstream stages read the cache instead of
-    // racing to fill it.
-    val sh = shingleSet(df, idCol, textCol, shingleN)
+    // The HASHED shingle set feeds minhash AND the verifier (3 plan
+    // references): without persistence the explode+distinct recomputes
+    // per reference, tripling the pipeline's dominant cost at any scale.
+    // Materialized eagerly so concurrent downstream stages read the
+    // cache instead of racing to fill it. Hashed (not string) sets keep
+    // every downstream shuffle/cache fixed-width — see shingleHashSet.
+    val sh = shingleHashSet(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.count()
-    val (cand, bands) = lshCandidatesWithHandle(minhash(sh, k), rowsPerBand)
+    val (cand, bands) =
+      lshCandidatesWithHandle(minhashFromHashes(sh, k), rowsPerBand)
     // The verified pair set is small (linear in candidates, not corpus):
     // materialize it eagerly, then release every cache block this pipeline
     // pinned — repeated invocations must not leak storage memory.
-    val out = jaccardVerify(cand, sh)
+    val out = jaccardVerify(cand, sh, setCol = "h")
       .filter(col("jac") >= threshold)
       .select(col("ia"), col("ib"), col("jac"))
       .localCheckpoint(eager = true)
     bands.unpersist()
+    sh.unpersist()
+    out
+  }
+
+  /** Standalone exact n-gram Jaccard near-dup pairs — no minhash
+    * approximation. Candidate generation is an inverted-index self-join
+    * on hashed shingles, capped by document frequency: postings for a
+    * shingle appearing in more than `dfCap` documents are dropped from
+    * BLOCKING (they would contribute O(df²) candidate pairs while
+    * carrying no discriminative signal — the classic prefix-filtering
+    * insight). Verification still uses the FULL sets, so reported
+    * Jaccard values are exact; only a pair sharing *no* shingle rarer
+    * than the cap can be missed, and any pair with Jaccard ≥ 0.5 shares
+    * half its (mostly rare) shingles. Complexity: Σ_h min(df_h, cap)²
+    * within buckets instead of O(n²) global.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, threshold: Double = 0.5,
+                        dfCap: Int = 100): DataFrame = {
+    val sh = shingleHashSet(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
+    // Rare-shingle postings: window-count per h beats a groupBy+join
+    // re-shuffle (one keyed exchange, counted and filtered in place).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val rare = sh.withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= dfCap)
+      .select("id", "h")
+    val cand = rare.select(col("h"), col("id").as("ia"))
+      .join(rare.select(col("h"), col("id").as("ib")), Seq("h"))
+      .where(col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+    val out = jaccardVerify(cand, sh, setCol = "h")
+      .filter(col("jac") >= threshold)
+      .select(col("ia"), col("ib"), col("jac"))
+      .localCheckpoint(eager = true)
     sh.unpersist()
     out
   }

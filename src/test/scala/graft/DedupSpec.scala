@@ -57,6 +57,47 @@ class DedupSpec extends SparkSpec {
     a.map(_._1) should not contain 5L // "short text": fewer tokens than n
   }
 
+  test("shingleHashSet equals hash60 applied to the string shingle set") {
+    val viaStrings = Dedup.shingleSet(docs, "id", "text", 3)
+      .select(col("id"), TextOps.hash60(col("sh")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashed = Dedup.shingleHashSet(docs, "id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    hashed shouldBe viaStrings
+  }
+
+  test("ngramJaccardPairs finds exact+near pairs with exact Jaccard, skips unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs((1L, 2L)) shouldBe 1.0
+    pairs.keySet should contain((1L, 3L))
+    pairs.keySet should contain((2L, 3L))
+    pairs.keySet.flatMap(p => Set(p._1, p._2)) should not contain 4L
+    // Near-dup Jaccard must be the exact value: doc 3 drops the first
+    // token, so its set is doc 1's minus the single leading shingle
+    // (all of doc 1's 3-grams are distinct) → (n−1)/n.
+    val n1 = Dedup.shingleHashSet(docs.filter(col("id") === 1L), "id", "text", 3).count()
+    pairs((1L, 3L)) shouldBe ((n1 - 1).toDouble / n1)
+  }
+
+  test("ngramJaccardPairs dfCap drops common-shingle blocking but keeps exact verify") {
+    import spark.implicits._
+    // Ten docs whose only overlap is one common 3-gram prefix.
+    val shared = (1L to 10L).map(i => (i, s"alpha beta gamma unique$i tail$i end$i"))
+    val df = shared.toDF("id", "text")
+    // cap=1: the shared "alpha beta gamma" posting (df=10) is dropped,
+    // and no pair shares a rarer shingle → no candidates at all.
+    Dedup.ngramJaccardPairs(df, "id", "text", threshold = 0.01, dfCap = 1)
+      .count() shouldBe 0L
+    // cap high enough: all 45 pairs become candidates; exact Jaccard
+    // (1 shared of 4+4 shingles → 1/7) verified against the threshold.
+    val all = Dedup.ngramJaccardPairs(df, "id", "text", threshold = 0.01, dfCap = 100)
+    all.count() shouldBe 45L
+    all.select(min(col("jac")), max(col("jac"))).collect().head match {
+      case r => r.getDouble(0) shouldBe (1.0 / 7) +- 1e-12
+    }
+  }
+
   test("shingles: fewer tokens than n yields empty array, not a reversed sequence") {
     import spark.implicits._
     val out = Seq("a b", "a b c d").toDF("text")
