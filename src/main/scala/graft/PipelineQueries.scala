@@ -468,19 +468,19 @@ object PipelineQueries {
 
   val t4Fingerprint: Q = (s, d) => {
     import s.implicits._
-    Dedup.shingleSet(
+    Dedup.shingleHashSet(
         Tables.documents(s, d).select($"doc_id".as("id"), $"text"), "id", "text", 3)
       .groupBy($"id".as("doc_id"))
       .agg(
-        min(TextOps.hash60($"sh")).as("fp_min"),
-        max(TextOps.hash60($"sh")).as("fp_max"),
+        min($"h").as("fp_min"),
+        max($"h").as("fp_max"),
         count(lit(1)).as("n_shingles"))
       .orderBy("doc_id")
   }
   val t4FingerprintSql: String =
     s"""WITH ${shingleSql.replace("FROM corpus", "FROM (SELECT doc_id AS id, text FROM documents) corpus")}
-       |SELECT id AS doc_id, MIN(${hash60Sql("sh")}) AS fp_min,
-       |  MAX(${hash60Sql("sh")}) AS fp_max, COUNT(*) AS n_shingles
+       |SELECT id AS doc_id, MIN(h) AS fp_min,
+       |  MAX(h) AS fp_max, COUNT(*) AS n_shingles
        |FROM sh GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   // ---- T5: repetition metrics (Gopher-style quality rules) ------------
@@ -528,6 +528,88 @@ object PipelineQueries {
       |  bgm.maxc * 1.0 / bgm.total AS max_bigram_frac
       |FROM lc LEFT JOIN bgm ON lc.doc_id = bgm.doc_id
       |ORDER BY lc.doc_id""".stripMargin
+
+  // ---- T6: PII-style redaction ----------------------------------------
+
+  /** Redaction scrub over documents with deterministically planted PII
+    * (the synthetic corpus has none, so the suffix makes the operator's
+    * effect observable and oracle-checkable). Counts are computed on
+    * the PRE-redaction text; the redacted text plus per-kind counts
+    * prove each pattern fired exactly once per document.
+    */
+  val t6Redact: Q = (s, d) => {
+    import s.implicits._
+    val idStr = $"doc_id".cast("string")
+    val planted = Tables.documents(s, d).select($"doc_id",
+      concat($"text", lit(" contact user"), idStr, lit("@example.com via 10."),
+        ($"doc_id" % 256).cast("string"), lit(".0."),
+        ($"doc_id" % 7).cast("string"), lit(" acct "),
+        ($"doc_id" * 1000003L + 123456789L).cast("string")).as("text"))
+    planted.select($"doc_id",
+        TextOps.redact($"text").as("redacted"),
+        regexp_count($"text", lit(TextOps.EmailPattern)).as("n_emails"),
+        regexp_count($"text", lit(TextOps.Ipv4Pattern)).as("n_ips"))
+      .orderBy("doc_id")
+  }
+  val t6RedactSql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.'
+       |      || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 7 AS VARCHAR)
+       |      || ' acct ' || CAST(doc_id * 1000003 + 123456789 AS VARCHAR) AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  ${TextOps.redactSql("text")} AS redacted,
+       |  CAST(len(regexp_extract_all(text, '${TextOps.EmailPattern}')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '${TextOps.Ipv4Pattern}')) AS INT) AS n_ips
+       |FROM planted ORDER BY doc_id""".stripMargin
+
+  // ---- P1/P2: deterministic sampling ----------------------------------
+
+  /** Stratified quota sample: the 20 docs per language whose ids hash
+    * smallest — reproducible balanced sampling for training mixtures.
+    */
+  val p1Stratified: Q = (s, d) => {
+    import s.implicits._
+    graft.ops.Sampling.stratifiedSample(
+        Tables.documents(s, d).select($"doc_id", $"lang", $"source"),
+        $"lang", $"doc_id", k = 20)
+      .select($"lang", $"doc_id", $"source")
+      .orderBy("lang", "doc_id")
+  }
+  val p1StratifiedSql: String =
+    s"""SELECT lang, doc_id, source FROM (
+       |  SELECT lang, doc_id, source, row_number() OVER (
+       |    PARTITION BY lang
+       |    ORDER BY ${TextOps.seededHash60Sql("'strat'", "CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin
+
+  /** Mixture weighting: per-source keep-rates (src0/src1 full, src2-4
+    * half, the rest 10%) — the dataset-mixing primitive. Pure map-side
+    * hash gate; reported rate column proves the CASE routing.
+    */
+  private val mixRates = Map("src0" -> 1.0, "src1" -> 1.0,
+    "src2" -> 0.5, "src3" -> 0.5, "src4" -> 0.5)
+  private val mixDefault = 0.1
+
+  val p2Mixture: Q = (s, d) => {
+    import s.implicits._
+    graft.ops.Sampling.mixtureSample(
+        Tables.documents(s, d).select($"doc_id", $"source", $"lang"),
+        $"source", $"doc_id", mixRates, mixDefault)
+      .select($"doc_id", $"source", $"lang")
+      .orderBy("doc_id")
+  }
+  val p2MixtureSql: String = {
+    val rateCase = mixRates.toSeq.sorted
+      .map { case (s0, r) => s"WHEN source = '$s0' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $mixDefault END")
+    s"""SELECT doc_id, source, lang FROM documents
+       |WHERE ${TextOps.seededHash60Sql("'mix'", "CAST(doc_id AS VARCHAR)")} % 10000
+       |      < CAST(($rateCase) * 10000 AS BIGINT)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   // ---- M1: multimodal binary-column metadata --------------------------
 
@@ -655,6 +737,9 @@ object PipelineQueries {
     "q_t3_tokens" -> t3Tokens,
     "q_t4_fingerprint" -> t4Fingerprint,
     "q_t5_repetition" -> t5Repetition,
+    "q_t6_redact" -> t6Redact,
+    "q_p1_stratified" -> p1Stratified,
+    "q_p2_mixture" -> p2Mixture,
     "q_m1_binary_meta" -> m1BinaryMeta,
     "q_u1_set_ops" -> u1SetOps,
     "q_m2_decode" -> m2Decode,
@@ -678,6 +763,9 @@ object PipelineQueries {
     "q_t3_tokens" -> t3TokensSql,
     "q_t4_fingerprint" -> t4FingerprintSql,
     "q_t5_repetition" -> t5RepetitionSql,
+    "q_t6_redact" -> t6RedactSql,
+    "q_p1_stratified" -> p1StratifiedSql,
+    "q_p2_mixture" -> p2MixtureSql,
     "q_m1_binary_meta" -> m1BinaryMetaSql,
     "q_u1_set_ops" -> u1SetOpsSql,
     // q_m2_decode: intentionally no oracle (non-SQL-expressible decode);

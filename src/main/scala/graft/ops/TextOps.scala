@@ -70,4 +70,34 @@ object TextOps {
     * Java regex agree on this subset).
     */
   val BpePattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+  // ---- PII-style redaction -------------------------------------------
+  // Patterns stay inside the RE2 ∩ Java-regex common subset (character
+  // classes, bounded repetition, \b ASCII word boundaries — no
+  // backreferences or lookaround) so the DuckDB oracle's regexp_replace
+  // computes the byte-identical result.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val LongNumPattern = "\\b[0-9]{9,}\\b"
+
+  /** Redact emails, IPv4 addresses, and long (9+) digit runs — the
+    * standard pre-training scrub pass. Order matters: emails first
+    * (their local part may contain digit runs), then IPs (dotted quads
+    * must not be eaten as four short numbers), then bare digit runs.
+    * Three codegen'd regexp_replace calls, map-side only.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      LongNumPattern, "<NUM>")
+
+  // DuckDB string literals keep backslashes verbatim — patterns embed
+  // exactly as the JVM regex sees them.
+  def redactSql(x: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($x,
+       |    '$EmailPattern', '<EMAIL>', 'g'),
+       |    '$Ipv4Pattern', '<IP>', 'g'),
+       |    '$LongNumPattern', '<NUM>', 'g')""".stripMargin
 }

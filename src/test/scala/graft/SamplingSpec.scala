@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Sampling, TextOps}
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    (0L until 2000L).map(i => (i, s"src${i % 10}", s"lang${i % 5}"))
+      .toDF("id", "source", "lang")
+  }
+
+  test("hashSample is deterministic, repartition-invariant, and near the target rate") {
+    val a = Sampling.hashSample(docs, col("id"), 0.2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.repartition(7), col("id"), 0.2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    a shouldBe b // membership depends only on the key, never the partitioning
+    a.size.toDouble / 2000 shouldBe 0.2 +- 0.05
+    // Different salts give (near-)independent samples, not the same set.
+    val c = Sampling.hashSample(docs, col("id"), 0.2, salt = "other")
+      .select("id").collect().map(_.getLong(0)).toSet
+    c should not equal a
+  }
+
+  test("stratifiedSample returns exactly k per stratum, deterministically") {
+    val out = Sampling.stratifiedSample(docs, col("lang"), col("id"), k = 15)
+    val perLang = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.values.toSet shouldBe Set(15L)
+    perLang.keySet should have size 5
+    // Same invocation twice → identical membership (no rand()).
+    val ids1 = out.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratifiedSample(docs, col("lang"), col("id"), k = 15)
+      .select("id").collect().map(_.getLong(0)).toSet
+    ids1 shouldBe ids2
+  }
+
+  test("mixtureSample applies per-source rates with the default fallback") {
+    val rates = Map("src0" -> 1.0, "src1" -> 0.0)
+    val out = Sampling.mixtureSample(docs, col("source"), col("id"),
+      rates, defaultRate = 0.5)
+    val bySrc = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc("src0") shouldBe 200L          // rate 1.0 keeps all 200
+    bySrc.get("src1") shouldBe None      // rate 0.0 keeps none
+    // the other eight sources sit near 50% of their 200 rows
+    val rest = bySrc.filterKeys(k => k != "src0").values
+    all(rest.map(_.toDouble / 200)) shouldBe 0.5 +- 0.15
+  }
+
+  test("redact scrubs emails, IPs, and long digit runs; leaves clean text alone") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail me at john.doe+x@sub.example.org today",
+      "server 192.168.0.1 and card 1234567890 leaked",
+      "ip-ish 1.2.3 stays, short 12345678 stays",
+      "clean text with no pii at all")
+      .toDF("text").select(TextOps.redact(col("text")).as("r"))
+      .collect().map(_.getString(0))
+    rows(0) shouldBe "mail me at <EMAIL> today"
+    rows(1) shouldBe "server <IP> and card <NUM> leaked"
+    rows(2) shouldBe "ip-ish 1.2.3 stays, short 12345678 stays"
+    rows(3) shouldBe "clean text with no pii at all"
+  }
+}
