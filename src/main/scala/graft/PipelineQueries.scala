@@ -163,6 +163,40 @@ object PipelineQueries {
        |WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.5
        |ORDER BY ia, ib""".stripMargin
 
+  // ---- D6: benchmark decontamination ----------------------------------
+
+  /** Train/eval n-gram overlap: eval set = every 97th document; train =
+    * the dedup corpus (which contains the eval docs and their planted
+    * variants — exactly what decontamination must catch). Only
+    * contaminated docs (any shared shingle) are reported.
+    */
+  val d6Decontaminate: Q = (s, d) => {
+    import s.implicits._
+    val evalSet = Tables.documents(s, d).filter($"doc_id" % 97 === 0)
+      .select($"doc_id".as("id"), $"text")
+    Dedup.decontaminate(corpus(s, d), evalSet, "id", "text")
+      .filter($"n_overlap" > 0)
+      .orderBy("id")
+  }
+  val d6DecontaminateSql: String =
+    s"""WITH $corpusSql,
+       |$shingleSql,
+       |ev AS (
+       |  SELECT DISTINCT ${hash60Sql("sh")} AS h
+       |  FROM (SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+       |          i -> array_to_string(toks[i:i+2], ' '))) AS sh
+       |        FROM (SELECT string_split_regex(text, '\\s+') AS toks
+       |              FROM documents WHERE doc_id % 97 = 0))),
+       |sizes AS (SELECT id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+       |hits AS (
+       |  SELECT id, COUNT(*) AS n_overlap
+       |  FROM sh JOIN ev ON sh.h = ev.h GROUP BY 1)
+       |SELECT s2.id, h2.n_overlap, s2.n_shingles,
+       |  h2.n_overlap * 1.0 / s2.n_shingles AS overlap_frac
+       |FROM sizes s2 JOIN hits h2 ON s2.id = h2.id
+       |WHERE h2.n_overlap > 0
+       |ORDER BY s2.id""".stripMargin
+
   // ---- D3: SimHash fingerprints --------------------------------------
 
   /** Production path is the custom SimHashAgg Aggregator; the oracle
@@ -725,6 +759,7 @@ object PipelineQueries {
     "q_d2_minhash_lsh" -> d2MinHashLsh,
     "q_d2b_dup_clusters" -> d2bDupClusters,
     "q_d5_jaccard_ngram" -> d5NgramJaccard,
+    "q_d6_decontaminate" -> d6Decontaminate,
     "q_d3_simhash" -> d3SimHash,
     "q_d4_simhash_pairs" -> d4SimHashPairs,
     "q_e1_knn_brute" -> e1KnnBrute,
@@ -751,6 +786,7 @@ object PipelineQueries {
     "q_d2_minhash_lsh" -> d2MinHashLshSql,
     "q_d2b_dup_clusters" -> d2bDupClustersSql,
     "q_d5_jaccard_ngram" -> d5NgramJaccardSql,
+    "q_d6_decontaminate" -> d6DecontaminateSql,
     "q_d3_simhash" -> d3SimHashSql,
     "q_d4_simhash_pairs" -> d4SimHashPairsSql,
     "q_e1_knn_brute" -> e1KnnBruteSql,

@@ -437,6 +437,45 @@ object Dedup {
       .unionByName(edges.select(col("b").as("cluster_id"), col("b").as("id")).distinct())
   }
 
+  /** Benchmark decontamination: flag training documents sharing n-gram
+    * shingles with an evaluation set (the GPT-3 appendix-C / PaLM
+    * overlap rule, expressed relationally). The eval side is tiny
+    * relative to the corpus, so its distinct shingle hashes BROADCAST —
+    * the only shuffle is the per-doc overlap count, keyed the same as
+    * every other per-doc aggregate. Reports per-doc overlap counts and
+    * fraction; callers threshold (conventionally: any overlap ≥ 1
+    * n-gram of n=8+ is contamination).
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+                    idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val t = shingleHashSet(train, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t.count()
+    // Per-doc report is corpus-cardinality-bounded: materialize eagerly,
+    // release the pinned shingle blocks (same lifecycle as nearDupPairs).
+    val out = decontaminatePlan(t, evalSet, idCol, textCol, n)
+      .localCheckpoint(eager = true)
+    t.unpersist()
+    out
+  }
+
+  /** The un-checkpointed plan (plan-shape specs inspect this). */
+  private[graft] def decontaminatePlan(t: DataFrame, evalSet: DataFrame,
+                                       idCol: String, textCol: String,
+                                       n: Int): DataFrame = {
+    val e = shingleHashSet(evalSet, idCol, textCol, n)
+      .select(col("h")).distinct()
+    val sizes = t.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val hits = t.join(broadcast(e), Seq("h"))
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+    sizes.join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        col("n_shingles"),
+        (coalesce(col("n_overlap"), lit(0L)) * lit(1.0) / col("n_shingles"))
+          .as("overlap_frac"))
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** 60-bit SimHash folded over per-token hash60 values.

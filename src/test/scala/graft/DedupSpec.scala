@@ -98,6 +98,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate flags exact and near eval overlap, not clean docs") {
+    import spark.implicits._
+    // Eval doc = doc 1's text. Train: 1 (full overlap), 3 (near dup of
+    // 1 → high overlap), 4 (clean), 5 (too short to shingle — absent).
+    val evalSet = docs.filter(col("id") === 1L)
+      .select((col("id") + 1000).as("id"), col("text"))
+    val out = Dedup.decontaminate(docs, evalSet, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    out(1L)._2 shouldBe 1.0 // every shingle shared
+    out(2L)._2 shouldBe 1.0 // exact copy of 1
+    out(3L)._2 shouldBe 1.0 // subset of 1's shingles → all of 3's overlap
+    out(4L) shouldBe ((0L, 0.0)) // unrelated: zero overlap
+    out.contains(5L) shouldBe false // no shingles at all
+  }
+
   test("shingles: fewer tokens than n yields empty array, not a reversed sequence") {
     import spark.implicits._
     val out = Seq("a b", "a b c d").toDF("text")

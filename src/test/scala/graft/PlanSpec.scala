@@ -42,6 +42,25 @@ class PlanSpec extends SparkSpec {
     hashExchanges should be <= 4
   }
 
+  test("q_p2_mixture is a pure map-side gate — no exchange before the output sort") {
+    // The mixture sample must stay a scan+filter: the only exchange in
+    // the plan is the rangepartitioning for the presentation ORDER BY.
+    val exchanges = plan("q_p2_mixture")
+      .linesIterator.filter(_.contains("Exchange")).toSeq
+    exchanges.filterNot(_.contains("rangepartitioning")) shouldBe empty
+  }
+
+  test("decontamination broadcasts the eval shingle set") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val train = (1L to 50L).map(i => (i, s"doc $i body words here and there plus $i")).toDF("id", "text")
+    val ev = Seq((1000L, "doc 7 body words here and there plus 7")).toDF("id", "text")
+    val t = graft.ops.Dedup.shingleHashSet(train, "id", "text", 3)
+    val p = graft.ops.Dedup.decontaminatePlan(t, ev, "id", "text", 3)
+      .queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+  }
+
   test("q_m2a_meta column-prunes the documents scan") {
     val p = plan("q_m2a_meta")
     // doc_id + text only — reading lang/source/ts for a 2-column need
