@@ -598,6 +598,60 @@ object PipelineQueries {
        |  CAST(len(regexp_extract_all(text, '${TextOps.Ipv4Pattern}')) AS INT) AS n_ips
        |FROM planted ORDER BY doc_id""".stripMargin
 
+  // ---- T7: end-to-end curation pipeline --------------------------------
+
+  /** The whole training-data curation flow as ONE declarative plan:
+    * language gate → quality score threshold → exact-dedup keep-min →
+    * deterministic 50% sample. Each stage reuses the registered
+    * operator's exact formulation, so Catalyst fuses the gates into the
+    * scan and the only shuffles are the dedup groupBy and the output
+    * sort. This is the query a reference user would actually run
+    * nightly over a corpus.
+    */
+  val t7Curation: Q = (s, d) => {
+    import s.implicits._
+    val scored = Tables.documents(s, d)
+      .select($"doc_id", $"text", $"lang", TextOps.tokens($"text").as("toks"))
+      .withColumn("n_tok", size($"toks"))
+      .withColumn("uniq_ratio", size(array_distinct($"toks")) * lit(1.0) / $"n_tok")
+      .withColumn("stop_ratio",
+        TextOps.markerCount($"toks", stopwords) * lit(1.0) / $"n_tok")
+      .withColumn("quality_score",
+        least(lit(1.0), $"n_tok" / 100.0) * $"uniq_ratio" * (lit(1.0) - $"stop_ratio"))
+      .filter($"lang" === "en" && $"quality_score" >= 0.2)
+    // exact-dedup keep: the minimum doc_id per content hash survives.
+    val kept = scored
+      .withColumn("ch", md5($"text"))
+      .withColumn("keep", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"ch")))
+      .filter($"doc_id" === $"keep")
+    graft.ops.Sampling.hashSample(kept, $"doc_id", 0.5, salt = "curate")
+      .select($"doc_id", $"lang", $"n_tok", $"quality_score")
+      .orderBy("doc_id")
+  }
+  val t7CurationSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, lang, string_split_regex(text, '\\s+') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, text, lang, len(toks) AS n_tok,
+       |    len(list_distinct(toks)) * 1.0 / len(toks) AS uniq_ratio,
+       |    len(list_filter(toks, x -> x IN (${stopwords.map(w => s"'$w'").mkString(",")}))) * 1.0 / len(toks) AS stop_ratio
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, text, lang, n_tok,
+       |    least(1.0, n_tok / 100.0) * uniq_ratio * (1.0 - stop_ratio) AS quality_score
+       |  FROM m WHERE lang = 'en'),
+       |g AS (SELECT * FROM q WHERE quality_score >= 0.2),
+       |k AS (
+       |  SELECT doc_id, lang, n_tok, quality_score,
+       |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+       |  FROM g)
+       |SELECT doc_id, lang, n_tok, quality_score
+       |FROM k WHERE doc_id = keep
+       |  AND ${TextOps.seededHash60Sql("'curate'", "CAST(doc_id AS VARCHAR)")} % 10000 < 5000
+       |ORDER BY doc_id""".stripMargin
+
   // ---- P1/P2: deterministic sampling ----------------------------------
 
   /** Stratified quota sample: the 20 docs per language whose ids hash
@@ -773,6 +827,7 @@ object PipelineQueries {
     "q_t4_fingerprint" -> t4Fingerprint,
     "q_t5_repetition" -> t5Repetition,
     "q_t6_redact" -> t6Redact,
+    "q_t7_curation" -> t7Curation,
     "q_p1_stratified" -> p1Stratified,
     "q_p2_mixture" -> p2Mixture,
     "q_m1_binary_meta" -> m1BinaryMeta,
@@ -800,6 +855,7 @@ object PipelineQueries {
     "q_t4_fingerprint" -> t4FingerprintSql,
     "q_t5_repetition" -> t5RepetitionSql,
     "q_t6_redact" -> t6RedactSql,
+    "q_t7_curation" -> t7CurationSql,
     "q_p1_stratified" -> p1StratifiedSql,
     "q_p2_mixture" -> p2MixtureSql,
     "q_m1_binary_meta" -> m1BinaryMetaSql,
