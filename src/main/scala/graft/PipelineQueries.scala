@@ -136,27 +136,24 @@ object PipelineQueries {
 
   // ---- D5: standalone exact n-gram Jaccard (inverted-index blocking) --
 
-  /** Exact Jaccard near-dup pairs with df-capped inverted-index
-    * blocking — no minhash approximation, so it catches every pair that
-    * shares at least one sub-cap shingle (a recall superset of LSH on
-    * this corpus). Oracle reproduces the identical blocking + verify.
+  /** Exact Jaccard near-dup pairs over the informative-shingle universe
+    * (df ≤ 100 — stop-shingle removal): no minhash approximation, and
+    * the intersection is counted directly on the inverted-index
+    * self-join. Oracle reproduces the identical universe + count.
     */
   val d5NgramJaccard: Q = (s, d) =>
     Dedup.ngramJaccardPairs(corpus(s, d), "id", "text").orderBy("ia", "ib")
   val d5NgramJaccardSql: String =
     s"""WITH $corpusSql,
        |$shingleSql,
-       |rare AS (
+       |informative AS (
        |  SELECT id, h FROM (
        |    SELECT id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM sh)
        |  WHERE df <= 100),
-       |cand AS (
-       |  SELECT DISTINCT a.id AS ia, b.id AS ib
-       |  FROM rare a JOIN rare b ON a.h = b.h AND a.id < b.id),
-       |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |sizes AS (SELECT id, COUNT(*) AS n FROM informative GROUP BY 1),
        |inter AS (
-       |  SELECT c.ia, c.ib, COUNT(*) AS inter
-       |  FROM cand c JOIN sh x ON x.id = c.ia JOIN sh y ON y.id = c.ib AND y.h = x.h
+       |  SELECT a.id AS ia, b.id AS ib, COUNT(*) AS inter
+       |  FROM informative a JOIN informative b ON a.h = b.h AND a.id < b.id
        |  GROUP BY 1, 2)
        |SELECT i.ia, i.ib, i.inter * 1.0 / (na.n + nb.n - i.inter) AS jac
        |FROM inter i JOIN sizes na ON na.id = i.ia JOIN sizes nb ON nb.id = i.ib
