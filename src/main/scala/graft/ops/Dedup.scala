@@ -530,19 +530,31 @@ object Dedup {
 
   /** SimHash near-dup candidates by band bucketing: 4 bands of 15 bits;
     * pairs sharing any band are verified by Hamming distance ≤ maxDist.
+    *
+    * The banded frame feeds BOTH self-join sides: persisted with an
+    * eager fill, or the whole upstream simhash aggregation (tokenize +
+    * hash + 60-counter fold) executes twice — a 2× on the pipeline's
+    * dominant cost at any scale. The pair set (bounded by bucket
+    * collisions, not corpus²) materializes eagerly so the cache can be
+    * released before returning.
     */
   def simhashPairs(sh: DataFrame, maxDist: Int): DataFrame = {
     val banded = sh.withColumn("b", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk",
         expr("(simhash >> (15 * b)) & 32767"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.count()
     val a = banded.select(col("b"), col("chunk"),
       col("id").as("ia"), col("simhash").as("sa"))
     val bb = banded.select(col("b"), col("chunk"),
       col("id").as("ib"), col("simhash").as("sb"))
-    a.join(bb, Seq("b", "chunk")).where(col("ia") < col("ib"))
+    val out = a.join(bb, Seq("b", "chunk")).where(col("ia") < col("ib"))
       .select(col("ia"), col("ib"),
         expr("bit_count(sa ^ sb)").cast(IntegerType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+      .localCheckpoint(eager = true)
+    banded.unpersist()
+    out
   }
 }
