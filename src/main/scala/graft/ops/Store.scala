@@ -103,6 +103,28 @@ object Store {
   def exportParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("compression", "snappy").parquet(path)
 
+  /** Dedup-on-ingest: append only the batch rows whose content hash is
+    * not already stored AND not duplicated within the batch itself
+    * (first occurrence by `tieBreak` wins). The anti-join runs on the
+    * 32-char md5, not the payload: at scale the store side projects a
+    * single narrow column out of the parquet footer-pruned scan and the
+    * batch side shuffles hashes, never documents. Returns the appended
+    * rows (eagerly materialized — callers typically write them).
+    */
+  def appendDeduped(existing: DataFrame, fresh: DataFrame,
+                    contentCol: String, tieBreak: String): DataFrame = {
+    val seen = existing
+      .select(md5(col(contentCol)).as("__ch")).distinct()
+    val w = Window.partitionBy(col("__ch")).orderBy(col(tieBreak))
+    fresh
+      .withColumn("__ch", md5(col(contentCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(seen, Seq("__ch"), "left_anti")
+      .drop("__ch", "__rn")
+      .localCheckpoint(eager = true)
+  }
+
   /** Append guard (S7): reject a batch whose `keyCol` values overlap the
     * existing archive (generate_volume_rankings.py:274-293).
     */

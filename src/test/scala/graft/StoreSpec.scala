@@ -92,6 +92,24 @@ class StoreSpec extends SparkSpec {
     Store.appendWithOverlapCheck(existing, ok, "d").count() shouldBe 3
   }
 
+  test("appendDeduped drops stored and intra-batch duplicate content") {
+    import spark.implicits._
+    val existing = Seq((1L, "alpha body"), (2L, "beta body")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "alpha body"),   // already stored → dropped
+      (11L, "gamma body"),   // new → kept
+      (12L, "gamma body"),   // intra-batch dup, later id → dropped
+      (13L, "delta body"))   // new → kept
+      .toDF("id", "text")
+    val appended = Store.appendDeduped(existing, batch, "text", tieBreak = "id")
+    appended.select("id").collect().map(_.getLong(0)).sorted shouldBe Array(11L, 13L)
+    appended.columns.toSeq shouldBe Seq("id", "text") // helper cols dropped
+    // Idempotent: re-appending the same batch after the store absorbed
+    // it yields nothing.
+    val absorbed = existing.unionByName(appended)
+    Store.appendDeduped(absorbed, batch, "text", tieBreak = "id").count() shouldBe 0L
+  }
+
   test("addColumns is additive and idempotent (schema.py:9-42 migration)") {
     import spark.implicits._
     val df = Seq((1, "x")).toDF("id", "s")
