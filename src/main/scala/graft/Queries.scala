@@ -399,6 +399,42 @@ object Queries {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---- V1: column-level data profiling --------------------------------
+
+  /** One-pass per-column profile of lineitem (nulls, exact distincts,
+    * min/max) — the pre-training data-quality report. Timestamp column
+    * pre-formatted to a portable string; numeric/string columns render
+    * through the cast. Oracle computes the identical unpivoted shape.
+    */
+  val v1Profile: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.lineitem(s, d)
+      .withColumn("l_shipdate_s",
+        date_format($"l_shipdate", "yyyy-MM-dd HH:mm:ss"))
+    graft.ops.Profile.profile(base,
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+          "l_shipdate_s"))
+      .orderBy("column")
+  }
+  val v1ProfileSql: String = {
+    def row(c: String, expr: String) =
+      s"""SELECT '$c' AS "column", COUNT(*) AS n_total,
+         |  COUNT(*) - COUNT($expr) AS n_null,
+         |  COUNT(DISTINCT $expr) AS n_distinct,
+         |  CAST(MIN($expr) AS VARCHAR) AS min_str,
+         |  CAST(MAX($expr) AS VARCHAR) AS max_str FROM li""".stripMargin
+    s"""WITH li AS (
+       |  SELECT *, strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate_s
+       |  FROM lineitem)
+       |${Seq(
+          row("l_orderkey", "l_orderkey"),
+          row("l_linenumber", "l_linenumber"),
+          row("l_returnflag", "l_returnflag"),
+          row("l_linestatus", "l_linestatus"),
+          row("l_shipdate_s", "l_shipdate_s")).mkString("\nUNION ALL\n")}
+       |ORDER BY "column"""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -425,7 +461,8 @@ object Queries {
     "q_j6_set_ops" -> j6SetOps,
     "q_j7_overlap" -> j7Overlap,
     "q_j8_full_outer_diff" -> j8FullOuterDiff,
-    "q_j9_salted" -> j9Salted
+    "q_j9_salted" -> j9Salted,
+    "q_v1_profile" -> v1Profile
   ) ++ WindowQueries.all ++ PipelineQueries.all ++ ScalarQueries.all
 
   val oracles: Map[String, String] = Map(
@@ -452,6 +489,7 @@ object Queries {
     "q_j6_set_ops" -> j6SetOpsSql,
     "q_j7_overlap" -> j7OverlapSql,
     "q_j8_full_outer_diff" -> j8FullOuterDiffSql,
-    "q_j9_salted" -> j9SaltedSql
+    "q_j9_salted" -> j9SaltedSql,
+    "q_v1_profile" -> v1ProfileSql
   ) ++ WindowQueries.oracles ++ PipelineQueries.oracles ++ ScalarQueries.oracles
 }

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Profile
+
+class ProfileSpec extends SparkSpec {
+
+  private lazy val df = {
+    import spark.implicits._
+    Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (3L, null),
+      (null, "b"), (2L, "c"))
+      .toDF("k", "v")
+  }
+
+  test("profile reports nulls, distincts, and min/max per column") {
+    val out = Profile.profile(df, Seq("k", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    out("k") shouldBe ((5L, 1L, 3L, "1", "3"))   // distinct over non-null {1,2,3}
+    out("v") shouldBe ((5L, 1L, 3L, "a", "c"))   // {a,b,c}
+  }
+
+  test("approx profile keeps a single-pass plan (no EXPAND duplication)") {
+    val exact = Profile.profile(df, Seq("k", "v"))
+      .queryExecution.executedPlan.toString
+    val approx = Profile.profile(df, Seq("k", "v"), exact = false)
+      .queryExecution.executedPlan.toString
+    exact should include("Expand")   // the cost exact distinct pays
+    approx should not include "Expand"
+  }
+}

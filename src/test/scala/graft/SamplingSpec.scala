@@ -50,6 +50,25 @@ class SamplingSpec extends SparkSpec {
     all(rest.map(_.toDouble / 200)) shouldBe 0.5 +- 0.15
   }
 
+  test("hashSample fractions nest: sample(f1) is a subset of sample(f2) for f1 <= f2") {
+    // The gate is `bucket < f*10000`, so growing the fraction can only
+    // ADD rows — incremental corpus growth never resamples old docs.
+    val s10 = Sampling.hashSample(docs, col("id"), 0.1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val s30 = Sampling.hashSample(docs, col("id"), 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    s10.subsetOf(s30) shouldBe true
+    s10.size should be < s30.size
+  }
+
+  test("stratifiedSample quotas nest: k=5 rows are the first 5 of k=15") {
+    val k5 = Sampling.stratifiedSample(docs, col("lang"), col("id"), k = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val k15 = Sampling.stratifiedSample(docs, col("lang"), col("id"), k = 15)
+      .select("id").collect().map(_.getLong(0)).toSet
+    k5.subsetOf(k15) shouldBe true
+  }
+
   test("redact scrubs emails, IPs, and long digit runs; leaves clean text alone") {
     import spark.implicits._
     val rows = Seq(
