@@ -21,6 +21,35 @@ object PropertySpec extends Properties("graft") {
         c.isLetterOrDigit && c < 128 || "-._~%".contains(c))
     }
 
+  // Mirrors TextOps.redact at the JVM-string level: Spark's
+  // regexp_replace compiles the same Java regex, so idempotence here is
+  // idempotence of the Column expression.
+  private def redactStr(s: String): String = {
+    import graft.ops.TextOps._
+    s.replaceAll(EmailPattern, "<EMAIL>")
+      .replaceAll(Ipv4Pattern, "<IP>")
+      .replaceAll(LongNumPattern, "<NUM>")
+  }
+
+  private val piiFragment: Gen[String] = Gen.oneOf(
+    Gen.const("a.user+tag@mail.example.org"),
+    Gen.const("10.0.0.1"), Gen.const("1.2.3.4.5.6.7.8"),
+    Gen.const("12345678901.2.3.4"), Gen.const("9876543210"),
+    Gen.const("not.an.ip.here"), Gen.const("x@y"),
+    Gen.asciiPrintableStr)
+
+  property("redact is idempotent, even around adjacent PII fragments") =
+    Prop.forAll(Gen.listOfN(4, piiFragment)) { frags =>
+      val s = frags.mkString(" ")
+      val once = redactStr(s)
+      redactStr(once) == once
+    }
+
+  property("redact replacement tokens never themselves match a pattern") =
+    Prop.forAll(Gen.oneOf("<EMAIL>", "<IP>", "<NUM>")) { tok =>
+      redactStr(tok) == tok
+    }
+
   property("lookbackWindow spans exactly n days ending yesterday") =
     Prop.forAll(Gen.choose(1, 400), Gen.choose(0L, 20000L)) { (n, epochDay) =>
       val today = LocalDate.ofEpochDay(epochDay)
