@@ -20,6 +20,7 @@ object Sessions {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      .withExtensions(GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")

@@ -10,6 +10,7 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-test")
+      .withExtensions(GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
