@@ -20,12 +20,22 @@ class ProfileSpec extends SparkSpec {
     out("v") shouldBe ((5L, 1L, 3L, "a", "c"))   // {a,b,c}
   }
 
-  test("approx profile keeps a single-pass plan (no EXPAND duplication)") {
+  test("neither profile variant EXPANDs the row stream") {
+    // agg(countDistinct(a), countDistinct(b), ...) would plan an Expand
+    // that duplicates every input row k+1 ways; the melt (exact) and
+    // HLL (approx) formulations must not.
     val exact = Profile.profile(df, Seq("k", "v"))
       .queryExecution.executedPlan.toString
     val approx = Profile.profile(df, Seq("k", "v"), exact = false)
       .queryExecution.executedPlan.toString
-    exact should include("Expand")   // the cost exact distinct pays
+    exact should not include "Expand"
     approx should not include "Expand"
+  }
+
+  test("approx profile reports HLL estimates (exact here, tiny input)") {
+    val out = Profile.profile(df, Seq("k", "v"), exact = false)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    out("k") shouldBe 3L
+    out("v") shouldBe 3L
   }
 }
