@@ -22,7 +22,12 @@ object Sampling {
 
   private val Buckets = 10000L
 
-  /** The gate bucket for a key: uniform in [0, 10000). */
+  /** The gate bucket for a key: uniform in [0, 10000).
+    *
+    * NULL keys hash to NULL and thus fail every gate — null-keyed rows
+    * are excluded from all samples (a sample keyed on a nullable column
+    * is a caller bug; coalesce first if nulls are meaningful).
+    */
   def gateBucket(key: Column, salt: String): Column =
     TextOps.seededHash60(lit(salt), key.cast(StringType)) % Buckets
 

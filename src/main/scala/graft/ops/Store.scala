@@ -110,6 +110,10 @@ object Store {
     * single narrow column out of the parquet footer-pruned scan and the
     * batch side shuffles hashes, never documents. Returns the appended
     * rows (eagerly materialized — callers typically write them).
+    *
+    * NULL-content rows are rejected from the batch, not appended: a
+    * null hash never matches an anti-join key, so they would silently
+    * bypass dedup on EVERY batch (one more copy per ingest run).
     */
   def appendDeduped(existing: DataFrame, fresh: DataFrame,
                     contentCol: String, tieBreak: String): DataFrame = {
@@ -117,6 +121,7 @@ object Store {
       .select(md5(col(contentCol)).as("__ch")).distinct()
     val w = Window.partitionBy(col("__ch")).orderBy(col(tieBreak))
     fresh
+      .filter(col(contentCol).isNotNull)
       .withColumn("__ch", md5(col(contentCol)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -108,6 +108,12 @@ class StoreSpec extends SparkSpec {
     // it yields nothing.
     val absorbed = existing.unionByName(appended)
     Store.appendDeduped(absorbed, batch, "text", tieBreak = "id").count() shouldBe 0L
+    // NULL content is rejected, not endlessly re-appended (a null hash
+    // never matches the anti-join, so it would otherwise pass every run).
+    val nullBatch = Seq((20L, null.asInstanceOf[String]), (21L, "iota body"))
+      .toDF("id", "text")
+    Store.appendDeduped(absorbed, nullBatch, "text", tieBreak = "id")
+      .select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(21L)
   }
 
   test("addColumns is additive and idempotent (schema.py:9-42 migration)") {
