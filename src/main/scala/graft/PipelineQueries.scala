@@ -653,10 +653,14 @@ object PipelineQueries {
 
   /** Stratified quota sample: the 20 docs per language whose ids hash
     * smallest — reproducible balanced sampling for training mixtures.
+    * Runs the SCALABLE variant (hash-threshold pre-gate + windowed
+    * survivors); the oracle computes the plain per-stratum window, so a
+    * green row proves the gated plan exact, not just approximately
+    * right.
     */
   val p1Stratified: Q = (s, d) => {
     import s.implicits._
-    graft.ops.Sampling.stratifiedSample(
+    graft.ops.Sampling.stratifiedSampleScalable(
         Tables.documents(s, d).select($"doc_id", $"lang", $"source"),
         $"lang", $"doc_id", k = 20)
       .select($"lang", $"doc_id", $"source")

@@ -55,6 +55,61 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** The 100 TB path for stratified quotas. `stratifiedSample`'s window
+    * funnels each stratum through ONE task's sort — with few strata
+    * (languages, sources) that's the whole table through a handful of
+    * cores. This variant pre-gates on a hash THRESHOLD before
+    * windowing: per stratum of size n, keep rows whose 60-bit order
+    * hash is below `oversample·k/n · 2^60` (expected survivors =
+    * oversample·k, a constant), then window over survivors only.
+    *
+    * The gate is a prefix of the sort order (h < T is monotone in h),
+    * so if a stratum keeps ≥ min(k, n) survivors, its gated top-k IS
+    * the exact top-k — same rows as the plain window, proven by the
+    * oracle. Strata where the gate came up short (probability
+    * e^-Θ(oversample·k) by Chernoff) are recomputed ungated and
+    * unioned, so the result is exact ALWAYS, not just in expectation.
+    * Cost: one count aggregate + a broadcast join + a window over
+    * ~oversample·k rows per stratum.
+    */
+  def stratifiedSampleScalable(df: DataFrame, stratum: Column, key: Column,
+                               k: Int, salt: String = "strat",
+                               oversample: Double = 4.0): DataFrame = {
+    val MaxHash = 1L << 60
+    val h = TextOps.seededHash60(lit(salt), key.cast(StringType))
+    val counts = df.groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
+    val withT = df
+      // null-safe equality: a null stratum is a group too, same as the
+      // plain window's partitionBy.
+      .join(broadcast(counts), stratum <=> col("__s"))
+      .withColumn("__h", h)
+      // n ≤ oversample·k → threshold ≥ 2^60 → keep everything.
+      .withColumn("__t",
+        least(lit(MaxHash.toDouble),
+          lit(oversample * k) / col("__n") * MaxHash).cast("long"))
+    val gated = withT.filter(col("__h") < col("__t"))
+    val w = Window.partitionBy(col("__s")).orderBy(col("__h"), key)
+    val topk = gated.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+    // Exactness check: a stratum is complete iff it kept min(k, n)
+    // rows. Deficient strata (vanishingly rare) recompute ungated.
+    val kept = topk.groupBy(col("__s").as("__sk")).agg(count(lit(1)).as("__kept"))
+    val deficient = counts
+      .join(kept, col("__s") === col("__sk"), "left")
+      .filter(coalesce(col("__kept"), lit(0L)) < least(lit(k.toLong), col("__n")))
+      .select(col("__s")).collect().map(_.get(0))
+    val helper = Seq("__s", "__n", "__h", "__t", "__rn")
+    if (deficient.isEmpty) topk.drop(helper: _*)
+    else {
+      val redo = withT.filter(col("__s").isin(deficient: _*))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+      topk.filter(!col("__s").isin(deficient: _*))
+        .unionByName(redo)
+        .drop(helper: _*)
+    }
+  }
+
   /** Mixture weighting: per-source keep-rates (dataset mixing for
     * training runs). Unlisted sources fall back to `defaultRate`.
     * Deterministic per key, map-side only — at 100 TB this is a pure

@@ -69,6 +69,25 @@ class SamplingSpec extends SparkSpec {
     k5.subsetOf(k15) shouldBe true
   }
 
+  test("stratifiedSampleScalable returns exactly the plain window's rows") {
+    val plain = Sampling.stratifiedSample(docs, col("lang"), col("id"), k = 15)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val scalable = Sampling.stratifiedSampleScalable(docs, col("lang"), col("id"), k = 15)
+      .select("id").collect().map(_.getLong(0)).toSet
+    scalable shouldBe plain
+  }
+
+  test("stratifiedSampleScalable stays exact when the gate comes up short") {
+    // oversample ≈ 0 forces an empty gate for every stratum — the
+    // deficiency fallback must recompute ungated, not return less.
+    val starved = Sampling.stratifiedSampleScalable(
+        docs, col("lang"), col("id"), k = 15, oversample = 1e-6)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val plain = Sampling.stratifiedSample(docs, col("lang"), col("id"), k = 15)
+      .select("id").collect().map(_.getLong(0)).toSet
+    starved shouldBe plain
+  }
+
   test("redact scrubs emails, IPs, and long digit runs; leaves clean text alone") {
     import spark.implicits._
     val rows = Seq(
