@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSimilarity, DotProduct, Hash60, ShingleGenerator}
+import graft.functions.{CosineSimilarity, DotProduct, Hash60, NormalizeNFC, ShingleGenerator}
 
 /** SQL-surface registration of the engine's custom Catalyst
   * expressions (`SparkSessionExtensions.injectFunction`), so
@@ -48,6 +48,9 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "shingles(text, n) requires an integer LITERAL n")
       }))
+    e.injectFunction((FunctionIdentifier("nfc"),
+      new ExpressionInfo(classOf[NormalizeNFC].getName, "nfc"),
+      one("nfc", NormalizeNFC.apply) _))
     e.injectFunction((FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       two("vec_dot", DotProduct.apply) _))

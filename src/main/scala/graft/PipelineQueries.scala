@@ -649,6 +649,40 @@ object PipelineQueries {
        |  AND ${TextOps.seededHash60Sql("'curate'", "CAST(doc_id AS VARCHAR)")} % 10000 < 5000
        |ORDER BY doc_id""".stripMargin
 
+  // ---- T8: canonical text normalization --------------------------------
+
+  /** NFC + lowercase + whitespace-collapse normalization over documents
+    * with planted Unicode variants: even doc_ids get the DECOMPOSED form
+    * ("e" + combining acute) with case/whitespace noise, odd get the
+    * precomposed form — after normalization both suffixes are
+    * byte-identical, which the oracle (DuckDB nfc_normalize) confirms.
+    */
+  // Shared suffix constants: the DECOMPOSED form spells the accent as
+  // "e" + U+0301 (combining acute); the precomposed form uses U+00E9.
+  // Different bytes, same text — identical after NFC. Interpolated into
+  // BOTH the Spark literal and the oracle SQL so the two engines see
+  // exactly the same codepoints.
+  private val decomposedSuffix = " Cafe\u0301   RESUME\u0301 "
+  private val precomposedSuffix = " Caf\u00e9 Resum\u00e9 "
+
+  val t8Normalize: Q = (s, d) => {
+    import s.implicits._
+    val planted = Tables.documents(s, d).select($"doc_id",
+      concat($"text",
+        when($"doc_id" % 2 === 0, lit(decomposedSuffix))
+          .otherwise(lit(precomposedSuffix))).as("text"))
+    planted.select($"doc_id", TextOps.normalizeText($"text").as("norm"))
+      .orderBy("doc_id")
+  }
+  val t8NormalizeSql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id, text || CASE WHEN doc_id % 2 = 0
+       |    THEN '$decomposedSuffix'
+       |    ELSE '$precomposedSuffix' END AS text
+       |  FROM documents)
+       |SELECT doc_id, ${TextOps.normalizeTextSql("text")} AS norm
+       |FROM planted ORDER BY doc_id""".stripMargin
+
   // ---- P1/P2: deterministic sampling ----------------------------------
 
   /** Stratified quota sample: the 20 docs per language whose ids hash
@@ -829,6 +863,7 @@ object PipelineQueries {
     "q_t5_repetition" -> t5Repetition,
     "q_t6_redact" -> t6Redact,
     "q_t7_curation" -> t7Curation,
+    "q_t8_normalize" -> t8Normalize,
     "q_p1_stratified" -> p1Stratified,
     "q_p2_mixture" -> p2Mixture,
     "q_m1_binary_meta" -> m1BinaryMeta,
@@ -857,6 +892,7 @@ object PipelineQueries {
     "q_t5_repetition" -> t5RepetitionSql,
     "q_t6_redact" -> t6RedactSql,
     "q_t7_curation" -> t7CurationSql,
+    "q_t8_normalize" -> t8NormalizeSql,
     "q_p1_stratified" -> p1StratifiedSql,
     "q_p2_mixture" -> p2MixtureSql,
     "q_m1_binary_meta" -> m1BinaryMetaSql,

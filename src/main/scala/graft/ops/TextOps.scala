@@ -71,6 +71,20 @@ object TextOps {
     */
   val BpePattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
 
+  // ---- Normalization --------------------------------------------------
+
+  /** Canonical text normalization before hashing/dedup: Unicode NFC
+    * (composed forms — decomposed "e"+U+0301 and precomposed "é" are
+    * different bytes but the same text, so un-normalized dedup misses
+    * them), lowercase, whitespace collapsed to single spaces, trimmed.
+    * Oracle: `trim(regexp_replace(lower(nfc_normalize(x)), '\s+', ' ', 'g'))`.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(graft.functions.NormalizeNFC.nfc(c)), "\\s+", " "))
+
+  def normalizeTextSql(x: String): String =
+    s"trim(regexp_replace(lower(nfc_normalize($x)), '\\s+', ' ', 'g'))"
+
   // ---- PII-style redaction -------------------------------------------
   // Patterns stay inside the RE2 ∩ Java-regex common subset (character
   // classes, bounded repetition, \b ASCII word boundaries — no

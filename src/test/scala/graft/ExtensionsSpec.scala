@@ -32,6 +32,23 @@ class ExtensionsSpec extends SparkSpec {
     e.getMessage should include("LITERAL")
   }
 
+  test("SQL nfc composes decomposed forms; normalized dedup catches byte-variant dups") {
+    import spark.implicits._
+    // decomposed "e"+combining-acute (U+0301) vs precomposed U+00E9:
+    // different bytes, equal after NFC.
+    val decomposed = "Cafe\u0301"
+    val precomposed = "Caf\u00e9"
+    spark.sql(s"SELECT nfc('$decomposed') = '$precomposed' AS eq")
+      .collect().head.getBoolean(0) shouldBe true
+    // The dedup pipeline misses the pair without normalization and
+    // finds it with - the reason normalizeText exists.
+    val docs = Seq((1L, decomposed + " au lait"), (2L, precomposed + " au lait"))
+      .toDF("id", "text")
+    graft.ops.Dedup.exactGroups(docs, "id", "text").count() shouldBe 0L
+    val normalized = docs.withColumn("text", TextOps.normalizeText(col("text")))
+    graft.ops.Dedup.exactGroups(normalized, "id", "text").count() shouldBe 1L
+  }
+
   test("SQL vec_dot / vec_cosine equal the DataFrame-API expressions") {
     val row = spark.sql(
       """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
