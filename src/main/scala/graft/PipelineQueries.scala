@@ -734,6 +734,38 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- P3: sequence packing -------------------------------------------
+
+  /** Documents assigned to 2048-token training blocks by contiguous
+    * fill along the deterministic order hash. The engine runs the
+    * distributed two-phase prefix sum (per-bucket windows + broadcast
+    * offsets); the oracle computes the plain global cumsum — a green
+    * row proves the parallel decomposition exact.
+    */
+  val p3Pack: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("n_tok"))
+    graft.ops.Sampling.packSequences(docs, $"doc_id", $"n_tok", budget = 2048L)
+      .select($"doc_id", $"n_tok", $"block_id", $"block_offset")
+      .orderBy("block_id", "block_offset", "doc_id")
+  }
+  val p3PackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok,
+       |    ${TextOps.seededHash60Sql("'pack'", "CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tok,
+       |    SUM(n_tok) OVER (ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT doc_id, n_tok,
+       |  CAST((cum - n_tok) // 2048 AS BIGINT) AS block_id,
+       |  CAST((cum - n_tok) % 2048 AS BIGINT) AS block_offset
+       |FROM c ORDER BY block_id, block_offset, doc_id""".stripMargin
+
   // ---- M1: multimodal binary-column metadata --------------------------
 
   /** Opaque-binary plumbing: treat content as a blob, extract typed
@@ -866,6 +898,7 @@ object PipelineQueries {
     "q_t8_normalize" -> t8Normalize,
     "q_p1_stratified" -> p1Stratified,
     "q_p2_mixture" -> p2Mixture,
+    "q_p3_pack" -> p3Pack,
     "q_m1_binary_meta" -> m1BinaryMeta,
     "q_u1_set_ops" -> u1SetOps,
     "q_m2_decode" -> m2Decode,
@@ -895,6 +928,7 @@ object PipelineQueries {
     "q_t8_normalize" -> t8NormalizeSql,
     "q_p1_stratified" -> p1StratifiedSql,
     "q_p2_mixture" -> p2MixtureSql,
+    "q_p3_pack" -> p3PackSql,
     "q_m1_binary_meta" -> m1BinaryMetaSql,
     "q_u1_set_ops" -> u1SetOpsSql,
     // q_m2_decode: intentionally no oracle (non-SQL-expressible decode);

@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
-/** Deterministic sampling operators for training-data pipelines.
+/** Deterministic sampling and packing operators for training-data
+  * pipelines.
   *
   * Everything keys off the portable 60-bit content hash (`TextOps
   * .hash60`), never `rand()`: a sample must be reproducible across
@@ -108,6 +109,56 @@ object Sampling {
         .unionByName(redo)
         .drop(helper: _*)
     }
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * blocks by contiguous fill along a deterministic global order (the
+    * order hash — reshuffling the corpus never repacks). A document
+    * starting at global token offset `cum − n_tok` lands in block
+    * `(cum − n_tok) div budget`; boundary-straddling documents are
+    * charged to their starting block (the packer downstream splits
+    * them).
+    *
+    * The global running sum is a DISTRIBUTED two-phase prefix sum, not
+    * a global window (`Window.orderBy` with no partition funnels the
+    * corpus through one task):
+    *  phase 1 — hash-range buckets partition the global order, so each
+    *    bucket's running sum is an independent keyed window (parallel);
+    *  phase 2 — the per-bucket totals (`buckets` rows, trivially tiny)
+    *    cumsum on the driver-side window and broadcast-join back as
+    *    offsets.
+    * Exactly the plan you'd want at 100 TB: one keyed window over the
+    * data + one broadcast of `buckets` offsets.
+    */
+  def packSequences(df: DataFrame, idCol: Column, nTokCol: Column,
+                    budget: Long, buckets: Int = 64,
+                    salt: String = "pack"): DataFrame = {
+    val MaxHash = 1L << 60
+    val h = TextOps.seededHash60(lit(salt), idCol.cast(StringType))
+    // Order-ALIGNED range bucketing (floor(h / width)): bucket id is
+    // monotone in h, which is what lets per-bucket sums compose into a
+    // global prefix sum. (A pmod/hash bucket would balance load but
+    // scramble the order.)
+    val bucketed = df
+      .withColumn("__h", h)
+      .withColumn("__b", (col("__h") / lit(MaxHash / buckets)).cast("int"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__h"), idCol)
+    val partial = bucketed.withColumn("__cum_in", sum(nTokCol).over(wIn))
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offsets = partial.groupBy(col("__b")).agg(sum(nTokCol).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__off"))
+    // Exact integer floor-div: (x − x mod b) is an exact multiple of b
+    // whose quotient is an integer ≤ 2^53, so the double division is
+    // exact — a plain (x/b).cast(long) could truncate a quotient the
+    // double ROUNDED UP across an integer boundary.
+    partial.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__start", col("__off") + col("__cum_in") - nTokCol)
+      .withColumn("block_offset", pmod(col("__start"), lit(budget)))
+      .withColumn("block_id",
+        ((col("__start") - col("block_offset")) / lit(budget)).cast("long"))
+      .drop("__h", "__b", "__cum_in", "__off", "__start")
   }
 
   /** Mixture weighting: per-source keep-rates (dataset mixing for

@@ -61,6 +61,17 @@ class PlanSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
   }
 
+  test("q_p3_pack windows the DATA per bucket; only the offsets go single-partition") {
+    // The two-phase prefix sum exists to avoid a global-order window
+    // over the corpus: the per-row window must be hash-partitioned on
+    // the bucket, leaving exactly one SinglePartition exchange (the
+    // `buckets`-row offsets cumsum).
+    val p = plan("q_p3_pack")
+    p should include("Window")
+    p.linesIterator.count(_.contains("Exchange SinglePartition")) should be <= 1
+    p should include("Exchange hashpartitioning(__b")
+  }
+
   test("q_m2a_meta column-prunes the documents scan") {
     val p = plan("q_m2a_meta")
     // doc_id + text only — reading lang/source/ts for a 2-column need

@@ -88,6 +88,30 @@ class SamplingSpec extends SparkSpec {
     starved shouldBe plain
   }
 
+  test("packSequences two-phase prefix sum equals the global-window cumsum") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sized = docs.withColumn("n_tok", (col("id") % 37 + 1).cast("long"))
+    val packed = Sampling.packSequences(sized, col("id"), col("n_tok"),
+        budget = 100L, buckets = 8)
+      .select("id", "block_id", "block_offset")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // Reference: single global window (the formulation that does NOT
+    // scale — one task sorts everything — but is obviously correct).
+    val h = graft.ops.TextOps.seededHash60(lit("pack"), col("id").cast("string"))
+    val ref = sized.withColumn("__h", h)
+      .withColumn("cum", sum("n_tok").over(Window.orderBy(col("__h"), col("id"))))
+      .withColumn("start", col("cum") - col("n_tok"))
+      .select(col("id"), (col("start") - pmod(col("start"), lit(100L))) / 100L,
+        pmod(col("start"), lit(100L)))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1).toLong, r.getLong(2))).toMap
+    packed shouldBe ref
+    // Start-blocks are contiguous from 0 (n_tok < budget here, so
+    // consecutive starts can never skip a block).
+    val ids = packed.values.map(_._1).toSet
+    ids shouldBe (0L to ids.max).toSet
+  }
+
   test("redact scrubs emails, IPs, and long digit runs; leaves clean text alone") {
     import spark.implicits._
     val rows = Seq(
