@@ -336,8 +336,8 @@ object Dedup {
       .unionByName(pairs.select(col("ib").as("a"), col("ia").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // groupBy subsumes a distinct on the same key — one exchange, not two.
     var labels = edges.select(col("a").as("id"), col("a").as("label"))
-      .distinct()
       .groupBy("id").agg(min("label").as("label"))
       .localCheckpoint(true)
     // Labels only ever decrease (min-propagation), so for NUMERIC ids the

@@ -136,6 +136,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming document curation: quality gate + content dedup + redaction in one stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDS()
+      .toDF("ts", "doc_id", "text")
+      // the batch operators compose unchanged onto an unbounded frame:
+      .withColumn("text", graft.ops.TextOps.redact(col("text")))
+      // (qualified: ScalaTest Matchers shadows functions.size)
+      .withColumn("n_tok",
+        org.apache.spark.sql.functions.size(graft.ops.TextOps.tokens(col("text"))))
+      .filter(col("n_tok") >= 3)
+      .withColumn("content_hash", md5(col("text")))
+    val curated = graft.streaming.Incremental.dedupedStream(
+      docs, "ts", "10 minutes", Seq("content_hash"))
+    val q = curated.writeStream.format("memory").queryName("curated_docs")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (t("2024-01-01 10:00:00"), 1L, "alpha beta gamma delta"),
+        (t("2024-01-01 10:00:10"), 2L, "alpha beta gamma delta"), // exact dup → dropped
+        (t("2024-01-01 10:00:20"), 3L, "mail bob@x.org alpha beta"),
+        (t("2024-01-01 10:00:30"), 4L, "too short"))               // quality gate
+      q.processAllAvailable()
+      val rows = spark.table("curated_docs")
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      rows.keySet shouldBe Set(1L, 3L)
+      rows(3L) shouldBe "mail <EMAIL> alpha beta" // redacted BEFORE hashing
+    } finally q.stop()
+  }
+
   test("dedupedStream drops within-horizon duplicates with bounded state") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
