@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Temporal
+
+/** Event-time operator queries over the `events` table: as-of join,
+  * interval join, gap sessionization. Timestamps cross the oracle
+  * boundary as epoch-microsecond BIGINTs (`unix_micros` / `epoch_us`)
+  * so ns→us truncation and timezone rendering can't skew the compare;
+  * the oracles state the same semantics in plain window SQL, which is
+  * the O(n·m)-per-key formulation the Spark operators exist to avoid.
+  */
+object TemporalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Epoch-us view of events shared by the three queries. */
+  private def eventsUs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+
+  private val eventsUsSql =
+    "SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events"
+
+  // ---- as-of join ------------------------------------------------------
+
+  /** J10: left as-of join — each purchase gets the latest click by the
+    * same user at-or-before it (ties on time broken by max click id).
+    * The market-data shape: trade ← prevailing quote. Single-shuffle
+    * union+window plan (see Temporal.asOfJoin).
+    */
+  val j10AsOf: Q = (s, d) => {
+    val e = eventsUs(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"))
+    val clicks = e.filter(col("event_type") === "click")
+    Temporal.asOfJoin(purchases, clicks, "user_id",
+        leftTs = col("purchase_us"), rightTs = col("us"),
+        leftCols = Seq("event_id", "purchase_us"),
+        payloadCols = Seq(col("us")), payloadNames = Seq("click_us"),
+        rightOrder = col("event_id"))
+      .select(col("event_id"), col("user_id"), col("purchase_us"), col("click_us"),
+        (col("purchase_us") - col("click_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+  val j10AsOfSql: String =
+    s"""WITH e AS ($eventsUsSql),
+       |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+       |c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click')
+       |SELECT event_id, user_id, purchase_us, click_us,
+       |       purchase_us - click_us AS gap_us
+       |FROM (SELECT p.event_id, p.user_id, p.us AS purchase_us, c.us AS click_us,
+       |             row_number() OVER (PARTITION BY p.event_id
+       |               ORDER BY c.us DESC NULLS LAST, c.event_id DESC) AS rn
+       |      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.us <= p.us)
+       |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  // ---- interval join ---------------------------------------------------
+
+  /** J11: interval join — error events in the 5 minutes after a click by
+    * the same user. Bucketed equi-join (bucket = window width), never
+    * |clicks|x|errors| (see Temporal.intervalJoin).
+    */
+  private val WindowUs = 5L * 60 * 1000000
+  val j11Range: Q = (s, d) => {
+    val e = eventsUs(s, d)
+    Temporal.intervalJoin(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "error"), "user_id",
+        leftUs = col("us"), rightUs = col("us"), windowUs = WindowUs,
+        leftOut = Seq("click_id" -> col("event_id"), "user_id" -> col("user_id")),
+        rightOut = Seq("error_id" -> col("event_id")))
+      .select("click_id", "user_id", "error_id", "delta_us")
+      .orderBy("click_id", "error_id")
+  }
+  val j11RangeSql: String =
+    s"""WITH e AS ($eventsUsSql)
+       |SELECT c.event_id AS click_id, c.user_id AS user_id, r.event_id AS error_id,
+       |       r.us - c.us AS delta_us
+       |FROM e c JOIN e r ON r.user_id = c.user_id
+       |  AND c.event_type = 'click' AND r.event_type = 'error'
+       |  AND r.us > c.us AND r.us <= c.us + $WindowUs
+       |ORDER BY click_id, error_id""".stripMargin
+
+  // ---- sessionization (batch) -----------------------------------------
+
+  /** G1: gap sessionization (30-minute gap) — the batch/backfill twin of
+    * streaming/Sessionize.scala, oracled via the lag+cumsum SQL
+    * formulation.
+    */
+  private val GapUs = 30L * 60 * 1000000
+  val g1Sessions: Q = (s, d) => {
+    Temporal.sessionize(eventsUs(s, d), "user_id", col("us"), GapUs)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_us"), col("end_us"), col("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+  val g1SessionsSql: String =
+    s"""WITH e AS ($eventsUsSql),
+       |flagged AS (
+       |  SELECT user_id, us,
+       |         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) <= $GapUs
+       |              THEN 0 ELSE 1 END AS is_new
+       |  FROM e),
+       |numbered AS (
+       |  SELECT user_id, us,
+       |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id, COUNT(*) AS n_events, MIN(us) AS start_us,
+       |       MAX(us) AS end_us, MAX(us) - MIN(us) AS duration_us
+       |FROM numbered GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  // ---- registry --------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "q_j10_asof" -> j10AsOf,
+    "q_j11_range" -> j11Range,
+    "q_g1_sessions" -> g1Sessions)
+
+  val oracles: Map[String, String] = Map(
+    "q_j10_asof" -> j10AsOfSql,
+    "q_j11_range" -> j11RangeSql,
+    "q_g1_sessions" -> g1SessionsSql)
+}

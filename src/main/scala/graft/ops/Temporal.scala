@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join + sessionization operators.
+  *
+  * The reference engine works over daily-grain availability facts, so its
+  * temporal logic is date arithmetic (timelines.py, gap detection). A
+  * training-data / market-data pipeline additionally needs event-time
+  * operators: as-of joins (latest quote at-or-before a trade), interval
+  * joins (events within a window of an anchor), and gap sessionization.
+  * Spark has no built-in as-of or interval join, so these compose the
+  * scalable formulations by hand:
+  *
+  *  - [[asOfJoin]] — the union+window trick: ONE hash shuffle on the key,
+  *    one sort, zero join nodes. Never builds the (left × right-history)
+  *    intermediate that a `JOIN ... ON r.ts <= l.ts` + row_number plan
+  *    materializes (which is O(n·m) per key and is how the DuckDB oracle
+  *    states the semantics).
+  *  - [[intervalJoin]] — equi-join on (key, coarse time bucket) with the
+  *    right side exploded to the buckets its window can reach, then an
+  *    exact range post-filter. Quadratic only within a (key, bucket)
+  *    cell, never across the corpus; bucket width = window width keeps
+  *    the explode factor at exactly 2.
+  *  - [[sessionize]] — the classic lag/cumsum formulation: both window
+  *    functions share one (key) exchange + sort, then one keyed
+  *    aggregation. The streaming twin (arbitrary-state flatMapGroups)
+  *    lives in streaming/Sessionize.scala; this is the batch/backfill
+  *    path over the same semantics.
+  */
+object Temporal {
+
+  /** Left as-of join: for each left row, attach `payloadCols` from the
+    * single right row with the greatest (`rightTs`, tie-break
+    * `rightOrder`) such that `rightTs <= leftTs` and the keys match.
+    * Unmatched left rows keep NULL payloads.
+    *
+    * Implementation: tag right rows side=0 and left rows side=1, union,
+    * then `last(payload, ignoreNulls)` over a running row frame ordered
+    * by (ts, side, rightOrder). Right rows sort before left rows at
+    * equal timestamps, giving inclusive at-or-before semantics; left
+    * rows carry NULL payloads so `ignoreNulls` skips them. One exchange
+    * on `key`, one sort — the same shape a 1000-executor range-
+    * partitioned backfill wants, with no join hash table of the right
+    * side's full history.
+    *
+    * `leftCols` are the left columns to carry through (must not collide
+    * with `payloadCols`); `rightOrder` is a deterministic right-side
+    * tie-break column (e.g. an event id).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: Column, rightTs: Column,
+               leftCols: Seq[String], payloadCols: Seq[Column],
+               payloadNames: Seq[String], rightOrder: Column): DataFrame = {
+    require(payloadCols.length == payloadNames.length, "payload arity")
+    val payloadTypes = right.select(payloadCols: _*).schema.fields.map(_.dataType)
+    val l = left.select(
+      col(key) +: lit(1).as("__side") +: leftTs.as("__ts") +: lit(null).cast("long").as("__ord") +:
+        (leftCols.map(col) ++ payloadNames.zip(payloadTypes).map {
+          case (n, t) => lit(null).cast(t).as(n)
+        }): _*)
+    val r = right.select(
+      col(key) +: lit(0).as("__side") +: rightTs.as("__ts") +: rightOrder.cast("long").as("__ord") +:
+        (leftCols.map(n => lit(null).cast(left.schema(n).dataType).as(n)) ++
+          payloadCols.zip(payloadNames).map { case (c, n) => c.as(n) }): _*)
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r)
+      .select(col(key) +: col("__side") +: leftCols.map(col) ++:
+        payloadNames.map(n => last(col(n), ignoreNulls = true).over(w).as(n)): _*)
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Interval (range) join: pairs (l, r) with matching `key` and
+    * `rightTs` in the half-open window `(leftTs, leftTs + windowUs]`,
+    * timestamps as epoch-microsecond longs.
+    *
+    * Scale shape: both sides bucket by `floor(ts / windowUs)`; a left
+    * anchor can only reach right rows in its own bucket or the next, so
+    * the left side explodes to exactly those 2 buckets and the join is
+    * a plain equi shuffle join on (key, bucket) + exact range filter.
+    * Each qualifying pair matches in exactly one bucket (the right
+    * row's), so no dedup pass is needed. Work is proportional to
+    * genuinely-near pairs, never |L|×|R|.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftUs: Column, rightUs: Column, windowUs: Long,
+                   leftOut: Seq[(String, Column)], rightOut: Seq[(String, Column)]): DataFrame = {
+    // Integer (floor) division keeps bucket assignment exact for any
+    // epoch value — double division would round at bucket boundaries.
+    val l = left.select(col(key).as("__lk") +: leftUs.as("__lus") +:
+        explode(array(lit(0L), lit(1L))).as("__boff") +: leftOut.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("__b", expr(s"__lus div ${windowUs}L") + col("__boff"))
+    val r = right.select(col(key).as("__rk") +: rightUs.as("__rus") +:
+        rightOut.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("__b", expr(s"__rus div ${windowUs}L"))
+    l.join(r, l("__lk") === r("__rk") && l("__b") === r("__b") &&
+        r("__rus") > l("__lus") && r("__rus") <= l("__lus") + lit(windowUs))
+      .select((leftOut.map(_._1) ++ rightOut.map(_._1)).map(col) :+
+        (col("__rus") - col("__lus")).as("delta_us"): _*)
+  }
+
+  /** Gap-based sessionization: events for the same `key` belong to one
+    * session while consecutive gaps are <= `gapUs` microseconds.
+    * Returns one row per session: (key, session_id, n_events, start_us,
+    * end_us, duration_us), session ids numbered 1.. per key in time
+    * order.
+    *
+    * lag() and the running sum share one (key)-hash exchange and one
+    * (key, ts) sort; the per-session rollup is a second keyed shuffle
+    * on (key, session_id) — both keys are high-cardinality and
+    * skew-free at scale (bounded events per user per day).
+    */
+  def sessionize(events: DataFrame, key: String, tsUs: Column, gapUs: Long): DataFrame = {
+    val byTime = Window.partitionBy(key).orderBy(col("__us"))
+    val run = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(key), tsUs.as("__us"))
+      .withColumn("__new",
+        when(col("__us") - lag(col("__us"), 1).over(byTime) <= gapUs, 0L).otherwise(1L))
+      .withColumn("session_id", sum(col("__new")).over(run))
+      .groupBy(col(key), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("__us")).as("start_us"),
+        max(col("__us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+}
