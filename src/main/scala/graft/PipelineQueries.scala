@@ -873,6 +873,67 @@ object PipelineQueries {
       |SELECT media_id, kind, format, n_bytes, (format <> 'unknown') AS valid
       |FROM m ORDER BY media_id""".stripMargin
 
+  /** T9: corpus heavy hitters — global top-25 terms by document
+    * frequency-weighted count. Tokens are extracted with an ASCII-letter
+    * regex on the RAW text and lowercased per-token AFTER extraction:
+    * `lower()` on full mixed-script text diverges between Java and ICU
+    * (e.g. dotted-I), while lower() of a pure [A-Za-z]+ token is
+    * identical everywhere. Shape: generate → partial-count map-side →
+    * one keyed shuffle → TakeOrdered(25); the explode never leaves the
+    * input partition, and the shuffle carries one row per distinct term
+    * per partition, not per occurrence. The exact global top-K over a
+    * keyed partial aggregate is the same plan a 100 TB corpus wants
+    * (count-min sketches only once the distinct-term set itself
+    * overflows executor memory).
+    */
+  val t9TopTerms: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(regexp_extract_all($"text", lit("[A-Za-z]+"), lit(0))).as("tok"))
+      .select(lower($"tok").as("term"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"term")
+      .limit(25)
+  }
+  val t9TopTermsSql: String =
+    """SELECT lower(tok) AS term, COUNT(*) AS n
+      |FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok FROM documents)
+      |GROUP BY term ORDER BY n DESC, term LIMIT 25""".stripMargin
+
+  /** T10: document chunking — fixed-size overlapping token windows
+    * (window W=40 tokens, stride S=30), the standard pre-tokenization
+    * split for long-document training corpora. Start offsets come from
+    * `sequence(0, len-1, S)` + posexplode, so a document expands to
+    * ceil(len/S) rows map-side with no shuffle; chunk text is
+    * re-assembled with slice+array_join. The only exchange in the plan
+    * is the presentation sort. Chunk rows carry (doc_id, chunk_id,
+    * start, n_tokens) so downstream packing (q_p3_pack) can consume
+    * them directly.
+    */
+  val t10Chunks: Q = (s, d) => {
+    import s.implicits._
+    val W = 40
+    val S = 30
+    Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks",
+        posexplode(sequence(lit(0), greatest(size($"toks") - 1, lit(0)), lit(S))))
+      .select($"doc_id", $"pos".cast("int").as("chunk_id"), $"col".as("start"),
+        array_join(slice($"toks", $"col" + 1, lit(W)), " ").as("chunk_text"),
+        least(lit(W), size($"toks") - $"col").cast("int").as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+  val t10ChunksSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks,
+      |             unnest(generate_series(0, greatest(len(toks) - 1, 0), 30)) AS start
+      |      FROM t)
+      |SELECT doc_id, CAST(start / 30 AS INT) AS chunk_id, start,
+      |       array_to_string(list_slice(toks, start + 1, start + 40), ' ') AS chunk_text,
+      |       CAST(least(40, len(toks) - start) AS INT) AS n_tokens
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -896,6 +957,8 @@ object PipelineQueries {
     "q_t6_redact" -> t6Redact,
     "q_t7_curation" -> t7Curation,
     "q_t8_normalize" -> t8Normalize,
+    "q_t9_topterms" -> t9TopTerms,
+    "q_t10_chunks" -> t10Chunks,
     "q_p1_stratified" -> p1Stratified,
     "q_p2_mixture" -> p2Mixture,
     "q_p3_pack" -> p3Pack,
@@ -926,6 +989,8 @@ object PipelineQueries {
     "q_t6_redact" -> t6RedactSql,
     "q_t7_curation" -> t7CurationSql,
     "q_t8_normalize" -> t8NormalizeSql,
+    "q_t9_topterms" -> t9TopTermsSql,
+    "q_t10_chunks" -> t10ChunksSql,
     "q_p1_stratified" -> p1StratifiedSql,
     "q_p2_mixture" -> p2MixtureSql,
     "q_p3_pack" -> p3PackSql,

@@ -247,6 +247,83 @@ object Queries {
        |COUNT(*) AS n_items FROM lineitem GROUP BY l_suppkey
        |ORDER BY avg_price DESC, l_suppkey LIMIT 10""".stripMargin
 
+  /** A12: ROLLUP over (status, priority) — per-group, per-status-subtotal
+    * and grand-total rows in ONE pass. At scale this is the plan you want
+    * over re-aggregating three times: Spark expands each input row to its
+    * grouping sets BEFORE the exchange and partial-aggregates each, so the
+    * shuffle carries one partial row per (set × group), not 3× the data.
+    * Rollup NULL markers become 'ALL' labels via grouping() so the output
+    * never contains NULLs (Spark sorts NULLS FIRST, DuckDB NULLS LAST —
+    * labels sidestep the collation difference entirely).
+    */
+  val a12Rollup: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_priority"),
+        count(lit(1)).as("n"), Exact.sum2($"o_totalprice").as("total"))
+      .select(
+        when($"g_status" === 1, "ALL").otherwise($"o_orderstatus").as("status"),
+        when($"g_priority" === 1, "ALL").otherwise($"o_orderpriority").as("priority"),
+        $"n", $"total")
+      .orderBy("status", "priority")
+  }
+  val a12RollupSql: String =
+    s"""SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+       |       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+       |       COUNT(*) AS n, ${Exact.sum2Sql("o_totalprice")} AS total
+       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+       |ORDER BY status, priority""".stripMargin
+
+  /** A13: PIVOT — returnflag × linestatus count matrix. The value list is
+    * explicit (Seq("F","O")) so Spark skips the extra distinct-values job
+    * a blind pivot needs; the pivot itself is one partial-aggregated
+    * shuffle on the groupBy key. Empty cells surface as 0 (COALESCE), not
+    * NULL, matching the SUM(CASE) oracle.
+    */
+  val a13Pivot: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .select($"l_returnflag", coalesce($"F", lit(0L)).as("F"),
+        coalesce($"O", lit(0L)).as("O"))
+      .orderBy("l_returnflag")
+  }
+  val a13PivotSql: String =
+    """SELECT l_returnflag,
+      |       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN 1 END), 0) AS BIGINT) AS F,
+      |       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN 1 END), 0) AS BIGINT) AS O
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** A14: exact grouped percentiles (quartiles of quantity per returnflag).
+    * Spark's `percentile` is the exact sort-based aggregate; quantity is
+    * integer-valued and the .25/.5/.75 interpolation fractions are exact
+    * binary, so the doubles are bit-identical to DuckDB's quantile_cont.
+    * The scale path for genuinely huge groups is approx_percentile
+    * (KLL-sketch, mergeable, fixed memory) — spec'd in TemporalSpec's
+    * sibling AggSpec rather than oracled, since its answers are
+    * implementation-defined.
+    */
+  val a14Percentiles: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(percentile($"l_quantity", lit(0.25)).as("p25"),
+        percentile($"l_quantity", lit(0.5)).as("p50"),
+        percentile($"l_quantity", lit(0.75)).as("p75"),
+        min($"l_quantity").as("lo"), max($"l_quantity").as("hi"))
+      .orderBy("l_returnflag")
+  }
+  val a14PercentilesSql: String =
+    """SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS p25,
+      |       quantile_cont(l_quantity, 0.5) AS p50,
+      |       quantile_cont(l_quantity, 0.75) AS p75,
+      |       MIN(l_quantity) AS lo, MAX(l_quantity) AS hi
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- §2.3 joins ---------------------------------------------------
 
   /** J1: equi inner join + grouped rollup. Customer is the small dimension
@@ -453,6 +530,9 @@ object Queries {
     "q_a8_conditional" -> a8Conditional,
     "q_a9_distinct" -> a9Distinct,
     "q_a10_top_avg" -> a10TopAvg,
+    "q_a12_rollup" -> a12Rollup,
+    "q_a13_pivot" -> a13Pivot,
+    "q_a14_percentiles" -> a14Percentiles,
     "q_j1_inner_join" -> j1InnerJoin,
     "q_j2_left_join" -> j2LeftJoin,
     "q_j3_anti" -> j3Anti,
@@ -463,7 +543,7 @@ object Queries {
     "q_j8_full_outer_diff" -> j8FullOuterDiff,
     "q_j9_salted" -> j9Salted,
     "q_v1_profile" -> v1Profile
-  ) ++ WindowQueries.all ++ PipelineQueries.all ++ ScalarQueries.all
+  ) ++ WindowQueries.all ++ PipelineQueries.all ++ ScalarQueries.all ++ TemporalQueries.all
 
   val oracles: Map[String, String] = Map(
     "q_f1_snapshot" -> f1SnapshotSql,
@@ -481,6 +561,9 @@ object Queries {
     "q_a8_conditional" -> a8ConditionalSql,
     "q_a9_distinct" -> a9DistinctSql,
     "q_a10_top_avg" -> a10TopAvgSql,
+    "q_a12_rollup" -> a12RollupSql,
+    "q_a13_pivot" -> a13PivotSql,
+    "q_a14_percentiles" -> a14PercentilesSql,
     "q_j1_inner_join" -> j1InnerJoinSql,
     "q_j2_left_join" -> j2LeftJoinSql,
     "q_j3_anti" -> j3AntiSql,
@@ -491,5 +574,5 @@ object Queries {
     "q_j8_full_outer_diff" -> j8FullOuterDiffSql,
     "q_j9_salted" -> j9SaltedSql,
     "q_v1_profile" -> v1ProfileSql
-  ) ++ WindowQueries.oracles ++ PipelineQueries.oracles ++ ScalarQueries.oracles
+  ) ++ WindowQueries.oracles ++ PipelineQueries.oracles ++ ScalarQueries.oracles ++ TemporalQueries.oracles
 }

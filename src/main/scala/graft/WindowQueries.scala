@@ -222,6 +222,39 @@ object WindowQueries {
        |  FROM events GROUP BY 1 ORDER BY d DESC LIMIT 7)
        |ORDER BY day""".stripMargin
 
+  /** W8: distribution window functions — NTILE quartiles, CUME_DIST and
+    * per-partition extrema over the (priority, price) ordering. All four
+    * functions share ONE hash exchange + sort on the partition key (the
+    * full-partition frame for `last_value` reuses the same sort); with a
+    * unique (price, key) ordering, cume_dist is rank/n of identical
+    * integer operands, so the double is bit-identical cross-engine.
+    */
+  val w8Ntile: Q = (s, d) => {
+    import s.implicits._
+    val byPrice = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    val full = byPrice.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .filter($"o_orderstatus" === "P")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+        ntile(4).over(byPrice).cast("int").as("quartile"),
+        cume_dist().over(byPrice).as("cd"),
+        first($"o_orderkey").over(byPrice).as("cheapest_key"),
+        last($"o_orderkey").over(full).as("dearest_key"))
+      .orderBy("o_orderkey")
+  }
+  val w8NtileSql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |  CUME_DIST() OVER w AS cd,
+      |  FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+      |  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS dearest_key
+      |FROM orders WHERE o_orderstatus = 'P'
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -232,7 +265,8 @@ object WindowQueries {
     "q_w6_rolling" -> w6Rolling,
     "q_w7_share" -> w7Share,
     "q_rankings_pipeline" -> rankingsPipeline,
-    "q_o3_recency" -> o3Recency
+    "q_o3_recency" -> o3Recency,
+    "q_w8_ntile" -> w8Ntile
   )
 
   val oracles: Map[String, String] = Map(
@@ -243,6 +277,7 @@ object WindowQueries {
     "q_w6_rolling" -> w6RollingSql,
     "q_w7_share" -> w7ShareSql,
     "q_rankings_pipeline" -> rankingsPipelineSql,
-    "q_o3_recency" -> o3RecencySql
+    "q_o3_recency" -> o3RecencySql,
+    "q_w8_ntile" -> w8NtileSql
   )
 }
