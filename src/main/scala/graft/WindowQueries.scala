@@ -255,6 +255,27 @@ object WindowQueries {
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** O4: top-k per group via the k-bounded mergeable aggregate
+    * (ops/TopK.scala) — the map side discards losers before the
+    * exchange, so the shuffle carries <= k rows per (group x partition)
+    * where the row_number-window oracle formulation shuffles the whole
+    * table. Equivalence with that window form is also spec-locked in
+    * TopKSpec.
+    */
+  val o4TopKGroup: Q = (s, d) => {
+    import s.implicits._
+    ops.TopK.topKPerGroup(Tables.orders(s, d), "o_orderpriority",
+        $"o_totalprice", $"o_orderkey", 3, "o_totalprice", "o_orderkey")
+      .orderBy("o_orderpriority", "rank")
+  }
+  val o4TopKGroupSql: String =
+    """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+      |  FROM orders) WHERE rank <= 3
+      |ORDER BY o_orderpriority, rank""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -266,7 +287,8 @@ object WindowQueries {
     "q_w7_share" -> w7Share,
     "q_rankings_pipeline" -> rankingsPipeline,
     "q_o3_recency" -> o3Recency,
-    "q_w8_ntile" -> w8Ntile
+    "q_w8_ntile" -> w8Ntile,
+    "q_o4_topk_group" -> o4TopKGroup
   )
 
   val oracles: Map[String, String] = Map(
@@ -278,6 +300,7 @@ object WindowQueries {
     "q_w7_share" -> w7ShareSql,
     "q_rankings_pipeline" -> rankingsPipelineSql,
     "q_o3_recency" -> o3RecencySql,
-    "q_w8_ntile" -> w8NtileSql
+    "q_w8_ntile" -> w8NtileSql,
+    "q_o4_topk_group" -> o4TopKGroupSql
   )
 }
