@@ -72,6 +72,86 @@ object Store {
     }
   }
 
+  /** Small-file compaction: rewrite a partitioned table so each
+    * partition directory holds ~ceil(bytes/targetBytes) files instead
+    * of one file per historical ingest batch. Returns
+    * (filesBefore, filesAfter).
+    *
+    * Why it matters at 100 TB: a daily-upsert table accretes one file
+    * per batch per partition; scan cost (driver listing, task launch,
+    * row-group open) grows with file COUNT, not bytes. Compaction
+    * restores the bytes-proportional cost.
+    *
+    * Shape: per-partition output file counts come from the actual
+    * on-disk byte sizes (one filesystem listing, no data read); rows
+    * are routed with a deterministic content-hash salt bounded by that
+    * per-partition count, so one shuffle rewrites every partition at
+    * its own width — small partitions 1 file, big ones several. The
+    * rewrite lands in a sibling temp dir and swaps in with two renames,
+    * so a crash mid-compaction never touches the live table (contrast
+    * upsert, which must merge and therefore checkpoint-cuts lineage).
+    */
+  def compact(spark: SparkSession, path: String, partCol: String,
+              targetBytes: Long = 128L << 20): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def leafFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_")) buf += f
+      }
+      buf.toSeq
+    }
+
+    val before = leafFiles(hPath)
+    // partition-dir name ("partCol=value") -> total bytes
+    val perPartBytes = before.groupBy(_.getPath.getParent.getName)
+      .view.mapValues(_.map(_.getLen).sum).toMap
+    val widths = perPartBytes.map { case (dir, bytes) =>
+      // dir names carry Spark's %-escaping of special chars
+      val value = java.net.URLDecoder.decode(dir.stripPrefix(s"$partCol="), "UTF-8")
+      value -> math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    }
+    val totalWidth = widths.values.map(_.toLong).sum.toInt
+
+    val df = spark.read.parquet(path)
+    val widthDf = spark.createDataFrame(
+      widths.toSeq.map { case (v, n) => (v, n) }).toDF("__pv", "__n")
+    // Deterministic routing: hash of the full row content mod the
+    // partition's own width (never monotonically_increasing_id — task
+    // retries must re-derive the same bucket).
+    val salted = df
+      .join(broadcast(widthDf), df(partCol).cast("string") === col("__pv"))
+      .withColumn("__salt", pmod(hash(df.columns.map(df(_)): _*), col("__n")))
+    val tmp = new Path(path + ".compacting")
+    fs.delete(tmp, true)
+    salted
+      .repartition(math.max(totalWidth, 1), col(partCol), col("__salt"))
+      .select(df.columns.map(df(_)): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp.toString)
+    // The width join keys on the DECODED dir value; any mismatch would
+    // silently drop that partition's rows. Refuse to swap unless the
+    // rewrite holds exactly the live row count.
+    val (nLive, nTmp) = (df.count(), spark.read.parquet(tmp.toString).count())
+    if (nLive != nTmp) {
+      fs.delete(tmp, true)
+      sys.error(s"compact: rewrite row count $nTmp != live $nLive; aborted, live table untouched")
+    }
+    val bak = new Path(path + ".pre-compact")
+    fs.delete(bak, true)
+    if (!fs.rename(hPath, bak)) sys.error(s"compact: cannot move live table aside: $path")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(bak, hPath) // restore
+      sys.error(s"compact: swap failed, live table restored: $path")
+    }
+    fs.delete(bak, true)
+    (before.size.toLong, leafFiles(hPath).size.toLong)
+  }
+
   /** Derived summary table (the reference's daily_symbol_counts
     * materialized view): per-partition totals refreshed post-ingest.
     */

@@ -116,6 +116,50 @@ class StoreSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(21L)
   }
 
+  test("compact collapses small files per partition and preserves every row") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-compact").toString + "/t"
+    // 3 partitions x 8 ingest-batch files each, deliberately tiny
+    val df = (1 to 600).map(i => (s"p${i % 3}", i.toLong, s"row-$i"))
+      .toDF("part", "id", "payload")
+    df.repartition(8).write.partitionBy("part").parquet(path)
+    val beforeRows = spark.read.parquet(path).orderBy("id").collect()
+
+    val (nBefore, nAfter) = Store.compact(spark, path, "part", targetBytes = 512L << 20)
+
+    nBefore should be >= 24L // 8 files per partition dir
+    nAfter shouldBe 3L       // far under target: one file per partition
+    val afterRows = spark.read.parquet(path).orderBy("id").collect()
+    afterRows shouldBe beforeRows
+    // live dir only — no temp/backup remnants
+    new java.io.File(path + ".compacting").exists() shouldBe false
+    new java.io.File(path + ".pre-compact").exists() shouldBe false
+  }
+
+  test("compact widths scale with partition bytes, and special chars in values survive") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-compact2").toString + "/t"
+    // one big partition (skewed), one tiny, one with a char Spark %-escapes;
+    // payload must not compress away or the byte-based widths stay at 1
+    def blob(i: Int) = (1 to 8).map(k => (i * 2654435761L + k * 40503L).toHexString).mkString(":")
+    val big = (1 to 4000).map(i => ("big", i.toLong, blob(i)))
+    val rest = Seq(("tiny", 9000L, "y"), ("a b:c", 9001L, "z"))
+    (big ++ rest).toDF("part", "id", "payload")
+      .repartition(4).write.partitionBy("part").parquet(path)
+    val before = spark.read.parquet(path).orderBy("id").collect()
+
+    // ~small target so the big partition needs many files (width >> 1;
+    // actual file count is <= width under hash routing, but the odds of
+    // every salt colliding into one task are negligible at this width)
+    val (_, nAfter) = Store.compact(spark, path, "part", targetBytes = 8L << 10)
+
+    spark.read.parquet(path).orderBy("id").collect() shouldBe before
+    val bigFiles = Option(new java.io.File(path + "/part=big").listFiles())
+      .getOrElse(Array.empty).count(f => f.getName.endsWith(".parquet"))
+    bigFiles should be > 1
+    nAfter should be > 3L
+  }
+
   test("addColumns is additive and idempotent (schema.py:9-42 migration)") {
     import spark.implicits._
     val df = Seq((1, "x")).toDF("id", "s")
