@@ -114,6 +114,41 @@ object ScalarQueries {
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
       |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin
 
+  /** Z1: the Z-order (Morton) clustering key as a value-checked query —
+    * the native codegen'd expression (functions/ZOrder.scala, used by
+    * Store.writeZOrdered for multi-dimension scan-pruning layout)
+    * against the same magic-mask dilation ladder spelled out in
+    * portable integer SQL. Pure 64-bit integer math, so the compare is
+    * exact.
+    */
+  val z1ZOrder: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_orderkey" <= 2000)
+      .select($"l_orderkey", $"l_linenumber",
+        graft.functions.ZOrderKey.zorderKey($"l_partkey", $"l_suppkey").as("zkey"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+  val z1ZOrderSql: String = {
+    // dilate: spread the low 31 bits to even positions via the
+    // magic-mask ladder (decimal literals: 0x0000ffff0000ffff etc.)
+    def d(col: String, out: String) =
+      s""", s1 AS (SELECT * REPLACE (($col & 2147483647) AS $col) FROM __IN__)
+         |, s2 AS (SELECT * REPLACE ((($col | ($col << 16)) & 281470681808895) AS $col) FROM s1)
+         |, s3 AS (SELECT * REPLACE ((($col | ($col << 8)) & 71777214294589695) AS $col) FROM s2)
+         |, s4 AS (SELECT * REPLACE ((($col | ($col << 4)) & 1085102592571150095) AS $col) FROM s3)
+         |, s5 AS (SELECT * REPLACE ((($col | ($col << 2)) & 3689348814741910323) AS $col) FROM s4)
+         |, $out AS (SELECT * REPLACE ((($col | ($col << 1)) & 6148914691236517205) AS $col) FROM s5)"""
+        .stripMargin.replace("s1", out + "1").replace("s2", out + "2")
+        .replace("s3", out + "3").replace("s4", out + "4").replace("s5", out + "5")
+    s"""WITH base AS (SELECT l_orderkey, l_linenumber, l_partkey AS x, l_suppkey AS y
+       |              FROM lineitem WHERE l_orderkey <= 2000)
+       |${d("x", "dx").replace("__IN__", "base")}
+       |${d("y", "dy").replace("__IN__", "dx")}
+       |SELECT l_orderkey, l_linenumber, (x | (y << 1)) AS zkey
+       |FROM dy ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
   /** The SQL entry point: ONE dialect-portable SQL string executed
     * verbatim by both `spark.sql` (over registered temp views) and the
     * DuckDB oracle — join + filter + aggregate + HAVING + order.
@@ -137,7 +172,8 @@ object ScalarQueries {
     "q_c1_date_arith" -> c1DateArith,
     "q_c12_regex" -> c12Regex,
     "q_c13_classify" -> c13Classify,
-    "q_c15_json" -> c15Json
+    "q_c15_json" -> c15Json,
+    "q_z1_zorder" -> z1ZOrder
   )
 
   val oracles: Map[String, String] = Map(
@@ -146,6 +182,7 @@ object ScalarQueries {
     "q_c1_date_arith" -> c1DateArithSql,
     "q_c12_regex" -> c12RegexSql,
     "q_c13_classify" -> c13ClassifySql,
-    "q_c15_json" -> c15JsonSql
+    "q_c15_json" -> c15JsonSql,
+    "q_z1_zorder" -> z1ZOrderSql
   )
 }
