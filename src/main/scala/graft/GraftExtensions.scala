@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSimilarity, DotProduct, Hash60, NormalizeNFC, ShingleGenerator}
+import graft.functions.{CosineSimilarity, DotProduct, Hash60, NormalizeNFC, ShingleGenerator, ZOrderKey}
 
 /** SQL-surface registration of the engine's custom Catalyst
   * expressions (`SparkSessionExtensions.injectFunction`), so
@@ -15,6 +15,7 @@ import graft.functions.{CosineSimilarity, DotProduct, Hash60, NormalizeNFC, Shin
   *  - `shingles(text, n)`      — word n-gram generator (n a literal)
   *  - `vec_dot(a, b)`          — Σ aᵢ·bᵢ over array<double>
   *  - `vec_cosine(a, b)`       — cosine similarity over array<double>
+  *  - `zorder_key(x, y)`       — Morton clustering key (low 31 bits each)
   *
   * Apply with `SparkSession.builder.withExtensions(GraftExtensions)`
   * (Sessions.local does) or
@@ -57,5 +58,8 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),
       two("vec_cosine", CosineSimilarity.apply) _))
+    e.injectFunction((FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
+      two("zorder_key", ZOrderKey.apply) _))
   }
 }

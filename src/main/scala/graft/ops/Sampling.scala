@@ -161,6 +161,33 @@ object Sampling {
       .drop("__h", "__b", "__cum_in", "__off", "__start")
   }
 
+  /** Weighted sample WITHOUT replacement, k rows, deterministic
+    * (Efraimidis–Spirakis): each row gets key u^(1/w) with u a hash-
+    * derived uniform in (0,1], and the k largest keys win — inclusion
+    * probability scales with weight, and the same data + salt always
+    * picks the same rows (task retries and repartitions included,
+    * where `rand()`-based reservoirs are not even self-consistent).
+    *
+    * Scale shape: the top-k is the k-bounded mergeable aggregate
+    * (ops/TopK.scala) — losers die in the map-side partial, the
+    * exchange carries k rows per partition — and winners re-attach by
+    * broadcast semi-join on the hash. No global sort, no full-table
+    * window funnel.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+                     salt: String = "wsample"): DataFrame = {
+    val MaxHash = (1L << 60).toDouble
+    val h = TextOps.seededHash60(lit(salt), key.cast(StringType))
+    val withH = df.withColumn("__h", h)
+    val es = pow((col("__h") + 1).cast("double") / lit(MaxHash),
+      lit(1.0) / weight)
+    val winners = TopK.topKPerGroup(
+        withH.withColumn("__es", es).withColumn("__g", lit(1)),
+        "__g", col("__es"), col("__h"), k, "__es", "__h")
+      .select("__h")
+    withH.join(broadcast(winners), Seq("__h"), "left_semi").drop("__h")
+  }
+
   /** Mixture weighting: per-source keep-rates (dataset mixing for
     * training runs). Unlisted sources fall back to `defaultRate`.
     * Deterministic per key, map-side only — at 100 TB this is a pure

@@ -57,4 +57,9 @@ class ExtensionsSpec extends SparkSpec {
     row.getDouble(0) shouldBe 11.0
     row.getDouble(1) shouldBe 1.0
   }
+
+  test("SQL zorder_key equals the kernel") {
+    spark.sql("SELECT zorder_key(3L, 5L) AS z").collect().head.getLong(0) shouldBe
+      graft.functions.ZOrderImpl.interleave(3L, 5L)
+  }
 }

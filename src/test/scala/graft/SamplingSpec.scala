@@ -126,4 +126,46 @@ class SamplingSpec extends SparkSpec {
     rows(2) shouldBe "ip-ish 1.2.3 stays, short 12345678 stays"
     rows(3) shouldBe "clean text with no pii at all"
   }
+
+  test("weightedSample: exact k, deterministic, partitioning-invariant") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => (s"k$i", if (i % 4 == 0) 5.0 else 0.5))
+      .toDF("key", "w")
+    val a = Sampling.weightedSample(df, col("key"), col("w"), 60)
+      .select("key").as[String].collect().sorted.toSeq
+    val b = Sampling.weightedSample(df.repartition(7), col("key"), col("w"), 60)
+      .select("key").as[String].collect().sorted.toSeq
+    a.length shouldBe 60
+    b shouldBe a
+  }
+
+  test("weightedSample matches the naive full-sort ES formulation") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (s"k$i", 0.1 + (i % 7))).toDF("key", "w")
+    val h = TextOps.seededHash60(lit("wsample"), col("key"))
+    val es = pow((h + 1).cast("double") / lit((1L << 60).toDouble), lit(1.0) / col("w"))
+    val naive = df.withColumn("__es", es).orderBy(col("__es").desc, h.asc)
+      .limit(40).select("key").as[String].collect().toSet
+    val got = Sampling.weightedSample(df, col("key"), col("w"), 40)
+      .select("key").as[String].collect().toSet
+    got shouldBe naive
+  }
+
+  test("weightedSample favors heavier rows across independent salts") {
+    import spark.implicits._
+    // 400 rows, 100 heavy (w=5) vs 300 light (w=0.5); k=80. E[heavy in
+    // sample] far exceeds E[light]; sum over 5 salts to de-noise.
+    val df = (1 to 400).map(i => (s"k$i", i <= 100))
+      .toDF("key", "heavy")
+      .withColumn("w", when(col("heavy"), 5.0).otherwise(0.5))
+    val counts = (1 to 5).map { s =>
+      Sampling.weightedSample(df, col("key"), col("w"), 80, salt = s"ws$s")
+        .groupBy("heavy").count().as[(Boolean, Long)].collect().toMap
+    }
+    val heavy = counts.map(_.getOrElse(true, 0L)).sum
+    val light = counts.map(_.getOrElse(false, 0L)).sum
+    heavy + light shouldBe 400L // 5 salts x k=80
+    // with these weights the heavy class should win a large majority
+    heavy.toDouble should be > light.toDouble * 1.5
+  }
 }
