@@ -194,6 +194,52 @@ object PipelineQueries {
        |WHERE h2.n_overlap > 0
        |ORDER BY s2.id""".stripMargin
 
+  // ---- D2c: duplicate clusters via the O(log² n) scale path -----------
+
+  /** Same contract as q_d2b (each member labeled with its component's
+    * minimum id) computed by large-star/small-star contraction instead
+    * of label propagation — O(log² n) rounds vs O(diameter), the
+    * algorithm you'd actually run on a 100 TB pair set. Oracled against
+    * the identical recursive-CTE transitive closure, so the driver
+    * proves both implementations agree with the declarative spec.
+    */
+  val d2cDupClustersStar: Q = (s, d) =>
+    Dedup.dupClustersAlternating(Dedup.nearDupPairs(corpus(s, d), "id", "text"))
+      .orderBy("cluster_id", "id")
+  // Identical semantics to d2b — same oracle.
+  def d2cDupClustersStarSql: String = d2bDupClustersSql
+
+  // ---- D7: span-level (sub-document) dedup ----------------------------
+
+  /** Duplicated-span removal over the planted-dup corpus: 10-token
+    * non-overlapping windows, each duplicated window survives only in
+    * its minimum-id document, texts reassembled in order. Exact copies
+    * lose every chunk (empty clean_text); near-dups keep almost all
+    * (the one-token shift changes every window's content).
+    */
+  val d7Spans: Q = (s, d) =>
+    Dedup.spanDedup(corpus(s, d), "id", "text", span = 10).orderBy("id")
+  val d7SpansSql: String =
+    s"""WITH $corpusSql,
+       |t AS (SELECT id, string_split_regex(text, '\\s+') AS toks FROM corpus),
+       |posed AS (
+       |  SELECT id, toks,
+       |         unnest(generate_series(0, CAST(ceil(len(toks) / 10.0) AS BIGINT) - 1)) AS pos
+       |  FROM t),
+       |ch AS (
+       |  SELECT id, pos, array_to_string(toks[(pos*10+1):(pos*10+10)], ' ') AS chunk
+       |  FROM posed),
+       |hashed AS (SELECT id, pos, chunk, ${hash60Sql("chunk")} AS h FROM ch),
+       |owners AS (SELECT h, MIN(id) AS keep_id FROM hashed GROUP BY 1),
+       |flagged AS (
+       |  SELECT x.id, x.pos, x.chunk, (x.id = o.keep_id) AS keep
+       |  FROM hashed x JOIN owners o ON o.h = x.h)
+       |SELECT id,
+       |  COALESCE(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY pos), '') AS clean_text,
+       |  COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+       |FROM flagged GROUP BY id ORDER BY id""".stripMargin
+
   // ---- D3: SimHash fingerprints --------------------------------------
 
   /** Production path is the custom SimHashAgg Aggregator; the oracle
@@ -901,6 +947,52 @@ object PipelineQueries {
       |FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok FROM documents)
       |GROUP BY term ORDER BY n DESC, term LIMIT 25""".stripMargin
 
+  /** T11: df-normalized term weighting — the TF-IDF shape with
+    * integer-exact arithmetic (weight = tf·10⁶ div df) so both engines
+    * hash-match bit-for-bit: a log-based idf would differ between libm
+    * implementations in the last ulp. Top-3 terms per document by
+    * (weight DESC, term ASC).
+    *
+    * Scale shape: tf is a keyed (doc, term) count with map-side
+    * combine; df is a term-keyed distinct-doc count (small — one row
+    * per vocabulary term) joined back on term; the per-doc top-k window
+    * runs on the COLLAPSED tf frame (one row per doc×distinct-term,
+    * orders of magnitude below token count).
+    */
+  val t11TermWeights: Q = (s, d) => {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id",
+        explode(regexp_extract_all($"text", lit("[A-Za-z]+"), lit(0))).as("tok"))
+      .select($"doc_id", lower($"tok").as("term"))
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df_ = toks.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"weight".desc, $"term")
+    tf.join(df_, "term")
+      .withColumn("weight", expr("tf * 1000000 div df"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"term", $"tf", $"df", $"weight")
+      .orderBy("doc_id", "rank")
+  }
+  val t11TermWeightsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lower(tok) AS term
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok
+      |        FROM documents)),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df, tf.tf * 1000000 // df.df AS weight,
+      |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * 1000000 // df.df DESC, tf.term) AS INT) AS rank
+      |  FROM tf JOIN df USING (term))
+      |SELECT doc_id, rank, term, tf, df, weight
+      |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   /** T10: document chunking — fixed-size overlapping token windows
     * (window W=40 tokens, stride S=30), the standard pre-tokenization
     * split for long-document training corpora. Start offsets come from
@@ -940,8 +1032,10 @@ object PipelineQueries {
     "q_d1_exact_dedup" -> d1Exact,
     "q_d2_minhash_lsh" -> d2MinHashLsh,
     "q_d2b_dup_clusters" -> d2bDupClusters,
+    "q_d2c_dup_clusters_star" -> d2cDupClustersStar,
     "q_d5_jaccard_ngram" -> d5NgramJaccard,
     "q_d6_decontaminate" -> d6Decontaminate,
+    "q_d7_spans" -> d7Spans,
     "q_d3_simhash" -> d3SimHash,
     "q_d4_simhash_pairs" -> d4SimHashPairs,
     "q_e1_knn_brute" -> e1KnnBrute,
@@ -958,6 +1052,7 @@ object PipelineQueries {
     "q_t7_curation" -> t7Curation,
     "q_t8_normalize" -> t8Normalize,
     "q_t9_topterms" -> t9TopTerms,
+    "q_t11_term_weights" -> t11TermWeights,
     "q_t10_chunks" -> t10Chunks,
     "q_p1_stratified" -> p1Stratified,
     "q_p2_mixture" -> p2Mixture,
@@ -972,8 +1067,10 @@ object PipelineQueries {
     "q_d1_exact_dedup" -> d1ExactSql,
     "q_d2_minhash_lsh" -> d2MinHashLshSql,
     "q_d2b_dup_clusters" -> d2bDupClustersSql,
+    "q_d2c_dup_clusters_star" -> d2cDupClustersStarSql,
     "q_d5_jaccard_ngram" -> d5NgramJaccardSql,
     "q_d6_decontaminate" -> d6DecontaminateSql,
+    "q_d7_spans" -> d7SpansSql,
     "q_d3_simhash" -> d3SimHashSql,
     "q_d4_simhash_pairs" -> d4SimHashPairsSql,
     "q_e1_knn_brute" -> e1KnnBruteSql,
@@ -990,6 +1087,7 @@ object PipelineQueries {
     "q_t7_curation" -> t7CurationSql,
     "q_t8_normalize" -> t8NormalizeSql,
     "q_t9_topterms" -> t9TopTermsSql,
+    "q_t11_term_weights" -> t11TermWeightsSql,
     "q_t10_chunks" -> t10ChunksSql,
     "q_p1_stratified" -> p1StratifiedSql,
     "q_p2_mixture" -> p2MixtureSql,

@@ -476,6 +476,34 @@ object Queries {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---- J12: bloom-pruned join ------------------------------------------
+
+  /** J12: orders ⋈ BUILDING-segment customers with a Bloom-filter
+    * pre-gate on the fact side — semi-join reduction for the regime
+    * where the dimension's rows don't fit a broadcast but its key set
+    * fits a few-MB filter. The filter admits no false negatives, so the
+    * result is row-identical to the plain join (which is exactly what
+    * the oracle runs); false positives are dropped by the exact join.
+    */
+  val j12Bloom: Q = (s, d) => {
+    import s.implicits._
+    val dim = Tables.customer(s, d)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    graft.ops.Bloom.prunedJoin(Tables.orders(s, d), dim,
+        "o_custkey", "c_custkey", expectedItems = 100000L)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.ops.Exact.sum2($"o_totalprice").as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+  val j12BloomSql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  ${graft.ops.Exact.sum2Sql("o_totalprice")} AS total_price
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   // ---- V1: column-level data profiling --------------------------------
 
   /** One-pass per-column profile of lineitem (nulls, exact distincts,
@@ -542,8 +570,10 @@ object Queries {
     "q_j7_overlap" -> j7Overlap,
     "q_j8_full_outer_diff" -> j8FullOuterDiff,
     "q_j9_salted" -> j9Salted,
+    "q_j12_bloom" -> j12Bloom,
     "q_v1_profile" -> v1Profile
-  ) ++ WindowQueries.all ++ PipelineQueries.all ++ ScalarQueries.all ++ TemporalQueries.all
+  ) ++ WindowQueries.all ++ PipelineQueries.all ++ ScalarQueries.all ++
+    TemporalQueries.all ++ SketchQueries.all
 
   val oracles: Map[String, String] = Map(
     "q_f1_snapshot" -> f1SnapshotSql,
@@ -573,6 +603,8 @@ object Queries {
     "q_j7_overlap" -> j7OverlapSql,
     "q_j8_full_outer_diff" -> j8FullOuterDiffSql,
     "q_j9_salted" -> j9SaltedSql,
+    "q_j12_bloom" -> j12BloomSql,
     "q_v1_profile" -> v1ProfileSql
-  ) ++ WindowQueries.oracles ++ PipelineQueries.oracles ++ ScalarQueries.oracles ++ TemporalQueries.oracles
+  ) ++ WindowQueries.oracles ++ PipelineQueries.oracles ++ ScalarQueries.oracles ++
+    TemporalQueries.oracles ++ SketchQueries.oracles
 }

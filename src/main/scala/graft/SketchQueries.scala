@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Sketches, TextOps}
+
+/** Sketch-based estimation queries: KMV distinct-count and Count-Min
+  * frequency. Both sketches use the portable 60-bit md5 hash, so the
+  * DuckDB oracle recomputes the sketch content bit-for-bit and the
+  * ESTIMATES (not just the exact sides) hash-match across engines —
+  * the determinism a reproducible 100 TB pipeline needs.
+  */
+object SketchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- K1: KMV distinct sketch ----------------------------------------
+
+  /** K1: distinct (user, day) combinations per event_type, exact AND
+    * via a k=64 KMV sketch. The sketch column is a real mergeable
+    * aggregate (fixed 512-byte state per group, partial-merged
+    * map-side); the exact count rides along for error visibility. The
+    * estimator arithmetic stays in exactly-representable doubles so
+    * both engines produce the identical bits.
+    */
+  private val K = 64
+  val k1Kmv: Q = (s, d) => {
+    val kmv = Sketches.kmvSketch(K)
+    Tables.events(s, d)
+      .select(col("event_type"),
+        TextOps.hash60(concat(col("user_id").cast("string"), lit(":"),
+          date_format(col("ts"), "yyyy-MM-dd"))).as("h"))
+      .groupBy("event_type")
+      .agg(countDistinct(col("h")).as("n_exact"), kmv(col("h")).as("sk"))
+      .select(col("event_type"), col("n_exact"),
+        Sketches.kmvThreshold(col("sk"), K).as("kth_min"),
+        Sketches.kmvEstimate(col("sk"), K).as("est_distinct"))
+      .orderBy("event_type")
+  }
+  val k1KmvSql: String = {
+    val h = TextOps.hash60Sql(
+      "CAST(user_id AS VARCHAR)||':'||strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')")
+    s"""WITH e AS (SELECT event_type, $h AS h FROM events),
+       |d AS (SELECT DISTINCT event_type, h FROM e),
+       |r AS (SELECT event_type, h,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+       |        COUNT(*) OVER (PARTITION BY event_type) AS nd
+       |      FROM d)
+       |SELECT event_type, MAX(nd) AS n_exact,
+       |  MAX(CASE WHEN rn = $K THEN h END) AS kth_min,
+       |  CASE WHEN MAX(nd) < $K THEN CAST(MAX(nd) AS DOUBLE)
+       |       ELSE ${K - 1}.0 * 1152921504606846976 / MAX(CASE WHEN rn = $K THEN h END)
+       |  END AS est_distinct
+       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  // ---- K2: Count-Min frequency sketch ----------------------------------
+
+  /** K2: estimated vs exact counts for the exact top-20 corpus terms,
+    * through a depth-4 × width-1024 Count-Min cell table. The cell
+    * table is ≤ 4096 rows regardless of corpus size and is broadcast
+    * for the probe join; estimates never undercount (CMS guarantee —
+    * spec-asserted, and visible in the driver compare since the oracle
+    * reproduces the identical cells).
+    */
+  private val Depth = 4
+  private val Width = 1024
+  val k2Cms: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(explode(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("tok"))
+      .select(lower(col("tok")).as("term"))
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term")).limit(20)
+    val cells = Sketches.cmsCells(toks, col("term"), Depth, Width)
+    Sketches.cmsEstimate(cells, exact.select("term"), Depth, Width)
+      .join(exact, "term")
+      .select(col("term"), col("exact_cnt"), col("est_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term"))
+  }
+  val k2CmsSql: String =
+    s"""WITH toks AS (
+       |  SELECT lower(tok) AS term
+       |  FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok FROM documents)),
+       |exact AS (
+       |  SELECT term, COUNT(*) AS exact_cnt FROM toks GROUP BY 1
+       |  ORDER BY exact_cnt DESC, term LIMIT 20),
+       |cells AS (
+       |${Sketches.cmsCellsSql("toks", Depth, Width)}),
+       |probes AS (
+       |  SELECT t.term, s.seed,
+       |         ${TextOps.seededHash60Sql("s.seed", "t.term")} % $Width AS cell
+       |  FROM exact t CROSS JOIN (SELECT unnest(generate_series(0, ${Depth - 1})) AS seed) s),
+       |est AS (
+       |  SELECT p.term, MIN(c.cnt) AS est_cnt
+       |  FROM probes p JOIN cells c ON c.seed = p.seed AND c.cell = p.cell
+       |  GROUP BY 1)
+       |SELECT e.term, e.exact_cnt, est.est_cnt
+       |FROM exact e JOIN est ON est.term = e.term
+       |ORDER BY e.exact_cnt DESC, e.term""".stripMargin
+
+  // ---- registry ---------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "q_k1_kmv" -> k1Kmv,
+    "q_k2_cms" -> k2Cms)
+
+  val oracles: Map[String, String] = Map(
+    "q_k1_kmv" -> k1KmvSql,
+    "q_k2_cms" -> k2CmsSql)
+}

@@ -112,15 +112,52 @@ object TemporalQueries {
        |FROM numbered GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  // ---- resample to bars -------------------------------------------------
+
+  /** G2: 6-hour OHLC bars per event_type — the time-series resample
+    * (downsampling) operator. One keyed aggregation with map-side
+    * combine; open/close are min_by/max_by over the unique (ts,
+    * event_id) order, so no window sort of the raw events. The oracle
+    * states first/last-in-bucket the row_number way.
+    */
+  private val BucketUs = 6L * 3600 * 1000000
+  val g2Bars: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("value"))
+    graft.ops.Temporal.resampleBars(e, Seq("event_type"),
+        col("us"), col("value"), col("event_id"), BucketUs)
+      .select("event_type", "bucket", "open", "close", "lo", "hi",
+        "n_events", "volume")
+      .orderBy("event_type", "bucket")
+  }
+  val g2BarsSql: String =
+    s"""WITH e AS (SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+       |w AS (
+       |  SELECT event_type, us // $BucketUs AS bucket, value,
+       |    row_number() OVER (PARTITION BY event_type, us // $BucketUs
+       |      ORDER BY us, event_id) AS ra,
+       |    row_number() OVER (PARTITION BY event_type, us // $BucketUs
+       |      ORDER BY us DESC, event_id DESC) AS rd
+       |  FROM e)
+       |SELECT event_type, bucket,
+       |  MAX(CASE WHEN ra = 1 THEN value END) AS open,
+       |  MAX(CASE WHEN rd = 1 THEN value END) AS close,
+       |  MIN(value) AS lo, MAX(value) AS hi,
+       |  COUNT(*) AS n_events,
+       |  ${graft.ops.Exact.sum2Sql("value")} AS volume
+       |FROM w GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q_j10_asof" -> j10AsOf,
     "q_j11_range" -> j11Range,
-    "q_g1_sessions" -> g1Sessions)
+    "q_g1_sessions" -> g1Sessions,
+    "q_g2_bars" -> g2Bars)
 
   val oracles: Map[String, String] = Map(
     "q_j10_asof" -> j10AsOfSql,
     "q_j11_range" -> j11RangeSql,
-    "q_g1_sessions" -> g1SessionsSql)
+    "q_g1_sessions" -> g1SessionsSql,
+    "q_g2_bars" -> g2BarsSql)
 }

@@ -276,9 +276,42 @@ object WindowQueries {
       |  FROM orders) WHERE rank <= 3
       |ORDER BY o_orderpriority, rank""".stripMargin
 
+  // ---- W9: sliding-window distinct count ------------------------------
+
+  /** W9: distinct active users per trailing 7-day window, one row per
+    * observed day. COUNT(DISTINCT) can't run inside a window frame, and
+    * the naive per-day range self-join rescans 7× the facts; the scale
+    * shape is: collapse to distinct (day, user) first (keyed agg with
+    * partial combine — the big reduction), then each (day, user) fact
+    * contributes map-side to exactly the 7 window-ends it can affect
+    * (a constant-factor explode of the ALREADY-collapsed frame), then
+    * one distinct-count per window end. The oracle states the same
+    * semantics as the naive range join.
+    */
+  val w9SlidingDistinct: Q = (s, d) => {
+    import s.implicits._
+    val dayUser = Tables.events(s, d)
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    val days = dayUser.select($"day").distinct()
+    dayUser
+      .select(explode(sequence($"day", date_add($"day", 6))).as("wend"), $"user_id")
+      .join(days.withColumnRenamed("day", "wend"), Seq("wend"), "left_semi")
+      .groupBy($"wend")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .select(dstr($"wend").as("window_end"), $"n_users")
+      .orderBy("window_end")
+  }
+  val w9SlidingDistinctSql: String =
+    s"""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+       |days AS (SELECT DISTINCT day FROM du)
+       |SELECT ${dstrSql("d.day")} AS window_end, COUNT(DISTINCT du.user_id) AS n_users
+       |FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+       |GROUP BY 1 ORDER BY window_end""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "q_w9_sliding_distinct" -> w9SlidingDistinct,
     "q_w1_rank_topn" -> w1RankTopN,
     "q_w2w3_dense_pct" -> w2w3DensePct,
     "q_w4_partition_total" -> w4PartitionTotal,
@@ -292,6 +325,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_w9_sliding_distinct" -> w9SlidingDistinctSql,
     "q_w1_rank_topn" -> w1RankTopNSql,
     "q_w2w3_dense_pct" -> w2w3DensePctSql,
     "q_w4_partition_total" -> w4PartitionTotalSql,

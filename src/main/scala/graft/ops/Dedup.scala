@@ -483,6 +483,52 @@ object Dedup {
           .as("overlap_frac"))
   }
 
+  // ---- Span-level (sub-document) dedup --------------------------------
+
+  /** C4-style duplicated-span removal: cut each document into
+    * consecutive `span`-token windows (stride = span, non-overlapping),
+    * drop every window whose exact content also appears in a
+    * lower-id document (the canonical owner keeps its copy), and
+    * reassemble the surviving windows in order. This removes cross-
+    * document boilerplate (headers, license blocks, navigation chrome)
+    * that document-level dedup can't see.
+    *
+    * Scale shape: chunk ownership is a groupBy(hash).agg(min(id)) —
+    * partial aggregation collapses repeated boilerplate map-side, so a
+    * chunk duplicated a billion times arrives at the reducer as one row
+    * per upstream task, not a billion rows (the skew-safe alternative
+    * to a min-over-window on the chunk hash, which would sort the hot
+    * key's rows in one partition). The join back is a plain shuffle
+    * hash join on the 8-byte chunk hash; AQE splits any residual skew.
+    * Reconstruction is one aggregation keyed by document id.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String, span: Int): DataFrame = {
+    require(span >= 1, s"span must be >= 1, got $span")
+    val toks = TextOps.tokens(col(textCol))
+    // ceil(nTokens / span); split() never returns an empty array, so
+    // nChunks >= 1 and the sequence below never counts down.
+    val nChunks = floor((size(toks) + (span - 1)) / span).cast(LongType)
+    val chunks = Partitioning.spread(df)
+      .select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0L), nChunks - 1),
+          i => array_join(slice(toks, (i * span + 1).cast(IntegerType), lit(span)), " ")))
+          .as(Seq("pos", "chunk")))
+      .withColumn("h", TextOps.hash60(col("chunk")))
+    val owners = chunks.groupBy("h").agg(min(col("id")).as("keep_id"))
+    chunks.join(owners, "h")
+      .withColumn("keep", col("id") === col("keep_id"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"), struct(col("pos"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("clean_text"))
+      .select(col("id"), col("clean_text"), col("n_chunks"), col("n_dropped"))
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** 60-bit SimHash folded over per-token hash60 values.

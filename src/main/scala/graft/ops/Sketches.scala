@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Mergeable sketches for cardinality and frequency estimation at
+  * 100 TB scale, where exact answers would shuffle the full key set.
+  *
+  * Two families:
+  *
+  *   - KMV (k-minimum-values, the bottom-k / theta sketch): keep the k
+  *     smallest distinct 60-bit hashes per group. Fixed k·8-byte state
+  *     per group regardless of input size, associative+commutative merge
+  *     (union of two sketches = sketch of the union), so Spark's partial
+  *     aggregation combines map-side and only sketches cross the
+  *     shuffle. Estimator: (k−1) · 2^60 / h_(k) — Beyer et al.,
+  *     "On Synopses for Distinct-Value Estimation Under Multiset
+  *     Operations" (SIGMOD'07).
+  *
+  *   - Count-Min (Cormode & Muthukrishnan '05), kept RELATIONAL: the
+  *     d×w counter matrix is represented as a (seed, cell, cnt) table
+  *     built by one keyed aggregation. d·w is a constant (a few
+  *     thousand rows) regardless of corpus size, the partial aggregate
+  *     collapses each task's contribution to ≤ d·w rows before the
+  *     shuffle, and point lookups are a broadcast join against the
+  *     cell table. No driver-side state at all, and the same hash
+  *     (seeded md5-60) is reproducible in any engine.
+  *
+  * Both use the portable hash60 so the DuckDB oracle can recompute the
+  * sketch bit-for-bit (see TextOps.hash60Sql).
+  */
+object Sketches {
+
+  /** 2^60 as an exact double (6-bit mantissa after the multiply below —
+    * no rounding), shared by the Spark and oracle estimator.
+    */
+  val Exp60: Double = 1152921504606846976L.toDouble
+
+  /** KMV sketch aggregator: the k smallest DISTINCT hash values, as a
+    * sorted array. The buffer is immutable-by-convention (a new array
+    * is allocated only when the sketch actually changes; the common
+    * case at steady state — h above the current k-th minimum — is a
+    * branch and no allocation).
+    */
+  final class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+
+    def zero: Array[Long] = Array.emptyLongArray
+
+    def reduce(b: Array[Long], h: Long): Array[Long] = insert(b, h)
+
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        // classic two-pointer sorted-union, truncated at k
+        val out = new Array[Long](math.min(k, a.length + b.length))
+        var i = 0; var j = 0; var n = 0
+        while (n < out.length && (i < a.length || j < b.length)) {
+          val take =
+            if (i == a.length) { j += 1; b(j - 1) }
+            else if (j == b.length) { i += 1; a(i - 1) }
+            else if (a(i) < b(j)) { i += 1; a(i - 1) }
+            else if (b(j) < a(i)) { j += 1; b(j - 1) }
+            else { i += 1; j += 1; a(i - 1) } // equal: consume both
+          if (n == 0 || out(n - 1) != take) { out(n) = take; n += 1 }
+        }
+        if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+      }
+
+    def finish(b: Array[Long]): Array[Long] = b
+
+    private def insert(b: Array[Long], h: Long): Array[Long] = {
+      if (b.length == k && h >= b(k - 1)) return b // steady state: no alloc
+      val pos = java.util.Arrays.binarySearch(b, h)
+      if (pos >= 0) return b // already present
+      val ins = -pos - 1
+      val outLen = math.min(k, b.length + 1)
+      val out = new Array[Long](outLen)
+      System.arraycopy(b, 0, out, 0, ins)
+      out(ins) = h
+      System.arraycopy(b, ins, out, ins + 1, outLen - ins - 1)
+      out
+    }
+
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** KMV sketch as an aggregate column over a non-null LongType hash
+    * column. Use with `groupBy(...).agg(kmvSketch(64)(col("h")))`.
+    */
+  def kmvSketch(k: Int): Column => Column = {
+    val agg = udaf(new KmvAgg(k), Encoders.scalaLong)
+    h => agg(h)
+  }
+
+  /** Distinct-count estimate from a KMV sketch array: exact when the
+    * sketch isn't full (it holds every distinct hash), otherwise
+    * (k−1)·2^60 / h_(k). `get` (0-based) returns NULL out of bounds, so
+    * this is ANSI-safe on partial sketches.
+    */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast(DoubleType))
+      .otherwise(lit((k - 1).toDouble * Exp60) / get(sketch, lit(k - 1)).cast(DoubleType))
+
+  /** The k-th minimum hash (the sketch threshold θ), NULL until full. */
+  def kmvThreshold(sketch: Column, k: Int): Column = get(sketch, lit(k - 1))
+
+  // ---- Count-Min --------------------------------------------------------
+
+  /** Count-Min cell table: one row per (seed, cell) with the summed hit
+    * count. `depth` independent hash rows via the seeded 60-bit hash,
+    * `width` cells per row. The explode multiplies input rows by
+    * `depth`, but the partial aggregate collapses each task to at most
+    * depth·width rows before anything shuffles.
+    */
+  def cmsCells(df: DataFrame, term: Column, depth: Int, width: Int): DataFrame = {
+    val seeded = df.select(
+      explode(array((0 until depth).map(lit): _*)).as("seed"),
+      term.as("term"))
+    seeded
+      .select(col("seed"),
+        pmod(TextOps.seededHash60(col("seed"), col("term")), lit(width.toLong)).as("cell"))
+      .groupBy("seed", "cell")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate the frequency of each term in `terms` (a frame with
+    * a `term` column) against a cell table: min over the d row counters.
+    * The cell table is tiny (≤ depth·width rows) and is broadcast; the
+    * estimate never underestimates (CMS guarantee).
+    */
+  def cmsEstimate(cells: DataFrame, terms: DataFrame, depth: Int, width: Int): DataFrame = {
+    val probes = terms
+      .select(col("term"), explode(array((0 until depth).map(lit): _*)).as("seed"))
+      .withColumn("cell",
+        pmod(TextOps.seededHash60(col("seed"), col("term")), lit(width.toLong)))
+    probes
+      .join(broadcast(cells), Seq("seed", "cell"))
+      .groupBy("term")
+      .agg(min(col("cnt")).as("est_cnt"))
+  }
+
+  /** Oracle fragment: the cell table in DuckDB SQL over a `term` source
+    * CTE. Mirrors `cmsCells` exactly (same seeded hash, same modulus).
+    */
+  def cmsCellsSql(termsCte: String, depth: Int, width: Int): String =
+    s"""SELECT seed, ${TextOps.seededHash60Sql("seed", "term")} % $width AS cell,
+       |       COUNT(*) AS cnt
+       |FROM $termsCte CROSS JOIN (SELECT unnest(generate_series(0, ${depth - 1})) AS seed) seeds
+       |GROUP BY 1, 2""".stripMargin
+}

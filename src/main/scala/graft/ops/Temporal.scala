@@ -102,6 +102,36 @@ object Temporal {
         (col("__rus") - col("__lus")).as("delta_us"): _*)
   }
 
+  /** Time-bucket resampling to OHLC-style bars: one row per
+    * (`groupCols`, bucket) with open/close (value at the first/last
+    * event in the bucket), low/high, event count, and an exact decimal
+    * sum of `valueCol`.
+    *
+    * open/close use `min_by`/`max_by` over a (ts, tieBreak) struct —
+    * a plain aggregation with map-side partial merge, NOT a window:
+    * first/last-in-bucket via row_number would shuffle and sort every
+    * event, while min_by reduces each task's bucket to one candidate
+    * before the exchange. `tieBreak` must make (ts, tieBreak) unique
+    * within a bucket (an event id) or open/close are nondeterministic.
+    */
+  def resampleBars(events: DataFrame, groupCols: Seq[String], tsUs: Column,
+                   valueCol: Column, tieBreak: Column, bucketUs: Long): DataFrame = {
+    val ord = struct(tsUs.as("ts"), tieBreak.as("tb"))
+    events
+      // integer floor-division keeps bucket assignment exact at
+      // boundaries (double division would round)
+      .withColumn("__us", tsUs)
+      .withColumn("bucket", expr(s"__us div ${bucketUs}L"))
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(
+        min_by(valueCol, ord).as("open"),
+        max_by(valueCol, ord).as("close"),
+        min(valueCol).as("lo"),
+        max(valueCol).as("hi"),
+        count(lit(1)).as("n_events"),
+        Exact.sum2(valueCol).as("volume"))
+  }
+
   /** Gap-based sessionization: events for the same `key` belong to one
     * session while consecutive gaps are <= `gapUs` microseconds.
     * Returns one row per session: (key, session_id, n_events, start_us,

@@ -59,4 +59,31 @@ object Incremental {
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("n"))
+
+  /** Stream-stream interval join — the streaming twin of
+    * `Temporal.intervalJoin`: each left event pairs with right events
+    * for the same key in `(leftTs, leftTs + window]`. Both sides carry
+    * watermarks and the join condition is time-bounded in BOTH
+    * directions, so Spark can evict buffered state: left rows older
+    * than (watermark − window) can never match a future right row, and
+    * vice versa — without the two-sided bound the join would buffer
+    * both streams forever.
+    *
+    * `left`/`right` must expose `key` plus a TimestampType `ts`; their
+    * other columns are disambiguated with an `l_`/`r_` prefix.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+                         watermark: String, window: String): DataFrame = {
+    val l = left.columns.foldLeft(left) { (df, c) =>
+      if (c == key || c == "ts") df else df.withColumnRenamed(c, s"l_$c")
+    }.withColumnRenamed("ts", "l_ts").withWatermark("l_ts", watermark)
+    val r = right.columns.foldLeft(right) { (df, c) =>
+      if (c == key || c == "ts") df else df.withColumnRenamed(c, s"r_$c")
+    }.withColumnRenamed("ts", "r_ts").withWatermark("r_ts", watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+      .drop(r(key))
+  }
 }

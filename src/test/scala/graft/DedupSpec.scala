@@ -238,4 +238,22 @@ class DedupSpec extends SparkSpec {
       TextOps.hash60Composable(col("s")).as("composable")).collect()
     out.foreach(r => r.getLong(0) shouldBe r.getLong(1))
   }
+
+  test("spanDedup: duplicated windows survive only in the min-id doc, order kept") {
+    import spark.implicits._
+    // span=2 windows; doc 3 is an exact copy of doc 1 → loses everything;
+    // doc 5 shares only its first window with doc 1 → partial drop.
+    val docs = Seq(
+      (1L, "a b c d"),          // chunks: "a b", "c d"
+      (3L, "a b c d"),          // all chunks owned by doc 1
+      (5L, "a b x y z")         // "a b" dropped, "x y" + "z" kept
+    ).toDF("id", "text")
+    val got = Dedup.spanDedup(docs, "id", "text", span = 2)
+      .orderBy("id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, "a b c d", 2L, 0L),
+      (3L, "", 2L, 2L),
+      (5L, "x y z", 3L, 1L))
+  }
 }

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Bloom, Sketches, TextOps}
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- KMV ------------------------------------------------------------
+
+  test("KMV sketch equals the k smallest distinct hashes, any partitioning") {
+    val k = 8
+    val kmv = Sketches.kmvSketch(k)
+    val df = (1 to 500).map(i => s"key${i % 137}").toDF("s")
+      .select(TextOps.hash60($"s").as("h"))
+    val expected = df.distinct().orderBy("h").as[Long].take(k).toSeq
+
+    for (parts <- Seq(1, 3, 7)) {
+      val sk = df.repartition(parts).agg(kmv($"h")).as[Seq[Long]].head()
+      sk shouldBe expected
+    }
+  }
+
+  test("KMV sketch is exact (and the estimate is the count) below k") {
+    val k = 64
+    val kmv = Sketches.kmvSketch(k)
+    val df = (1 to 10).map(i => s"v$i").toDF("s")
+      .select(TextOps.hash60($"s").as("h"))
+    val out = df.agg(kmv($"h").as("sk"))
+      .select(org.apache.spark.sql.functions.size($"sk").as("n"),
+        Sketches.kmvEstimate($"sk", k).as("est"),
+        Sketches.kmvThreshold($"sk", k).as("kth"))
+      .head()
+    out.getInt(0) shouldBe 10
+    out.getDouble(1) shouldBe 10.0
+    out.isNullAt(2) shouldBe true
+  }
+
+  test("KMV estimate lands near the true cardinality when full") {
+    val k = 64
+    val kmv = Sketches.kmvSketch(k)
+    val n = 5000
+    val df = (1 to n).map(i => s"item-$i").toDF("s")
+      .select(TextOps.hash60($"s").as("h"))
+    val est = df.agg(kmv($"h").as("sk"))
+      .select(Sketches.kmvEstimate($"sk", k)).as[Double].head()
+    // std error ~ 1/sqrt(k-2) ~ 13%; allow 4 sigma
+    est shouldBe (n.toDouble +- n * 0.5)
+  }
+
+  test("KMV merge: sketch of a union == merge of the halves' sketches") {
+    val k = 16
+    val kmv = Sketches.kmvSketch(k)
+    val a = (1 to 300).map(i => s"a$i").toDF("s").select(TextOps.hash60($"s").as("h"))
+    val b = (200 to 500).map(i => s"a$i").toDF("s").select(TextOps.hash60($"s").as("h"))
+    val whole = a.union(b).agg(kmv($"h")).as[Seq[Long]].head()
+    // union() concatenates partitions, so the aggregator must merge
+    // per-partition sketches — compare against a single-partition run
+    val serial = a.union(b).coalesce(1).agg(kmv($"h")).as[Seq[Long]].head()
+    whole shouldBe serial
+  }
+
+  // ---- Count-Min -------------------------------------------------------
+
+  test("CMS estimates never undercount, and are exact for unique cells") {
+    val depth = 4; val width = 512
+    val words = Seq.fill(200)("the") ++ Seq.fill(90)("cat") ++
+      (1 to 150).map(i => s"rare$i")
+    val toks = words.toDF("term")
+    val cells = Sketches.cmsCells(toks, $"term", depth, width)
+    // total mass per row of the matrix == input count
+    val mass = cells.groupBy("seed").agg(sum($"cnt").as("m"))
+      .select("m").as[Long].collect()
+    all(mass) shouldBe words.size.toLong
+
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("exact"))
+    val est = Sketches.cmsEstimate(cells, exact.select("term"), depth, width)
+    val joined = est.join(exact, "term")
+      .select($"term", $"est_cnt", $"exact").collect()
+    joined.foreach { r =>
+      r.getLong(1) should be >= r.getLong(2)
+    }
+    // the heavy hitters collide with ~nothing at this width
+    joined.filter(r => r.getString(0) == "the" || r.getString(0) == "cat")
+      .foreach(r => r.getLong(1) shouldBe r.getLong(2))
+  }
+
+  // ---- Bloom join pruning ---------------------------------------------
+
+  test("bloom-pruned join is row-identical to the plain join") {
+    val orders = Tables.orders(spark, sf)
+    val dim = Tables.customer(spark, sf)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val pruned = Bloom.prunedJoin(orders, dim, "o_custkey", "c_custkey", 10000L)
+      .select($"o_orderkey", $"c_custkey").orderBy("o_orderkey")
+    val plain = orders.join(dim, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_custkey").orderBy("o_orderkey")
+    pruned.collect() shouldBe plain.collect()
+  }
+
+  test("bloom pre-gate filters the fact side below the join exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val orders = Tables.orders(spark, sf)
+      val dim = Tables.customer(spark, sf)
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val pruned = Bloom.prunedJoin(orders, dim, "o_custkey", "c_custkey", 10000L)
+      val plan = pruned.queryExecution.executedPlan.toString
+      // the UDF gate must sit in the fact scan's stage (below the
+      // exchange), not above the join
+      val gateIdx = plan.indexOf("UDF(o_custkey")
+      gateIdx should be >= 0
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      joinIdx should be >= 0
+      gateIdx should be > joinIdx // printed below the join == earlier in execution
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  // ---- registered sketch queries oracle smoke -------------------------
+
+  test("q_k1_kmv / q_k2_cms run and keep their invariants") {
+    val k1 = SketchQueries.k1Kmv(spark, sf).collect()
+    k1.length shouldBe 5 // one row per event_type
+    k1.foreach { r =>
+      val exact = r.getLong(1)
+      val est = r.getDouble(3)
+      if (exact < 64) est shouldBe exact.toDouble
+      else est shouldBe (exact.toDouble +- exact * 0.8)
+    }
+    val k2 = SketchQueries.k2Cms(spark, sf).collect()
+    k2.length shouldBe 20
+    k2.foreach(r => r.getLong(2) should be >= r.getLong(1))
+  }
+}

@@ -236,4 +236,41 @@ class StreamingSpec extends SparkSpec {
     out(0).getLong(1) shouldBe 2L
     out(1).getLong(1) shouldBe 1L
   }
+
+  test("intervalJoinStream pairs within the window and evicts old state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val errors = MemoryStream[(Long, Timestamp, Long)]
+    val joined = Incremental.intervalJoinStream(
+      clicks.toDF().toDF("user", "ts", "click_id"),
+      errors.toDF().toDF("user", "ts", "error_id"),
+      key = "user", watermark = "10 seconds", window = "5 minutes")
+    val q = joined.select("user", "l_click_id", "r_error_id")
+      .writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      clicks.addData((1L, t("2024-01-01 10:00:00"), 100L),
+                     (2L, t("2024-01-01 10:00:00"), 101L))
+      errors.addData(
+        (1L, t("2024-01-01 10:02:00"), 900L), // in window → joins
+        (1L, t("2024-01-01 10:06:00"), 901L), // beyond 5 min → no join
+        (2L, t("2024-01-01 09:59:00"), 902L)) // before the click → no join
+      q.processAllAvailable()
+      // push watermarks forward so results emit
+      clicks.addData((9L, t("2024-01-01 11:00:00"), 999L))
+      errors.addData((9L, t("2024-01-01 11:00:00"), 998L))
+      q.processAllAvailable()
+      val rows = spark.table("ij_out").as[(Long, Long, Long)].collect().toSet
+      rows should contain ((1L, 100L, 900L))
+      rows.map(_._3) should not contain 901L
+      rows.map(_._3) should not contain 902L
+      q.exception shouldBe empty
+      // two-sided time bound ⇒ the physical join reports watermark-based
+      // state eviction (both sides carry a removal condition)
+      q.lastProgress.stateOperators should not be empty
+    } finally q.stop()
+  }
 }

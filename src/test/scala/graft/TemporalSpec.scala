@@ -104,4 +104,30 @@ class TemporalSpec extends SparkSpec {
       (1L, 2L, 1L, 31L, 31L, 0L),
       (2L, 1L, 1L, 5L, 5L, 0L))
   }
+
+  test("resampleBars: open/close by (ts, id) order, deterministic on ts ties") {
+    val ev = Seq(
+      // bucket 0 (us 0..99): ts tie at 10 — lower id (1, v=7.5) wins open
+      ("a", 10L, 2L, 5.25), ("a", 10L, 1L, 7.5), ("a", 90L, 3L, 1.0),
+      // bucket 1: single event — open == close == lo == hi
+      ("a", 150L, 4L, 3.0),
+      ("b", 20L, 5L, 9.0), ("b", 80L, 6L, 2.0)
+    ).toDF("g", "us", "id", "v")
+    val got = Temporal.resampleBars(ev, Seq("g"), $"us", $"v", $"id", 100L)
+      .select($"g", $"bucket", $"open", $"close", $"lo", $"hi", $"n_events", $"volume")
+      .as[(String, Long, Double, Double, Double, Double, Long, Double)]
+      .collect().toSet
+    got shouldBe Set(
+      ("a", 0L, 7.5, 1.0, 1.0, 7.5, 3L, 13.75),
+      ("a", 1L, 3.0, 3.0, 3.0, 3.0, 1L, 3.0),
+      ("b", 0L, 9.0, 2.0, 2.0, 9.0, 2L, 11.0))
+  }
+
+  test("resampleBars partial-aggregates before the shuffle (no window sort of events)") {
+    val ev = Seq(("a", 10L, 1L, 1.0)).toDF("g", "us", "id", "v")
+    val p = Temporal.resampleBars(ev, Seq("g"), $"us", $"v", $"id", 100L)
+      .queryExecution.executedPlan.toString
+    p should include("partial_min_by")
+    p should not include "Window"
+  }
 }
