@@ -169,4 +169,31 @@ class StoreSpec extends SparkSpec {
     migrated.schema("id").dataType shouldBe IntegerType // existing untouched
     migrated.select("quote_volume_usdt").collect().head.isNullAt(0) shouldBe true
   }
+
+  test("versioned store: publish, time-travel, O(1) rollback, vacuum keeps live") {
+    import spark.implicits._
+    import graft.ops.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft-versioned").toString
+
+    Versioned.latestVersion(spark, root) shouldBe None
+    val v0 = Versioned.write(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    val v1 = Versioned.write(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    (v0, v1) shouldBe ((0L, 1L))
+
+    Versioned.readLatest(spark, root).count() shouldBe 2
+    Versioned.read(spark, root, v0).count() shouldBe 1 // time travel
+
+    Versioned.rollback(spark, root, v0)
+    Versioned.readLatest(spark, root).count() shouldBe 1
+    an[Exception] should be thrownBy Versioned.rollback(spark, root, 99L)
+
+    // v0 is live: vacuum(keep = 1) may drop only non-live, non-recent
+    // versions — v1 is the single most recent, v0 is live → none doomed.
+    Versioned.vacuum(spark, root, keep = 1) shouldBe Seq.empty
+    val v2 = Versioned.write(spark, root, Seq((3L, "c")).toDF("id", "s"))
+    // live moved to v2; keep=1 retains v2; v0/v1 dropped
+    Versioned.vacuum(spark, root, keep = 1).toSet shouldBe Set(0L, 1L)
+    Versioned.versions(spark, root) shouldBe Seq(v2)
+    Versioned.readLatest(spark, root).count() shouldBe 1
+  }
 }
