@@ -812,6 +812,37 @@ object PipelineQueries {
        |  CAST((cum - n_tok) % 2048 AS BIGINT) AS block_offset
        |FROM c ORDER BY block_id, block_offset, doc_id""".stripMargin
 
+  // ---- P4: deterministic shard shuffle --------------------------------
+
+  /** Training-order preparation: a deterministic pseudo-random global
+    * shuffle + balanced shard assignment (the files a data loader
+    * streams). shard = seeded-hash mod N gives byte-balanced shards
+    * with no global sort; within-shard position is a per-shard window
+    * over the same hash — N independent sorts of |corpus|/N rows, never
+    * one global ordering. Re-runs, task retries, and repartitionings
+    * all produce the identical epoch order (hash-derived, no rand()).
+    */
+  private val NShards = 8
+  val p4Shards: Q = (s, d) => {
+    import s.implicits._
+    val h = TextOps.seededHash60(lit("epoch0"), $"doc_id".cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"h", $"doc_id")
+    Tables.documents(s, d)
+      .select($"doc_id", h.as("h"))
+      .withColumn("shard", pmod($"h", lit(NShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy("shard", "pos")
+  }
+  val p4ShardsSql: String = {
+    val h = TextOps.seededHash60Sql("'epoch0'", "CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (SELECT doc_id, $h AS h FROM documents)
+       |SELECT doc_id, h % $NShards AS shard,
+       |  row_number() OVER (PARTITION BY h % $NShards ORDER BY h, doc_id) AS pos
+       |FROM t ORDER BY shard, pos""".stripMargin
+  }
+
   // ---- M1: multimodal binary-column metadata --------------------------
 
   /** Opaque-binary plumbing: treat content as a blob, extract typed
@@ -1057,6 +1088,7 @@ object PipelineQueries {
     "q_p1_stratified" -> p1Stratified,
     "q_p2_mixture" -> p2Mixture,
     "q_p3_pack" -> p3Pack,
+    "q_p4_shards" -> p4Shards,
     "q_m1_binary_meta" -> m1BinaryMeta,
     "q_u1_set_ops" -> u1SetOps,
     "q_m2_decode" -> m2Decode,
@@ -1092,6 +1124,7 @@ object PipelineQueries {
     "q_p1_stratified" -> p1StratifiedSql,
     "q_p2_mixture" -> p2MixtureSql,
     "q_p3_pack" -> p3PackSql,
+    "q_p4_shards" -> p4ShardsSql,
     "q_m1_binary_meta" -> m1BinaryMetaSql,
     "q_u1_set_ops" -> u1SetOpsSql,
     // q_m2_decode: intentionally no oracle (non-SQL-expressible decode);

@@ -276,6 +276,32 @@ object Queries {
        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
        |ORDER BY status, priority""".stripMargin
 
+  /** A15: CUBE over (returnflag, linestatus) — all four grouping sets
+    * (detail, each one-dimension margin, grand total) in one expand +
+    * one partial-aggregated shuffle, same scale argument as A12's
+    * rollup; the cube additionally emits the cross margins a
+    * re-aggregation approach would need a fourth pass for.
+    */
+  val a15Cube: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(grouping($"l_returnflag").cast("int").as("g_rf"),
+        grouping($"l_linestatus").cast("int").as("g_ls"),
+        count(lit(1)).as("n"), Exact.sum2($"l_quantity").as("qty"))
+      .select(
+        when($"g_rf" === 1, "ALL").otherwise($"l_returnflag").as("returnflag"),
+        when($"g_ls" === 1, "ALL").otherwise($"l_linestatus").as("linestatus"),
+        $"n", $"qty")
+      .orderBy("returnflag", "linestatus")
+  }
+  val a15CubeSql: String =
+    s"""SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+       |       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+       |       COUNT(*) AS n, ${Exact.sum2Sql("l_quantity")} AS qty
+       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
   /** A13: PIVOT — returnflag × linestatus count matrix. The value list is
     * explicit (Seq("F","O")) so Spark skips the extra distinct-values job
     * a blind pivot needs; the pivot itself is one partial-aggregated
@@ -504,6 +530,52 @@ object Queries {
        |WHERE c_mktsegment = 'BUILDING'
        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  // ---- J13: multi-way star join ---------------------------------------
+
+  /** J13: the TPC-H Q3 shape — fact (lineitem) ⋈ orders ⋈ customer with
+    * selective filters on both dimensions and a decimal-exact revenue
+    * aggregate, top-10. The scale plan: customer's filtered key set
+    * broadcasts into the orders join; that (already date-filtered)
+    * result is itself dimension-sized relative to lineitem, so AQE
+    * turns the second join into a broadcast too — the fact table never
+    * shuffles for either join, and only partial (orderkey, revenue)
+    * aggregates cross the wire. Revenue stays in exact decimal until
+    * the final double cast, so the hash compare survives any partition
+    * order.
+    */
+  val j13StarJoin: Q = (s, d) => {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val cust = Tables.customer(s, d)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter($"o_orderdate" < lit("1996-06-30").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" > lit("1996-06-30").cast("timestamp"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderpriority")
+      .agg(sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+      .select($"l_orderkey", $"o_orderpriority", $"revenue")
+  }
+  val j13StarJoinSql: String =
+    """SELECT l_orderkey, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+      |GROUP BY 1, 2
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
   // ---- V1: column-level data profiling --------------------------------
 
   /** One-pass per-column profile of lineitem (nulls, exact distincts,
@@ -561,6 +633,7 @@ object Queries {
     "q_a12_rollup" -> a12Rollup,
     "q_a13_pivot" -> a13Pivot,
     "q_a14_percentiles" -> a14Percentiles,
+    "q_a15_cube" -> a15Cube,
     "q_j1_inner_join" -> j1InnerJoin,
     "q_j2_left_join" -> j2LeftJoin,
     "q_j3_anti" -> j3Anti,
@@ -571,6 +644,7 @@ object Queries {
     "q_j8_full_outer_diff" -> j8FullOuterDiff,
     "q_j9_salted" -> j9Salted,
     "q_j12_bloom" -> j12Bloom,
+    "q_j13_star_join" -> j13StarJoin,
     "q_v1_profile" -> v1Profile
   ) ++ WindowQueries.all ++ PipelineQueries.all ++ ScalarQueries.all ++
     TemporalQueries.all ++ SketchQueries.all
@@ -594,6 +668,7 @@ object Queries {
     "q_a12_rollup" -> a12RollupSql,
     "q_a13_pivot" -> a13PivotSql,
     "q_a14_percentiles" -> a14PercentilesSql,
+    "q_a15_cube" -> a15CubeSql,
     "q_j1_inner_join" -> j1InnerJoinSql,
     "q_j2_left_join" -> j2LeftJoinSql,
     "q_j3_anti" -> j3AntiSql,
@@ -604,6 +679,7 @@ object Queries {
     "q_j8_full_outer_diff" -> j8FullOuterDiffSql,
     "q_j9_salted" -> j9SaltedSql,
     "q_j12_bloom" -> j12BloomSql,
+    "q_j13_star_join" -> j13StarJoinSql,
     "q_v1_profile" -> v1ProfileSql
   ) ++ WindowQueries.oracles ++ PipelineQueries.oracles ++ ScalarQueries.oracles ++
     TemporalQueries.oracles ++ SketchQueries.oracles

@@ -98,4 +98,24 @@ object PropertySpec extends Properties("graft") {
       val (m2, f2) = graft.ops.Multimodal.decodeStub(b)
       m1 == m2 && f1.toSeq == f2.toSeq && m1.n_bytes == b.length.toLong
     }
+
+  property("KmvAgg sketch = k smallest distinct values under any partitioning") =
+    Prop.forAll(Gen.listOf(Gen.long), Gen.choose(1, 20)) { (xs, cut) =>
+      val agg = new graft.ops.Sketches.KmvAgg(8)
+      def fold(ls: Seq[Long]) = ls.foldLeft(agg.zero)(agg.reduce)
+      val serial = fold(xs).toSeq
+      val chunked = xs.grouped(cut).map(fold)
+        .foldLeft(agg.zero)((a, b) => agg.merge(a, b)).toSeq
+      val expected = xs.distinct.sorted.take(8)
+      serial == expected && chunked == expected
+    }
+
+  property("KmvAgg merge is commutative and idempotent") =
+    Prop.forAll(Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (xs, ys) =>
+      val agg = new graft.ops.Sketches.KmvAgg(8)
+      def fold(ls: Seq[Long]) = ls.foldLeft(agg.zero)(agg.reduce)
+      val (a, b) = (fold(xs), fold(ys))
+      agg.merge(a, b).toSeq == agg.merge(b, a).toSeq &&
+        agg.merge(a, a).toSeq == a.toSeq
+    }
 }
