@@ -240,6 +240,45 @@ object PipelineQueries {
        |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
        |FROM flagged GROUP BY id ORDER BY id""".stripMargin
 
+  // ---- D8: fuzzy vocabulary pairs (SymSpell blocking) -----------------
+
+  /** Edit-distance-1 term pairs over the corpus vocabulary (typo/variant
+    * detection for normalization dictionaries). The engine blocks on the
+    * deletion neighborhood — O(n·len) candidates, never the O(n²) cross
+    * product; the oracle states the naive length-blocked quadratic
+    * formulation, so a green row proves the blocking exact. The clean
+    * synthetic vocabulary has no natural typos, so hash-selected terms
+    * get a planted 2nd-char-deleted variant (computed identically by
+    * both engines) to make recall observable.
+    */
+  val d8Fuzzy: Q = (s, d) => {
+    import s.implicits._
+    val vocab = Tables.documents(s, d)
+      .select(explode(regexp_extract_all($"text", lit("[A-Za-z]+"), lit(0))).as("tok"))
+      .select(lower($"tok").as("term"))
+      .filter(length($"term").between(4, 12))
+    val typos = vocab
+      .filter(length($"term") >= 5 && pmod(TextOps.hash60($"term"), lit(7L)) === 0)
+      .select(concat($"term".substr(lit(1), lit(1)), $"term".substr(lit(3), length($"term"))).as("term"))
+    graft.ops.Fuzzy.editDistance1Pairs(vocab.unionByName(typos), "term")
+      .orderBy("ta", "tb")
+  }
+  val d8FuzzySql: String =
+    s"""WITH base AS (
+      |  SELECT DISTINCT lower(tok) AS t
+      |  FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok FROM documents)
+      |  WHERE len(lower(tok)) BETWEEN 4 AND 12),
+      |vocab AS (
+      |  SELECT t FROM base
+      |  UNION
+      |  SELECT substr(t, 1, 1) || substr(t, 3) FROM base
+      |  WHERE len(t) >= 5 AND ${TextOps.hash60Sql("t")} % 7 = 0)
+      |SELECT a.t AS ta, b.t AS tb
+      |FROM vocab a JOIN vocab b
+      |  ON a.t < b.t AND abs(len(a.t) - len(b.t)) <= 1
+      |WHERE levenshtein(a.t, b.t) <= 1
+      |ORDER BY ta, tb""".stripMargin
+
   // ---- D3: SimHash fingerprints --------------------------------------
 
   /** Production path is the custom SimHashAgg Aggregator; the oracle
@@ -450,6 +489,42 @@ object PipelineQueries {
        |    ${cosSql("a.e", "b.e")} AS cos_sim
        |  FROM j a JOIN j b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |WHERE cos_sim >= 0.4 ORDER BY ia, ib""".stripMargin
+
+  // ---- E6: k-NN JOIN (every query vector at once) ---------------------
+
+  /** Top-5 neighbors for EVERY query vector in one plan — the batch
+    * retrieval shape (embed a query set, search the corpus), not the
+    * single-vector lookup of E1. The query set broadcasts; scoring is
+    * map-side over the corpus scan; per-query top-k runs through the
+    * k-bounded mergeable TopK aggregator, so the shuffle carries at
+    * most k rows per (query × partition) — the oracle states the same
+    * semantics as the full window sort it avoids.
+    */
+  val e6KnnJoin: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val queries = vecs.filter($"vec_id" % 997 === 0)
+      .select($"vec_id".as("q_id"), $"e".as("qe"))
+    val scored = vecs.filter($"vec_id" % 997 =!= 0)
+      .crossJoin(broadcast(queries))
+      .withColumn("cos_sim", Vectors.rankCosine($"e", $"qe"))
+    graft.ops.TopK.topKPerGroup(scored, "q_id", $"cos_sim", $"vec_id",
+        5, "cos_sim", "vec_id")
+      .orderBy("q_id", "rank")
+  }
+  val e6KnnJoinSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 997 = 0),
+       |c AS (SELECT vec_id, e FROM v WHERE vec_id % 997 <> 0),
+       |s AS (SELECT q.q_id, c.vec_id, ${cosSql("c.e", "q.qe")} AS cos_sim
+       |      FROM c CROSS JOIN q),
+       |r AS (SELECT q_id, vec_id, cos_sim,
+       |        CAST(row_number() OVER (PARTITION BY q_id
+       |          ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+       |      FROM s)
+       |SELECT q_id, rank, vec_id, cos_sim FROM r WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
 
   // ---- T1: language ID (marker-word heuristic) ------------------------
 
@@ -1074,6 +1149,8 @@ object PipelineQueries {
     "q_e3_ann_ivf" -> e3AnnIvf,
     "q_e4_cosine_dedup" -> e4CosineDedup,
     "q_e5_ann_multiprobe" -> e5AnnMultiprobe,
+    "q_e6_knn_join" -> e6KnnJoin,
+    "q_d8_fuzzy" -> d8Fuzzy,
     "q_t1_langid" -> t1LangId,
     "q_t2_quality" -> t2Quality,
     "q_t3_tokens" -> t3Tokens,
@@ -1110,6 +1187,8 @@ object PipelineQueries {
     "q_e3_ann_ivf" -> e3AnnIvfSql,
     "q_e4_cosine_dedup" -> e4CosineDedupSql,
     "q_e5_ann_multiprobe" -> e5AnnMultiprobeSql,
+    "q_e6_knn_join" -> e6KnnJoinSql,
+    "q_d8_fuzzy" -> d8FuzzySql,
     "q_t1_langid" -> t1LangIdSql,
     "q_t2_quality" -> t2QualitySql,
     "q_t3_tokens" -> t3TokensSql,

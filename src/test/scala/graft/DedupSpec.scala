@@ -239,6 +239,27 @@ class DedupSpec extends SparkSpec {
     out.foreach(r => r.getLong(0) shouldBe r.getLong(1))
   }
 
+  test("fuzzy editDistance1Pairs equals brute-force Levenshtein on all edit kinds") {
+    import spark.implicits._
+    // substitution (cat/bat), deletion (cats/cat... via cat/cats),
+    // insertion, repeated chars (aa-collapse), and a far pair (dog)
+    val vocab = Seq("cat", "bat", "cats", "acat", "caat", "dog", "coat")
+      .toDF("term")
+    val got = graft.ops.Fuzzy.editDistance1Pairs(vocab, "term")
+      .as[(String, String)].collect().toSet
+    val terms = Seq("cat", "bat", "cats", "acat", "caat", "dog", "coat")
+    val brute = (for {
+      a <- terms; b <- terms if a < b
+      if org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+        .apply(a, b) <= 1
+    } yield (a, b)).toSet
+    got shouldBe brute
+    got should contain ("bat" -> "cat")   // substitution
+    got should contain ("cat" -> "cats")  // insertion at end
+    got should contain ("acat" -> "cat")  // insertion at front
+    got should not contain ("cat" -> "dog")
+  }
+
   test("spanDedup: duplicated windows survive only in the min-id doc, order kept") {
     import spark.implicits._
     // span=2 windows; doc 3 is an exact copy of doc 1 → loses everything;
