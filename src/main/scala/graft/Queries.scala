@@ -612,6 +612,51 @@ object Queries {
        |ORDER BY "column"""".stripMargin
   }
 
+  // ---- V2: data-quality constraint report -----------------------------
+
+  /** V2: the ingest-gate constraint report — five checks over lineitem
+    * (nulls, range, regex, composite-key uniqueness) plus referential
+    * integrity to orders, in two aggregate jobs + one anti-join. The
+    * oracle re-states each constraint as plain SQL; NULL predicate
+    * results count as violations on both engines.
+    */
+  val v2Constraints: Q = (s, d) => {
+    import graft.ops.Constraints
+    val li = Tables.lineitem(s, d)
+    Constraints.validate(li,
+        Seq(
+          Constraints.notNull("l_orderkey"),
+          Constraints.inRange("l_quantity", 1.0, 50.0),
+          Constraints.matches("l_returnflag", "^[ANR]$")),
+        uniqueKeys = Seq(Seq("l_orderkey", "l_linenumber")))
+      .unionByName(Constraints.references(li, "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"))
+      .orderBy("constraint")
+  }
+  val v2ConstraintsSql: String =
+    """WITH r AS (
+      |  SELECT 'not_null(l_orderkey)' AS c,
+      |    CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS n
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'range(l_quantity,1.0,50.0)',
+      |    CAST(SUM(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 50.0 THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'matches(l_returnflag)',
+      |    CAST(SUM(CASE WHEN regexp_matches(l_returnflag, '^[ANR]$') THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'unique(l_orderkey,l_linenumber)',
+      |    CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'references(l_orderkey->o_orderkey)',
+      |    CAST(COUNT(*) AS BIGINT)
+      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |SELECT c AS "constraint", n AS n_violations, n = 0 AS ok
+      |FROM r ORDER BY "constraint"""".stripMargin
+
   // ---- registry -----------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -645,7 +690,8 @@ object Queries {
     "q_j9_salted" -> j9Salted,
     "q_j12_bloom" -> j12Bloom,
     "q_j13_star_join" -> j13StarJoin,
-    "q_v1_profile" -> v1Profile
+    "q_v1_profile" -> v1Profile,
+    "q_v2_constraints" -> v2Constraints
   ) ++ WindowQueries.all ++ PipelineQueries.all ++ ScalarQueries.all ++
     TemporalQueries.all ++ SketchQueries.all
 
@@ -680,7 +726,8 @@ object Queries {
     "q_j9_salted" -> j9SaltedSql,
     "q_j12_bloom" -> j12BloomSql,
     "q_j13_star_join" -> j13StarJoinSql,
-    "q_v1_profile" -> v1ProfileSql
+    "q_v1_profile" -> v1ProfileSql,
+    "q_v2_constraints" -> v2ConstraintsSql
   ) ++ WindowQueries.oracles ++ PipelineQueries.oracles ++ ScalarQueries.oracles ++
     TemporalQueries.oracles ++ SketchQueries.oracles
 }
