@@ -308,6 +308,46 @@ object WindowQueries {
        |FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
        |GROUP BY 1 ORDER BY window_end""".stripMargin
 
+  // ---- W10: first/last/nth_value frames --------------------------------
+
+  /** W10: per-user first, latest, and second-day volumes — the
+    * first_value / last_value / nth_value family with explicit frames.
+    * last_value needs the full ROWS UNBOUNDED PRECEDING..UNBOUNDED
+    * FOLLOWING frame (the default frame ends at CURRENT ROW and would
+    * return each row's own value — the classic window gotcha, same in
+    * both engines). All three functions plus the count share one
+    * (user)-keyed exchange + sort.
+    */
+  val w10FirstLast: Q = (s, d) => {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"date")
+    val full = byUser.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dailyUserVolume(s, d)
+      .withColumn("first_vol", first($"volume").over(full))
+      .withColumn("last_vol", last($"volume").over(full))
+      .withColumn("second_vol", nth_value($"volume", 2).over(full))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        max($"first_vol").as("first_vol"),
+        max($"last_vol").as("last_vol"),
+        max($"second_vol").as("second_vol"))
+      .orderBy("user_id")
+  }
+  val w10FirstLastSql: String =
+    s"""WITH $dailySql,
+       |w AS (
+       |  SELECT user_id,
+       |    first_value(volume) OVER (PARTITION BY user_id ORDER BY date
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_vol,
+       |    last_value(volume) OVER (PARTITION BY user_id ORDER BY date
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_vol,
+       |    nth_value(volume, 2) OVER (PARTITION BY user_id ORDER BY date
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_vol
+       |  FROM daily)
+       |SELECT user_id, COUNT(*) AS n_days, MAX(first_vol) AS first_vol,
+       |       MAX(last_vol) AS last_vol, MAX(second_vol) AS second_vol
+       |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -321,6 +361,7 @@ object WindowQueries {
     "q_rankings_pipeline" -> rankingsPipeline,
     "q_o3_recency" -> o3Recency,
     "q_w8_ntile" -> w8Ntile,
+    "q_w10_firstlast" -> w10FirstLast,
     "q_o4_topk_group" -> o4TopKGroup
   )
 
@@ -335,6 +376,7 @@ object WindowQueries {
     "q_rankings_pipeline" -> rankingsPipelineSql,
     "q_o3_recency" -> o3RecencySql,
     "q_w8_ntile" -> w8NtileSql,
+    "q_w10_firstlast" -> w10FirstLastSql,
     "q_o4_topk_group" -> o4TopKGroupSql
   )
 }
