@@ -138,19 +138,26 @@ object Dedup {
   }
   private lazy val minhash16 = udaf(new MinHashSigAgg(16), Encoders.scalaLong)
 
-  /** MinHash signatures (id, j, m) from pre-hashed shingle sets
-    * (`shingleHashSet` output): k universal-hash permutations of the
-    * 30-bit truncation, folded by `MinHashSigAgg`. Currently wired for
-    * k = 16.
+  /** Packed MinHash signatures (id, sig: Array[Long] of length k) from
+    * pre-hashed shingle sets (`shingleHashSet` output): k universal-hash
+    * permutations of the 30-bit truncation, folded by `MinHashSigAgg`.
+    * One keyed shuffle; the signature never explodes. Currently wired
+    * for k = 16.
     */
-  def minhashFromHashes(hashes: DataFrame, k: Int): DataFrame = {
+  def minhashSigs(hashes: DataFrame, k: Int): DataFrame = {
     require(k == 16, "registered aggregator instance is k=16")
     hashes
       .select(col("id"), col("h").bitwiseAND(lit(MinhashMask)).as("h"))
       .groupBy(col("id"))
       .agg(minhash16(col("h")).as("sig"))
-      .select(col("id"), posexplode(col("sig")).as(Seq("j", "m")))
   }
+
+  /** Exploded (id, j, m) view of `minhashSigs` — the row shape the
+    * oracle SQL and the equivalence specs compare.
+    */
+  def minhashFromHashes(hashes: DataFrame, k: Int): DataFrame =
+    minhashSigs(hashes, k)
+      .select(col("id"), posexplode(col("sig")).as(Seq("j", "m")))
 
   /** MinHash signatures from string shingle sets (one md5 per shingle,
     * then the k permutations). Kept for the equivalence spec; the
@@ -191,44 +198,54 @@ object Dedup {
   /** LSH banding: group the k minhashes into bands of `rowsPerBand`,
     * signature = comma-joined minhashes in seed order; candidate pairs
     * are ids sharing any (band, signature) bucket.
+    *
+    * Pair generation happens INSIDE the (band, sig) aggregation: each
+    * bucket collects its sorted id list and emits the within-bucket
+    * pairs directly. Versus the banded self-join this drops two
+    * exchanges (the join re-shuffled the banded frame for both sides)
+    * and the persist + eager-count the shared join input forced — the
+    * whole candidate stage is one keyed shuffle plus the final pair
+    * distinct, with nothing cached. Work per bucket is O(m²) in bucket
+    * size either way (a self-join on the bucket key concentrates the
+    * same key's rows in one task too); LSH buckets are near-dup groups,
+    * so m stays small by construction.
     */
-  /** Standalone candidate generation. NOTE: runs EAGERLY — the pair set
-    * (tiny relative to the corpus) is materialized at call time via
-    * localCheckpoint so the banded frame's cache can be released
-    * immediately instead of leaking blocks across invocations. Callers
-    * composing a larger pipeline that manages cache lifetime should use
-    * `lshCandidatesWithHandle` (as `nearDupPairs` does).
+  def lshCandidates(mh: DataFrame, rowsPerBand: Int): DataFrame =
+    pairsWithinBuckets(
+      mh.withColumn("band", (col("j") / rowsPerBand).cast(IntegerType))
+        .groupBy(col("id"), col("band"))
+        .agg(array_join(
+          transform(sort_array(collect_list(struct(col("j"), col("m")))),
+            x => x.getField("m").cast(StringType)), ",").as("sig")))
+
+  /** Candidate generation from PACKED signatures (`minhashSigs` output):
+    * band signatures are sliced out of the k-long array map-side — no
+    * explode, no (id, band) re-aggregation. One shuffle to bucket, one
+    * to dedup pairs.
     */
-  def lshCandidates(mh: DataFrame, rowsPerBand: Int): DataFrame = {
-    val (cand, bands) = lshCandidatesWithHandle(mh, rowsPerBand)
-    val out = cand.localCheckpoint(eager = true)
-    bands.unpersist()
-    out
+  def lshCandidatesFromSigs(sigs: DataFrame, rowsPerBand: Int, k: Int): DataFrame = {
+    require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
+    val nBands = k / rowsPerBand
+    pairsWithinBuckets(
+      sigs.select(col("id"), posexplode(expr(
+        s"""transform(sequence(0, ${nBands - 1}),
+           |  b -> array_join(transform(slice(sig, b * $rowsPerBand + 1, $rowsPerBand),
+           |                            x -> cast(x AS string)), ','))""".stripMargin))
+        .as(Seq("band", "sig"))))
   }
 
-  /** Candidates plus the persisted bands frame, for callers that manage
-    * the cache lifetime themselves (the full pipeline releases it after
-    * its own eager materialization).
-    */
-  private[graft] def lshCandidatesWithHandle(
-      mh: DataFrame, rowsPerBand: Int): (DataFrame, DataFrame) = {
-    // Referenced by both sides of the self-join: persist + eager
-    // materialization, or the minhash chain executes twice and the two
-    // copies race to fill the cache within one job.
-    val bands = mh
-      .withColumn("band", (col("j") / rowsPerBand).cast(IntegerType))
-      .groupBy(col("id"), col("band"))
-      .agg(array_join(
-        transform(sort_array(collect_list(struct(col("j"), col("m")))),
-          x => x.getField("m").cast(StringType)), ",").as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bands.count()
-    val a = bands.select(col("band"), col("sig"), col("id").as("ia"))
-    val b = bands.select(col("band"), col("sig"), col("id").as("ib"))
-    val cand = a.join(b, Seq("band", "sig")).where(col("ia") < col("ib"))
-      .select("ia", "ib").distinct()
-    (cand, bands)
-  }
+  /** Distinct (ia < ib) pairs of ids sharing a (band, sig) bucket. */
+  private def pairsWithinBuckets(banded: DataFrame): DataFrame =
+    banded
+      .groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids,
+          |  (x, i) -> transform(slice(ids, i + 2, size(ids)),
+          |            y -> named_struct('ia', x, 'ib', y))))""".stripMargin)).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      .distinct()
 
   /** Exact n-gram Jaccard for candidate pairs, against the shingle sets
     * (string `sh` column or hashed `h` column — pass `setCol`).
@@ -264,8 +281,7 @@ object Dedup {
     val sh = shingleHashSet(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.count()
-    val (cand, bands) =
-      lshCandidatesWithHandle(minhashFromHashes(sh, k), rowsPerBand)
+    val cand = lshCandidatesFromSigs(minhashSigs(sh, k), rowsPerBand, k)
     // The verified pair set is small (linear in candidates, not corpus):
     // materialize it eagerly, then release every cache block this pipeline
     // pinned — repeated invocations must not leak storage memory.
@@ -273,7 +289,6 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("ia"), col("ib"), col("jac"))
       .localCheckpoint(eager = true)
-    bands.unpersist()
     sh.unpersist()
     out
   }
@@ -577,30 +592,30 @@ object Dedup {
   /** SimHash near-dup candidates by band bucketing: 4 bands of 15 bits;
     * pairs sharing any band are verified by Hamming distance ≤ maxDist.
     *
-    * The banded frame feeds BOTH self-join sides: persisted with an
-    * eager fill, or the whole upstream simhash aggregation (tokenize +
-    * hash + 60-counter fold) executes twice — a 2× on the pipeline's
-    * dominant cost at any scale. The pair set (bounded by bucket
-    * collisions, not corpus²) materializes eagerly so the cache can be
-    * released before returning.
+    * Pairs are generated INSIDE the (band, chunk) bucket aggregation —
+    * same shape as `lshCandidates`. Versus the banded self-join this
+    * drops the two join-side exchanges AND the persist + eager count
+    * that sharing the banded frame across both sides forced (without
+    * it the upstream simhash aggregation executed twice). The Hamming
+    * verify runs on the bucket members' signatures carried alongside
+    * the ids, so nothing re-joins against the corpus.
     */
-  def simhashPairs(sh: DataFrame, maxDist: Int): DataFrame = {
-    val banded = sh.withColumn("b", explode(sequence(lit(0), lit(3))))
-      .withColumn("chunk",
-        expr("(simhash >> (15 * b)) & 32767"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded.count()
-    val a = banded.select(col("b"), col("chunk"),
-      col("id").as("ia"), col("simhash").as("sa"))
-    val bb = banded.select(col("b"), col("chunk"),
-      col("id").as("ib"), col("simhash").as("sb"))
-    val out = a.join(bb, Seq("b", "chunk")).where(col("ia") < col("ib"))
-      .select(col("ia"), col("ib"),
-        expr("bit_count(sa ^ sb)").cast(IntegerType).as("hamming"))
+  def simhashPairs(sh: DataFrame, maxDist: Int): DataFrame =
+    sh.withColumn("b", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk", expr("(simhash >> (15 * b)) & 32767"))
+      .groupBy(col("b"), col("chunk"))
+      // struct sorts by leading field, so members order by id — the
+      // i<j enumeration below then guarantees ia < ib.
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ms"))
+      .where(size(col("ms")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ms,
+          |  (x, i) -> transform(slice(ms, i + 2, size(ms)),
+          |            y -> named_struct('ia', x.id, 'ib', y.id,
+          |                              'hamming', bit_count(x.simhash ^ y.simhash)))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"),
+        col("p.hamming").cast(IntegerType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
-      .localCheckpoint(eager = true)
-    banded.unpersist()
-    out
-  }
 }

@@ -217,28 +217,29 @@ object Vectors {
     * tune nPlanes to corpus size.
     */
   def cosineDupPairs(vecs: DataFrame, vecCol: String, idCol: String,
-                     nPlanes: Int, dim: Int, threshold: Double): DataFrame = {
-    // Both sides of the self-join reference this frame: persist + eager
-    // fill, or the scan + spread shuffle + nPlanes×dim dot products all
-    // execute twice (Catalyst can't reuse a non-exchange subtree across
-    // join sides). Same pattern as Dedup.lshCandidatesWithHandle.
-    val b = Partitioning.spread(vecs)
+                     nPlanes: Int, dim: Int, threshold: Double): DataFrame =
+    Partitioning.spread(vecs)
       .select(col(idCol).as("vid"), col(vecCol).as("e"))
       .withColumn("bucket", bucketExpr("e", nPlanes, dim))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    b.count()
-    val a = b.select(col("bucket"), col("vid").as("ia"), col("e").as("ea"))
-    val c = b.select(col("bucket"), col("vid").as("ib"), col("e").as("eb"))
-    // The verified pair set is small — materialize it eagerly so the
-    // bucketed cache can be released before returning.
-    val out = a.join(c, Seq("bucket")).where(col("ia") < col("ib"))
-      .withColumn("cos_sim", rankCosine(col("ea"), col("eb")))
+      // Pairs are generated INSIDE the bucket aggregation (the same
+      // shape as Dedup.lshCandidates): one keyed shuffle carrying each
+      // vector once, versus the self-join that re-shuffled the bucketed
+      // frame for both sides and forced a persist + eager fill to stop
+      // the upstream scan + dot products executing twice. Each vector
+      // sits in exactly one bucket, so the i<j enumeration over the
+      // id-sorted members needs no pair distinct. The exact-cosine
+      // verify runs on the member vectors carried alongside the ids.
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("vid"), col("e")))).as("ms"))
+      .where(size(col("ms")) > 1)
+      .select(col("bucket"), explode(expr(
+        """flatten(transform(ms,
+          |  (x, i) -> transform(slice(ms, i + 2, size(ms)),
+          |            y -> named_struct('ia', x.vid, 'ib', y.vid,
+          |                              'ea', x.e, 'eb', y.e))))""".stripMargin)).as("p"))
+      .withColumn("cos_sim", rankCosine(col("p.ea"), col("p.eb")))
       .filter(col("cos_sim") >= threshold)
-      .select("ia", "ib", "bucket", "cos_sim")
-      .localCheckpoint(eager = true)
-    b.unpersist()
-    out
-  }
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"), col("bucket"), col("cos_sim"))
 
   /** Exact brute-force top-k cosine neighbors of one query vector.
     * The single-row query side is broadcast; the scan side streams —

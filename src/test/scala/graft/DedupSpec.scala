@@ -39,6 +39,16 @@ class DedupSpec extends SparkSpec {
     keys.flatMap(p => Set(p._1, p._2)) should not contain 5L
   }
 
+  test("lshCandidatesFromSigs (packed, map-side banding) equals lshCandidates (exploded)") {
+    val sh = Dedup.shingleHashSet(docs, "id", "text", 3)
+    val packed = Dedup.lshCandidatesFromSigs(Dedup.minhashSigs(sh, 16), rowsPerBand = 4, k = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exploded = Dedup.lshCandidates(Dedup.minhashFromHashes(sh, 16), rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    packed shouldBe exploded
+    packed.foreach { case (ia, ib) => ia should be < ib }
+  }
+
   test("nearDupPairs releases every cache block it pinned") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.size
