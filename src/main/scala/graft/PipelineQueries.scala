@@ -279,6 +279,59 @@ object PipelineQueries {
       |WHERE levenshtein(a.t, b.t) <= 1
       |ORDER BY ta, tb""".stripMargin
 
+  // ---- D9: end-to-end near-dup purge ----------------------------------
+
+  /** The operation curation actually ships: MinHash-LSH candidate pairs
+    * → Jaccard verify → connected components → keep each cluster's
+    * minimum id → anti-join the corpus. Survivors = unique docs plus
+    * one canonical representative per near-dup cluster. The oracle
+    * restates the purge on top of q_d2b's recursive-CTE transitive
+    * closure, so the whole chain (not just the pair stage) is proven.
+    * Scale shape: everything up to `clusters` is the audited q_d2b
+    * plan; the purge itself is one broadcast-able anti-join (the
+    * removal set is |dup members − clusters|, tiny relative to the
+    * corpus).
+    */
+  val d9NearDupPurge: Q = (s, d) => {
+    import s.implicits._
+    val c = corpus(s, d)
+    val removed = Dedup.dupClusters(Dedup.nearDupPairs(c, "id", "text"))
+      .filter($"id" =!= $"cluster_id")
+    c.join(removed, Seq("id"), "left_anti")
+      .select($"id")
+      .orderBy("id")
+  }
+  val d9NearDupPurgeSql: String =
+    s"""WITH RECURSIVE $corpusSql,
+       |$shingleSql,
+       |mh AS (
+       |${Dedup.minhashSql(16)}),
+       |bands AS (
+       |  SELECT id, j // 4 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.ia, c.ib, COUNT(*) AS inter
+       |  FROM cand c JOIN sh x ON x.id = c.ia JOIN sh y ON y.id = c.ib AND y.h = x.h
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT i.ia, i.ib
+       |  FROM inter i JOIN sizes na ON na.id = i.ia JOIN sizes nb ON nb.id = i.ib
+       |  WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.5),
+       |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labels AS (
+       |  SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
+       |SELECT id FROM corpus
+       |WHERE id NOT IN (SELECT id FROM labels WHERE id <> cluster_id)
+       |ORDER BY id""".stripMargin
+
   // ---- D3: SimHash fingerprints --------------------------------------
 
   /** Production path is the custom SimHashAgg Aggregator; the oracle
@@ -525,6 +578,40 @@ object PipelineQueries {
        |      FROM s)
        |SELECT q_id, rank, vec_id, cos_sim FROM r WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
+
+  // ---- E8: int8 scalar quantization -----------------------------------
+
+  /** Embedding-store compression: per-dimension affine int8 codes (see
+    * Vectors.quantizeInt8 — dim-stats broadcast, codes map-side). The
+    * code string, code sum, and worst reconstruction error all cross
+    * the oracle boundary; `floor(x + 0.5)` keeps rounding
+    * engine-portable, and the DuckDB SUM needs its usual HUGEINT→BIGINT
+    * cast.
+    */
+  val e8Quantize: Q = (s, d) => {
+    import s.implicits._
+    Vectors.quantizeInt8(
+        Tables.embeddings(s, d).select($"vec_id", $"embedding"),
+        "vec_id", "embedding")
+      .orderBy("vec_id")
+  }
+  val e8QuantizeSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, pos - 1 AS pos, CAST(embedding[pos] AS DOUBLE) AS v
+      |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS pos
+      |        FROM embeddings)),
+      |dims AS (SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM ex GROUP BY 1),
+      |coded AS (
+      |  SELECT e.vec_id, e.pos, e.v, d.lo, d.hi,
+      |    CASE WHEN d.hi = d.lo THEN 0
+      |         ELSE CAST(FLOOR((e.v - d.lo) * 255.0 / (d.hi - d.lo) + 0.5) AS BIGINT)
+      |    END AS code
+      |  FROM ex e JOIN dims d USING (pos))
+      |SELECT vec_id, COUNT(*) AS n_dims,
+      |  CAST(SUM(code) AS BIGINT) AS code_sum,
+      |  MAX(ABS(v - (lo + code * (hi - lo) / 255.0))) AS max_err,
+      |  string_agg(CAST(code AS VARCHAR), ',' ORDER BY pos) AS codes
+      |FROM coded GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   // ---- T1: language ID (marker-word heuristic) ------------------------
 
@@ -804,6 +891,48 @@ object PipelineQueries {
        |SELECT doc_id, ${TextOps.normalizeTextSql("text")} AS norm
        |FROM planted ORDER BY doc_id""".stripMargin
 
+  // ---- T12: Gopher word-level quality gate ----------------------------
+
+  /** The word-level half of the Gopher curation rules (public: Rae et
+    * al. [Gopher] §A1.1; q_t5 carries the repetition half): word-count
+    * bounds, mean word length in [3, 10], alphabetic-word ratio ≥ 0.7,
+    * ≥ 2 stopword hits. One map-side pass over the scan — every signal
+    * is a higher-order-function fold over the token array, no explode,
+    * no shuffle before the output sort. Ratios cross the oracle as
+    * floor(×100) integers so the gate booleans compare exactly.
+    */
+  private val gateStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val t12GopherGate: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .withColumn("n_words", size($"toks"))
+      .withColumn("mwl100",
+        floor(aggregate(transform($"toks", t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x) * 100.0 / $"n_words").cast("long"))
+      .withColumn("ar100",
+        floor(size(filter($"toks", t => t.rlike("[A-Za-z]"))) * 100.0 / $"n_words").cast("long"))
+      .withColumn("stop_hits", TextOps.markerCount($"toks", gateStops))
+      .withColumn("pass",
+        $"n_words" >= 50 && $"n_words" <= 100000 &&
+          $"mwl100" >= 300 && $"mwl100" <= 1000 &&
+          $"ar100" >= 70 && $"stop_hits" >= 2)
+      .select($"doc_id", $"n_words", $"mwl100", $"ar100", $"stop_hits", $"pass")
+      .orderBy("doc_id")
+  }
+  val t12GopherGateSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(toks) AS n_words,
+       |    CAST(FLOOR(list_sum(list_transform(toks, t -> len(t))) * 100.0 / len(toks)) AS BIGINT) AS mwl100,
+       |    CAST(FLOOR(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) * 100.0 / len(toks)) AS BIGINT) AS ar100,
+       |    len(list_filter(toks, t -> t IN (${gateStops.map(w => s"'$w'").mkString(",")}))) AS stop_hits
+       |  FROM t)
+       |SELECT doc_id, n_words, mwl100, ar100, stop_hits,
+       |  (n_words >= 50 AND n_words <= 100000 AND mwl100 >= 300 AND mwl100 <= 1000
+       |   AND ar100 >= 70 AND stop_hits >= 2) AS pass
+       |FROM m ORDER BY doc_id""".stripMargin
+
   // ---- P1/P2: deterministic sampling ----------------------------------
 
   /** Stratified quota sample: the 20 docs per language whose ids hash
@@ -917,6 +1046,35 @@ object PipelineQueries {
        |  row_number() OVER (PARTITION BY h % $NShards ORDER BY h, doc_id) AS pos
        |FROM t ORDER BY shard, pos""".stripMargin
   }
+
+  // ---- P5: deterministic train/val/test split -------------------------
+
+  /** The 80/10/10 split a training pipeline freezes before any mixing:
+    * assignment by content-hash gate (never `rand()` — identical
+    * verdicts across runs, engines, retries, and repartitionings, the
+    * property an eval set's integrity depends on). Pure map-side; the
+    * per-(source, split) counts and id extremes cross the oracle,
+    * proving the routing.
+    */
+  val p5Split: Q = (s, d) => {
+    import s.implicits._
+    val b = graft.ops.Sampling.gateBucket($"doc_id", "split")
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(b < 8000, "train").when(b < 9000, "val").otherwise("test"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+      .orderBy("source", "split")
+  }
+  val p5SplitSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    ${TextOps.seededHash60Sql("'split'", "CAST(doc_id AS VARCHAR)")} % 10000 AS b
+       |  FROM documents)
+       |SELECT source,
+       |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+       |  COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |FROM t GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 
   // ---- M1: multimodal binary-column metadata --------------------------
 
@@ -1166,6 +1324,10 @@ object PipelineQueries {
     "q_p2_mixture" -> p2Mixture,
     "q_p3_pack" -> p3Pack,
     "q_p4_shards" -> p4Shards,
+    "q_p5_split" -> p5Split,
+    "q_d9_neardup_purge" -> d9NearDupPurge,
+    "q_e8_quantize" -> e8Quantize,
+    "q_t12_gopher_gate" -> t12GopherGate,
     "q_m1_binary_meta" -> m1BinaryMeta,
     "q_u1_set_ops" -> u1SetOps,
     "q_m2_decode" -> m2Decode,
@@ -1204,6 +1366,10 @@ object PipelineQueries {
     "q_p2_mixture" -> p2MixtureSql,
     "q_p3_pack" -> p3PackSql,
     "q_p4_shards" -> p4ShardsSql,
+    "q_p5_split" -> p5SplitSql,
+    "q_d9_neardup_purge" -> d9NearDupPurgeSql,
+    "q_e8_quantize" -> e8QuantizeSql,
+    "q_t12_gopher_gate" -> t12GopherGateSql,
     "q_m1_binary_meta" -> m1BinaryMetaSql,
     "q_u1_set_ops" -> u1SetOpsSql,
     // q_m2_decode: intentionally no oracle (non-SQL-expressible decode);

@@ -350,6 +350,37 @@ object Queries {
       |       MIN(l_quantity) AS lo, MAX(l_quantity) AS hi
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** A16: equi-width histogram of `events.value` — 20 bins between the
+    * global min/max. Two passes over the scan: a 1-row min/max aggregate
+    * broadcast back over the data (the same shape a 1000-executor
+    * histogram needs — the stats row is O(1), the binning is map-side,
+    * and the bin rollup partial-aggregates into at most 20 groups).
+    * MIN/MAX are order-independent and the bin formula is the same
+    * IEEE-double expression on both engines, so bins are exact; the
+    * left edge crosses as floor(×100).
+    */
+  val a16Histogram: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"value")
+    val stats = ev.agg(min($"value").as("lo"), max($"value").as("hi"))
+    ev.crossJoin(broadcast(stats))
+      .select(least(floor(($"value" - $"lo") * 20.0 / ($"hi" - $"lo")).cast("double"),
+        lit(19.0)).cast("long").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(stats))
+      .select($"bucket", $"n",
+        floor(($"lo" + $"bucket" * ($"hi" - $"lo") / 20.0) * 100).cast("long").as("lo_x100"))
+      .orderBy("bucket")
+  }
+  val a16HistogramSql: String =
+    """WITH s AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+      |b AS (
+      |  SELECT CAST(LEAST(FLOOR((value - lo) * 20.0 / (hi - lo)), 19.0) AS BIGINT) AS bucket
+      |  FROM events, s)
+      |SELECT bucket, COUNT(*) AS n,
+      |  CAST(FLOOR((lo + bucket * (hi - lo) / 20.0) * 100) AS BIGINT) AS lo_x100
+      |FROM b, s GROUP BY bucket, lo, hi ORDER BY bucket""".stripMargin
+
   // ---- §2.3 joins ---------------------------------------------------
 
   /** J1: equi inner join + grouped rollup. Customer is the small dimension
@@ -679,6 +710,7 @@ object Queries {
     "q_a13_pivot" -> a13Pivot,
     "q_a14_percentiles" -> a14Percentiles,
     "q_a15_cube" -> a15Cube,
+    "q_a16_histogram" -> a16Histogram,
     "q_j1_inner_join" -> j1InnerJoin,
     "q_j2_left_join" -> j2LeftJoin,
     "q_j3_anti" -> j3Anti,
@@ -715,6 +747,7 @@ object Queries {
     "q_a13_pivot" -> a13PivotSql,
     "q_a14_percentiles" -> a14PercentilesSql,
     "q_a15_cube" -> a15CubeSql,
+    "q_a16_histogram" -> a16HistogramSql,
     "q_j1_inner_join" -> j1InnerJoinSql,
     "q_j2_left_join" -> j2LeftJoinSql,
     "q_j3_anti" -> j3AntiSql,

@@ -147,17 +147,56 @@ object TemporalQueries {
        |  ${graft.ops.Exact.sum2Sql("value")} AS volume
        |FROM w GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
 
+  // ---- gap fill + forward fill ----------------------------------------
+
+  /** G3: per-user daily grid densification + forward fill over purchase
+    * values — the time-series `ffill` operator (see Temporal
+    * .gapFillDaily for the no-global-calendar scale shape). The oracle
+    * states the same semantics with generate_series +
+    * `last_value(... IGNORE NULLS)`.
+    */
+  val g3Ffill: Q = (s, d) => {
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+    graft.ops.Temporal.gapFillDaily(purchases, "user_id", col("day"), col("value"))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("was_filled"), col("v"), col("n_obs"))
+      .orderBy("user_id", "day")
+  }
+  val g3FfillSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, value
+       |  FROM events WHERE event_type = 'purchase'),
+       |daily AS (
+       |  SELECT user_id, day, ${graft.ops.Exact.avg2Sql("value")} AS v_obs,
+       |    COUNT(*) AS n_obs
+       |  FROM e GROUP BY 1, 2),
+       |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+       |grid AS (
+       |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM span)
+       |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+       |  dl.v_obs IS NULL AS was_filled,
+       |  last_value(dl.v_obs IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+       |  COALESCE(dl.n_obs, 0) AS n_obs
+       |FROM grid g LEFT JOIN daily dl ON dl.user_id = g.user_id AND dl.day = g.day
+       |ORDER BY 1, 2""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q_j10_asof" -> j10AsOf,
     "q_j11_range" -> j11Range,
     "q_g1_sessions" -> g1Sessions,
-    "q_g2_bars" -> g2Bars)
+    "q_g2_bars" -> g2Bars,
+    "q_g3_ffill" -> g3Ffill)
 
   val oracles: Map[String, String] = Map(
     "q_j10_asof" -> j10AsOfSql,
     "q_j11_range" -> j11RangeSql,
     "q_g1_sessions" -> g1SessionsSql,
-    "q_g2_bars" -> g2BarsSql)
+    "q_g2_bars" -> g2BarsSql,
+    "q_g3_ffill" -> g3FfillSql)
 }

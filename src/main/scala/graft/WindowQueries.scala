@@ -348,10 +348,44 @@ object WindowQueries {
        |       MAX(last_vol) AS last_vol, MAX(second_vol) AS second_vol
        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- W11: cumulative distinct (growth curve) ------------------------
+
+  /** W11: cumulative distinct users per day — the growth-curve metric.
+    * A running COUNT(DISTINCT) window is O(n²) state; the scalable
+    * identity is "reduce each user to their FIRST-seen day, then
+    * cumulative-sum the per-day first-appearance counts": one keyed
+    * min-aggregate (map-side combined) + one tiny per-day frame whose
+    * running sum is a window over |days| rows, not |events|. The
+    * oracle states the same identity (a literal running COUNT(DISTINCT
+    * ... ) OVER is not valid SQL in either engine).
+    */
+  val w11CumDistinct: Q = (s, d) => {
+    import s.implicits._
+    val firstSeen = Tables.events(s, d)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min(to_date($"ts")).as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("new_users"))
+    val run = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstSeen
+      .withColumn("cum_users", sum($"new_users").over(run))
+      .select(dstr($"day").as("day"), $"new_users", $"cum_users")
+      .orderBy("day")
+  }
+  val w11CumDistinctSql: String =
+    s"""WITH fs AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |per_day AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY 1)
+       |SELECT ${dstrSql("day")} AS day, new_users,
+       |  CAST(SUM(new_users) OVER (ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+       |FROM per_day ORDER BY day""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q_w9_sliding_distinct" -> w9SlidingDistinct,
+    "q_w11_cum_distinct" -> w11CumDistinct,
     "q_w1_rank_topn" -> w1RankTopN,
     "q_w2w3_dense_pct" -> w2w3DensePct,
     "q_w4_partition_total" -> w4PartitionTotal,
@@ -367,6 +401,7 @@ object WindowQueries {
 
   val oracles: Map[String, String] = Map(
     "q_w9_sliding_distinct" -> w9SlidingDistinctSql,
+    "q_w11_cum_distinct" -> w11CumDistinctSql,
     "q_w1_rank_topn" -> w1RankTopNSql,
     "q_w2w3_dense_pct" -> w2w3DensePctSql,
     "q_w4_partition_total" -> w4PartitionTotalSql,

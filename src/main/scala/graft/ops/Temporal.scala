@@ -156,4 +156,38 @@ object Temporal {
         max(col("__us")).as("end_us"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
+
+  /** Daily gap fill + forward fill: densify each key's observed span to
+    * a complete per-day grid, then carry the last observed value across
+    * the gaps (pandas `resample('D').ffill()`, for a distributed table).
+    *
+    * Returns (key, day, was_filled, v, n_obs): `v` is the exact daily
+    * average ([[Exact.avg2]], order-independent so it hash-matches any
+    * engine) forward-filled over missing days; `was_filled` marks grid
+    * days with no observations. `v` is never NULL — each key's grid
+    * starts at its own first observed day.
+    *
+    * Scale shape: the raw events collapse map-side into the (key, day)
+    * aggregate before its shuffle; the span frame is one row per key;
+    * `sequence` densifies per key WITHOUT a cross join against a global
+    * calendar (a key observed for a week never materializes the whole
+    * corpus date range); the forward-fill window and the grid/daily
+    * join both hash on `key`, so AQE coalesces them onto the same
+    * exchange footprint. Per-key grid length is bounded by that key's
+    * own observed span, so skew equals genuine span skew, not fan-out.
+    */
+  def gapFillDaily(df: DataFrame, key: String, day: Column, value: Column): DataFrame = {
+    val daily = df.groupBy(col(key), day.as("day"))
+      .agg(Exact.avg2(value).as("v_obs"), count(lit(1)).as("n_obs"))
+    val grid = daily.groupBy(col(key))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col(key), explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val run = Window.partitionBy(key).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(key, "day"), "left")
+      .withColumn("was_filled", col("v_obs").isNull)
+      .withColumn("v", last(col("v_obs"), ignoreNulls = true).over(run))
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .drop("v_obs")
+  }
 }

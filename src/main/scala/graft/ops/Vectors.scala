@@ -251,4 +251,43 @@ object Vectors {
       .drop("e", "qe")
       .orderBy(col("cos_sim").desc, col("vid"))
       .limit(k)
+
+  /** Per-dimension int8 scalar quantization — the 4× (fp32) / 8× (fp64)
+    * embedding-store compression step of a vector pipeline. Each
+    * dimension is affinely mapped onto codes 0..255 between its global
+    * min and max; a constant dimension codes to 0.
+    *
+    * Returns one row per vector: (id, n_dims, code_sum, max_err,
+    * codes), where `codes` is the comma-joined code string in dimension
+    * order and `max_err` the worst absolute reconstruction error.
+    *
+    * Scale shape: the per-dimension (lo, hi) table is `dim` rows —
+    * aggregated with map-side combine from the posexploded scan, then
+    * BROADCAST back over the data, so the codes themselves are computed
+    * map-side; the only full-data shuffle is the regroup by id. All
+    * arithmetic is double with one fixed expression shape, so codes are
+    * engine-exact (`floor(x + 0.5)`, not banker's rounding).
+    */
+  def quantizeInt8(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val ex = vecs
+      .select(col(idCol), posexplode(col(vecCol)))
+      .select(col(idCol), col("pos"), col("col").cast("double").as("v"))
+    val dims = ex.groupBy("pos").agg(min("v").as("lo"), max("v").as("hi"))
+    val coded = ex.join(broadcast(dims), "pos")
+      .withColumn("code",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(floor((col("v") - col("lo")) * 255.0 / (col("hi") - col("lo")) + 0.5)))
+      .withColumn("err",
+        abs(col("v") - (col("lo") + col("code") * (col("hi") - col("lo")) / 255.0)))
+    coded.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_dims"),
+        sum(col("code")).as("code_sum"),
+        max(col("err")).as("max_err"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("code")))),
+            x => x.getField("code").cast("string")),
+          ",").as("codes"))
+  }
 }
