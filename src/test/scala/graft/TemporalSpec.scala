@@ -130,4 +130,22 @@ class TemporalSpec extends SparkSpec {
     p should include("partial_min_by")
     p should not include "Window"
   }
+
+  test("gapFillDaily: densifies each key's own span and forward-fills values") {
+    val obs = Seq(
+      ("a", "2024-01-01", 10.0), ("a", "2024-01-01", 20.0), // two obs → avg 15
+      ("a", "2024-01-04", 40.0),
+      ("b", "2024-02-10", 7.0) // single-day key: grid of one, nothing filled
+    ).toDF("k", "day", "v").withColumn("day", to_date($"day"))
+    val got = Temporal.gapFillDaily(obs, "k", $"day", $"v")
+      .select($"k", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"was_filled", $"v", $"n_obs")
+      .as[(String, String, Boolean, Double, Long)].collect().toSet
+    got shouldBe Set(
+      ("a", "2024-01-01", false, 15.0, 2L),
+      ("a", "2024-01-02", true, 15.0, 0L), // gap day carries the last value
+      ("a", "2024-01-03", true, 15.0, 0L),
+      ("a", "2024-01-04", false, 40.0, 1L),
+      ("b", "2024-02-10", false, 7.0, 1L)) // b's grid never extends to a's span
+  }
 }

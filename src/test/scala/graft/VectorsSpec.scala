@@ -150,4 +150,23 @@ class VectorsSpec extends SparkSpec {
     b1 shouldBe b2          // no RNG anywhere
     b1(1L) shouldBe b1(2L)  // identical vectors share a bucket
   }
+
+  test("quantizeInt8: extremes hit 0/255, constant dims code 0, error within half a step") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.0f, 5.0f, 1.0f)),
+      (2L, Seq(1.0f, 5.0f, 3.0f)),
+      (3L, Seq(2.0f, 5.0f, 9.0f))
+    ).toDF("vid", "e")
+    val rows = Vectors.quantizeInt8(vecs, "vid", "e")
+      .select($"vid", $"codes", $"max_err")
+      .as[(Long, String, Double)].collect()
+    rows.map(r => r._1 -> r._2).toMap shouldBe Map(
+      1L -> "0,0,0",      // dim mins → 0; constant dim 1 → 0
+      2L -> "128,0,64",   // floor(1*255/2 + .5) = 128; floor(2*255/8 + .5) = 64
+      3L -> "255,0,255")  // dim maxes → 255
+    // Worst reconstruction error is bounded by half the widest dim's step.
+    val halfStep = 0.5 * (9.0 - 1.0) / 255.0
+    all(rows.map(_._3)) should be <= halfStep
+  }
 }
