@@ -297,7 +297,11 @@ object PipelineQueries {
     val c = corpus(s, d)
     val removed = Dedup.dupClusters(Dedup.nearDupPairs(c, "id", "text"))
       .filter($"id" =!= $"cluster_id")
-    c.join(removed, Seq("id"), "left_anti")
+    // The removal set is |dup members − clusters| — small for any sane
+    // corpus, and sizeless after the iterative CC (checkpoint cuts the
+    // stats), so hint the broadcast explicitly. For a dup-dominated
+    // corpus drop the hint and let AQE pick the join.
+    c.join(broadcast(removed), Seq("id"), "left_anti")
       .select($"id")
       .orderBy("id")
   }

@@ -365,9 +365,10 @@ object Queries {
     val stats = ev.agg(min($"value").as("lo"), max($"value").as("hi"))
     ev.crossJoin(broadcast(stats))
       .select(least(floor(($"value" - $"lo") * 20.0 / ($"hi" - $"lo")).cast("double"),
-        lit(19.0)).cast("long").as("bucket"))
-      .groupBy($"bucket").agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(stats))
+        lit(19.0)).cast("long").as("bucket"), $"lo", $"hi")
+      // lo/hi are constant — grouping on them rides along for free and
+      // saves a second stats scan for the bin edges.
+      .groupBy($"bucket", $"lo", $"hi").agg(count(lit(1)).as("n"))
       .select($"bucket", $"n",
         floor(($"lo" + $"bucket" * ($"hi" - $"lo") / 20.0) * 100).cast("long").as("lo_x100"))
       .orderBy("bucket")
