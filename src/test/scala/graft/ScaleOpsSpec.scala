@@ -79,4 +79,41 @@ class ScaleOpsSpec extends SparkSpec {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
+
+  test("partitioned store scans prune statically on the partition column") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-prune").toString + "/t"
+    val rows = (1 to 300).map(i => (i.toLong, s"d${i % 3}", i * 1.0))
+      .toDF("id", "day", "v")
+    graft.ops.Store.writePartitioned(rows, path, "day")
+    val q = spark.read.parquet(path).filter($"day" === "d1")
+    // The predicate must land in PartitionFilters (directory pruning at
+    // the source listing — at 100 TB this is the difference between
+    // reading one day and reading the table), not in the data filters.
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    scan.partitionFilters.map(_.sql).mkString should include("day")
+    q.count() shouldBe 100
+  }
+
+  test("joining on the partition column inserts a dynamic partition pruning filter") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-dpp").toString + "/t"
+    val facts = (1 to 3000).map(i => (i.toLong, s"d${i % 10}", i * 1.0))
+      .toDF("id", "day", "v")
+    graft.ops.Store.writePartitioned(facts, path, "day")
+    // A selective dimension: only 2 of 10 days survive its filter. DPP
+    // should push the dim's day set into the fact scan as a runtime
+    // partition filter (reusing the join's broadcast), so the fact side
+    // reads 2 directories, not 10 — the canonical star-join scan cut.
+    // The dim must be file-backed: a LocalRelation constant-folds its
+    // filter away and the planner no longer sees a selective predicate.
+    val dimPath = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString + "/d"
+    (0 until 10).map(i => (s"d$i", i)).toDF("day", "attr").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter($"attr" < 2)
+    val joined = spark.read.parquet(path).join(dim, "day")
+    joined.queryExecution.executedPlan.toString should include("dynamicpruning")
+    joined.count() shouldBe 600
+  }
 }
