@@ -80,6 +80,39 @@ class ScaleOpsSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("AQE splits a skewed join partition when it exceeds the skew threshold") {
+    import spark.implicits._
+    // 20k rows of one hot key joined against a long uniform tail. With
+    // the skew thresholds lowered to test scale, AQE must mark the
+    // sort-merge join skew-handled (isSkew=true splits the hot
+    // partition into parallel sub-reads) — the runtime guard that keeps
+    // one executor from absorbing a hot key's entire partition at 100 TB.
+    // Distinct md5 payloads keep the hot partition incompressible, so
+    // its shuffle-write size actually crosses the (lowered) threshold.
+    val left = spark.range(50000)
+      .select(when($"id" < 49000L, 1L).otherwise($"id").as("key"),
+        md5($"id".cast("string")).as("pay"))
+    val right = (1L to 200L).toDF("key").withColumn("name", lit("y"))
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = left.join(right, "key")
+      // Materialize THIS frame's own QueryExecution: AQE only rewrites
+      // the plan (isFinalPlan=true) once it actually runs, and count()
+      // would plan a different query.
+      joined.collect().length shouldBe 49000 // only the hot key matches the dim
+      joined.queryExecution.executedPlan.toString should include("skew=true")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partitioned store scans prune statically on the partition column") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-prune").toString + "/t"
