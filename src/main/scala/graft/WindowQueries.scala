@@ -381,11 +381,48 @@ object WindowQueries {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
        |FROM per_day ORDER BY day""".stripMargin
 
+  // ---- W12: running peak + drawdown -----------------------------------
+
+  /** W12: running per-user volume peak and drawdown from it — the
+    * running-MAX window frame (W6 covers the trailing-frame average,
+    * W4 the unbounded total; this is the monotone cumulative extreme).
+    * Volume is decimal-exact (Exact.sum2), the peak is an
+    * order-independent MAX, and the drawdown ratio crosses as
+    * floor(×1e6), so the row set is engine-exact. Zero/negative peaks
+    * (possible if a value column sums negative) gate to 0 rather than
+    * dividing.
+    */
+  val w12Drawdown: Q = (s, d) => {
+    import s.implicits._
+    val run = Window.partitionBy($"user_id").orderBy($"date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailyUserVolume(s, d)
+      .withColumn("peak", max($"volume").over(run))
+      .withColumn("dd1e6",
+        when($"peak" <= 0, lit(0L))
+          .otherwise(floor(($"peak" - $"volume") * lit(1000000.0) / $"peak").cast("long")))
+      .select(dstr($"date").as("date"), $"user_id", $"volume", $"peak", $"dd1e6")
+      .orderBy("user_id", "date")
+  }
+  val w12DrawdownSql: String =
+    s"""WITH $dailySql,
+       |w AS (
+       |  SELECT date, user_id, volume,
+       |    MAX(volume) OVER (PARTITION BY user_id ORDER BY date
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+       |  FROM daily)
+       |SELECT ${dstrSql("date")} AS date, user_id, volume, peak,
+       |  CASE WHEN peak <= 0 THEN 0
+       |       ELSE CAST(FLOOR((peak - volume) * 1000000.0 / peak) AS BIGINT)
+       |  END AS dd1e6
+       |FROM w ORDER BY user_id, date""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q_w9_sliding_distinct" -> w9SlidingDistinct,
     "q_w11_cum_distinct" -> w11CumDistinct,
+    "q_w12_drawdown" -> w12Drawdown,
     "q_w1_rank_topn" -> w1RankTopN,
     "q_w2w3_dense_pct" -> w2w3DensePct,
     "q_w4_partition_total" -> w4PartitionTotal,
@@ -402,6 +439,7 @@ object WindowQueries {
   val oracles: Map[String, String] = Map(
     "q_w9_sliding_distinct" -> w9SlidingDistinctSql,
     "q_w11_cum_distinct" -> w11CumDistinctSql,
+    "q_w12_drawdown" -> w12DrawdownSql,
     "q_w1_rank_topn" -> w1RankTopNSql,
     "q_w2w3_dense_pct" -> w2w3DensePctSql,
     "q_w4_partition_total" -> w4PartitionTotalSql,
