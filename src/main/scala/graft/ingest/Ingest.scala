@@ -281,7 +281,7 @@ object Ingest {
     */
   def parseExchangeInfo(spark: SparkSession, json: String): DataFrame = {
     import spark.implicits._
-    spark.read.json(Seq(json).toDS)
+    spark.read.json(Seq(json).toDS())
       .select(explode(col("symbols")).as("s"))
       .select(col("s.symbol").as("symbol"), col("s.status").as("status"),
         col("s.contractType").as("contractType"))

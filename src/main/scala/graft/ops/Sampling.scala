@@ -102,10 +102,10 @@ object Sampling {
     val helper = Seq("__s", "__n", "__h", "__t", "__rn")
     if (deficient.isEmpty) topk.drop(helper: _*)
     else {
-      val redo = withT.filter(col("__s").isin(deficient: _*))
+      val redo = withT.filter(col("__s").isin(deficient.toIndexedSeq: _*))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= k)
-      topk.filter(!col("__s").isin(deficient: _*))
+      topk.filter(!col("__s").isin(deficient.toIndexedSeq: _*))
         .unionByName(redo)
         .drop(helper: _*)
     }

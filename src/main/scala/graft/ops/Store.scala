@@ -55,7 +55,7 @@ object Store {
       val touched = updates.select(col(partCol)).distinct()
       val affected = existing.join(broadcast(touched), Seq(partCol), "left_semi")
       val merged = latestByKey(
-        affected.unionByName(updates.select(existing.columns.map(col): _*)),
+        affected.unionByName(updates.select(existing.columns.toIndexedSeq.map(col): _*)),
         keys, tsCol, tieBreak)
       // Lineage cut BEFORE the overwrite: without it the write job both
       // reads and deletes the same partitions, and a mid-commit failure
@@ -126,12 +126,12 @@ object Store {
     // retries must re-derive the same bucket).
     val salted = df
       .join(broadcast(widthDf), df(partCol).cast("string") === col("__pv"))
-      .withColumn("__salt", pmod(hash(df.columns.map(df(_)): _*), col("__n")))
+      .withColumn("__salt", pmod(hash(df.columns.toIndexedSeq.map(df(_)): _*), col("__n")))
     val tmp = new Path(path + ".compacting")
     fs.delete(tmp, true)
     salted
       .repartition(math.max(totalWidth, 1), col(partCol), col("__salt"))
-      .select(df.columns.map(df(_)): _*)
+      .select(df.columns.toIndexedSeq.map(df(_)): _*)
       .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp.toString)
     // The width join keys on the DECODED dir value; any mismatch would
     // silently drop that partition's rows. Refuse to swap unless the
@@ -169,7 +169,7 @@ object Store {
         col(c1).cast("long"), col(c2).cast("long")))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Derived summary table (the reference's daily_symbol_counts
