@@ -35,6 +35,32 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** Continuous UPSERT ingest: stream micro-batches merged into the
+    * partitioned store through `Store.upsert` via `foreachBatch` — the
+    * streaming twin of the batch upsert path (same dynamic-partition
+    * overwrite, same crash-safe lineage cut, same latest-row-per-key
+    * semantics). The checkpoint gives exactly-once batch REPLAY, and
+    * upsert itself is idempotent (replaying a batch re-merges the same
+    * rows to the same latest-per-key winners), so the composition is
+    * end-to-end exactly-once on the store.
+    *
+    * Scale: each micro-batch touches only its own partitions (the
+    * upsert semi-joins the store on the batch's partition values), so
+    * ingest cost tracks batch size, not table size.
+    */
+  def upsertStream(updates: DataFrame, path: String, checkpoint: String,
+                   partCol: String, keys: Seq[String], tsCol: String,
+                   tieBreak: String): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // The store must exist (seed with Store.writePartitioned).
+        if (!batch.isEmpty)
+          graft.ops.Store.upsert(batch.sparkSession, path, batch,
+            partCol, keys, tsCol, tieBreak)
+      }
+      .start()
+
   /** Streaming exact dedup with bounded state — the stream-time shape of
     * the training-ingest content-hash dedup (`Dedup.exactGroups` for
     * batch): duplicates of a key arriving within the watermark horizon

@@ -273,4 +273,39 @@ class StreamingSpec extends SparkSpec {
       q.lastProgress.stateOperators should not be empty
     } finally q.stop()
   }
+
+  test("upsertStream merges micro-batches into the store with latest-per-key wins") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val root = Files.createTempDirectory("graft-upstream").toString
+    val store = s"$root/store"; val chk = s"$root/chk"
+    // Seed: day d1 has key A@t1; day d2 has key C@t1.
+    graft.ops.Store.writePartitioned(
+      Seq(("A", "d1", 1L, 10.0), ("C", "d2", 1L, 30.0))
+        .toDF("k", "day", "ts", "v"),
+      store, "day")
+
+    val input = MemoryStream[(String, String, Long, Double)]
+    val q = Incremental.upsertStream(
+      input.toDF().toDF("k", "day", "ts", "v"),
+      store, chk, partCol = "day", keys = Seq("k"), tsCol = "ts", tieBreak = "ts")
+    try {
+      // Batch 1: newer A on d1 (should win) + new key B on d1.
+      input.addData(("A", "d1", 2L, 11.0), ("B", "d1", 1L, 20.0))
+      q.processAllAvailable()
+      // Batch 2: stale A (older ts — must NOT win). d2 untouched throughout.
+      input.addData(("A", "d1", 1L, 99.0))
+      q.processAllAvailable()
+      q.exception shouldBe empty
+      val state = spark.read.parquet(store)
+        .select("k", "day", "ts", "v").as[(String, String, Long, Double)]
+        .collect().toSet
+      state shouldBe Set(
+        ("A", "d1", 2L, 11.0), // batch-1 update won; batch-2 stale row lost
+        ("B", "d1", 1L, 20.0),
+        ("C", "d2", 1L, 30.0)) // untouched partition survives every upsert
+    } finally q.stop()
+  }
 }
