@@ -166,8 +166,33 @@ object ScalarQueries {
     s.sql(sharedSql)
   }
 
+  /** SQL2: the injected-function surface as an oracled query — `hash60`
+    * and the `shingles` generator run INSIDE `spark.sql` (registered by
+    * GraftExtensions), proven value-identical to the DuckDB md5-slice /
+    * sliding-window formulation. Guards the whole extension wiring:
+    * resolution, codegen, and semantics in one row set.
+    */
+  val sql2Functions: Q = (s, d) => {
+    Tables.createViews(s, d)
+    s.sql("""SELECT doc_id, hash60(text) AS h, COUNT(*) AS n_shingles
+            |FROM documents LATERAL VIEW shingles(text, 3) g AS sh
+            |WHERE doc_id < 200
+            |GROUP BY doc_id, hash60(text)
+            |ORDER BY doc_id""".stripMargin)
+  }
+  val sql2FunctionsSql: String =
+    """SELECT doc_id, ('0x'||substr(md5(text),1,15))::BIGINT AS h,
+      |  COUNT(*) AS n_shingles
+      |FROM (SELECT doc_id, text,
+      |        unnest(list_transform(generate_series(1, len(toks) - 2),
+      |          i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |      FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
+      |            FROM documents WHERE doc_id < 200))
+      |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q_sql1_shared" -> sql1Shared,
+    "q_sql2_functions" -> sql2Functions,
     "q_s1_latest_by_key" -> s1LatestByKey,
     "q_c1_date_arith" -> c1DateArith,
     "q_c12_regex" -> c12Regex,
@@ -178,6 +203,7 @@ object ScalarQueries {
 
   val oracles: Map[String, String] = Map(
     "q_sql1_shared" -> sharedSql,
+    "q_sql2_functions" -> sql2FunctionsSql,
     "q_s1_latest_by_key" -> s1LatestByKeySql,
     "q_c1_date_arith" -> c1DateArithSql,
     "q_c12_regex" -> c12RegexSql,
