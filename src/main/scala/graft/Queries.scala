@@ -689,6 +689,55 @@ object Queries {
       |SELECT c AS "constraint", n AS n_violations, n = 0 AS ok
       |FROM r ORDER BY "constraint"""".stripMargin
 
+  // ---- V3: distribution drift between corpus slices -------------------
+
+  /** V3: dataset drift monitoring — the value histogram of the first
+    * half of each month vs the second half, over one shared 20-bin grid
+    * (global min/max so both slices bin identically), with each bin's
+    * share delta as an L1-distance contribution. The PSI/KL monitors a
+    * training pipeline runs are this exact shape; L1 keeps the math
+    * log-free so the compare is engine-exact (shares cross as
+    * floor(×1e6)). One scan feeds both slices (conditional counts per
+    * bin — no second pass, no join between the slices).
+    */
+  val v3Drift: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"value",
+        when(dayofmonth(to_date($"ts")) <= 15, 1).otherwise(2).as("m"))
+    val stats = ev.agg(min($"value").as("lo"), max($"value").as("hi"))
+    ev.crossJoin(broadcast(stats))
+      .select(least(floor(($"value" - $"lo") * 20.0 / ($"hi" - $"lo")).cast("double"),
+        lit(19.0)).cast("long").as("bucket"), $"m")
+      .groupBy($"bucket")
+      .agg(sum(when($"m" === 1, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"m" === 2, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("t_a", sum($"n_a").over())
+      .withColumn("t_b", sum($"n_b").over())
+      .select($"bucket", $"n_a", $"n_b",
+        floor(abs($"n_a" * lit(1000000.0) / $"t_a"
+          - $"n_b" * lit(1000000.0) / $"t_b")).cast("long").as("l1_1e6"))
+      .orderBy("bucket")
+  }
+  val v3DriftSql: String =
+    """WITH e AS (
+      |  SELECT value,
+      |    CASE WHEN dayofmonth(CAST(ts AS DATE)) <= 15 THEN 1 ELSE 2 END AS m
+      |  FROM events),
+      |s AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM e),
+      |b AS (
+      |  SELECT CAST(LEAST(FLOOR((value - lo) * 20.0 / (hi - lo)), 19.0) AS BIGINT) AS bucket, m
+      |  FROM e, s),
+      |g AS (
+      |  SELECT bucket,
+      |    CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM b GROUP BY 1)
+      |SELECT bucket, n_a, n_b,
+      |  CAST(FLOOR(ABS(n_a * 1000000.0 / SUM(n_a) OVER ()
+      |    - n_b * 1000000.0 / SUM(n_b) OVER ())) AS BIGINT) AS l1_1e6
+      |FROM g ORDER BY bucket""".stripMargin
+
   // ---- registry -----------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -724,7 +773,8 @@ object Queries {
     "q_j12_bloom" -> j12Bloom,
     "q_j13_star_join" -> j13StarJoin,
     "q_v1_profile" -> v1Profile,
-    "q_v2_constraints" -> v2Constraints
+    "q_v2_constraints" -> v2Constraints,
+    "q_v3_drift" -> v3Drift
   ) ++ WindowQueries.all ++ PipelineQueries.all ++ ScalarQueries.all ++
     TemporalQueries.all ++ SketchQueries.all
 
@@ -761,7 +811,8 @@ object Queries {
     "q_j12_bloom" -> j12BloomSql,
     "q_j13_star_join" -> j13StarJoinSql,
     "q_v1_profile" -> v1ProfileSql,
-    "q_v2_constraints" -> v2ConstraintsSql
+    "q_v2_constraints" -> v2ConstraintsSql,
+    "q_v3_drift" -> v3DriftSql
   ) ++ WindowQueries.oracles ++ PipelineQueries.oracles ++ ScalarQueries.oracles ++
     TemporalQueries.oracles ++ SketchQueries.oracles
 }
