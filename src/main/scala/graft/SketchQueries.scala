@@ -97,13 +97,68 @@ object SketchQueries {
        |FROM exact e JOIN est ON est.term = e.term
        |ORDER BY e.exact_cnt DESC, e.term""".stripMargin
 
+  // ---- K3: KMV sketch union (merge algebra) ---------------------------
+
+  /** K3: sketch MERGE — per-source KMV sketches unioned into one global
+    * sketch, against the exact global distinct. This is the 100 TB
+    * pattern the sketch exists for: every shard summarizes locally
+    * (fixed k-long state), only sketches travel, and the combined
+    * estimate is computed without ever shuffling the key universe.
+    * Bottom-k of a union equals bottom-k of the per-source bottom-ks
+    * (each global minimum is a minimum within its own source), so the
+    * merged sketch — and therefore the ESTIMATE — is provably identical
+    * to sketching the whole corpus at once; the oracle recomputes
+    * exactly that union-of-bottom-ks.
+    */
+  val k3KmvUnion: Q = (s, d) => {
+    val kmv = Sketches.kmvSketch(K)
+    val hashes = Tables.documents(s, d)
+      .select(col("source"), TextOps.hash60(col("text")).as("h"))
+    val perSource = hashes.groupBy("source").agg(kmv(col("h")).as("sk"))
+    val unioned = perSource
+      .select(explode(col("sk")).as("h"))
+      .agg(count(lit(1)).as("n_candidates"), kmv(col("h")).as("sk"))
+    val exact = hashes.agg(
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("h")).as("n_exact"))
+    exact.crossJoin(broadcast(unioned))
+      .select(col("n_sources"), col("n_exact"), col("n_candidates"),
+        Sketches.kmvThreshold(col("sk"), K).as("kth_min"),
+        Sketches.kmvEstimate(col("sk"), K).as("est_distinct"))
+  }
+  val k3KmvUnionSql: String = {
+    val h = TextOps.hash60Sql("text")
+    s"""WITH e AS (SELECT source, $h AS h FROM documents),
+       |d AS (SELECT DISTINCT source, h FROM e),
+       |r AS (SELECT source, h,
+       |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |      FROM d),
+       |cand AS (SELECT h FROM r WHERE rn <= $K),
+       |u AS (SELECT DISTINCT h FROM cand),
+       |ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+       |         COUNT(*) OVER () AS nu
+       |       FROM u),
+       |g AS (SELECT COUNT(DISTINCT source) AS n_sources,
+       |        COUNT(DISTINCT h) AS n_exact,
+       |        (SELECT COUNT(*) FROM cand) AS n_candidates
+       |      FROM e)
+       |SELECT g.n_sources, g.n_exact, g.n_candidates,
+       |  MAX(CASE WHEN ur.rn = $K THEN ur.h END) AS kth_min,
+       |  CASE WHEN MAX(ur.nu) < $K THEN CAST(MAX(ur.nu) AS DOUBLE)
+       |       ELSE ${K - 1}.0 * 1152921504606846976 / MAX(CASE WHEN ur.rn = $K THEN ur.h END)
+       |  END AS est_distinct
+       |FROM ur, g GROUP BY g.n_sources, g.n_exact, g.n_candidates""".stripMargin
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q_k1_kmv" -> k1Kmv,
-    "q_k2_cms" -> k2Cms)
+    "q_k2_cms" -> k2Cms,
+    "q_k3_kmv_union" -> k3KmvUnion)
 
   val oracles: Map[String, String] = Map(
     "q_k1_kmv" -> k1KmvSql,
-    "q_k2_cms" -> k2CmsSql)
+    "q_k2_cms" -> k2CmsSql,
+    "q_k3_kmv_union" -> k3KmvUnionSql)
 }
