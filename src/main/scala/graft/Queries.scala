@@ -689,6 +689,28 @@ object Queries {
       |SELECT c AS "constraint", n AS n_violations, n = 0 AS ok
       |FROM r ORDER BY "constraint"""".stripMargin
 
+  /** J14: left SEMI join — orders with at least one max-quantity line
+    * (the EXISTS shape; J3/J4 cover the anti twin). The probe side
+    * never widens: a semi join emits the left row once regardless of
+    * match multiplicity, so no post-join distinct is ever needed — at
+    * scale that's the difference between a build-side dedup for free
+    * and an extra shuffle.
+    */
+  val j14Semi: Q = (s, d) => {
+    import s.implicits._
+    val full = Tables.lineitem(s, d).filter($"l_quantity" === 50)
+    Tables.orders(s, d)
+      .join(full, $"o_orderkey" === full("l_orderkey"), "left_semi")
+      .select($"o_orderkey", dstr($"o_orderdate").as("order_date"), $"o_totalprice")
+      .orderBy("o_orderkey")
+  }
+  val j14SemiSql: String =
+    s"""SELECT o_orderkey, ${dstrSql("o_orderdate")} AS order_date, o_totalprice
+       |FROM orders
+       |WHERE EXISTS (SELECT 1 FROM lineitem
+       |              WHERE l_orderkey = o_orderkey AND l_quantity = 50)
+       |ORDER BY o_orderkey""".stripMargin
+
   // ---- V3: distribution drift between corpus slices -------------------
 
   /** V3: dataset drift monitoring — the value histogram of the first
@@ -772,6 +794,7 @@ object Queries {
     "q_j9_salted" -> j9Salted,
     "q_j12_bloom" -> j12Bloom,
     "q_j13_star_join" -> j13StarJoin,
+    "q_j14_semi" -> j14Semi,
     "q_v1_profile" -> v1Profile,
     "q_v2_constraints" -> v2Constraints,
     "q_v3_drift" -> v3Drift
@@ -810,6 +833,7 @@ object Queries {
     "q_j9_salted" -> j9SaltedSql,
     "q_j12_bloom" -> j12BloomSql,
     "q_j13_star_join" -> j13StarJoinSql,
+    "q_j14_semi" -> j14SemiSql,
     "q_v1_profile" -> v1ProfileSql,
     "q_v2_constraints" -> v2ConstraintsSql,
     "q_v3_drift" -> v3DriftSql
