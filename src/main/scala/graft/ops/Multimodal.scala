@@ -93,6 +93,30 @@ object Multimodal {
     }
   }
 
+  /** Resize stage: cap each media's pseudo-dimensions to fit inside
+    * `maxSide` preserving aspect ratio — the thumbnail/normalize step
+    * between decode and feature extraction. The GEOMETRY (integer
+    * floor-scaling, no-upscale, aspect preservation) is real and
+    * engine-portable; only the pixel resample itself would be the
+    * library call, exactly like `decodeStub`. Runs as a typed map over
+    * the decoded Dataset — no shuffle, stays in the decode stage's
+    * partitioning.
+    */
+  def resizeMeta(ds: Dataset[DecodedMedia], maxSide: Int): Dataset[DecodedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.map { m =>
+      val w = m.meta.width; val h = m.meta.height
+      val side = math.max(w, h)
+      if (side <= maxSide || side == 0) m
+      else {
+        // Floor both dims by the same rational factor; never below 1px.
+        val nw = math.max(1, w * maxSide / side)
+        val nh = math.max(1, h * maxSide / side)
+        m.copy(meta = m.meta.copy(width = nw, height = nh))
+      }
+    }
+  }
+
   /** Frame-sampling plumbing for video-like payloads: split the payload
     * into `nFrames` evenly-spaced slices (the real implementation seeks
     * keyframes; the slicing/fan-out shape is identical).

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{MediaRecord, Multimodal}
+import graft.ops.{DecodedMedia, MediaMeta, MediaRecord, Multimodal}
 
 class MultimodalSpec extends SparkSpec {
 
@@ -86,5 +86,19 @@ class MultimodalSpec extends SparkSpec {
     // Frame bytes reassemble a prefix of the original payload.
     val joined = byId(3L).sortBy(_.getInt(1)).flatMap(_.getAs[Array[Byte]](2))
     wav.take(joined.length).toSeq shouldBe joined.toSeq
+  }
+
+  test("resizeMeta caps the long side, preserves aspect, never upscales") {
+    import spark.implicits._
+    val decoded = Seq(
+      DecodedMedia(1L, "img", MediaMeta("png", 1000, 500, 9L, valid = true), Array(0f)),
+      DecodedMedia(2L, "img", MediaMeta("png", 100, 50, 9L, valid = true), Array(0f)),
+      DecodedMedia(3L, "img", MediaMeta("png", 300, 900, 9L, valid = true), Array(0f))
+    ).toDS()
+    val out = Multimodal.resizeMeta(decoded, maxSide = 256)
+      .collect().map(m => m.media_id -> (m.meta.width, m.meta.height)).toMap
+    out(1L) shouldBe ((256, 128)) // scaled by 256/1000, aspect 2:1 kept
+    out(2L) shouldBe ((100, 50))  // already within bounds: untouched
+    out(3L) shouldBe ((85, 256))  // portrait: height is the bound side
   }
 }
