@@ -381,6 +381,28 @@ object WindowQueries {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
        |FROM per_day ORDER BY day""".stripMargin
 
+  // ---- O5: keyset-ordered pagination ----------------------------------
+
+  /** O5: page 3 of the order book (LIMIT 50 OFFSET 100 over a total
+    * order) — the presentation-edge paging shape. OFFSET is inherently
+    * a top-(offset+limit) problem: Spark plans it as a single
+    * TakeOrdered of 150 rows (no global sort materialization), which is
+    * exactly the bounded cost you want; deep pages should switch to
+    * keyset predicates (`WHERE k > last_seen`), which is the F8
+    * incremental-cursor query.
+    */
+  val o5Page: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderkey", dstr($"o_orderdate").as("order_date"), $"o_totalprice")
+      .orderBy("o_orderkey")
+      .offset(100)
+      .limit(50)
+  }
+  val o5PageSql: String =
+    s"""SELECT o_orderkey, ${dstrSql("o_orderdate")} AS order_date, o_totalprice
+       |FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin
+
   // ---- W12: running peak + drawdown -----------------------------------
 
   /** W12: running per-user volume peak and drawdown from it — the
@@ -433,7 +455,8 @@ object WindowQueries {
     "q_o3_recency" -> o3Recency,
     "q_w8_ntile" -> w8Ntile,
     "q_w10_firstlast" -> w10FirstLast,
-    "q_o4_topk_group" -> o4TopKGroup
+    "q_o4_topk_group" -> o4TopKGroup,
+    "q_o5_page" -> o5Page
   )
 
   val oracles: Map[String, String] = Map(
@@ -450,6 +473,7 @@ object WindowQueries {
     "q_o3_recency" -> o3RecencySql,
     "q_w8_ntile" -> w8NtileSql,
     "q_w10_firstlast" -> w10FirstLastSql,
-    "q_o4_topk_group" -> o4TopKGroupSql
+    "q_o4_topk_group" -> o4TopKGroupSql,
+    "q_o5_page" -> o5PageSql
   )
 }
