@@ -274,6 +274,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches micro-batches statelessly") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // The enrichment shape: a stream joined to a broadcast dimension.
+    // Unlike stream-stream joins this buffers NOTHING — each batch probes
+    // the static side and moves on, so there's no watermark to manage.
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user", "tier")
+    val input = MemoryStream[(Long, Double)]
+    val q = input.toDF().toDF("user", "v")
+      .join(broadcast(dim), Seq("user"), "left")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10.0), (3L, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .as[(Long, Double, Option[String])].collect().toSet
+      rows shouldBe Set((1L, 10.0, Some("gold")), (3L, 5.0, None))
+      q.exception shouldBe empty
+      q.lastProgress.stateOperators shouldBe empty // stateless enrichment
+    } finally q.stop()
+  }
+
   test("upsertStream merges micro-batches into the store with latest-per-key wins") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
