@@ -350,6 +350,23 @@ object Queries {
       |       MIN(l_quantity) AS lo, MAX(l_quantity) AS hi
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** A17: explicit GROUPING SETS — the two marginal rollups ((rf),
+    * (ls)) in ONE aggregation pass, a set neither ROLLUP (A12) nor CUBE
+    * (A15) produces. One dialect-portable SQL string runs verbatim on
+    * both engines (same GROUPING() disambiguation as A15 — a NULL group
+    * value and a summarized-away column are different things).
+    */
+  val a17GroupingSetsSql: String =
+    s"""SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+       |       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+       |       COUNT(*) AS n, ${Exact.sum2Sql("l_quantity")} AS qty
+       |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+       |ORDER BY returnflag, linestatus""".stripMargin
+  val a17GroupingSets: Q = (s, d) => {
+    Tables.createViews(s, d)
+    s.sql(a17GroupingSetsSql)
+  }
+
   /** A16: equi-width histogram of `events.value` — 20 bins between the
     * global min/max. Two passes over the scan: a 1-row min/max aggregate
     * broadcast back over the data (the same shape a 1000-executor
@@ -783,6 +800,7 @@ object Queries {
     "q_a14_percentiles" -> a14Percentiles,
     "q_a15_cube" -> a15Cube,
     "q_a16_histogram" -> a16Histogram,
+    "q_a17_grouping_sets" -> a17GroupingSets,
     "q_j1_inner_join" -> j1InnerJoin,
     "q_j2_left_join" -> j2LeftJoin,
     "q_j3_anti" -> j3Anti,
@@ -822,6 +840,7 @@ object Queries {
     "q_a14_percentiles" -> a14PercentilesSql,
     "q_a15_cube" -> a15CubeSql,
     "q_a16_histogram" -> a16HistogramSql,
+    "q_a17_grouping_sets" -> a17GroupingSetsSql,
     "q_j1_inner_join" -> j1InnerJoinSql,
     "q_j2_left_join" -> j2LeftJoinSql,
     "q_j3_anti" -> j3AntiSql,
