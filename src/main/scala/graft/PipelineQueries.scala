@@ -1080,6 +1080,51 @@ object PipelineQueries {
        |  COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
        |FROM t GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 
+  // ---- P6: temperature-weighted mixture -------------------------------
+
+  /** Size-aware mixture weighting (the √-temperature policy used to
+    * upsample small sources in public LM data recipes): each source's
+    * keep-rate is base · √(n_max / n_source), capped at 1 — small
+    * sources sample proportionally harder. The rate table derives from
+    * the corpus itself (per-source counts + a 1-row max, broadcast
+    * back), then the gate is the usual map-side hash threshold. Every
+    * arithmetic step is a per-source pure function of (n, n_max) —
+    * sqrt is IEEE-correctly-rounded on both engines and there is no
+    * order-dependent float summation anywhere — so the rates AND the
+    * sampled counts are oracle-exact.
+    */
+  val p6Temperature: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"source")
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+    val nmax = counts.agg(max($"n").as("n_max"))
+    val rates = counts.crossJoin(broadcast(nmax))
+      .withColumn("rate10k",
+        least(lit(10000L), floor(sqrt($"n_max" / $"n") * 1000.0).cast("long")))
+    val gated = docs.join(broadcast(rates), "source")
+      .filter(graft.ops.Sampling.gateBucket($"doc_id", "temp") < $"rate10k")
+      .groupBy($"source").agg(count(lit(1)).as("n_sampled"))
+    rates.join(gated, Seq("source"), "left")
+      .select($"source", $"n", $"rate10k",
+        coalesce($"n_sampled", lit(0L)).as("n_sampled"))
+      .orderBy("source")
+  }
+  val p6TemperatureSql: String =
+    s"""WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+       |m AS (SELECT MAX(n) AS n_max FROM counts),
+       |rates AS (
+       |  SELECT source, n,
+       |    LEAST(10000, CAST(FLOOR(sqrt(n_max / n) * 1000.0) AS BIGINT)) AS rate10k
+       |  FROM counts, m),
+       |gated AS (
+       |  SELECT d.source, COUNT(*) AS n_sampled
+       |  FROM documents d JOIN rates r ON r.source = d.source
+       |  WHERE ${TextOps.seededHash60Sql("'temp'", "CAST(doc_id AS VARCHAR)")} % 10000 < r.rate10k
+       |  GROUP BY 1)
+       |SELECT r.source, r.n, r.rate10k, COALESCE(g.n_sampled, 0) AS n_sampled
+       |FROM rates r LEFT JOIN gated g ON g.source = r.source
+       |ORDER BY r.source""".stripMargin
+
   // ---- M1: multimodal binary-column metadata --------------------------
 
   /** Opaque-binary plumbing: treat content as a blob, extract typed
@@ -1329,6 +1374,7 @@ object PipelineQueries {
     "q_p3_pack" -> p3Pack,
     "q_p4_shards" -> p4Shards,
     "q_p5_split" -> p5Split,
+    "q_p6_temperature" -> p6Temperature,
     "q_d9_neardup_purge" -> d9NearDupPurge,
     "q_e8_quantize" -> e8Quantize,
     "q_t12_gopher_gate" -> t12GopherGate,
@@ -1371,6 +1417,7 @@ object PipelineQueries {
     "q_p3_pack" -> p3PackSql,
     "q_p4_shards" -> p4ShardsSql,
     "q_p5_split" -> p5SplitSql,
+    "q_p6_temperature" -> p6TemperatureSql,
     "q_d9_neardup_purge" -> d9NearDupPurgeSql,
     "q_e8_quantize" -> e8QuantizeSql,
     "q_t12_gopher_gate" -> t12GopherGateSql,
