@@ -350,6 +350,30 @@ object Queries {
       |       MIN(l_quantity) AS lo, MAX(l_quantity) AS hi
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** C17: date-part extraction + weekday aggregation. The weekday
+    * numbering trap: Spark's `dayofweek` is 1=Sunday while DuckDB's
+    * `isodow` is 1=Monday — this query pins the ISO convention on both
+    * sides (`weekday()+1` in Spark = `isodow` in DuckDB), so a consumer
+    * porting weekday logic gets a checked mapping instead of an
+    * off-by-one. Weekend traffic share is the analytics shape.
+    */
+  val c17DateParts: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select(to_date($"o_orderdate").as("day"))
+      .select(year($"day").as("y"), quarter($"day").as("q"),
+        (weekday($"day") + 1).as("isodow"))
+      .groupBy($"y", $"q", $"isodow")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_weekend", $"isodow" >= 6)
+      .orderBy("y", "q", "isodow")
+  }
+  val c17DatePartsSql: String =
+    """SELECT year(day) AS y, quarter(day) AS q, isodow(day) AS isodow,
+      |  COUNT(*) AS n, isodow(day) >= 6 AS is_weekend
+      |FROM (SELECT CAST(o_orderdate AS DATE) AS day FROM orders)
+      |GROUP BY 1, 2, 3 ORDER BY y, q, isodow""".stripMargin
+
   /** A17: explicit GROUPING SETS — the two marginal rollups ((rf),
     * (ls)) in ONE aggregation pass, a set neither ROLLUP (A12) nor CUBE
     * (A15) produces. One dialect-portable SQL string runs verbatim on
@@ -801,6 +825,7 @@ object Queries {
     "q_a15_cube" -> a15Cube,
     "q_a16_histogram" -> a16Histogram,
     "q_a17_grouping_sets" -> a17GroupingSets,
+    "q_c17_dateparts" -> c17DateParts,
     "q_j1_inner_join" -> j1InnerJoin,
     "q_j2_left_join" -> j2LeftJoin,
     "q_j3_anti" -> j3Anti,
@@ -841,6 +866,7 @@ object Queries {
     "q_a15_cube" -> a15CubeSql,
     "q_a16_histogram" -> a16HistogramSql,
     "q_a17_grouping_sets" -> a17GroupingSetsSql,
+    "q_c17_dateparts" -> c17DatePartsSql,
     "q_j1_inner_join" -> j1InnerJoinSql,
     "q_j2_left_join" -> j2LeftJoinSql,
     "q_j3_anti" -> j3AntiSql,
