@@ -350,6 +350,39 @@ object Queries {
       |       MIN(l_quantity) AS lo, MAX(l_quantity) AS hi
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** A18: exact covariance — covar_pop(quantity, discount) per return
+    * flag via the explicit moment formula over DECIMAL-EXACT sums
+    * (Σqd in decimal(27,4) — products of 2-decimal columns carry 4
+    * decimals; Σq, Σd via Exact.sum2). Only the final combine runs in
+    * IEEE doubles, identically on both engines, so a statistic that is
+    * normally last-ulp-nondeterministic under partial aggregation
+    * becomes hash-exact. The built-in covar_pop cannot promise that —
+    * which is the point of spelling the moments out.
+    */
+  val a18Cov: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val qd = ($"l_quantity".cast(DecimalType(18, 2)) *
+      $"l_discount".cast(DecimalType(18, 2)))
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(qd).cast(DoubleType).as("sum_qd"),
+        Exact.sum2($"l_quantity").as("sum_q"),
+        Exact.sum2($"l_discount").as("sum_d"))
+      .withColumn("covar_pop",
+        ($"sum_qd" - $"sum_q" * $"sum_d" / $"n") / $"n")
+      .orderBy("l_returnflag")
+  }
+  val a18CovSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_qd,
+       |  ${Exact.sum2Sql("l_quantity")} AS sum_q,
+       |  ${Exact.sum2Sql("l_discount")} AS sum_d,
+       |  (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+       |   - ${Exact.sum2Sql("l_quantity")} * ${Exact.sum2Sql("l_discount")} / COUNT(*)) / COUNT(*) AS covar_pop
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** C17: date-part extraction + weekday aggregation. The weekday
     * numbering trap: Spark's `dayofweek` is 1=Sunday while DuckDB's
     * `isodow` is 1=Monday — this query pins the ISO convention on both
@@ -825,6 +858,7 @@ object Queries {
     "q_a15_cube" -> a15Cube,
     "q_a16_histogram" -> a16Histogram,
     "q_a17_grouping_sets" -> a17GroupingSets,
+    "q_a18_cov" -> a18Cov,
     "q_c17_dateparts" -> c17DateParts,
     "q_j1_inner_join" -> j1InnerJoin,
     "q_j2_left_join" -> j2LeftJoin,
@@ -866,6 +900,7 @@ object Queries {
     "q_a15_cube" -> a15CubeSql,
     "q_a16_histogram" -> a16HistogramSql,
     "q_a17_grouping_sets" -> a17GroupingSetsSql,
+    "q_a18_cov" -> a18CovSql,
     "q_c17_dateparts" -> c17DatePartsSql,
     "q_j1_inner_join" -> j1InnerJoinSql,
     "q_j2_left_join" -> j2LeftJoinSql,
