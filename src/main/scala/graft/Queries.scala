@@ -785,6 +785,35 @@ object Queries {
        |              WHERE l_orderkey = o_orderkey AND l_quantity = 50)
        |ORDER BY o_orderkey""".stripMargin
 
+  /** J15: NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    * predicate that makes NULL keys match each other instead of
+    * silently dropping, a classic source of lost rows when joining on
+    * nullable derived keys. NULLs are planted by NULLIF-ing one
+    * priority class; the join counts prove NULL=NULL matched. Note the
+    * plan cost: a null-safe join cannot hash-partition NULLs to one
+    * side arbitrarily — Spark still hashes (NULL is its own key), so
+    * the shape stays a plain equi-join, but a hot NULL key is a skew
+    * hazard — salt it like any hot key if NULLs dominate.
+    */
+  val j15NullSafe: Q = (s, d) => {
+    import s.implicits._
+    val keyed = Tables.orders(s, d)
+      .select($"o_orderkey", nullif($"o_orderpriority", lit("1-URGENT")).as("prio"))
+      .as("k")
+    val classes = keyed.groupBy($"prio").agg(count(lit(1)).as("class_n")).as("c")
+    keyed.join(classes, $"k.prio" <=> $"c.prio")
+      .groupBy($"k.prio".as("prio"))
+      .agg(count(lit(1)).as("n"), max($"class_n").as("class_n"))
+      .orderBy(col("prio").asc_nulls_first)
+  }
+  val j15NullSafeSql: String =
+    """WITH keyed AS (
+      |  SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS prio FROM orders),
+      |classes AS (SELECT prio, COUNT(*) AS class_n FROM keyed GROUP BY 1)
+      |SELECT k.prio, COUNT(*) AS n, MAX(c.class_n) AS class_n
+      |FROM keyed k JOIN classes c ON k.prio IS NOT DISTINCT FROM c.prio
+      |GROUP BY k.prio ORDER BY k.prio ASC NULLS FIRST""".stripMargin
+
   // ---- V3: distribution drift between corpus slices -------------------
 
   /** V3: dataset drift monitoring — the value histogram of the first
@@ -872,6 +901,7 @@ object Queries {
     "q_j12_bloom" -> j12Bloom,
     "q_j13_star_join" -> j13StarJoin,
     "q_j14_semi" -> j14Semi,
+    "q_j15_nullsafe" -> j15NullSafe,
     "q_v1_profile" -> v1Profile,
     "q_v2_constraints" -> v2Constraints,
     "q_v3_drift" -> v3Drift
@@ -914,6 +944,7 @@ object Queries {
     "q_j12_bloom" -> j12BloomSql,
     "q_j13_star_join" -> j13StarJoinSql,
     "q_j14_semi" -> j14SemiSql,
+    "q_j15_nullsafe" -> j15NullSafeSql,
     "q_v1_profile" -> v1ProfileSql,
     "q_v2_constraints" -> v2ConstraintsSql,
     "q_v3_drift" -> v3DriftSql
