@@ -55,6 +55,38 @@ object TemporalQueries {
        |      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.us <= p.us)
        |WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** J16: forward as-of join — each click gets the EARLIEST purchase by
+    * the same user at-or-after it (time ties broken by min purchase
+    * id): click-to-conversion attribution. Same single-shuffle plan as
+    * J10, direction flipped by timestamp negation (Temporal
+    * .asOfJoinForward).
+    */
+  val j16AsOfFwd: Q = (s, d) => {
+    val e = eventsUs(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us").as("click_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+    Temporal.asOfJoinForward(clicks, purchases, "user_id",
+        leftTs = col("click_us"), rightTs = col("us"),
+        leftCols = Seq("event_id", "click_us"),
+        payloadCols = Seq(col("us")), payloadNames = Seq("purchase_us"),
+        rightOrder = col("event_id"))
+      .select(col("event_id"), col("user_id"), col("click_us"), col("purchase_us"),
+        (col("purchase_us") - col("click_us")).as("wait_us"))
+      .orderBy("event_id")
+  }
+  val j16AsOfFwdSql: String =
+    s"""WITH e AS ($eventsUsSql),
+       |c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
+       |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase')
+       |SELECT event_id, user_id, click_us, purchase_us,
+       |       purchase_us - click_us AS wait_us
+       |FROM (SELECT c.event_id, c.user_id, c.us AS click_us, p.us AS purchase_us,
+       |             row_number() OVER (PARTITION BY c.event_id
+       |               ORDER BY p.us ASC NULLS LAST, p.event_id ASC) AS rn
+       |      FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.us >= c.us)
+       |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   // ---- interval join ---------------------------------------------------
 
   /** J11: interval join — error events in the 5 minutes after a click by
@@ -189,6 +221,7 @@ object TemporalQueries {
   val all: Map[String, Q] = Map(
     "q_j10_asof" -> j10AsOf,
     "q_j11_range" -> j11Range,
+    "q_j16_asof_fwd" -> j16AsOfFwd,
     "q_g1_sessions" -> g1Sessions,
     "q_g2_bars" -> g2Bars,
     "q_g3_ffill" -> g3Ffill)
@@ -196,6 +229,7 @@ object TemporalQueries {
   val oracles: Map[String, String] = Map(
     "q_j10_asof" -> j10AsOfSql,
     "q_j11_range" -> j11RangeSql,
+    "q_j16_asof_fwd" -> j16AsOfFwdSql,
     "q_g1_sessions" -> g1SessionsSql,
     "q_g2_bars" -> g2BarsSql,
     "q_g3_ffill" -> g3FfillSql)

@@ -73,6 +73,22 @@ object Temporal {
     filled.filter(col("__side") === 1).drop("__side")
   }
 
+  /** Forward as-of join: the EARLIEST right row with `rightTs >=
+    * leftTs` (ties broken by MIN `rightOrder`) — "next maintenance
+    * window after this event". Same union+window single-shuffle shape
+    * as [[asOfJoin]], realized by running it over negated timestamps
+    * and order keys: latest(-t) at-or-before -leftTs ⇔ earliest t
+    * at-or-after leftTs, and max(-ord) ⇔ min(ord). Negation is exact
+    * for integral epoch-us values, so semantics carry over unchanged.
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: Column, rightTs: Column,
+                      leftCols: Seq[String], payloadCols: Seq[Column],
+                      payloadNames: Seq[String], rightOrder: Column): DataFrame =
+    asOfJoin(left, right, key,
+      leftTs = -leftTs, rightTs = -rightTs,
+      leftCols, payloadCols, payloadNames, rightOrder = -rightOrder)
+
   /** Interval (range) join: pairs (l, r) with matching `key` and
     * `rightTs` in the half-open window `(leftTs, leftTs + windowUs]`,
     * timestamps as epoch-microsecond longs.

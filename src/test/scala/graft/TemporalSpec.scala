@@ -131,6 +131,21 @@ class TemporalSpec extends SparkSpec {
     p should not include "Window"
   }
 
+  test("asOfJoinForward: inclusive at-or-after, min-(ts,id) tie-break") {
+    val got = Temporal.asOfJoinForward(
+        trades, quotes, "k", leftTs = $"us", rightTs = $"us",
+        leftCols = Seq("id", "us"), payloadCols = Seq($"qid"),
+        payloadNames = Seq("quote_id"), rightOrder = $"qid")
+      .select("id", "quote_id").as[(Long, Option[Long])]
+      .collect().toMap
+    got shouldBe Map(
+      10L -> Some(101L), // quotes AT 100 count; tie → MIN qid 101
+      11L -> None,       // no quote at/after 200 for key 1... except 150<200: none
+      12L -> Some(100L), // earliest quote ≥ 50 is at 60
+      20L -> Some(200L), // exact-time quote matches forward too
+      30L -> None)       // keyless
+  }
+
   test("gapFillDaily: densifies each key's own span and forward-fills values") {
     val obs = Seq(
       ("a", "2024-01-01", 10.0), ("a", "2024-01-01", 20.0), // two obs → avg 15
