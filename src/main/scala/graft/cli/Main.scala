@@ -28,7 +28,18 @@ object Main {
     if (rest.contains("--json")) df.limit(limit).toJSON.collect().foreach(println)
     else df.show(limit, truncate = false)
   }
-  private def session(): SparkSession = graft.Sessions.local("graft-cli")
+  /** Run `body` with a session, stopping it afterwards ONLY if this CLI
+    * call created it. `Sessions.local` is `getOrCreate`: when the CLI is
+    * invoked in-process (specs, notebooks) it receives the caller's
+    * session, and stopping that would kill every later query in the
+    * host JVM — the session's lifecycle belongs to whoever started it.
+    */
+  private def withSession(body: SparkSession => Unit): Unit = {
+    val preExisting = SparkSession.getDefaultSession.isDefined
+    val spark = graft.Sessions.local("graft-cli")
+    try body(spark)
+    finally if (!preExisting) spark.stop()
+  }
 
   def main(args: Array[String]): Unit =
     try run(args)
@@ -49,9 +60,7 @@ object Main {
         case None =>
           System.err.println(s"unknown query: $name (try 'list')"); sys.exit(2)
         case Some(fn) =>
-          val spark = session()
-          emit(fn(spark, sfDir), rest, defaultLimit = 20)
-          spark.stop()
+          withSession(spark => emit(fn(spark, sfDir), rest, defaultLimit = 20))
       }
 
     case "explain" :: name :: sfDir :: Nil =>
@@ -59,68 +68,58 @@ object Main {
         case None =>
           System.err.println(s"unknown query: $name (try 'list')"); sys.exit(2)
         case Some(fn) =>
-          val spark = session()
-          fn(spark, sfDir).explain("formatted")
-          spark.stop()
+          withSession(spark => fn(spark, sfDir).explain("formatted"))
       }
 
     case "snapshot" :: path :: date :: rest =>
-      val spark = session()
-      emit(AvailabilityQueries.availableSymbolsOnDate(
-        spark.read.parquet(path), java.sql.Date.valueOf(date)), rest)
-      spark.stop()
+      withSession(spark => emit(AvailabilityQueries.availableSymbolsOnDate(
+        spark.read.parquet(path), java.sql.Date.valueOf(date)), rest))
 
     case "timeline" :: path :: symbol :: rest =>
-      val spark = session()
-      emit(AvailabilityQueries.symbolTimeline(spark.read.parquet(path), symbol), rest)
-      spark.stop()
+      withSession(spark =>
+        emit(AvailabilityQueries.symbolTimeline(spark.read.parquet(path), symbol), rest))
 
     case "analytics" :: path :: rest =>
-      val spark = session()
-      emit(AvailabilityQueries.dailyAvailabilityCounts(spark.read.parquet(path)), rest)
-      spark.stop()
+      withSession(spark =>
+        emit(AvailabilityQueries.dailyAvailabilityCounts(spark.read.parquet(path)), rest))
 
     case "volume" :: path :: date :: rest =>
-      val spark = session()
       val n = rest.sliding(2).collectFirst {
         case Seq("--top", v) => v.toInt
       }.getOrElse(10)
-      emit(AvailabilityQueries.topSymbolsByVolume(
-        spark.read.parquet(path), java.sql.Date.valueOf(date), n), rest)
-      spark.stop()
+      withSession(spark => emit(AvailabilityQueries.topSymbolsByVolume(
+        spark.read.parquet(path), java.sql.Date.valueOf(date), n), rest))
 
     // reference `query range <start> <end>` (cli/query.py:70-89,182):
     // distinct symbols available in the range; --counts switches to the
     // per-day count variant (analytics.py:160-204).
     case "range" :: path :: start :: end :: rest =>
-      val spark = session()
-      val df =
-        if (rest.contains("--counts"))
-          AvailabilityQueries.symbolCountByDateRange(spark.read.parquet(path),
-            java.sql.Date.valueOf(start), java.sql.Date.valueOf(end))
-        else
-          AvailabilityQueries.symbolsInRange(spark.read.parquet(path),
-            java.sql.Date.valueOf(start), java.sql.Date.valueOf(end))
-      emit(df, rest)
-      spark.stop()
+      withSession { spark =>
+        val df =
+          if (rest.contains("--counts"))
+            AvailabilityQueries.symbolCountByDateRange(spark.read.parquet(path),
+              java.sql.Date.valueOf(start), java.sql.Date.valueOf(end))
+          else
+            AvailabilityQueries.symbolsInRange(spark.read.parquet(path),
+              java.sql.Date.valueOf(start), java.sql.Date.valueOf(end))
+        emit(df, rest)
+      }
 
     // reference `query volume percentile <symbol> <date>` (volume.py:96-146)
     case "percentile" :: path :: symbol :: date :: rest =>
-      val spark = session()
-      emit(AvailabilityQueries.volumePercentile(
-        spark.read.parquet(path), symbol, java.sql.Date.valueOf(date)), rest)
-      spark.stop()
+      withSession(spark => emit(AvailabilityQueries.volumePercentile(
+        spark.read.parquet(path), symbol, java.sql.Date.valueOf(date)), rest))
 
     // reference cross-check validator (cross_check.py:79-137): DB symbols
     // on a date vs a saved exchangeInfo response body.
     case "crosscheck" :: path :: jsonPath :: date :: rest =>
-      val spark = session()
-      val body = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(jsonPath)), "UTF-8")
-      val api = graft.ingest.Ingest.parseExchangeInfo(spark, body)
-      emit(AvailabilityQueries.crossCheckSymbols(
-        spark.read.parquet(path), api, java.sql.Date.valueOf(date)), rest)
-      spark.stop()
+      withSession { spark =>
+        val body = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(jsonPath)), "UTF-8")
+        val api = graft.ingest.Ingest.parseExchangeInfo(spark, body)
+        emit(AvailabilityQueries.crossCheckSymbols(
+          spark.read.parquet(path), api, java.sql.Date.valueOf(date)), rest)
+      }
 
     case _ =>
       System.err.println(
