@@ -216,6 +216,86 @@ object TemporalQueries {
        |FROM grid g LEFT JOIN daily dl ON dl.user_id = g.user_id AND dl.day = g.day
        |ORDER BY 1, 2""".stripMargin
 
+  // ---- funnel ----------------------------------------------------------
+
+  /** G4: strict-order view→click→purchase funnel — per-step reach
+    * counts plus summed inter-step waits. Every stage is a keyed MIN +
+    * same-key join (see Temporal.funnel); the oracle states the
+    * identical chain as CTEs.
+    */
+  val g4Funnel: Q = (s, d) => {
+    Temporal.funnel(eventsUs(s, d), "user_id", col("us"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .orderBy("step_no")
+  }
+  val g4FunnelSql: String =
+    s"""WITH e AS ($eventsUsSql),
+       |s1 AS (SELECT user_id, MIN(us) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+       |s2 AS (SELECT e.user_id, MIN(e.us) AS t, MAX(s1.t) AS pt
+       |       FROM e JOIN s1 ON e.user_id = s1.user_id AND e.us >= s1.t
+       |       WHERE e.event_type = 'click' GROUP BY 1),
+       |s3 AS (SELECT e.user_id, MIN(e.us) AS t, MAX(s2.t) AS pt
+       |       FROM e JOIN s2 ON e.user_id = s2.user_id AND e.us >= s2.t
+       |       WHERE e.event_type = 'purchase' GROUP BY 1)
+       |SELECT 1 AS step_no, 'view' AS step, COUNT(*) AS users,
+       |       CAST(0 AS BIGINT) AS total_wait_us FROM s1
+       |UNION ALL
+       |SELECT 2, 'click', COUNT(*), CAST(COALESCE(SUM(t - pt), 0) AS BIGINT) FROM s2
+       |UNION ALL
+       |SELECT 3, 'purchase', COUNT(*), CAST(COALESCE(SUM(t - pt), 0) AS BIGINT) FROM s3
+       |ORDER BY step_no""".stripMargin
+
+  // ---- cohort retention -------------------------------------------------
+
+  /** G5: weekly cohort retention over all event activity — distinct
+    * users from each first-activity ISO week still active N weeks on.
+    */
+  val g5Retention: Q = (s, d) => {
+    val acts = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    Temporal.cohortRetention(acts, "user_id", col("day"))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+  val g5RetentionSql: String =
+    """WITH a AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS c FROM a GROUP BY 1),
+      |w AS (SELECT a.user_id,
+      |        CAST(date_trunc('week', f.c) AS DATE) AS cw,
+      |        CAST(date_trunc('week', a.day) AS DATE) AS wk
+      |      FROM a JOIN f ON a.user_id = f.user_id)
+      |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+      |       datediff('day', cw, wk) // 7 AS week_offset,
+      |       COUNT(DISTINCT user_id) AS n_users
+      |FROM w GROUP BY cw, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  // ---- SCD2 dimension build ---------------------------------------------
+
+  /** S3: SCD type-2 validity intervals from the event changelog — each
+    * user's event_type runs become versioned (from, to] rows with an
+    * open current row. One exchange + one sort serves all three window
+    * functions (see Temporal.scd2).
+    */
+  val s3Scd2: Q = (s, d) => {
+    Temporal.scd2(eventsUs(s, d), "user_id", col("us"), col("event_type"),
+        col("event_id"))
+      .orderBy("user_id", "version")
+  }
+  val s3Scd2Sql: String =
+    s"""WITH e AS ($eventsUsSql),
+       |c AS (SELECT user_id, us, event_id, event_type AS state,
+       |        lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+       |      FROM e),
+       |ch AS (SELECT user_id, us, event_id, state FROM c
+       |       WHERE prev IS NULL OR prev <> state)
+       |SELECT user_id, row_number() OVER w AS version, state,
+       |       us AS effective_from, lead(us) OVER w AS effective_to,
+       |       lead(us) OVER w IS NULL AS is_current
+       |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |ORDER BY user_id, version""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -224,7 +304,10 @@ object TemporalQueries {
     "q_j16_asof_fwd" -> j16AsOfFwd,
     "q_g1_sessions" -> g1Sessions,
     "q_g2_bars" -> g2Bars,
-    "q_g3_ffill" -> g3Ffill)
+    "q_g3_ffill" -> g3Ffill,
+    "q_g4_funnel" -> g4Funnel,
+    "q_g5_retention" -> g5Retention,
+    "q_s3_scd2" -> s3Scd2)
 
   val oracles: Map[String, String] = Map(
     "q_j10_asof" -> j10AsOfSql,
@@ -232,5 +315,8 @@ object TemporalQueries {
     "q_j16_asof_fwd" -> j16AsOfFwdSql,
     "q_g1_sessions" -> g1SessionsSql,
     "q_g2_bars" -> g2BarsSql,
-    "q_g3_ffill" -> g3FfillSql)
+    "q_g3_ffill" -> g3FfillSql,
+    "q_g4_funnel" -> g4FunnelSql,
+    "q_g5_retention" -> g5RetentionSql,
+    "q_s3_scd2" -> s3Scd2Sql)
 }

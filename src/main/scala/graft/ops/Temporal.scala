@@ -173,6 +173,99 @@ object Temporal {
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 
+  /** Step-sequenced funnel: how many keys reach step 1, then step 2
+    * at-or-after their step-1 time, then step 3 at-or-after that, ...
+    * Returns one row per step: (step_no, step, users, total_wait_us)
+    * where `total_wait_us` sums each key's wait from the previous
+    * step's reach time (0 for the first step). "Reach time" is the
+    * EARLIEST qualifying event — the standard strict-order funnel.
+    *
+    * Scale shape: every stage is a keyed MIN aggregation (map-side
+    * partial) plus an equi join against the previous stage's one-row-
+    * per-key frame — all shuffles hash on the same `key`, so AQE reuses
+    * one exchange footprint and nothing is ever quadratic. The
+    * per-step rollup is a 1-row global aggregate of an already-tiny
+    * frame. No windows, no event-level sort.
+    */
+  def funnel(events: DataFrame, key: String, tsUs: Column, stepCol: Column,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col(key).as("__k"), tsUs.as("__us"), stepCol.as("__step"))
+    var prev: DataFrame = null
+    val rollups = steps.zipWithIndex.map { case (st, i) =>
+      val cand = e.filter(col("__step") === st)
+      val cur =
+        if (i == 0)
+          cand.groupBy(col("__k")).agg(min(col("__us")).as("__t"))
+            .withColumn("__w", lit(0L))
+        else
+          cand.join(prev.select(col("__k"), col("__t").as("__pt")), "__k")
+            .filter(col("__us") >= col("__pt"))
+            .groupBy(col("__k"))
+            // __pt is constant per key; MAX is just the aggregate-safe
+            // way to carry it through the grouping.
+            .agg(min(col("__us")).as("__t"), max(col("__pt")).as("__pt"))
+            .withColumn("__w", col("__t") - col("__pt"))
+            .drop("__pt")
+      prev = cur
+      cur.agg(count(lit(1)).as("users"),
+          coalesce(sum(col("__w")), lit(0L)).as("total_wait_us"))
+        .select(lit(i + 1).as("step_no"), lit(st).as("step"),
+          col("users"), col("total_wait_us"))
+    }
+    rollups.reduce(_.unionByName(_))
+  }
+
+  /** Weekly cohort retention: cohort = ISO week of each key's first
+    * activity; a (cohort_week, week_offset) cell counts the distinct
+    * keys from that cohort active `week_offset` weeks later.
+    *
+    * Scale shape: the first-activity frame is one keyed MIN (map-side
+    * partial); the join back hashes on the same key; the final
+    * COUNT(DISTINCT key) groups by the low-cardinality (cohort, offset)
+    * pair but Spark expands distinct aggregation over the
+    * (cohort, offset, key) triple first, so no cell ever materializes
+    * its member list. Both date_trunc('week') engines are ISO-Monday.
+    */
+  def cohortRetention(df: DataFrame, key: String, dayCol: Column): DataFrame = {
+    val firstDay = df.groupBy(col(key)).agg(min(dayCol).as("__c"))
+    df.select(col(key), dayCol.as("__d"))
+      .join(firstDay, key)
+      .select(col(key),
+        date_trunc("week", col("__c")).cast("date").as("__cw"),
+        date_trunc("week", col("__d")).cast("date").as("__w"))
+      .withColumn("week_offset", expr("datediff(__w, __cw) div 7"))
+      .groupBy(col("__cw").as("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col(key)).as("n_users"))
+  }
+
+  /** SCD type-2 dimension build from an event changelog: collapse each
+    * key's consecutive identical states, then emit one validity
+    * interval per state run — (key, version, state, effective_from,
+    * effective_to, is_current), `effective_to` NULL on the open
+    * current row. `tieBreak` must make (ts, tieBreak) unique per key
+    * or run boundaries are nondeterministic.
+    *
+    * Scale shape: one hash exchange on `key` and one (ts, tieBreak)
+    * sort serve all three window functions — the change-detection lag
+    * runs first, and the post-filter row_number/lead windows reuse the
+    * same partitioning and ordering, so Catalyst plans no second
+    * exchange or sort.
+    */
+  def scd2(df: DataFrame, key: String, tsCol: Column, stateCol: Column,
+           tieBreak: Column): DataFrame = {
+    val byT = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tb"))
+    df.select(col(key).as("__k"), tsCol.as("__ts"), tieBreak.as("__tb"),
+        stateCol.as("state"))
+      .withColumn("__prev", lag(col("state"), 1).over(byT))
+      .filter(col("__prev").isNull || col("__prev") =!= col("state"))
+      .withColumn("version", row_number().over(byT).cast("long"))
+      .withColumn("effective_to", lead(col("__ts"), 1).over(byT))
+      .select(col("__k").as(key), col("version"), col("state"),
+        col("__ts").as("effective_from"), col("effective_to"),
+        col("effective_to").isNull.as("is_current"))
+  }
+
   /** Daily gap fill + forward fill: densify each key's observed span to
     * a complete per-day grid, then carry the last observed value across
     * the gaps (pandas `resample('D').ffill()`, for a distributed table).

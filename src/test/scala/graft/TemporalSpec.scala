@@ -163,4 +163,68 @@ class TemporalSpec extends SparkSpec {
       ("a", "2024-01-04", false, 40.0, 1L),
       ("b", "2024-02-10", false, 7.0, 1L)) // b's grid never extends to a's span
   }
+
+  test("funnel: strict step order, inclusive same-timestamp advance, wait sums") {
+    val ev = Seq(
+      // u1 completes A→B→B→C; first B at 20 counts, second-B later ignored
+      (1L, 10L, "A"), (1L, 20L, "B"), (1L, 60L, "B"), (1L, 30L, "C"),
+      // u2 has B BEFORE its first A — that B must not count; no B after
+      (2L, 50L, "B"), (2L, 70L, "A"),
+      // u3: B at exactly its A timestamp advances (inclusive >=)
+      (3L, 5L, "A"), (3L, 5L, "B"),
+      // u4 never does A: contributes to no step
+      (4L, 1L, "B"), (4L, 2L, "C")
+    ).toDF("k", "us", "et")
+    val got = Temporal.funnel(ev, "k", $"us", $"et", Seq("A", "B", "C"))
+      .as[(Int, String, Long, Long)].collect().toSet
+    got shouldBe Set(
+      (1, "A", 3L, 0L),          // u1, u2, u3
+      (2, "B", 2L, 10L + 0L),    // u1 waits 10, u3 waits 0; u2 filtered
+      (3, "C", 1L, 10L))         // u1: C at 30, reached B at 20
+  }
+
+  test("cohortRetention: cohorts are per-key first weeks, offsets in whole weeks") {
+    val acts = Seq(
+      // k1 first active Mon 2024-01-01 week; again 2 weeks later
+      ("k1", "2024-01-02"), ("k1", "2024-01-16"),
+      // k2 same cohort week (activity on Sunday the 7th), never returns
+      ("k2", "2024-01-07"),
+      // k3 a later cohort
+      ("k3", "2024-01-10")
+    ).toDF("k", "day").withColumn("day", to_date($"day"))
+    val got = Temporal.cohortRetention(acts, "k", $"day")
+      .select(date_format($"cohort_week", "yyyy-MM-dd").as("cw"),
+        $"week_offset", $"n_users")
+      .as[(String, Long, Long)].collect().toSet
+    got shouldBe Set(
+      ("2024-01-01", 0L, 2L), // k1 + k2 in the Jan-1 cohort's own week
+      ("2024-01-01", 2L, 1L), // only k1 returns (offset 2 weeks)
+      ("2024-01-08", 0L, 1L)) // k3's own cohort
+  }
+
+  test("scd2: collapses same-state runs, versions, open current row") {
+    val log = Seq(
+      (1L, 10L, 100L, "bronze"), (1L, 20L, 101L, "bronze"), // run collapses
+      (1L, 30L, 102L, "silver"),
+      (1L, 40L, 103L, "bronze"), // back to bronze → NEW version, not merged
+      (2L, 5L, 200L, "gold")
+    ).toDF("k", "us", "id", "tier")
+    val got = Temporal.scd2(log, "k", $"us", $"tier", $"id")
+      .as[(Long, Long, String, Long, Option[Long], Boolean)].collect().toSet
+    got shouldBe Set(
+      (1L, 1L, "bronze", 10L, Some(30L), false),
+      (1L, 2L, "silver", 30L, Some(40L), false),
+      (1L, 3L, "bronze", 40L, None, true),
+      (2L, 1L, "gold", 5L, None, true))
+  }
+
+  test("scd2 plans exactly one exchange and one sort for all three windows") {
+    val log = Seq((1L, 10L, 100L, "a")).toDF("k", "us", "id", "tier")
+    val plan = Temporal.scd2(log, "k", $"us", $"tier", $"id")
+      .queryExecution.executedPlan.toString
+    plan.split("Exchange hashpartitioning").length - 1 shouldBe 1
+    // one sort node feeding the window family (LocalTableScan inputs
+    // may add a zero exchange for the scan itself, never a second sort)
+    plan.split("\\[Sort ").length - 1 should be <= 2
+  }
 }
