@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Maintain
+
+/** Storage-maintenance operator queries: incremental aggregate upkeep
+  * and golden-record survivorship. Both oracles state the FULL
+  * recompute — the whole point of the operators is that the
+  * incremental / collapsed answer is bit-identical to it.
+  */
+object MaintainQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- S2: incremental aggregate maintenance ---------------------------
+
+  /** S2: per-customer order count/total maintained incrementally — the
+    * base slice (orders before 1995) is aggregated once, the delta
+    * slice separately, and the stored states merge (union + re-agg of
+    * COUNT/DECIMAL-SUM partials, see Maintain). The oracle recomputes
+    * from scratch: merge(agg(base), agg(delta)) must equal
+    * agg(base ∪ delta) to the bit, which only holds because the state
+    * is decimal-exact.
+    */
+  private val Cutoff = "1995-01-01"
+  val s2IncrAgg: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+    val cut = lit(Cutoff).cast("timestamp")
+    val base = Maintain.countSumState(
+      orders.filter(col("o_orderdate") < cut), Seq("o_custkey"), col("o_totalprice"))
+    val delta = Maintain.countSumState(
+      orders.filter(col("o_orderdate") >= cut), Seq("o_custkey"), col("o_totalprice"))
+    Maintain.finalizeCountSum(
+        Maintain.mergeStates(Seq(base, delta), Seq("o_custkey")), Seq("o_custkey"))
+      .orderBy("o_custkey")
+  }
+  val s2IncrAggSql: String =
+    """SELECT o_custkey, COUNT(o_totalprice) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    / COUNT(o_totalprice) AS avg_value
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // ---- S4: golden-record survivorship ----------------------------------
+
+  /** S4: one surviving row per user from the event stream — most recent
+    * props, first/last activity, lifetime purchase value (decimal-
+    * exact), and the modal event type with a deterministic
+    * lexicographic tie-break (see Maintain.goldenRecord).
+    */
+  val s4Golden: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"), col("value"), col("props"))
+    Maintain.goldenRecord(e, "user_id", col("us"), col("event_id"),
+        attr = col("props"), category = col("event_type"),
+        value = when(col("event_type") === "purchase", col("value")))
+      .select("user_id", "latest_attr", "first_us", "last_us", "n_events",
+        "ltv", "top_category")
+      .orderBy("user_id")
+  }
+  val s4GoldenSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS us, value, props
+      |           FROM events),
+      |latest AS (
+      |  SELECT user_id, props AS latest_attr FROM (
+      |    SELECT user_id, props,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM e) WHERE rn = 1),
+      |stats AS (
+      |  SELECT user_id, MIN(us) AS first_us, MAX(us) AS last_us,
+      |    COUNT(*) AS n_events,
+      |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS ltv
+      |  FROM e GROUP BY 1),
+      |modal AS (
+      |  SELECT user_id, top_category FROM (
+      |    SELECT user_id, event_type AS top_category,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY COUNT(*) DESC, event_type) AS rn
+      |    FROM e GROUP BY user_id, event_type) WHERE rn = 1)
+      |SELECT s.user_id, l.latest_attr, s.first_us, s.last_us, s.n_events,
+      |       s.ltv, m.top_category
+      |FROM stats s JOIN latest l USING (user_id) JOIN modal m USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  // ---- registry --------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "q_s2_incr_agg" -> s2IncrAgg,
+    "q_s4_golden" -> s4Golden)
+
+  val oracles: Map[String, String] = Map(
+    "q_s2_incr_agg" -> s2IncrAggSql,
+    "q_s4_golden" -> s4GoldenSql)
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Incremental materialized-aggregate maintenance: keep a per-key
+  * aggregate table current by merging the aggregate of ONLY the new
+  * partition into the stored aggregate state, instead of rescanning
+  * the full history (availability_db.py's daily-refresh summary is the
+  * reference shape; at 100 TB the rescan is the difference between a
+  * 2-minute and a 2-hour refresh).
+  *
+  * The state carried per key is the classic mergeable partial: COUNT
+  * plus an exact DECIMAL sum (see [[Exact]] — decimal, not double, so
+  * the merge is associative to the bit and the maintained table never
+  * drifts from a full recompute, which is also what makes the
+  * invariant `merge(agg(base), agg(delta)) == agg(base ∪ delta)`
+  * oracle-checkable). Finalized columns (double total, average) are
+  * DERIVED on read, never stored — deriving from exact state is what
+  * keeps repeated merges from accumulating float error.
+  */
+object Maintain {
+  private val Dec = DecimalType(18, 2)
+
+  /** Aggregate a slice into mergeable per-key state:
+    * (keys..., cnt, sum_dec).
+    */
+  def countSumState(df: DataFrame, keys: Seq[String], value: Column): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(value).as("cnt"), sum(value.cast(Dec)).as("sum_dec"))
+
+  /** Merge any number of state tables: union + re-aggregate — the same
+    * algebra Spark's own partial aggregation uses, so it is associative
+    * and commutative by construction. One keyed shuffle over the
+    * (small) state tables, never over raw facts.
+    */
+  def mergeStates(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "nothing to merge")
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_dec")).as("sum_dec"))
+  }
+
+  /** Finalize state into presentation columns: exact double total and
+    * average (both derived from the decimal sum, so bit-stable).
+    */
+  def finalizeCountSum(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(keys.map(col) ++ Seq(
+      col("cnt"),
+      col("sum_dec").cast(DoubleType).as("total"),
+      (col("sum_dec").cast(DoubleType) / col("cnt")).as("avg_value")): _*)
+
+  /** Golden-record survivorship merge: collapse each key's records into
+    * one best row — the most recent attribute value, lifetime stats,
+    * and the modal category (ties broken lexicographically, so
+    * the survivor is deterministic). The multi-source entity-resolution
+    * endgame: after matching, SOMETHING must pick the surviving field
+    * values.
+    *
+    * Scale shape: the recency/stats pass is one keyed aggregation with
+    * `max_by` over the unique (ts, tieBreak) order — map-side partial,
+    * no window sort of raw records. The modal pass aggregates
+    * (key, category) then takes per-key rank 1; its window input is one
+    * row per distinct category per key, not per record.
+    */
+  def goldenRecord(df: DataFrame, key: String, ts: Column, tieBreak: Column,
+                   attr: Column, category: Column, value: Column): DataFrame = {
+    val ord = struct(ts.as("ts"), tieBreak.as("tb"))
+    val base = df.groupBy(col(key)).agg(
+      max_by(attr, ord).as("latest_attr"),
+      min(ts).as("first_us"),
+      max(ts).as("last_us"),
+      count(lit(1)).as("n_events"),
+      coalesce(Exact.sum2(value), lit(0).cast(DoubleType)).as("ltv"))
+    val modal = df.groupBy(col(key), category.as("top_category"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(key))
+          .orderBy(col("__n").desc, col("top_category"))))
+      .filter(col("__rn") === 1)
+      .select(col(key), col("top_category"))
+    base.join(modal, key)
+  }
+}

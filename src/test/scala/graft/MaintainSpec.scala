@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Maintain
+
+/** Edge semantics for the maintenance operators: merge algebra over
+  * disjoint/overlapping key sets, exactness under re-merge, and the
+  * golden-record survivorship tie-breaks.
+  */
+class MaintainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeStates over slices equals the full recompute, keys one-sided included") {
+    val base = Seq((1L, 10.10), (1L, 0.90), (2L, 5.00)).toDF("k", "v")
+    val delta = Seq((2L, 1.25), (3L, 7.75)).toDF("k", "v") // 3 is delta-only
+    val merged = Maintain.finalizeCountSum(
+      Maintain.mergeStates(Seq(
+        Maintain.countSumState(base, Seq("k"), $"v"),
+        Maintain.countSumState(delta, Seq("k"), $"v")), Seq("k")), Seq("k"))
+    val full = Maintain.finalizeCountSum(
+      Maintain.countSumState(base.union(delta), Seq("k"), $"v"), Seq("k"))
+    merged.orderBy("k").collect() shouldBe full.orderBy("k").collect()
+    merged.as[(Long, Long, Double, Double)].collect().toSet shouldBe Set(
+      (1L, 2L, 11.0, 5.5), (2L, 2L, 6.25, 3.125), (3L, 1L, 7.75, 7.75))
+  }
+
+  test("repeated re-merge never drifts (decimal state, not float)") {
+    val slices = (0 until 10).map(i =>
+      Seq((1L, 0.10 + i)).toDF("k", "v")) // 0.1 is inexact in binary
+    val state = slices.map(Maintain.countSumState(_, Seq("k"), $"v"))
+      // left fold one slice at a time — the worst case for float drift
+      .reduce((a, b) => Maintain.mergeStates(Seq(a, b), Seq("k")))
+    val got = Maintain.finalizeCountSum(state, Seq("k"))
+      .as[(Long, Long, Double, Double)].head()
+    got shouldBe ((1L, 10L, 46.0, 4.6)) // exact: 10*0.1 + 0..9 = 46
+  }
+
+  test("goldenRecord: recency by (ts, tie), modal category lexicographic tie-break") {
+    val e = Seq(
+      // user 1: tie at ts=30 — higher event_id (id 5, props "new") wins;
+      // category counts A=2, B=2 — tie → 'A' (lexicographically first)
+      (1L, 10L, 1L, "old", "A", Some(2.0)),
+      (1L, 30L, 4L, "mid", "B", None),
+      (1L, 30L, 5L, "new", "B", Some(1.5)),
+      (1L, 20L, 2L, "x", "A", None),
+      // user 2: single record, null-ish value → ltv 0
+      (2L, 7L, 9L, "only", "C", None)
+    ).toDF("k", "us", "id", "p", "cat", "v")
+    val got = Maintain.goldenRecord(e, "k", $"us", $"id",
+        attr = $"p", category = $"cat", value = $"v")
+      .select("k", "latest_attr", "first_us", "last_us", "n_events", "ltv", "top_category")
+      .as[(Long, String, Long, Long, Long, Double, String)].collect().toSet
+    got shouldBe Set(
+      (1L, "new", 10L, 30L, 4L, 3.5, "A"),
+      (2L, "only", 7L, 7L, 1L, 0.0, "C"))
+  }
+
+  test("goldenRecord's recency pass partial-aggregates before the exchange") {
+    val e = Seq((1L, 10L, 1L, "p", "A", Some(1.0))).toDF("k", "us", "id", "p", "cat", "v")
+    val plan = Maintain.goldenRecord(e, "k", $"us", $"id", $"p", $"cat", $"v")
+      .queryExecution.executedPlan.toString
+    // max_by/min/max/count run as partial HashAggregate below the
+    // shuffle — the reason the stats pass never window-sorts raw rows
+    plan should include("partial_max_by")
+  }
+}
