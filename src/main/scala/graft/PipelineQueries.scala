@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.ops.{Dedup, TextOps, Vectors}
+import graft.ops.{Dedup, Sketches, TextOps, Vectors}
 
 /** Training-data pipeline queries: deduplication (exact / MinHash-LSH /
   * SimHash), embedding similarity search (brute-force + LSH-bucketed),
@@ -1339,9 +1339,52 @@ object PipelineQueries {
       |       CAST(least(40, len(toks) - start) AS INT) AS n_tokens
       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---- T13: inverted index (posting lists) ----------------------------
+
+  /** T13: term → document-frequency + the first 16 postings (doc ids
+    * ascending, emitted as a CSV string — strings survive any result
+    * hasher; arrays may not). The truncated posting list IS the KMV
+    * buffer ([[Sketches.KmvAgg]] over doc ids): bottom-16 distinct
+    * values per term with fixed 128-byte state, merged map-side — no
+    * per-term window sort, and a stop-word term ("the", df≈corpus)
+    * costs the same state as a rare one. df comes from the same
+    * (term, doc) distinct pass. Rows are capped to df ≥ 5 terms.
+    */
+  val t13Inverted: Q = (s, d) => {
+    import s.implicits._
+    val postings = Sketches.kmvSketch(16)
+    Tables.documents(s, d)
+      .select($"doc_id", explode(regexp_extract_all($"text", lit("[A-Za-z]+"), lit(0))).as("tok"))
+      .select(lower($"tok").as("term"), $"doc_id")
+      .filter(length($"term") >= 4)
+      .distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("df_docs"), postings($"doc_id").as("p"))
+      .filter($"df_docs" >= 5)
+      .select($"term", $"df_docs",
+        expr("array_join(transform(p, x -> cast(x AS STRING)), ',')").as("postings"))
+      .orderBy("term")
+  }
+  val t13InvertedSql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT lower(tok) AS term, doc_id
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok
+      |        FROM documents)
+      |  WHERE length(tok) >= 4),
+      |r AS (SELECT term, doc_id,
+      |        row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+      |        COUNT(*) OVER (PARTITION BY term) AS df
+      |      FROM toks)
+      |SELECT term, CAST(MAX(df) AS BIGINT) AS df_docs,
+      |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      |FROM r WHERE rn <= 16
+      |GROUP BY term HAVING MAX(df) >= 5
+      |ORDER BY term""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "q_t13_inverted" -> t13Inverted,
     "q_d1_exact_dedup" -> d1Exact,
     "q_d2_minhash_lsh" -> d2MinHashLsh,
     "q_d2b_dup_clusters" -> d2bDupClusters,
@@ -1411,6 +1454,7 @@ object PipelineQueries {
     "q_t8_normalize" -> t8NormalizeSql,
     "q_t9_topterms" -> t9TopTermsSql,
     "q_t11_term_weights" -> t11TermWeightsSql,
+    "q_t13_inverted" -> t13InvertedSql,
     "q_t10_chunks" -> t10ChunksSql,
     "q_p1_stratified" -> p1StratifiedSql,
     "q_p2_mixture" -> p2MixtureSql,

@@ -150,15 +150,53 @@ object SketchQueries {
        |FROM ur, g GROUP BY g.n_sources, g.n_exact, g.n_candidates""".stripMargin
   }
 
+  // ---- K4: HyperLogLog registers + raw estimator ----------------------
+
+  /** K4: per-event-type HLL over the same (user, day) stream as K1 —
+    * the full 64-register table (absent buckets zero-filled) plus the
+    * raw estimator and zero-register count. Registers AND estimate
+    * hash-match the oracle because the rank uses the binary-string msb
+    * (integer-exact) and the estimator's only float ops are one
+    * constant product and one division (see Sketches.hllRegisters/
+    * hllEstimate). Duplicate (user, day) activity needs no pre-
+    * distinct: re-inserting a hash can't raise a register's max.
+    */
+  private val P = 6
+  val k4Hll: Q = (s, d) => {
+    val src = Tables.events(s, d)
+      .select(col("event_type"),
+        TextOps.hash60(concat(col("user_id").cast("string"), lit(":"),
+          date_format(col("ts"), "yyyy-MM-dd"))).as("h"))
+    val regs = Sketches.hllRegisters(src, Seq("event_type"), col("h"), P)
+    val est = Sketches.hllEstimate(regs, Seq("event_type"), P)
+    regs.join(broadcast(est), "event_type")
+      .select(col("event_type"), col("bucket"), col("r"), col("n_zero"),
+        col("est_raw"))
+      .orderBy("event_type", "bucket")
+  }
+  val k4HllSql: String = {
+    val h = TextOps.hash60Sql(
+      "CAST(user_id AS VARCHAR)||':'||strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')")
+    s"""WITH src AS (SELECT event_type, $h AS h FROM events),
+       |${Sketches.hllRegistersSql("src", "event_type", P)},
+       |est AS (
+       |${Sketches.hllEstimateSql("event_type", P)})
+       |SELECT f.event_type, f.bucket, f.r, est.n_zero, est.est_raw
+       |FROM filled f JOIN est USING (event_type)
+       |ORDER BY event_type, bucket""".stripMargin
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q_k1_kmv" -> k1Kmv,
     "q_k2_cms" -> k2Cms,
-    "q_k3_kmv_union" -> k3KmvUnion)
+    "q_k3_kmv_union" -> k3KmvUnion,
+    "q_k4_hll" -> k4Hll)
 
   val oracles: Map[String, String] = Map(
     "q_k1_kmv" -> k1KmvSql,
     "q_k2_cms" -> k2CmsSql,
-    "q_k3_kmv_union" -> k3KmvUnionSql)
+    "q_k3_kmv_union" -> k3KmvUnionSql,
+    "q_k4_hll" -> k4HllSql)
 }

@@ -153,4 +153,89 @@ object Sketches {
        |       COUNT(*) AS cnt
        |FROM $termsCte CROSS JOIN (SELECT unnest(generate_series(0, ${depth - 1})) AS seed) seeds
        |GROUP BY 1, 2""".stripMargin
+
+  // ---- HyperLogLog (relational, integer-exact) -------------------------
+
+  /** HyperLogLog (Flajolet et al. '07) register table, kept RELATIONAL
+    * like the CMS cells: 2^p registers per group, each the max "rank"
+    * (position of the first 1-bit in the hash remainder) observed —
+    * one keyed aggregation, fixed 2^p rows per group at any input
+    * size, sketch-of-union == max-merge of sketches.
+    *
+    * Bit layout over the 60-bit hash: top `p` bits select the bucket,
+    * the low 60−p bits w give rank = (60−p) − msb(w) + 1, with rank
+    * 60−p+1 for w = 0. msb comes from `length(bin(w))` — both Spark
+    * and DuckDB print minimal binary strings, so the rank is
+    * integer-exact and engine-portable (no log2 anywhere). Absent
+    * buckets surface as rank 0 via a per-group `sequence` grid —
+    * never a global calendar-style cross join.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], h: Column, p: Int): DataFrame = {
+    val rem = 60 - p
+    val regs = df
+      .select(groupCols.map(col) :+ shiftright(h, rem).as("bucket") :+
+        h.bitwiseAND(lit((1L << rem) - 1)).as("__w"): _*)
+      .withColumn("__rank",
+        lit(rem + 1) - length(expr("trim(LEADING '0' FROM bin(__w))")))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("__rank")).as("__r"))
+    val grid = regs.select(groupCols.map(col): _*).distinct()
+      .select(groupCols.map(col) :+
+        explode(expr(s"sequence(0L, ${(1L << p) - 1}L)")).as("bucket"): _*)
+    grid.join(regs, groupCols :+ "bucket", "left")
+      .withColumn("r", coalesce(col("__r"), lit(0)).cast(LongType))
+      .drop("__r")
+  }
+
+  /** Raw HLL estimator α_m·m²/Σ2^(−r) over a register frame, computed
+    * through an integer-exact scaled sum: Σ2^(−r) ≡ Σ2^(REM+1−r) /
+    * 2^(REM+1), every term a BIGINT shift — so the only floating-point
+    * steps are one constant product and one division, bit-identical in
+    * any IEEE engine. Deliberately no small/large-range correction:
+    * that needs ln(), whose last ulp is libm-dependent; callers get
+    * the raw estimator plus `n_zero` to judge the regime.
+    */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    val m = 1L << p
+    val rem1 = 60 - p + 1
+    val alpha = if (p == 6) 0.709 else 0.7213 / (1 + 1.079 / m)
+    regs
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($rem1 - r AS INT))")).as("__s"),
+        sum(when(col("r") === 0, 1L).otherwise(0L)).as("n_zero"))
+      .withColumn("est_raw",
+        lit(alpha) * lit(m.toDouble) * lit(m.toDouble) *
+          lit(math.pow(2.0, rem1)) / col("__s"))
+      .drop("__s")
+  }
+
+  /** Oracle fragments mirroring [[hllRegisters]]/[[hllEstimate]]: the
+    * register table (with the zero-filled grid) and the scaled-sum
+    * estimator, over a CTE exposing (`groupCol`, h).
+    */
+  def hllRegistersSql(sourceCte: String, groupCol: String, p: Int): String = {
+    val rem = 60 - p
+    s"""regs AS (
+       |  SELECT $groupCol, h >> $rem AS bucket,
+       |    MAX(${rem + 1} - length(ltrim(bin(h & ${(1L << rem) - 1}), '0'))) AS mr
+       |  FROM $sourceCte GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT DISTINCT $groupCol, unnest(generate_series(0, ${(1L << p) - 1})) AS bucket
+       |  FROM regs),
+       |filled AS (
+       |  SELECT g.$groupCol, g.bucket, CAST(COALESCE(r.mr, 0) AS BIGINT) AS r
+       |  FROM grid g LEFT JOIN regs r
+       |    ON r.$groupCol = g.$groupCol AND r.bucket = g.bucket)""".stripMargin
+  }
+
+  def hllEstimateSql(groupCol: String, p: Int): String = {
+    val m = 1L << p
+    val rem1 = 60 - p + 1
+    val alpha = if (p == 6) "0.709" else (0.7213 / (1 + 1.079 / m)).toString
+    s"""SELECT $groupCol,
+       |  CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |  $alpha * ${m.toDouble} * ${m.toDouble} * ${math.pow(2.0, rem1)}
+       |    / CAST(SUM(1::BIGINT << CAST($rem1 - r AS INTEGER)) AS BIGINT) AS est_raw
+       |FROM filled GROUP BY 1""".stripMargin
+  }
 }

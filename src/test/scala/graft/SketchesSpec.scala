@@ -121,6 +121,57 @@ class SketchesSpec extends SparkSpec {
 
   // ---- registered sketch queries oracle smoke -------------------------
 
+  // ---- HLL ------------------------------------------------------------
+
+  test("HLL registers: bucket/rank bit extraction and zero-filled grid") {
+    // p=6 → rem=54. Hand-placed hashes: bucket = h >> 54, w = low 54 bits.
+    val rows = Seq(
+      (3L << 54) | 1L,          // bucket 3, w=1 → msb 1 → rank 54
+      (3L << 54),               // bucket 3, w=0 → rank 55 (wins the max)
+      (0L << 54) | (1L << 53),  // bucket 0, top remainder bit → rank 1
+      (63L << 54) | (1L << 10)  // bucket 63, msb 11 → rank 44
+    ).toDF("h").withColumn("g", lit("x"))
+    val regs = Sketches.hllRegisters(rows, Seq("g"), $"h", p = 6)
+      .select("bucket", "r").as[(Long, Long)].collect().toMap
+    regs.size shouldBe 64 // full grid, absent buckets zero-filled
+    regs(3L) shouldBe 55L
+    regs(0L) shouldBe 1L
+    regs(63L) shouldBe 44L
+    regs(17L) shouldBe 0L
+  }
+
+  test("HLL merge property: registers of a union == max-merge of slices") {
+    val a = (1 to 300).map(i => s"a$i").toDF("s").select(TextOps.hash60($"s").as("h"), lit("g").as("g"))
+    val b = (1 to 300).map(i => s"b$i").toDF("s").select(TextOps.hash60($"s").as("h"), lit("g").as("g"))
+    val unioned = Sketches.hllRegisters(a.union(b), Seq("g"), $"h", 6)
+      .select("bucket", "r").as[(Long, Long)].collect().toMap
+    val ra = Sketches.hllRegisters(a, Seq("g"), $"h", 6)
+      .select("bucket", "r").as[(Long, Long)].collect().toMap
+    val rb = Sketches.hllRegisters(b, Seq("g"), $"h", 6)
+      .select("bucket", "r").as[(Long, Long)].collect().toMap
+    unioned shouldBe ra.map { case (k, v) => k -> math.max(v, rb(k)) }
+  }
+
+  test("HLL raw estimate lands near the true cardinality when registers fill") {
+    val n = 5000
+    val df = (1 to n).map(i => s"v$i").toDF("s")
+      .select(TextOps.hash60($"s").as("h"), lit("g").as("g"))
+    val regs = Sketches.hllRegisters(df, Seq("g"), $"h", 6)
+    val (nZero, est) = Sketches.hllEstimate(regs, Seq("g"), 6)
+      .select("n_zero", "est_raw").as[(Long, Double)].head()
+    nZero shouldBe 0L
+    // raw HLL at m=64 has ~13% relative error (1.04/sqrt(64))
+    est shouldBe (n.toDouble +- n * 0.35)
+  }
+
+  test("KMV buffer doubles as a truncated posting list (bottom-16 distinct ids)") {
+    // a "term" seen in 20 docs (with repeats) keeps exactly doc ids 1..16
+    val kmv = Sketches.kmvSketch(16)
+    val docs = ((1 to 20) ++ (5 to 9)).map(_.toLong).toDF("doc_id")
+    val got = docs.repartition(3).agg(kmv($"doc_id")).as[Seq[Long]].head()
+    got shouldBe (1L to 16L)
+  }
+
   test("q_k1_kmv / q_k2_cms run and keep their invariants") {
     val k1 = SketchQueries.k1Kmv(spark, sf).collect()
     k1.length shouldBe 5 // one row per event_type
