@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.ops._
 
 /** Registry of driver-checkable queries (SparkEntry.queries) with their
@@ -382,6 +383,57 @@ object Queries {
        |  (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
        |   - ${Exact.sum2Sql("l_quantity")} * ${Exact.sum2Sql("l_discount")} / COUNT(*)) / COUNT(*) AS covar_pop
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** A19: winsorized aggregation — clamp `l_extendedprice` to its
+    * per-flag [p05, p95] before summing, the robust-statistics answer
+    * to a long-tailed column. Percentiles are DISCRETE, picked by
+    * row_number at position ceil(q·n): rank selection is integer
+    * arithmetic, so the chosen bounds are the same bits in any engine
+    * (no interpolation formula to agree on). Clamped and raw sums are
+    * decimal-exact ([[Exact]]).
+    *
+    * Scale note: exact rank selection needs the per-group sort — that
+    * is inherent to exact percentiles (Spark's own `percentile` buffers
+    * the group). The group count here is 3 flags; for high-cardinality
+    * grouping switch to `approx_percentile`, which is mergeable.
+    */
+  val a19Winsorize: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"l_returnflag").orderBy($"v")
+    val ranked = Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_extendedprice".as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+    val bounds = ranked.groupBy($"l_returnflag")
+      .agg(max(when($"rn" === greatest(ceil(lit(0.05) * $"n"), lit(1L)), $"v")).as("lo"),
+        max(when($"rn" === ceil(lit(0.95) * $"n"), $"v")).as("hi"),
+        max($"n").as("n"))
+    ranked.select($"l_returnflag", $"v")
+      .join(broadcast(bounds), "l_returnflag")
+      .groupBy($"l_returnflag")
+      .agg(max($"n").as("n"), max($"lo").as("lo"), max($"hi").as("hi"),
+        Exact.sum2($"v").as("sum_raw"),
+        Exact.sum2(least(greatest($"v", $"lo"), $"hi")).as("sum_winsor"))
+      .orderBy("l_returnflag")
+  }
+  val a19WinsorizeSql: String =
+    s"""WITH r AS (
+       |  SELECT l_returnflag, l_extendedprice AS v,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+       |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM lineitem),
+       |b AS (
+       |  SELECT l_returnflag,
+       |    MAX(CASE WHEN rn = GREATEST(CAST(ceil(0.05 * n) AS BIGINT), 1) THEN v END) AS lo,
+       |    MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN v END) AS hi,
+       |    MAX(n) AS n
+       |  FROM r GROUP BY 1)
+       |SELECT r.l_returnflag, CAST(MAX(b.n) AS BIGINT) AS n,
+       |  MAX(b.lo) AS lo, MAX(b.hi) AS hi,
+       |  ${Exact.sum2Sql("r.v")} AS sum_raw,
+       |  CAST(SUM(CAST(LEAST(GREATEST(r.v, b.lo), b.hi) AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsor
+       |FROM r JOIN b USING (l_returnflag)
+       |GROUP BY r.l_returnflag ORDER BY r.l_returnflag""".stripMargin
 
   /** C17: date-part extraction + weekday aggregation. The weekday
     * numbering trap: Spark's `dayofweek` is 1=Sunday while DuckDB's
@@ -888,6 +940,7 @@ object Queries {
     "q_a16_histogram" -> a16Histogram,
     "q_a17_grouping_sets" -> a17GroupingSets,
     "q_a18_cov" -> a18Cov,
+    "q_a19_winsorize" -> a19Winsorize,
     "q_c17_dateparts" -> c17DateParts,
     "q_j1_inner_join" -> j1InnerJoin,
     "q_j2_left_join" -> j2LeftJoin,
@@ -931,6 +984,7 @@ object Queries {
     "q_a16_histogram" -> a16HistogramSql,
     "q_a17_grouping_sets" -> a17GroupingSetsSql,
     "q_a18_cov" -> a18CovSql,
+    "q_a19_winsorize" -> a19WinsorizeSql,
     "q_c17_dateparts" -> c17DatePartsSql,
     "q_j1_inner_join" -> j1InnerJoinSql,
     "q_j2_left_join" -> j2LeftJoinSql,
