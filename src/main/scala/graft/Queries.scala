@@ -435,6 +435,37 @@ object Queries {
        |FROM r JOIN b USING (l_returnflag)
        |GROUP BY r.l_returnflag ORDER BY r.l_returnflag""".stripMargin
 
+  /** A20: equi-DEPTH histogram (quantile buckets) per return flag —
+    * ntile(8) over a TOTAL order (value + unique row tie-breaks), then
+    * per-bucket count/min/max. Complements A16's equi-width bins: depth
+    * buckets adapt to the distribution, width buckets to the range.
+    * ntile's fill rule (equal sizes, remainder to the leading buckets)
+    * is row-arithmetic on an identical total order, so bucket
+    * boundaries match any engine bit-for-bit — no percentile
+    * interpolation involved. The window partitions by flag; the sort
+    * is per-group, never global.
+    */
+  val a20EqDepth: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"v", $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+        $"l_extendedprice".as("v"))
+      .withColumn("bucket", ntile(8).over(w).cast("long"))
+      .groupBy($"l_returnflag", $"bucket")
+      .agg(count(lit(1)).as("n"), min($"v").as("lo"), max($"v").as("hi"))
+      .orderBy("l_returnflag", "bucket")
+  }
+  val a20EqDepthSql: String =
+    """WITH r AS (
+      |  SELECT l_returnflag, l_extendedprice AS v,
+      |    ntile(8) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+      |  FROM lineitem)
+      |SELECT l_returnflag, bucket, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** C17: date-part extraction + weekday aggregation. The weekday
     * numbering trap: Spark's `dayofweek` is 1=Sunday while DuckDB's
     * `isodow` is 1=Monday — this query pins the ISO convention on both
@@ -941,6 +972,7 @@ object Queries {
     "q_a17_grouping_sets" -> a17GroupingSets,
     "q_a18_cov" -> a18Cov,
     "q_a19_winsorize" -> a19Winsorize,
+    "q_a20_eqdepth" -> a20EqDepth,
     "q_c17_dateparts" -> c17DateParts,
     "q_j1_inner_join" -> j1InnerJoin,
     "q_j2_left_join" -> j2LeftJoin,
@@ -985,6 +1017,7 @@ object Queries {
     "q_a17_grouping_sets" -> a17GroupingSetsSql,
     "q_a18_cov" -> a18CovSql,
     "q_a19_winsorize" -> a19WinsorizeSql,
+    "q_a20_eqdepth" -> a20EqDepthSql,
     "q_c17_dateparts" -> c17DatePartsSql,
     "q_j1_inner_join" -> j1InnerJoinSql,
     "q_j2_left_join" -> j2LeftJoinSql,

@@ -296,6 +296,59 @@ object TemporalQueries {
        |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
        |ORDER BY user_id, version""".stripMargin
 
+  // ---- point-in-time join -----------------------------------------------
+
+  /** J17: point-in-time join — each purchase is enriched with the
+    * dimension version that was valid WHEN IT HAPPENED: the SCD2 props
+    * dimension (built by Temporal.scd2 from the same event changelog)
+    * joined on `effective_from <= t < effective_to`. The feature-store
+    * correctness primitive: training rows must see yesterday's
+    * attributes, not today's.
+    *
+    * Implementation: because SCD2 intervals tile each key's timeline
+    * from its first change with no gaps, "interval containing t" ≡
+    * "latest effective_from at-or-before t" — so the interval join
+    * collapses to the single-shuffle as-of join (Temporal.asOfJoin),
+    * and no BETWEEN-range join (quadratic per key) ever runs. The
+    * oracle states exactly that BETWEEN join.
+    */
+  val j17Pit: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"), col("props"))
+    val dim = Temporal.scd2(e, "user_id", col("us"), col("props"), col("event_id"))
+    val facts = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    Temporal.asOfJoin(facts, dim, "user_id",
+        leftTs = col("us"), rightTs = col("effective_from"),
+        leftCols = Seq("event_id", "us"),
+        payloadCols = Seq(col("state"), col("version")),
+        payloadNames = Seq("props_state", "dim_version"),
+        rightOrder = col("version"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("props_state"), col("dim_version"))
+      .orderBy("event_id")
+  }
+  val j17PitSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+       |             epoch_us(CAST(ts AS TIMESTAMP)) AS us, props
+       |           FROM events),
+       |c AS (SELECT user_id, us, event_id, props AS state,
+       |        lag(props) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+       |      FROM e),
+       |ch AS (SELECT user_id, us, event_id, state FROM c
+       |       WHERE prev IS NULL OR prev <> state),
+       |dim AS (
+       |  SELECT user_id, row_number() OVER w AS version, state,
+       |         us AS effective_from, lead(us) OVER w AS effective_to
+       |  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |f AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase')
+       |SELECT f.event_id, f.user_id, f.us,
+       |       d.state AS props_state, d.version AS dim_version
+       |FROM f JOIN dim d ON d.user_id = f.user_id
+       |  AND d.effective_from <= f.us
+       |  AND (d.effective_to IS NULL OR f.us < d.effective_to)
+       |ORDER BY f.event_id""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -307,7 +360,8 @@ object TemporalQueries {
     "q_g3_ffill" -> g3Ffill,
     "q_g4_funnel" -> g4Funnel,
     "q_g5_retention" -> g5Retention,
-    "q_s3_scd2" -> s3Scd2)
+    "q_s3_scd2" -> s3Scd2,
+    "q_j17_pit" -> j17Pit)
 
   val oracles: Map[String, String] = Map(
     "q_j10_asof" -> j10AsOfSql,
@@ -318,5 +372,6 @@ object TemporalQueries {
     "q_g3_ffill" -> g3FfillSql,
     "q_g4_funnel" -> g4FunnelSql,
     "q_g5_retention" -> g5RetentionSql,
-    "q_s3_scd2" -> s3Scd2Sql)
+    "q_s3_scd2" -> s3Scd2Sql,
+    "q_j17_pit" -> j17PitSql)
 }

@@ -439,9 +439,48 @@ object WindowQueries {
        |  END AS dd1e6
        |FROM w ORDER BY user_id, date""".stripMargin
 
+  /** W13: rolling z-score anomaly flags over per-type daily event
+    * counts — trailing 7-observation mean/variance from INTEGER window
+    * sums (Σx, Σx² are exact BIGINTs; only the final mean/var/sqrt run
+    * in doubles, as the identical expression on both engines, and IEEE
+    * sqrt is correctly rounded — so even the float columns hash-match).
+    * Variance is clamped at 0 before sqrt: the moment formula can land
+    * an ulp below zero and NaN would poison the compare. Warmup rows
+    * (fewer than 7 observations in frame) are never flagged.
+    */
+  val w13Anomaly: Q = (s, d) => {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type", to_date($"ts").as("date"))
+      .agg(count(lit(1)).as("n"))
+    Windowed.rollingZScore(daily, "event_type", $"date", $"n",
+        win = 7, threshold = 2.0)
+      .select($"event_type", dstr($"date").as("date"), $"n",
+        $"mean", $"std", $"is_anomaly")
+      .orderBy("event_type", "date")
+  }
+  val w13AnomalySql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS date, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |w AS (
+       |  SELECT event_type, date, n,
+       |    COUNT(n) OVER f AS win_n,
+       |    SUM(n) OVER f AS s,
+       |    SUM(n * n) OVER f AS ss
+       |  FROM daily
+       |  WINDOW f AS (PARTITION BY event_type ORDER BY date
+       |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+       |SELECT event_type, ${dstrSql("date")} AS date, n,
+       |  s / win_n AS mean,
+       |  sqrt(GREATEST((ss - s * s / win_n) / win_n, 0.0)) AS std,
+       |  win_n = 7 AND abs(n - s / win_n) > 2.0 * sqrt(GREATEST((ss - s * s / win_n) / win_n, 0.0)) AS is_anomaly
+       |FROM w ORDER BY event_type, date""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "q_w13_anomaly" -> w13Anomaly,
     "q_w9_sliding_distinct" -> w9SlidingDistinct,
     "q_w11_cum_distinct" -> w11CumDistinct,
     "q_w12_drawdown" -> w12Drawdown,
@@ -463,6 +502,7 @@ object WindowQueries {
     "q_w9_sliding_distinct" -> w9SlidingDistinctSql,
     "q_w11_cum_distinct" -> w11CumDistinctSql,
     "q_w12_drawdown" -> w12DrawdownSql,
+    "q_w13_anomaly" -> w13AnomalySql,
     "q_w1_rank_topn" -> w1RankTopNSql,
     "q_w2w3_dense_pct" -> w2w3DensePctSql,
     "q_w4_partition_total" -> w4PartitionTotalSql,

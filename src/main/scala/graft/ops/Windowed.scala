@@ -54,4 +54,31 @@ object Windowed {
     */
   def shareOfTotalPct(measure: Column, total: Column): Column =
     measure / when(total === 0, lit(null)).otherwise(total) * 100
+
+  /** W13: rolling z-score anomaly flags over an INTEGER measure —
+    * trailing `win`-observation mean/std from exact BIGINT window sums
+    * (Σx, Σx²); only the final mean/var/sqrt run in doubles, as one
+    * fixed expression, so the float outputs are engine-reproducible
+    * (IEEE sqrt is correctly rounded). Variance clamps at 0 before
+    * sqrt — the moment formula can land an ulp below zero and a NaN
+    * would poison downstream equality/hashing. Rows whose frame holds
+    * fewer than `win` observations are warmup: never flagged.
+    *
+    * Input rows must be unique per (key, ord). Returns the input plus
+    * (win_n, mean, std, is_anomaly).
+    */
+  def rollingZScore(df: DataFrame, key: String, ord: Column, n: Column,
+                    win: Int, threshold: Double): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ord).rowsBetween(-(win - 1), 0)
+    df.withColumn("win_n", count(n).over(w))
+      .withColumn("__s", sum(n).over(w))
+      .withColumn("__ss", sum(n * n).over(w))
+      .withColumn("mean", col("__s") / col("win_n"))
+      .withColumn("std", sqrt(greatest(
+        (col("__ss") - col("__s") * col("__s") / col("win_n")) / col("win_n"),
+        lit(0.0))))
+      .withColumn("is_anomaly",
+        col("win_n") === win && abs(n - col("mean")) > lit(threshold) * col("std"))
+      .drop("__s", "__ss")
+  }
 }

@@ -33,6 +33,28 @@ class AggSpec extends SparkSpec {
     df.columns.toSeq shouldBe Seq("l_returnflag", "F", "O")
   }
 
+  test("rollingZScore: planted spike flagged, warmup and steady rows not") {
+    import graft.ops.Windowed
+    // key "a": 9 steady days at 10 then a spike of 100 on day 10.
+    val rows = ((1 to 9).map(i => ("a", i, 10L)) :+ (("a", 10, 100L))) ++
+      (1 to 8).map(i => ("b", i, 5L)) // constant series: std 0, never anomalous
+    val df = rows.toDF("k", "d", "n")
+    val got = Windowed.rollingZScore(df, "k", $"d", $"n", win = 7, threshold = 2.0)
+      .select($"k", $"d", $"is_anomaly", $"win_n", $"mean", $"std")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getBoolean(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    // warmup rows (frame < 7) are never flagged, even day 1 (std 0)
+    (1 to 6).foreach { d => got(("a", d))._1 shouldBe false }
+    got(("a", 7))._1 shouldBe false // full frame, steady
+    val (flag, winN, mean, std) = got(("a", 10))
+    winN shouldBe 7L
+    flag shouldBe true // |100 - mean| > 2*std with 6×10+100 in frame
+    mean shouldBe (160.0 / 7) +- 1e-12
+    std should be > 0.0
+    // constant series: variance clamps to exactly 0, no flag, no NaN
+    got(("b", 8)) shouldBe ((false, 7L, 5.0, 0.0))
+  }
+
   test("approx_percentile tracks the exact percentile within its accuracy bound") {
     // The 100 TB path: percentile() sort-buffers each group; the
     // mergeable sketch is what survives a billion-row group. Pin the

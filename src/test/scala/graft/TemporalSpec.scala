@@ -218,6 +218,33 @@ class TemporalSpec extends SparkSpec {
       (2L, 1L, "gold", 5L, None, true))
   }
 
+  test("point-in-time (as-of vs scd2 dim) equals the interval-containment join") {
+    val log = Seq(
+      (1L, 10L, 100L, "s1"), (1L, 30L, 101L, "s2"), (1L, 50L, 102L, "s3"),
+      (2L, 5L, 200L, "t1")
+    ).toDF("k", "us", "id", "st")
+    val dim = Temporal.scd2(log, "k", $"us", $"st", $"id")
+    val facts = Seq((1L, 10L, 900L), (1L, 29L, 901L), (1L, 30L, 902L),
+      (1L, 99L, 903L), (2L, 6L, 904L)).toDF("k", "us", "fid")
+    val viaAsOf = Temporal.asOfJoin(facts, dim, "k",
+        leftTs = $"us", rightTs = $"effective_from",
+        leftCols = Seq("fid", "us"),
+        payloadCols = Seq($"state", $"version"),
+        payloadNames = Seq("state", "version"), rightOrder = $"version")
+      .select("fid", "state", "version")
+    val naive = facts.alias("f").join(dim.alias("d"),
+        $"d.k" === $"f.k" && $"d.effective_from" <= $"f.us" &&
+          ($"d.effective_to".isNull || $"f.us" < $"d.effective_to"))
+      .select($"f.fid", $"d.state", $"d.version")
+    viaAsOf.collect().toSet shouldBe naive.collect().toSet
+    viaAsOf.as[(Long, String, Long)].collect().toSet shouldBe Set(
+      (900L, "s1", 1L), // boundary: fact AT the interval start
+      (901L, "s1", 1L),
+      (902L, "s2", 2L), // fact exactly at the next version's start
+      (903L, "s3", 3L), // open current interval
+      (904L, "t1", 1L))
+  }
+
   test("scd2 plans exactly one exchange and one sort for all three windows") {
     val log = Seq((1L, 10L, 100L, "a")).toDF("k", "us", "id", "tier")
     val plan = Temporal.scd2(log, "k", $"us", $"tier", $"id")
