@@ -991,7 +991,7 @@ object Queries {
     "q_v2_constraints" -> v2Constraints,
     "q_v3_drift" -> v3Drift
   ) ++ WindowQueries.all ++ PipelineQueries.all ++ ScalarQueries.all ++
-    TemporalQueries.all ++ SketchQueries.all ++ MaintainQueries.all
+    TemporalQueries.all ++ SketchQueries.all ++ MaintainQueries.all ++ StreamQueries.all
 
   val oracles: Map[String, String] = Map(
     "q_f1_snapshot" -> f1SnapshotSql,
@@ -1036,5 +1036,5 @@ object Queries {
     "q_v2_constraints" -> v2ConstraintsSql,
     "q_v3_drift" -> v3DriftSql
   ) ++ WindowQueries.oracles ++ PipelineQueries.oracles ++ ScalarQueries.oracles ++
-    TemporalQueries.oracles ++ SketchQueries.oracles ++ MaintainQueries.oracles
+    TemporalQueries.oracles ++ SketchQueries.oracles ++ MaintainQueries.oracles ++ StreamQueries.oracles
 }

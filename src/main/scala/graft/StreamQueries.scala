@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.ops.Exact
+
+/** Structured-Streaming queries registered in the ORACLE GATE: the
+  * stream runs to completion inside the query function (file source,
+  * `Trigger.AvailableNow`, memory sink) and the materialized result is
+  * compared against the plain batch SQL oracle — proving the streaming
+  * path computes the same answer as the batch plan, not just that it
+  * runs. The streaming twins that need wall-clock triggers or
+  * watermark-order assumptions stay spec-covered (StreamingSpec);
+  * only deterministic-final-state shapes belong in the gate.
+  */
+object StreamQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** ST1: per-status order counts + decimal-exact totals computed BY A
+    * STREAM — file-source AvailableNow over the orders parquet, running
+    * aggregation in complete mode into a memory sink. The final table
+    * is independent of file batching: counts/sums are associative and
+    * complete mode emits the converged state. At scale this is the
+    * backfill-as-stream pattern: one checkpointed pipeline serves both
+    * the historical replay and the live tail.
+    */
+  val st1StreamAgg: Q = (s, d) => {
+    val path = s"$d/orders.parquet"
+    val schema = s.read.parquet(path).schema
+    // Unique sink name per invocation: memory sink tables are
+    // session-global and Bench legitimately runs a query twice.
+    val sink = "st1_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // The file source wants a DIRECTORY; the sf dir holds every table,
+    // so glob-filter it down to the orders file.
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), Exact.sum2(col("o_totalprice")).as("total"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy("o_orderstatus")
+  }
+  val st1StreamAggSql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${Exact.sum2Sql("o_totalprice")} AS total
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- registry --------------------------------------------------------
+
+  val all: Map[String, Q] = Map("q_st1_stream_agg" -> st1StreamAgg)
+  val oracles: Map[String, String] = Map("q_st1_stream_agg" -> st1StreamAggSql)
+}
