@@ -1104,7 +1104,10 @@ object PipelineQueries {
     val gated = docs.join(broadcast(rates), "source")
       .filter(graft.ops.Sampling.gateBucket($"doc_id", "temp") < $"rate10k")
       .groupBy($"source").agg(count(lit(1)).as("n_sampled"))
-    rates.join(gated, Seq("source"), "left")
+    // Both sides are per-source aggregates (rows = #sources, bounded at
+    // any corpus size) — broadcast, or Spark estimates the crossJoin-
+    // derived rates frame as large and plans a sort-merge join.
+    rates.join(broadcast(gated), Seq("source"), "left")
       .select($"source", $"n", $"rate10k",
         coalesce($"n_sampled", lit(0L)).as("n_sampled"))
       .orderBy("source")
