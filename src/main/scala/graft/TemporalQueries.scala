@@ -296,6 +296,59 @@ object TemporalQueries {
        |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
        |ORDER BY user_id, version""".stripMargin
 
+  // ---- interval-overlap join --------------------------------------------
+
+  /** Oracle fragment: gap sessions of one event type, lag+cumsum
+    * formulation (the g1 oracle, filtered and rolled up).
+    */
+  private val OverlapGapUs = 24L * 3600 * 1000000
+  private def sessSql(cte: String, eventType: String): String =
+    s"""$cte AS (
+       |  SELECT user_id,
+       |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id,
+       |    us
+       |  FROM (SELECT user_id, us,
+       |          CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) <= $OverlapGapUs
+       |               THEN 0 ELSE 1 END AS is_new
+       |        FROM e WHERE event_type = '$eventType')),
+       |${cte}s AS (
+       |  SELECT user_id, session_id, MIN(us) AS start_us, MAX(us) AS end_us
+       |  FROM $cte GROUP BY 1, 2)""".stripMargin
+
+  /** J18: interval-OVERLAP join — a user's click sessions paired with
+    * their error sessions that overlap in time ("was an error burst in
+    * progress while the user was clicking?"). Intervals are treated as
+    * [start, end+1) so zero-length singleton sessions and touching
+    * endpoints still count. Grid-bucketed with the overlap-start-bucket
+    * dedup trick — no distinct pass, never |clicks|×|errors| (see
+    * Temporal.overlapJoin); the oracle is the naive range join.
+    */
+  val j18Overlap: Q = (s, d) => {
+    val e = eventsUs(s, d)
+    def sess(t: String) = Temporal.sessionize(
+      e.filter(col("event_type") === t), "user_id", col("us"), OverlapGapUs)
+    Temporal.overlapJoin(sess("click"), sess("error"), "user_id",
+        lStart = col("start_us"), lEnd = col("end_us") + 1,
+        rStart = col("start_us"), rEnd = col("end_us") + 1,
+        gridUs = OverlapGapUs,
+        leftOut = Seq("user_id" -> col("user_id"),
+          "click_sid" -> col("session_id"), "click_start" -> col("start_us")),
+        rightOut = Seq("error_sid" -> col("session_id"),
+          "error_start" -> col("start_us")))
+      .orderBy("user_id", "click_sid", "error_sid")
+  }
+  val j18OverlapSql: String =
+    s"""WITH e AS ($eventsUsSql),
+       |${sessSql("c", "click")},
+       |${sessSql("r", "error")}
+       |SELECT c.user_id, c.session_id AS click_sid, c.start_us AS click_start,
+       |       r.session_id AS error_sid, r.start_us AS error_start,
+       |       LEAST(c.end_us + 1, r.end_us + 1) - GREATEST(c.start_us, r.start_us) AS overlap_us
+       |FROM cs c JOIN rs r ON r.user_id = c.user_id
+       |  AND c.start_us < r.end_us + 1 AND r.start_us < c.end_us + 1
+       |ORDER BY c.user_id, click_sid, error_sid""".stripMargin
+
   // ---- point-in-time join -----------------------------------------------
 
   /** J17: point-in-time join — each purchase is enriched with the
@@ -361,7 +414,8 @@ object TemporalQueries {
     "q_g4_funnel" -> g4Funnel,
     "q_g5_retention" -> g5Retention,
     "q_s3_scd2" -> s3Scd2,
-    "q_j17_pit" -> j17Pit)
+    "q_j17_pit" -> j17Pit,
+    "q_j18_overlap" -> j18Overlap)
 
   val oracles: Map[String, String] = Map(
     "q_j10_asof" -> j10AsOfSql,
@@ -373,5 +427,6 @@ object TemporalQueries {
     "q_g4_funnel" -> g4FunnelSql,
     "q_g5_retention" -> g5RetentionSql,
     "q_s3_scd2" -> s3Scd2Sql,
-    "q_j17_pit" -> j17PitSql)
+    "q_j17_pit" -> j17PitSql,
+    "q_j18_overlap" -> j18OverlapSql)
 }

@@ -118,6 +118,45 @@ object Temporal {
         (col("__rus") - col("__lus")).as("delta_us"): _*)
   }
 
+  /** Interval-OVERLAP join: pairs of intervals (same `key`, one from
+    * each side) whose half-open intersection is NON-EMPTY —
+    * `max(lStart, rStart) < min(lEnd, rEnd)` — with the overlap length
+    * attached. (The textbook `s1 < e2 && s2 < e1` predicate is NOT
+    * equivalent once zero-length intervals appear: it admits pairs
+    * whose intersection is empty.) The interval×interval
+    * generalization of [[intervalJoin]]'s point×window shape.
+    *
+    * Scale shape: each interval explodes to the `gridUs` buckets it
+    * covers and candidates pair by equi-join on (key, bucket). A pair
+    * sharing several buckets would match repeatedly, so the match is
+    * kept ONLY in the bucket containing the overlap's start
+    * (max of the two starts) — every true pair survives exactly once
+    * and no distinct/dedup pass ever runs. Work is proportional to
+    * co-bucketed candidates; pick `gridUs` near the typical interval
+    * length to keep the explode factor ~2.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame, key: String,
+                  lStart: Column, lEnd: Column, rStart: Column, rEnd: Column,
+                  gridUs: Long,
+                  leftOut: Seq[(String, Column)], rightOut: Seq[(String, Column)]): DataFrame = {
+    // integer (floor) division for bucket math — double division would
+    // round at bucket boundaries for large epoch values
+    val l = left.select(col(key).as("__lk") +: lStart.as("__ls") +: lEnd.as("__le") +:
+        leftOut.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("__lsb", expr(s"__ls div ${gridUs}L"))
+      .withColumn("__b", explode(expr(s"sequence(__lsb, __le div ${gridUs}L)")))
+    val r = right.select(col(key).as("__rk") +: rStart.as("__rs") +: rEnd.as("__re") +:
+        rightOut.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("__rsb", expr(s"__rs div ${gridUs}L"))
+      .withColumn("__b", explode(expr(s"sequence(__rsb, __re div ${gridUs}L)")))
+    l.join(r, l("__lk") === r("__rk") && l("__b") === r("__b") &&
+        greatest(l("__ls"), r("__rs")) < least(l("__le"), r("__re")) &&
+        // keep the pair only in its overlap-start bucket (dedup-free)
+        l("__b") === when(l("__ls") >= r("__rs"), l("__lsb")).otherwise(r("__rsb")))
+      .select((leftOut.map(_._1) ++ rightOut.map(_._1)).map(col) :+
+        (least(l("__le"), r("__re")) - greatest(l("__ls"), r("__rs"))).as("overlap_us"): _*)
+  }
+
   /** Time-bucket resampling to OHLC-style bars: one row per
     * (`groupCols`, bucket) with open/close (value at the first/last
     * event in the bucket), low/high, event count, and an exact decimal

@@ -245,6 +245,35 @@ class TemporalSpec extends SparkSpec {
       (904L, "t1", 1L))
   }
 
+  test("overlapJoin: multi-bucket pairs exactly once, touching/disjoint/zero-length edges") {
+    // grid = 10. Left interval [5, 35) spans buckets 0..3.
+    val left = Seq(
+      (1L, 5L, 35L, 100L),  // wide: overlaps rid=200 and rid=201
+      (1L, 60L, 61L, 101L), // disjoint from everything
+      (2L, 7L, 7L, 102L)    // zero-length: [7,7) is empty, overlaps nothing
+    ).toDF("k", "s", "e", "lid")
+    val right = Seq(
+      (1L, 25L, 50L, 200L), // overlaps lid=100 in [25,35) across buckets 2,3
+      (1L, 0L, 6L, 201L),   // overlaps lid=100 in [5,6)
+      (1L, 35L, 40L, 202L), // touches lid=100 at 35 (half-open): NO overlap
+      (2L, 0L, 20L, 203L)   // covers lid=102's point, but [7,7) ∩ it is empty
+    ).toDF("k", "s", "e", "rid")
+    val got = Temporal.overlapJoin(left, right, "k",
+        lStart = $"s", lEnd = $"e", rStart = $"s", rEnd = $"e", gridUs = 10L,
+        leftOut = Seq("lid" -> $"lid"), rightOut = Seq("rid" -> $"rid"))
+      .select("lid", "rid", "overlap_us")
+      .as[(Long, Long, Long)].collect().toSeq
+    // each true pair appears EXACTLY once despite sharing several buckets
+    got.sorted shouldBe Seq((100L, 200L, 10L), (100L, 201L, 1L))
+    val naive = left.alias("l").join(right.alias("r"),
+        $"l.k" === $"r.k" &&
+          greatest($"l.s", $"r.s") < least($"l.e", $"r.e"))
+      .select($"lid", $"rid",
+        (least($"l.e", $"r.e") - greatest($"l.s", $"r.s")).as("o"))
+      .as[(Long, Long, Long)].collect().toSeq
+    got.sorted shouldBe naive.sorted
+  }
+
   test("scd2 plans exactly one exchange and one sort for all three windows") {
     val log = Seq((1L, 10L, 100L, "a")).toDF("k", "us", "id", "tier")
     val plan = Temporal.scd2(log, "k", $"us", $"tier", $"id")
