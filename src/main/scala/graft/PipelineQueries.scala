@@ -1342,6 +1342,39 @@ object PipelineQueries {
       |       CAST(least(40, len(toks) - start) AS INT) AS n_tokens
       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---- M3: frame sampling (metadata oracle) ---------------------------
+
+  /** M3: the video-frame-sampling plumbing (`Multimodal.sampleFrames`,
+    * 8 evenly-spaced payload slices) oracled on its SQL-expressible
+    * half — per-frame byte offsets/sizes recomputed from the blob
+    * length by the same integer arithmetic. Like q_m2a for the decode
+    * stage: the byte slicing itself isn't SQL, its GEOMETRY is.
+    */
+  private val NFrames = 8
+  val m3Frames: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select($"doc_id".as("media_id"), $"source".as("kind"),
+        $"text".cast("binary").as("content"))
+      .as[graft.ops.MediaRecord]
+    graft.ops.Multimodal.sampleFrames(media, NFrames)
+      .select($"media_id", $"frame_no".cast("long").as("frame_no"),
+        length($"frame_bytes").cast("long").as("n_bytes"))
+      .orderBy("media_id", "frame_no")
+  }
+  val m3FramesSql: String =
+    s"""WITH b AS (SELECT doc_id AS media_id,
+       |             octet_length(CAST(text AS BLOB)) AS len
+       |           FROM documents),
+       |p AS (SELECT media_id, len, GREATEST(1, LEAST($NFrames, len)) AS n FROM b),
+       |q AS (SELECT media_id, len, n, GREATEST(1, len // n) AS step FROM p),
+       |f AS (SELECT media_id, len, step,
+       |        unnest(generate_series(0, n - 1)) AS frame_no
+       |      FROM q)
+       |SELECT media_id, frame_no,
+       |       LEAST(len, frame_no * step + step) - frame_no * step AS n_bytes
+       |FROM f ORDER BY media_id, frame_no""".stripMargin
+
   // ---- T13: inverted index (posting lists) ----------------------------
 
   /** T13: term → document-frequency + the first 16 postings (doc ids
@@ -1388,6 +1421,7 @@ object PipelineQueries {
 
   val all: Map[String, Q] = Map(
     "q_t13_inverted" -> t13Inverted,
+    "q_m3_frames" -> m3Frames,
     "q_d1_exact_dedup" -> d1Exact,
     "q_d2_minhash_lsh" -> d2MinHashLsh,
     "q_d2b_dup_clusters" -> d2bDupClusters,
@@ -1458,6 +1492,7 @@ object PipelineQueries {
     "q_t9_topterms" -> t9TopTermsSql,
     "q_t11_term_weights" -> t11TermWeightsSql,
     "q_t13_inverted" -> t13InvertedSql,
+    "q_m3_frames" -> m3FramesSql,
     "q_t10_chunks" -> t10ChunksSql,
     "q_p1_stratified" -> p1StratifiedSql,
     "q_p2_mixture" -> p2MixtureSql,
