@@ -1342,6 +1342,67 @@ object PipelineQueries {
       |       CAST(least(40, len(toks) - start) AS INT) AS n_tokens
       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---- C18: URL canonicalization + per-domain caps --------------------
+
+  /** C18: the web-corpus curation pair — canonicalize messy URLs
+    * (lowercase scheme+host, strip query/fragment, drop trailing
+    * slash), then cap each domain at 3 documents by quality
+    * (longest first). The synthetic corpus has no URL column, so one is
+    * derived deterministically from (source, doc_id) with planted mess
+    * — mixed case, utm query, fragment — the same planted-corpus
+    * pattern as the typo/PII queries. Canonicalization is map-side
+    * regex (codegen'd); the cap is a per-domain window over an
+    * already-aggregated frame, the standard "max N pages per site"
+    * training-data rule.
+    */
+  val c18UrlCap: Q = (s, d) => {
+    import s.implicits._
+    val raw = Tables.documents(s, d)
+      .select($"doc_id", $"n_chars",
+        concat(lit("HTTPS://WWW."), upper($"source"), lit(".Example.COM/docs/"),
+          $"doc_id", lit("/?utm_source=feed&ref="), $"doc_id", lit("#top")).as("url"))
+    val canon = raw
+      // 1. strip query + fragment  2. lowercase scheme://host (the path
+      // stays case-sensitive per RFC 3986)  3. drop one trailing slash
+      .withColumn("u1", regexp_replace($"url", "[?#].*$", ""))
+      .withColumn("u2", regexp_replace($"u1", "/$", ""))
+      .withColumn("canon_url",
+        concat(lower(regexp_extract($"u2", "^([a-zA-Z]+://[^/]*)", 1)),
+          regexp_extract($"u2", "^[a-zA-Z]+://[^/]*(.*)$", 1)))
+      .withColumn("domain",
+        regexp_extract($"canon_url", "^[a-z]+://([^/]*)", 1))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"domain")
+      .orderBy($"n_chars".desc, $"doc_id")
+    canon
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"domain", $"rk", $"doc_id", $"n_chars", $"canon_url")
+      .orderBy("domain", "rk")
+  }
+  val c18UrlCapSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id, n_chars,
+      |    'HTTPS://WWW.' || upper(source) || '.Example.COM/docs/' || doc_id
+      |      || '/?utm_source=feed&ref=' || doc_id || '#top' AS url
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id, n_chars,
+      |    lower(regexp_extract(regexp_replace(regexp_replace(url, '[?#].*$', ''), '/$', ''),
+      |      '^([a-zA-Z]+://[^/]*)', 1))
+      |    || regexp_extract(regexp_replace(regexp_replace(url, '[?#].*$', ''), '/$', ''),
+      |      '^[a-zA-Z]+://[^/]*(.*)$', 1) AS canon_url
+      |  FROM raw),
+      |dom AS (
+      |  SELECT doc_id, n_chars, canon_url,
+      |    regexp_extract(canon_url, '^[a-z]+://([^/]*)', 1) AS domain
+      |  FROM canon),
+      |ranked AS (
+      |  SELECT domain, doc_id, n_chars, canon_url,
+      |    row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM dom)
+      |SELECT domain, rk, doc_id, n_chars, canon_url
+      |FROM ranked WHERE rk <= 3 ORDER BY domain, rk""".stripMargin
+
   // ---- M3: frame sampling (metadata oracle) ---------------------------
 
   /** M3: the video-frame-sampling plumbing (`Multimodal.sampleFrames`,
@@ -1422,6 +1483,7 @@ object PipelineQueries {
   val all: Map[String, Q] = Map(
     "q_t13_inverted" -> t13Inverted,
     "q_m3_frames" -> m3Frames,
+    "q_c18_urlcap" -> c18UrlCap,
     "q_d1_exact_dedup" -> d1Exact,
     "q_d2_minhash_lsh" -> d2MinHashLsh,
     "q_d2b_dup_clusters" -> d2bDupClusters,
@@ -1493,6 +1555,7 @@ object PipelineQueries {
     "q_t11_term_weights" -> t11TermWeightsSql,
     "q_t13_inverted" -> t13InvertedSql,
     "q_m3_frames" -> m3FramesSql,
+    "q_c18_urlcap" -> c18UrlCapSql,
     "q_t10_chunks" -> t10ChunksSql,
     "q_p1_stratified" -> p1StratifiedSql,
     "q_p2_mixture" -> p2MixtureSql,
