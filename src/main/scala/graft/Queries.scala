@@ -384,6 +384,58 @@ object Queries {
        |   - ${Exact.sum2Sql("l_quantity")} * ${Exact.sum2Sql("l_discount")} / COUNT(*)) / COUNT(*) AS covar_pop
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** J19: TPC-H Q5-shaped five-way star join — revenue per nation for
+    * one region/year. Plan layering at 100 TB: region→nation→customer
+    * collapse to ONE broadcast dimension chain (each step is dim⋈dim,
+    * never touching a fact); supplier broadcasts independently; the
+    * only real shuffle joins are lineitem⋈orders on the co-designed
+    * orderkey and the customer/supplier nation-consistency equi-check.
+    * Revenue is decimal-exact (the q_j13 pattern).
+    */
+  val j19StarFive: Q = (s, d) => {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val nations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val cust = Tables.customer(s, d)
+      .join(broadcast(nations), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_nationkey".as("cust_nk"), $"n_name")
+    val supp = Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey")
+    val ord = Tables.orders(s, d)
+      .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      // Q5's signature constraint: supplier and customer share a nation
+      .filter($"s_nationkey" === $"cust_nk")
+      .groupBy($"n_name")
+      .agg(sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"n_name")
+  }
+  val j19StarFiveSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** A19: winsorized aggregation — clamp `l_extendedprice` to its
     * per-flag [p05, p95] before summing, the robust-statistics answer
     * to a long-tailed column. Percentiles are DISCRETE, picked by
@@ -971,6 +1023,7 @@ object Queries {
     "q_a16_histogram" -> a16Histogram,
     "q_a17_grouping_sets" -> a17GroupingSets,
     "q_a18_cov" -> a18Cov,
+    "q_j19_star5" -> j19StarFive,
     "q_a19_winsorize" -> a19Winsorize,
     "q_a20_eqdepth" -> a20EqDepth,
     "q_c17_dateparts" -> c17DateParts,
@@ -1016,6 +1069,7 @@ object Queries {
     "q_a16_histogram" -> a16HistogramSql,
     "q_a17_grouping_sets" -> a17GroupingSetsSql,
     "q_a18_cov" -> a18CovSql,
+    "q_j19_star5" -> j19StarFiveSql,
     "q_a19_winsorize" -> a19WinsorizeSql,
     "q_a20_eqdepth" -> a20EqDepthSql,
     "q_c17_dateparts" -> c17DatePartsSql,
