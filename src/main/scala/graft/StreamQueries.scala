@@ -48,8 +48,46 @@ object StreamQueries {
        |  ${Exact.sum2Sql("o_totalprice")} AS total
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** ST2: stateless stream-static enrichment — the orders STREAM joined
+    * to the static customer dimension (broadcast; a static side never
+    * holds join state) in append mode, aggregated per segment AFTER the
+    * sink. Append + stateless means every micro-batch emits exactly its
+    * own enriched rows, so the materialized union is batch-equal by
+    * construction — the lambda-architecture enrichment path with one
+    * codebase.
+    */
+  val st2StreamEnrich: Q = (s, d) => {
+    val schema = s.read.parquet(s"$d/orders.parquet").schema
+    val cust = s.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val sink = "st2_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+      .filter(col("o_orderstatus") === "O")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"), col("o_totalprice"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), Exact.sum2(col("o_totalprice")).as("total"))
+      .orderBy("c_mktsegment")
+  }
+  val st2StreamEnrichSql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n,
+       |  ${Exact.sum2Sql("o_totalprice")} AS total
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |WHERE o_orderstatus = 'O'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
-  val all: Map[String, Q] = Map("q_st1_stream_agg" -> st1StreamAgg)
-  val oracles: Map[String, String] = Map("q_st1_stream_agg" -> st1StreamAggSql)
+  val all: Map[String, Q] = Map(
+    "q_st1_stream_agg" -> st1StreamAgg,
+    "q_st2_stream_enrich" -> st2StreamEnrich)
+  val oracles: Map[String, String] = Map(
+    "q_st1_stream_agg" -> st1StreamAggSql,
+    "q_st2_stream_enrich" -> st2StreamEnrichSql)
 }
