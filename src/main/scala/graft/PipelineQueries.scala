@@ -1342,6 +1342,120 @@ object PipelineQueries {
       |       CAST(least(40, len(toks) - start) AS INT) AS n_tokens
       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---- D10: minhash estimate vs exact (sketch-accuracy contract) ------
+
+  /** D10: for every LSH candidate pair, the MinHash similarity ESTIMATE
+    * (matching signature positions out of 16 — an integer, so the
+    * estimator itself is hash-exact cross-engine) next to the exact
+    * Jaccard it approximates. E[matches/16] = J is the property the
+    * whole minhash family rests on; this row keeps the estimator and
+    * the ground truth in one oracled result so drift in either breaks
+    * the gate. Same persist-then-release pattern as nearDupPairs.
+    */
+  val d10MinhashEst: Q = (s, d) => {
+    import s.implicits._
+    val sh = Dedup.shingleHashSet(corpus(s, d), "id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
+    val sigs = Dedup.minhashSigs(sh, 16)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    val cand = Dedup.lshCandidatesFromSigs(sigs, 4, 16)
+    val agree = cand
+      .join(sigs.select($"id".as("ia"), $"sig".as("sa")), "ia")
+      .join(sigs.select($"id".as("ib"), $"sig".as("sb")), "ib")
+      .withColumn("sig_matches", expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)"))
+      .select($"ia", $"ib", $"sig_matches")
+    val out = Dedup.jaccardVerify(cand, sh, setCol = "h")
+      .join(agree, Seq("ia", "ib"))
+      .select($"ia", $"ib", $"sig_matches", $"jac")
+      .orderBy("ia", "ib")
+      .localCheckpoint(eager = true)
+    sigs.unpersist()
+    sh.unpersist()
+    out
+  }
+  val d10MinhashEstSql: String =
+    s"""WITH $corpusSql,
+       |$shingleSql,
+       |mh AS (
+       |${Dedup.minhashSql(16)}),
+       |bands AS (
+       |  SELECT id, j // 4 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |agree AS (
+       |  SELECT c.ia, c.ib,
+       |    CAST(SUM(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS BIGINT) AS sig_matches
+       |  FROM cand c JOIN mh x ON x.id = c.ia JOIN mh y ON y.id = c.ib AND y.j = x.j
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.ia, c.ib, COUNT(*) AS inter
+       |  FROM cand c JOIN sh x ON x.id = c.ia JOIN sh y ON y.id = c.ib AND y.h = x.h
+       |  GROUP BY 1, 2)
+       |SELECT i.ia, i.ib, a.sig_matches,
+       |       i.inter * 1.0 / (na.n + nb.n - i.inter) AS jac
+       |FROM inter i
+       |JOIN sizes na ON na.id = i.ia JOIN sizes nb ON nb.id = i.ib
+       |JOIN agree a ON a.ia = i.ia AND a.ib = i.ib
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---- V4: migration reconciliation (counts + checksums) --------------
+
+  /** V4: source-vs-migrated reconciliation — per-month row counts,
+    * modular hash checksums, and key ranges compared side by side. The
+    * "migrated" table is the source minus a planted 1-in-9973 row drop,
+    * so the detector's positives are real and oracle-checkable. The
+    * checksum is Σ(hash60(key)·mod p) per group — order-independent,
+    * merge-safe, and bounded (≤ n·p, overflow-free past billions of
+    * rows per group); a count match with a checksum mismatch is the
+    * "same cardinality, different rows" case counts alone miss.
+    */
+  val v4Reconcile: Q = (s, d) => {
+    import s.implicits._
+    val P = 1000000007L
+    def side(df: org.apache.spark.sql.DataFrame, n: String, c: String) =
+      df.select(date_format($"o_orderdate", "yyyy-MM").as("month"),
+          (pmod(TextOps.hash60(concat_ws("|", $"o_orderkey", $"o_custkey")), lit(P))).as("h"),
+          $"o_orderkey")
+        .groupBy($"month")
+        .agg(count(lit(1)).as(n), sum($"h").as(c))
+    val src = Tables.orders(s, d)
+    val migrated = src.filter($"o_orderkey" % 9973 =!= 0)
+    side(src, "n_src", "sum_src")
+      .join(side(migrated, "n_dst", "sum_dst"), Seq("month"), "full_outer")
+      .select($"month",
+        coalesce($"n_src", lit(0L)).as("n_src"),
+        coalesce($"n_dst", lit(0L)).as("n_dst"),
+        coalesce($"sum_src", lit(0L)).as("sum_src"),
+        coalesce($"sum_dst", lit(0L)).as("sum_dst"))
+      .withColumn("rows_match", $"n_src" === $"n_dst")
+      .withColumn("checksum_match", $"sum_src" === $"sum_dst")
+      .orderBy("month")
+  }
+  val v4ReconcileSql: String = {
+    val h = TextOps.hash60Sql("CAST(o_orderkey AS VARCHAR)||'|'||CAST(o_custkey AS VARCHAR)")
+    s"""WITH src AS (
+       |  SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+       |    COUNT(*) AS n_src, CAST(SUM($h % 1000000007) AS BIGINT) AS sum_src
+       |  FROM orders GROUP BY 1),
+       |dst AS (
+       |  SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+       |    COUNT(*) AS n_dst, CAST(SUM($h % 1000000007) AS BIGINT) AS sum_dst
+       |  FROM orders WHERE o_orderkey % 9973 <> 0 GROUP BY 1)
+       |SELECT COALESCE(s.month, d2.month) AS month,
+       |  COALESCE(s.n_src, 0) AS n_src, COALESCE(d2.n_dst, 0) AS n_dst,
+       |  COALESCE(s.sum_src, 0) AS sum_src, COALESCE(d2.sum_dst, 0) AS sum_dst,
+       |  COALESCE(s.n_src, 0) = COALESCE(d2.n_dst, 0) AS rows_match,
+       |  COALESCE(s.sum_src, 0) = COALESCE(d2.sum_dst, 0) AS checksum_match
+       |FROM src s FULL OUTER JOIN dst d2 ON d2.month = s.month
+       |ORDER BY month""".stripMargin
+  }
+
   // ---- C18: URL canonicalization + per-domain caps --------------------
 
   /** C18: the web-corpus curation pair — canonicalize messy URLs
@@ -1484,6 +1598,8 @@ object PipelineQueries {
     "q_t13_inverted" -> t13Inverted,
     "q_m3_frames" -> m3Frames,
     "q_c18_urlcap" -> c18UrlCap,
+    "q_d10_minhash_est" -> d10MinhashEst,
+    "q_v4_reconcile" -> v4Reconcile,
     "q_d1_exact_dedup" -> d1Exact,
     "q_d2_minhash_lsh" -> d2MinHashLsh,
     "q_d2b_dup_clusters" -> d2bDupClusters,
@@ -1556,6 +1672,8 @@ object PipelineQueries {
     "q_t13_inverted" -> t13InvertedSql,
     "q_m3_frames" -> m3FramesSql,
     "q_c18_urlcap" -> c18UrlCapSql,
+    "q_d10_minhash_est" -> d10MinhashEstSql,
+    "q_v4_reconcile" -> v4ReconcileSql,
     "q_t10_chunks" -> t10ChunksSql,
     "q_p1_stratified" -> p1StratifiedSql,
     "q_p2_mixture" -> p2MixtureSql,
