@@ -1414,6 +1414,9 @@ object PipelineQueries {
     * merge-safe, and bounded (≤ n·p, overflow-free past billions of
     * rows per group); a count match with a checksum mismatch is the
     * "same cardinality, different rows" case counts alone miss.
+    * (PlanAudit flags the month join as SMJ: Spark cannot broadcast a
+    * FULL OUTER side, and both inputs are per-month aggregates — the
+    * q_j8 triage applies.)
     */
   val v4Reconcile: Q = (s, d) => {
     import s.implicits._
