@@ -296,6 +296,28 @@ object TemporalQueries {
        |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
        |ORDER BY user_id, version""".stripMargin
 
+  // ---- incremental SCD2 maintenance -------------------------------------
+
+  /** S5: the SCD2 dimension maintained INCREMENTALLY — the pre-cutoff
+    * changelog builds the stored dim, the post-cutoff delta folds in
+    * via Temporal.scd2Merge (untouched keys carried verbatim, affected
+    * keys recomputed from raw). The oracle is the FULL-log SCD2: the
+    * maintained table must be indistinguishable from a from-scratch
+    * rebuild, including late-event run splits.
+    */
+  private val Scd2CutoffUs = 1705795200L * 1000000 // 2024-01-21T00:00:00Z
+  val s5Scd2Incr: Q = (s, d) => {
+    val e = eventsUs(s, d)
+    val base = e.filter(col("us") < Scd2CutoffUs)
+    val delta = e.filter(col("us") >= Scd2CutoffUs)
+    val dimBase = Temporal.scd2(base, "user_id", col("us"), col("event_type"),
+      col("event_id"))
+    Temporal.scd2Merge(dimBase, base, delta, "user_id", col("us"),
+        col("event_type"), col("event_id"))
+      .orderBy("user_id", "version")
+  }
+  val s5Scd2IncrSql: String = s3Scd2Sql
+
   // ---- interval-overlap join --------------------------------------------
 
   /** Oracle fragment: gap sessions of one event type, lag+cumsum
@@ -414,6 +436,7 @@ object TemporalQueries {
     "q_g4_funnel" -> g4Funnel,
     "q_g5_retention" -> g5Retention,
     "q_s3_scd2" -> s3Scd2,
+    "q_s5_scd2_incr" -> s5Scd2Incr,
     "q_j17_pit" -> j17Pit,
     "q_j18_overlap" -> j18Overlap)
 
@@ -427,6 +450,7 @@ object TemporalQueries {
     "q_g4_funnel" -> g4FunnelSql,
     "q_g5_retention" -> g5RetentionSql,
     "q_s3_scd2" -> s3Scd2Sql,
+    "q_s5_scd2_incr" -> s5Scd2IncrSql,
     "q_j17_pit" -> j17PitSql,
     "q_j18_overlap" -> j18OverlapSql)
 }

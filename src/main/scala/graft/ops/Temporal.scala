@@ -305,6 +305,35 @@ object Temporal {
         col("effective_to").isNull.as("is_current"))
   }
 
+  /** Incremental SCD2 maintenance: fold a delta changelog into an
+    * existing dimension built by [[scd2]]. Keys untouched by the delta
+    * keep their stored interval rows verbatim; affected keys recompute
+    * from their RAW base events plus the delta.
+    *
+    * Raw re-read is load-bearing, not a shortcut skipped: a late delta
+    * event can SPLIT an existing run (base A@10,A@40 + late B@30 must
+    * yield A[10,30) B[30,40) A[40,∞)), and the collapsed dim only
+    * remembers the run's first event — reconstructing the changelog
+    * from dim rows would lose the A@40 reopening and emit B[30,∞).
+    * The spec pins exactly this case.
+    *
+    * Scale shape: the delta's key set drives one semi join (recompute
+    * cohort) and one anti join (carry-over cohort), both hashed on the
+    * dimension key; the scd2 re-run sorts only the affected keys'
+    * events. With a key-partitioned base table the semi join prunes to
+    * affected partitions — refresh cost tracks the delta, not history.
+    */
+  def scd2Merge(dimBase: DataFrame, baseEvents: DataFrame, delta: DataFrame,
+                key: String, tsCol: Column, stateCol: Column,
+                tieBreak: Column): DataFrame = {
+    val affected = delta.select(col(key)).distinct()
+    val untouched = dimBase.join(affected, Seq(key), "left_anti")
+    val recomputed = scd2(
+      baseEvents.join(affected, Seq(key), "left_semi").unionByName(delta),
+      key, tsCol, stateCol, tieBreak)
+    untouched.unionByName(recomputed)
+  }
+
   /** Daily gap fill + forward fill: densify each key's observed span to
     * a complete per-day grid, then carry the last observed value across
     * the gaps (pandas `resample('D').ffill()`, for a distributed table).

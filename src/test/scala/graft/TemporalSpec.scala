@@ -245,6 +245,28 @@ class TemporalSpec extends SparkSpec {
       (904L, "t1", 1L))
   }
 
+  test("scd2Merge == full rebuild, including a late event splitting an existing run") {
+    // base: user 1 has A@10, A@40 (ONE collapsed run A[10,∞)); user 2 untouched
+    val base = Seq(
+      (1L, 10L, 100L, "A"), (1L, 40L, 101L, "A"),
+      (2L, 5L, 200L, "X")
+    ).toDF("k", "us", "id", "st")
+    // delta: LATE B@30 lands inside user 1's run and must split it —
+    // only recomputing from raw base events can resurrect the A@40 edge
+    val delta = Seq((1L, 30L, 300L, "B")).toDF("k", "us", "id", "st")
+    val dimBase = Temporal.scd2(base, "k", $"us", $"st", $"id")
+    val merged = Temporal.scd2Merge(dimBase, base, delta, "k", $"us", $"st", $"id")
+      .as[(Long, Long, String, Long, Option[Long], Boolean)].collect().toSet
+    val full = Temporal.scd2(base.unionByName(delta), "k", $"us", $"st", $"id")
+      .as[(Long, Long, String, Long, Option[Long], Boolean)].collect().toSet
+    merged shouldBe full
+    merged shouldBe Set(
+      (1L, 1L, "A", 10L, Some(30L), false),
+      (1L, 2L, "B", 30L, Some(40L), false),
+      (1L, 3L, "A", 40L, None, true), // the resurrected reopening
+      (2L, 1L, "X", 5L, None, true))  // untouched key carried verbatim
+  }
+
   test("overlapJoin: multi-bucket pairs exactly once, touching/disjoint/zero-length edges") {
     // grid = 10. Left interval [5, 35) spans buckets 0..3.
     val left = Seq(
