@@ -296,6 +296,31 @@ class TemporalSpec extends SparkSpec {
     got.sorted shouldBe naive.sorted
   }
 
+  test("overlapJoin equals the naive join on 400 random interval pairs, several grids") {
+    val rnd = new scala.util.Random(20260813) // fixed seed: deterministic case set
+    def mk(n: Int, tag: Long) = Seq.tabulate(n) { i =>
+      val k = rnd.nextInt(6).toLong
+      val s0 = rnd.nextInt(500).toLong
+      (k, s0, s0 + rnd.nextInt(60).toLong, tag * 1000 + i) // zero-length included
+    }.toDF("k", "s", "e", "id")
+    val (l, r) = (mk(20, 1L), mk(20, 2L))
+    val naive = l.alias("l").join(r.alias("r"),
+        $"l.k" === $"r.k" && greatest($"l.s", $"r.s") < least($"l.e", $"r.e"))
+      .select($"l.id".as("lid"), $"r.id".as("rid"),
+        (least($"l.e", $"r.e") - greatest($"l.s", $"r.s")).as("o"))
+      .as[(Long, Long, Long)].collect().toSet
+    for (grid <- Seq(7L, 10L, 64L, 500L)) {
+      val got = Temporal.overlapJoin(l, r, "k", $"s", $"e", $"s", $"e", grid,
+          leftOut = Seq("lid" -> $"id"), rightOut = Seq("rid" -> $"id"))
+        .select("lid", "rid", "overlap_us")
+        .as[(Long, Long, Long)].collect()
+      withClue(s"grid=$grid: ") {
+        got.length shouldBe got.toSet.size // no duplicate pair under any grid
+        got.toSet shouldBe naive
+      }
+    }
+  }
+
   test("scd2 plans exactly one exchange and one sort for all three windows") {
     val log = Seq((1L, 10L, 100L, "a")).toDF("k", "us", "id", "tier")
     val plan = Temporal.scd2(log, "k", $"us", $"tier", $"id")
