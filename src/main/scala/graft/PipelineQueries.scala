@@ -617,6 +617,59 @@ object PipelineQueries {
       |  string_agg(CAST(code AS VARCHAR), ',' ORDER BY pos) AS codes
       |FROM coded GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ---- E7: product quantization over int8 codes -----------------------
+
+  /** E7: PQ assignment — 64-dim vectors split into 4×16-dim subspaces,
+    * each encoded as the nearest of 16 codebook entries (vectors
+    * vid 1..16 sliced per subspace, the e3 fixed-centroid pattern; the
+    * TRAINED codebook path is kmeansCentroids, spec-covered). Runs on
+    * the int8 codes from Vectors.quantizeCodes, so every distance is a
+    * BIGINT and the assignment — including ties — is engine-exact.
+    * 64 dims → 4 byte-sized codes: the 16× compression that makes
+    * billion-vector ANN RAM-resident.
+    */
+  val e7Pq: Q = (s, d) => {
+    import s.implicits._
+    val codes = Vectors.quantizeCodes(
+      Tables.embeddings(s, d).select($"vec_id", $"embedding"),
+      "vec_id", "embedding")
+    val cb = codes.filter($"vec_id".between(1, 16))
+    Vectors.pqAssign(codes, cb, "vec_id", nSub = 4, subDim = 16)
+      .orderBy("vec_id")
+  }
+  val e7PqSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, pos - 1 AS pos, CAST(embedding[pos] AS DOUBLE) AS v
+      |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS pos
+      |        FROM embeddings)),
+      |dims AS (SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM ex GROUP BY 1),
+      |coded AS (
+      |  SELECT e.vec_id, e.pos,
+      |    CASE WHEN d.hi = d.lo THEN 0
+      |         ELSE CAST(FLOOR((e.v - d.lo) * 255.0 / (d.hi - d.lo) + 0.5) AS BIGINT)
+      |    END AS code
+      |  FROM ex e JOIN dims d USING (pos)),
+      |cb AS (SELECT vec_id AS cid, pos, code AS ccode FROM coded
+      |       WHERE vec_id BETWEEN 1 AND 16),
+      |d2 AS (
+      |  SELECT t.vec_id, t.pos // 16 AS s, c.cid,
+      |    CAST(SUM((t.code - c.ccode) * (t.code - c.ccode)) AS BIGINT) AS d2
+      |  FROM coded t JOIN cb c USING (pos)
+      |  GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT vec_id, s, cid, d2 FROM (
+      |    SELECT vec_id, s, cid, d2,
+      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+      |    FROM d2) WHERE rn = 1)
+      |SELECT vec_id,
+      |  MAX(CASE WHEN s = 0 THEN cid END) AS code0,
+      |  MAX(CASE WHEN s = 1 THEN cid END) AS code1,
+      |  MAX(CASE WHEN s = 2 THEN cid END) AS code2,
+      |  MAX(CASE WHEN s = 3 THEN cid END) AS code3,
+      |  MAX(CASE WHEN s = 0 THEN d2 END) + MAX(CASE WHEN s = 1 THEN d2 END)
+      |    + MAX(CASE WHEN s = 2 THEN d2 END) + MAX(CASE WHEN s = 3 THEN d2 END) AS pq_err
+      |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   // ---- T1: language ID (marker-word heuristic) ------------------------
 
   private val langMarkers = Seq(
@@ -1602,6 +1655,7 @@ object PipelineQueries {
     "q_m3_frames" -> m3Frames,
     "q_c18_urlcap" -> c18UrlCap,
     "q_d10_minhash_est" -> d10MinhashEst,
+    "q_e7_pq" -> e7Pq,
     "q_v4_reconcile" -> v4Reconcile,
     "q_d1_exact_dedup" -> d1Exact,
     "q_d2_minhash_lsh" -> d2MinHashLsh,
@@ -1676,6 +1730,7 @@ object PipelineQueries {
     "q_m3_frames" -> m3FramesSql,
     "q_c18_urlcap" -> c18UrlCapSql,
     "q_d10_minhash_est" -> d10MinhashEstSql,
+    "q_e7_pq" -> e7PqSql,
     "q_v4_reconcile" -> v4ReconcileSql,
     "q_t10_chunks" -> t10ChunksSql,
     "q_p1_stratified" -> p1StratifiedSql,

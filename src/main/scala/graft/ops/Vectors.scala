@@ -268,17 +268,25 @@ object Vectors {
     * arithmetic is double with one fixed expression shape, so codes are
     * engine-exact (`floor(x + 0.5)`, not banker's rounding).
     */
-  def quantizeInt8(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  /** Per-(id, pos) int8 codes with the dim stats and reconstruction
+    * error attached — the shared quantization core of [[quantizeInt8]]
+    * (per-vector rollup) and [[pqAssign]] (codebook assignment).
+    */
+  def quantizeCodes(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val ex = vecs
       .select(col(idCol), posexplode(col(vecCol)))
       .select(col(idCol), col("pos"), col("col").cast("double").as("v"))
     val dims = ex.groupBy("pos").agg(min("v").as("lo"), max("v").as("hi"))
-    val coded = ex.join(broadcast(dims), "pos")
+    ex.join(broadcast(dims), "pos")
       .withColumn("code",
         when(col("hi") === col("lo"), lit(0L))
           .otherwise(floor((col("v") - col("lo")) * 255.0 / (col("hi") - col("lo")) + 0.5)))
       .withColumn("err",
         abs(col("v") - (col("lo") + col("code") * (col("hi") - col("lo")) / 255.0)))
+  }
+
+  def quantizeInt8(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val coded = quantizeCodes(vecs, idCol, vecCol)
     coded.groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_dims"),
@@ -289,5 +297,41 @@ object Vectors {
             array_sort(collect_list(struct(col("pos"), col("code")))),
             x => x.getField("code").cast("string")),
           ",").as("codes"))
+  }
+
+  /** Product-quantization assignment over INT8 codes: split each coded
+    * vector into `nSub` subspaces of `subDim` dims; per subspace, pick
+    * the codebook entry (a designated set of coded vectors) with the
+    * minimum squared-integer distance (ties → smallest codebook id).
+    * Returns one row per vector: the `nSub` chosen codebook ids plus
+    * the total quantization distance.
+    *
+    * Running PQ on the int8 codes (not the raw floats) is what makes
+    * the assignment ENGINE-EXACT — every distance is a BIGINT — and it
+    * mirrors production practice, where PQ trains on already-quantized
+    * vectors to keep codebooks byte-addressable. Distances join the
+    * broadcast codebook on `pos`, partial-aggregate to (id, subspace,
+    * centroid) before any shuffle, and the per-subspace argmin window
+    * reads one row per candidate — never per dimension.
+    */
+  def pqAssign(codes: DataFrame, cbCodes: DataFrame, idCol: String,
+               nSub: Int, subDim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = cbCodes.select(col(idCol).as("__cid"), col("pos"),
+      col("code").as("__ccode"))
+    val d2 = codes
+      .select(col(idCol), col("pos"), col("code"), expr(s"pos div $subDim").as("__s"))
+      .join(broadcast(cb), "pos")
+      .groupBy(col(idCol), col("__s"), col("__cid"))
+      .agg(sum((col("code") - col("__ccode")) * (col("code") - col("__ccode"))).as("__d2"))
+    val best = d2
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol), col("__s")).orderBy(col("__d2"), col("__cid"))))
+      .filter(col("__rn") === 1)
+    val codeCols = (0 until nSub).map(s =>
+      max(when(col("__s") === s, col("__cid"))).as(s"code$s"))
+    val errExpr = (0 until nSub).map(s =>
+      max(when(col("__s") === s, col("__d2")))).reduce(_ + _).as("pq_err")
+    best.groupBy(col(idCol)).agg(codeCols.head, (codeCols.tail :+ errExpr): _*)
   }
 }

@@ -169,4 +169,43 @@ class VectorsSpec extends SparkSpec {
     val halfStep = 0.5 * (9.0 - 1.0) / 255.0
     all(rows.map(_._3)) should be <= halfStep
   }
+
+  test("pqAssign: codebook self-assignment at zero error, min-cid tie-break") {
+    import spark.implicits._
+    // 4 dims, 2 subspaces of 2. Codebook = vids 1 and 2; vid 3 is a probe.
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f, 10.0f, 10.0f)),
+      (2L, Seq(8.0f, 8.0f, 0.0f, 0.0f)),
+      // equal to cb1 in subspace 0; equidistant from NEITHER in subspace 1
+      (3L, Seq(0.0f, 0.0f, 1.0f, 1.0f))
+    ).toDF("vid", "e")
+    val codes = Vectors.quantizeCodes(vecs, "vid", "e")
+    val cb = codes.filter($"vid".isin(1L, 2L))
+    val byVid = Vectors.pqAssign(codes, cb, "vid", nSub = 2, subDim = 2)
+      .select($"vid", $"code0", $"code1", $"pq_err")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // codebook vectors quantize to themselves for free
+    byVid.view.filterKeys(Set(1L, 2L)).toMap shouldBe Map(
+      1L -> (1L, 1L, 0L), 2L -> (2L, 2L, 0L))
+    // probe: subspace 0 exactly matches cb1 (codes 0,0); subspace 1 is
+    // closer to cb2's (0,0) than cb1's (255,255)
+    byVid(3L)._1 shouldBe 1L
+    byVid(3L)._2 shouldBe 2L
+  }
+
+  test("pqAssign ties break to the smallest codebook id") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.0f, 10.0f)), // cb — both entries IDENTICAL after coding?
+      (2L, Seq(0.0f, 10.0f)),
+      (3L, Seq(10.0f, 0.0f))
+    ).toDF("vid", "e")
+    val codes = Vectors.quantizeCodes(vecs, "vid", "e")
+    val cb = codes.filter($"vid".isin(1L, 2L)) // two equal codebook entries
+    val got = Vectors.pqAssign(codes, cb, "vid", nSub = 1, subDim = 2)
+      .select($"vid", $"code0").as[(Long, Long)].collect().toMap
+    got(1L) shouldBe 1L // tie between identical entries 1 and 2 → min cid
+    got(2L) shouldBe 1L
+  }
 }
