@@ -670,6 +670,77 @@ object PipelineQueries {
       |    + MAX(CASE WHEN s = 2 THEN d2 END) + MAX(CASE WHEN s = 3 THEN d2 END) AS pq_err
       |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ---- E9: PQ asymmetric-distance search ------------------------------
+
+  /** E9: ANN search THROUGH the PQ codes (ADC — asymmetric distance
+    * computation): the query's per-subspace distances to all 16
+    * codebook entries form a 64-row lookup table; each corpus vector's
+    * approximate distance is then 4 table lookups summed, never a
+    * 64-dim computation. This is the IVF-PQ scan loop every
+    * billion-vector ANN system runs; on int8 codes the scores are
+    * BIGINTs, so ranking (ties included) is engine-exact. Top-10 by
+    * approximate distance, query vid 0, codebook vids 1..16 excluded
+    * from the corpus.
+    */
+  val e9PqSearch: Q = (s, d) => {
+    import s.implicits._
+    val codes = Vectors.quantizeCodes(
+      Tables.embeddings(s, d).select($"vec_id", $"embedding"),
+      "vec_id", "embedding")
+    val cb = codes.filter($"vec_id".between(1, 16))
+    val assigned = Vectors.pqAssign(
+      codes.filter($"vec_id" > 16), cb, "vec_id", nSub = 4, subDim = 16)
+    // 64-row ADC table: query subvector → each codebook entry
+    val adc = codes.filter($"vec_id" === 0)
+      .select($"pos", $"code", expr("pos div 16").as("s"))
+      .join(broadcast(cb.select($"vec_id".as("cid"), $"pos", $"code".as("ccode"))), "pos")
+      .groupBy($"s", $"cid")
+      .agg(sum(($"code" - $"ccode") * ($"code" - $"ccode")).as("qd2"))
+    assigned
+      .select($"vec_id", expr(
+        "stack(4, 0L, code0, 1L, code1, 2L, code2, 3L, code3) AS (s, cid)"))
+      .select($"vec_id", $"s", $"cid")
+      .join(broadcast(adc), Seq("s", "cid"))
+      .groupBy($"vec_id")
+      .agg(sum($"qd2").as("adc_dist")) // integer adds: exactly associative
+      .orderBy($"adc_dist", $"vec_id")
+      .limit(10)
+  }
+  val e9PqSearchSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, pos - 1 AS pos, CAST(embedding[pos] AS DOUBLE) AS v
+      |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS pos
+      |        FROM embeddings)),
+      |dims AS (SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM ex GROUP BY 1),
+      |coded AS (
+      |  SELECT e.vec_id, e.pos,
+      |    CASE WHEN d.hi = d.lo THEN 0
+      |         ELSE CAST(FLOOR((e.v - d.lo) * 255.0 / (d.hi - d.lo) + 0.5) AS BIGINT)
+      |    END AS code
+      |  FROM ex e JOIN dims d USING (pos)),
+      |cb AS (SELECT vec_id AS cid, pos, code AS ccode FROM coded
+      |       WHERE vec_id BETWEEN 1 AND 16),
+      |d2 AS (
+      |  SELECT t.vec_id, t.pos // 16 AS s, c.cid,
+      |    CAST(SUM((t.code - c.ccode) * (t.code - c.ccode)) AS BIGINT) AS d2
+      |  FROM coded t JOIN cb c USING (pos)
+      |  WHERE t.vec_id > 16
+      |  GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT vec_id, s, cid,
+      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+      |    FROM d2) WHERE rn = 1),
+      |adc AS (
+      |  SELECT q.pos // 16 AS s, c.cid,
+      |    CAST(SUM((q.code - c.ccode) * (q.code - c.ccode)) AS BIGINT) AS qd2
+      |  FROM coded q JOIN cb c USING (pos)
+      |  WHERE q.vec_id = 0
+      |  GROUP BY 1, 2)
+      |SELECT b.vec_id, CAST(SUM(a.qd2) AS BIGINT) AS adc_dist
+      |FROM best b JOIN adc a ON a.s = b.s AND a.cid = b.cid
+      |GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+
   // ---- T1: language ID (marker-word heuristic) ------------------------
 
   private val langMarkers = Seq(
@@ -1656,6 +1727,7 @@ object PipelineQueries {
     "q_c18_urlcap" -> c18UrlCap,
     "q_d10_minhash_est" -> d10MinhashEst,
     "q_e7_pq" -> e7Pq,
+    "q_e9_pq_search" -> e9PqSearch,
     "q_v4_reconcile" -> v4Reconcile,
     "q_d1_exact_dedup" -> d1Exact,
     "q_d2_minhash_lsh" -> d2MinHashLsh,
@@ -1731,6 +1803,7 @@ object PipelineQueries {
     "q_c18_urlcap" -> c18UrlCapSql,
     "q_d10_minhash_est" -> d10MinhashEstSql,
     "q_e7_pq" -> e7PqSql,
+    "q_e9_pq_search" -> e9PqSearchSql,
     "q_v4_reconcile" -> v4ReconcileSql,
     "q_t10_chunks" -> t10ChunksSql,
     "q_p1_stratified" -> p1StratifiedSql,
