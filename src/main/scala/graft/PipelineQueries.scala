@@ -741,6 +741,52 @@ object PipelineQueries {
       |FROM best b JOIN adc a ON a.s = b.s AND a.cid = b.cid
       |GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
 
+  // ---- T14: bigram language-model count table -------------------------
+
+  /** T14: the count-based n-gram LM table (the statistic behind
+    * CCNet-style perplexity filtering): per bigram, its corpus count
+    * and the conditional-probability numerator P(w2|w1)·10⁶ as an
+    * integer (`div`, not float division — the q_t11 trick, so the
+    * "probabilities" hash-match any engine). Bigrams come from the
+    * same codegen'd ShingleGenerator as the dedup family (n = 2, split
+    * once on the single interior space); one keyed shuffle for pair
+    * counts, the unigram denominator rides along per w1 via a window
+    * over the COLLAPSED pair frame, never the token stream.
+    */
+  val t14BigramLm: Q = (s, d) => {
+    import s.implicits._
+    val pairs = Tables.documents(s, d)
+      .select(graft.functions.ShingleGenerator.shingles(lower($"text"), 2).as("bg"))
+      .select(substring_index($"bg", " ", 1).as("w1"),
+        substring_index($"bg", " ", -1).as("w2"))
+      .filter(length($"w1") >= 2 && length($"w2") >= 2)
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_pair"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"w1")
+    pairs
+      .withColumn("n_w1", sum($"n_pair").over(w))
+      .withColumn("p1e6", expr("n_pair * 1000000L div n_w1"))
+      .filter($"n_pair" >= 5)
+      .select($"w1", $"w2", $"n_pair", $"n_w1", $"p1e6")
+      .orderBy("w1", "w2")
+  }
+  val t14BigramLmSql: String =
+    """WITH toks AS (
+      |  SELECT string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+      |           i -> [t[i], t[i+1]])) AS pair
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT pair[1] AS w1, pair[2] AS w2, COUNT(*) AS n_pair
+      |  FROM bg WHERE length(pair[1]) >= 2 AND length(pair[2]) >= 2
+      |  GROUP BY 1, 2),
+      |with_tot AS (
+      |  SELECT w1, w2, n_pair,
+      |    CAST(SUM(n_pair) OVER (PARTITION BY w1) AS BIGINT) AS n_w1
+      |  FROM pairs)
+      |SELECT w1, w2, n_pair, n_w1, n_pair * 1000000 // n_w1 AS p1e6
+      |FROM with_tot WHERE n_pair >= 5 ORDER BY w1, w2""".stripMargin
+
   // ---- T1: language ID (marker-word heuristic) ------------------------
 
   private val langMarkers = Seq(
@@ -1723,6 +1769,7 @@ object PipelineQueries {
 
   val all: Map[String, Q] = Map(
     "q_t13_inverted" -> t13Inverted,
+    "q_t14_bigram_lm" -> t14BigramLm,
     "q_m3_frames" -> m3Frames,
     "q_c18_urlcap" -> c18UrlCap,
     "q_d10_minhash_est" -> d10MinhashEst,
@@ -1799,6 +1846,7 @@ object PipelineQueries {
     "q_t9_topterms" -> t9TopTermsSql,
     "q_t11_term_weights" -> t11TermWeightsSql,
     "q_t13_inverted" -> t13InvertedSql,
+    "q_t14_bigram_lm" -> t14BigramLmSql,
     "q_m3_frames" -> m3FramesSql,
     "q_c18_urlcap" -> c18UrlCapSql,
     "q_d10_minhash_est" -> d10MinhashEstSql,

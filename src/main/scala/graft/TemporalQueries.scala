@@ -296,6 +296,44 @@ object TemporalQueries {
        |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
        |ORDER BY user_id, version""".stripMargin
 
+  // ---- event-transition matrix ------------------------------------------
+
+  /** G7: per-user event-type transition counts (the Markov matrix of
+    * the event stream) with integer-exact row probabilities
+    * (numerator·10⁶ div row total — no float division to disagree on).
+    * One (user)-keyed window for the lag, then a 25-cell aggregation;
+    * the row totals ride a window over the COLLAPSED matrix, never the
+    * event stream.
+    */
+  val g7Transitions: Q = (s, d) => {
+    val byT = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val rowW = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+    eventsUs(s, d)
+      .withColumn("prev", lag(col("event_type"), 1).over(byT))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(rowW))
+      .withColumn("p1e6", expr("n * 1000000L div row_total"))
+      .orderBy("from_type", "to_type")
+  }
+  val g7TransitionsSql: String =
+    s"""WITH e AS ($eventsUsSql),
+       |seq AS (
+       |  SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+       |  FROM e),
+       |m AS (
+       |  SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+       |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |t AS (
+       |  SELECT from_type, to_type, n,
+       |    CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total
+       |  FROM m)
+       |SELECT from_type, to_type, n, row_total, n * 1000000 // row_total AS p1e6
+       |FROM t ORDER BY from_type, to_type""".stripMargin
+
   // ---- incremental SCD2 maintenance -------------------------------------
 
   /** S5: the SCD2 dimension maintained INCREMENTALLY — the pre-cutoff
@@ -437,6 +475,7 @@ object TemporalQueries {
     "q_g5_retention" -> g5Retention,
     "q_s3_scd2" -> s3Scd2,
     "q_s5_scd2_incr" -> s5Scd2Incr,
+    "q_g7_transitions" -> g7Transitions,
     "q_j17_pit" -> j17Pit,
     "q_j18_overlap" -> j18Overlap)
 
@@ -451,6 +490,7 @@ object TemporalQueries {
     "q_g5_retention" -> g5RetentionSql,
     "q_s3_scd2" -> s3Scd2Sql,
     "q_s5_scd2_incr" -> s5Scd2IncrSql,
+    "q_g7_transitions" -> g7TransitionsSql,
     "q_j17_pit" -> j17PitSql,
     "q_j18_overlap" -> j18OverlapSql)
 }
