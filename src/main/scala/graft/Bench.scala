@@ -61,7 +61,31 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The full JSON is one long line; a tail-capture of stdout can
+    // truncate it (it did in round 4). Persist it to a stable file so
+    // the artifact is lossless, and print compact per-family lines the
+    // tail can't mangle.
+    val out = new java.io.File("target/bench.json")
+    Option(out.getParentFile).foreach(_.mkdirs())
+    val w = new java.io.PrintWriter(out, "UTF-8")
+    try w.println(json) finally w.close()
+    def family(n: String): String = {
+      val f = n.stripPrefix("q_").takeWhile(_.isLetter)
+      if (f.isEmpty) "other" else f
+    }
+    results.groupBy(r => family(r._1)).toSeq.sortBy(_._1).foreach {
+      case (f, rs) =>
+        val ok = rs.filter(_._2 >= 0)
+        val slow = if (ok.isEmpty) "" else {
+          val (sn, sv) = ok.maxBy(_._2)
+          f" slowest=$sn:$sv%.2f"
+        }
+        System.err.println(
+          f"[bench] family $f%-9s n=${rs.size}%3d sum=${ok.map(_._2).sum}%8.2f s$slow")
+    }
+    println(json)
     spark.stop()
   }
 }

@@ -881,13 +881,14 @@ object PipelineQueries {
 
   val t4Fingerprint: Q = (s, d) => {
     import s.implicits._
-    Dedup.shingleHashSet(
+    // One-exchange plan: Dedup.fingerprints folds the shingle distinct
+    // into the rollup aggregation (see its doc); DedupSpec proves it
+    // row-equal to the old shingleHashSet-then-groupBy two-exchange
+    // formulation, and the oracle below still computes the explicit
+    // distinct-then-count algebra.
+    Dedup.fingerprints(
         Tables.documents(s, d).select($"doc_id".as("id"), $"text"), "id", "text", 3)
-      .groupBy($"id".as("doc_id"))
-      .agg(
-        min($"h").as("fp_min"),
-        max($"h").as("fp_max"),
-        count(lit(1)).as("n_shingles"))
+      .select($"id".as("doc_id"), $"fp_min", $"fp_max", $"n_shingles")
       .orderBy("doc_id")
   }
   val t4FingerprintSql: String =

@@ -573,8 +573,12 @@ object Queries {
     val ev = Tables.events(s, d).select($"value")
     val stats = ev.agg(min($"value").as("lo"), max($"value").as("hi"))
     ev.crossJoin(broadcast(stats))
-      .select(least(floor(($"value" - $"lo") * 20.0 / ($"hi" - $"lo")).cast("double"),
-        lit(19.0)).cast("long").as("bucket"), $"lo", $"hi")
+      // hi == lo (degenerate all-equal input) would make the bin
+      // expression NaN, and Spark and DuckDB disagree on NaN ordering —
+      // pin the degenerate case to bucket 0 on both engines.
+      .select(when($"hi" === $"lo", 0L).otherwise(
+        least(floor(($"value" - $"lo") * 20.0 / ($"hi" - $"lo")).cast("double"),
+          lit(19.0)).cast("long")).as("bucket"), $"lo", $"hi")
       // lo/hi are constant — grouping on them rides along for free and
       // saves a second stats scan for the bin edges.
       .groupBy($"bucket", $"lo", $"hi").agg(count(lit(1)).as("n"))
@@ -585,7 +589,9 @@ object Queries {
   val a16HistogramSql: String =
     """WITH s AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
       |b AS (
-      |  SELECT CAST(LEAST(FLOOR((value - lo) * 20.0 / (hi - lo)), 19.0) AS BIGINT) AS bucket
+      |  SELECT CASE WHEN hi = lo THEN 0
+      |    ELSE CAST(LEAST(FLOOR((value - lo) * 20.0 / (hi - lo)), 19.0) AS BIGINT)
+      |  END AS bucket
       |  FROM events, s)
       |SELECT bucket, COUNT(*) AS n,
       |  CAST(FLOOR((lo + bucket * (hi - lo) / 20.0) * 100) AS BIGINT) AS lo_x100
@@ -967,8 +973,10 @@ object Queries {
         when(dayofmonth(to_date($"ts")) <= 15, 1).otherwise(2).as("m"))
     val stats = ev.agg(min($"value").as("lo"), max($"value").as("hi"))
     ev.crossJoin(broadcast(stats))
-      .select(least(floor(($"value" - $"lo") * 20.0 / ($"hi" - $"lo")).cast("double"),
-        lit(19.0)).cast("long").as("bucket"), $"m")
+      // same degenerate-range guard as a16Histogram: hi == lo → bucket 0
+      .select(when($"hi" === $"lo", 0L).otherwise(
+        least(floor(($"value" - $"lo") * 20.0 / ($"hi" - $"lo")).cast("double"),
+          lit(19.0)).cast("long")).as("bucket"), $"m")
       .groupBy($"bucket")
       .agg(sum(when($"m" === 1, 1L).otherwise(0L)).as("n_a"),
         sum(when($"m" === 2, 1L).otherwise(0L)).as("n_b"))
@@ -986,7 +994,9 @@ object Queries {
       |  FROM events),
       |s AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM e),
       |b AS (
-      |  SELECT CAST(LEAST(FLOOR((value - lo) * 20.0 / (hi - lo)), 19.0) AS BIGINT) AS bucket, m
+      |  SELECT CASE WHEN hi = lo THEN 0
+      |    ELSE CAST(LEAST(FLOOR((value - lo) * 20.0 / (hi - lo)), 19.0) AS BIGINT)
+      |  END AS bucket, m
       |  FROM e, s),
       |g AS (
       |  SELECT bucket,

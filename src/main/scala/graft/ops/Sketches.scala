@@ -195,10 +195,22 @@ object Sketches {
     * that needs ln(), whose last ulp is libm-dependent; callers get
     * the raw estimator plus `n_zero` to judge the regime.
     */
+  /** Published small-m alpha constants (Flajolet et al., HLL paper §4):
+    * p∈{4,5,6} have dedicated values; larger m uses the asymptotic
+    * formula. p < 4 is outside the algorithm's validated range.
+    */
+  private def hllAlpha(p: Int): Double = p match {
+    case 4 => 0.673
+    case 5 => 0.697
+    case 6 => 0.709
+    case _ => 0.7213 / (1 + 1.079 / (1L << p))
+  }
+
   def hllEstimate(regs: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    require(p >= 4, s"HLL precision p must be >= 4 (got $p)")
     val m = 1L << p
     val rem1 = 60 - p + 1
-    val alpha = if (p == 6) 0.709 else 0.7213 / (1 + 1.079 / m)
+    val alpha = hllAlpha(p)
     regs
       .groupBy(groupCols.map(col): _*)
       .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($rem1 - r AS INT))")).as("__s"),
@@ -229,9 +241,10 @@ object Sketches {
   }
 
   def hllEstimateSql(groupCol: String, p: Int): String = {
+    require(p >= 4, s"HLL precision p must be >= 4 (got $p)")
     val m = 1L << p
     val rem1 = 60 - p + 1
-    val alpha = if (p == 6) "0.709" else (0.7213 / (1 + 1.079 / m)).toString
+    val alpha = hllAlpha(p).toString
     s"""SELECT $groupCol,
        |  CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
        |  $alpha * ${m.toDouble} * ${m.toDouble} * ${math.pow(2.0, rem1)}

@@ -139,8 +139,13 @@ object Temporal {
                   lStart: Column, lEnd: Column, rStart: Column, rEnd: Column,
                   gridUs: Long,
                   leftOut: Seq[(String, Column)], rightOut: Seq[(String, Column)]): DataFrame = {
-    // integer (floor) division for bucket math — double division would
-    // round at bucket boundaries for large epoch values
+    // Integer TRUNCATING division for bucket math (Spark's `div` rounds
+    // toward zero, not floor — a negative epoch start would make the
+    // bucket straddling zero double-width). Correct regardless:
+    // truncation is still monotonic, so the overlap-start-bucket dedup
+    // invariant below holds; only bucket geometry across zero is
+    // uneven. Double division would round at bucket boundaries for
+    // large epoch values, which truncating integer div avoids.
     val l = left.select(col(key).as("__lk") +: lStart.as("__ls") +: lEnd.as("__le") +:
         leftOut.map { case (n, c) => c.as(n) }: _*)
       .withColumn("__lsb", expr(s"__ls div ${gridUs}L"))

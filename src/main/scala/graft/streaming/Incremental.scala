@@ -54,6 +54,11 @@ object Incremental {
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // batchId deliberately unused: upsert is idempotent (a replayed
+        // batch re-merges the same rows to the same latest-per-key
+        // winners), so no txn log keyed by batchId is needed for
+        // exactly-once — the checkpoint's replay + idempotent merge is
+        // the whole story.
         // The store must exist (seed with Store.writePartitioned).
         if (!batch.isEmpty)
           graft.ops.Store.upsert(batch.sparkSession, path, batch,

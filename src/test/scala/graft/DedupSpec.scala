@@ -76,6 +76,25 @@ class DedupSpec extends SparkSpec {
     hashed shouldBe viaStrings
   }
 
+  test("fingerprints (one-exchange) equals shingleHashSet-then-groupBy (two-exchange)") {
+    val twoExchange = Dedup.shingleHashSet(docs, "id", "text", 3)
+      .groupBy(col("id"))
+      .agg(min(col("h")).as("fp_min"), max(col("h")).as("fp_max"),
+        count(lit(1)).as("n_shingles"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val oneExchange = Dedup.fingerprints(docs, "id", "text", 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    oneExchange shouldBe twoExchange
+  }
+
+  test("fingerprints plan has a single shuffle exchange") {
+    val plan = Dedup.fingerprints(docs, "id", "text", 3)
+      .queryExecution.executedPlan.toString
+    plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+  }
+
   test("ngramJaccardPairs finds exact+near pairs with exact Jaccard, skips unrelated") {
     val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
