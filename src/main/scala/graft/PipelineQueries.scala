@@ -1345,13 +1345,19 @@ object PipelineQueries {
       |SELECT user_id, 'except' AS op FROM (SELECT user_id FROM big EXCEPT SELECT user_id FROM err)
       |ORDER BY op, user_id""".stripMargin
 
-  // ---- M2: multimodal decode (rows-only — the decode stage is not SQL) --
+  // ---- M2: multimodal decode (now fully oracled) ----------------------
 
   /** Batched decode of opaque binary payloads (documents' bytes stand in
     * for media blobs): typed metadata + fixed-width features via
-    * `Multimodal.decodeFeatures`. No oracle — the decode stub is not
-    * SQL-expressible; the driver records a rows-only check and
-    * `MultimodalSpec` covers semantics.
+    * `Multimodal.decodeFeatures`. The decode STUB's feature vector is
+    * hash-derived from the content bytes (`Multimodal.decodeStub`), so
+    * it IS SQL-expressible: the oracle below replays the Java
+    * 31·h+byte fold with HUGEINT modular arithmetic (h kept as its
+    * unsigned mod-2^64 representative, converted back to two's-
+    * complement at the end), signed-byte semantics included, and the
+    * f0 feature as the identical float32 division. A real codec would
+    * make this rows-only again — that's the honest boundary, and it is
+    * exactly one function (`decodeStub`) wide.
     */
   /** Shared M2/M2a decode frame: documents as MediaRecords through the
     * batched decode, metadata flattened. ONE definition so the oracled
@@ -1376,6 +1382,45 @@ object PipelineQueries {
       .drop("features")
       .orderBy("media_id")
   }
+  // Byte i (1-based) of the blob, via its hex dump — robust to multi-byte
+  // UTF-8 (substr on VARCHAR is character-based and would mis-slice).
+  private val m2Byte =
+    "((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16" +
+      " + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1))"
+  private val m2Pow64 = "CAST(18446744073709551616 AS HUGEINT)"
+  val m2DecodeSql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id AS media_id, 'text' AS kind, CAST(text AS BLOB) AS b FROM documents),
+       |m AS (
+       |  SELECT media_id, kind, hex(b) AS hx, octet_length(b) AS n,
+       |    CASE
+       |      WHEN octet_length(b) >= 8 AND substr(hex(b), 1, 8) = '89504E47' THEN 'png'
+       |      WHEN octet_length(b) >= 3 AND substr(hex(b), 1, 4) = 'FFD8' THEN 'jpeg'
+       |      WHEN octet_length(b) >= 12 AND substr(hex(b), 9, 8) = '66747970' THEN 'mp4'
+       |      WHEN octet_length(b) >= 12 AND substr(hex(b), 1, 8) = '52494646'
+       |        AND substr(hex(b), 17, 8) = '57415645' THEN 'wav'
+       |      ELSE 'unknown' END AS format
+       |  FROM raw),
+       |hh AS (
+       |  -- Java fold h = 31*h + signedByte with 64-bit wraparound: keep h as
+       |  -- its unsigned mod-2^64 representative (HUGEINT); the inner pmod
+       |  -- keeps a negative byte from driving acc negative.
+       |  SELECT media_id, kind, format, CAST(n AS BIGINT) AS n_bytes,
+       |    list_reduce(
+       |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+       |        list_transform(range(1, n + 1),
+       |          i -> CAST(CASE WHEN $m2Byte >= 128 THEN $m2Byte - 256 ELSE $m2Byte END AS HUGEINT))),
+       |      (acc, x) -> ((31 * acc + x) % $m2Pow64 + $m2Pow64) % $m2Pow64) AS hu
+       |  FROM m),
+       |s AS (
+       |  -- back to two's-complement signed 64-bit
+       |  SELECT media_id, kind, format, n_bytes,
+       |    CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+       |         THEN hu - $m2Pow64 ELSE hu END AS h
+       |  FROM hh)
+       |SELECT media_id, kind, format, n_bytes, (format <> 'unknown') AS valid,
+       |  CAST(abs(h % 1000) AS REAL) / CAST(1000.0 AS REAL) AS f0
+       |FROM s ORDER BY media_id""".stripMargin
 
   /** M2a: the SQL-expressible half of the decode pipeline — the typed
     * metadata columns (`format`/`n_bytes`/`valid`) that `decodeFeatures`
@@ -1866,8 +1911,9 @@ object PipelineQueries {
     "q_t12_gopher_gate" -> t12GopherGateSql,
     "q_m1_binary_meta" -> m1BinaryMetaSql,
     "q_u1_set_ops" -> u1SetOpsSql,
-    // q_m2_decode: intentionally no oracle (non-SQL-expressible decode);
-    // its SQL-expressible metadata half is oracled as q_m2a_meta.
+    // q_m2_decode: the stub's hash-derived features ARE SQL-expressible
+    // (HUGEINT replay of the Java byte fold) — full oracle since r5.
+    "q_m2_decode" -> m2DecodeSql,
     "q_m2a_meta" -> m2aMetaSql
   )
 }

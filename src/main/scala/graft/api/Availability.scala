@@ -74,6 +74,25 @@ object AvailabilityQueries {
       .groupBy("date").agg(count(lit(1)).as("symbol_count"))
       .orderBy("date")
 
+  /** C3 live shape (generate_stats.py:31-36): per-day distinct-symbol
+    * counts over the trailing `days` days relative to "today" —
+    * `WHERE date >= CURRENT_DATE - INTERVAL 7 DAYS` in the reference.
+    *
+    * `today` defaults to Spark's `current_date()` (the live,
+    * wall-clock-dependent variant the reference actually runs, which a
+    * point-in-time oracle cannot check). Tests inject a frozen
+    * `java.time.Clock`-derived literal instead: the expression tree is
+    * IDENTICAL either way — only the `today` leaf differs — so the
+    * frozen spec pins the relative-date arithmetic of the live shape
+    * (AvailabilitySpec "C3 live shape").
+    */
+  def recentSymbolCounts(df: DataFrame, days: Int = 7,
+                         today: org.apache.spark.sql.Column = current_date()): DataFrame =
+    df.filter(col("date") >= date_sub(today, days))
+      .groupBy("date")
+      .agg(countDistinct("symbol").as("symbol_count"))
+      .orderBy(col("date").desc)
+
   /** A2: per-day available-symbol counts restricted to a date range
     * (analytics.py:160-204). Same single-shuffle shape as
     * `dailyAvailabilityCounts`, with the range predicate pushed into the

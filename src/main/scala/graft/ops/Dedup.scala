@@ -369,8 +369,16 @@ object Dedup {
     * convergence counts (orchestration, not data); per-round lineage is
     * cut with localCheckpoint. Near-dup clusters have tiny diameters,
     * so rounds ≈ log(cluster size) — 2-3 in practice.
+    *
+    * ADVERSARIAL-DIAMETER GUARD: label propagation is O(diameter)
+    * rounds, so a pathological chain (each doc near-dup of the next)
+    * would run one round per chain link. After `maxLabelRounds`
+    * non-converged rounds the call re-routes to
+    * [[dupClustersAlternating]] (O(log² n) rounds regardless of
+    * diameter) — same output contract, so callers never choose. Typical
+    * near-dup graphs converge in 2-3 rounds and never hit the switch.
     */
-  def dupClusters(pairs: DataFrame): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxLabelRounds: Int = 8): DataFrame = {
     val edges = pairs.select(col("ia").as("a"), col("ib").as("b"))
       .unionByName(pairs.select(col("ib").as("a"), col("ia").as("b")))
       .distinct()
@@ -403,7 +411,8 @@ object Dedup {
         lit(java.math.BigDecimal.ZERO))).first().getDecimal(0)
     var prevSum = if (numericLabels) labelSum(labels) else null
     var converged = false
-    while (!converged) {
+    var rounds = 0
+    while (!converged && rounds < maxLabelRounds) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "b"), Seq("b"))
         .select(col("a").as("id"), col("label"))
@@ -421,8 +430,16 @@ object Dedup {
           .isEmpty
       }
       labels = next
+      rounds += 1
     }
     edges.unpersist()
+    if (!converged) {
+      // Diameter exceeded the budget — an adversarial chain. Restart on
+      // the alternating-star path, whose round count is diameter-free.
+      // The label work so far is discarded: it's at most maxLabelRounds
+      // cheap keyed aggregations, and correctness needs a fixpoint.
+      return dupClustersAlternating(pairs)
+    }
     labels.select(col("label").as("cluster_id"), col("id"))
   }
 

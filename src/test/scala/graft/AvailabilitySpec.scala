@@ -46,6 +46,39 @@ class AvailabilitySpec extends SparkSpec {
     AQ.lastAvailableDate(grid, "BTCUSDT").collect()(0).getDate(0).toString shouldBe "2024-01-17"
   }
 
+  test("C3 live shape: frozen-Clock injection pins the trailing-window arithmetic") {
+    import java.time.{Clock, Instant, LocalDate, ZoneOffset}
+    import spark.implicits._
+    // Freeze "today" at 2024-01-18: the 7-day window is [01-11, ∞).
+    val clock = Clock.fixed(Instant.parse("2024-01-18T12:00:00Z"), ZoneOffset.UTC)
+    val today = LocalDate.now(clock)
+    val df = grid.unionByName(Seq(
+      rec("2024-01-10", "OLDUSDT"),  // 8 days before frozen today → out
+      rec("2024-01-11", "EDGEUSDT")  // exactly today-7 → in (>= boundary)
+    ).toDF())
+    val out = AQ.recentSymbolCounts(df, days = 7,
+        today = lit(java.sql.Date.valueOf(today)))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1))
+    out.toSeq shouldBe Seq(       // DESC by date, 2024-01-10 excluded
+      "2024-01-17" -> 3L, "2024-01-16" -> 3L, "2024-01-15" -> 3L,
+      "2024-01-11" -> 1L)
+  }
+
+  test("C3 live shape: default current_date() variant filters relative to the wall clock") {
+    import spark.implicits._
+    // Session-timezone "today": current_date() resolves in this zone.
+    val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+    val now = java.time.LocalDate.now(zone)
+    // today-1 stays inside a 7-day window even if midnight passes
+    // between row construction and query; today-100 stays outside.
+    val df = Seq(
+      rec(now.minusDays(1).toString, "FRESHUSDT"),
+      rec(now.minusDays(100).toString, "STALEUSDT")).toDF()
+    val out = AQ.recentSymbolCounts(df).collect()
+    out.map(_.getDate(0).toString).toSeq shouldBe Seq(now.minusDays(1).toString)
+    out.head.getLong(1) shouldBe 1L
+  }
+
   test("daily counts; new listings and delistings via anti-joins") {
     import spark.implicits._
     val df = grid.unionByName(Seq(

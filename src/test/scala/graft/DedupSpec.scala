@@ -190,12 +190,27 @@ class DedupSpec extends SparkSpec {
     val extra = Seq((100L, 101L, 1.0), (101L, 102L, 1.0), (100L, 102L, 1.0),
       (200L, 201L, 1.0))
     val pairs = (chain ++ extra).toDF("ia", "ib", "jac")
-    val expected = Dedup.dupClusters(pairs)
+    // maxLabelRounds = MaxValue: pin PURE label propagation as the
+    // expected value (the default budget would re-route this diameter-49
+    // chain to the alternating path — the thing under test).
+    val expected = Dedup.dupClusters(pairs, maxLabelRounds = Int.MaxValue)
       .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
     val got = Dedup.dupClustersAlternating(pairs)
       .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
     got shouldBe expected
     got.filter(_._1 <= 50).map(_._2) shouldBe Set(1L) // one cluster, min root
+  }
+
+  test("dupClusters auto-routes an adversarial 1000-node chain through the public entry point") {
+    import spark.implicits._
+    // Diameter-999 chain: pure label propagation would need ~999 rounds;
+    // the default budget (8) must hand off to the alternating-star path
+    // and still produce the exact component labeling.
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("ia", "ib")
+    val out = Dedup.dupClusters(pairs).collect()
+    out.length shouldBe 1000
+    out.map(_.getLong(0)).toSet shouldBe Set(0L)           // one cluster, min root
+    out.map(_.getLong(1)).sorted.toSeq shouldBe (0L until 1000L)
   }
 
   test("MinHashSigAgg equals the explode×groupBy formulation exactly") {
