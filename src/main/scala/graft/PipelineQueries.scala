@@ -741,6 +741,95 @@ object PipelineQueries {
       |FROM best b JOIN adc a ON a.s = b.s AND a.cid = b.cid
       |GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
 
+  // ---- E10: two-stage retrieval (ADC shortlist → exact re-rank) -------
+
+  /** E10: the production ANN retrieval loop end-to-end — stage 1 scores
+    * every corpus vector with the 4-lookup ADC approximation (q_e9) and
+    * keeps a top-100 shortlist; stage 2 re-ranks ONLY the shortlist
+    * with the exact 64-dim int8-code distance and returns the top-10.
+    * The two-stage shape is what makes billion-vector search work: the
+    * expensive exact distance touches 100 rows, not the corpus, and
+    * both stages rank on BIGINTs (ties → vec_id) so the cut and the
+    * final order are engine-exact. The shortlist is bounded (100 rows)
+    * → broadcast; the exact stage's per-dim join sees only
+    * shortlist×64 rows.
+    */
+  val e10Rerank: Q = (s, d) => {
+    import s.implicits._
+    val codes = Vectors.quantizeCodes(
+      Tables.embeddings(s, d).select($"vec_id", $"embedding"),
+      "vec_id", "embedding")
+    val cb = codes.filter($"vec_id".between(1, 16))
+    val assigned = Vectors.pqAssign(
+      codes.filter($"vec_id" > 16), cb, "vec_id", nSub = 4, subDim = 16)
+    val adc = codes.filter($"vec_id" === 0)
+      .select($"pos", $"code", expr("pos div 16").as("s"))
+      .join(broadcast(cb.select($"vec_id".as("cid"), $"pos", $"code".as("ccode"))), "pos")
+      .groupBy($"s", $"cid")
+      .agg(sum(($"code" - $"ccode") * ($"code" - $"ccode")).as("qd2"))
+    val shortlist = assigned
+      .select($"vec_id", expr(
+        "stack(4, 0L, code0, 1L, code1, 2L, code2, 3L, code3) AS (s, cid)"))
+      .join(broadcast(adc), Seq("s", "cid"))
+      .groupBy($"vec_id")
+      .agg(sum($"qd2").as("adc_dist"))
+      .orderBy($"adc_dist", $"vec_id")
+      .limit(100)
+    val qcodes = codes.filter($"vec_id" === 0).select($"pos", $"code".as("qcode"))
+    codes
+      .join(broadcast(shortlist), "vec_id")       // exact stage: shortlist only
+      .join(broadcast(qcodes), "pos")
+      .groupBy($"vec_id", $"adc_dist")
+      .agg(sum(($"code" - $"qcode") * ($"code" - $"qcode")).as("exact_d2"))
+      .orderBy($"exact_d2", $"vec_id")
+      .limit(10)
+      .select($"vec_id", $"adc_dist", $"exact_d2")
+  }
+  val e10RerankSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, pos - 1 AS pos, CAST(embedding[pos] AS DOUBLE) AS v
+      |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS pos
+      |        FROM embeddings)),
+      |dims AS (SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM ex GROUP BY 1),
+      |coded AS (
+      |  SELECT e.vec_id, e.pos,
+      |    CASE WHEN d.hi = d.lo THEN 0
+      |         ELSE CAST(FLOOR((e.v - d.lo) * 255.0 / (d.hi - d.lo) + 0.5) AS BIGINT)
+      |    END AS code
+      |  FROM ex e JOIN dims d USING (pos)),
+      |cb AS (SELECT vec_id AS cid, pos, code AS ccode FROM coded
+      |       WHERE vec_id BETWEEN 1 AND 16),
+      |d2 AS (
+      |  SELECT t.vec_id, t.pos // 16 AS s, c.cid,
+      |    CAST(SUM((t.code - c.ccode) * (t.code - c.ccode)) AS BIGINT) AS d2
+      |  FROM coded t JOIN cb c USING (pos)
+      |  WHERE t.vec_id > 16
+      |  GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT vec_id, s, cid,
+      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+      |    FROM d2) WHERE rn = 1),
+      |adc AS (
+      |  SELECT q.pos // 16 AS s, c.cid,
+      |    CAST(SUM((q.code - c.ccode) * (q.code - c.ccode)) AS BIGINT) AS qd2
+      |  FROM coded q JOIN cb c USING (pos)
+      |  WHERE q.vec_id = 0
+      |  GROUP BY 1, 2),
+      |shortlist AS (
+      |  SELECT b.vec_id, CAST(SUM(a.qd2) AS BIGINT) AS adc_dist
+      |  FROM best b JOIN adc a ON a.s = b.s AND a.cid = b.cid
+      |  GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 100),
+      |exact AS (
+      |  SELECT t.vec_id, c.adc_dist,
+      |    CAST(SUM((t.code - q.code) * (t.code - q.code)) AS BIGINT) AS exact_d2
+      |  FROM coded t
+      |  JOIN shortlist c USING (vec_id)
+      |  JOIN coded q ON q.pos = t.pos AND q.vec_id = 0
+      |  GROUP BY 1, 2)
+      |SELECT vec_id, adc_dist, exact_d2
+      |FROM exact ORDER BY exact_d2, vec_id LIMIT 10""".stripMargin
+
   // ---- T14: bigram language-model count table -------------------------
 
   /** T14: the count-based n-gram LM table (the statistic behind
@@ -753,7 +842,11 @@ object PipelineQueries {
     * counts, the unigram denominator rides along per w1 via a window
     * over the COLLAPSED pair frame, never the token stream.
     */
-  val t14BigramLm: Q = (s, d) => {
+  /** The corpus bigram LM frame (w1, w2, n_pair, n_w1, p1e6), pruned at
+    * min-count 5 — shared by q_t14 (the table itself) and q_t15 (the
+    * per-document scorer), so the two can never drift.
+    */
+  private def bigramLmFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = Tables.documents(s, d)
       .select(graft.functions.ShingleGenerator.shingles(lower($"text"), 2).as("bg"))
@@ -766,7 +859,11 @@ object PipelineQueries {
       .withColumn("n_w1", sum($"n_pair").over(w))
       .withColumn("p1e6", expr("n_pair * 1000000L div n_w1"))
       .filter($"n_pair" >= 5)
-      .select($"w1", $"w2", $"n_pair", $"n_w1", $"p1e6")
+  }
+
+  val t14BigramLm: Q = (s, d) => {
+    bigramLmFrame(s, d)
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("p1e6"))
       .orderBy("w1", "w2")
   }
   val t14BigramLmSql: String =
@@ -786,6 +883,72 @@ object PipelineQueries {
       |  FROM pairs)
       |SELECT w1, w2, n_pair, n_w1, n_pair * 1000000 // n_w1 AS p1e6
       |FROM with_tot WHERE n_pair >= 5 ORDER BY w1, w2""".stripMargin
+
+  // ---- T15: per-document LM quality score (CCNet shape) ---------------
+
+  /** T15: each document scored under the CORPUS bigram LM (q_t14's
+    * pruned table) — the CCNet/"perplexity filter" shape with
+    * integer-exact arithmetic: score = Σ n_occ·p1e6 div n_bigrams, with
+    * pruned (count < 5) bigrams backing off to 0. A low score = text
+    * whose word transitions the corpus has rarely seen — the quality
+    * gate signal. No logs/floats anywhere, so the score hash-matches
+    * any engine (the reason this uses mean scaled probability rather
+    * than true perplexity, whose ln() is libm-dependent).
+    *
+    * Scale shape: the per-doc bigram frame collapses to
+    * (doc, w1, w2, n_occ) map-side before anything moves; the LM join
+    * is keyed on (w1, w2) — both sides already partial-aggregated — and
+    * the final rollup is one exchange on doc_id. Nothing driver-side.
+    */
+  val t15LmScore: Q = (s, d) => {
+    import s.implicits._
+    val docBg = Tables.documents(s, d)
+      .select($"doc_id",
+        graft.functions.ShingleGenerator.shingles(lower($"text"), 2).as("bg"))
+      .select($"doc_id", substring_index($"bg", " ", 1).as("w1"),
+        substring_index($"bg", " ", -1).as("w2"))
+      .filter(length($"w1") >= 2 && length($"w2") >= 2)
+      .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("n_occ"))
+    docBg
+      .join(bigramLmFrame(s, d).select($"w1", $"w2", $"p1e6"), Seq("w1", "w2"), "left")
+      .groupBy($"doc_id")
+      .agg(sum($"n_occ").as("n_bigrams"),
+        sum($"n_occ" * coalesce($"p1e6", lit(0L))).as("sum_p"))
+      .withColumn("lm1e6", expr("sum_p div n_bigrams"))
+      .orderBy("doc_id")
+  }
+  val t15LmScoreSql: String =
+    """WITH toks AS (
+      |  SELECT string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+      |           i -> [t[i], t[i+1]])) AS pair
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT pair[1] AS w1, pair[2] AS w2, COUNT(*) AS n_pair
+      |  FROM bg WHERE length(pair[1]) >= 2 AND length(pair[2]) >= 2
+      |  GROUP BY 1, 2),
+      |lm AS (
+      |  SELECT w1, w2, n_pair * 1000000 // SUM(n_pair) OVER (PARTITION BY w1) AS p1e6
+      |  FROM pairs QUALIFY n_pair >= 5),
+      |dtoks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |dbg AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+      |           i -> [t[i], t[i+1]])) AS pair
+      |  FROM dtoks),
+      |docbg AS (
+      |  SELECT doc_id, pair[1] AS w1, pair[2] AS w2, COUNT(*) AS n_occ
+      |  FROM dbg WHERE length(pair[1]) >= 2 AND length(pair[2]) >= 2
+      |  GROUP BY 1, 2, 3),
+      |sc AS (
+      |  SELECT doc_id, SUM(n_occ) AS n_bigrams,
+      |    SUM(n_occ * COALESCE(p1e6, 0)) AS sum_p
+      |  FROM docbg LEFT JOIN lm USING (w1, w2) GROUP BY 1)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  CAST(sum_p AS BIGINT) AS sum_p,
+      |  CAST(sum_p // n_bigrams AS BIGINT) AS lm1e6
+      |FROM sc ORDER BY doc_id""".stripMargin
 
   // ---- T1: language ID (marker-word heuristic) ------------------------
 
@@ -1620,6 +1783,37 @@ object PipelineQueries {
        |JOIN agree a ON a.ia = i.ia AND a.ib = i.ib
        |ORDER BY 1, 2""".stripMargin
 
+  // ---- D11: containment (asymmetric near-dup / quote detection) -------
+
+  /** D11: shingle containment over the dedup corpus — see
+    * `Dedup.containmentPairs`. The planted near-dups (first token
+    * dropped) are near-fully contained in their originals
+    * (cont ≈ (n−1)/n in one direction), so the detector's positives
+    * are structural, not accidental. Threshold 0.5 on either direction.
+    */
+  val d11Containment: Q = (s, d) =>
+    Dedup.containmentPairs(corpus(s, d), "id", "text", shingleN = 3,
+        threshold1e6 = 500000L)
+      .orderBy("ia", "ib")
+  val d11ContainmentSql: String =
+    s"""WITH $corpusSql,
+       |$shingleSql,
+       |sz AS (SELECT id, COUNT(*) AS nsz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.id AS ia, b.id AS ib, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b USING (h) WHERE a.id < b.id GROUP BY 1, 2),
+       |c AS (
+       |  SELECT ia, ib, inter, sa.nsz AS na, sb.nsz AS nb,
+       |    inter * 1000000 // sa.nsz AS cont_a1e6,
+       |    inter * 1000000 // sb.nsz AS cont_b1e6
+       |  FROM inter JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib)
+       |SELECT ia, ib, CAST(inter AS BIGINT) AS inter,
+       |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+       |  CAST(cont_a1e6 AS BIGINT) AS cont_a1e6,
+       |  CAST(cont_b1e6 AS BIGINT) AS cont_b1e6
+       |FROM c WHERE GREATEST(cont_a1e6, cont_b1e6) >= 500000
+       |ORDER BY ia, ib""".stripMargin
+
   // ---- V4: migration reconciliation (counts + checksums) --------------
 
   /** V4: source-vs-migrated reconciliation — per-month row counts,
@@ -1816,6 +2010,9 @@ object PipelineQueries {
   val all: Map[String, Q] = Map(
     "q_t13_inverted" -> t13Inverted,
     "q_t14_bigram_lm" -> t14BigramLm,
+    "q_t15_lm_score" -> t15LmScore,
+    "q_e10_rerank" -> e10Rerank,
+    "q_d11_containment" -> d11Containment,
     "q_m3_frames" -> m3Frames,
     "q_c18_urlcap" -> c18UrlCap,
     "q_d10_minhash_est" -> d10MinhashEst,
@@ -1893,6 +2090,9 @@ object PipelineQueries {
     "q_t11_term_weights" -> t11TermWeightsSql,
     "q_t13_inverted" -> t13InvertedSql,
     "q_t14_bigram_lm" -> t14BigramLmSql,
+    "q_t15_lm_score" -> t15LmScoreSql,
+    "q_e10_rerank" -> e10RerankSql,
+    "q_d11_containment" -> d11ContainmentSql,
     "q_m3_frames" -> m3FramesSql,
     "q_c18_urlcap" -> c18UrlCapSql,
     "q_d10_minhash_est" -> d10MinhashEstSql,

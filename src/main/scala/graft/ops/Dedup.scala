@@ -360,6 +360,43 @@ object Dedup {
     out
   }
 
+  /** Shingle CONTAINMENT pairs — the ASYMMETRIC near-dup signal
+    * (|A∩B| / |A| and |A∩B| / |B|) that Jaccard misses: a short
+    * document quoted whole inside a long one has Jaccard ≈ |A|/|B|
+    * (tiny) but containment ≈ 1. This is the quote/subset detector a
+    * training-data pipeline runs next to symmetric dedup.
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]] (intersections
+    * counted directly on the posting self-join, never candidate×set),
+    * with 1e6-scaled INTEGER containments (`div` — engine-exact, no
+    * float division) and the pair kept when EITHER direction clears
+    * `threshold1e6`. Exact over the full shingle universe; for corpora
+    * with stop-shingle skew, pre-gate with the `dfCap` reasoning of
+    * the Jaccard variant.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, threshold1e6: Long = 500000L): DataFrame = {
+    val sh = shingleHashSet(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsz"))
+    val inter = sh.select(col("h"), col("id").as("ia"))
+      .join(sh.select(col("h"), col("id").as("ib")), Seq("h"))
+      .where(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(sizes.select(col("id").as("ia"), col("nsz").as("na")), Seq("ia"))
+      .join(sizes.select(col("id").as("ib"), col("nsz").as("nb")), Seq("ib"))
+      .withColumn("cont_a1e6", expr("inter * 1000000L div na"))
+      .withColumn("cont_b1e6", expr("inter * 1000000L div nb"))
+      .filter(greatest(col("cont_a1e6"), col("cont_b1e6")) >= threshold1e6)
+      .select(col("ia"), col("ib"), col("inter"), col("na"), col("nb"),
+        col("cont_a1e6"), col("cont_b1e6"))
+      .localCheckpoint(eager = true)
+    sh.unpersist()
+    out
+  }
+
   /** Connected components over near-dup pairs: every document gets the
     * minimum id reachable through the pair graph (= a canonical
     * "keep" id per duplicate cluster).

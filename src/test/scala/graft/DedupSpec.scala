@@ -151,6 +151,28 @@ class DedupSpec extends SparkSpec {
     out(1) shouldBe Seq("a b c", "b c d")
   }
 
+  test("containmentPairs: dropped-first-token doc is FULLY contained (cont = 1e6 exactly)") {
+    val pairs = Dedup.containmentPairs(docs, "id", "text", shingleN = 3,
+        threshold1e6 = 500000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // doc 2 = exact dup of 1: identical sets, both containments 1e6.
+    val (i12, na12, nb12, ca12, cb12) = pairs((1L, 2L))
+    i12 shouldBe na12; na12 shouldBe nb12
+    ca12 shouldBe 1000000L; cb12 shouldBe 1000000L
+    // doc 3 = doc 1 minus its first token: B ⊂ A strictly, so
+    // cont_b = 1e6 exactly while cont_a = (n-1)/n < 1e6.
+    val (i13, na13, nb13, ca13, cb13) = pairs((1L, 3L))
+    nb13 shouldBe (na13 - 1); i13 shouldBe nb13
+    cb13 shouldBe 1000000L
+    ca13 shouldBe (i13 * 1000000L / na13)
+    ca13 should be < 1000000L
+    // unrelated docs never appear
+    pairs.keySet.flatMap(p => Set(p._1, p._2)) should not contain 4L
+  }
+
   test("dupClusters groups transitive near-dups under the minimum id") {
     import spark.implicits._
     // 1-2, 2-3 (transitive via 2), and an unrelated pair 8-9.

@@ -12,8 +12,11 @@ class GoldenRecomputeSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("q_e9_pq_search equals a brute-force ADC recompute (quantize → assign → lookup)") {
-    // Raw embeddings, collected once (sf0.001: 500 × 64 floats).
+  /** Shared PQ machinery for the e9/e10 recomputes: int8 codes, per-
+    * subspace distances, the vid-0 ADC table, and the approximate
+    * (ADC) distance for every corpus vector — all in plain Scala.
+    */
+  private lazy val pq = new {
     val vecs = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
@@ -27,24 +30,38 @@ class GoldenRecomputeSpec extends SparkSpec {
       else math.floor((v(p) - lo(p)) * 255.0 / (hi(p) - lo(p)) + 0.5).toLong
     }
     val coded = vecs.map { case (id, v) => id -> codesOf(v) }
-    val cb = (1L to 16L).map(cid => cid -> coded(cid))
     def subD2(a: Array[Long], b: Array[Long], s: Int): Long =
       (s * 16 until (s + 1) * 16).map(p => (a(p) - b(p)) * (a(p) - b(p))).sum
+    def fullD2(a: Array[Long], b: Array[Long]): Long =
+      (0 until dims).map(p => (a(p) - b(p)) * (a(p) - b(p))).sum
     // ADC table from query vec 0; corpus = vids > 16 assigned per subspace.
     val q = coded(0L)
     val adc = Array.tabulate(4, 17)((s, cid) =>
       if (cid == 0) Long.MaxValue else subD2(q, coded(cid.toLong), s))
-    val expected = coded.keys.filter(_ > 16L).map { id =>
-      val dist = (0 until 4).map { s =>
+    val adcDist: Map[Long, Long] = coded.keys.filter(_ > 16L).map { id =>
+      id -> (0 until 4).map { s =>
         // argmin over codebook, ties to smallest cid (pqAssign's order)
         val cid = (1 to 16).minBy(c => (subD2(coded(id), coded(c.toLong), s), c))
         adc(s)(cid)
       }.sum
-      (id, dist)
-    }.toSeq.sortBy { case (id, d) => (d, id) }.take(10)
+    }.toMap
+  }
 
+  test("q_e9_pq_search equals a brute-force ADC recompute (quantize → assign → lookup)") {
+    val expected = pq.adcDist.toSeq.sortBy { case (id, d) => (d, id) }.take(10)
+      .map { case (id, d) => (id, d) }
     val got = PipelineQueries.e9PqSearch(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got shouldBe expected
+  }
+
+  test("q_e10_rerank equals ADC-shortlist-then-exact recompute") {
+    val shortlist = pq.adcDist.toSeq.sortBy { case (id, d) => (d, id) }.take(100)
+    val expected = shortlist
+      .map { case (id, ad) => (id, ad, pq.fullD2(pq.coded(id), pq.q)) }
+      .sortBy { case (id, _, ed) => (ed, id) }.take(10)
+    val got = PipelineQueries.e10Rerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     got shouldBe expected
   }
 
@@ -71,6 +88,38 @@ class GoldenRecomputeSpec extends SparkSpec {
     val got = PipelineQueries.t14BigramLm(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSeq
+    got shouldBe expected
+  }
+
+  test("q_t15_lm_score equals a plain-Scala LM-scoring recompute") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def bigrams(t: String): Seq[(String, String)] = {
+      val toks = t.toLowerCase.split("\\s+", -1)
+      if (toks.length < 2) Seq.empty
+      else toks.sliding(2).collect {
+        case Array(w1, w2) if w1.length >= 2 && w2.length >= 2 => (w1, w2)
+      }.toSeq
+    }
+    val pairCounts = mutable.Map.empty[(String, String), Long]
+    texts.foreach { case (_, t) =>
+      bigrams(t).foreach(p => pairCounts(p) = pairCounts.getOrElse(p, 0L) + 1L)
+    }
+    val w1Totals = pairCounts.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val lm = pairCounts.collect {
+      case (p, n) if n >= 5L => p -> (n * 1000000L / w1Totals(p._1))
+    }.toMap
+    val expected = texts.flatMap { case (id, t) =>
+      val bg = bigrams(t)
+      if (bg.isEmpty) None
+      else {
+        val sumP = bg.map(p => lm.getOrElse(p, 0L)).sum
+        Some((id, bg.size.toLong, sumP, sumP / bg.size))
+      }
+    }.sortBy(_._1).toSeq
+
+    val got = PipelineQueries.t15LmScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     got shouldBe expected
   }
 
