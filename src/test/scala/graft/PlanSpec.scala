@@ -50,6 +50,20 @@ class PlanSpec extends SparkSpec {
     exchanges.filterNot(_.contains("rangepartitioning")) shouldBe empty
   }
 
+  test("q_e10_rerank broadcasts the shortlist into the exact re-rank stage") {
+    val p = plan("q_e10_rerank")
+    // ADC table join + shortlist join + query-codes join are all
+    // bounded sides — none may degenerate to a shuffled join.
+    p.linesIterator.count(_.contains("BroadcastHashJoin")) should be >= 2
+    p should not include "CartesianProduct"
+  }
+
+  test("q_t15_lm_score collapses doc-bigrams map-side before the LM join") {
+    val p = plan("q_t15_lm_score")
+    p should include("partial_count")
+    p should not include "CartesianProduct"
+  }
+
   test("decontamination broadcasts the eval shingle set") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
