@@ -1008,6 +1008,46 @@ object Queries {
       |    - n_b * 1000000.0 / SUM(n_b) OVER ())) AS BIGINT) AS l1_1e6
       |FROM g ORDER BY bucket""".stripMargin
 
+  /** V5: data-freshness / volume-anomaly monitor — each day's event
+    * count against the DISCRETE lower median of the trailing 7 days
+    * (rows between 7 preceding and 1 preceding; rank (k+1) div 2 of the
+    * sorted window — integer-exact, no interpolation, so the flag
+    * hash-matches any engine). `low_volume` fires when 2·n < median —
+    * the "did yesterday's load half-fail" pager check a production
+    * pipeline runs on every partition. One keyed daily rollup + one
+    * 7-row window; the window state is 7 longs per day regardless of
+    * data volume.
+    */
+  val v5Freshness: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.orderBy($"day").rowsBetween(-7, -1)
+    Tables.events(s, d)
+      .select(to_date($"ts").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n"))
+      .withColumn("win", sort_array(collect_list($"n").over(w)))
+      .withColumn("med",
+        when(size($"win") > 0,
+          element_at($"win", ((size($"win") + 1) / 2).cast("int"))))
+      .withColumn("low_volume",
+        coalesce($"n" * 2 < $"med", lit(false)))
+      .select(dstr($"day").as("day"), $"n", $"med", $"low_volume")
+      .orderBy("day")
+  }
+  val v5FreshnessSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT day, n,
+      |    list_sort(list(n) OVER (ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS win
+      |  FROM daily)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, n,
+      |  CASE WHEN len(win) > 0 THEN win[(len(win) + 1) // 2] END AS med,
+      |  COALESCE(n * 2 < (CASE WHEN len(win) > 0 THEN win[(len(win) + 1) // 2] END),
+      |           false) AS low_volume
+      |FROM m ORDER BY day""".stripMargin
+
   // ---- registry -----------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1052,7 +1092,8 @@ object Queries {
     "q_j15_nullsafe" -> j15NullSafe,
     "q_v1_profile" -> v1Profile,
     "q_v2_constraints" -> v2Constraints,
-    "q_v3_drift" -> v3Drift
+    "q_v3_drift" -> v3Drift,
+    "q_v5_freshness" -> v5Freshness
   ) ++ WindowQueries.all ++ PipelineQueries.all ++ ScalarQueries.all ++
     TemporalQueries.all ++ SketchQueries.all ++ MaintainQueries.all ++ StreamQueries.all
 
@@ -1098,7 +1139,8 @@ object Queries {
     "q_j15_nullsafe" -> j15NullSafeSql,
     "q_v1_profile" -> v1ProfileSql,
     "q_v2_constraints" -> v2ConstraintsSql,
-    "q_v3_drift" -> v3DriftSql
+    "q_v3_drift" -> v3DriftSql,
+    "q_v5_freshness" -> v5FreshnessSql
   ) ++ WindowQueries.oracles ++ PipelineQueries.oracles ++ ScalarQueries.oracles ++
     TemporalQueries.oracles ++ SketchQueries.oracles ++ MaintainQueries.oracles ++ StreamQueries.oracles
 }

@@ -173,6 +173,14 @@ class DedupSpec extends SparkSpec {
     pairs.keySet.flatMap(p => Set(p._1, p._2)) should not contain 4L
   }
 
+  test("fingerprints and containmentPairs: empty and non-overlapping inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    Dedup.fingerprints(empty, "id", "text", 3).count() shouldBe 0
+    val disjoint = Seq((1L, "aaa bbb ccc ddd"), (2L, "eee fff ggg hhh")).toDF("id", "text")
+    Dedup.containmentPairs(disjoint, "id", "text", 3).count() shouldBe 0
+  }
+
   test("dupClusters groups transitive near-dups under the minimum id") {
     import spark.implicits._
     // 1-2, 2-3 (transitive via 2), and an unrelated pair 8-9.
