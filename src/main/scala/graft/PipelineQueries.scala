@@ -950,6 +950,116 @@ object PipelineQueries {
       |  CAST(sum_p // n_bigrams AS BIGINT) AS lm1e6
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  // ---- T16: BPE merge learning (tokenizer training core loop) ---------
+
+  /** T16: the first 3 merge rounds of byte-pair-encoding vocabulary
+    * learning (Sennrich et al. 2016 — the tokenizer-training loop every
+    * LLM data stack runs) — per round: count adjacent symbol pairs over
+    * the word-frequency table (weighted by word count), pick the
+    * arg-max pair (ties: lexicographically smallest), and merge its
+    * non-overlapping occurrences LEFT-TO-RIGHT in every word.
+    *
+    * Fully declarative: BPE operates on the distinct-WORD table (vocab-
+    * bounded, not corpus-bounded — the aggregation collapses the token
+    * stream map-side), the per-round arg-max is a 1-row frame that
+    * broadcast-crossJoins into the merge stage (never collected), and
+    * the greedy merge itself is a codegen'd `aggregate` fold over each
+    * word's symbol list — correct because a merged symbol a||b can
+    * never re-match the left side `a` within the round (b is
+    * non-empty). Per-round lineage is cut with localCheckpoint; rounds
+    * are bounded (3), so the driver loop is orchestration only.
+    *
+    * The oracle replays the same 3 rounds in DuckDB with a DIFFERENT
+    * merge algebra (consecutive-run parity selection instead of a
+    * fold), so the gate cross-checks two independent formulations of
+    * greedy non-overlap.
+    */
+  val t16BpeMerges: Q = (s, d) => {
+    import s.implicits._
+    val words0 = Tables.documents(s, d)
+      .select(explode(split(lower($"text"), "\\s+")).as("w"))
+      .filter(length($"w") >= 1)
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .withColumn("seq",
+        expr("transform(sequence(1, length(w)), i -> substring(w, CAST(i AS INT), 1))"))
+      .select($"cnt", $"seq")
+    def pairCounts(words: DataFrame): DataFrame = words
+      .filter(size($"seq") >= 2)
+      .select($"cnt", expr(
+        "explode(transform(sequence(1, size(seq) - 1), " +
+          "i -> struct(element_at(seq, CAST(i AS INT)) AS a, " +
+          "element_at(seq, CAST(i + 1 AS INT)) AS b)))").as("p"))
+      .groupBy($"p.a".as("a"), $"p.b".as("b"))
+      .agg(sum($"cnt").as("n"))
+    def mergeRound(words: DataFrame, best: DataFrame): DataFrame = words
+      .crossJoin(broadcast(best.select($"a".as("__ma"), $"b".as("__mb"))))
+      .withColumn("seq", aggregate(
+        slice($"seq", lit(2), greatest(size($"seq") - 1, lit(0))),
+        array(element_at($"seq", 1)),
+        (acc, x) => when(element_at(acc, -1) === $"__ma" && x === $"__mb",
+          concat(slice(acc, lit(1), size(acc) - 1), array(concat($"__ma", $"__mb"))))
+          .otherwise(concat(acc, array(x)))))
+      .select($"cnt", $"seq")
+    var words = words0.localCheckpoint(true)
+    val merges = (1 to 3).map { r =>
+      val best = pairCounts(words)
+        .orderBy($"n".desc, $"a", $"b").limit(1)
+        .localCheckpoint(true)                // 1 row; computed once
+      words = mergeRound(words, best).localCheckpoint(true)
+      best.withColumn("round", lit(r.toLong))
+    }
+    merges.reduce(_ unionByName _)
+      .select($"round", $"a", $"b", $"n")
+      .orderBy("round")
+  }
+  /** One DuckDB merge round: given CTEs `$prev` (cnt, seq) and `$best`
+    * (a, b), emit the merged (cnt, seq). Greedy non-overlap via
+    * consecutive-run parity: a match position survives iff its offset
+    * in its run of consecutive match positions is even.
+    */
+  private def bpeMergeSql(prev: String, best: String): String =
+    s"""SELECT cnt,
+       |  flatten(list_transform(generate_series(1, len(seq)), i ->
+       |    CASE WHEN list_contains(kept, i) THEN [seq[i] || seq[i + 1]]
+       |         WHEN list_contains(kept, i - 1) THEN []
+       |         ELSE [seq[i]] END)) AS seq
+       |FROM (
+       |  SELECT cnt, seq,
+       |    list_filter(matches, i -> (i - 1 - coalesce(list_max(
+       |      list_filter(generate_series(1, i - 1),
+       |        j -> seq[j] <> a OR seq[j + 1] <> b)), 0)) % 2 = 0) AS kept
+       |  FROM (
+       |    SELECT cnt, seq, a, b,
+       |      list_filter(generate_series(1, len(seq) - 1),
+       |        i -> seq[i] = a AND seq[i + 1] = b) AS matches
+       |    FROM $prev, $best))""".stripMargin
+  private def bpePairSql(prev: String): String =
+    s"""SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+       |  SELECT cnt, unnest(list_transform(generate_series(1, len(seq) - 1),
+       |    i -> [seq[i], seq[i + 1]])) AS pr
+       |  FROM $prev WHERE len(seq) >= 2) GROUP BY 1, 2""".stripMargin
+  val t16BpeMergesSql: String =
+    s"""WITH words0 AS (
+       |  SELECT w, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents)
+       |  WHERE length(w) >= 1 GROUP BY 1),
+       |seq0 AS (
+       |  SELECT cnt, list_transform(generate_series(1, length(w)),
+       |    i -> substr(w, i, 1)) AS seq
+       |  FROM words0),
+       |p1 AS (${bpePairSql("seq0")}),
+       |b1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+       |seq1 AS (${bpeMergeSql("seq0", "b1")}),
+       |p2 AS (${bpePairSql("seq1")}),
+       |b2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+       |seq2 AS (${bpeMergeSql("seq1", "b2")}),
+       |p3 AS (${bpePairSql("seq2")}),
+       |b3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1)
+       |SELECT CAST(1 AS BIGINT) AS round, a, b, n FROM b1
+       |UNION ALL SELECT 2, a, b, n FROM b2
+       |UNION ALL SELECT 3, a, b, n FROM b3
+       |ORDER BY round""".stripMargin
+
   // ---- T1: language ID (marker-word heuristic) ------------------------
 
   private val langMarkers = Seq(
@@ -2011,6 +2121,7 @@ object PipelineQueries {
     "q_t13_inverted" -> t13Inverted,
     "q_t14_bigram_lm" -> t14BigramLm,
     "q_t15_lm_score" -> t15LmScore,
+    "q_t16_bpe_merges" -> t16BpeMerges,
     "q_e10_rerank" -> e10Rerank,
     "q_d11_containment" -> d11Containment,
     "q_m3_frames" -> m3Frames,
@@ -2091,6 +2202,7 @@ object PipelineQueries {
     "q_t13_inverted" -> t13InvertedSql,
     "q_t14_bigram_lm" -> t14BigramLmSql,
     "q_t15_lm_score" -> t15LmScoreSql,
+    "q_t16_bpe_merges" -> t16BpeMergesSql,
     "q_e10_rerank" -> e10RerankSql,
     "q_d11_containment" -> d11ContainmentSql,
     "q_m3_frames" -> m3FramesSql,

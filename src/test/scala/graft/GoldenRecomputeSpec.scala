@@ -123,6 +123,39 @@ class GoldenRecomputeSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  test("q_t16_bpe_merges equals a plain-Scala greedy BPE recompute") {
+    val texts = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val wordCounts = mutable.Map.empty[String, Long]
+    texts.foreach(_.toLowerCase.split("\\s+", -1).filter(_.nonEmpty)
+      .foreach(w => wordCounts(w) = wordCounts.getOrElse(w, 0L) + 1L))
+    var words: Seq[(Long, Vector[String])] =
+      wordCounts.toSeq.map { case (w, c) => c -> w.map(_.toString).toVector }
+    def mergeGreedy(seq: Vector[String], a: String, b: String): Vector[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < seq.length) {
+        if (i + 1 < seq.length && seq(i) == a && seq(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += seq(i); i += 1 }
+      }
+      out.toVector
+    }
+    val expected = (1 to 3).map { r =>
+      val pc = mutable.Map.empty[(String, String), Long]
+      words.foreach { case (c, seq) =>
+        seq.iterator.sliding(2).withPartial(false).foreach { p =>
+          pc((p.head, p(1))) = pc.getOrElse((p.head, p(1)), 0L) + c
+        }
+      }
+      val ((a, b), n) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      words = words.map { case (c, seq) => c -> mergeGreedy(seq, a, b) }
+      (r.toLong, a, b, n)
+    }
+    val got = PipelineQueries.t16BpeMerges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    got shouldBe expected
+  }
+
   test("q_g7_transitions equals a plain-Scala Markov matrix recompute") {
     val events = Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")
