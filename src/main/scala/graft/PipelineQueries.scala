@@ -1893,6 +1893,53 @@ object PipelineQueries {
        |JOIN agree a ON a.ia = i.ia AND a.ib = i.ib
        |ORDER BY 1, 2""".stripMargin
 
+  // ---- D12: incremental near-dup index maintenance --------------------
+
+  /** D12: ingest-batch dedup against a STORED index — the base corpus
+    * (original documents) plays the persisted index: its hashed shingle
+    * sets and minhash signatures are built once and handed to
+    * `Dedup.incrementalNearDupPairs`, which shingles/hashes ONLY the
+    * delta (the planted near/exact dups, ids ≥ 100000) and probes its
+    * LSH bands against base∪delta. Base×base pairs are never
+    * regenerated. The oracle runs the FULL d2 pipeline and filters to
+    * delta-touching pairs — proving the incremental path finds exactly
+    * what a from-scratch rebuild would.
+    */
+  val d12IncrLsh: Q = (s, d) => {
+    import s.implicits._
+    val all = corpus(s, d)
+    val baseSh = Dedup.shingleHashSet(
+        all.filter($"id" < 100000), "id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    baseSh.count()                       // the "stored index", built once
+    val out = Dedup.incrementalNearDupPairs(
+      baseSh, Dedup.minhashSigs(baseSh, 16),
+      all.filter($"id" >= 100000), "id", "text")
+    baseSh.unpersist()
+    out.orderBy("ia", "ib")
+  }
+  val d12IncrLshSql: String =
+    s"""WITH $corpusSql,
+       |$shingleSql,
+       |mh AS (
+       |${Dedup.minhashSql(16)}),
+       |bands AS (
+       |  SELECT id, j // 4 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.ia, c.ib, COUNT(*) AS inter
+       |  FROM cand c JOIN sh x ON x.id = c.ia JOIN sh y ON y.id = c.ib AND y.h = x.h
+       |  GROUP BY 1, 2)
+       |SELECT i.ia, i.ib, i.inter * 1.0 / (na.n + nb.n - i.inter) AS jac
+       |FROM inter i JOIN sizes na ON na.id = i.ia JOIN sizes nb ON nb.id = i.ib
+       |WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.5
+       |  AND (i.ia >= 100000 OR i.ib >= 100000)
+       |ORDER BY ia, ib""".stripMargin
+
   // ---- D11: containment (asymmetric near-dup / quote detection) -------
 
   /** D11: shingle containment over the dedup corpus — see
@@ -2124,6 +2171,7 @@ object PipelineQueries {
     "q_t16_bpe_merges" -> t16BpeMerges,
     "q_e10_rerank" -> e10Rerank,
     "q_d11_containment" -> d11Containment,
+    "q_d12_incr_lsh" -> d12IncrLsh,
     "q_m3_frames" -> m3Frames,
     "q_c18_urlcap" -> c18UrlCap,
     "q_d10_minhash_est" -> d10MinhashEst,
@@ -2205,6 +2253,7 @@ object PipelineQueries {
     "q_t16_bpe_merges" -> t16BpeMergesSql,
     "q_e10_rerank" -> e10RerankSql,
     "q_d11_containment" -> d11ContainmentSql,
+    "q_d12_incr_lsh" -> d12IncrLshSql,
     "q_m3_frames" -> m3FramesSql,
     "q_c18_urlcap" -> c18UrlCapSql,
     "q_d10_minhash_est" -> d10MinhashEstSql,

@@ -97,6 +97,39 @@ object SketchQueries {
        |FROM exact e JOIN est ON est.term = e.term
        |ORDER BY e.exact_cnt DESC, e.term""".stripMargin
 
+  // ---- K5: Count-Min merge algebra -------------------------------------
+
+  /** K5: CMS MERGE — each source builds its own depth×width cell table
+    * (the per-shard sketch); the global sketch is their CELL-WISE SUM.
+    * The oracle computes the single-pass global cells directly, so the
+    * gate PROVES merge(shard sketches) == sketch(all) — the property
+    * that lets 1000 executors sketch locally and ship 4096-row tables
+    * instead of term streams. Same hash family and dimensions as K2.
+    */
+  val k5CmsMerge: Q = (s, d) => {
+    val perSource = Tables.documents(s, d)
+      .select(col("source"),
+        explode(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("tok"))
+      .select(col("source"), lower(col("tok")).as("term"))
+      .select(col("source"),
+        explode(array((0 until Depth).map(lit): _*)).as("seed"), col("term"))
+      .select(col("source"), col("seed"),
+        pmod(TextOps.seededHash60(col("seed"), col("term")), lit(Width.toLong)).as("cell"))
+      .groupBy("source", "seed", "cell")
+      .agg(count(lit(1)).as("cnt"))
+    perSource
+      .groupBy("seed", "cell")
+      .agg(sum(col("cnt")).as("cnt"))
+      .orderBy("seed", "cell")
+  }
+  val k5CmsMergeSql: String =
+    s"""WITH toks AS (
+       |  SELECT lower(tok) AS term
+       |  FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok FROM documents)),
+       |cells AS (
+       |${Sketches.cmsCellsSql("toks", Depth, Width)})
+       |SELECT seed, cell, cnt FROM cells ORDER BY seed, cell""".stripMargin
+
   // ---- K3: KMV sketch union (merge algebra) ---------------------------
 
   /** K3: sketch MERGE — per-source KMV sketches unioned into one global
@@ -191,12 +224,14 @@ object SketchQueries {
   val all: Map[String, Q] = Map(
     "q_k1_kmv" -> k1Kmv,
     "q_k2_cms" -> k2Cms,
+    "q_k5_cms_merge" -> k5CmsMerge,
     "q_k3_kmv_union" -> k3KmvUnion,
     "q_k4_hll" -> k4Hll)
 
   val oracles: Map[String, String] = Map(
     "q_k1_kmv" -> k1KmvSql,
     "q_k2_cms" -> k2CmsSql,
+    "q_k5_cms_merge" -> k5CmsMergeSql,
     "q_k3_kmv_union" -> k3KmvUnionSql,
     "q_k4_hll" -> k4HllSql)
 }

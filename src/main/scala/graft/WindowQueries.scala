@@ -479,7 +479,48 @@ object WindowQueries {
 
   // ---- registry -------------------------------------------------------
 
+  /** W14: gaps-and-islands — each user's LONGEST run of consecutive
+    * active days (the retention/engagement streak metric). The island
+    * key is the classic `day − row_number()` trick: consecutive days
+    * share a constant difference, so runs collapse in ONE keyed window
+    * + ONE aggregation — no self-joins, no recursion, state bounded by
+    * (user, island) cardinality. Ties on length break to the LATEST
+    * start (max struct ordering), pinned on both engines.
+    */
+  val w14Streaks: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .withColumn("grp", date_sub($"day", row_number().over(w)))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"), min($"day").as("s"), max($"day").as("e"))
+      .groupBy($"user_id")
+      .agg(max(struct($"len", $"s", $"e")).as("b"))
+      .select($"user_id", $"b.len".as("len"),
+        Queries.dstr($"b.s").as("streak_start"), Queries.dstr($"b.e").as("streak_end"))
+      .orderBy("user_id")
+  }
+  val w14StreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |g AS (
+      |  SELECT user_id, day,
+      |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS s, MAX(day) AS e
+      |  FROM g GROUP BY 1, 2),
+      |best AS (
+      |  SELECT user_id, len, s, e,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY len DESC, s DESC, e DESC) AS rn
+      |  FROM runs)
+      |SELECT user_id, len, strftime(s, '%Y-%m-%d') AS streak_start,
+      |  strftime(e, '%Y-%m-%d') AS streak_end
+      |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_w14_streaks" -> w14Streaks,
     "q_w13_anomaly" -> w13Anomaly,
     "q_w9_sliding_distinct" -> w9SlidingDistinct,
     "q_w11_cum_distinct" -> w11CumDistinct,
@@ -499,6 +540,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_w14_streaks" -> w14StreaksSql,
     "q_w9_sliding_distinct" -> w9SlidingDistinctSql,
     "q_w11_cum_distinct" -> w11CumDistinctSql,
     "q_w12_drawdown" -> w12DrawdownSql,

@@ -247,15 +247,56 @@ object Dedup {
     * explode, no (id, band) re-aggregation. One shuffle to bucket, one
     * to dedup pairs.
     */
-  def lshCandidatesFromSigs(sigs: DataFrame, rowsPerBand: Int, k: Int): DataFrame = {
+  def lshCandidatesFromSigs(sigs: DataFrame, rowsPerBand: Int, k: Int): DataFrame =
+    pairsWithinBuckets(bandsOf(sigs, rowsPerBand, k))
+
+  /** (id, band, sig-slice string) per signature band — the LSH bucket
+    * keys, derived map-side from the packed signature array.
+    */
+  private[graft] def bandsOf(sigs: DataFrame, rowsPerBand: Int, k: Int): DataFrame = {
     require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
     val nBands = k / rowsPerBand
-    pairsWithinBuckets(
-      sigs.select(col("id"), posexplode(expr(
-        s"""transform(sequence(0, ${nBands - 1}),
-           |  b -> array_join(transform(slice(sig, b * $rowsPerBand + 1, $rowsPerBand),
-           |                            x -> cast(x AS string)), ','))""".stripMargin))
-        .as(Seq("band", "sig"))))
+    sigs.select(col("id"), posexplode(expr(
+      s"""transform(sequence(0, ${nBands - 1}),
+         |  b -> array_join(transform(slice(sig, b * $rowsPerBand + 1, $rowsPerBand),
+         |                            x -> cast(x AS string)), ','))""".stripMargin))
+      .as(Seq("band", "sig")))
+  }
+
+  /** INCREMENTAL near-dup index maintenance: given the stored index —
+    * the base corpus's hashed shingle sets (`baseSh`: id, h) and packed
+    * minhash signatures (`baseSigs`: id, sig) — and a DELTA of new
+    * documents, emit every verified near-dup pair that involves at
+    * least one delta document. The base is never re-shingled or
+    * re-hashed: only the delta is, and the LSH bucket join probes the
+    * delta's bands against base∪delta bands, so base×base pairs (which
+    * the index already knows) are never regenerated. This is the
+    * ingest-time shape of dedup at 100 TB — per-batch cost tracks the
+    * BATCH, not the corpus; the index frames are the same (id, h) /
+    * (id, sig) tables [[nearDupPairs]] builds, stored once.
+    */
+  def incrementalNearDupPairs(baseSh: DataFrame, baseSigs: DataFrame,
+                              delta: DataFrame, idCol: String, textCol: String,
+                              n: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
+                              threshold: Double = 0.5): DataFrame = {
+    val dSh = shingleHashSet(delta, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dSh.count()
+    val dBands = bandsOf(minhashSigs(dSh, k), rowsPerBand, k)
+    val allBands = bandsOf(baseSigs, rowsPerBand, k).unionByName(dBands)
+    val cand = dBands.select(col("band"), col("sig"), col("id").as("ida"))
+      .join(allBands.select(col("band"), col("sig"), col("id").as("idb")),
+        Seq("band", "sig"))
+      .where(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("ia"),
+        greatest(col("ida"), col("idb")).as("ib"))
+      .distinct()
+    val out = jaccardVerify(cand, baseSh.unionByName(dSh), setCol = "h")
+      .filter(col("jac") >= threshold)
+      .select(col("ia"), col("ib"), col("jac"))
+      .localCheckpoint(eager = true)
+    dSh.unpersist()
+    out
   }
 
   /** Distinct (ia < ib) pairs of ids sharing a (band, sig) bucket. */

@@ -173,6 +173,25 @@ class DedupSpec extends SparkSpec {
     pairs.keySet.flatMap(p => Set(p._1, p._2)) should not contain 4L
   }
 
+  test("incrementalNearDupPairs == full-rebuild pairs restricted to delta-touching") {
+    import spark.implicits._
+    val base = docs.filter(col("id") <= 3L)   // 1, 2 (exact dup), 3 (near)
+    val delta = Seq(
+      (10L, docs.filter(col("id") === 1L).collect()(0).getString(1)), // new exact dup of 1
+      (11L, "entirely novel content nothing shares these words at all ok")) // unrelated
+      .toDF("id", "text")
+    val all = base.unionByName(delta)
+    val full = Dedup.nearDupPairs(all, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected = full.filter { case ((ia, ib), _) => ia >= 10L || ib >= 10L }
+    val baseSh = Dedup.shingleHashSet(base, "id", "text", 3)
+    val got = Dedup.incrementalNearDupPairs(
+        baseSh, Dedup.minhashSigs(baseSh, 16), delta, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got shouldBe expected
+    got.keySet should contain((1L, 10L))   // the new duplicate was caught
+  }
+
   test("fingerprints and containmentPairs: empty and non-overlapping inputs") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("id", "text")
