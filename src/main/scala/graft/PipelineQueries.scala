@@ -1893,6 +1893,40 @@ object PipelineQueries {
        |JOIN agree a ON a.ia = i.ia AND a.ib = i.ib
        |ORDER BY 1, 2""".stripMargin
 
+  // ---- D13: generalized (weighted) Jaccard near-dup -------------------
+
+  /** D13: bag-of-words weighted Jaccard over the dedup corpus — see
+    * `Dedup.weightedJaccardPairs`. Repetition-sensitive: a doc that
+    * repeats a template paragraph scores closer to its source than set
+    * Jaccard would admit. Integer 1e6-scaled similarity, threshold 0.3.
+    */
+  val d13WeightedJaccard: Q = (s, d) =>
+    Dedup.weightedJaccardPairs(corpus(s, d), "id", "text",
+        threshold1e6 = 300000L, dfCap = 100)
+      .orderBy("ia", "ib")
+  val d13WeightedJaccardSql: String =
+    s"""WITH $corpusSql,
+       |tf AS (
+       |  SELECT id, t, COUNT(*) AS tf FROM (
+       |    SELECT id, unnest(string_split_regex(lower(text), '\\s+')) AS t FROM corpus)
+       |  WHERE length(t) >= 1 GROUP BY 1, 2),
+       |inf AS (
+       |  SELECT id, t, tf FROM (
+       |    SELECT id, t, tf, COUNT(*) OVER (PARTITION BY t) AS df FROM tf)
+       |  WHERE df <= 100),
+       |mass AS (SELECT id, SUM(tf) AS m FROM inf GROUP BY 1),
+       |im AS (
+       |  SELECT a.id AS ia, b.id AS ib, SUM(LEAST(a.tf, b.tf)) AS smin
+       |  FROM inf a JOIN inf b ON a.t = b.t AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |c AS (
+       |  SELECT ia, ib, CAST(smin AS BIGINT) AS smin,
+       |    CAST(ma.m + mb.m - smin AS BIGINT) AS smax
+       |  FROM im JOIN mass ma ON ma.id = ia JOIN mass mb ON mb.id = ib)
+       |SELECT ia, ib, smin, smax, smin * 1000000 // smax AS sim1e6
+       |FROM c WHERE smin * 1000000 // smax >= 300000
+       |ORDER BY ia, ib""".stripMargin
+
   // ---- D12: incremental near-dup index maintenance --------------------
 
   /** D12: ingest-batch dedup against a STORED index — the base corpus
@@ -2172,6 +2206,7 @@ object PipelineQueries {
     "q_e10_rerank" -> e10Rerank,
     "q_d11_containment" -> d11Containment,
     "q_d12_incr_lsh" -> d12IncrLsh,
+    "q_d13_weighted_jaccard" -> d13WeightedJaccard,
     "q_m3_frames" -> m3Frames,
     "q_c18_urlcap" -> c18UrlCap,
     "q_d10_minhash_est" -> d10MinhashEst,
@@ -2254,6 +2289,7 @@ object PipelineQueries {
     "q_e10_rerank" -> e10RerankSql,
     "q_d11_containment" -> d11ContainmentSql,
     "q_d12_incr_lsh" -> d12IncrLshSql,
+    "q_d13_weighted_jaccard" -> d13WeightedJaccardSql,
     "q_m3_frames" -> m3FramesSql,
     "q_c18_urlcap" -> c18UrlCapSql,
     "q_d10_minhash_est" -> d10MinhashEstSql,

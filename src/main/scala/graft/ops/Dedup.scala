@@ -401,6 +401,51 @@ object Dedup {
     out
   }
 
+  /** GENERALIZED (weighted) Jaccard over term-frequency bags:
+    * sim(A,B) = Σ_t min(tf_A(t), tf_B(t)) / Σ_t max(tf_A(t), tf_B(t)).
+    * Set Jaccard ignores how often a term repeats; the bag form is what
+    * near-dup detection wants when repetition is signal (boilerplate,
+    * templated spam). Integer arithmetic only — the similarity crosses
+    * as `Σmin·10⁶ div Σmax`, hash-exact on any engine.
+    *
+    * Shape: per-doc (term, tf) collapses map-side; candidate pairs and
+    * their Σmin come from ONE inverted-index self-join (min(tfa, tfb)
+    * summed per pair — never candidate×bag re-joins); Σmax derives as
+    * |A|₁ + |B|₁ − Σmin from the per-doc mass. `dfCap` drops terms in
+    * more than `dfCap` docs from the UNIVERSE (stop-term removal, same
+    * contract as [[ngramJaccardPairs]]) to bound posting-list blowup.
+    */
+  def weightedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                           threshold1e6: Long = 300000L,
+                           dfCap: Int = 100): DataFrame = {
+    val tf = Partitioning.spread(df)
+      .select(col(idCol).as("id"),
+        explode(TextOps.tokens(lower(col(textCol)))).as("t"))
+      .filter(length(col("t")) >= 1)
+      .groupBy("id", "t").agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("t")
+    val informative = tf.withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= dfCap)
+      .select("id", "t", "tf")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    informative.count()
+    val mass = informative.groupBy("id").agg(sum(col("tf")).as("m"))
+    val interMin = informative.select(col("t"), col("id").as("ia"), col("tf").as("tfa"))
+      .join(informative.select(col("t"), col("id").as("ib"), col("tf").as("tfb")), Seq("t"))
+      .where(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(sum(least(col("tfa"), col("tfb"))).as("smin"))
+    val out = interMin
+      .join(mass.select(col("id").as("ia"), col("m").as("ma")), Seq("ia"))
+      .join(mass.select(col("id").as("ib"), col("m").as("mb")), Seq("ib"))
+      .withColumn("smax", col("ma") + col("mb") - col("smin"))
+      .withColumn("sim1e6", expr("smin * 1000000L div smax"))
+      .filter(col("sim1e6") >= threshold1e6)
+      .select(col("ia"), col("ib"), col("smin"), col("smax"), col("sim1e6"))
+      .localCheckpoint(eager = true)
+    informative.unpersist()
+    out
+  }
+
   /** Shingle CONTAINMENT pairs — the ASYMMETRIC near-dup signal
     * (|A∩B| / |A| and |A∩B| / |B|) that Jaccard misses: a short
     * document quoted whole inside a long one has Jaccard ≈ |A|/|B|

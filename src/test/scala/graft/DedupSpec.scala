@@ -192,6 +192,20 @@ class DedupSpec extends SparkSpec {
     got.keySet should contain((1L, 10L))   // the new duplicate was caught
   }
 
+  test("weightedJaccardPairs is repetition-sensitive: doubled doc scores exactly 0.5") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta"
+    val df = Seq((1L, a), (2L, a + " " + a), (3L, a)).toDF("id", "text")
+    val pairs = Dedup.weightedJaccardPairs(df, "id", "text",
+        threshold1e6 = 100000L, dfCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    pairs((1L, 3L)) shouldBe 1000000L  // identical bags
+    // doc 2 = doc 1 twice: Σmin = 6, Σmax = 12 — bag similarity 0.5
+    // exactly, where SET Jaccard would report 1.0 (repetition-blind).
+    pairs((1L, 2L)) shouldBe 500000L
+    pairs((2L, 3L)) shouldBe 500000L
+  }
+
   test("fingerprints and containmentPairs: empty and non-overlapping inputs") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("id", "text")
