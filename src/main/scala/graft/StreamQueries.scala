@@ -99,12 +99,47 @@ object StreamQueries {
        |WHERE o_orderstatus = 'O'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** ST3: streaming EXACT DEDUP ≡ batch DISTINCT — the events stream
+    * deduped on (user_id, event_type) over the key-only projection.
+    * Because the emitted row IS the key and each key emits exactly
+    * once, the materialized set is arrival-order-independent and equals
+    * batch `SELECT DISTINCT` for any file batching — the ingest-dedup
+    * shape of `Dedup.exactGroups` run as a stream. This gate variant
+    * deliberately uses unwatermarked `dropDuplicates` (finite
+    * AvailableNow input); the bounded-state production variant
+    * (`Incremental.dedupedStream`, watermark-evicted) is spec-covered
+    * in StreamingSpec — its kept-row CONTENT is arrival-order-dependent
+    * and so belongs to specs, not the oracle gate.
+    */
+  val st3StreamDedup: Q = (s, d) => {
+    // events.parquet is TIMESTAMP(NANOS): same legacy switch as
+    // Tables.events (the ts column is dropped before dedup anyway).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val sink = "st3_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drain(s, sink, s.table(sink))
+      .orderBy("user_id", "event_type")
+  }
+  val st3StreamDedupSql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q_st1_stream_agg" -> st1StreamAgg,
-    "q_st2_stream_enrich" -> st2StreamEnrich)
+    "q_st2_stream_enrich" -> st2StreamEnrich,
+    "q_st3_stream_dedup" -> st3StreamDedup)
   val oracles: Map[String, String] = Map(
     "q_st1_stream_agg" -> st1StreamAggSql,
-    "q_st2_stream_enrich" -> st2StreamEnrichSql)
+    "q_st2_stream_enrich" -> st2StreamEnrichSql,
+    "q_st3_stream_dedup" -> st3StreamDedupSql)
 }
