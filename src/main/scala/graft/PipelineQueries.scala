@@ -1902,7 +1902,7 @@ object PipelineQueries {
     */
   val d13WeightedJaccard: Q = (s, d) =>
     Dedup.weightedJaccardPairs(corpus(s, d), "id", "text",
-        threshold1e6 = 300000L, dfCap = 100)
+        threshold1e6 = 300000L, dfCapPct = 20)
       .orderBy("ia", "ib")
   val d13WeightedJaccardSql: String =
     s"""WITH $corpusSql,
@@ -1910,10 +1910,11 @@ object PipelineQueries {
        |  SELECT id, t, COUNT(*) AS tf FROM (
        |    SELECT id, unnest(string_split_regex(lower(text), '\\s+')) AS t FROM corpus)
        |  WHERE length(t) >= 1 GROUP BY 1, 2),
+       |nd AS (SELECT COUNT(DISTINCT id) AS nd FROM corpus),
        |inf AS (
        |  SELECT id, t, tf FROM (
-       |    SELECT id, t, tf, COUNT(*) OVER (PARTITION BY t) AS df FROM tf)
-       |  WHERE df <= 100),
+       |    SELECT id, t, tf, COUNT(*) OVER (PARTITION BY t) AS df FROM tf), nd
+       |  WHERE df * 100 <= nd * 20),
        |mass AS (SELECT id, SUM(tf) AS m FROM inf GROUP BY 1),
        |im AS (
        |  SELECT a.id AS ia, b.id AS ib, SUM(LEAST(a.tf, b.tf)) AS smin

@@ -411,21 +411,27 @@ object Dedup {
     * Shape: per-doc (term, tf) collapses map-side; candidate pairs and
     * their Σmin come from ONE inverted-index self-join (min(tfa, tfb)
     * summed per pair — never candidate×bag re-joins); Σmax derives as
-    * |A|₁ + |B|₁ − Σmin from the per-doc mass. `dfCap` drops terms in
-    * more than `dfCap` docs from the UNIVERSE (stop-term removal, same
-    * contract as [[ngramJaccardPairs]]) to bound posting-list blowup.
+    * |A|₁ + |B|₁ − Σmin from the per-doc mass. Terms in more than
+    * `dfCapPct` percent of documents are dropped from the UNIVERSE
+    * (stop-term removal, the [[ngramJaccardPairs]] contract) — the cap
+    * is RELATIVE to corpus size, so the same call stays non-degenerate
+    * at any scale factor (a fixed absolute cap empties the universe
+    * the moment the corpus grows past it). Integer compare
+    * (df·100 ≤ nDocs·pct): engine-exact.
     */
   def weightedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                            threshold1e6: Long = 300000L,
-                           dfCap: Int = 100): DataFrame = {
+                           dfCapPct: Int = 20): DataFrame = {
     val tf = Partitioning.spread(df)
       .select(col(idCol).as("id"),
         explode(TextOps.tokens(lower(col(textCol)))).as("t"))
       .filter(length(col("t")) >= 1)
       .groupBy("id", "t").agg(count(lit(1)).as("tf"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("nd"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("t")
     val informative = tf.withColumn("df", count(lit(1)).over(w))
-      .filter(col("df") <= dfCap)
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 100 <= col("nd") * dfCapPct)
       .select("id", "t", "tf")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     informative.count()

@@ -197,7 +197,7 @@ class DedupSpec extends SparkSpec {
     val a = "alpha beta gamma delta epsilon zeta"
     val df = Seq((1L, a), (2L, a + " " + a), (3L, a)).toDF("id", "text")
     val pairs = Dedup.weightedJaccardPairs(df, "id", "text",
-        threshold1e6 = 100000L, dfCap = 10)
+        threshold1e6 = 100000L, dfCapPct = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
     pairs((1L, 3L)) shouldBe 1000000L  // identical bags
     // doc 2 = doc 1 twice: Σmin = 6, Σmax = 12 — bag similarity 0.5
