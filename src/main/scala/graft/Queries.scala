@@ -1048,6 +1048,79 @@ object Queries {
       |           false) AS low_volume
       |FROM m ORDER BY day""".stripMargin
 
+  /** A21: median absolute deviation per group — the robust-statistics
+    * pair to A19's winsorize. Both the median and the MAD are DISCRETE
+    * rank selections (lower median at rank (n+1) div 2 over a total
+    * order with unique tie-breaks) on CENT-integer prices (decimal cast
+    * → ×100 → BIGINT — never double×100, which rounds), so every value
+    * crosses engines bit-exactly with no interpolation or float
+    * subtraction anywhere. Two keyed windows over the same partition;
+    * the 3-row median frame broadcasts back for the deviation pass.
+    */
+  val a21Mad: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.lineitem(s, d).select($"l_returnflag".as("flag"),
+      ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long").as("c"),
+      $"l_orderkey", $"l_linenumber")
+    val byV = Window.partitionBy($"flag").orderBy($"c", $"l_orderkey", $"l_linenumber")
+    val med = base
+      .withColumn("rn", row_number().over(byV))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"flag")))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"flag", $"c".as("med_c"), $"n")
+    val byAd = Window.partitionBy($"flag").orderBy($"ad", $"l_orderkey", $"l_linenumber")
+    base.join(broadcast(med), "flag")
+      .withColumn("ad", abs($"c" - $"med_c"))
+      .withColumn("rn2", row_number().over(byAd))
+      .filter($"rn2" === expr("(n + 1) div 2"))
+      .select($"flag", $"n", $"med_c", $"ad".as("mad_c"))
+      .orderBy("flag")
+  }
+  val a21MadSql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT flag, c, l_orderkey, l_linenumber,
+      |    row_number() OVER (PARTITION BY flag ORDER BY c, l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER (PARTITION BY flag) AS n
+      |  FROM b),
+      |med AS (SELECT flag, c AS med_c, n FROM r WHERE rn = (n + 1) // 2),
+      |a AS (
+      |  SELECT b.flag, ABS(b.c - m.med_c) AS ad, m.med_c, m.n,
+      |    b.l_orderkey, b.l_linenumber
+      |  FROM b JOIN med m ON m.flag = b.flag),
+      |r2 AS (
+      |  SELECT flag, ad, med_c, n,
+      |    row_number() OVER (PARTITION BY flag ORDER BY ad, l_orderkey, l_linenumber) AS rn2
+      |  FROM a)
+      |SELECT flag, n, med_c, ad AS mad_c FROM r2 WHERE rn2 = (n + 1) // 2
+      |ORDER BY flag""".stripMargin
+
+  /** C19: edit-distance scalar parity — all distinct brand pairs scored
+    * with the BUILT-IN `levenshtein` on both engines (Spark codegen'd
+    * vs DuckDB's). The bounded distinct side broadcasts; this is the
+    * scalar the fuzzy family (D8) deliberately avoids recomputing
+    * pairwise at scale, gated here on a vocab-bounded domain.
+    */
+  val c19EditDistance: Q = (s, d) => {
+    import s.implicits._
+    val b = Tables.part(s, d).select($"p_brand").distinct()
+    b.select($"p_brand".as("a"))
+      .crossJoin(broadcast(b.select($"p_brand".as("b"))))
+      .filter($"a" < $"b")
+      .select($"a", $"b", levenshtein($"a", $"b").cast("long").as("dist"))
+      .orderBy("a", "b")
+  }
+  val c19EditDistanceSql: String =
+    """SELECT a.p_brand AS a, b.p_brand AS b,
+      |  CAST(levenshtein(a.p_brand, b.p_brand) AS BIGINT) AS dist
+      |FROM (SELECT DISTINCT p_brand FROM part) a,
+      |     (SELECT DISTINCT p_brand FROM part) b
+      |WHERE a.p_brand < b.p_brand ORDER BY 1, 2""".stripMargin
+
   // ---- registry -----------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1093,7 +1166,9 @@ object Queries {
     "q_v1_profile" -> v1Profile,
     "q_v2_constraints" -> v2Constraints,
     "q_v3_drift" -> v3Drift,
-    "q_v5_freshness" -> v5Freshness
+    "q_v5_freshness" -> v5Freshness,
+    "q_a21_mad" -> a21Mad,
+    "q_c19_edit_distance" -> c19EditDistance
   ) ++ WindowQueries.all ++ PipelineQueries.all ++ ScalarQueries.all ++
     TemporalQueries.all ++ SketchQueries.all ++ MaintainQueries.all ++ StreamQueries.all
 
@@ -1140,7 +1215,9 @@ object Queries {
     "q_v1_profile" -> v1ProfileSql,
     "q_v2_constraints" -> v2ConstraintsSql,
     "q_v3_drift" -> v3DriftSql,
-    "q_v5_freshness" -> v5FreshnessSql
+    "q_v5_freshness" -> v5FreshnessSql,
+    "q_a21_mad" -> a21MadSql,
+    "q_c19_edit_distance" -> c19EditDistanceSql
   ) ++ WindowQueries.oracles ++ PipelineQueries.oracles ++ ScalarQueries.oracles ++
     TemporalQueries.oracles ++ SketchQueries.oracles ++ MaintainQueries.oracles ++ StreamQueries.oracles
 }
