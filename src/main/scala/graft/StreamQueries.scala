@@ -132,14 +132,55 @@ object StreamQueries {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** ST4: WATERMARK SEMANTICS in the gate — daily tumbling-window
+    * counts over the events stream with a zero-delay watermark in
+    * APPEND mode. Append emits a window only once the watermark passes
+    * its end, and after AvailableNow drains, the final no-data
+    * micro-batch (`noDataMicroBatches`, on by default) flushes state up
+    * to the FINAL watermark = max event time — so exactly the windows
+    * with `end ≤ max(ts)` materialize, independent of file batching:
+    * every window except the one containing the corpus's last event.
+    * The oracle states that rule in batch SQL, gating the
+    * watermark/emission semantics themselves, not just the counts.
+    */
+  val st4StreamWindow: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val sink = "st4_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"), col("n"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drain(s, sink, s.table(sink)).orderBy("day")
+  }
+  val st4StreamWindowSql: String =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |m AS (SELECT MAX(ts) AS mx FROM e),
+      |w AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n,
+      |    CAST(date_trunc('day', ts) AS DATE) + 1 AS window_end
+      |  FROM e GROUP BY 1)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, n
+      |FROM w, m WHERE CAST(window_end AS TIMESTAMP) <= m.mx
+      |ORDER BY day""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q_st1_stream_agg" -> st1StreamAgg,
     "q_st2_stream_enrich" -> st2StreamEnrich,
-    "q_st3_stream_dedup" -> st3StreamDedup)
+    "q_st3_stream_dedup" -> st3StreamDedup,
+    "q_st4_stream_window" -> st4StreamWindow)
   val oracles: Map[String, String] = Map(
     "q_st1_stream_agg" -> st1StreamAggSql,
     "q_st2_stream_enrich" -> st2StreamEnrichSql,
-    "q_st3_stream_dedup" -> st3StreamDedupSql)
+    "q_st3_stream_dedup" -> st3StreamDedupSql,
+    "q_st4_stream_window" -> st4StreamWindowSql)
 }
