@@ -72,6 +72,64 @@ object Store {
     }
   }
 
+  /** PURGE keys (right-to-be-forgotten / takedown propagation): delete
+    * every row whose key tuple appears in `purge`, rewriting ONLY the
+    * partitions that actually contain those keys — the deletion twin of
+    * [[upsert]], with the same dynamic-partition-overwrite + eager
+    * lineage cut crash-safety. The purge list broadcasts twice: once to
+    * find affected partitions (semi-join on the partition values the
+    * purge rows land in — computed FROM the store, since the caller
+    * only knows keys, not partitions), once to anti-join the survivors.
+    * Cost scales with affected partitions, not table size; at 100 TB a
+    * takedown of a handful of documents rewrites a handful of
+    * partition directories. Returns the number of rows deleted.
+    */
+  def purgeKeys(spark: SparkSession, path: String, purge: DataFrame,
+                partCol: String, keys: Seq[String]): Long = {
+    val overwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
+    val savedMode = spark.conf.getOption(overwriteModeKey)
+    spark.conf.set(overwriteModeKey, "dynamic")
+    try {
+      val existing = spark.read.parquet(path)
+      val purgeKeysOnly = purge.select(keys.map(col): _*).distinct()
+      // Which partitions hold doomed rows? Derived from the store — the
+      // caller's purge list has no partition column.
+      val touchedParts = existing
+        .join(broadcast(purgeKeysOnly), keys, "left_semi")
+        .select(col(partCol)).distinct()
+      val affected = existing
+        .join(broadcast(touchedParts), Seq(partCol), "left_semi")
+      val survivors = affected.join(broadcast(purgeKeysOnly), keys, "left_anti")
+      val affectedCount = affected.count()
+      val kept = survivors.localCheckpoint(eager = true)
+      val deleted = affectedCount - kept.count()
+      if (deleted > 0) {
+        // Partition values must materialize BEFORE the overwrite — both
+        // plans read the pre-purge files, which the write replaces.
+        val touched = touchedParts.collect().map(_.get(0).toString)
+        val keptParts = kept.select(col(partCol)).distinct()
+          .collect().map(_.get(0).toString).toSet
+        kept.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+        // Dynamic overwrite only rewrites partitions PRESENT in the
+        // written data: a partition whose every row was purged has no
+        // survivors to write, so its old files would silently remain —
+        // exactly what a purge must not do. Drop those directories
+        // explicitly (partition-count-bounded driver work).
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        touched.filterNot(keptParts).foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$v"), true)
+        }
+      }
+      deleted
+    } finally {
+      savedMode match {
+        case Some(m) => spark.conf.set(overwriteModeKey, m)
+        case None    => spark.conf.unset(overwriteModeKey)
+      }
+    }
+  }
+
   /** Small-file compaction: rewrite a partitioned table so each
     * partition directory holds ~ceil(bytes/targetBytes) files instead
     * of one file per historical ingest batch. Returns

@@ -70,6 +70,37 @@ class StoreSpec extends SparkSpec {
     spark.read.parquet(path).count() shouldBe 10
   }
 
+  test("purgeKeys deletes only the doomed rows, drops fully-emptied partitions") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-purge").toString + "/t"
+    Store.writePartitioned(grid("2024-01-18 02:00:00", 8000000L), path, "date")
+
+    // Purge one symbol on one date + EVERY symbol on another date (the
+    // emptied-partition case dynamic overwrite can't handle alone).
+    val purge = Seq(
+      (Date.valueOf("2024-01-15"), "BTCUSDT"),
+      (Date.valueOf("2024-01-16"), "BTCUSDT"),
+      (Date.valueOf("2024-01-16"), "ETHUSDT"),
+      (Date.valueOf("2024-01-16"), "SOLUSDT")).toDF("date", "symbol")
+    val deleted = Store.purgeKeys(spark, path, purge, "date", Seq("date", "symbol"))
+    deleted shouldBe 4L
+
+    val after = spark.read.parquet(path)
+    after.count() shouldBe 5
+    // no purged key survives anywhere
+    after.join(purge, Seq("date", "symbol"), "left_semi").count() shouldBe 0
+    // the fully-purged partition directory is gone from disk
+    new java.io.File(s"$path/date=2024-01-16").exists() shouldBe false
+    // untouched partition intact
+    after.filter(col("date") === Date.valueOf("2024-01-17")).count() shouldBe 3
+
+    // purging nothing is a no-op returning 0
+    Store.purgeKeys(spark, path,
+      Seq((Date.valueOf("2030-01-01"), "NOPE")).toDF("date", "symbol"),
+      "date", Seq("date", "symbol")) shouldBe 0L
+    spark.read.parquet(path).count() shouldBe 5
+  }
+
   test("latestByKey keeps exactly the newest row per key") {
     import spark.implicits._
     val df = Seq(
