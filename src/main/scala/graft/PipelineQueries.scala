@@ -134,6 +134,67 @@ object PipelineQueries {
        |  SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
        |SELECT cluster_id, id FROM labels ORDER BY cluster_id, id""".stripMargin
 
+  // ---- P7: duplication-aware sampling ---------------------------------
+
+  /** P7: cluster-size-aware retention — every document is kept with
+    * probability 1/|its near-dup cluster| through a DETERMINISTIC hash
+    * gate (`hash60(id) mod csize == 0`), singletons always kept. Where
+    * keep-min dedup (q_d9) retains the canonical copy, this is the
+    * soft variant a mixture-building pipeline uses when duplicated
+    * content should be DOWN-WEIGHTED, not eliminated: expected one
+    * survivor per cluster, but which copy survives is spread
+    * hash-uniformly rather than biased to the smallest id, and the
+    * draw is reproducible across engines, runs, and retries (no
+    * rand()). Composes the d2b cluster map with the sampling family's
+    * hash-gate idiom.
+    */
+  val p7ClusterSample: Q = (s, d) => {
+    import s.implicits._
+    val c = corpus(s, d)
+    val clusters = Dedup.dupClusters(Dedup.nearDupPairs(c, "id", "text"))
+    val sizes = clusters.groupBy($"cluster_id").agg(count(lit(1)).as("csize"))
+    c.select($"id")
+      .join(clusters.join(sizes, "cluster_id").select($"id", $"csize"), Seq("id"), "left")
+      .select($"id", coalesce($"csize", lit(1L)).as("csize"))
+      .filter(pmod(TextOps.hash60($"id".cast("string")), $"csize") === 0)
+      .orderBy("id")
+  }
+  val p7ClusterSampleSql: String =
+    s"""WITH RECURSIVE $corpusSql,
+       |$shingleSql,
+       |mh AS (
+       |${Dedup.minhashSql(16)}),
+       |bands AS (
+       |  SELECT id, j // 4 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.ia, c.ib, COUNT(*) AS inter
+       |  FROM cand c JOIN sh x ON x.id = c.ia JOIN sh y ON y.id = c.ib AND y.h = x.h
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT i.ia, i.ib
+       |  FROM inter i JOIN sizes na ON na.id = i.ia JOIN sizes nb ON nb.id = i.ib
+       |  WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.5),
+       |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labels AS (
+       |  SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+       |mem AS (
+       |  SELECT id, COUNT(*) OVER (PARTITION BY cluster_id) AS csize FROM labels),
+       |w AS (
+       |  SELECT c.id, CAST(COALESCE(m.csize, 1) AS BIGINT) AS csize
+       |  FROM corpus c LEFT JOIN mem m ON m.id = c.id)
+       |SELECT id, csize FROM w
+       |WHERE ${hash60Sql("CAST(id AS VARCHAR)")} % csize = 0
+       |ORDER BY id""".stripMargin
+
   // ---- D5: standalone exact n-gram Jaccard (inverted-index blocking) --
 
   /** Exact Jaccard near-dup pairs over the informative-shingle universe
@@ -2208,6 +2269,7 @@ object PipelineQueries {
     "q_d11_containment" -> d11Containment,
     "q_d12_incr_lsh" -> d12IncrLsh,
     "q_d13_weighted_jaccard" -> d13WeightedJaccard,
+    "q_p7_cluster_sample" -> p7ClusterSample,
     "q_m3_frames" -> m3Frames,
     "q_c18_urlcap" -> c18UrlCap,
     "q_d10_minhash_est" -> d10MinhashEst,
@@ -2291,6 +2353,7 @@ object PipelineQueries {
     "q_d11_containment" -> d11ContainmentSql,
     "q_d12_incr_lsh" -> d12IncrLshSql,
     "q_d13_weighted_jaccard" -> d13WeightedJaccardSql,
+    "q_p7_cluster_sample" -> p7ClusterSampleSql,
     "q_m3_frames" -> m3FramesSql,
     "q_c18_urlcap" -> c18UrlCapSql,
     "q_d10_minhash_est" -> d10MinhashEstSql,
