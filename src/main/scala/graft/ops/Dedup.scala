@@ -291,7 +291,11 @@ object Dedup {
       .select(least(col("ida"), col("idb")).as("ia"),
         greatest(col("ida"), col("idb")).as("ib"))
       .distinct()
-    val out = jaccardVerify(cand, baseSh.unionByName(dSh), setCol = "h")
+    // distinct: a document RE-INGESTED under an existing id would
+    // otherwise contribute its (id, h) rows twice (once from the stored
+    // index, once from the delta), inflating set sizes and deflating
+    // jac below threshold for true near-dups involving that id.
+    val out = jaccardVerify(cand, baseSh.unionByName(dSh).distinct(), setCol = "h")
       .filter(col("jac") >= threshold)
       .select(col("ia"), col("ib"), col("jac"))
       .localCheckpoint(eager = true)

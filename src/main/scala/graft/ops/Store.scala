@@ -83,9 +83,21 @@ object Store {
     * Cost scales with affected partitions, not table size; at 100 TB a
     * takedown of a handful of documents rewrites a handful of
     * partition directories. Returns the number of rows deleted.
+    *
+    * Crash-safety contract: the purge is TWO non-atomic steps (dynamic
+    * overwrite of surviving partitions, then explicit deletion of
+    * fully-emptied partition dirs). A crash between them leaves the
+    * old files of fully-purged partitions readable — re-running the
+    * SAME purge list is idempotent and completes the deletion, so a
+    * failed purge MUST be retried with the same list to reach the
+    * advertised state. With `verify = true` (default) the call
+    * re-checks after the deletes that no purge-key row survives
+    * anywhere in the store (a key-columns-only scan) and throws if the
+    * retention guarantee was not reached.
     */
   def purgeKeys(spark: SparkSession, path: String, purge: DataFrame,
-                partCol: String, keys: Seq[String]): Long = {
+                partCol: String, keys: Seq[String],
+                verify: Boolean = true): Long = {
     val overwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
     val savedMode = spark.conf.getOption(overwriteModeKey)
     spark.conf.set(overwriteModeKey, "dynamic")
@@ -106,19 +118,47 @@ object Store {
       if (deleted > 0) {
         // Partition values must materialize BEFORE the overwrite — both
         // plans read the pre-purge files, which the write replaces.
-        val touched = touchedParts.collect().map(_.get(0).toString)
+        // Null partition values are legal (Spark writes them under the
+        // Hive default-partition dir), so the sentinel stands in for
+        // null rather than NPE-ing on .toString.
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        def pv(r: org.apache.spark.sql.Row): String =
+          if (r.isNullAt(0)) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+          else r.get(0).toString
+        val touched = touchedParts.collect().map(pv).toSet
         val keptParts = kept.select(col(partCol)).distinct()
-          .collect().map(_.get(0).toString).toSet
+          .collect().map(pv).toSet
         kept.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
         // Dynamic overwrite only rewrites partitions PRESENT in the
         // written data: a partition whose every row was purged has no
         // survivors to write, so its old files would silently remain —
         // exactly what a purge must not do. Drop those directories
-        // explicitly (partition-count-bounded driver work).
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        touched.filterNot(keptParts).foreach { v =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$v"), true)
+        // explicitly (partition-count-bounded driver work). The dirs to
+        // drop are found by LISTING the store and decoding the actual
+        // on-disk names (Hive %-escaping of spaces/colons/percent etc.),
+        // never by re-interpolating raw values into a path — and the
+        // filesystem is resolved from the STORE's path, not fs.defaultFS
+        // (a store on file:// under an HDFS default conf, or vice versa,
+        // would otherwise throw "Wrong FS").
+        val doomed = touched -- keptParts
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(hPath).foreach { st =>
+          val name = st.getPath.getName
+          if (st.isDirectory && name.startsWith(s"$partCol=") &&
+            doomed.contains(
+              ExternalCatalogUtils.unescapePathName(name.stripPrefix(s"$partCol="))))
+            fs.delete(st.getPath, true)
+        }
+        if (verify) {
+          // Retention guarantee re-check (a purge that silently leaves
+          // rows is worse than one that fails loudly): key-columns-only
+          // scan, pruned by parquet to the key columns.
+          val remaining = spark.read.parquet(path)
+            .join(broadcast(purgeKeysOnly), keys, "left_semi").count()
+          require(remaining == 0L,
+            s"purgeKeys: $remaining purged-key rows still present after purge of $path — " +
+              "retry the same purge list (two-step purge is idempotent)")
         }
       }
       deleted

@@ -333,4 +333,44 @@ class StreamingSpec extends SparkSpec {
         ("C", "d2", 1L, 30.0)) // untouched partition survives every upsert
     } finally q.stop()
   }
+
+  test("st4 boundary: a window whose end EQUALS the final watermark emits (<= semantics)") {
+    // Pins the q_st4 oracle's `window_end <= max(ts)` emission rule at
+    // the exact edge the sf data never hits: max event time precisely
+    // on a day boundary, so the last closed window's end == the final
+    // watermark. Spark's append-mode state eviction predicate is
+    // `window.end <= watermark`, so that window DOES emit; if a Spark
+    // upgrade ever flips the comparator this test fails before the
+    // oracle gate can silently drift.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-st4edge").toString
+    val src = s"$root/ev"
+    def t(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, t("2024-01-01 03:00:00")), (2L, t("2024-01-01 17:30:00")),
+      (3L, t("2024-01-02 08:00:00")),
+      // max ts EXACTLY at midnight: watermark = 2024-01-03 00:00:00,
+      // window [Jan2, Jan3) has end == watermark — the boundary case.
+      (4L, t("2024-01-03 00:00:00.000")))
+    val df = rows.toDF("event_id", "ts")
+    df.write.parquet(src)
+    val sink = "st4edge_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.schema(df.schema).parquet(src)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"), col("n"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(sink).as[(String, Long)].collect().toSet
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
+    // [Jan1, Jan2): end Jan2 < wm → emits. [Jan2, Jan3): end == wm →
+    // emits under <=. [Jan3, Jan4): end > wm → held back (the midnight
+    // event itself never materializes). Matches the oracle's
+    // `window_end <= max(ts)` exactly.
+    got shouldBe Set(("2024-01-01", 2L), ("2024-01-02", 1L))
+  }
 }
