@@ -219,6 +219,178 @@ object SketchQueries {
        |ORDER BY event_type, bucket""".stripMargin
   }
 
+  // ---- K6: mergeable quantile sketch (bottom-k sample) ----------------
+
+  /** K6: per-event-type QUANTILE SKETCH — the k=64 bottom-k-by-row-hash
+    * (h, value) sample, built the way a 1000-executor job would: one
+    * sketch per (event_type, day) shard, then the shard sketches
+    * MERGED into the global state (bottom-k of the per-shard bottom-ks
+    * == bottom-k of the union — see Sketches.BottomKAgg). The oracle
+    * computes the single-pass global bottom-k directly, so the
+    * hash-match PROVES merge(shard sketches) == sketch(all), cell by
+    * cell. p50/p90/p99 estimates are integer-rank selections
+    * (ceil(p·m/100), no interpolation — the selected value is a raw
+    * input double, bit-portable) from the sample, with the exact
+    * percentiles riding along for error visibility, k1-style.
+    * Reference percentile math this replaces at scale:
+    * queries/volume.py:75,126-128 (exact in-db quantile calls).
+    */
+  private val QK = 64
+  val k6Quantile: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val bk = Sketches.bottomKSketch(QK)
+    val src = Tables.events(s, d).select(
+      col("event_type"),
+      date_format(col("ts"), "yyyy-MM-dd").as("shard"),
+      TextOps.hash60(col("event_id").cast("string")).as("h"),
+      col("value").as("v"))
+    val perShard = src.groupBy("event_type", "shard")
+      .agg(bk(col("h"), col("v")).as("sk"))
+    val global = perShard
+      .select(col("event_type"), explode(col("sk")).as("c"))
+      .select(col("event_type"), col("c._1").as("h"), col("c._2").as("v"))
+      .groupBy("event_type")
+      .agg(bk(col("h"), col("v")).as("sk"))
+    val cells = global
+      .select(col("event_type"), posexplode(col("sk")).as(Seq("pos", "c")))
+      .select(col("event_type"), (col("pos") + 1).as("rn"),
+        col("c._1").as("h"), col("c._2").as("v"))
+    val m = cells.groupBy("event_type").agg(count(lit(1)).as("m"))
+    val wv = Window.partitionBy("event_type").orderBy(col("v"), col("h"))
+    val est = cells.join(broadcast(m), "event_type")
+      .withColumn("rnv", row_number().over(wv))
+      .groupBy("event_type")
+      .agg(
+        max(when(col("rnv") === expr("(50*m+99) div 100"), col("v"))).as("p50_est"),
+        max(when(col("rnv") === expr("(90*m+99) div 100"), col("v"))).as("p90_est"),
+        max(when(col("rnv") === expr("(99*m+99) div 100"), col("v"))).as("p99_est"))
+    val n = src.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+    // Exact side (gate visibility only — at scale this is the query the
+    // sketch replaces): same rank selection over the full data.
+    val exact = src.join(broadcast(n), "event_type")
+      .withColumn("rnv", row_number().over(wv))
+      .groupBy("event_type")
+      .agg(
+        max(when(col("rnv") === expr("(50*n_exact+99) div 100"), col("v"))).as("p50_exact"),
+        max(when(col("rnv") === expr("(90*n_exact+99) div 100"), col("v"))).as("p90_exact"),
+        max(when(col("rnv") === expr("(99*n_exact+99) div 100"), col("v"))).as("p99_exact"))
+    cells
+      .join(broadcast(n), "event_type").join(broadcast(m), "event_type")
+      .join(broadcast(est), "event_type").join(broadcast(exact), "event_type")
+      .select(col("event_type"), col("rn"), col("h"), col("v"),
+        col("n_exact"), col("m"),
+        col("p50_est"), col("p90_est"), col("p99_est"),
+        col("p50_exact"), col("p90_exact"), col("p99_exact"))
+      .orderBy("event_type", "rn")
+  }
+  val k6QuantileSql: String = {
+    val h = TextOps.hash60Sql("CAST(event_id AS VARCHAR)")
+    s"""WITH e AS (SELECT event_type, $h AS h, "value" AS v FROM events),
+       |g AS (SELECT event_type, COUNT(*) AS n_exact FROM e GROUP BY 1),
+       |r AS (SELECT event_type, h, v,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rn
+       |      FROM e),
+       |sk AS (SELECT * FROM r WHERE rn <= $QK),
+       |sm AS (SELECT event_type, COUNT(*) AS m FROM sk GROUP BY 1),
+       |sv AS (SELECT event_type, v,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY v, h) AS rnv
+       |       FROM sk),
+       |est AS (
+       |  SELECT sv.event_type,
+       |    MAX(CASE WHEN rnv = (50*m+99)//100 THEN v END) AS p50_est,
+       |    MAX(CASE WHEN rnv = (90*m+99)//100 THEN v END) AS p90_est,
+       |    MAX(CASE WHEN rnv = (99*m+99)//100 THEN v END) AS p99_est
+       |  FROM sv JOIN sm ON sm.event_type = sv.event_type GROUP BY 1),
+       |xv AS (SELECT event_type, v,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY v, h) AS rnv
+       |       FROM e),
+       |ex AS (
+       |  SELECT xv.event_type,
+       |    MAX(CASE WHEN rnv = (50*n_exact+99)//100 THEN v END) AS p50_exact,
+       |    MAX(CASE WHEN rnv = (90*n_exact+99)//100 THEN v END) AS p90_exact,
+       |    MAX(CASE WHEN rnv = (99*n_exact+99)//100 THEN v END) AS p99_exact
+       |  FROM xv JOIN g ON g.event_type = xv.event_type GROUP BY 1)
+       |SELECT sk.event_type, CAST(sk.rn AS INTEGER) AS rn, sk.h, sk.v,
+       |  g.n_exact, sm.m,
+       |  est.p50_est, est.p90_est, est.p99_est,
+       |  ex.p50_exact, ex.p90_exact, ex.p99_exact
+       |FROM sk
+       |JOIN g ON g.event_type = sk.event_type
+       |JOIN sm ON sm.event_type = sk.event_type
+       |JOIN est ON est.event_type = sk.event_type
+       |JOIN ex ON ex.event_type = sk.event_type
+       |ORDER BY sk.event_type, rn""".stripMargin
+  }
+
+  // ---- K7: heavy hitters (mergeable top-k frequency summary) -----------
+
+  /** K7: HEAVY HITTERS from per-shard summaries — shards are the
+    * document sources; each keeps its exact top-m=10 term list + m-th
+    * count threshold; the merged bounds bracket every candidate's true
+    * global count (lb ≤ true ≤ ub, and nothing above Σ thresholds can
+    * be missed — see Sketches.hhShardSummaries). Top-15 extraction by
+    * lower bound, with the exact global count riding along k1-style:
+    * the gate proves summaries, thresholds, bounds AND the extraction
+    * cut replay identically in a second engine. This is the mergeable
+    * answer to q_t9's exact groupBy+rank at 100 TB: shard summaries
+    * are m rows each; only summaries travel.
+    */
+  private val HHm = 10
+  private val HHk = 15
+  val k7HeavyHitters: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        explode(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("tok"))
+      .select(col("source"), lower(col("tok")).as("term"))
+    val summ = Sketches.hhShardSummaries(toks, col("source"), col("term"), HHm)
+    val thr = Sketches.hhThresholds(summ, HHm)
+    val bounds = Sketches.hhMergedBounds(summ, thr)
+    val thrTotal = thr.agg(sum(col("thr")).as("thr_total"))
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+    val w = Window.orderBy(col("lb").desc, col("term"))
+    bounds.join(exact, "term")
+      .crossJoin(broadcast(thrTotal))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= HHk)
+      .select(col("term"), col("lb"), col("ub"), col("exact_cnt"), col("thr_total"))
+      .orderBy(col("lb").desc, col("term"))
+  }
+  val k7HeavyHittersSql: String =
+    s"""WITH toks AS (
+       |  SELECT source AS shard, lower(tok) AS term
+       |  FROM (SELECT source, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok
+       |        FROM documents)),
+       |counts AS (SELECT shard, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+       |summ AS (
+       |  SELECT * FROM (
+       |    SELECT shard, term, cnt,
+       |      row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, term) AS rn
+       |    FROM counts)
+       |  WHERE rn <= $HHm),
+       |thr AS (
+       |  SELECT shard,
+       |    CASE WHEN MAX(rn) < $HHm THEN 0 ELSE MIN(cnt) END AS thr
+       |  FROM summ GROUP BY 1),
+       |cands AS (SELECT DISTINCT term FROM summ),
+       |grid AS (SELECT c.term, t.shard, t.thr FROM cands c CROSS JOIN thr t),
+       |b AS (
+       |  SELECT g.term,
+       |    CAST(SUM(COALESCE(s.cnt, 0)) AS BIGINT) AS lb,
+       |    CAST(SUM(COALESCE(s.cnt, 0)) +
+       |         SUM(CASE WHEN s.cnt IS NULL THEN g.thr ELSE 0 END) AS BIGINT) AS ub
+       |  FROM grid g LEFT JOIN summ s ON s.shard = g.shard AND s.term = g.term
+       |  GROUP BY 1),
+       |tt AS (SELECT CAST(SUM(thr) AS BIGINT) AS thr_total FROM thr),
+       |exact AS (SELECT term, COUNT(*) AS exact_cnt FROM toks GROUP BY 1),
+       |ranked AS (
+       |  SELECT b.term, b.lb, b.ub, e.exact_cnt,
+       |    row_number() OVER (ORDER BY b.lb DESC, b.term) AS rk
+       |  FROM b JOIN exact e ON e.term = b.term)
+       |SELECT term, lb, ub, exact_cnt, (SELECT thr_total FROM tt) AS thr_total
+       |FROM ranked WHERE rk <= $HHk
+       |ORDER BY lb DESC, term""".stripMargin
+
   // ---- registry ---------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -226,12 +398,16 @@ object SketchQueries {
     "q_k2_cms" -> k2Cms,
     "q_k5_cms_merge" -> k5CmsMerge,
     "q_k3_kmv_union" -> k3KmvUnion,
-    "q_k4_hll" -> k4Hll)
+    "q_k4_hll" -> k4Hll,
+    "q_k6_quantile_sketch" -> k6Quantile,
+    "q_k7_heavy_hitters" -> k7HeavyHitters)
 
   val oracles: Map[String, String] = Map(
     "q_k1_kmv" -> k1KmvSql,
     "q_k2_cms" -> k2CmsSql,
     "q_k5_cms_merge" -> k5CmsMergeSql,
     "q_k3_kmv_union" -> k3KmvUnionSql,
-    "q_k4_hll" -> k4HllSql)
+    "q_k4_hll" -> k4HllSql,
+    "q_k6_quantile_sketch" -> k6QuantileSql,
+    "q_k7_heavy_hitters" -> k7HeavyHittersSql)
 }

@@ -110,6 +110,147 @@ object Sketches {
   /** The k-th minimum hash (the sketch threshold θ), NULL until full. */
   def kmvThreshold(sketch: Column, k: Int): Column = get(sketch, lit(k - 1))
 
+  // ---- Bottom-k quantile sketch ----------------------------------------
+
+  /** Mergeable QUANTILE sketch: the k pairs (h, v) with the smallest
+    * (h, v) in lexicographic order, where h is the 60-bit hash of the
+    * ROW IDENTITY (not the value) — a fixed-size, hash-determined
+    * uniform row sample per group. Rank/percentile estimates are order
+    * statistics of the sample's values.
+    *
+    * Why bottom-k and not literal KLL/t-digest: a KLL compactor's
+    * state depends on arrival grouping, so sketch(shard A) merged with
+    * sketch(shard B) is NOT bit-identical to sketch(A ∪ B) — only
+    * statistically equivalent. This engine's sketch algebra holds
+    * itself to the stronger bar the KMV/CMS/HLL members already meet
+    * (and the oracle gate enforces): per-shard sketches merged in ANY
+    * order/grouping produce the EXACT same state as sketching the
+    * whole corpus at once, because the k smallest elements of a union
+    * are the k smallest of the per-shard k-smallest. That makes the
+    * estimate reproducible across engines, partitionings, and retries
+    * — at the cost of O(1/ε²) sample size where KLL needs
+    * O(1/ε·log²log(1/ε)); at k=2¹⁰–2¹⁴ per group the state is still a
+    * few KB, which is what actually matters at 100 TB (only sketches
+    * cross the shuffle; map-side partials collapse each task to one
+    * k-long buffer per group).
+    *
+    * The sample is a MULTISET sorted by (h, v): duplicate pairs are
+    * kept (two identical rows are two sample slots), matching the
+    * oracle's `row_number() OVER (ORDER BY h, v) <= k` replay exactly.
+    */
+  final class BottomKAgg(k: Int)
+      extends Aggregator[(Long, Double), Array[(Long, Double)], Array[(Long, Double)]] {
+    require(k >= 2, s"bottom-k sketch needs k >= 2, got $k")
+
+    @inline private def lte(h1: Long, v1: Double, h2: Long, v2: Double): Boolean =
+      h1 < h2 || (h1 == h2 && v1 <= v2)
+
+    def zero: Array[(Long, Double)] = Array.empty
+
+    def reduce(b: Array[(Long, Double)], x: (Long, Double)): Array[(Long, Double)] = {
+      if (b.length == k && lte(b(k - 1)._1, b(k - 1)._2, x._1, x._2)) return b // steady state
+      // first index whose element is strictly greater than x
+      var lo = 0; var hi = b.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (lte(b(mid)._1, b(mid)._2, x._1, x._2)) lo = mid + 1 else hi = mid
+      }
+      val outLen = math.min(k, b.length + 1)
+      val out = new Array[(Long, Double)](outLen)
+      System.arraycopy(b, 0, out, 0, lo)
+      out(lo) = x
+      System.arraycopy(b, lo, out, lo + 1, outLen - lo - 1)
+      out
+    }
+
+    def merge(a: Array[(Long, Double)], b: Array[(Long, Double)]): Array[(Long, Double)] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        // two-pointer multiset merge truncated at k (no dedup — see doc)
+        val out = new Array[(Long, Double)](math.min(k, a.length + b.length))
+        var i = 0; var j = 0; var n = 0
+        while (n < out.length) {
+          val takeA = i < a.length &&
+            (j == b.length || lte(a(i)._1, a(i)._2, b(j)._1, b(j)._2))
+          if (takeA) { out(n) = a(i); i += 1 } else { out(n) = b(j); j += 1 }
+          n += 1
+        }
+        out
+      }
+
+    def finish(b: Array[(Long, Double)]): Array[(Long, Double)] = b
+
+    def bufferEncoder: Encoder[Array[(Long, Double)]] =
+      ExpressionEncoder[Array[(Long, Double)]]()
+    def outputEncoder: Encoder[Array[(Long, Double)]] =
+      ExpressionEncoder[Array[(Long, Double)]]()
+  }
+
+  /** Bottom-k quantile sketch as an aggregate over (hash, value)
+    * columns: `groupBy(...).agg(bottomKSketch(1024)(col("h"), col("v")))`.
+    */
+  def bottomKSketch(k: Int): (Column, Column) => Column = {
+    val agg = udaf(new BottomKAgg(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    (h, v) => agg(h, v)
+  }
+
+  // ---- Heavy hitters (mergeable top-k frequency summary) ---------------
+
+  /** Mergeable HEAVY-HITTER summary, SpaceSaving/Misra-Gries bar met
+    * through an order-insensitive algebra (same design stance as the
+    * bottom-k quantile sketch): each SHARD keeps its exact top-m
+    * (count, term) list plus a threshold = its m-th count (0 when the
+    * shard's full vocabulary fits, i.e. the list is complete). A term
+    * absent from a shard's list has, by construction, count ≤ that
+    * shard's threshold there — so for any candidate term the merged
+    * summary brackets the true global count:
+    *
+    *   lb(t) = Σ_{shards listing t} cnt   ≤   true(t)   ≤
+    *   ub(t) = lb(t) + Σ_{shards NOT listing t} threshold
+    *
+    * and any term with true global count > Σ_s threshold_s MUST appear
+    * in some shard's list (it cannot be below threshold everywhere) —
+    * the never-miss guarantee, the exact analogue of Misra-Gries'
+    * "every item with freq > n/(m+1) survives". State per shard is m
+    * rows; the merge is relational (no stream-order dependence, so
+    * shard summaries combined in any grouping give the identical
+    * result — DuckDB-replayable). This is the TPUT/three-phase
+    * distributed top-k shape [Cao & Wang, PODC'04] rather than a
+    * sequential counter sketch, which is the right decomposition when
+    * shards are data partitions, not streams.
+    */
+  def hhShardSummaries(tokens: DataFrame, shardCol: Column, termCol: Column,
+                       m: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = tokens.groupBy(shardCol.as("shard"), termCol.as("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("cnt").desc, col("term"))
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") <= m)
+  }
+
+  /** Per-shard absent-term bound: the m-th count, or 0 when the list
+    * holds the shard's whole vocabulary (absent ⇒ count 0).
+    */
+  def hhThresholds(summaries: DataFrame, m: Int): DataFrame =
+    summaries.groupBy("shard").agg(
+      when(max(col("rn")) < m, lit(0L)).otherwise(min(col("cnt"))).as("thr"))
+
+  /** Merged candidate bounds over the union of shard lists. The grid is
+    * candidates × shards (≤ m·s × s rows — summary-sized, never
+    * data-sized); thresholds broadcast.
+    */
+  def hhMergedBounds(summaries: DataFrame, thresholds: DataFrame): DataFrame =
+    summaries.select("term").distinct()
+      .crossJoin(broadcast(thresholds))
+      .join(summaries.select(col("shard"), col("term"), col("cnt")),
+        Seq("shard", "term"), "left")
+      .groupBy("term")
+      .agg(sum(coalesce(col("cnt"), lit(0L))).as("lb"),
+        (sum(coalesce(col("cnt"), lit(0L))) +
+          sum(when(col("cnt").isNull, col("thr")).otherwise(lit(0L)))).as("ub"))
+
   // ---- Count-Min --------------------------------------------------------
 
   /** Count-Min cell table: one row per (seed, cell) with the summed hit

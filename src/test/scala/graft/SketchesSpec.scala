@@ -185,4 +185,122 @@ class SketchesSpec extends SparkSpec {
     k2.length shouldBe 20
     k2.foreach(r => r.getLong(2) should be >= r.getLong(1))
   }
+
+  // ---- bottom-k quantile sketch ---------------------------------------
+
+  /** Driver-side twin of TextOps.hash60 (first 15 md5 hex chars as a
+    * 60-bit Long) for building spec fixtures without a Spark roundtrip.
+    */
+  private def h60(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16)
+
+  test("bottom-k quantile sketch: shard-merge equals the direct sketch, any partitioning") {
+    val k = 32
+    val bk = Sketches.bottomKSketch(k)
+    val df = (1 to 2000).map { i =>
+      (s"g${i % 2}", s"shard${i % 7}",
+        h60(s"row-$i"), (i * 37 % 991).toDouble)
+    }.toDF("g", "shard", "h", "v")
+    val direct = df.groupBy("g").agg(bk($"h", $"v").as("sk"))
+      .orderBy("g").as[(String, Seq[(Long, Double)])].collect()
+    for (parts <- Seq(1, 3, 8)) {
+      val shards = df.repartition(parts).groupBy("g", "shard")
+        .agg(bk($"h", $"v").as("sk"))
+      val merged = shards
+        .select($"g", explode($"sk").as("c"))
+        .select($"g", $"c._1".as("h"), $"c._2".as("v"))
+        .groupBy("g").agg(bk($"h", $"v").as("sk"))
+        .orderBy("g").as[(String, Seq[(Long, Double)])].collect()
+      merged shouldBe direct
+    }
+    // sorted by (h, v), length == k, and == the k smallest rows
+    direct.foreach { case (_, sk) =>
+      sk.length shouldBe k
+      sk shouldBe sk.sortBy(identity)
+    }
+  }
+
+  test("bottom-k quantile sketch keeps duplicate (h, v) pairs (multiset semantics)") {
+    val bk = Sketches.bottomKSketch(4)
+    val df = Seq((1L, 5.0), (1L, 5.0), (2L, 7.0), (3L, 1.0), (9L, 9.0))
+      .toDF("h", "v")
+    val sk = df.repartition(2).agg(bk($"h", $"v")).as[Seq[(Long, Double)]].head()
+    sk shouldBe Seq((1L, 5.0), (1L, 5.0), (2L, 7.0), (3L, 1.0))
+  }
+
+  test("quantile sketch accuracy contract: sample percentile rank error within 4 sigma") {
+    // k=64 sample of n=5000 skewed values; the p-quantile estimate's
+    // true CDF position must sit within p ± 4·sqrt(p(1-p)/k).
+    val k = 64
+    val bk = Sketches.bottomKSketch(k)
+    val n = 5000
+    val df = (1 to n).map { i =>
+      (h60(s"id-$i"), math.pow(i.toDouble, 2.5))
+    }.toDF("h", "v")
+    val sk = df.agg(bk($"h", $"v")).as[Seq[(Long, Double)]].head()
+    val sample = sk.map(_._2).sorted
+    val all = (1 to n).map(i => math.pow(i.toDouble, 2.5)).sorted
+    for (p <- Seq(0.5, 0.9)) {
+      val est = sample(math.ceil(p * sample.length).toInt - 1)
+      val cdfPos = all.count(_ <= est).toDouble / n
+      val tol = 4.0 * math.sqrt(p * (1 - p) / k)
+      math.abs(cdfPos - p) should be <= tol
+    }
+  }
+
+  // ---- heavy hitters ---------------------------------------------------
+
+  test("heavy hitters: bounds bracket truth and nothing above the threshold sum is missed") {
+    // Skewed vocabulary over 6 shards: global heavy terms spread thin so
+    // per-shard lists genuinely truncate.
+    val rows = for {
+      shard <- 0 until 6
+      (term, cnt) <- (1 to 40).map(t => (s"t$t", 1 + (41 - t) * (1 + (t + shard) % 3)))
+      _ <- 1 to cnt
+    } yield (s"s$shard", term)
+    val toks = rows.toDF("shard", "term")
+    val m = 8
+    val summ = Sketches.hhShardSummaries(toks, $"shard", $"term", m)
+    val thr = Sketches.hhThresholds(summ, m)
+    val bounds = Sketches.hhMergedBounds(summ, thr)
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val thrTotal = thr.agg(sum($"thr")).as[Long].head()
+    val got = bounds.as[(String, Long, Long)].collect()
+    got.length should be > 0
+    // lb <= true <= ub for every candidate
+    got.foreach { case (t, lb, ub) =>
+      lb should be <= exact(t)
+      exact(t) should be <= ub
+    }
+    // never-miss: every term with true count > sum(thresholds) is a candidate
+    val cands = got.map(_._1).toSet
+    exact.foreach { case (t, c) =>
+      if (c > thrTotal) withClue(s"term $t (count $c > thrTotal $thrTotal) missed: ") {
+        cands should contain(t)
+      }
+    }
+    // sanity: the data actually exercises the guarantee (some term above,
+    // some vocabulary below)
+    exact.values.count(_ > thrTotal) should be > 0
+    exact.size should be > cands.size
+  }
+
+  test("heavy hitters: complete shard lists give thr 0 and lb == ub == exact") {
+    val toks = Seq.tabulate(30)(i => (s"s${i % 2}", s"w${i % 3}")).toDF("shard", "term")
+    val m = 10 // vocabulary (3) fits: every shard list is complete
+    val summ = Sketches.hhShardSummaries(toks, $"shard", $"term", m)
+    val thr = Sketches.hhThresholds(summ, m)
+    thr.as[(String, Long)].collect().foreach(_._2 shouldBe 0L)
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    Sketches.hhMergedBounds(summ, thr).as[(String, Long, Long)].collect()
+      .foreach { case (t, lb, ub) =>
+        lb shouldBe exact(t)
+        ub shouldBe exact(t)
+      }
+  }
 }
