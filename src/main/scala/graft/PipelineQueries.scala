@@ -195,6 +195,70 @@ object PipelineQueries {
        |WHERE ${hash60Sql("CAST(id AS VARCHAR)")} % csize = 0
        |ORDER BY id""".stripMargin
 
+  // ---- P8: leakage-safe (cluster-aware) train/test split --------------
+
+  /** P8: the split q_p5 SHOULD have been for a deduplicated corpus —
+    * assignment by hash gate on `coalesce(cluster_id, id)`, the d2b
+    * near-dup cluster's canonical id, so two near-duplicate documents
+    * can NEVER straddle train/test: every member of a cluster shares
+    * the cluster rep's gate verdict. This is the self-leakage
+    * complement of q_d6's external decontamination — q_d6 guards the
+    * corpus against a known eval set; this guards a split drawn FROM
+    * the corpus against its own near-dups (the classic benchmark-
+    * contamination failure in pretraining pipelines). Deterministic
+    * end to end (hash gate, no rand()), so the eval set is frozen
+    * across runs, engines, and repartitionings. At scale the cluster
+    * map is the stored d2b output — one broadcast-or-shuffle join and
+    * a map-side gate on top of it.
+    */
+  val p8ClusterSplit: Q = (s, d) => {
+    import s.implicits._
+    val c = corpus(s, d)
+    val clusters = Dedup.dupClusters(Dedup.nearDupPairs(c, "id", "text"))
+    val b = graft.ops.Sampling.gateBucket($"split_key", "split")
+    c.select($"id")
+      .join(clusters, Seq("id"), "left")
+      .select($"id", coalesce($"cluster_id", $"id").as("split_key"))
+      .withColumn("split",
+        when(b < 8000, "train").when(b < 9000, "val").otherwise("test"))
+      .orderBy("id")
+  }
+  val p8ClusterSplitSql: String =
+    s"""WITH RECURSIVE $corpusSql,
+       |$shingleSql,
+       |mh AS (
+       |${Dedup.minhashSql(16)}),
+       |bands AS (
+       |  SELECT id, j // 4 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.ia, c.ib, COUNT(*) AS inter
+       |  FROM cand c JOIN sh x ON x.id = c.ia JOIN sh y ON y.id = c.ib AND y.h = x.h
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT i.ia, i.ib
+       |  FROM inter i JOIN sizes na ON na.id = i.ia JOIN sizes nb ON nb.id = i.ib
+       |  WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.5),
+       |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labels AS (
+       |  SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+       |keyed AS (
+       |  SELECT c.id, COALESCE(l.cluster_id, c.id) AS split_key
+       |  FROM corpus c LEFT JOIN labels l ON l.id = c.id)
+       |SELECT id, split_key,
+       |  CASE WHEN ${seededHash60Sql("'split'", "CAST(split_key AS VARCHAR)")} % 10000 < 8000 THEN 'train'
+       |       WHEN ${seededHash60Sql("'split'", "CAST(split_key AS VARCHAR)")} % 10000 < 9000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM keyed ORDER BY id""".stripMargin
+
   // ---- D5: standalone exact n-gram Jaccard (inverted-index blocking) --
 
   /** Exact Jaccard near-dup pairs over the informative-shingle universe
@@ -2308,6 +2372,7 @@ object PipelineQueries {
     "q_p3_pack" -> p3Pack,
     "q_p4_shards" -> p4Shards,
     "q_p5_split" -> p5Split,
+    "q_p8_cluster_split" -> p8ClusterSplit,
     "q_p6_temperature" -> p6Temperature,
     "q_d9_neardup_purge" -> d9NearDupPurge,
     "q_e8_quantize" -> e8Quantize,
@@ -2366,6 +2431,7 @@ object PipelineQueries {
     "q_p3_pack" -> p3PackSql,
     "q_p4_shards" -> p4ShardsSql,
     "q_p5_split" -> p5SplitSql,
+    "q_p8_cluster_split" -> p8ClusterSplitSql,
     "q_p6_temperature" -> p6TemperatureSql,
     "q_d9_neardup_purge" -> d9NearDupPurgeSql,
     "q_e8_quantize" -> e8QuantizeSql,

@@ -168,4 +168,28 @@ class SamplingSpec extends SparkSpec {
     // with these weights the heavy class should win a large majority
     heavy.toDouble should be > light.toDouble * 1.5
   }
+
+  test("p8 cluster-aware split: no near-dup pair ever straddles a split boundary") {
+    import spark.implicits._
+    // The dedup corpus plants near-dups (id ↔ id+100000, id%5==0) and
+    // exact dups (id ↔ id+200000, id%7==0). Leakage-safety means every
+    // such pair — and transitively every cluster — lands whole on one
+    // side of the split; q_p5's per-doc gate demonstrably does NOT
+    // guarantee this, which is the point of p8.
+    val d = "/root/testdata/sf0.001"
+    val split = PipelineQueries.p8ClusterSplit(spark, d)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val pairs = graft.ops.Dedup.nearDupPairs(
+        PipelineQueries.corpus(spark, d), "id", "text")
+      .select("ia", "ib").as[(Long, Long)].collect()
+    pairs.length should be > 0
+    pairs.foreach { case (a, b) =>
+      withClue(s"near-dup pair ($a, $b) split across sides: ") {
+        split(a) shouldBe split(b)
+      }
+    }
+    // the split itself is a real 80/10/10-ish partition, not degenerate
+    val bySide = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    bySide.keySet shouldBe Set("train", "val", "test")
+  }
 }
