@@ -171,16 +171,84 @@ object StreamQueries {
       |FROM w, m WHERE CAST(window_end AS TIMESTAMP) <= m.mx
       |ORDER BY day""".stripMargin
 
+  /** ST5: CUSTOM-STATE sessionization in the gate — the
+    * flatMapGroupsWithState gap-session operator
+    * (streaming/Sessionize.scala) run AvailableNow over the events
+    * stream, its deterministic final output stated as batch SQL. Two
+    * rules compose the oracle:
+    *  - session membership is the gaps-and-islands machinery (q_g1's
+    *    lag+cumsum formulation, 30-min gap) — on MILLISECOND floors,
+    *    because the state logic runs on Timestamp.getTime;
+    *  - emission: a closed session (one the user's own later event
+    *    closed) always emits; each user's LAST session is held open in
+    *    state and emits only via event-time timeout, i.e. iff the final
+    *    watermark (= max event time, zero delay) has passed
+    *    session_end + gap.
+    * This finishes the streaming column: every streaming operator
+    * family (agg, enrich, dedup, watermark window, custom state) now
+    * has an oracle-gated representative.
+    */
+  private val St5GapMs = 30L * 60 * 1000
+  val st5StreamSessions: Q = (s, d) => {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val sink = "st5_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[graft.streaming.SessionEvent]
+    val q = graft.streaming.Sessionize
+      .sessions(src, gapMs = St5GapMs, watermarkDelay = "0 seconds")
+      .toDF()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drain(s, sink,
+      s.table(sink).select(col("user_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"),
+        col("n_events").cast("long").as("n_events")))
+      .orderBy("user_id", "start_ms")
+  }
+  val st5StreamSessionsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
+       |m AS (SELECT MAX(ms) AS mx FROM e),
+       |flagged AS (
+       |  SELECT user_id, ms,
+       |    CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) <= $St5GapMs
+       |         THEN 0 ELSE 1 END AS is_new
+       |  FROM e),
+       |numbered AS (
+       |  SELECT user_id, ms,
+       |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+       |  FROM flagged),
+       |sess AS (
+       |  SELECT user_id, sid, COUNT(*) AS n_events,
+       |    MIN(ms) AS start_ms, MAX(ms) AS end_ms
+       |  FROM numbered GROUP BY 1, 2),
+       |last AS (SELECT user_id, MAX(sid) AS last_sid FROM sess GROUP BY 1)
+       |SELECT s.user_id, s.start_ms, s.end_ms, s.n_events
+       |FROM sess s JOIN last l ON l.user_id = s.user_id, m
+       |WHERE s.sid < l.last_sid OR s.end_ms + $St5GapMs < m.mx
+       |ORDER BY s.user_id, s.start_ms""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q_st1_stream_agg" -> st1StreamAgg,
     "q_st2_stream_enrich" -> st2StreamEnrich,
     "q_st3_stream_dedup" -> st3StreamDedup,
-    "q_st4_stream_window" -> st4StreamWindow)
+    "q_st4_stream_window" -> st4StreamWindow,
+    "q_st5_stream_sessions" -> st5StreamSessions)
   val oracles: Map[String, String] = Map(
     "q_st1_stream_agg" -> st1StreamAggSql,
     "q_st2_stream_enrich" -> st2StreamEnrichSql,
     "q_st3_stream_dedup" -> st3StreamDedupSql,
-    "q_st4_stream_window" -> st4StreamWindowSql)
+    "q_st4_stream_window" -> st4StreamWindowSql,
+    "q_st5_stream_sessions" -> st5StreamSessionsSql)
 }
