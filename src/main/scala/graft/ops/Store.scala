@@ -45,7 +45,7 @@ object Store {
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
              partCol: String, keys: Seq[String], tsCol: String,
-             tieBreak: String): Unit = {
+             tieBreak: String, statsCols: Seq[String] = Nil): Unit = {
     val overwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
     val savedMode = spark.conf.getOption(overwriteModeKey)
     spark.conf.set(overwriteModeKey, "dynamic")
@@ -64,6 +64,13 @@ object Store {
       // relative to the archive. (Same pattern as refreshRankingsArchive.)
       merged.localCheckpoint(eager = true)
         .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+      // Data-skipping manifest rides the upsert: stats recomputed for
+      // the touched partitions only (batch-proportional, like the
+      // upsert itself).
+      if (statsCols.nonEmpty)
+        refreshManifestIncremental(spark, path, partCol,
+          touched.collect().map(r => if (r.isNullAt(0)) null else r.get(0)).toIndexedSeq,
+          statsCols)
     } finally {
       savedMode match {
         case Some(m) => spark.conf.set(overwriteModeKey, m)
@@ -170,6 +177,98 @@ object Store {
     }
   }
 
+  // ---- File-level data skipping (min/max stats manifest) ---------------
+
+  /** The Delta/Iceberg data-skipping pattern in miniature: a per-FILE
+    * min/max/rowcount manifest kept next to the data (under the
+    * `_manifest` dir, which Spark's file listing treats as hidden), so
+    * a selective scan can drop whole files whose [min, max] envelope
+    * misses the predicate — BELOW partition granularity. The reference
+    * leans on DuckDB zonemaps + three ART indexes for exactly this
+    * (schema.py:101-116); partition pruning alone only skips on the
+    * partition key. Composes with [[writeZOrdered]]: the Z-layout gives
+    * every file a tight envelope in BOTH clustered dimensions, which is
+    * what makes the manifest actually selective on either one.
+    *
+    * Scale shape: the manifest is file-count-sized (not data-sized);
+    * consulting it is the same driver-side planning step Delta performs
+    * against its transaction log. Stats collection is one
+    * column-pruned scan (only the stats columns are read).
+    */
+  def manifestPath(path: String): String = s"$path/_manifest"
+
+  private def partDirName(partCol: String, v: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val s =
+      if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else ExternalCatalogUtils.escapePathName(v.toString)
+    s"$partCol=$s"
+  }
+
+  /** Per-file stats frame: (file, nrows, min_c/max_c per stats col). */
+  private def statsOf(df: DataFrame, statsCols: Seq[String]): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("nrows"),
+        statsCols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+
+  /** Full manifest rebuild over every live file. */
+  def refreshManifest(spark: SparkSession, path: String,
+                      statsCols: Seq[String]): Unit =
+    statsOf(spark.read.parquet(path), statsCols)
+      .localCheckpoint(eager = true) // never read-and-overwrite the same dir
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath(path))
+
+  /** Incremental refresh after an upsert: recompute stats ONLY for the
+    * files under the touched partition dirs (a partition-pruned read),
+    * keep every other manifest row — per-batch cost tracks the batch.
+    * Falls back to a full rebuild when no manifest exists yet (a
+    * partial manifest would silently unprune the rest of the table).
+    */
+  def refreshManifestIncremental(spark: SparkSession, path: String,
+                                 partCol: String, touchedVals: Seq[Any],
+                                 statsCols: Seq[String]): Unit = {
+    val mPath = new org.apache.hadoop.fs.Path(manifestPath(path))
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mPath)) { refreshManifest(spark, path, statsCols); return }
+    val dirs = touchedVals.map(v => s"$path/${partDirName(partCol, v)}")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    val fresh = statsOf(
+      spark.read.option("basePath", path).parquet(dirs: _*), statsCols)
+    // Old rows for touched partitions drop out by on-disk dir fragment —
+    // the same escaped names the writer produced.
+    val frags = touchedVals.map(v => "/" + partDirName(partCol, v) + "/")
+    val keep = spark.read.parquet(mPath.toString)
+      .filter(!frags.map(f => col("file").contains(f)).reduce(_ || _))
+    keep.unionByName(fresh)
+      .localCheckpoint(eager = true)
+      .write.mode(SaveMode.Overwrite).parquet(mPath.toString)
+  }
+
+  final case class PrunedScan(df: DataFrame, filesRead: Long, filesTotal: Long)
+
+  /** Manifest-pruned range scan: read ONLY the files whose [min, max]
+    * envelope intersects [lo, hi] on `c`, then apply the row-level
+    * predicate as usual (parquet row-group stats prune further inside
+    * each kept file). Returns the file counts so callers (and specs)
+    * can assert the skipping actually happened.
+    */
+  def scanPruned(spark: SparkSession, path: String, c: String,
+                 lo: Any, hi: Any): PrunedScan = {
+    val mf = spark.read.parquet(manifestPath(path))
+    val total = mf.count()
+    val files = mf
+      .filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+      .select("file").collect().map(_.getString(0)).toIndexedSeq
+    val pred = col(c) >= lit(lo) && col(c) <= lit(hi)
+    val df =
+      if (files.isEmpty)
+        spark.read.option("basePath", path).parquet(path).filter(pred).limit(0)
+      else
+        spark.read.option("basePath", path).parquet(files: _*).filter(pred)
+    PrunedScan(df, files.length, total)
+  }
+
   /** Small-file compaction: rewrite a partitioned table so each
     * partition directory holds ~ceil(bytes/targetBytes) files instead
     * of one file per historical ingest batch. Returns
@@ -188,6 +287,10 @@ object Store {
     * rewrite lands in a sibling temp dir and swaps in with two renames,
     * so a crash mid-compaction never touches the live table (contrast
     * upsert, which must merge and therefore checkpoint-cuts lineage).
+    *
+    * A data-skipping manifest does NOT survive compaction (file names
+    * change, and `_manifest` is discarded with the pre-compact copy) —
+    * run [[refreshManifest]] afterwards if the table carries one.
     */
   def compact(spark: SparkSession, path: String, partCol: String,
               targetBytes: Long = 128L << 20): (Long, Long) = {
@@ -200,7 +303,9 @@ object Store {
       val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
       while (it.hasNext) {
         val f = it.next()
-        if (!f.getPath.getName.startsWith("_")) buf += f
+        // skip hidden files AND files under hidden dirs (e.g. _manifest)
+        if (!f.getPath.getName.startsWith("_") &&
+          !f.getPath.getParent.getName.startsWith("_")) buf += f
       }
       buf.toSeq
     }
@@ -260,15 +365,38 @@ object Store {
     * two-selective-predicates scan (symbol × date, user × time).
     * One range exchange + in-partition sort — the same cost as any
     * layout rewrite.
+    *
+    * Both dimensions are min/max-NORMALIZED onto a shared 2^20 grid
+    * before interleaving (one tiny agg, broadcast back). Raw
+    * bit-interleaving lets the wider-magnitude column own the key's
+    * high bits — a 2^13-range column against a 2^8-range one makes
+    * every file-range boundary split on dimension 1 alone, and
+    * dimension 2 never prunes anything. Equal bit budgets are what
+    * production Z-clustering (Delta OPTIMIZE ZORDER's range-id
+    * normalization) does for the same reason; linear min/max scaling
+    * is the deterministic single-pass version (rank normalization
+    * would also flatten skew, at the price of per-dimension quantile
+    * passes).
     */
   def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
-                    files: Int): Unit =
-    df.withColumn("__z", graft.functions.ZOrderKey.zorderKey(
-        col(c1).cast("long"), col(c2).cast("long")))
+                    files: Int): Unit = {
+    val ZBits = 20 // range ≤ 2^43 stays overflow-free: 2^43 · 2^20 < 2^63
+    val stats = df.agg(
+      min(col(c1)).cast("long").as("__lo1"), max(col(c1)).cast("long").as("__hi1"),
+      min(col(c2)).cast("long").as("__lo2"), max(col(c2)).cast("long").as("__hi2"))
+    def norm(c: String, lo: String, hi: String) =
+      when(col(hi) === col(lo), lit(0L))
+        .otherwise((col(c).cast("long") - col(lo)) * ((1L << ZBits) - 1) /
+          (col(hi) - col(lo)))
+        .cast("long")
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", graft.functions.ZOrderKey.zorderKey(
+        norm(c1, "__lo1", "__hi1"), norm(c2, "__lo2", "__hi2")))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .select(df.columns.toIndexedSeq.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 
   /** Derived summary table (the reference's daily_symbol_counts
     * materialized view): per-partition totals refreshed post-ingest.

@@ -227,4 +227,73 @@ class StoreSpec extends SparkSpec {
     Versioned.versions(spark, root) shouldBe Seq(v2)
     Versioned.readLatest(spark, root).count() shouldBe 1
   }
+
+  test("data-skipping manifest: z-ordered layout + manifest reads fewer files, same rows") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-skip").toString + "/t"
+    // Orders-shaped data clustered on (custkey, orderkey): the Z-layout
+    // gives each of the 8 files a bounded envelope in BOTH columns.
+    val df = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    Store.writeZOrdered(df, path, "o_custkey", "o_orderkey", files = 8)
+    Store.refreshManifest(spark, path, Seq("o_custkey", "o_orderkey"))
+
+    val (lo, hi) = (10L, 60L) // narrow custkey band
+    val pruned = Store.scanPruned(spark, path, "o_custkey", lo, hi)
+    pruned.filesTotal shouldBe 8L
+    withClue("selective predicate must skip whole files: ") {
+      pruned.filesRead should be < pruned.filesTotal
+    }
+    pruned.filesRead should be > 0L
+    // identical result to the unpruned scan — skipping must be lossless
+    val expected = spark.read.parquet(path)
+      .filter($"o_custkey" >= lo && $"o_custkey" <= hi)
+      .orderBy("o_orderkey").collect()
+    pruned.df.orderBy("o_orderkey").collect() shouldBe expected
+    // and the SECOND clustered dimension prunes too (the point of Z
+    // over a linear sort)
+    val byOrder = Store.scanPruned(spark, path, "o_orderkey", 1L, 400L)
+    byOrder.filesRead should be < byOrder.filesTotal
+    byOrder.df.count() shouldBe
+      spark.read.parquet(path).filter($"o_orderkey".between(1L, 400L)).count()
+  }
+
+  test("upsert maintains the manifest incrementally for touched partitions only") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-skipup").toString + "/t"
+    val stats = Seq("file_size_bytes")
+    Store.writePartitioned(grid("2024-01-18 02:00:00", 8000000L), path, "date")
+    Store.refreshManifest(spark, path, stats)
+    val before = spark.read.parquet(Store.manifestPath(path))
+      .as[(String, Long, Long, Long)].collect().map { case (f, n, lo, hi) => f -> ((n, lo, hi)) }.toMap
+
+    // Re-probe ONE date with bigger sizes through the stats-aware upsert.
+    val reprobe = grid("2024-01-19 02:00:00", 9000000L)
+      .filter($"date" === Date.valueOf("2024-01-16"))
+    Store.upsert(spark, path, reprobe, "date", Seq("date", "symbol"),
+      "probe_timestamp", "file_size_bytes", statsCols = stats)
+
+    val after = spark.read.parquet(Store.manifestPath(path))
+      .as[(String, Long, Long, Long)].collect().map { case (f, n, lo, hi) => f -> ((n, lo, hi)) }.toMap
+    // untouched partitions keep their EXACT manifest rows (same files)
+    val untouchedBefore = before.filter(!_._1.contains("/date=2024-01-16/"))
+    val untouchedAfter = after.filter(!_._1.contains("/date=2024-01-16/"))
+    untouchedAfter shouldBe untouchedBefore
+    // the touched partition's row reflects the new file + new stats
+    val touched = after.filter(_._1.contains("/date=2024-01-16/"))
+    touched should not be empty
+    touched.values.foreach { case (_, lo, hi) =>
+      lo should be >= 9000000L
+      hi should be >= 9000000L
+    }
+    // and the incremental manifest == a from-scratch rebuild
+    Store.refreshManifest(spark, path, stats)
+    val rebuilt = spark.read.parquet(Store.manifestPath(path))
+      .as[(String, Long, Long, Long)].collect().map { case (f, n, lo, hi) => f -> ((n, lo, hi)) }.toMap
+    after shouldBe rebuilt
+    // pruning works against the refreshed manifest end to end
+    val p = Store.scanPruned(spark, path, "file_size_bytes", 9000000L, 9100000L)
+    p.filesRead should be < p.filesTotal
+    p.df.count() shouldBe 3L // the three re-probed symbols
+  }
 }
