@@ -68,9 +68,16 @@ object SketchQueries {
     val toks = Tables.documents(s, d)
       .select(explode(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("tok"))
       .select(lower(col("tok")).as("term"))
-    val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
-      .orderBy(col("exact_cnt").desc, col("term")).limit(20)
-    val cells = Sketches.cmsCells(toks, col("term"), Depth, Width)
+    // ONE tokenize + ONE keyed exchange: the per-term counts feed the
+    // exact top-20, the cell table (weighted form — the seed explode
+    // runs over the vocabulary, not the token stream), and the probe
+    // join. Checkpointed because three consumers would otherwise each
+    // re-tokenize the corpus; the frame is vocabulary-sized.
+    val termCounts = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      .localCheckpoint(true)
+    val exact = termCounts.orderBy(col("exact_cnt").desc, col("term")).limit(20)
+    val cells = Sketches.cmsCellsWeighted(
+      termCounts, col("term"), col("exact_cnt"), Depth, Width)
     Sketches.cmsEstimate(cells, exact.select("term"), Depth, Width)
       .join(exact, "term")
       .select(col("term"), col("exact_cnt"), col("est_cnt"))
@@ -107,16 +114,23 @@ object SketchQueries {
     * instead of term streams. Same hash family and dimensions as K2.
     */
   val k5CmsMerge: Q = (s, d) => {
-    val perSource = Tables.documents(s, d)
+    // Pre-count per (source, term) — one keyed exchange over the token
+    // stream — then the seed explode and hashing run per-source over
+    // the vocabulary only (same cells, depth× fewer hashed rows).
+    val perSourceCounts = Tables.documents(s, d)
       .select(col("source"),
         explode(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("tok"))
       .select(col("source"), lower(col("tok")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("tc"))
+    val perSource = perSourceCounts
       .select(col("source"),
-        explode(array((0 until Depth).map(lit): _*)).as("seed"), col("term"))
+        explode(array((0 until Depth).map(lit): _*)).as("seed"),
+        col("term"), col("tc"))
       .select(col("source"), col("seed"),
-        pmod(TextOps.seededHash60(col("seed"), col("term")), lit(Width.toLong)).as("cell"))
+        pmod(TextOps.seededHash60(col("seed"), col("term")), lit(Width.toLong)).as("cell"),
+        col("tc"))
       .groupBy("source", "seed", "cell")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("tc")).as("cnt"))
     perSource
       .groupBy("seed", "cell")
       .agg(sum(col("cnt")).as("cnt"))

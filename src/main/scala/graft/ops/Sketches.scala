@@ -270,6 +270,25 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Cell table from a PRE-COUNTED (term, weight) frame: identical
+    * cells to [[cmsCells]] over the raw instances (grouping by term
+    * first then summing commutes with the per-(seed, cell) count), but
+    * the depth-way explode and the seeded hashing run over DISTINCT
+    * terms, not token instances — the explicit form of the map-side
+    * combine, worth a depth× reduction in hashed rows when the
+    * vocabulary is far smaller than the corpus (it always is).
+    */
+  def cmsCellsWeighted(termCounts: DataFrame, term: Column, cnt: Column,
+                       depth: Int, width: Int): DataFrame =
+    termCounts
+      .select(explode(array((0 until depth).map(lit): _*)).as("seed"),
+        term.as("term"), cnt.as("__c"))
+      .select(col("seed"),
+        pmod(TextOps.seededHash60(col("seed"), col("term")), lit(width.toLong)).as("cell"),
+        col("__c"))
+      .groupBy("seed", "cell")
+      .agg(sum(col("__c")).as("cnt"))
+
   /** Point-estimate the frequency of each term in `terms` (a frame with
     * a `term` column) against a cell table: min over the d row counters.
     * The cell table is tiny (≤ depth·width rows) and is broadcast; the
