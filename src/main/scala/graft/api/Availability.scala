@@ -191,6 +191,61 @@ object AvailabilityQueries {
       .orderBy(col("date").desc)
       .limit(days)
 
+  /** Per-symbol volume QUANTILES over a range via the mergeable
+    * bottom-k sketch (ops/Sketches.BottomKAgg) — the 100 TB form of
+    * the reference's exact percentile math (volume.py:75,126-128):
+    * fixed k-pair state per symbol, map-side partials, only sketches
+    * cross the shuffle. Estimates are integer-rank selections from
+    * the sample (ceil(p·m/100)), computed with pure array expressions
+    * — no window, no second exchange. `n_days` rides along so callers
+    * see when the sample is exact (n ≤ k ⇒ the sketch holds every
+    * row).
+    */
+  def volumeQuantileSketch(df: DataFrame, start: Date, end: Date,
+                           k: Int = 256): DataFrame = {
+    val bk = graft.ops.Sketches.bottomKSketch(k)
+    val sk = df
+      .filter(col("date").between(lit(start), lit(end)) &&
+        col("quote_volume_usdt").isNotNull)
+      .select(col("symbol"),
+        graft.ops.TextOps.hash60(
+          concat(col("symbol"), lit(":"), col("date").cast("string"))).as("h"),
+        col("quote_volume_usdt").as("v"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"), bk(col("h"), col("v")).as("sk"))
+      .withColumn("__vals", array_sort(expr("transform(sk, c -> c._2)")))
+    def q(p: Int) = element_at(col("__vals"),
+      expr(s"cast(($p * size(sk) + 99) div 100 as int)"))
+    sk.select(col("symbol"), col("n_days"),
+        q(50).as("p50_volume"), q(90).as("p90_volume"), q(99).as("p99_volume"))
+      .orderBy("symbol")
+  }
+
+  /** Most-available symbols from mergeable per-month heavy-hitter
+    * summaries (ops/Sketches.hhShardSummaries): each month keeps its
+    * exact top-m (symbol, available-days) list + threshold; the merged
+    * bounds bracket every candidate's true total, and no symbol with
+    * more available days than the threshold sum can be missed. The
+    * bounded-state form of "rank symbols by days available" — per-month
+    * state is m rows regardless of history length.
+    */
+  def mostAvailableSymbols(df: DataFrame, m: Int = 100,
+                           topK: Int = 20): DataFrame = {
+    import graft.ops.Sketches
+    val toks = df.filter(col("available"))
+      .select(date_format(col("date"), "yyyy-MM").as("month"), col("symbol"))
+    val summ = Sketches.hhShardSummaries(toks, col("month"), col("symbol"), m)
+    val bounds = Sketches.hhMergedBounds(summ, Sketches.hhThresholds(summ, m))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lb").desc, col("term"))
+    bounds
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("term").as("symbol"), col("lb").as("min_days"),
+        col("ub").as("max_days"))
+      .orderBy(col("min_days").desc, col("symbol"))
+  }
+
   // ---- rankings archive (§3.3) ----------------------------------------
 
   /** Incremental rankings refresh: compute the 13-column pipeline for

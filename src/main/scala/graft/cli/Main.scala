@@ -110,6 +110,24 @@ object Main {
       withSession(spark => emit(AvailabilityQueries.volumePercentile(
         spark.read.parquet(path), symbol, java.sql.Date.valueOf(date)), rest))
 
+    // sketch-tier extensions of the reference's volume math: per-symbol
+    // volume quantiles from the mergeable bottom-k sample, and
+    // most-available symbols from per-month heavy-hitter summaries.
+    case "volquantiles" :: path :: start :: end :: rest =>
+      val k = rest.sliding(2).collectFirst {
+        case Seq("--k", v) => v.toInt
+      }.getOrElse(256)
+      withSession(spark => emit(AvailabilityQueries.volumeQuantileSketch(
+        spark.read.parquet(path), java.sql.Date.valueOf(start),
+        java.sql.Date.valueOf(end), k), rest))
+
+    case "mostavailable" :: path :: rest =>
+      val n = rest.sliding(2).collectFirst {
+        case Seq("--top", v) => v.toInt
+      }.getOrElse(20)
+      withSession(spark => emit(AvailabilityQueries.mostAvailableSymbols(
+        spark.read.parquet(path), topK = n), rest))
+
     // reference cross-check validator (cross_check.py:79-137): DB symbols
     // on a date vs a saved exchangeInfo response body.
     case "crosscheck" :: path :: jsonPath :: date :: rest =>
@@ -129,6 +147,8 @@ object Main {
           "volume <path> <date> [--top N] | " +
           "range <path> <start> <end> [--counts] | " +
           "percentile <path> <symbol> <date> | " +
+          "volquantiles <path> <start> <end> [--k N] | " +
+          "mostavailable <path> [--top N] | " +
           "crosscheck <path> <exchangeInfo.json> <date>")
       sys.exit(2)
   }

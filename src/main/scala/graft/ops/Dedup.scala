@@ -291,11 +291,18 @@ object Dedup {
       .select(least(col("ida"), col("idb")).as("ia"),
         greatest(col("ida"), col("idb")).as("ib"))
       .distinct()
-    // distinct: a document RE-INGESTED under an existing id would
-    // otherwise contribute its (id, h) rows twice (once from the stored
-    // index, once from the delta), inflating set sizes and deflating
-    // jac below threshold for true near-dups involving that id.
-    val out = jaccardVerify(cand, baseSh.unionByName(dSh).distinct(), setCol = "h")
+    // Re-ingested ids: a document arriving under an id the index
+    // already holds must REPLACE its stored shingle rows — a plain
+    // union would count both versions' (id, h) rows, inflating set
+    // sizes and deflating jac below threshold for true near-dups
+    // involving that id (and a distinct() would still blend old+new
+    // content when the text changed). Delta ids are batch-bounded, so
+    // the drop is a broadcast anti-join — a map-side filter on the
+    // base, no extra exchange.
+    val deltaIds = dSh.select(col("id")).distinct()
+    val mergedSh = baseSh.join(broadcast(deltaIds), Seq("id"), "left_anti")
+      .unionByName(dSh)
+    val out = jaccardVerify(cand, mergedSh, setCol = "h")
       .filter(col("jac") >= threshold)
       .select(col("ia"), col("ib"), col("jac"))
       .localCheckpoint(eager = true)

@@ -142,6 +142,44 @@ class AvailabilitySpec extends SparkSpec {
     av.getAs[Long]("n_days") shouldBe 1L
   }
 
+  test("volumeQuantileSketch: exact below k, sample-quantile shape above") {
+    import spark.implicits._
+    // 10 days × 1 symbol with volumes 1..10 → with k ≥ n the sample is
+    // the whole series and the rank selections are EXACT percentiles.
+    val days = (1 to 10).map(i => rec(f"2024-01-$i%02d", "BTCUSDT",
+      vol = Some(i * 100.0), trades = Some(10L)))
+    val df = days.toDF()
+    val q = AQ.volumeQuantileSketch(df,
+      Date.valueOf("2024-01-01"), Date.valueOf("2024-01-31"), k = 256).collect()
+    q.length shouldBe 1
+    q.head.getAs[Long]("n_days") shouldBe 10L
+    q.head.getAs[Double]("p50_volume") shouldBe 500.0 // ceil(.5·10)=5th of 100..1000
+    q.head.getAs[Double]("p90_volume") shouldBe 900.0
+    q.head.getAs[Double]("p99_volume") shouldBe 1000.0
+    // with k < n it still selects real observed values from the sample
+    val small = AQ.volumeQuantileSketch(df,
+      Date.valueOf("2024-01-01"), Date.valueOf("2024-01-31"), k = 4).collect().head
+    val vols = (1 to 10).map(_ * 100.0).toSet
+    vols should contain(small.getAs[Double]("p50_volume"))
+    vols should contain(small.getAs[Double]("p99_volume"))
+  }
+
+  test("mostAvailableSymbols: bounds bracket true day counts, ranked by lower bound") {
+    import spark.implicits._
+    // BTC available every day of both months, ETH most, SOL few.
+    val rows =
+      (1 to 20).map(i => rec(f"2024-01-$i%02d", "BTCUSDT")) ++
+      (1 to 20).map(i => rec(f"2024-02-$i%02d", "BTCUSDT")) ++
+      (1 to 15).map(i => rec(f"2024-01-$i%02d", "ETHUSDT")) ++
+      (1 to 15).map(i => rec(f"2024-02-$i%02d", "ETHUSDT")) ++
+      (1 to 3).map(i => rec(f"2024-01-$i%02d", "SOLUSDT")) ++
+      Seq(rec("2024-01-25", "ADAUSDT", avail = false)) // unavailable: excluded
+    val got = AQ.mostAvailableSymbols(rows.toDF(), m = 100, topK = 2).collect()
+    // m=100 per month → complete lists → lb == ub == exact
+    got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq(("BTCUSDT", 40L, 40L), ("ETHUSDT", 30L, 30L))
+  }
+
   test("rankings archive: initial build + incremental append + overlap rejection") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-archive").toString + "/rankings"

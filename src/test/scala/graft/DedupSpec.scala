@@ -192,6 +192,25 @@ class DedupSpec extends SparkSpec {
     got.keySet should contain((1L, 10L))   // the new duplicate was caught
   }
 
+  test("incrementalNearDupPairs: a re-ingested id REPLACES its indexed shingles") {
+    import spark.implicits._
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base = Seq((1L, textA),
+      (2L, "completely different original content for document two here")).toDF("id", "text")
+    val baseSh = Dedup.shingleHashSet(base, "id", "text", 3)
+    // Doc 2 re-arrives with NEW text that near-dups doc 1 (one token
+    // dropped). Correctness requires jac computed on the NEW shingles
+    // only: blending old+new (a union or even union.distinct) would
+    // inflate doc 2's set size and sink jac below threshold.
+    val delta = Seq((2L, textA.split(" ").drop(1).mkString(" "))).toDF("id", "text")
+    val got = Dedup.incrementalNearDupPairs(
+        baseSh, Dedup.minhashSigs(baseSh, 16), delta, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.keySet shouldBe Set((1L, 2L))
+    // exact jac of the replaced doc: 7 shared / (8 + 7 - 7) = 0.875
+    got((1L, 2L)) shouldBe 0.875 +- 1e-9
+  }
+
   test("weightedJaccardPairs is repetition-sensitive: doubled doc scores exactly 0.5") {
     import spark.implicits._
     val a = "alpha beta gamma delta epsilon zeta"
