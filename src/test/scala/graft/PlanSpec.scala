@@ -93,4 +93,30 @@ class PlanSpec extends SparkSpec {
     p should include("ReadSchema")
     p should not include "lang"
   }
+
+  test("q_k6 bottom-k sketch partial-aggregates map-side; only sketches cross the exchange") {
+    // The whole design premise of the mergeable quantile state: each
+    // task collapses its rows into one k-pair buffer per group BEFORE
+    // the shuffle. A partial_bottomkagg below the exchange is that
+    // property; losing it would ship raw (h, v) rows instead of
+    // sketches — invisible to the value gate, fatal at 100 TB.
+    val p = plan("q_k6_quantile_sketch").toLowerCase
+    p should include("partial_bottomkagg")
+    withClue("sketch aggregation must be ObjectHashAggregate (imperative buffer), not sort-based: ") {
+      p should include("objecthashaggregate")
+    }
+  }
+
+  test("q_k7 heavy hitters: thresholds broadcast; one exchange carries the token stream") {
+    val p = plan("q_k7_heavy_hitters")
+    // the s-row thresholds frame joins by broadcast, never shuffle
+    p should include("BroadcastNestedLoopJoin")
+    // exactly one exchange is keyed on the raw token stream's (shard,
+    // term) — the per-shard exact counts; everything downstream is
+    // summary-sized. A second such exchange would mean the token
+    // stream leaked past the summary boundary.
+    p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        l.contains("shard") && l.contains("term")) should be <= 2 // partial+final pair resolves to one boundary
+  }
 }
