@@ -405,6 +405,68 @@ object SketchQueries {
        |FROM ranked WHERE rk <= $HHk
        |ORDER BY lb DESC, term""".stripMargin
 
+  // ---- K8: sketch table as a materialized, mergeable rollup ------------
+
+  /** K8: the STORED form of the sketch algebra — per-day KMV sketches
+    * of distinct users (one k-long array per day: the materialized
+    * sketch table an ingest pipeline persists, reference's
+    * daily_symbol_counts matview lifted to mergeable state), rolled up
+    * to WEEKLY distinct-user estimates by merging the day sketches —
+    * the raw event stream is never rescanned for the coarser grain,
+    * and appending a day extends the table without touching history.
+    * Bottom-k of the per-day bottom-ks == bottom-k of the week
+    * (every weekly minimum is a minimum within its own day), so the
+    * rollup estimate is identical to sketching the week directly —
+    * the oracle replays exactly that two-level construction, and the
+    * exact weekly distinct rides along k1-style.
+    */
+  val k8SketchRollup: Q = (s, d) => {
+    val kmv = Sketches.kmvSketch(K)
+    val src = Tables.events(s, d).select(
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+      TextOps.hash60(col("user_id").cast("string")).as("h"))
+    // the stored per-day sketch table (grain: one row per day)
+    val perDay = src.groupBy("week", "day").agg(kmv(col("h")).as("sk"))
+    // weekly rollup FROM SKETCHES ONLY
+    val weekly = perDay
+      .select(col("week"), explode(col("sk")).as("h"))
+      .groupBy("week").agg(count(lit(1)).as("n_candidates"), kmv(col("h")).as("sk"))
+    val exact = src.groupBy("week").agg(countDistinct(col("h")).as("n_exact"))
+    weekly.join(exact, "week")
+      .select(col("week"), col("n_exact"), col("n_candidates"),
+        Sketches.kmvThreshold(col("sk"), K).as("kth_min"),
+        Sketches.kmvEstimate(col("sk"), K).as("est_distinct"))
+      .orderBy("week")
+  }
+  val k8SketchRollupSql: String = {
+    val h = TextOps.hash60Sql("CAST(user_id AS VARCHAR)")
+    s"""WITH e AS (
+       |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+       |         strftime(date_trunc('week', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS week,
+       |         $h AS h
+       |  FROM events),
+       |dd AS (SELECT DISTINCT week, day, h FROM e),
+       |rd AS (SELECT week, day, h,
+       |         row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+       |       FROM dd),
+       |cand AS (SELECT week, h, COUNT(*) AS dup FROM rd WHERE rn <= $K GROUP BY 1, 2),
+       |nc AS (SELECT week, CAST(SUM(dup) AS BIGINT) AS n_candidates FROM cand GROUP BY 1),
+       |rw AS (SELECT week, h,
+       |         row_number() OVER (PARTITION BY week ORDER BY h) AS rn,
+       |         COUNT(*) OVER (PARTITION BY week) AS nu
+       |       FROM cand),
+       |g AS (SELECT week, COUNT(DISTINCT h) AS n_exact FROM e GROUP BY 1)
+       |SELECT g.week, g.n_exact, nc.n_candidates,
+       |  MAX(CASE WHEN rw.rn = $K THEN rw.h END) AS kth_min,
+       |  CASE WHEN MAX(rw.nu) < $K THEN CAST(MAX(rw.nu) AS DOUBLE)
+       |       ELSE ${K - 1}.0 * 1152921504606846976 / MAX(CASE WHEN rw.rn = $K THEN rw.h END)
+       |  END AS est_distinct
+       |FROM rw JOIN g ON g.week = rw.week JOIN nc ON nc.week = rw.week
+       |GROUP BY g.week, g.n_exact, nc.n_candidates
+       |ORDER BY g.week""".stripMargin
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -414,7 +476,8 @@ object SketchQueries {
     "q_k3_kmv_union" -> k3KmvUnion,
     "q_k4_hll" -> k4Hll,
     "q_k6_quantile_sketch" -> k6Quantile,
-    "q_k7_heavy_hitters" -> k7HeavyHitters)
+    "q_k7_heavy_hitters" -> k7HeavyHitters,
+    "q_k8_sketch_rollup" -> k8SketchRollup)
 
   val oracles: Map[String, String] = Map(
     "q_k1_kmv" -> k1KmvSql,
@@ -423,5 +486,6 @@ object SketchQueries {
     "q_k3_kmv_union" -> k3KmvUnionSql,
     "q_k4_hll" -> k4HllSql,
     "q_k6_quantile_sketch" -> k6QuantileSql,
-    "q_k7_heavy_hitters" -> k7HeavyHittersSql)
+    "q_k7_heavy_hitters" -> k7HeavyHittersSql,
+    "q_k8_sketch_rollup" -> k8SketchRollupSql)
 }

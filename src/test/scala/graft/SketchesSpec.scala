@@ -251,6 +251,30 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("stored sketch table: parquet round-trip + incremental day append, rollup == direct") {
+    // The k8 shape end to end: per-day sketches persisted as a parquet
+    // table, a NEW day appended without touching history, and the
+    // weekly rollup computed from stored sketches alone — identical to
+    // sketching the raw union directly.
+    val k = 16
+    val kmv = Sketches.kmvSketch(k)
+    val path = java.nio.file.Files.createTempDirectory("graft-sktbl").toString + "/t"
+    def day(n: Int) = (1 to 400).map(i => (s"d$n", h60(s"u${(i * (n + 7)) % 997}")))
+      .toDF("day", "h")
+    val history = day(1).union(day(2)).union(day(3))
+    history.groupBy("day").agg(kmv($"h").as("sk"))
+      .write.parquet(path) // the stored sketch table
+    // a new day arrives: ONE new row appended, history untouched
+    day(4).groupBy("day").agg(kmv($"h").as("sk"))
+      .write.mode("append").parquet(path)
+    val rolledUp = spark.read.parquet(path)
+      .select(explode($"sk").as("h"))
+      .agg(kmv($"h")).as[Seq[Long]].head()
+    val direct = history.union(day(4))
+      .agg(kmv($"h")).as[Seq[Long]].head()
+    rolledUp shouldBe direct
+  }
+
   // ---- heavy hitters ---------------------------------------------------
 
   test("heavy hitters: bounds bracket truth and nothing above the threshold sum is missed") {
