@@ -1589,6 +1589,62 @@ object PipelineQueries {
        |  CAST((cum - n_tok) % 2048 AS BIGINT) AS block_offset
        |FROM c ORDER BY block_id, block_offset, doc_id""".stripMargin
 
+  // ---- P9: block-aligned slice materialization ------------------------
+
+  /** P9: the packer's second half — q_p3 assigns every document a
+    * starting (block, offset); this EXPLODES each document into its
+    * per-block slices, splitting boundary-straddlers, so each training
+    * block is exactly `budget` tokens of (doc, slice_start, slice_len)
+    * pieces. Pure integer arithmetic over the packed frame (one
+    * `sequence` explode, no extra shuffle beyond p3's two-phase prefix
+    * sum); conservation (Σ slice_len per doc == n_tok) and block
+    * fullness (every block but the last holds exactly `budget`) are
+    * spec-pinned, and the oracle replays the slice arithmetic row by
+    * row.
+    */
+  val p9PackSlices: Q = (s, d) => {
+    import s.implicits._
+    val B = 2048L
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("n_tok"))
+      .filter($"n_tok" > 0) // a 0-token doc occupies no block
+    val packed = graft.ops.Sampling.packSequences(docs, $"doc_id", $"n_tok", budget = B)
+      .withColumn("g", $"block_id" * B + $"block_offset")
+      // last occupied block = (g + n_tok − 1) div B, in the exact
+      // integer floor-div form (see packSequences' block_id note)
+      .withColumn("end_block",
+        (($"g" + $"n_tok" - 1 - pmod($"g" + $"n_tok" - 1, lit(B))) / B).cast("long"))
+    packed
+      .select($"doc_id", $"n_tok", $"g",
+        explode(expr("sequence(block_id, end_block)")).as("block"))
+      .withColumn("slice_start", greatest(lit(0L), $"block" * B - $"g"))
+      .withColumn("slice_len",
+        least($"g" + $"n_tok", ($"block" + 1) * B) - greatest($"g", $"block" * B))
+      .select($"doc_id", $"block", $"slice_start", $"slice_len")
+      .orderBy("block", "doc_id")
+  }
+  val p9PackSlicesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok,
+       |    ${TextOps.seededHash60Sql("'pack'", "CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tok,
+       |    SUM(n_tok) OVER (ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t),
+       |p AS (SELECT doc_id, n_tok, CAST(cum - n_tok AS BIGINT) AS g
+       |      FROM c WHERE n_tok > 0),
+       |sl AS (
+       |  SELECT doc_id, n_tok, g,
+       |    unnest(generate_series(g // 2048, (g + n_tok - 1) // 2048)) AS block
+       |  FROM p)
+       |SELECT doc_id, block,
+       |  GREATEST(0, block * 2048 - g) AS slice_start,
+       |  LEAST(g + n_tok, (block + 1) * 2048) - GREATEST(g, block * 2048) AS slice_len
+       |FROM sl ORDER BY block, doc_id""".stripMargin
+
   // ---- P4: deterministic shard shuffle --------------------------------
 
   /** Training-order preparation: a deterministic pseudo-random global
@@ -2370,6 +2426,7 @@ object PipelineQueries {
     "q_p1_stratified" -> p1Stratified,
     "q_p2_mixture" -> p2Mixture,
     "q_p3_pack" -> p3Pack,
+    "q_p9_pack_slices" -> p9PackSlices,
     "q_p4_shards" -> p4Shards,
     "q_p5_split" -> p5Split,
     "q_p8_cluster_split" -> p8ClusterSplit,
@@ -2429,6 +2486,7 @@ object PipelineQueries {
     "q_p1_stratified" -> p1StratifiedSql,
     "q_p2_mixture" -> p2MixtureSql,
     "q_p3_pack" -> p3PackSql,
+    "q_p9_pack_slices" -> p9PackSlicesSql,
     "q_p4_shards" -> p4ShardsSql,
     "q_p5_split" -> p5SplitSql,
     "q_p8_cluster_split" -> p8ClusterSplitSql,

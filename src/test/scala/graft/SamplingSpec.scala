@@ -169,6 +169,44 @@ class SamplingSpec extends SparkSpec {
     heavy.toDouble should be > light.toDouble * 1.5
   }
 
+  test("p9 pack slices: conservation, block fullness, within-doc contiguity") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val B = 2048L
+    val slices = PipelineQueries.p9PackSlices(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+    val nTok = graft.Tables.documents(spark, d)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.size(graft.ops.TextOps.tokens($"text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    // conservation: every document's slices sum to its token count
+    slices.groupBy(_._1).foreach { case (id, ss) =>
+      withClue(s"doc $id: ") { ss.map(_._4).sum shouldBe nTok(id) }
+    }
+    // block fullness: every block except the highest holds exactly B
+    val byBlock = slices.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val lastBlock = byBlock.keys.max
+    byBlock.foreach { case (b, tot) =>
+      if (b != lastBlock) withClue(s"block $b: ") { tot shouldBe B }
+      else tot should be <= B
+    }
+    // contiguity: a straddler's slices advance by exactly the previous
+    // slice length (no gaps, no overlap)
+    slices.groupBy(_._1).foreach { case (id, ss) =>
+      val ordered = ss.sortBy(_._2).toList
+      ordered.sliding(2).foreach {
+        case List((_, b1, st1, ln1), (_, b2, st2, _)) =>
+          withClue(s"doc $id blocks $b1->$b2: ") {
+            b2 shouldBe b1 + 1
+            st2 shouldBe st1 + ln1
+          }
+        case _ =>
+      }
+    }
+    // straddlers actually exist in the corpus (the operator is exercised)
+    slices.groupBy(_._1).count(_._2.length > 1) should be > 0
+  }
+
   test("p8 cluster-aware split: no near-dup pair ever straddles a split boundary") {
     import spark.implicits._
     // The dedup corpus plants near-dups (id ↔ id+100000, id%5==0) and
