@@ -1185,6 +1185,95 @@ object PipelineQueries {
        |UNION ALL SELECT 3, a, b, n FROM b3
        |ORDER BY round""".stripMargin
 
+  // ---- T17: BPE ENCODE (apply the learned merges) ---------------------
+
+  /** T17: the tokenizer loop CLOSED — q_t16 learns the merge table;
+    * this applies it, emitting every distinct word's final piece
+    * sequence after the 3 learned merges (the segmentation a trainer's
+    * tokenizer would produce). Same greedy left-to-right non-overlap
+    * semantics, same 1-row broadcast per round; the word column is
+    * threaded through so the output is the (word → pieces) lookup
+    * table a corpus tokenization job broadcasts. Oracle replays the
+    * identical rounds with the consecutive-run-parity algebra — a
+    * DIFFERENT formulation of the same greedy semantics, t16-style.
+    */
+  val t17BpeEncode: Q = (s, d) => {
+    import s.implicits._
+    val words0 = Tables.documents(s, d)
+      .select(explode(split(lower($"text"), "\\s+")).as("w"))
+      .filter(length($"w") >= 1)
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .withColumn("seq",
+        expr("transform(sequence(1, length(w)), i -> substring(w, CAST(i AS INT), 1))"))
+      .select($"w", $"cnt", $"seq")
+    def pairCounts(words: DataFrame): DataFrame = words
+      .filter(size($"seq") >= 2)
+      .select($"cnt", expr(
+        "explode(transform(sequence(1, size(seq) - 1), " +
+          "i -> struct(element_at(seq, CAST(i AS INT)) AS a, " +
+          "element_at(seq, CAST(i + 1 AS INT)) AS b)))").as("p"))
+      .groupBy($"p.a".as("a"), $"p.b".as("b"))
+      .agg(sum($"cnt").as("n"))
+    def mergeRound(words: DataFrame, best: DataFrame): DataFrame = words
+      .crossJoin(broadcast(best.select($"a".as("__ma"), $"b".as("__mb"))))
+      .withColumn("seq", aggregate(
+        slice($"seq", lit(2), greatest(size($"seq") - 1, lit(0))),
+        array(element_at($"seq", 1)),
+        (acc, x) => when(element_at(acc, -1) === $"__ma" && x === $"__mb",
+          concat(slice(acc, lit(1), size(acc) - 1), array(concat($"__ma", $"__mb"))))
+          .otherwise(concat(acc, array(x)))))
+      .select($"w", $"cnt", $"seq")
+    var words = words0.localCheckpoint(true)
+    (1 to 3).foreach { _ =>
+      val best = pairCounts(words)
+        .orderBy($"n".desc, $"a", $"b").limit(1)
+        .localCheckpoint(true)
+      words = mergeRound(words, best).localCheckpoint(true)
+    }
+    words
+      .select($"w", array_join($"seq", " ").as("pieces"),
+        size($"seq").cast("long").as("n_pieces"), $"cnt")
+      .orderBy("w")
+  }
+  /** bpeMergeSql with the word column threaded through. */
+  private def bpeMergeSqlW(prev: String, best: String): String =
+    s"""SELECT w, cnt,
+       |  flatten(list_transform(generate_series(1, len(seq)), i ->
+       |    CASE WHEN list_contains(kept, i) THEN [seq[i] || seq[i + 1]]
+       |         WHEN list_contains(kept, i - 1) THEN []
+       |         ELSE [seq[i]] END)) AS seq
+       |FROM (
+       |  SELECT w, cnt, seq,
+       |    list_filter(matches, i -> (i - 1 - coalesce(list_max(
+       |      list_filter(generate_series(1, i - 1),
+       |        j -> seq[j] <> a OR seq[j + 1] <> b)), 0)) % 2 = 0) AS kept
+       |  FROM (
+       |    SELECT w, cnt, seq, a, b,
+       |      list_filter(generate_series(1, len(seq) - 1),
+       |        i -> seq[i] = a AND seq[i + 1] = b) AS matches
+       |    FROM $prev, $best))""".stripMargin
+  val t17BpeEncodeSql: String =
+    s"""WITH words0 AS (
+       |  SELECT w, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents)
+       |  WHERE length(w) >= 1 GROUP BY 1),
+       |seq0 AS (
+       |  SELECT w, cnt, list_transform(generate_series(1, length(w)),
+       |    i -> substr(w, i, 1)) AS seq
+       |  FROM words0),
+       |p1 AS (${bpePairSql("seq0")}),
+       |b1 AS (SELECT a, b FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+       |seq1 AS (${bpeMergeSqlW("seq0", "b1")}),
+       |p2 AS (${bpePairSql("seq1")}),
+       |b2 AS (SELECT a, b FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+       |seq2 AS (${bpeMergeSqlW("seq1", "b2")}),
+       |p3 AS (${bpePairSql("seq2")}),
+       |b3 AS (SELECT a, b FROM p3 ORDER BY n DESC, a, b LIMIT 1),
+       |seq3 AS (${bpeMergeSqlW("seq2", "b3")})
+       |SELECT w, array_to_string(seq, ' ') AS pieces,
+       |  CAST(len(seq) AS BIGINT) AS n_pieces, cnt
+       |FROM seq3 ORDER BY w""".stripMargin
+
   // ---- T1: language ID (marker-word heuristic) ------------------------
 
   private val langMarkers = Seq(
@@ -2385,6 +2474,7 @@ object PipelineQueries {
     "q_t14_bigram_lm" -> t14BigramLm,
     "q_t15_lm_score" -> t15LmScore,
     "q_t16_bpe_merges" -> t16BpeMerges,
+    "q_t17_bpe_encode" -> t17BpeEncode,
     "q_e10_rerank" -> e10Rerank,
     "q_d11_containment" -> d11Containment,
     "q_d12_incr_lsh" -> d12IncrLsh,
@@ -2471,6 +2561,7 @@ object PipelineQueries {
     "q_t14_bigram_lm" -> t14BigramLmSql,
     "q_t15_lm_score" -> t15LmScoreSql,
     "q_t16_bpe_merges" -> t16BpeMergesSql,
+    "q_t17_bpe_encode" -> t17BpeEncodeSql,
     "q_e10_rerank" -> e10RerankSql,
     "q_d11_containment" -> d11ContainmentSql,
     "q_d12_incr_lsh" -> d12IncrLshSql,

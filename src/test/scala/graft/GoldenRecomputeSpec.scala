@@ -156,6 +156,46 @@ class GoldenRecomputeSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  test("q_t17_bpe_encode equals a plain-Scala greedy encode (third formulation)") {
+    // Learn 3 merges and apply them with the same driver-side greedy
+    // machinery as the t16 golden, then compare the full (word →
+    // pieces) table against the Spark fold AND (via the gate) DuckDB's
+    // run-parity algebra — three independent formulations of greedy
+    // non-overlapping merge application.
+    val texts = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val wordCounts = mutable.Map.empty[String, Long]
+    texts.foreach(_.toLowerCase.split("\\s+", -1).filter(_.nonEmpty)
+      .foreach(w => wordCounts(w) = wordCounts.getOrElse(w, 0L) + 1L))
+    var words: Map[String, (Long, Vector[String])] =
+      wordCounts.toMap.map { case (w, c) => w -> (c, w.map(_.toString).toVector) }
+    def mergeGreedy(seq: Vector[String], a: String, b: String): Vector[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < seq.length) {
+        if (i + 1 < seq.length && seq(i) == a && seq(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += seq(i); i += 1 }
+      }
+      out.toVector
+    }
+    (1 to 3).foreach { _ =>
+      val pc = mutable.Map.empty[(String, String), Long]
+      words.valuesIterator.foreach { case (c, seq) =>
+        seq.iterator.sliding(2).withPartial(false).foreach { p =>
+          pc((p.head, p(1))) = pc.getOrElse((p.head, p(1)), 0L) + c
+        }
+      }
+      val ((a, b), _) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      words = words.map { case (w, (c, seq)) => w -> (c, mergeGreedy(seq, a, b)) }
+    }
+    val expected = words.map { case (w, (c, seq)) =>
+      (w, seq.mkString(" "), seq.length.toLong, c)
+    }.toSeq.sortBy(_._1)
+    val got = PipelineQueries.t17BpeEncode(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe expected
+  }
+
   test("q_g7_transitions equals a plain-Scala Markov matrix recompute") {
     val events = Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")
