@@ -222,10 +222,14 @@ object Sketches {
     * shards are data partitions, not streams.
     */
   def hhShardSummaries(tokens: DataFrame, shardCol: Column, termCol: Column,
-                       m: Int): DataFrame = {
+                       m: Int, weight: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // weight: rank by summed integer weight instead of row count
+    // (volume-weighted heavy hitters) — every bound/guarantee holds
+    // verbatim with "count" read as "total weight", since the proof
+    // only uses additivity and non-negativity.
     val counts = tokens.groupBy(shardCol.as("shard"), termCol.as("term"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(weight.map(w => sum(w)).getOrElse(count(lit(1))).as("cnt"))
     val w = Window.partitionBy(col("shard")).orderBy(col("cnt").desc, col("term"))
     counts.withColumn("rn", row_number().over(w)).filter(col("rn") <= m)
   }

@@ -313,6 +313,32 @@ class SketchesSpec extends SparkSpec {
     exact.size should be > cands.size
   }
 
+  test("weighted heavy hitters: bounds bracket summed weights (trade-count-style)") {
+    // one row per (shard, term, weight): ranks by Σweight, not row count
+    val rows = for {
+      shard <- 0 until 4
+      t <- 1 to 30
+    } yield (s"s$shard", s"t$t", ((31 - t).toLong * (1 + (t + shard) % 4)))
+    val toks = rows.toDF("shard", "term", "w")
+    val m = 6
+    val summ = Sketches.hhShardSummaries(toks, $"shard", $"term", m, Some($"w"))
+    val thr = Sketches.hhThresholds(summ, m)
+    val bounds = Sketches.hhMergedBounds(summ, thr)
+    val exact = toks.groupBy("term").agg(sum($"w").as("tw"))
+      .as[(String, Long)].collect().toMap
+    val thrTotal = thr.agg(sum($"thr")).as[Long].head()
+    val got = bounds.as[(String, Long, Long)].collect()
+    got.foreach { case (t, lb, ub) =>
+      lb should be <= exact(t)
+      exact(t) should be <= ub
+    }
+    val cands = got.map(_._1).toSet
+    exact.foreach { case (t, c) =>
+      if (c > thrTotal) cands should contain(t)
+    }
+    exact.values.count(_ > thrTotal) should be > 0 // guarantee exercised
+  }
+
   test("heavy hitters: complete shard lists give thr 0 and lb == ub == exact") {
     val toks = Seq.tabulate(30)(i => (s"s${i % 2}", s"w${i % 3}")).toDF("shard", "term")
     val m = 10 // vocabulary (3) fits: every shard list is complete
