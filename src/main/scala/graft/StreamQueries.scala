@@ -237,6 +237,56 @@ object StreamQueries {
        |WHERE s.sid < l.last_sid OR s.end_ms + $St5GapMs < m.mx
        |ORDER BY s.user_id, s.start_ms""".stripMargin
 
+  /** ST6: SKETCHES × STREAMING — the KMV distinct sketch run AS the
+    * streaming aggregate (complete mode): per-event-type bottom-k of
+    * user hashes, state = one k-long buffer per group regardless of
+    * stream length — the bounded-state answer to streaming
+    * COUNT(DISTINCT), which Spark refuses in streaming for exactly the
+    * unbounded-state reason. Because the sketch algebra is
+    * order-insensitive and merge-associative, the converged stream
+    * state equals the batch sketch for ANY micro-batching — the same
+    * property the k3/k8 merge gates prove spatially, here proven
+    * temporally. Oracle replays the bottom-k and the estimate.
+    */
+  val st6StreamSketch: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val sink = "st6_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val K = 64
+    val kmv = graft.ops.Sketches.kmvSketch(K)
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("event_type"),
+        graft.ops.TextOps.hash60(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type")
+      .agg(kmv(col("h")).as("sk"))
+      .select(col("event_type"),
+        size(col("sk")).cast("long").as("n_kept"),
+        graft.ops.Sketches.kmvThreshold(col("sk"), K).as("kth_min"),
+        graft.ops.Sketches.kmvEstimate(col("sk"), K).as("est_distinct"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drain(s, sink, s.table(sink)).orderBy("event_type")
+  }
+  val st6StreamSketchSql: String = {
+    val h = graft.ops.TextOps.hash60Sql("CAST(user_id AS VARCHAR)")
+    s"""WITH e AS (SELECT event_type, $h AS h FROM events),
+       |d AS (SELECT DISTINCT event_type, h FROM e),
+       |r AS (SELECT event_type, h,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+       |        COUNT(*) OVER (PARTITION BY event_type) AS nd
+       |      FROM d)
+       |SELECT event_type,
+       |  CAST(LEAST(MAX(nd), 64) AS BIGINT) AS n_kept,
+       |  MAX(CASE WHEN rn = 64 THEN h END) AS kth_min,
+       |  CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS DOUBLE)
+       |       ELSE 63.0 * 1152921504606846976 / MAX(CASE WHEN rn = 64 THEN h END)
+       |  END AS est_distinct
+       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -244,11 +294,13 @@ object StreamQueries {
     "q_st2_stream_enrich" -> st2StreamEnrich,
     "q_st3_stream_dedup" -> st3StreamDedup,
     "q_st4_stream_window" -> st4StreamWindow,
-    "q_st5_stream_sessions" -> st5StreamSessions)
+    "q_st5_stream_sessions" -> st5StreamSessions,
+    "q_st6_stream_sketch" -> st6StreamSketch)
   val oracles: Map[String, String] = Map(
     "q_st1_stream_agg" -> st1StreamAggSql,
     "q_st2_stream_enrich" -> st2StreamEnrichSql,
     "q_st3_stream_dedup" -> st3StreamDedupSql,
     "q_st4_stream_window" -> st4StreamWindowSql,
-    "q_st5_stream_sessions" -> st5StreamSessionsSql)
+    "q_st5_stream_sessions" -> st5StreamSessionsSql,
+    "q_st6_stream_sketch" -> st6StreamSketchSql)
 }

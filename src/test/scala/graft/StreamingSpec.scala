@@ -334,6 +334,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV sketch converges to the batch sketch under ANY micro-batching") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val K = 16
+    val kmv = graft.ops.Sketches.kmvSketch(K)
+    val rows = (1 to 300).map(i => (s"g${i % 2}", s"user${i % 57}"))
+    val batchState = rows.toDF("g", "u")
+      .select($"g", graft.ops.TextOps.hash60($"u").as("h"))
+      .groupBy("g").agg(kmv($"h").as("sk"))
+      .as[(String, Seq[Long])].collect().toMap
+
+    // deliver the same rows in three different batchings
+    for (splits <- Seq(Seq(300), Seq(100, 200), Seq(7, 150, 143))) {
+      val input = MemoryStream[(String, String)]
+      val sink = "st6spec_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = input.toDF().toDF("g", "u")
+        .select($"g", graft.ops.TextOps.hash60($"u").as("h"))
+        .groupBy("g").agg(kmv($"h").as("sk"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        var off = 0
+        splits.foreach { n =>
+          input.addData(rows.slice(off, off + n): _*)
+          off += n
+          q.processAllAvailable()
+        }
+        val streamed = spark.table(sink)
+          .as[(String, Seq[Long])].collect().toMap
+        withClue(s"batching $splits: ") { streamed shouldBe batchState }
+      } finally {
+        q.stop()
+        spark.sql(s"DROP TABLE IF EXISTS $sink")
+      }
+    }
+  }
+
   test("st4 boundary: a window whose end EQUALS the final watermark emits (<= semantics)") {
     // Pins the q_st4 oracle's `window_end <= max(ts)` emission rule at
     // the exact edge the sf data never hits: max event time precisely
