@@ -33,17 +33,23 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy conf) and
-    * convert to a micros TimestampType column — same truncation DuckDB
-    * applies when casting ns→us.
+  /** `events.ts` has been written two ways by the driver across rounds:
+    * parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * read nanos as long and truncate to micros, same as DuckDB's ns→us
+    * cast) and plain `timestamp[us]` without a timezone (which Spark
+    * reads as TIMESTAMP_NTZ). Normalize both to a micros TimestampType
+    * column; the session timezone is pinned to UTC everywhere, so the
+    * NTZ→LTZ cast preserves every wall-clock value bit-for-bit.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")

@@ -241,6 +241,45 @@ object Vectors {
       .filter(col("cos_sim") >= threshold)
       .select(col("p.ia").as("ia"), col("p.ib").as("ib"), col("bucket"), col("cos_sim"))
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-cluster the embeddings, then WITHIN each
+    * cluster drop any document that has a semantic near-duplicate
+    * (cosine ≥ threshold) which sits FARTHER from the cluster centroid
+    * — the paper's keep-low-centroid-similarity rule, which retains the
+    * most "atypical" member of each duplicate set. The rule is pairwise
+    * (no transitive closure): x is dropped iff some same-cell y has
+    * cos(x,y) ≥ τ and (ccos_y < ccos_x, ties by lower id), so exactly
+    * the extreme member of every duplicate chain survives and the
+    * whole decision is engine-exact (same cosine formulation both
+    * sides, deterministic tie-break).
+    *
+    * Scale shape: assignment is one map-side broadcast-argmax pass
+    * (`ivfAssign`); the duplicate test is a self-join ON THE CELL KEY,
+    * so pairwise work is quadratic only within a cell. In production k
+    * grows with the corpus (SemDeDup uses ~100k clusters for LAION),
+    * keeping cells near-constant size — the join cost per cell is
+    * bounded and the shuffle carries each vector twice.
+    *
+    * Returns one row per vector: (vid, cid, ccos, kept).
+    */
+  def semDedup(vecs: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {
+    val scored = ivfAssign(vecs, centroids)
+      .join(broadcast(centroids), "cid")
+      .withColumn("ccos", rankCosine(col("e"), col("ce")))
+      .select(col("vid"), col("cid"), col("e"), col("ccos"))
+    val other = scored.select(col("cid"), col("vid").as("ovid"),
+      col("e").as("oe"), col("ccos").as("occos"))
+    val dropped = scored.join(other, Seq("cid"))
+      .filter(col("ovid") =!= col("vid") &&
+        rankCosine(col("e"), col("oe")) >= threshold &&
+        (col("occos") < col("ccos") ||
+          (col("occos") === col("ccos") && col("ovid") < col("vid"))))
+      .select(col("vid")).distinct()
+    scored.join(dropped.withColumn("hit", lit(true)), Seq("vid"), "left")
+      .select(col("vid"), col("cid"), col("ccos"),
+        coalesce(col("hit"), lit(false)).unary_!.as("kept"))
+  }
+
   /** Exact brute-force top-k cosine neighbors of one query vector.
     * The single-row query side is broadcast; the scan side streams —
     * no shuffle until the final top-k (TakeOrdered, no global sort).
