@@ -147,9 +147,8 @@ object StreamQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet")
     val sink = "st4_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = s.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = Tables.normalizeTs(s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d))
       .withWatermark("ts", "0 seconds")
       .groupBy(window(col("ts"), "1 day"))
       .agg(count(lit(1)).as("n"))
@@ -194,9 +193,8 @@ object StreamQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet")
     val sink = "st5_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val src = s.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = Tables.normalizeTs(s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d))
       .select(col("user_id"), col("ts"), col("event_type"))
       .as[graft.streaming.SessionEvent]
     val q = graft.streaming.Sessionize

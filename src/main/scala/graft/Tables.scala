@@ -43,14 +43,22 @@ object Tables {
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, d, "events")
+    normalizeTs(load(spark, d, "events"))
+  }
+
+  /** Normalize an events-shaped frame's `ts` to micros TimestampType,
+    * whichever way the driver wrote it. Shared by the batch loader above
+    * and the STREAMING readers (StreamQueries st4/st5) — the streaming
+    * path once hardcoded the nanos-long branch and broke the round-6
+    * driver gate when the testdata switched to timestamp[us].
+    */
+  def normalizeTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
-  }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 }
