@@ -672,6 +672,49 @@ object PipelineQueries {
        |  FROM j a JOIN j b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |WHERE cos_sim >= 0.4 ORDER BY ia, ib""".stripMargin
 
+  // ---- E11: SemDeDup semantic deduplication ---------------------------
+
+  /** SemDeDup (Abbas et al. 2023) over the embeddings corpus: coarse
+    * cells from the e3 fixed-centroid pattern (vectors vid < 8 — the
+    * deterministic stand-in for the production k-means quantizer), then
+    * within each cell drop every vector with a cosine-0.4 neighbor that
+    * sits farther from the centroid (keep-low-centroid-similarity, ties
+    * by lowest vid). One keyed shuffle: the keep/drop decision happens
+    * inside the per-cell aggregation (see Vectors.semDedup). The oracle
+    * restates the rule as a correlated NOT EXISTS over the same scored
+    * cells.
+    */
+  val e11SemDedup: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id".as("vid"), $"embedding".cast("array<double>").as("e"))
+    val centroids = vecs.filter($"vid" < 8)
+      .select($"vid".as("cid"), $"e".as("ce"))
+    Vectors.semDedup(vecs, centroids, threshold = 0.4)
+      .select($"vid".as("vec_id"), $"cid", $"ccos", $"kept")
+      .orderBy("vec_id")
+  }
+  val e11SemDedupSql: String =
+    s"""WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cent AS (SELECT vid AS cid, e AS ce FROM v WHERE vid < 8),
+       |assigned AS (
+       |  SELECT vid, cid, e FROM (
+       |    SELECT v.vid, c.cid, v.e,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vid ORDER BY
+       |        ${cosSql("v.e", "c.ce")} DESC, c.cid) AS rn
+       |    FROM v, cent c)
+       |  WHERE rn = 1),
+       |scored AS (
+       |  SELECT a.vid, a.cid, a.e, ${cosSql("a.e", "c.ce")} AS ccos
+       |  FROM assigned a JOIN cent c USING (cid))
+       |SELECT s.vid AS vec_id, s.cid, s.ccos,
+       |  NOT EXISTS (
+       |    SELECT 1 FROM scored o
+       |    WHERE o.cid = s.cid AND o.vid <> s.vid
+       |      AND ${cosSql("s.e", "o.e")} >= 0.4
+       |      AND (o.ccos < s.ccos OR (o.ccos = s.ccos AND o.vid < s.vid))) AS kept
+       |FROM scored s ORDER BY vec_id""".stripMargin
+
   // ---- E6: k-NN JOIN (every query vector at once) ---------------------
 
   /** Top-5 neighbors for EVERY query vector in one plan — the batch
@@ -2476,6 +2519,7 @@ object PipelineQueries {
     "q_t16_bpe_merges" -> t16BpeMerges,
     "q_t17_bpe_encode" -> t17BpeEncode,
     "q_e10_rerank" -> e10Rerank,
+    "q_e11_semdedup" -> e11SemDedup,
     "q_d11_containment" -> d11Containment,
     "q_d12_incr_lsh" -> d12IncrLsh,
     "q_d13_weighted_jaccard" -> d13WeightedJaccard,
@@ -2563,6 +2607,7 @@ object PipelineQueries {
     "q_t16_bpe_merges" -> t16BpeMergesSql,
     "q_t17_bpe_encode" -> t17BpeEncodeSql,
     "q_e10_rerank" -> e10RerankSql,
+    "q_e11_semdedup" -> e11SemDedupSql,
     "q_d11_containment" -> d11ContainmentSql,
     "q_d12_incr_lsh" -> d12IncrLshSql,
     "q_d13_weighted_jaccard" -> d13WeightedJaccardSql,

@@ -254,31 +254,37 @@ object Vectors {
     * sides, deterministic tie-break).
     *
     * Scale shape: assignment is one map-side broadcast-argmax pass
-    * (`ivfAssign`); the duplicate test is a self-join ON THE CELL KEY,
-    * so pairwise work is quadratic only within a cell. In production k
-    * grows with the corpus (SemDeDup uses ~100k clusters for LAION),
-    * keeping cells near-constant size — the join cost per cell is
-    * bounded and the shuffle carries each vector twice.
+    * (`ivfAssign`); the keep/drop decision is made INSIDE the per-cell
+    * aggregation (same shape as `cosineDupPairs`): one keyed shuffle
+    * carrying each vector exactly once, then an `exists` over the
+    * cell's members — quadratic only within a cell, with no self-join
+    * (the earlier self-join re-shuffled the scored frame for both
+    * sides and recomputed the assignment pass three times). In
+    * production k grows with the corpus (SemDeDup uses ~100k clusters
+    * for LAION), keeping cells near-constant size, so the in-cell
+    * member list stays bounded.
     *
     * Returns one row per vector: (vid, cid, ccos, kept).
     */
-  def semDedup(vecs: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {
-    val scored = ivfAssign(vecs, centroids)
-      .join(broadcast(centroids), "cid")
+  def semDedup(vecs: DataFrame, centroids: DataFrame, threshold: Double): DataFrame =
+    ivfAssign(vecs, centroids)
+      .join(broadcast(centroids.select(col("cid"), col("ce"))), "cid")
       .withColumn("ccos", rankCosine(col("e"), col("ce")))
-      .select(col("vid"), col("cid"), col("e"), col("ccos"))
-    val other = scored.select(col("cid"), col("vid").as("ovid"),
-      col("e").as("oe"), col("ccos").as("occos"))
-    val dropped = scored.join(other, Seq("cid"))
-      .filter(col("ovid") =!= col("vid") &&
-        rankCosine(col("e"), col("oe")) >= threshold &&
-        (col("occos") < col("ccos") ||
-          (col("occos") === col("ccos") && col("ovid") < col("vid"))))
-      .select(col("vid")).distinct()
-    scored.join(dropped.withColumn("hit", lit(true)), Seq("vid"), "left")
-      .select(col("vid"), col("cid"), col("ccos"),
-        coalesce(col("hit"), lit(false)).unary_!.as("kept"))
-  }
+      .groupBy(col("cid"))
+      .agg(collect_list(struct(col("vid"), col("ccos"), col("e"))).as("ms"))
+      // `vec_cosine` is the session-registered native cosine (the same
+      // expression rankCosine wraps); the CASE replicates rankCosine's
+      // NaN→−1 so a zero-norm vector can never count as a duplicate.
+      .select(col("cid"), explode(expr(
+        s"""transform(ms, x -> named_struct(
+           |  'vid', x.vid, 'ccos', x.ccos,
+           |  'kept', NOT exists(ms, y -> y.vid != x.vid
+           |    AND (CASE WHEN isnan(vec_cosine(x.e, y.e)) THEN -1.0D
+           |              ELSE vec_cosine(x.e, y.e) END) >= ${threshold}D
+           |    AND (y.ccos < x.ccos
+           |         OR (y.ccos = x.ccos AND y.vid < x.vid)))))""".stripMargin)).as("m"))
+      .select(col("m.vid").as("vid"), col("cid"),
+        col("m.ccos").as("ccos"), col("m.kept").as("kept"))
 
   /** Exact brute-force top-k cosine neighbors of one query vector.
     * The single-row query side is broadcast; the scan side streams —

@@ -208,4 +208,33 @@ class VectorsSpec extends SparkSpec {
     got(1L) shouldBe 1L // tie between identical entries 1 and 2 → min cid
     got(2L) shouldBe 1L
   }
+
+  test("semDedup keeps exactly the lowest-ccos member of each duplicate chain (ties by lowest vid)") {
+    import spark.implicits._
+    // Two well-separated cells. In each cell: an identical pair (a ccos
+    // tie) chained to a lower-ccos near-dup at cos 0.96; with τ=0.95 the
+    // whole chain collapses to its most atypical member (SemDeDup's
+    // keep-low-centroid-similarity rule). v4 sits in cell 0 below the
+    // threshold and must survive untouched.
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)),    // cell 0, ccos 1.0 — dropped (v3 is farther from centroid)
+      (2L, Array(1.0, 0.0)),    // cell 0, identical to v1 (ccos tie) — dropped
+      (3L, Array(0.96, 0.28)),  // cell 0, ccos 0.96 — KEPT (chain extreme)
+      (4L, Array(0.707, -0.707)), // cell 0, cos 0.707 to v1 < τ — KEPT (no dup)
+      (5L, Array(0.0, 1.0)),    // cell 1, ccos 1.0 — dropped (v6 farther)
+      (6L, Array(0.28, 0.96)),  // cell 1, ccos 0.96 — KEPT (tie with v7, lower vid)
+      (7L, Array(0.28, 0.96))   // cell 1, identical to v6 — dropped
+    ).toDF("vid", "e")
+    val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("cid", "ce")
+    val out = Vectors.semDedup(vecs, cents, threshold = 0.95)
+      .orderBy("vid").collect()
+    out.map(r => r.getLong(0) -> r.getLong(1)).toSeq shouldBe Seq(
+      1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 1L, 6L -> 1L, 7L -> 1L)
+    val kept = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    kept shouldBe Set(3L, 4L, 6L)
+    // ccos carried through for every member, dropped ones included
+    out.find(_.getLong(0) == 3L).get.getDouble(2) shouldBe 0.96 +- 1e-9
+    out.find(_.getLong(0) == 1L).get.getDouble(2) shouldBe 1.0 +- 1e-12
+  }
 }
