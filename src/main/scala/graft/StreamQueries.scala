@@ -285,6 +285,55 @@ object StreamQueries {
        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** ST7: STREAM-STREAM JOIN — the last Structured Streaming operator
+    * family (after agg / enrich / dedup / watermark window / custom
+    * state / sketch): click→purchase attribution as a watermarked
+    * event-time INTERVAL join between two independent file streams
+    * over the same events corpus, run through the library operator
+    * `Incremental.intervalJoinStream` (whose eviction behavior the
+    * MemoryStream spec pins). Each purchase joins every click by the
+    * same user in the strictly-preceding 30 minutes. State shape at scale:
+    * both sides are keyed by user in the state store and the time-range
+    * condition lets the watermark evict rows older than the interval —
+    * bounded state, the reason the range predicate is not a post-join
+    * filter. For an INNER join every match is emitted as soon as both
+    * sides have arrived, so after AvailableNow drains, the result
+    * equals the batch join exactly — which is precisely what the
+    * oracle states in plain SQL.
+    */
+  val st7StreamJoin: Q = (s, d) => {
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val sink = "st7_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    def side(tp: String, idAs: String) =
+      Tables.normalizeTs(s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+        .filter(col("event_type") === tp)
+        .select(col("user_id"), col("ts"), col("event_id").as(idAs))
+    val q = graft.streaming.Incremental.intervalJoinStream(
+        side("click", "click_id"), side("purchase", "purchase_id"),
+        key = "user_id", watermark = "0 seconds", window = "30 minutes")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drain(s, sink,
+      s.table(sink).select(col("user_id"),
+        col("l_click_id").as("a_id"), col("r_purchase_id").as("b_id"),
+        unix_millis(col("l_ts")).as("a_ms"),
+        unix_millis(col("r_ts")).as("b_ms")))
+      .orderBy("user_id", "a_id", "b_id")
+  }
+  val st7StreamJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
+      |a AS (SELECT event_id AS a_id, user_id, ms AS a_ms FROM e WHERE event_type = 'click'),
+      |b AS (SELECT event_id AS b_id, user_id, ms AS b_ms FROM e WHERE event_type = 'purchase')
+      |SELECT a.user_id, a_id, b_id, a_ms, b_ms
+      |FROM a JOIN b USING (user_id)
+      |WHERE b_ms > a_ms AND b_ms <= a_ms + 1800000
+      |ORDER BY user_id, a_id, b_id""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -293,12 +342,14 @@ object StreamQueries {
     "q_st3_stream_dedup" -> st3StreamDedup,
     "q_st4_stream_window" -> st4StreamWindow,
     "q_st5_stream_sessions" -> st5StreamSessions,
-    "q_st6_stream_sketch" -> st6StreamSketch)
+    "q_st6_stream_sketch" -> st6StreamSketch,
+    "q_st7_stream_join" -> st7StreamJoin)
   val oracles: Map[String, String] = Map(
     "q_st1_stream_agg" -> st1StreamAggSql,
     "q_st2_stream_enrich" -> st2StreamEnrichSql,
     "q_st3_stream_dedup" -> st3StreamDedupSql,
     "q_st4_stream_window" -> st4StreamWindowSql,
     "q_st5_stream_sessions" -> st5StreamSessionsSql,
-    "q_st6_stream_sketch" -> st6StreamSketchSql)
+    "q_st6_stream_sketch" -> st6StreamSketchSql,
+    "q_st7_stream_join" -> st7StreamJoinSql)
 }
