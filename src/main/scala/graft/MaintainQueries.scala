@@ -85,13 +85,54 @@ object MaintainQueries {
       |FROM stats s JOIN latest l USING (user_id) JOIN modal m USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  // ---- S6: CDC changelog apply -----------------------------------------
+
+  /** S6: a three-epoch synthetic changelog over orders (epoch 1 inserts
+    * every key; epoch 2 updates keys ≡0 mod 7 to status 'U2'; epoch 3
+    * deletes keys ≡0 mod 13) materialized by `Maintain.applyCdc`:
+    * latest-op-per-key wins, deletes tombstone. The oracle restates the
+    * rule as a row_number window — the operator's whole point is that
+    * the max_by aggregation (map-side partial, one shuffled candidate
+    * per key × partition) produces the identical snapshot without
+    * sorting the changelog.
+    */
+  val s6CdcApply: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    def ev(df: DataFrame, seq: Int, op: String) =
+      df.withColumn("seq", lit(seq.toLong)).withColumn("op", lit(op))
+    val cdc = ev(o, 1, "I")
+      .unionByName(ev(o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("U2")), 2, "U"))
+      .unionByName(ev(o.filter(col("o_orderkey") % 13 === 0), 3, "D"))
+    Maintain.applyCdc(cdc, "o_orderkey", col("seq"), col("seq"), col("op"),
+        Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+  val s6CdcApplySql: String =
+    """WITH cdc AS (
+      |  SELECT o_orderkey, 1 AS seq, 'I' AS op, o_custkey, o_orderstatus, o_totalprice FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, 'U', o_custkey, 'U2', o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 3, 'D', o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 13 = 0),
+      |last AS (
+      |  SELECT * FROM (
+      |    SELECT cdc.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      |    FROM cdc) WHERE rn = 1)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM last WHERE op <> 'D' ORDER BY o_orderkey""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q_s2_incr_agg" -> s2IncrAgg,
-    "q_s4_golden" -> s4Golden)
+    "q_s4_golden" -> s4Golden,
+    "q_s6_cdc_apply" -> s6CdcApply)
 
   val oracles: Map[String, String] = Map(
     "q_s2_incr_agg" -> s2IncrAggSql,
-    "q_s4_golden" -> s4GoldenSql)
+    "q_s4_golden" -> s4GoldenSql,
+    "q_s6_cdc_apply" -> s6CdcApplySql)
 }

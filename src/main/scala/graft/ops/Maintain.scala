@@ -83,4 +83,31 @@ object Maintain {
       .select(col(key), col("top_category"))
     base.join(modal, key)
   }
+
+  /** CDC changelog materialization — apply a Debezium-shaped change
+    * stream (op ∈ I/U/D with a per-key monotone sequence) into final
+    * table state: the latest change per key wins, and a key whose
+    * latest op is D vanishes (an I arriving AFTER a D resurrects it —
+    * upsert-with-tombstone semantics, the snapshot rule every
+    * lakehouse MERGE implements).
+    *
+    * Scale shape: one keyed aggregation via `max_by` over the
+    * (seq, tieBreak) order — partial aggregation collapses each key's
+    * history map-side, so the shuffle carries one candidate row per
+    * (key × partition), never the changelog. A window formulation
+    * (row_number over seq DESC) would shuffle and sort every change
+    * row; at 100 TB of changelog that difference is the job.
+    *
+    * `tieBreak` must make (seq, tieBreak) unique per key or the
+    * surviving row is nondeterministic.
+    */
+  def applyCdc(changelog: DataFrame, key: String, seq: Column,
+               tieBreak: Column, op: Column,
+               payload: Seq[String]): DataFrame = {
+    val last = changelog.groupBy(col(key)).agg(
+      max_by(struct(op.as("__op") +: payload.map(col): _*),
+        struct(seq.as("s"), tieBreak.as("tb"))).as("__last"))
+    last.filter(last("__last.__op") =!= "D")
+      .select(col(key) +: payload.map(c => col(s"__last.$c").as(c)): _*)
+  }
 }

@@ -63,4 +63,26 @@ class MaintainSpec extends SparkSpec {
     // shuffle — the reason the stats pass never window-sorts raw rows
     plan should include("partial_max_by")
   }
+
+  test("applyCdc: latest op wins, D tombstones, I-after-D resurrects, input order irrelevant") {
+    import spark.implicits._
+    import graft.ops.Maintain
+    // (key, seq, op, v): k1 plain insert; k2 I→U; k3 I→D (gone);
+    // k4 I→D→I (resurrected with the NEW payload); k5 single D (never
+    // inserted — still no row).
+    val changes = Seq(
+      (1L, 1L, "I", "a1"),
+      (2L, 1L, "I", "b1"), (2L, 2L, "U", "b2"),
+      (3L, 1L, "I", "c1"), (3L, 2L, "D", "c1"),
+      (4L, 1L, "I", "d1"), (4L, 2L, "D", "d1"), (4L, 3L, "I", "d3"),
+      (5L, 1L, "D", "e1"))
+    def run(rows: Seq[(Long, Long, String, String)]) =
+      Maintain.applyCdc(rows.toDF("k", "seq", "op", "v"),
+          "k", col("seq"), col("seq"), col("op"), Seq("v"))
+        .as[(Long, String)].collect().toSet
+    val expected = Set((1L, "a1"), (2L, "b2"), (4L, "d3"))
+    run(changes) shouldBe expected
+    // arrival order must not matter: the aggregation is order-insensitive
+    run(scala.util.Random.shuffle(changes)) shouldBe expected
+  }
 }
