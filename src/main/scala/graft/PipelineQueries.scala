@@ -715,6 +715,79 @@ object PipelineQueries {
        |      AND (o.ccos < s.ccos OR (o.ccos = s.ccos AND o.vid < s.vid))) AS kept
        |FROM scored s ORDER BY vec_id""".stripMargin
 
+  // ---- E12: index-quality evaluation (recall@k) -----------------------
+
+  /** Recall@5 of the 4-plane LSH index against exact brute force, per
+    * query vector (vids ≡0 mod 50) — the index-quality eval every ANN
+    * deployment runs before trusting its retrieval tier. Both rankings
+    * come from the k-bounded TopK aggregator (shuffle carries ≤k rows
+    * per query × partition); the ground-truth side broadcasts the tiny
+    * query set over one corpus scan, so the whole eval is two scans of
+    * the embeddings at any corpus size. The oracle replays planes,
+    * buckets, both rankings, and the overlap count.
+    */
+  val e12Recall: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val buckets = Vectors.lshBuckets(vecs, "e", "vec_id", nPlanes = 4, dim = 64)
+    val joined = vecs.join(buckets, $"vec_id" === $"vid").drop("vid")
+    val qs = joined.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"e".as("qe"), $"bucket".as("qb"))
+    val exact = graft.ops.TopK.topKPerGroup(
+      vecs.crossJoin(broadcast(qs.select($"q_id", $"qe")))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("cos_sim", Vectors.rankCosine($"e", $"qe")),
+      "q_id", $"cos_sim", $"vec_id", 5, "cos_sim", "vec_id")
+    val ann = graft.ops.TopK.topKPerGroup(
+      joined.join(broadcast(qs), $"bucket" === $"qb")
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("cos_sim", Vectors.rankCosine($"e", $"qe")),
+      "q_id", $"cos_sim", $"vec_id", 5, "cos_sim", "vec_id")
+    exact.select($"q_id", $"vec_id")
+      .join(ann.select($"q_id", $"vec_id", lit(1L).as("hit")),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy($"q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        $"n_hit".cast("double") / $"n_exact".cast("double"))
+      .orderBy("q_id")
+  }
+  val e12RecallSql: String =
+    s"""WITH planes AS (
+       |  SELECT p, list_transform(generate_series(1, 64), j ->
+       |    CASE WHEN ${hash60Sql("CAST(p AS VARCHAR)||'_'||CAST(j AS VARCHAR)")} % 2 = 1
+       |         THEN 1.0 ELSE -1.0 END) AS w
+       |  FROM (SELECT unnest(generate_series(0, 3)) AS p)),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(e, w) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+       |  FROM v, planes GROUP BY vec_id),
+       |j AS (SELECT v.vec_id, v.e, sig.bucket FROM v JOIN sig USING (vec_id)),
+       |q AS (SELECT vec_id AS q_id, e AS qe, bucket AS qb FROM j WHERE vec_id % 50 = 0),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, v.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        ${cosSql("v.e", "q.qe")} DESC, v.vec_id) AS rn
+       |    FROM v, q WHERE v.vec_id <> q.q_id)
+       |  WHERE rn <= 5),
+       |ann AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, j.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        ${cosSql("j.e", "q.qe")} DESC, j.vec_id) AS rn
+       |    FROM j JOIN q ON j.bucket = q.qb
+       |    WHERE j.vec_id <> q.q_id)
+       |  WHERE rn <= 5)
+       |SELECT e.q_id, COUNT(*) AS n_exact,
+       |  CAST(COALESCE(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+       |  CAST(COALESCE(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 END), 0) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM exact e LEFT JOIN ann a ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+
   // ---- E6: k-NN JOIN (every query vector at once) ---------------------
 
   /** Top-5 neighbors for EVERY query vector in one plan — the batch
@@ -2520,6 +2593,7 @@ object PipelineQueries {
     "q_t17_bpe_encode" -> t17BpeEncode,
     "q_e10_rerank" -> e10Rerank,
     "q_e11_semdedup" -> e11SemDedup,
+    "q_e12_recall" -> e12Recall,
     "q_d11_containment" -> d11Containment,
     "q_d12_incr_lsh" -> d12IncrLsh,
     "q_d13_weighted_jaccard" -> d13WeightedJaccard,
@@ -2608,6 +2682,7 @@ object PipelineQueries {
     "q_t17_bpe_encode" -> t17BpeEncodeSql,
     "q_e10_rerank" -> e10RerankSql,
     "q_e11_semdedup" -> e11SemDedupSql,
+    "q_e12_recall" -> e12RecallSql,
     "q_d11_containment" -> d11ContainmentSql,
     "q_d12_incr_lsh" -> d12IncrLshSql,
     "q_d13_weighted_jaccard" -> d13WeightedJaccardSql,
