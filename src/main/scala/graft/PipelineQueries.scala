@@ -1958,6 +1958,38 @@ object PipelineQueries {
        |FROM rates r LEFT JOIN gated g ON g.source = r.source
        |ORDER BY r.source""".stripMargin
 
+  // ---- P10: per-group uniform k-sample --------------------------------
+
+  /** P10: ten uniformly-sampled events per event type through
+    * `Sampling.groupSample` — the bounded-state distributed reservoir
+    * (bottom-k of a seeded portable hash per group; ≤k entries per
+    * group × partition through the exchange). The oracle states the
+    * KMV threshold rule directly: keep rows whose hash is ≤ the
+    * group's k-th smallest.
+    */
+  val p10GroupSample: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.events(s, d).select($"event_type", $"event_id")
+    graft.ops.Sampling.groupSample(e, $"event_type", $"event_id", k = 10)
+      .orderBy("event_type", "event_id")
+  }
+  val p10GroupSampleSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, event_id,
+       |    ${TextOps.seededHash60Sql("'gsample'", "CAST(event_id AS VARCHAR)")} AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, event_id, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
+       |  FROM e),
+       |kth AS (
+       |  SELECT event_type, MAX(CASE WHEN rn = 10 THEN h END) AS kh
+       |  FROM r GROUP BY 1)
+       |SELECT e.event_type, e.event_id
+       |FROM e JOIN kth USING (event_type)
+       |WHERE kh IS NULL OR e.h <= kh
+       |ORDER BY event_type, event_id""".stripMargin
+
   // ---- M1: multimodal binary-column metadata --------------------------
 
   /** Opaque-binary plumbing: treat content as a blob, extract typed
@@ -2639,6 +2671,7 @@ object PipelineQueries {
     "q_p5_split" -> p5Split,
     "q_p8_cluster_split" -> p8ClusterSplit,
     "q_p6_temperature" -> p6Temperature,
+    "q_p10_group_sample" -> p10GroupSample,
     "q_d9_neardup_purge" -> d9NearDupPurge,
     "q_e8_quantize" -> e8Quantize,
     "q_t12_gopher_gate" -> t12GopherGate,
@@ -2702,6 +2735,7 @@ object PipelineQueries {
     "q_p5_split" -> p5SplitSql,
     "q_p8_cluster_split" -> p8ClusterSplitSql,
     "q_p6_temperature" -> p6TemperatureSql,
+    "q_p10_group_sample" -> p10GroupSampleSql,
     "q_d9_neardup_purge" -> d9NearDupPurgeSql,
     "q_e8_quantize" -> e8QuantizeSql,
     "q_t12_gopher_gate" -> t12GopherGateSql,

@@ -188,6 +188,36 @@ object Sampling {
     withH.join(broadcast(winners), Seq("__h"), "left_semi").drop("__h")
   }
 
+  /** Uniform k-sample per group WITHOUT replacement — the distributed,
+    * deterministic reservoir: keep the rows whose seeded portable hash
+    * falls within the group's k smallest (the sampling face of the KMV
+    * bottom-k sketch, which is exactly a uniform sample of the key
+    * space). State is one k-long buffer per group at any group size;
+    * losers die in the map-side partial, the exchange carries ≤k
+    * entries per (group × partition). Deterministic under task retry
+    * and any repartitioning, where a `rand()` reservoir is not even
+    * self-consistent.
+    *
+    * Hash ties re-attach every tied row (KMV threshold semantics,
+    * `h <= k-th smallest`), so a collision can return k+1 rows rather
+    * than silently dropping an arbitrary one — the same rule a SQL
+    * replay states, keeping the operator engine-exact.
+    */
+  def groupSample(df: DataFrame, groupCol: Column, key: Column, k: Int,
+                  salt: String = "gsample"): DataFrame = {
+    val h = TextOps.seededHash60(lit(salt), key.cast(StringType))
+    val sk = Sketches.bottomKSketch(k)
+    val withH = df.withColumn("__h", h)
+    val winners = withH.groupBy(groupCol.as("__g"))
+      .agg(sk(col("__h"), lit(0.0)).as("__sk"))
+      .select(col("__g"), explode(col("__sk")).as("__m"))
+      .select(col("__g"), col("__m._1").as("__h"))
+      .distinct()
+    withH.join(broadcast(winners),
+        withH("__h") === winners("__h") && groupCol === col("__g"), "left_semi")
+      .drop("__h")
+  }
+
   /** Mixture weighting: per-source keep-rates (dataset mixing for
     * training runs). Unlisted sources fall back to `defaultRate`.
     * Deterministic per key, map-side only — at 100 TB this is a pure

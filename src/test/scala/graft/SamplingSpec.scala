@@ -230,4 +230,21 @@ class SamplingSpec extends SparkSpec {
     val bySide = split.values.groupBy(identity).view.mapValues(_.size).toMap
     bySide.keySet shouldBe Set("train", "val", "test")
   }
+
+  test("groupSample: k rows per group, small groups whole, partitioning-invariant") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val rows = (1L to 500L).map(i => (if (i % 2 == 0) "a" else "b", i)) ++
+      Seq(("c", 1001L), ("c", 1002L), ("c", 1003L))
+    val df = rows.toDF("g", "id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.groupSample(d, col("g"), col("id"), 10)
+        .as[(String, Long)].collect().sorted.toSeq
+    val base = run(df)
+    base.groupBy(_._1).view.mapValues(_.size).toMap shouldBe
+      Map("a" -> 10, "b" -> 10, "c" -> 3)
+    // the winners are a property of the data, not the physical layout
+    run(df.repartition(7)) shouldBe base
+    run(df.orderBy(col("id").desc)) shouldBe base
+  }
 }
