@@ -1125,6 +1125,72 @@ object PipelineQueries {
       |SELECT w1, w2, n_pair, n_w1, n_pair * 1000000 // n_w1 AS p1e6
       |FROM with_tot WHERE n_pair >= 5 ORDER BY w1, w2""".stripMargin
 
+  // ---- T18: PMI collocations ------------------------------------------
+
+  /** T18: top-50 collocations — bigrams whose observed frequency most
+    * exceeds the independence expectation — ranked by an INTEGER-exact
+    * PMI surrogate: since log is monotone,
+    * PMI-order == order of c(xy)·N² / (M·c(x)·c(y)), computed here as
+    * a 1e6-scaled DECIMAL(38,0) integer division (no logs, no floats —
+    * the same engine-exactness stance as q_t14/q_t15; a libm ln() would
+    * hash-differ across engines). Min support 5 keeps the rare-pair
+    * noise PMI is notorious for out of the top list.
+    *
+    * Scale shape: unigram and bigram counts are map-side-combined
+    * aggregations; the two scalar totals broadcast; the rank is a
+    * k-bounded TakeOrdered, not a global sort.
+    */
+  val t18Collocations: Q = (s, d) => {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(split(lower($"text"), "\\s+")).as("w"))
+      .filter(length($"w") >= 2)
+    val uni = toks.groupBy($"w").agg(count(lit(1)).as("n_w"))
+    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    val pairsAll = Tables.documents(s, d)
+      .select(graft.functions.ShingleGenerator.shingles(lower($"text"), 2).as("bg"))
+      .select(substring_index($"bg", " ", 1).as("w1"),
+        substring_index($"bg", " ", -1).as("w2"))
+      .filter(length($"w1") >= 2 && length($"w2") >= 2)
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_pair"))
+    val mTot = pairsAll.agg(sum($"n_pair").as("m_tot"))
+    pairsAll.filter($"n_pair" >= 5)
+      .join(broadcast(uni.select($"w".as("w1"), $"n_w".as("n_x"))), Seq("w1"))
+      .join(broadcast(uni.select($"w".as("w2"), $"n_w".as("n_y"))), Seq("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(mTot))
+      .withColumn("pmi1e6", expr(
+        """(CAST(n_pair AS DECIMAL(38,0)) * n_tok * n_tok * 1000000)
+          |div (CAST(m_tot AS DECIMAL(38,0)) * n_x * n_y)""".stripMargin)
+        .cast("long"))
+      .select($"w1", $"w2", $"n_pair", $"n_x", $"n_y", $"pmi1e6")
+      .orderBy($"pmi1e6".desc, $"w1", $"w2")
+      .limit(50)
+  }
+  val t18CollocationsSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+      |tk AS (SELECT w FROM toks WHERE length(w) >= 2),
+      |uni AS (SELECT w, COUNT(*) AS n_w FROM tk GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_tok FROM tk),
+      |tl AS (SELECT string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+      |           i -> [t[i], t[i+1]])) AS pair
+      |  FROM tl),
+      |pairs AS (
+      |  SELECT pair[1] AS w1, pair[2] AS w2, COUNT(*) AS n_pair
+      |  FROM bg WHERE length(pair[1]) >= 2 AND length(pair[2]) >= 2
+      |  GROUP BY 1, 2),
+      |m AS (SELECT SUM(n_pair) AS m_tot FROM pairs)
+      |SELECT p.w1, p.w2, p.n_pair, ux.n_w AS n_x, uy.n_w AS n_y,
+      |  CAST((p.n_pair::HUGEINT * n.n_tok * n.n_tok * 1000000)
+      |       // (m.m_tot::HUGEINT * ux.n_w * uy.n_w) AS BIGINT) AS pmi1e6
+      |FROM pairs p
+      |JOIN uni ux ON ux.w = p.w1
+      |JOIN uni uy ON uy.w = p.w2, n, m
+      |WHERE p.n_pair >= 5
+      |ORDER BY pmi1e6 DESC, p.w1, p.w2 LIMIT 50""".stripMargin
+
   // ---- T15: per-document LM quality score (CCNet shape) ---------------
 
   /** T15: each document scored under the CORPUS bigram LM (q_t14's
@@ -2623,6 +2689,7 @@ object PipelineQueries {
     "q_t15_lm_score" -> t15LmScore,
     "q_t16_bpe_merges" -> t16BpeMerges,
     "q_t17_bpe_encode" -> t17BpeEncode,
+    "q_t18_collocations" -> t18Collocations,
     "q_e10_rerank" -> e10Rerank,
     "q_e11_semdedup" -> e11SemDedup,
     "q_e12_recall" -> e12Recall,
@@ -2713,6 +2780,7 @@ object PipelineQueries {
     "q_t15_lm_score" -> t15LmScoreSql,
     "q_t16_bpe_merges" -> t16BpeMergesSql,
     "q_t17_bpe_encode" -> t17BpeEncodeSql,
+    "q_t18_collocations" -> t18CollocationsSql,
     "q_e10_rerank" -> e10RerankSql,
     "q_e11_semdedup" -> e11SemDedupSql,
     "q_e12_recall" -> e12RecallSql,
