@@ -462,6 +462,32 @@ object TemporalQueries {
        |  AND (d.effective_to IS NULL OR f.us < d.effective_to)
        |ORDER BY f.event_id""".stripMargin
 
+  // ---- G8: PageRank centrality ----------------------------------------
+
+  /** G8: five rounds of integer fixed-point PageRank over the
+    * part↔supplier bipartite graph (an edge each way per distinct
+    * lineitem pairing; part nodes = 2·partkey, supplier nodes =
+    * 2·suppkey+1), top-50 by final rank. Every step is exact BIGINT
+    * floor-division (see ops/Graph.scala), so the oracle — the
+    * operator's own unrolled-CTE replay — hash-matches to the bit.
+    * The centrality-as-quality-prior shape: rank entities by graph
+    * endorsement, one join + one map-side-combined SUM per round.
+    */
+  val g8PageRank: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val fwd = li.select((col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    graft.ops.Graph.pageRank(edges, iters = 5)
+      .orderBy(col("r").desc, col("node")).limit(50)
+  }
+  val g8PageRankSql: String =
+    graft.ops.Graph.pageRankSql(
+      """SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM lineitem
+        |  UNION
+        |  SELECT DISTINCT 2 * l_suppkey + 1, 2 * l_partkey FROM lineitem""".stripMargin,
+      iters = 5) + "\nORDER BY r DESC, node LIMIT 50"
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -477,7 +503,8 @@ object TemporalQueries {
     "q_s5_scd2_incr" -> s5Scd2Incr,
     "q_g7_transitions" -> g7Transitions,
     "q_j17_pit" -> j17Pit,
-    "q_j18_overlap" -> j18Overlap)
+    "q_j18_overlap" -> j18Overlap,
+    "q_g8_pagerank" -> g8PageRank)
 
   val oracles: Map[String, String] = Map(
     "q_j10_asof" -> j10AsOfSql,
@@ -492,5 +519,6 @@ object TemporalQueries {
     "q_s5_scd2_incr" -> s5Scd2IncrSql,
     "q_g7_transitions" -> g7TransitionsSql,
     "q_j17_pit" -> j17PitSql,
-    "q_j18_overlap" -> j18OverlapSql)
+    "q_j18_overlap" -> j18OverlapSql,
+    "q_g8_pagerank" -> g8PageRankSql)
 }
