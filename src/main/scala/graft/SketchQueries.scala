@@ -469,6 +469,65 @@ object SketchQueries {
 
   // ---- registry ---------------------------------------------------------
 
+  // ---- K9: sliding-window sketch merge --------------------------------
+
+  /** K9: 7-day sliding distinct users per day, answered FROM THE
+    * SKETCHES — per-day HLL registers (the k4 state) merged across the
+    * date window by a register-wise MAX, then estimated per day. The
+    * corpus collapses to 64 registers per day map-side, so the window
+    * operator runs over sketch cells, not events: this is the
+    * composability payoff of a mergeable-state algebra (k3/k5/k8
+    * proved spatial merges; this is the temporal one). The exact
+    * sliding COUNT(DISTINCT) — which cannot decompose and re-scans
+    * every 7-day window at full width (q_w9's shape) — rides along as
+    * the estimator contract, k1-style.
+    */
+  val k9HllWindow: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.events(s, d).select(
+      to_date(col("ts")).as("day"),
+      TextOps.hash60(col("user_id").cast("string")).as("h"))
+    val regs = Sketches.hllRegisters(src, Seq("day"), col("h"), P)
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("day_num")).rangeBetween(-6, 0)
+    val merged = regs
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+      .withColumn("rm", max(col("r")).over(w))
+      .select(col("day"), col("bucket"), col("rm").as("r"))
+    val est = Sketches.hllEstimate(merged, Seq("day"), P)
+    val exact = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"),
+        col("user_id"))
+      .groupBy(col("wday")).agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(exact, est("day") === exact("wday"), "inner")
+      .select(Queries.dstr(est("day")).as("window_end"),
+        col("n_zero"), col("est_raw"), col("n_exact"))
+      .orderBy("window_end")
+  }
+  val k9HllWindowSql: String = {
+    val h = TextOps.hash60Sql("CAST(user_id AS VARCHAR)")
+    s"""WITH src AS (SELECT CAST(ts AS DATE) AS day, $h AS h FROM events),
+       |${Sketches.hllRegistersSql("src", "day", P)},
+       |merged AS (
+       |  SELECT d.day, f.bucket, MAX(f.r) AS r
+       |  FROM (SELECT DISTINCT day FROM filled) d
+       |  JOIN filled f ON f.day BETWEEN d.day - 6 AND d.day
+       |  GROUP BY 1, 2),
+       |est AS (
+       |${Sketches.hllEstimateSql("day", P, from = "merged")}),
+       |du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+       |ex AS (
+       |  SELECT d.day, COUNT(DISTINCT du.user_id) AS n_exact
+       |  FROM (SELECT DISTINCT day FROM du) d
+       |  JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+       |  GROUP BY 1)
+       |SELECT strftime(e.day, '%Y-%m-%d') AS window_end,
+       |  e.n_zero, e.est_raw, ex.n_exact
+       |FROM est e JOIN ex ON ex.day = e.day
+       |ORDER BY window_end""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q_k1_kmv" -> k1Kmv,
     "q_k2_cms" -> k2Cms,
@@ -477,7 +536,8 @@ object SketchQueries {
     "q_k4_hll" -> k4Hll,
     "q_k6_quantile_sketch" -> k6Quantile,
     "q_k7_heavy_hitters" -> k7HeavyHitters,
-    "q_k8_sketch_rollup" -> k8SketchRollup)
+    "q_k8_sketch_rollup" -> k8SketchRollup,
+    "q_k9_hll_window" -> k9HllWindow)
 
   val oracles: Map[String, String] = Map(
     "q_k1_kmv" -> k1KmvSql,
@@ -487,5 +547,6 @@ object SketchQueries {
     "q_k4_hll" -> k4HllSql,
     "q_k6_quantile_sketch" -> k6QuantileSql,
     "q_k7_heavy_hitters" -> k7HeavyHittersSql,
-    "q_k8_sketch_rollup" -> k8SketchRollupSql)
+    "q_k8_sketch_rollup" -> k8SketchRollupSql,
+    "q_k9_hll_window" -> k9HllWindowSql)
 }

@@ -404,7 +404,8 @@ object Sketches {
        |    ON r.$groupCol = g.$groupCol AND r.bucket = g.bucket)""".stripMargin
   }
 
-  def hllEstimateSql(groupCol: String, p: Int): String = {
+  def hllEstimateSql(groupCol: String, p: Int,
+                     from: String = "filled"): String = {
     require(p >= 4, s"HLL precision p must be >= 4 (got $p)")
     val m = 1L << p
     val rem1 = 60 - p + 1
@@ -413,6 +414,6 @@ object Sketches {
        |  CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
        |  $alpha * ${m.toDouble} * ${m.toDouble} * ${math.pow(2.0, rem1)}
        |    / CAST(SUM(1::BIGINT << CAST($rem1 - r AS INTEGER)) AS BIGINT) AS est_raw
-       |FROM filled GROUP BY 1""".stripMargin
+       |FROM $from GROUP BY 1""".stripMargin
   }
 }

@@ -353,4 +353,25 @@ class SketchesSpec extends SparkSpec {
         ub shouldBe exact(t)
       }
   }
+
+  test("register-wise window MAX equals the sketch of the unioned days") {
+    import spark.implicits._
+    import graft.ops.{Sketches, TextOps}
+    // Two days of keys with overlap; merging day sketches by per-bucket
+    // MAX must equal the sketch built from the union of the raw keys —
+    // the temporal analogue of the k3/k5 spatial merge gates, and the
+    // property q_k9's sliding window rests on.
+    val p = 6
+    val d1 = (1 to 200).map(i => ("d1", s"u$i"))
+    val d2 = (150 to 400).map(i => ("d2", s"u$i"))
+    val src = (d1 ++ d2).toDF("day", "k")
+      .select($"day", TextOps.hash60($"k").as("h"))
+    val perDay = Sketches.hllRegisters(src, Seq("day"), $"h", p)
+    val mergedMax = perDay.groupBy($"bucket").agg(max($"r").as("r"))
+      .as[(Long, Long)].collect().toMap
+    val union = Sketches.hllRegisters(
+        src.withColumn("day", lit("all")), Seq("day"), $"h", p)
+      .select($"bucket", $"r").as[(Long, Long)].collect().toMap
+    mergedMax shouldBe union
+  }
 }
