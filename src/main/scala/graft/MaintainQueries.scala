@@ -124,15 +124,64 @@ object MaintainQueries {
       |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       |FROM last WHERE op <> 'D' ORDER BY o_orderkey""".stripMargin
 
-  // ---- registry --------------------------------------------------------
+  // ---- S7: CDC changelog extraction ------------------------------------
+
+  /** S7: the inverse of S6 — diff two snapshots into the minimal I/U/D
+    * change feed (`Maintain.diffToCdc`): the after-image drops keys
+    * ≡0 mod 13, restamps keys ≡0 mod 7 to status 'U2', and inserts
+    * shifted copies of keys ≡0 mod 11. One full-outer join; unchanged
+    * rows emit NOTHING, so the feed is proportional to the change.
+    * MaintainSpec pins the round-trip law applyCdc∘diffToCdc == after.
+    */
+  val s7CdcExtract: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val after = o.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 7 === 0, lit("U2")).otherwise(col("o_orderstatus")))
+      .unionByName(o.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    Maintain.diffToCdc(o, after, "o_orderkey",
+        Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+      .orderBy("o_orderkey", "op")
+  }
+  val s7CdcExtractSql: String =
+    """WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+      |a AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN 'U2' ELSE o_orderstatus END AS o_orderstatus,
+      |    o_totalprice
+      |  FROM orders WHERE o_orderkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |d AS (
+      |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |    CASE WHEN b.o_orderkey IS NULL THEN 'I'
+      |         WHEN a.o_orderkey IS NULL THEN 'D'
+      |         WHEN NOT (b.o_custkey IS NOT DISTINCT FROM a.o_custkey
+      |               AND b.o_orderstatus IS NOT DISTINCT FROM a.o_orderstatus
+      |               AND b.o_totalprice IS NOT DISTINCT FROM a.o_totalprice)
+      |         THEN 'U' END AS op,
+      |    CASE WHEN a.o_orderkey IS NULL THEN b.o_custkey ELSE a.o_custkey END AS o_custkey,
+      |    CASE WHEN a.o_orderkey IS NULL THEN b.o_orderstatus ELSE a.o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN a.o_orderkey IS NULL THEN b.o_totalprice ELSE a.o_totalprice END AS o_totalprice
+      |  FROM b FULL OUTER JOIN a ON a.o_orderkey = b.o_orderkey)
+      |SELECT o_orderkey, op, o_custkey, o_orderstatus, o_totalprice
+      |FROM d WHERE op IS NOT NULL ORDER BY o_orderkey, op""".stripMargin
+
+  // ---- registry --------------------------------------------------------  // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q_s2_incr_agg" -> s2IncrAgg,
     "q_s4_golden" -> s4Golden,
-    "q_s6_cdc_apply" -> s6CdcApply)
+    "q_s6_cdc_apply" -> s6CdcApply,
+    "q_s7_cdc_extract" -> s7CdcExtract)
 
   val oracles: Map[String, String] = Map(
     "q_s2_incr_agg" -> s2IncrAggSql,
     "q_s4_golden" -> s4GoldenSql,
-    "q_s6_cdc_apply" -> s6CdcApplySql)
+    "q_s6_cdc_apply" -> s6CdcApplySql,
+    "q_s7_cdc_extract" -> s7CdcExtractSql)
 }

@@ -110,4 +110,35 @@ object Maintain {
     last.filter(last("__last.__op") =!= "D")
       .select(col(key) +: payload.map(c => col(s"__last.$c").as(c)): _*)
   }
+
+  /** CDC EXTRACTION — [[applyCdc]]'s inverse: diff two snapshots of a
+    * keyed table into the minimal I/U/D changelog that transforms
+    * `before` into `after` (the change-data-feed a lakehouse emits so
+    * downstream consumers can incrementally follow a table they cannot
+    * re-scan). Round-trip law, pinned by MaintainSpec:
+    * `applyCdc(old ∪ diffToCdc(before, after)) == after`.
+    *
+    * One full-outer join on the key; the row-equality test compares the
+    * payload structs (null-safe), so an unchanged row emits nothing —
+    * the changelog is proportional to the CHANGE, not the table.
+    */
+  def diffToCdc(before: DataFrame, after: DataFrame, key: String,
+                payload: Seq[String]): DataFrame = {
+    val b = before.select(col(key).as("__kb"),
+      struct(payload.map(col): _*).as("__pb"))
+    val a = after.select(col(key).as("__ka"),
+      struct(payload.map(col): _*).as("__pa"))
+    b.join(a, col("__kb") === col("__ka"), "full_outer")
+      .withColumn("op",
+        when(col("__kb").isNull, lit("I"))
+          .when(col("__ka").isNull, lit("D"))
+          .when(!(col("__pb") <=> col("__pa")), lit("U")))
+      .filter(col("op").isNotNull)
+      // D carries the last before-image; I/U carry the after-image —
+      // selected by op, NOT coalesce, so an update TO null survives.
+      .select(coalesce(col("__ka"), col("__kb")).as(key) +: col("op") +:
+        payload.map(c =>
+          when(col("op") === "D", col(s"__pb.$c"))
+            .otherwise(col(s"__pa.$c")).as(c)): _*)
+  }
 }

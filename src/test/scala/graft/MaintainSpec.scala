@@ -85,4 +85,29 @@ class MaintainSpec extends SparkSpec {
     // arrival order must not matter: the aggregation is order-insensitive
     run(scala.util.Random.shuffle(changes)) shouldBe expected
   }
+
+  test("diffToCdc emits the minimal feed and round-trips through applyCdc") {
+    import spark.implicits._
+    import graft.ops.Maintain
+    val before = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, null.asInstanceOf[String], 40))
+      .toDF("k", "v", "n")
+    // 1 unchanged, 2 updated (to NULL — the coalesce trap), 3 deleted,
+    // 4 updated, 5 inserted
+    val after = Seq((1L, "a", 10), (2L, null.asInstanceOf[String], 20), (4L, "d", 41), (5L, "e", 50))
+      .toDF("k", "v", "n")
+    val cdc = Maintain.diffToCdc(before, after, "k", Seq("v", "n"))
+    val byKey = cdc.as[(Long, String, String, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    byKey.keySet shouldBe Set(2L, 3L, 4L, 5L) // unchanged key 1 emits nothing
+    byKey(2L)._2 shouldBe "U"; byKey(2L)._3 shouldBe null // update TO null survives
+    byKey(3L)._2 shouldBe "D"; byKey(3L)._3 shouldBe "c"  // delete carries before-image
+    byKey(4L)._2 shouldBe "U"; byKey(5L)._2 shouldBe "I"
+    // round-trip law: old-state inserts (seq 0) + the diff (seq 1) == after
+    val replay = before.withColumn("seq", lit(0L)).withColumn("op", lit("I"))
+      .unionByName(cdc.withColumn("seq", lit(1L)))
+    val rebuilt = Maintain.applyCdc(replay, "k", col("seq"), col("seq"),
+        col("op"), Seq("v", "n"))
+      .as[(Long, String, Int)].collect().toSet
+    rebuilt shouldBe after.as[(Long, String, Int)].collect().toSet
+  }
 }
