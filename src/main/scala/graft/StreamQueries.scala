@@ -334,6 +334,57 @@ object StreamQueries {
       |WHERE b_ms > a_ms AND b_ms <= a_ms + 1800000
       |ORDER BY user_id, a_id, b_id""".stripMargin
 
+  /** ST8: LEFT-OUTER stream-stream join — st7's attribution join with
+    * the no-conversion rows kept. The null side of an outer
+    * stream-stream join is WATERMARK-DRIVEN: an unmatched click emits
+    * (click, null) only when the global watermark (min of the two
+    * input watermarks, here = min(max click ts, max purchase ts))
+    * STRICTLY passes its window end, i.e. the row is evicted with its
+    * match provably impossible; rows still in state at AvailableNow
+    * termination never emit (StreamingSpec pins the == boundary as
+    * held). The oracle states precisely that rule in batch SQL — so
+    * the gate checks the outer join's emission semantics, not just
+    * the matches.
+    */
+  val st8StreamOuterJoin: Q = (s, d) => {
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val sink = "st8_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    def side(tp: String, idAs: String) =
+      Tables.normalizeTs(s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+        .filter(col("event_type") === tp)
+        .select(col("user_id"), col("ts"), col("event_id").as(idAs))
+    val q = graft.streaming.Incremental.intervalJoinStream(
+        side("click", "click_id"), side("purchase", "purchase_id"),
+        key = "user_id", watermark = "0 seconds", window = "30 minutes",
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drain(s, sink,
+      s.table(sink).select(col("user_id"),
+        col("l_click_id").as("a_id"), col("r_purchase_id").as("b_id"),
+        unix_millis(col("l_ts")).as("a_ms"),
+        unix_millis(col("r_ts")).as("b_ms")))
+      .orderBy(col("user_id"), col("a_id"), col("b_id").asc_nulls_first)
+  }
+  val st8StreamOuterJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
+      |a AS (SELECT event_id AS a_id, user_id, ms AS a_ms FROM e WHERE event_type = 'click'),
+      |b AS (SELECT event_id AS b_id, user_id, ms AS b_ms FROM e WHERE event_type = 'purchase'),
+      |wm AS (SELECT LEAST((SELECT MAX(a_ms) FROM a), (SELECT MAX(b_ms) FROM b)) AS w),
+      |j AS (
+      |  SELECT a.user_id, a.a_id, b.b_id, a.a_ms, b.b_ms
+      |  FROM a LEFT JOIN b ON b.user_id = a.user_id
+      |    AND b.b_ms > a.a_ms AND b.b_ms <= a.a_ms + 1800000)
+      |SELECT user_id, a_id, b_id, a_ms, b_ms
+      |FROM j, wm
+      |WHERE b_id IS NOT NULL OR a_ms + 1800000 < wm.w
+      |ORDER BY user_id, a_id, b_id ASC NULLS FIRST""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -343,7 +394,8 @@ object StreamQueries {
     "q_st4_stream_window" -> st4StreamWindow,
     "q_st5_stream_sessions" -> st5StreamSessions,
     "q_st6_stream_sketch" -> st6StreamSketch,
-    "q_st7_stream_join" -> st7StreamJoin)
+    "q_st7_stream_join" -> st7StreamJoin,
+    "q_st8_stream_outer_join" -> st8StreamOuterJoin)
   val oracles: Map[String, String] = Map(
     "q_st1_stream_agg" -> st1StreamAggSql,
     "q_st2_stream_enrich" -> st2StreamEnrichSql,
@@ -351,5 +403,6 @@ object StreamQueries {
     "q_st4_stream_window" -> st4StreamWindowSql,
     "q_st5_stream_sessions" -> st5StreamSessionsSql,
     "q_st6_stream_sketch" -> st6StreamSketchSql,
-    "q_st7_stream_join" -> st7StreamJoinSql)
+    "q_st7_stream_join" -> st7StreamJoinSql,
+    "q_st8_stream_outer_join" -> st8StreamOuterJoinSql)
 }

@@ -103,8 +103,16 @@ object Incremental {
     * `left`/`right` must expose `key` plus a TimestampType `ts`; their
     * other columns are disambiguated with an `l_`/`r_` prefix.
     */
+  /** `joinType` additionally admits "left_outer": an unmatched left row
+    * emits with nulls once the global watermark (min of the two input
+    * watermarks) proves no future right row can land in its window —
+    * i.e. when the row is evicted from state. Rows still in state when
+    * an AvailableNow run terminates never emit; StreamQueries.st8's
+    * oracle states that rule in batch SQL.
+    */
   def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
-                         watermark: String, window: String): DataFrame = {
+                         watermark: String, window: String,
+                         joinType: String = "inner"): DataFrame = {
     val l = left.columns.foldLeft(left) { (df, c) =>
       if (c == key || c == "ts") df else df.withColumnRenamed(c, s"l_$c")
     }.withColumnRenamed("ts", "l_ts").withWatermark("l_ts", watermark)
@@ -114,7 +122,8 @@ object Incremental {
     l.join(r,
       l(key) === r(key) &&
         col("r_ts") > col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"),
+      joinType)
       .drop(r(key))
   }
 }

@@ -411,4 +411,48 @@ class StreamingSpec extends SparkSpec {
     // `window_end <= max(ts)` exactly.
     got shouldBe Set(("2024-01-01", 2L), ("2024-01-02", 1L))
   }
+
+  test("left-outer interval join: null-emission boundary vs the final global watermark") {
+    // Pins q_st8's oracle rule. Global watermark = min(max left ts,
+    // max right ts) = 11:00. An unmatched click emits nulls iff its
+    // join window can provably never match — we assert exactly which
+    // side of the boundary (window end == watermark) Spark puts it on.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-st8edge").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    val clicks = Seq(
+      (1L, t("2024-01-01 10:00:00"), 100L), // matched
+      (2L, t("2024-01-01 10:00:00"), 101L), // unmatched, end 10:30 < wm -> null row
+      (4L, t("2024-01-01 10:30:00"), 103L), // unmatched, end 11:00 == wm -> boundary
+      (3L, t("2024-01-01 11:00:00"), 102L)) // unmatched, end 11:30 > wm -> held
+      .toDF("user_id", "ts", "click_id")
+    val buys = Seq(
+      (1L, t("2024-01-01 10:10:00"), 900L),
+      (9L, t("2024-01-01 11:30:00"), 901L)) // max right ts; wm = min side = 11:00
+      .toDF("user_id", "ts", "purchase_id")
+    clicks.write.parquet(s"$root/l"); buys.write.parquet(s"$root/r")
+    val l = spark.readStream.schema(clicks.schema).parquet(s"$root/l")
+    val r = spark.readStream.schema(buys.schema).parquet(s"$root/r")
+    val sink = "st8edge_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Incremental.intervalJoinStream(l, r, "user_id", "0 seconds",
+        "30 minutes", joinType = "left_outer")
+      .select(col("user_id"), col("l_click_id"),
+        col("r_purchase_id"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table(sink)
+      .as[(Long, Long, Option[Long])].collect().toSet
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
+    rows should contain ((1L, 100L, Some(900L)))
+    rows should contain ((2L, 101L, None))
+    rows.map(_._2) should not contain 102L // window still open at wm
+    // THE BOUNDARY: window end == final watermark. Assert the observed
+    // side so the oracle cannot drift from the engine:
+    withClue(s"rows=$rows") {
+      rows.map(_._2) should not contain 103L
+    }
+  }
 }
