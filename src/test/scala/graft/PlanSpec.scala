@@ -119,4 +119,48 @@ class PlanSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning") &&
         l.contains("shard") && l.contains("term")) should be <= 2 // partial+final pair resolves to one boundary
   }
+
+  test("q_e11_semdedup: one keyed exchange; centroids broadcast; decision in-cell") {
+    val p = plan("q_e11_semdedup")
+    // assignment + centroid re-join are broadcasts; the only hash
+    // exchanges are the per-vector argmax regroup and the cell
+    // aggregation — the old self-join shape had two more.
+    p.linesIterator.count(_.contains("BroadcastHashJoin")) should be >= 1
+    p.linesIterator.count(_.contains("Exchange hashpartitioning")) should be <= 2
+    p should not include "CartesianProduct"
+  }
+
+  test("q_p10_group_sample: bottom-k partials below the exchange, winners broadcast back") {
+    val p = plan("q_p10_group_sample")
+    p should include("partial_bottomkagg")
+    p should include("BroadcastHashJoin")
+  }
+
+  test("q_t18_collocations: counts partial-aggregate; rank is a bounded TakeOrdered") {
+    val p = plan("q_t18_collocations")
+    p should include("partial_count")
+    p should include("TakeOrderedAndProject")
+    p.linesIterator.count(_.contains("BroadcastHashJoin")) should be >= 2
+  }
+
+  test("q_s6_cdc_apply: the changelog collapses map-side (partial max_by)") {
+    val p = plan("q_s6_cdc_apply")
+    p should include("partial_max_by")
+    p should not include "Window"
+  }
+
+  test("q_s7_cdc_extract: one full-outer exchange pair, no window funnel") {
+    val p = plan("q_s7_cdc_extract")
+    p should include("FullOuter")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+  }
+
+  test("q_k9_hll_window: registers partial-aggregate; the window runs over sketch cells") {
+    val p = plan("q_k9_hll_window")
+    // per-(day,bucket) register build collapses map-side before any
+    // exchange; the sliding merge is a Window over the 64-bucket grid.
+    p should include("partial_max")
+    p should include("Window")
+  }
 }
