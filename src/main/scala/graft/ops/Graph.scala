@@ -48,7 +48,9 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val srcSide = e.join(deg, "src")
+    // (src, dst, deg) is re-read every round — persist the JOINED frame,
+    // not just e, or the deg aggregation+join re-executes per iteration.
+    val srcSide = e.join(deg, "src").persist()
 
     val n = nodes.count() // the one driver-side scalar (teleport share)
     val init = scale / n
@@ -66,7 +68,7 @@ object Graph {
         .localCheckpoint() // flat plan regardless of round count
       round += 1
     }
-    e.unpersist(); nodes.unpersist()
+    e.unpersist(); nodes.unpersist(); srcSide.unpersist()
     ranks
   }
 
