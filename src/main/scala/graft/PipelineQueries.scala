@@ -2056,6 +2056,76 @@ object PipelineQueries {
        |WHERE kh IS NULL OR e.h <= kh
        |ORDER BY event_type, event_id""".stripMargin
 
+  // ---- R1: entity resolution / record linkage -------------------------
+
+  /** R1: the classic record-linkage pipeline over a deliberately
+    * dirtied parts catalog (every 10th part re-enters with a shifted id
+    * and its second name-word dropped): BLOCK on (brand, first word) so
+    * candidate generation is quadratic only within a block (the ER
+    * analogue of LSH banding — never all-pairs), SCORE candidates with
+    * the codegen'd built-in levenshtein (parity gated by q_c19), MATCH
+    * at distance ≤ 12, merge one hop to the minimum matched id (on
+    * this corpus short two-word part names make whole blocks merge —
+    * the gate checks the block/score/merge/survive ALGEBRA is
+    * engine-exact; arbitrary-diameter closure is the d2b/d2c
+    * operator), then SURVIVE each entity with its
+    * lowest-id member's name (min_by, map-side). The oracle replays
+    * block, score, merge, and survivorship verbatim.
+    */
+  val r1Linkage: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.part(s, d)
+      .select($"p_partkey".cast("long").as("rid"), $"p_name".as("name"), $"p_brand".as("brand"))
+    val dirty = base.filter($"rid" % 10 === 0)
+      .select(($"rid" + 1000000L).as("rid"),
+        expr("concat_ws(' ', concat(slice(split(name, ' '), 1, 1), slice(split(name, ' '), 3, 100)))").as("name"),
+        $"brand")
+    val recs = base.unionByName(dirty)
+      .withColumn("blk", concat($"brand", lit("|"), substring_index($"name", " ", 1)))
+    val a = recs.select($"blk", $"rid".as("ra"), $"name".as("na"))
+    val b = recs.select($"blk", $"rid".as("rb"), $"name".as("nb"))
+    val matches = a.join(b, Seq("blk"))
+      .filter($"ra" < $"rb" && levenshtein($"na", $"nb") <= 12)
+      .select($"ra", $"rb")
+    val partners = matches.select($"ra".as("rid"), $"rb".as("partner"))
+      .unionByName(matches.select($"rb".as("rid"), $"ra".as("partner")))
+      .groupBy($"rid").agg(min($"partner").as("mp"))
+    recs.join(partners, Seq("rid"), "left")
+      .withColumn("entity_id", least($"rid", coalesce($"mp", $"rid")))
+      .groupBy($"entity_id")
+      .agg(count(lit(1)).as("n_records"),
+        min_by($"name", $"rid").as("canonical_name"))
+      .filter($"n_records" >= 2)
+      .orderBy("entity_id")
+  }
+  val r1LinkageSql: String =
+    """WITH base AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS rid, p_name AS name, p_brand AS brand FROM part),
+      |dirty AS (
+      |  SELECT rid + 1000000 AS rid,
+      |    array_to_string(list_concat(t[1:1], t[3:]), ' ') AS name, brand
+      |  FROM (SELECT rid, string_split(name, ' ') AS t, brand FROM base)
+      |  WHERE rid % 10 = 0),
+      |recs AS (
+      |  SELECT rid, name, brand, brand || '|' || string_split(name, ' ')[1] AS blk
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM dirty)),
+      |matches AS (
+      |  SELECT a.rid AS ra, b.rid AS rb
+      |  FROM recs a JOIN recs b ON a.blk = b.blk AND a.rid < b.rid
+      |  WHERE levenshtein(a.name, b.name) <= 12),
+      |partners AS (
+      |  SELECT rid, MIN(partner) AS mp FROM (
+      |    SELECT ra AS rid, rb AS partner FROM matches
+      |    UNION ALL SELECT rb, ra FROM matches)
+      |  GROUP BY 1),
+      |assigned AS (
+      |  SELECT r.rid, r.name, LEAST(r.rid, COALESCE(p.mp, r.rid)) AS entity_id
+      |  FROM recs r LEFT JOIN partners p USING (rid))
+      |SELECT entity_id, COUNT(*) AS n_records,
+      |  arg_min(name, rid) AS canonical_name
+      |FROM assigned GROUP BY 1 HAVING COUNT(*) >= 2
+      |ORDER BY entity_id""".stripMargin
+
   // ---- M1: multimodal binary-column metadata --------------------------
 
   /** Opaque-binary plumbing: treat content as a blob, extract typed
@@ -2739,6 +2809,7 @@ object PipelineQueries {
     "q_p8_cluster_split" -> p8ClusterSplit,
     "q_p6_temperature" -> p6Temperature,
     "q_p10_group_sample" -> p10GroupSample,
+    "q_r1_linkage" -> r1Linkage,
     "q_d9_neardup_purge" -> d9NearDupPurge,
     "q_e8_quantize" -> e8Quantize,
     "q_t12_gopher_gate" -> t12GopherGate,
@@ -2804,6 +2875,7 @@ object PipelineQueries {
     "q_p8_cluster_split" -> p8ClusterSplitSql,
     "q_p6_temperature" -> p6TemperatureSql,
     "q_p10_group_sample" -> p10GroupSampleSql,
+    "q_r1_linkage" -> r1LinkageSql,
     "q_d9_neardup_purge" -> d9NearDupPurgeSql,
     "q_e8_quantize" -> e8QuantizeSql,
     "q_t12_gopher_gate" -> t12GopherGateSql,
