@@ -528,6 +528,76 @@ object SketchQueries {
        |ORDER BY window_end""".stripMargin
   }
 
+  // ---- K10: sliding-window quantile sketch ----------------------------
+
+  /** K10: 7-day sliding p50/p90/p99 of event values, answered FROM the
+    * per-day bottom-k quantile sketches (k6's state) — k9's temporal
+    * merge applied to the quantile member of the algebra: bottom-k of
+    * the per-day bottom-ks over a window == bottom-k of the window's
+    * union (order-insensitive multiset, the k6 merge theorem), so the
+    * oracle can state the sketch directly off the raw window. Rank
+    * selections are k6's integer formulas — no interpolation, every
+    * selected value a raw input double. Each day contributes one
+    * 64-pair buffer to the window merge regardless of day size.
+    */
+  val k10QuantileWindow: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val bk = Sketches.bottomKSketch(QK)
+    val src = Tables.events(s, d).select(
+      to_date(col("ts")).as("day"),
+      TextOps.hash60(col("event_id").cast("string")).as("h"),
+      col("value").as("v"))
+    val perDay = src.groupBy("day").agg(bk(col("h"), col("v")).as("sk"))
+    val days = perDay.select(col("day").as("wend"))
+    val merged = perDay
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("wend"),
+        col("sk"))
+      .join(days, Seq("wend"), "left_semi")
+      .select(col("wend"), explode(col("sk")).as("c"))
+      .select(col("wend"), col("c._1").as("h"), col("c._2").as("v"))
+      .groupBy("wend").agg(bk(col("h"), col("v")).as("sk"))
+    val cells = merged
+      .select(col("wend"), explode(col("sk")).as("c"))
+      .select(col("wend"), col("c._1").as("h"), col("c._2").as("v"))
+    val m = cells.groupBy("wend").agg(count(lit(1)).as("m"))
+    val wv = Window.partitionBy("wend").orderBy(col("v"), col("h"))
+    cells.join(broadcast(m), "wend")
+      .withColumn("rnv", row_number().over(wv))
+      .groupBy("wend")
+      .agg(max(col("m")).as("m"),
+        max(when(col("rnv") === expr("(50*m+99) div 100"), col("v"))).as("p50_est"),
+        max(when(col("rnv") === expr("(90*m+99) div 100"), col("v"))).as("p90_est"),
+        max(when(col("rnv") === expr("(99*m+99) div 100"), col("v"))).as("p99_est"))
+      .select(Queries.dstr(col("wend")).as("window_end"),
+        col("m"), col("p50_est"), col("p90_est"), col("p99_est"))
+      .orderBy("window_end")
+  }
+  val k10QuantileWindowSql: String = {
+    val h = TextOps.hash60Sql("CAST(event_id AS VARCHAR)")
+    s"""WITH src AS (
+       |  SELECT CAST(ts AS DATE) AS day, $h AS h, value AS v FROM events),
+       |days AS (SELECT DISTINCT day FROM src),
+       |win AS (
+       |  SELECT d.day AS wend, s.h, s.v
+       |  FROM days d JOIN src s ON s.day BETWEEN d.day - 6 AND d.day),
+       |r AS (
+       |  SELECT wend, h, v,
+       |    row_number() OVER (PARTITION BY wend ORDER BY h, v) AS rn
+       |  FROM win),
+       |sk AS (SELECT wend, h, v FROM r WHERE rn <= $QK),
+       |m AS (SELECT wend, COUNT(*) AS m FROM sk GROUP BY 1),
+       |rv AS (
+       |  SELECT sk.wend, sk.v, m.m,
+       |    row_number() OVER (PARTITION BY sk.wend ORDER BY sk.v, sk.h) AS rnv
+       |  FROM sk JOIN m USING (wend))
+       |SELECT strftime(wend, '%Y-%m-%d') AS window_end,
+       |  CAST(MAX(m) AS BIGINT) AS m,
+       |  MAX(CASE WHEN rnv = (50*m+99) // 100 THEN v END) AS p50_est,
+       |  MAX(CASE WHEN rnv = (90*m+99) // 100 THEN v END) AS p90_est,
+       |  MAX(CASE WHEN rnv = (99*m+99) // 100 THEN v END) AS p99_est
+       |FROM rv GROUP BY wend ORDER BY window_end""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q_k1_kmv" -> k1Kmv,
     "q_k2_cms" -> k2Cms,
@@ -537,7 +607,8 @@ object SketchQueries {
     "q_k6_quantile_sketch" -> k6Quantile,
     "q_k7_heavy_hitters" -> k7HeavyHitters,
     "q_k8_sketch_rollup" -> k8SketchRollup,
-    "q_k9_hll_window" -> k9HllWindow)
+    "q_k9_hll_window" -> k9HllWindow,
+    "q_k10_quantile_window" -> k10QuantileWindow)
 
   val oracles: Map[String, String] = Map(
     "q_k1_kmv" -> k1KmvSql,
@@ -548,5 +619,6 @@ object SketchQueries {
     "q_k6_quantile_sketch" -> k6QuantileSql,
     "q_k7_heavy_hitters" -> k7HeavyHittersSql,
     "q_k8_sketch_rollup" -> k8SketchRollupSql,
-    "q_k9_hll_window" -> k9HllWindowSql)
+    "q_k9_hll_window" -> k9HllWindowSql,
+    "q_k10_quantile_window" -> k10QuantileWindowSql)
 }
