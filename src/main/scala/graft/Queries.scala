@@ -1048,6 +1048,58 @@ object Queries {
       |           false) AS low_volume
       |FROM m ORDER BY day""".stripMargin
 
+  /** V6: SEASONAL-naive anomaly monitor — v5's volume check made
+    * weekday-aware: each day's event count against the discrete lower
+    * median of the 3 trailing SAME-WEEKDAY counts, because a Sunday
+    * compared to a Mon–Sat trailing median pages every weekend.
+    * Deviation is an integer ratio (n·1e6 div baseline, distance from
+    * 1e6); the flag fires beyond ±50%. Weekday = epoch-day mod 7 —
+    * pure arithmetic, identical in any engine (DATE_PART weekday
+    * conventions differ between engines, so none is used). One daily
+    * rollup + one 3-row window per weekday partition; window state is
+    * 3 longs per day at any volume.
+    */
+  val v6Seasonal: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"dow").orderBy($"day").rowsBetween(-3, -1)
+    Tables.events(s, d)
+      .select(to_date($"ts").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n"))
+      .withColumn("dow", pmod(datediff($"day", lit("1970-01-01").cast("date")), lit(7)))
+      .withColumn("win", sort_array(collect_list($"n").over(w)))
+      .withColumn("base",
+        when(size($"win") > 0,
+          element_at($"win", ((size($"win") + 1) / 2).cast("int"))))
+      .withColumn("dev1e6",
+        when($"base".isNotNull, abs(expr("n * 1000000L div base") - lit(1000000L))))
+      .withColumn("anomaly", coalesce($"dev1e6" > 500000L, lit(false)))
+      .select(dstr($"day").as("day"), $"dow".cast("long").as("dow"), $"n",
+        $"base", $"dev1e6", $"anomaly")
+      .orderBy("day")
+  }
+  val v6SeasonalSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1),
+      |dw AS (
+      |  SELECT day, n,
+      |    CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS dow
+      |  FROM daily),
+      |m AS (
+      |  SELECT day, dow, n,
+      |    list_sort(list(n) OVER (PARTITION BY dow ORDER BY day
+      |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)) AS win
+      |  FROM dw),
+      |b AS (
+      |  SELECT day, dow, n,
+      |    CASE WHEN len(win) > 0 THEN win[(len(win) + 1) // 2] END AS base
+      |  FROM m)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, dow, n, base,
+      |  CASE WHEN base IS NOT NULL THEN ABS(n * 1000000 // base - 1000000) END AS dev1e6,
+      |  COALESCE((CASE WHEN base IS NOT NULL THEN ABS(n * 1000000 // base - 1000000) END) > 500000,
+      |           false) AS anomaly
+      |FROM b ORDER BY day""".stripMargin
+
   /** A21: median absolute deviation per group — the robust-statistics
     * pair to A19's winsorize. Both the median and the MAD are DISCRETE
     * rank selections (lower median at rank (n+1) div 2 over a total
@@ -1167,6 +1219,7 @@ object Queries {
     "q_v2_constraints" -> v2Constraints,
     "q_v3_drift" -> v3Drift,
     "q_v5_freshness" -> v5Freshness,
+    "q_v6_seasonal" -> v6Seasonal,
     "q_a21_mad" -> a21Mad,
     "q_c19_edit_distance" -> c19EditDistance
   ) ++ WindowQueries.all ++ PipelineQueries.all ++ ScalarQueries.all ++
@@ -1216,6 +1269,7 @@ object Queries {
     "q_v2_constraints" -> v2ConstraintsSql,
     "q_v3_drift" -> v3DriftSql,
     "q_v5_freshness" -> v5FreshnessSql,
+    "q_v6_seasonal" -> v6SeasonalSql,
     "q_a21_mad" -> a21MadSql,
     "q_c19_edit_distance" -> c19EditDistanceSql
   ) ++ WindowQueries.oracles ++ PipelineQueries.oracles ++ ScalarQueries.oracles ++
