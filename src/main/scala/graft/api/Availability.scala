@@ -246,6 +246,19 @@ object AvailabilityQueries {
       .orderBy(col("min_days").desc, col("symbol"))
   }
 
+  /** Uniform k-day sample per symbol — `Sampling.groupSample` over the
+    * fact table (bottom-k of a seeded hash of (symbol, date)): the
+    * deterministic spot-check slice an operator pulls before trusting
+    * a backfill, identical across retries and repartitions, k rows of
+    * state per symbol at any history length.
+    */
+  def sampleDays(df: DataFrame, k: Int = 10): DataFrame =
+    graft.ops.Sampling.groupSample(
+        df.select(col("symbol"), col("date"), col("available")),
+        col("symbol"),
+        concat(col("symbol"), lit(":"), col("date").cast("string")), k)
+      .orderBy("symbol", "date")
+
   // ---- rankings archive (§3.3) ----------------------------------------
 
   /** Incremental rankings refresh: compute the 13-column pipeline for

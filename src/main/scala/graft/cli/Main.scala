@@ -130,6 +130,13 @@ object Main {
 
     // reference cross-check validator (cross_check.py:79-137): DB symbols
     // on a date vs a saved exchangeInfo response body.
+    case "sampledays" :: path :: rest =>
+      val k = rest.sliding(2).collectFirst {
+        case Seq("--k", v) => v.toInt
+      }.getOrElse(10)
+      withSession(spark => emit(AvailabilityQueries.sampleDays(
+        spark.read.parquet(path), k), rest))
+
     case "crosscheck" :: path :: jsonPath :: date :: rest =>
       withSession { spark =>
         val body = new String(java.nio.file.Files.readAllBytes(
@@ -148,6 +155,7 @@ object Main {
           "range <path> <start> <end> [--counts] | " +
           "percentile <path> <symbol> <date> | " +
           "volquantiles <path> <start> <end> [--k N] | " +
+          "sampledays <path> [--k N] | " +
           "mostavailable <path> [--top N] | " +
           "crosscheck <path> <exchangeInfo.json> <date>")
       sys.exit(2)

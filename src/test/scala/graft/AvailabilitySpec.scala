@@ -216,4 +216,17 @@ class AvailabilitySpec extends SparkSpec {
       col("date") =!= Date.valueOf("2024-01-16")), 3L)
       .collect().map(_.getString(0)).toSeq shouldBe Seq("2024-01-16")
   }
+
+  test("sampleDays: k days per symbol, deterministic across layouts") {
+    import spark.implicits._
+    val days = (1 to 30).map(i => rec(f"2024-01-$i%02d", "BTCUSDT")) ++
+      (1 to 3).map(i => rec(f"2024-01-$i%02d", "ETHUSDT"))
+    val df = days.toDF()
+    val got = AQ.sampleDays(df, k = 5).collect()
+    got.count(_.getAs[String]("symbol") == "BTCUSDT") shouldBe 5
+    got.count(_.getAs[String]("symbol") == "ETHUSDT") shouldBe 3 // whole small group
+    val again = AQ.sampleDays(df.repartition(7), k = 5).collect()
+    again.map(r => (r.getAs[String]("symbol"), r.getAs[Date]("date").toString)).toSet shouldBe
+      got.map(r => (r.getAs[String]("symbol"), r.getAs[Date]("date").toString)).toSet
+  }
 }
