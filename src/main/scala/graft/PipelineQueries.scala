@@ -1154,9 +1154,12 @@ object PipelineQueries {
       .filter(length($"w1") >= 2 && length($"w2") >= 2)
       .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_pair"))
     val mTot = pairsAll.agg(sum($"n_pair").as("m_tot"))
+    // No broadcast hint on the unigram table: it is VOCABULARY-sized
+    // (unbounded at corpus scale) — AQE broadcasts when small, keyed
+    // shuffle-join otherwise. The two scalar totals stay broadcast.
     pairsAll.filter($"n_pair" >= 5)
-      .join(broadcast(uni.select($"w".as("w1"), $"n_w".as("n_x"))), Seq("w1"))
-      .join(broadcast(uni.select($"w".as("w2"), $"n_w".as("n_y"))), Seq("w2"))
+      .join(uni.select($"w".as("w1"), $"n_w".as("n_x")), Seq("w1"))
+      .join(uni.select($"w".as("w2"), $"n_w".as("n_y")), Seq("w2"))
       .crossJoin(broadcast(nTok)).crossJoin(broadcast(mTot))
       .withColumn("pmi1e6", expr(
         """(CAST(n_pair AS DECIMAL(38,0)) * n_tok * n_tok * 1000000)

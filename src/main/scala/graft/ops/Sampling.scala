@@ -213,7 +213,10 @@ object Sampling {
       .select(col("__g"), explode(col("__sk")).as("__m"))
       .select(col("__g"), col("__m._1").as("__h"))
       .distinct()
-    withH.join(broadcast(winners),
+    // No broadcast hint: winners is k rows PER GROUP, so its size
+    // scales with group cardinality — AQE broadcasts it when small and
+    // shuffle-semi-joins on (group, hash) when it is not.
+    withH.join(winners,
         withH("__h") === winners("__h") && groupCol === col("__g"), "left_semi")
       .drop("__h")
   }
