@@ -488,7 +488,34 @@ object TemporalQueries {
         |  SELECT DISTINCT 2 * l_suppkey + 1, 2 * l_partkey FROM lineitem""".stripMargin,
       iters = 5) + "\nORDER BY r DESC, node LIMIT 50"
 
-  // ---- registry --------------------------------------------------------
+  /** G9: PERSONALIZED PageRank — teleport mass restricted to a seed
+    * set (nation-0 suppliers), so ranks measure proximity to trusted
+    * seeds rather than global endorsement: the quality-prior shape
+    * ("score documents by closeness to a vetted set") on the same
+    * part↔supplier graph and the same integer algebra as G8. Seeds
+    * absent from the graph keep their teleport share reserved (mass
+    * simply never lands), identically on both engines.
+    */
+  val g9Ppr: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val fwd = li.select((col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Tables.supplier(s, d).filter(col("s_nationkey") === 0)
+      .select((col("s_suppkey") * 2 + 1).as("node"))
+    graft.ops.Graph.pageRank(edges, iters = 5, seeds = Some(seeds))
+      .orderBy(col("r").desc, col("node")).limit(50)
+  }
+  val g9PprSql: String =
+    graft.ops.Graph.pageRankSql(
+      """SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM lineitem
+        |  UNION
+        |  SELECT DISTINCT 2 * l_suppkey + 1, 2 * l_partkey FROM lineitem""".stripMargin,
+      iters = 5,
+      seedsCte = Some("SELECT 2 * s_suppkey + 1 AS node FROM supplier WHERE s_nationkey = 0")) +
+      "\nORDER BY r DESC, node LIMIT 50"
+
+  // ---- registry --------------------------------------------------------  // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q_j10_asof" -> j10AsOf,
@@ -504,7 +531,8 @@ object TemporalQueries {
     "q_g7_transitions" -> g7Transitions,
     "q_j17_pit" -> j17Pit,
     "q_j18_overlap" -> j18Overlap,
-    "q_g8_pagerank" -> g8PageRank)
+    "q_g8_pagerank" -> g8PageRank,
+    "q_g9_ppr" -> g9Ppr)
 
   val oracles: Map[String, String] = Map(
     "q_j10_asof" -> j10AsOfSql,
@@ -520,5 +548,6 @@ object TemporalQueries {
     "q_g7_transitions" -> g7TransitionsSql,
     "q_j17_pit" -> j17PitSql,
     "q_j18_overlap" -> j18OverlapSql,
-    "q_g8_pagerank" -> g8PageRankSql)
+    "q_g8_pagerank" -> g8PageRankSql,
+    "q_g9_ppr" -> g9PprSql)
 }

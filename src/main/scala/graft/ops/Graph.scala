@@ -41,34 +41,48 @@ object Graph {
     * (simplified dangling-mass semantics, stated by the oracle too).
     */
   def pageRank(edges: DataFrame, iters: Int,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L,
+               seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && iters <= 50, s"bounded iteration count, got $iters")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct().persist()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+      .union(e.select(col("dst").as("node"))).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // (src, dst, deg) is re-read every round — persist the JOINED frame,
     // not just e, or the deg aggregation+join re-executes per iteration.
     val srcSide = e.join(deg, "src").persist()
 
-    val n = nodes.count() // the one driver-side scalar (teleport share)
+    // PERSONALIZED variant: teleport mass lands only on the seed set
+    // (proximity-to-trusted-seeds scoring — the quality-prior read of
+    // centrality). `nb` carries each node's per-round teleport term and
+    // initial mass; the uniform case is seeds == nodes.
+    val seedSet = seeds.map(_.select(col("node").cast("long").as("node")).distinct())
+    val n = seedSet.getOrElse(nodes).count() // one driver-side scalar
     val init = scale / n
     val base = init * 15L / 100L
+    val nb = (seedSet match {
+      case None => nodes.select(col("node"), lit(base).as("b"), lit(init).as("r0"))
+      case Some(sn) =>
+        nodes.join(sn.withColumn("__s", lit(1)), Seq("node"), "left")
+          .select(col("node"),
+            when(col("__s").isNotNull, lit(base)).otherwise(lit(0L)).as("b"),
+            when(col("__s").isNotNull, lit(init)).otherwise(lit(0L)).as("r0"))
+    }).persist()
 
-    var ranks = nodes.withColumn("r", lit(init))
+    var ranks = nb.select(col("node"), col("r0").as("r"))
     var round = 0
     while (round < iters) {
       val inflow = srcSide.join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      ranks = nodes.join(inflow, Seq("node"), "left")
+      ranks = nb.join(inflow, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + expr("coalesce(inflow, 0L) * 85 div 100")).as("r"))
+          (col("b") + expr("coalesce(inflow, 0L) * 85 div 100")).as("r"))
         .localCheckpoint() // flat plan regardless of round count
       round += 1
     }
-    e.unpersist(); nodes.unpersist(); srcSide.unpersist()
+    e.unpersist(); srcSide.unpersist(); nb.unpersist()
     ranks
   }
 
@@ -77,19 +91,27 @@ object Graph {
     * so the two formulations cannot drift apart silently.
     */
   def pageRankSql(edgesCte: String, iters: Int,
-                  scale: Long = 1000000000000L): String = {
+                  scale: Long = 1000000000000L,
+                  seedsCte: Option[String] = None): String = {
+    val seedsSql = seedsCte.getOrElse("SELECT node FROM nodes")
     val header =
       s"""WITH e AS ($edgesCte),
          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
-         |params AS (SELECT $scale // COUNT(*) AS init FROM nodes),
-         |r0 AS (SELECT node, init AS r FROM nodes, params)""".stripMargin
+         |seeds AS (SELECT DISTINCT node FROM ($seedsSql)),
+         |params AS (SELECT $scale // COUNT(*) AS init FROM seeds),
+         |nb AS (
+         |  SELECT n.node,
+         |    CASE WHEN s.node IS NOT NULL
+         |         THEN (SELECT init * 15 // 100 FROM params) ELSE 0 END AS b,
+         |    CASE WHEN s.node IS NOT NULL
+         |         THEN (SELECT init FROM params) ELSE 0 END AS r0v
+         |  FROM nodes n LEFT JOIN seeds s USING (node)),
+         |r0 AS (SELECT node, r0v AS r FROM nb)""".stripMargin
     val rounds = (1 to iters).map { k =>
       s"""r$k AS (
-         |  SELECT n.node,
-         |    (SELECT init * 15 // 100 FROM params)
-         |      + COALESCE(inf.s, 0) * 85 // 100 AS r
-         |  FROM nodes n LEFT JOIN (
+         |  SELECT n.node, n.b + COALESCE(inf.s, 0) * 85 // 100 AS r
+         |  FROM nb n LEFT JOIN (
          |    SELECT e.dst AS node, SUM(p.r // d.deg) AS s
          |    FROM e JOIN r${k - 1} p ON p.node = e.src
          |           JOIN deg d ON d.node = e.src

@@ -35,4 +35,19 @@ class GraphSpec extends SparkSpec {
       iters = 3).as[(Long, Long)].collect().toMap
     b shouldBe a
   }
+
+  test("personalized pageRank concentrates mass near the seed") {
+    import spark.implicits._
+    val fwd = (1L to 6L).map(l => (l, 0L))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val out = Graph.pageRank(edges, iters = 5, seeds = Some(seeds))
+      .as[(Long, Long)].collect().toMap
+    // seed leaf holds teleport + return flow; non-seed leaves only get
+    // the hub's split of the seed's mass — strictly less, all equal.
+    out(1L) should be > out(2L)
+    (2L to 6L).map(out).toSet.size shouldBe 1
+    // the hub still outranks non-seed leaves (it absorbs the seed's 85%)
+    out(0L) should be > out(2L)
+  }
 }
