@@ -2059,6 +2059,45 @@ object PipelineQueries {
        |WHERE kh IS NULL OR e.h <= kh
        |ORDER BY event_type, event_id""".stripMargin
 
+  // ---- D14: semantic decontamination ----------------------------------
+
+  /** D14: embedding-space decontamination — the semantic complement of
+    * q_d6's n-gram overlap purge: drop every corpus vector whose cosine
+    * against ANY eval-set embedding (vids ≡0 mod 97) reaches 0.5, so
+    * paraphrased eval leakage that shares no shingles still gets
+    * caught. The eval set is bounded and BROADCAST (d6's shape for
+    * eval shingles); scoring is one map-side pass over the corpus scan
+    * — max-cosine-vs-eval via a bounded inner loop, no shuffle at all
+    * until the presentation sort. Survivors carry their worst-case
+    * eval similarity for threshold audits.
+    */
+  val d14SemanticDecontaminate: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val eval = vecs.filter($"vec_id" % 97 === 0)
+      .select($"e".as("ee"))
+    // Broadcast nested-loop over the bounded eval rows; the per-vector
+    // max collapses map-side (the BNLJ preserves the corpus
+    // partitioning, so all of a vector's eval scores sit together) and
+    // one exchange carries a single row per corpus vector.
+    vecs.filter($"vec_id" % 97 =!= 0)
+      .crossJoin(broadcast(eval))
+      .withColumn("sim", Vectors.rankCosine($"e", $"ee"))
+      .groupBy($"vec_id").agg(max($"sim").as("max_sim"))
+      .filter($"max_sim" < 0.5)
+      .orderBy("vec_id")
+  }
+  val d14SemanticDecontaminateSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |ev AS (SELECT vec_id AS eid, e AS ee FROM v WHERE vec_id % 97 = 0),
+       |scored AS (
+       |  SELECT v.vec_id, MAX(${cosSql("v.e", "ev.ee")}) AS max_sim
+       |  FROM v, ev WHERE v.vec_id % 97 <> 0
+       |  GROUP BY 1)
+       |SELECT vec_id, max_sim FROM scored
+       |WHERE max_sim < 0.5 ORDER BY vec_id""".stripMargin
+
   // ---- R1: entity resolution / record linkage -------------------------
 
   /** R1: the classic record-linkage pipeline over a deliberately
@@ -2813,6 +2852,7 @@ object PipelineQueries {
     "q_p6_temperature" -> p6Temperature,
     "q_p10_group_sample" -> p10GroupSample,
     "q_r1_linkage" -> r1Linkage,
+    "q_d14_semantic_decontaminate" -> d14SemanticDecontaminate,
     "q_d9_neardup_purge" -> d9NearDupPurge,
     "q_e8_quantize" -> e8Quantize,
     "q_t12_gopher_gate" -> t12GopherGate,
@@ -2879,6 +2919,7 @@ object PipelineQueries {
     "q_p6_temperature" -> p6TemperatureSql,
     "q_p10_group_sample" -> p10GroupSampleSql,
     "q_r1_linkage" -> r1LinkageSql,
+    "q_d14_semantic_decontaminate" -> d14SemanticDecontaminateSql,
     "q_d9_neardup_purge" -> d9NearDupPurgeSql,
     "q_e8_quantize" -> e8QuantizeSql,
     "q_t12_gopher_gate" -> t12GopherGateSql,
