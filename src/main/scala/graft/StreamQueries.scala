@@ -385,6 +385,71 @@ object StreamQueries {
       |WHERE b_id IS NOT NULL OR a_ms + 1800000 < wm.w
       |ORDER BY user_id, a_id, b_id ASC NULLS FIRST""".stripMargin
 
+  /** ST9: FULL-OUTER stream-stream join — both unmatched sides kept,
+    * each under its own watermark-driven emission rule, and the two
+    * rules are NOT symmetric (StreamingSpec pins every probed edge):
+    * an unmatched left emits only when the global watermark STRICTLY
+    * passes its window end, while an unmatched right emits iff its
+    * event time is STRICTLY below its own side's maximum AND at most
+    * the other side's maximum — empirically pinned (a right row that
+    * IS its side's max never emits, even at the global watermark; a
+    * right row AT the left max does). The oracle states both rules;
+    * on the sf corpus every row of both sides materializes except the
+    * tails those rules hold back.
+    */
+  val st9StreamFullOuterJoin: Q = (s, d) => {
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val sink = "st9_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    def side(tp: String, idAs: String) =
+      Tables.normalizeTs(s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+        .filter(col("event_type") === tp)
+        .select(col("user_id"), col("ts"), col("event_id").as(idAs))
+    val q = graft.streaming.Incremental.intervalJoinStream(
+        side("click", "click_id"), side("purchase", "purchase_id"),
+        key = "user_id", watermark = "0 seconds", window = "30 minutes",
+        joinType = "full_outer")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drain(s, sink,
+      s.table(sink).select(col("user_id"),
+        col("l_click_id").as("a_id"), col("r_purchase_id").as("b_id"),
+        unix_millis(col("l_ts")).as("a_ms"),
+        unix_millis(col("r_ts")).as("b_ms")))
+      .orderBy(col("user_id"), col("a_id").asc_nulls_first,
+        col("b_id").asc_nulls_first)
+  }
+  val st9StreamFullOuterJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
+      |a AS (SELECT event_id AS a_id, user_id, ms AS a_ms FROM e WHERE event_type = 'click'),
+      |b AS (SELECT event_id AS b_id, user_id, ms AS b_ms FROM e WHERE event_type = 'purchase'),
+      |wm AS (SELECT LEAST((SELECT MAX(a_ms) FROM a), (SELECT MAX(b_ms) FROM b)) AS w),
+      |matched AS (
+      |  SELECT a.user_id, a.a_id, b.b_id, a.a_ms, b.b_ms
+      |  FROM a JOIN b ON b.user_id = a.user_id
+      |    AND b.b_ms > a.a_ms AND b.b_ms <= a.a_ms + 1800000),
+      |la AS (
+      |  SELECT a.user_id, a.a_id, CAST(NULL AS BIGINT) AS b_id,
+      |         a.a_ms, CAST(NULL AS BIGINT) AS b_ms
+      |  FROM a, wm
+      |  WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.a_id = a.a_id)
+      |    AND a.a_ms + 1800000 < wm.w),
+      |rb AS (
+      |  SELECT b.user_id, CAST(NULL AS BIGINT) AS a_id, b.b_id,
+      |         CAST(NULL AS BIGINT) AS a_ms, b.b_ms
+      |  FROM b
+      |  WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.b_id = b.b_id)
+      |    AND b.b_ms < (SELECT MAX(b_ms) FROM b)
+      |    AND b.b_ms <= (SELECT MAX(a_ms) FROM a))
+      |SELECT user_id, a_id, b_id, a_ms, b_ms FROM matched
+      |UNION ALL SELECT * FROM la
+      |UNION ALL SELECT * FROM rb
+      |ORDER BY user_id, a_id ASC NULLS FIRST, b_id ASC NULLS FIRST""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -395,7 +460,8 @@ object StreamQueries {
     "q_st5_stream_sessions" -> st5StreamSessions,
     "q_st6_stream_sketch" -> st6StreamSketch,
     "q_st7_stream_join" -> st7StreamJoin,
-    "q_st8_stream_outer_join" -> st8StreamOuterJoin)
+    "q_st8_stream_outer_join" -> st8StreamOuterJoin,
+    "q_st9_stream_full_outer" -> st9StreamFullOuterJoin)
   val oracles: Map[String, String] = Map(
     "q_st1_stream_agg" -> st1StreamAggSql,
     "q_st2_stream_enrich" -> st2StreamEnrichSql,
@@ -404,5 +470,6 @@ object StreamQueries {
     "q_st5_stream_sessions" -> st5StreamSessionsSql,
     "q_st6_stream_sketch" -> st6StreamSketchSql,
     "q_st7_stream_join" -> st7StreamJoinSql,
-    "q_st8_stream_outer_join" -> st8StreamOuterJoinSql)
+    "q_st8_stream_outer_join" -> st8StreamOuterJoinSql,
+    "q_st9_stream_full_outer" -> st9StreamFullOuterJoinSql)
 }

@@ -124,6 +124,10 @@ object Incremental {
         col("r_ts") > col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"),
       joinType)
-      .drop(r(key))
+      // For outer joins the unmatched side's key column is null —
+      // surface ONE key column that is always populated.
+      .withColumn("__k", coalesce(l(key), r(key)))
+      .drop(l(key)).drop(r(key))
+      .withColumnRenamed("__k", key)
   }
 }

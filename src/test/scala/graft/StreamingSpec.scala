@@ -455,4 +455,59 @@ class StreamingSpec extends SparkSpec {
       rows.map(_._2) should not contain 103L
     }
   }
+
+  test("full-outer interval join: BOTH null-emission boundaries vs the final watermark") {
+    // Pins q_st9's oracle. Window 30 min; wm = min(max left, max right)
+    // = 12:00. Left side: unmatched click emits iff l_ts+30m < wm (the
+    // st8 rule). Right side: an unmatched purchase can match clicks in
+    // [b_ts-30m, b_ts), so it emits once no such left can arrive —
+    // the observed predicate is b_ts < max(right) AND b_ts <= max(left)
+    // (assertions below pin all the edges we probed).
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-st9edge").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    val clicks = Seq(
+      (1L, t("2024-01-01 10:00:00"), 100L), // matched
+      (2L, t("2024-01-01 10:00:00"), 101L), // unmatched, end 10:30 < wm -> nulls
+      (8L, t("2024-01-01 12:00:00"), 102L)) // max left ts; end > wm -> held
+      .toDF("user_id", "ts", "click_id")
+    val buys = Seq(
+      (1L, t("2024-01-01 10:10:00"), 900L), // match
+      (5L, t("2024-01-01 10:30:00"), 901L), // unmatched, b_ts < wm
+      (6L, t("2024-01-01 12:00:00"), 902L), // unmatched, b_ts == wm (boundary)
+      (10L, t("2024-01-01 12:15:00"), 904L), // unmatched, wm < b_ts < own max
+      (7L, t("2024-01-01 12:30:00"), 903L)) // unmatched, b_ts > wm -> held
+      .toDF("user_id", "ts", "purchase_id")
+    clicks.write.parquet(s"$root/l"); buys.write.parquet(s"$root/r")
+    val l = spark.readStream.schema(clicks.schema).parquet(s"$root/l")
+    val r = spark.readStream.schema(buys.schema).parquet(s"$root/r")
+    val sink = "st9edge_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Incremental.intervalJoinStream(l, r, "user_id", "0 seconds",
+        "30 minutes", joinType = "full_outer")
+      .select(col("user_id"), col("l_click_id"), col("r_purchase_id"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table(sink)
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
+    withClue(s"rows=$rows") {
+      rows should contain ((1L, Some(100L), Some(900L)))
+      rows should contain ((2L, Some(101L), None))    // left-null rule (st8)
+      rows.flatMap(_._2) should not contain 102L      // left window open
+      rows should contain ((5L, None, Some(901L)))    // below both maxima: emits
+      // OBSERVED right-side rule (all four probes + the sf corpus):
+      // an unmatched right emits iff b_ts < max(right events) AND
+      // b_ts <= max(left events) — NOT a single-global-watermark
+      // comparison: 902 sits AT the left max (emits), 904 sits between
+      // the left max and the right max (held), and a right row that IS
+      // its side's maximum never emits even though it equals the
+      // global min watermark. q_st9's oracle states exactly this.
+      rows should contain ((6L, None, Some(902L)))    // == left max: emits
+      rows.flatMap(_._3) should not contain 904L      // > left max: held
+      rows.flatMap(_._3) should not contain 903L      // == right max: held
+    }
+  }
 }
