@@ -163,4 +163,23 @@ class PlanSpec extends SparkSpec {
     p should include("partial_max")
     p should include("Window")
   }
+
+  test("q_d14_semantic_decontaminate: eval broadcast, per-vector max collapses map-side") {
+    val p = plan("q_d14_semantic_decontaminate")
+    p should include("BroadcastNestedLoopJoin")
+    p should include("partial_max")
+    p should not include "CartesianProduct"
+  }
+
+  test("q_v6_seasonal: one daily rollup with map-side partials feeding one window") {
+    val p = plan("q_v6_seasonal")
+    p should include("partial_count")
+    p.linesIterator.count(_.contains("Window")) should be >= 1
+  }
+
+  test("q_r1_linkage: candidates only within blocks — no cartesian, counts partial") {
+    val p = plan("q_r1_linkage")
+    p should not include "CartesianProduct"
+    p should include("partial_count")
+  }
 }
