@@ -171,7 +171,7 @@ object MaintainQueries {
       |SELECT o_orderkey, op, o_custkey, o_orderstatus, o_totalprice
       |FROM d WHERE op IS NOT NULL ORDER BY o_orderkey, op""".stripMargin
 
-  // ---- registry --------------------------------------------------------  // ---- registry --------------------------------------------------------
+  // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q_s2_incr_agg" -> s2IncrAgg,

@@ -2061,31 +2061,25 @@ object PipelineQueries {
 
   // ---- D14: semantic decontamination ----------------------------------
 
-  /** D14: embedding-space decontamination — the semantic complement of
-    * q_d6's n-gram overlap purge: drop every corpus vector whose cosine
-    * against ANY eval-set embedding (vids ≡0 mod 97) reaches 0.5, so
-    * paraphrased eval leakage that shares no shingles still gets
-    * caught. The eval set is bounded and BROADCAST (d6's shape for
-    * eval shingles); scoring is one map-side pass over the corpus scan
-    * — max-cosine-vs-eval via a bounded inner loop, no shuffle at all
-    * until the presentation sort. Survivors carry their worst-case
-    * eval similarity for threshold audits.
+  /** D14: embedding-space decontamination via
+    * `Vectors.semanticDecontaminate` — the semantic complement of
+    * q_d6's n-gram overlap purge. The OPERATOR takes an external,
+    * bounded eval-embedding table by contract (the broadcast is bounded
+    * by the eval set's size, independent of corpus growth — exactly as
+    * `Dedup.decontaminate` takes `evalSet`); this GATE derives a stand-
+    * in eval set from the fixture (vids ≡0 mod 97) purely because the
+    * driver's testdata ships no separate benchmark table. The `% 97`
+    * split lives here in the fixture, NOT in the operator.
     */
   val d14SemanticDecontaminate: Q = (s, d) => {
     import s.implicits._
     val vecs = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-    val eval = vecs.filter($"vec_id" % 97 === 0)
-      .select($"e".as("ee"))
-    // Broadcast nested-loop over the bounded eval rows; the per-vector
-    // max collapses map-side (the BNLJ preserves the corpus
-    // partitioning, so all of a vector's eval scores sit together) and
-    // one exchange carries a single row per corpus vector.
-    vecs.filter($"vec_id" % 97 =!= 0)
-      .crossJoin(broadcast(eval))
-      .withColumn("sim", Vectors.rankCosine($"e", $"ee"))
-      .groupBy($"vec_id").agg(max($"sim").as("max_sim"))
-      .filter($"max_sim" < 0.5)
+    val eval = vecs.filter($"vec_id" % 97 === 0).select($"e")
+    Vectors.semanticDecontaminate(
+        vecs.filter($"vec_id" % 97 =!= 0), eval,
+        idCol = "vec_id", vecCol = "e", threshold = 0.5)
+      .withColumnRenamed("vid", "vec_id")
       .orderBy("vec_id")
   }
   val d14SemanticDecontaminateSql: String =

@@ -421,6 +421,18 @@ object StreamQueries {
       .orderBy(col("user_id"), col("a_id").asc_nulls_first,
         col("b_id").asc_nulls_first)
   }
+  /** SINGLE-BATCH ASSUMPTION (oracle contract): the right-side emission
+    * rule below (`b_ms < max(right) AND b_ms <= max(left)`) is an
+    * empirical pin of Spark's watermark-update timing when the whole
+    * fixture arrives in ONE AvailableNow microbatch (the driver writes
+    * `events.parquet` as a single file; the readers above glob exactly
+    * that file, so one file = one batch). If the fixture ever arrives
+    * split across microbatches the watermark advances BETWEEN batches
+    * and earlier tails can flush — the held-back set shifts with batch
+    * structure, not with any repo code. StreamingSpec's
+    * "full-outer emission under a two-file split" probe pins the exact
+    * delta so a gate break here is diagnosable as batch-structure drift.
+    */
   val st9StreamFullOuterJoinSql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, event_type,

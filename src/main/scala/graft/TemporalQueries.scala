@@ -515,7 +515,7 @@ object TemporalQueries {
       seedsCte = Some("SELECT 2 * s_suppkey + 1 AS node FROM supplier WHERE s_nationkey = 0")) +
       "\nORDER BY r DESC, node LIMIT 50"
 
-  // ---- registry --------------------------------------------------------  // ---- registry --------------------------------------------------------
+  // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q_j10_asof" -> j10AsOf,

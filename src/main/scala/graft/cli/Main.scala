@@ -128,8 +128,6 @@ object Main {
       withSession(spark => emit(AvailabilityQueries.mostAvailableSymbols(
         spark.read.parquet(path), topK = n), rest))
 
-    // reference cross-check validator (cross_check.py:79-137): DB symbols
-    // on a date vs a saved exchangeInfo response body.
     case "sampledays" :: path :: rest =>
       val k = rest.sliding(2).collectFirst {
         case Seq("--k", v) => v.toInt
@@ -137,6 +135,8 @@ object Main {
       withSession(spark => emit(AvailabilityQueries.sampleDays(
         spark.read.parquet(path), k), rest))
 
+    // reference cross-check validator (cross_check.py:79-137): DB symbols
+    // on a date vs a saved exchangeInfo response body.
     case "crosscheck" :: path :: jsonPath :: date :: rest =>
       withSession { spark =>
         val body = new String(java.nio.file.Files.readAllBytes(

@@ -288,9 +288,11 @@ object Store {
     * so a crash mid-compaction never touches the live table (contrast
     * upsert, which must merge and therefore checkpoint-cuts lineage).
     *
-    * A data-skipping manifest does NOT survive compaction (file names
-    * change, and `_manifest` is discarded with the pre-compact copy) —
-    * run [[refreshManifest]] afterwards if the table carries one.
+    * If the table carries a data-skipping manifest (`_manifest`), it is
+    * rebuilt against the rewritten files on the TMP copy before the
+    * swap (stats columns inferred from the existing manifest's
+    * min_/max_ schema), so the atomic rename publishes table+manifest
+    * together — a compacted table never silently loses file skipping.
     */
   def compact(spark: SparkSession, path: String, partCol: String,
               targetBytes: Long = 128L << 20): (Long, Long) = {
@@ -343,6 +345,27 @@ object Store {
     if (nLive != nTmp) {
       fs.delete(tmp, true)
       sys.error(s"compact: rewrite row count $nTmp != live $nLive; aborted, live table untouched")
+    }
+    // Rebuild the data-skipping manifest against the REWRITTEN file names
+    // on the tmp copy, so the swap below publishes table+manifest as one
+    // atomic unit (file names change under compaction; a stale manifest
+    // would point at dead files, a missing one silently unprunes). The
+    // stats scan sees tmp-dir URIs; the recorded `file` strings must name
+    // the POST-swap location, so the `<table>.compacting` path segment is
+    // rewritten to the live dir name (it occurs exactly once: tmp is a
+    // sibling of the table dir and parquet leaf paths never repeat it).
+    val liveManifest = new Path(manifestPath(path))
+    if (fs.exists(liveManifest)) {
+      val statsCols = spark.read.parquet(liveManifest.toString).schema.fieldNames
+        .toIndexedSeq.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      val tmpSeg = "/" + tmp.getName + "/"
+      val liveSeg = "/" + hPath.getName + "/"
+      statsOf(spark.read.parquet(tmp.toString), statsCols)
+        .withColumn("file", concat(
+          substring_index(col("file"), tmpSeg, 1),
+          lit(liveSeg),
+          substring_index(col("file"), tmpSeg, -1)))
+        .write.mode(SaveMode.Overwrite).parquet(manifestPath(tmp.toString))
     }
     val bak = new Path(path + ".pre-compact")
     fs.delete(bak, true)

@@ -286,6 +286,34 @@ object Vectors {
       .select(col("m.vid").as("vid"), col("cid"),
         col("m.ccos").as("ccos"), col("m.kept").as("kept"))
 
+  /** Embedding-space decontamination — the semantic complement of
+    * `Dedup.decontaminate`'s n-gram overlap purge: drop every corpus
+    * vector whose cosine against ANY eval-set embedding reaches
+    * `threshold`, so paraphrased eval leakage that shares no shingles
+    * still gets caught. Survivors carry their worst-case eval
+    * similarity (`max_sim`) for threshold audits.
+    *
+    * CONTRACT: `evalVecs` is an EXTERNAL, bounded table (the held-out
+    * eval/benchmark set — thousands of rows, not a corpus fraction);
+    * it is broadcast whole. The corpus side never shuffles: the
+    * broadcast nested-loop preserves the scan's partitioning, the
+    * per-vector max over eval scores collapses map-side, and the one
+    * exchange carries a single row per corpus vector. At 100 TB the
+    * cost is one scan × |eval| codegen'd dot products per row.
+    *
+    * `corpus` needs (idCol, vecCol); `evalVecs` needs vecCol.
+    */
+  def semanticDecontaminate(corpus: DataFrame, evalVecs: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame =
+    Partitioning.spread(corpus)
+      .select(col(idCol).as("vid"), col(vecCol).as("e"))
+      .crossJoin(broadcast(evalVecs.select(col(vecCol).as("ee"))))
+      .withColumn("sim", rankCosine(col("e"), col("ee")))
+      .groupBy(col("vid"))
+      .agg(max(col("sim")).as("max_sim"))
+      .filter(col("max_sim") < threshold)
+
   /** Exact brute-force top-k cosine neighbors of one query vector.
     * The single-row query side is broadcast; the scan side streams —
     * no shuffle until the final top-k (TakeOrdered, no global sort).

@@ -191,6 +191,31 @@ class StoreSpec extends SparkSpec {
     nAfter should be > 3L
   }
 
+  test("compact rebuilds the data-skipping manifest before the swap — pruning works immediately") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-compact3").toString + "/t"
+    // id ranges disjoint per partition so a manifest scan can skip files
+    val df = (1 to 900).map(i => (s"p${i / 300}", i.toLong, s"row-$i"))
+      .toDF("part", "id", "payload")
+    df.repartition(6).write.partitionBy("part").parquet(path)
+    Store.refreshManifest(spark, path, Seq("id"))
+
+    Store.compact(spark, path, "part", targetBytes = 512L << 20)
+
+    // NO manual refreshManifest here — compact must have republished it
+    // against the rewritten file names atomically with the swap.
+    val p = Store.scanPruned(spark, path, "id", 850L, 860L)
+    p.filesTotal shouldBe 4L           // one rewritten file per partition (p0..p3)
+    p.filesRead should be < p.filesTotal // stale/missing manifest would read 0 or all
+    p.df.count() shouldBe 11L
+    // the manifest's file names point at LIVE files (stale ones are gone)
+    val manifested = spark.read.parquet(Store.manifestPath(path))
+      .select("file").as[String].collect()
+    manifested.foreach { f =>
+      new java.io.File(new java.net.URI(f).getPath).exists() shouldBe true
+    }
+  }
+
   test("addColumns is additive and idempotent (schema.py:9-42 migration)") {
     import spark.implicits._
     val df = Seq((1, "x")).toDF("id", "s")

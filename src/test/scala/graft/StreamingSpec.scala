@@ -510,4 +510,86 @@ class StreamingSpec extends SparkSpec {
       rows.flatMap(_._3) should not contain 903L      // == right max: held
     }
   }
+
+  test("full-outer emission under a two-file split: batch structure shifts ONLY the held-back tail") {
+    // q_st9's oracle pins the emission rules for a SINGLE AvailableNow
+    // microbatch (the driver writes events.parquet as one file — see the
+    // SINGLE-BATCH ASSUMPTION note beside st9StreamFullOuterJoinSql).
+    // This probe feeds the SAME fixture as the single-batch test above,
+    // split across two files per side with maxFilesPerTrigger=1, so the
+    // watermark advances BETWEEN microbatches. It pins (a) what is
+    // batch-structure-INVARIANT — the matched rows and every row the
+    // single-batch rules emit — and (b) the exact delta, so a future
+    // gate break diagnoses as batch-structure drift, not a code bug.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-st9split").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    def writeSplit(dir: String, schema: org.apache.spark.sql.types.StructType,
+                   early: org.apache.spark.sql.DataFrame,
+                   late: org.apache.spark.sql.DataFrame): Unit = {
+      // One parquet file per microbatch, mtimes ordered so the file
+      // source (sorted by modification time) replays early THEN late.
+      val d = new java.io.File(dir); d.mkdirs()
+      def one(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft-st9part").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+        val dst = new java.io.File(d, name)
+        Files.copy(part.toPath, dst.toPath)
+        dst.setLastModified(mtime)
+      }
+      one(early, "b0.parquet", 1700000000000L)
+      one(late, "b1.parquet", 1700000100000L)
+    }
+    val clicks = Seq(
+      (1L, t("2024-01-01 10:00:00"), 100L),
+      (2L, t("2024-01-01 10:00:00"), 101L),
+      (8L, t("2024-01-01 12:00:00"), 102L))
+      .toDF("user_id", "ts", "click_id")
+    val buys = Seq(
+      (1L, t("2024-01-01 10:10:00"), 900L),
+      (5L, t("2024-01-01 10:30:00"), 901L),
+      (6L, t("2024-01-01 12:00:00"), 902L),
+      (10L, t("2024-01-01 12:15:00"), 904L),
+      (7L, t("2024-01-01 12:30:00"), 903L))
+      .toDF("user_id", "ts", "purchase_id")
+    writeSplit(s"$root/l", clicks.schema,
+      clicks.filter($"ts" < t("2024-01-01 11:00:00")),
+      clicks.filter($"ts" >= t("2024-01-01 11:00:00")))
+    writeSplit(s"$root/r", buys.schema,
+      buys.filter($"ts" < t("2024-01-01 11:00:00")),
+      buys.filter($"ts" >= t("2024-01-01 11:00:00")))
+    val l = spark.readStream.schema(clicks.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/l")
+    val r = spark.readStream.schema(buys.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/r")
+    val sink = "st9split_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Incremental.intervalJoinStream(l, r, "user_id", "0 seconds",
+        "30 minutes", joinType = "full_outer")
+      .select(col("user_id"), col("l_click_id"), col("r_purchase_id"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table(sink)
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    spark.sql(s"DROP TABLE IF EXISTS $sink")
+    withClue(s"rows=$rows") {
+      // Invariant under batch structure: the match and every row the
+      // single-batch rules emit.
+      rows should contain ((1L, Some(100L), Some(900L)))
+      rows should contain ((2L, Some(101L), None))
+      rows should contain ((5L, None, Some(901L)))
+      rows should contain ((6L, None, Some(902L)))
+      // Tails held in the single-batch run stay held here too — the
+      // intermediate watermark (10:30, from the early files) is LOWER
+      // than the final one, so splitting can only delay, never add,
+      // emissions for this early-then-late arrival order.
+      rows.flatMap(_._2) should not contain 102L
+      rows.flatMap(_._3) should not contain 904L
+      rows.flatMap(_._3) should not contain 903L
+    }
+  }
 }
