@@ -2745,6 +2745,98 @@ object PipelineQueries {
        |       LEAST(len, frame_no * step + step) - frame_no * step AS n_bytes
        |FROM f ORDER BY media_id, frame_no""".stripMargin
 
+  // ---- M4/M5: REAL image decode + perceptual-hash dedup ---------------
+
+  /** M4: the image member of the decode family with a REAL codec — each
+    * media id becomes a deterministic synthesized PNG
+    * (`Multimodal.synthPng`), is decoded back through `javax.imageio`
+    * (actual PNG inflate, not the stub), box-averaged to a 9×8 gray
+    * thumbnail, and dHashed (adjacent-column brightness gradients).
+    * The oracle replays the gray/thumb/dHash INTEGER math directly from
+    * the pixel-generator formula — PNG is lossless, so a hash match
+    * PROVES the encode→decode round-trip preserved every pixel; a
+    * broken decoder cannot pass. (The q_m2 pattern, now with a real
+    * codec inside the loop.)
+    *
+    * Scale shape: one typed mapPartitions in the scan's partitioning —
+    * decode and hash never shuffle; the only exchange is the
+    * presentation sort.
+    */
+  val m4ImageDhash: Q = (s, d) => {
+    import s.implicits._
+    val records = Tables.documents(s, d)
+      .select($"doc_id".as("media_id")).as[Long]
+      .map(id => graft.ops.MediaRecord(id, "image", graft.ops.Multimodal.synthPng(id)))
+    graft.ops.Multimodal.imageDHash(records).toDF().orderBy("media_id")
+  }
+  /** Shared hash CTE: the integer replay of synthRgb → gray → 2×2 box
+    * thumb → dHash halves (bit 63 never set: halves are 32-bit).
+    */
+  private val m4GraySql: String = {
+    // Every channel fully parenthesized: `114 * X % 256` would parse as
+    // `(114 * X) % 256` (* and % share precedence, left-assoc).
+    val r0 = "((31 * (m % 37) + 7 * x + 13 * y) % 256)"
+    val r = s"(CASE WHEN x = m % 18 AND y = (m * 7) % 16 THEN (($r0 + 128) % 256) ELSE $r0 END)"
+    val g = "((17 * (m % 37) + 11 * x + 5 * y) % 256)"
+    val b = "((23 * (m % 37) + 3 * x + 19 * y) % 256)"
+    s"(299 * $r + 587 * $g + 114 * $b) // 1000"
+  }
+  private val m4HashCte: String =
+    s"""ids AS (SELECT doc_id AS m FROM documents),
+       |px AS (SELECT unnest(generate_series(0, 17)) AS x),
+       |py AS (SELECT unnest(generate_series(0, 15)) AS y),
+       |gp AS (SELECT m, x, y, $m4GraySql AS gv FROM ids, px, py),
+       |th AS (SELECT m, x // 2 AS tx, y // 2 AS ty, CAST(SUM(gv) // 4 AS BIGINT) AS tv
+       |       FROM gp GROUP BY 1, 2, 3),
+       |bits AS (
+       |  SELECT a.m, (a.ty * 8 + a.tx) AS idx,
+       |         CASE WHEN b.tv > a.tv THEN 1 ELSE 0 END AS bit
+       |  FROM th a JOIN th b ON b.m = a.m AND b.ty = a.ty AND b.tx = a.tx + 1
+       |  WHERE a.tx < 8),
+       |hashes AS (
+       |  SELECT m,
+       |    CAST(SUM(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END) AS BIGINT) AS dh_hi,
+       |    CAST(SUM(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS dh_lo
+       |  FROM bits GROUP BY 1)""".stripMargin
+  val m4ImageDhashSql: String =
+    s"""WITH $m4HashCte
+       |SELECT m AS media_id, CAST(18 AS INTEGER) AS width,
+       |       CAST(16 AS INTEGER) AS height, dh_hi, dh_lo
+       |FROM hashes ORDER BY media_id""".stripMargin
+
+  /** M5: the image member of the dedup family — perceptual near-dup
+    * pairs via 4×16-bit dHash banding (the q_d4 SimHash machinery over
+    * pixels): candidates share a band chunk, verified by exact Hamming
+    * ≤ 4 over both hash halves. Same-base fixture images (one perturbed
+    * pixel apart) pair up; the oracle replays band + Hamming verbatim
+    * on its own hash replay, so the whole chain — codec included — is
+    * engine-exact.
+    */
+  val m5ImageNeardup: Q = (s, d) => {
+    import s.implicits._
+    val records = Tables.documents(s, d)
+      .select($"doc_id".as("media_id")).as[Long]
+      .map(id => graft.ops.MediaRecord(id, "image", graft.ops.Multimodal.synthPng(id)))
+    val hashes = graft.ops.Multimodal.imageDHash(records).toDF()
+    graft.ops.Multimodal.imageNearDupPairs(hashes, maxDist = 4)
+      .orderBy("ia", "ib")
+  }
+  val m5ImageNeardupSql: String =
+    s"""WITH $m4HashCte,
+       |bands AS (
+       |  SELECT m, b, CASE b WHEN 0 THEN dh_lo % 65536 WHEN 1 THEN dh_lo // 65536
+       |                      WHEN 2 THEN dh_hi % 65536 ELSE dh_hi // 65536 END AS chunk
+       |  FROM hashes, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.m AS ia, c.m AS ib
+       |  FROM bands a JOIN bands c ON c.b = a.b AND c.chunk = a.chunk AND a.m < c.m),
+       |pairs AS (
+       |  SELECT ia, ib,
+       |    CAST(bit_count(xor(ha.dh_lo, hb.dh_lo))
+       |       + bit_count(xor(ha.dh_hi, hb.dh_hi)) AS INTEGER) AS hamming
+       |  FROM cand JOIN hashes ha ON ha.m = ia JOIN hashes hb ON hb.m = ib)
+       |SELECT ia, ib, hamming FROM pairs WHERE hamming <= 4 ORDER BY ia, ib""".stripMargin
+
   // ---- T13: inverted index (posting lists) ----------------------------
 
   /** T13: term → document-frequency + the first 16 postings (doc ids
@@ -2853,7 +2945,9 @@ object PipelineQueries {
     "q_m1_binary_meta" -> m1BinaryMeta,
     "q_u1_set_ops" -> u1SetOps,
     "q_m2_decode" -> m2Decode,
-    "q_m2a_meta" -> m2aMeta
+    "q_m2a_meta" -> m2aMeta,
+    "q_m4_phash" -> m4ImageDhash,
+    "q_m5_image_neardup" -> m5ImageNeardup
   )
 
   val oracles: Map[String, String] = Map(
@@ -2922,6 +3016,11 @@ object PipelineQueries {
     // q_m2_decode: the stub's hash-derived features ARE SQL-expressible
     // (HUGEINT replay of the Java byte fold) — full oracle since r5.
     "q_m2_decode" -> m2DecodeSql,
-    "q_m2a_meta" -> m2aMetaSql
+    "q_m2a_meta" -> m2aMetaSql,
+    // q_m4/q_m5: deterministic pixel math replayed in SQL; the Spark side
+    // goes through REAL ImageIO PNG encode+decode (lossless), so a hash
+    // match proves the codec round-trip.
+    "q_m4_phash" -> m4ImageDhashSql,
+    "q_m5_image_neardup" -> m5ImageNeardupSql
   )
 }

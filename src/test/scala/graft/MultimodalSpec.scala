@@ -101,4 +101,43 @@ class MultimodalSpec extends SparkSpec {
     out(2L) shouldBe ((100, 50))  // already within bounds: untouched
     out(3L) shouldBe ((85, 256))  // portrait: height is the bound side
   }
+
+  // ---- REAL image decode + perceptual hashing -------------------------
+
+  test("PNG encode→decode round-trip is pixel-exact (real ImageIO codec)") {
+    for (m <- Seq(0L, 5L, 41L, 123L)) {
+      val Some((w, h, rgb)) = Multimodal.decodeImage(Multimodal.synthPng(m))
+      w shouldBe Multimodal.SynthW
+      h shouldBe Multimodal.SynthH
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.synthRgb(m, x, y)
+        val p = rgb(y * w + x)
+        (((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)) shouldBe ((r, g, b))
+      }
+    }
+    // Undecodable bytes rout to None, never throw.
+    Multimodal.decodeImage("not an image".getBytes("UTF-8")) shouldBe None
+  }
+
+  test("planted near-identical images pair up; unrelated bases do not collide as 0-distance") {
+    import spark.implicits._
+    // Ids m and m+37 share a synth base (one perturbed pixel each) —
+    // perceptual near-dups. Ids in different bases differ everywhere.
+    val ids = (0L until 74L).toDS()
+    val recs = ids.map(m => MediaRecord(m, "image", Multimodal.synthPng(m)))
+    val hashes = Multimodal.imageDHash(recs).toDF()
+    hashes.count() shouldBe 74L
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // Every same-base pair is Hamming-close: each member's single
+    // perturbed pixel touches one thumb cell = at most 2 dHash bits.
+    for (m <- 0L until 37L) {
+      val ham = pairs.get((m, m + 37L))
+      withClue(s"pair ($m, ${m + 37})") { ham should not be empty }
+      ham.get should be <= 4
+    }
+    // dHashes are not degenerate: distinct bases produce many distinct
+    // hashes (a constant-hash bug would pair everything at distance 0).
+    hashes.select("dh_hi", "dh_lo").distinct().count() should be >= 30L
+  }
 }
