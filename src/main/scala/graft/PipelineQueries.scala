@@ -2745,6 +2745,74 @@ object PipelineQueries {
        |       LEAST(len, frame_no * step + step) - frame_no * step AS n_bytes
        |FROM f ORDER BY media_id, frame_no""".stripMargin
 
+  // ---- T19/T20: learned quality classifier (Naive-Bayes-style) --------
+
+  /** T19: TRAIN the count-based quality classifier
+    * (`Classify.nbTrain`) on the documents table with `lang = 'en'` as
+    * the planted binary label — hashed bag-of-words (hash60 mod 256)
+    * gives a model bounded by construction; weights are Laplace-
+    * smoothed 1e6-scaled probability differences (the q_t18 log-free
+    * stance), so the whole TRAINING pass is oracle-exact. The learned
+    * gate the rule family (q_t2, q_t12) can't express.
+    */
+  private val NbFeat = 256
+  val t19NbTrain: Q = (s, d) => {
+    import s.implicits._
+    graft.ops.Classify.nbTrain(Tables.documents(s, d), "text",
+        $"lang" === "en", NbFeat)
+      .orderBy("feat")
+  }
+  /** Shared train CTEs: tokenize → hash features → class counts →
+    * totals → weights. Tokenizer matches q_t14/q_t18 (\\s+ split,
+    * length ≥ 2, lowered).
+    */
+  private val nbModelCte: String =
+    s"""tknb AS (
+       |  SELECT doc_id, (lang = 'en') AS y,
+       |         unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |  FROM documents),
+       |fnb AS (
+       |  SELECT doc_id, y, ${seededHash60Sql("'nb'", "w")} % $NbFeat AS feat
+       |  FROM tknb WHERE length(w) >= 2),
+       |cnb AS (
+       |  SELECT feat,
+       |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+       |  FROM fnb GROUP BY 1),
+       |tnb AS (SELECT SUM(n_pos) AS tot_pos, SUM(n_neg) AS tot_neg FROM cnb),
+       |model AS (
+       |  SELECT feat, n_pos, n_neg,
+       |    CAST((n_pos + 1) * 1000000 // (tot_pos + $NbFeat)
+       |       - (n_neg + 1) * 1000000 // (tot_neg + $NbFeat) AS BIGINT) AS w1e6
+       |  FROM cnb, tnb)""".stripMargin
+  val t19NbTrainSql: String =
+    s"""WITH $nbModelCte
+       |SELECT feat, n_pos, n_neg, w1e6 FROM model ORDER BY feat""".stripMargin
+
+  /** T20: SCORE every document under the trained model
+    * (`Classify.nbScore`): per-doc hashed-feature counts collapse
+    * map-side, the ≤256-row model broadcasts, score = Σ n_occ·w1e6.
+    * Train and inference both oracle-gated — the full learned-gate
+    * loop, engine-exact.
+    */
+  val t20NbScore: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val model = graft.ops.Classify.nbTrain(docs, "text", $"lang" === "en", NbFeat)
+    graft.ops.Classify.nbScore(docs, "doc_id", "text", model, NbFeat)
+      .orderBy("doc_id")
+  }
+  val t20NbScoreSql: String =
+    s"""WITH $nbModelCte,
+       |onb AS (
+       |  SELECT doc_id, feat, COUNT(*) AS n_occ
+       |  FROM fnb GROUP BY 1, 2)
+       |SELECT o.doc_id,
+       |  CAST(SUM(o.n_occ) AS BIGINT) AS n_tok,
+       |  CAST(SUM(o.n_occ * m.w1e6) AS BIGINT) AS score
+       |FROM onb o JOIN model m USING (feat)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   // ---- M4/M5: REAL image decode + perceptual-hash dedup ---------------
 
   /** M4: the image member of the decode family with a REAL codec — each
@@ -2947,7 +3015,9 @@ object PipelineQueries {
     "q_m2_decode" -> m2Decode,
     "q_m2a_meta" -> m2aMeta,
     "q_m4_phash" -> m4ImageDhash,
-    "q_m5_image_neardup" -> m5ImageNeardup
+    "q_m5_image_neardup" -> m5ImageNeardup,
+    "q_t19_nb_train" -> t19NbTrain,
+    "q_t20_nb_score" -> t20NbScore
   )
 
   val oracles: Map[String, String] = Map(
@@ -3021,6 +3091,8 @@ object PipelineQueries {
     // goes through REAL ImageIO PNG encode+decode (lossless), so a hash
     // match proves the codec round-trip.
     "q_m4_phash" -> m4ImageDhashSql,
-    "q_m5_image_neardup" -> m5ImageNeardupSql
+    "q_m5_image_neardup" -> m5ImageNeardupSql,
+    "q_t19_nb_train" -> t19NbTrainSql,
+    "q_t20_nb_score" -> t20NbScoreSql
   )
 }
