@@ -2745,6 +2745,51 @@ object PipelineQueries {
        |       LEAST(len, frame_no * step + step) - frame_no * step AS n_bytes
        |FROM f ORDER BY media_id, frame_no""".stripMargin
 
+  // ---- E13: incremental IVF index maintenance -------------------------
+
+  /** E13: the vector-index analogue of q_d12 — a STORED IVF assignment
+    * (base = vec_id % 10 ≠ 0) is maintained by assigning only the DELTA
+    * batch (vec_id % 10 = 0) against the existing centroids
+    * (`Vectors.ivfAppend`; base vectors never re-scored — VectorsSpec
+    * plan-locks that), then searched. The oracle replays the FULL
+    * from-scratch IVF build + search, so a green row proves
+    * incremental maintenance ≡ full rebuild, search-result-exact.
+    */
+  val e13IncrIvf: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id".as("vid"), $"embedding".cast("array<double>").as("e"))
+    val centroids = vecs.filter($"vid" < 8)
+      .select($"vid".as("cid"), $"e".as("ce"))
+    val base = vecs.filter($"vid" =!= 5 && $"vid" % 10 =!= 0)
+    val delta = vecs.filter($"vid" =!= 5 && $"vid" % 10 === 0)
+    val stored = Vectors.ivfAssign(base, centroids) // the persisted index
+    val maintained = Vectors.ivfAppend(stored, delta, centroids)
+    Vectors.ivfSearch(maintained, centroids,
+        vecs.filter($"vid" === 5).select($"e"), nProbe = 2, k = 8)
+      .select($"vid".as("vec_id"), $"cid", $"cos_sim")
+  }
+  val e13IncrIvfSql: String =
+    s"""WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cent AS (SELECT vid AS cid, e AS ce FROM v WHERE vid < 8),
+       |q AS (SELECT e AS qe FROM v WHERE vid = 5),
+       |assigned AS (
+       |  SELECT vid, cid, e FROM (
+       |    SELECT v.vid, c.cid, v.e,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vid ORDER BY
+       |        ${cosSql("v.e", "c.ce")} DESC,
+       |        c.cid) AS rn
+       |    FROM v, cent c WHERE v.vid <> 5)
+       |  WHERE rn = 1),
+       |cells AS (
+       |  SELECT cid FROM cent, q
+       |  ORDER BY ${cosSql("ce", "qe")} DESC, cid
+       |  LIMIT 2)
+       |SELECT a.vid AS vec_id, a.cid,
+       |  ${cosSql("a.e", "q.qe")} AS cos_sim
+       |FROM assigned a JOIN cells USING (cid), q
+       |ORDER BY cos_sim DESC, vec_id LIMIT 8""".stripMargin
+
   // ---- T19/T20: learned quality classifier (Naive-Bayes-style) --------
 
   /** T19: TRAIN the count-based quality classifier
@@ -3017,7 +3062,8 @@ object PipelineQueries {
     "q_m4_phash" -> m4ImageDhash,
     "q_m5_image_neardup" -> m5ImageNeardup,
     "q_t19_nb_train" -> t19NbTrain,
-    "q_t20_nb_score" -> t20NbScore
+    "q_t20_nb_score" -> t20NbScore,
+    "q_e13_incr_ivf" -> e13IncrIvf
   )
 
   val oracles: Map[String, String] = Map(
@@ -3093,6 +3139,7 @@ object PipelineQueries {
     "q_m4_phash" -> m4ImageDhashSql,
     "q_m5_image_neardup" -> m5ImageNeardupSql,
     "q_t19_nb_train" -> t19NbTrainSql,
-    "q_t20_nb_score" -> t20NbScoreSql
+    "q_t20_nb_score" -> t20NbScoreSql,
+    "q_e13_incr_ivf" -> e13IncrIvfSql
   )
 }

@@ -161,6 +161,22 @@ object Vectors {
     cent.toDF("cid", "ce")
   }
 
+  /** Incremental IVF index maintenance: assign ONLY the delta batch
+    * against the EXISTING centroids and append to the stored
+    * assignment — the base corpus is never re-scanned and never
+    * re-scored (at 100 TB you never re-cluster the corpus for a daily
+    * ingest; centroids re-train offline when drift accumulates, and
+    * `ivfAssign`'s per-vector argmax is centroid-stable, so
+    * append == full rebuild exactly, which q_e13's oracle proves).
+    *
+    * `baseAssigned` is the stored (vid, cid, e) table; the delta cost
+    * is one map-side broadcast-argmax pass over the delta alone.
+    */
+  def ivfAppend(baseAssigned: DataFrame, delta: DataFrame,
+                centroids: DataFrame): DataFrame =
+    baseAssigned.select(col("vid"), col("cid"), col("e"))
+      .unionByName(ivfAssign(delta, centroids))
+
   /** IVF search: rank cells by query-to-centroid cosine, brute-force
     * only the `nProbe` nearest cells. The probed-cell set is a tiny
     * broadcast; candidate work scales with nProbe/k of the corpus.

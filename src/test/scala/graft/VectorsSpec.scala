@@ -237,4 +237,32 @@ class VectorsSpec extends SparkSpec {
     out.find(_.getLong(0) == 3L).get.getDouble(2) shouldBe 0.96 +- 1e-9
     out.find(_.getLong(0) == 1L).get.getDouble(2) shouldBe 1.0 +- 1e-12
   }
+
+  test("ivfAppend equals a full rebuild and never re-scores the stored base") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfappend").toString
+    val all = (0L until 40L).map(i =>
+      (i, Array(math.cos(i * 0.37), math.sin(i * 0.37)))).toDF("vid", "e")
+    val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
+      (2L, Array(-1.0, 0.0)), (3L, Array(0.0, -1.0))).toDF("cid", "ce")
+    val base = all.filter($"vid" % 10 =!= 0)
+    val delta = all.filter($"vid" % 10 === 0)
+    // The stored index: assignment persisted as a table, read back.
+    Vectors.ivfAssign(base, cents).write.parquet(s"$dir/ivf")
+    val stored = spark.read.parquet(s"$dir/ivf")
+
+    val maintained = Vectors.ivfAppend(stored, delta, cents)
+
+    // Semantics: append == full rebuild, row-for-row.
+    val rebuild = Vectors.ivfAssign(all, cents)
+      .orderBy("vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    maintained.orderBy("vid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe rebuild
+    // Plan: exactly ONE centroid broadcast join (the delta's argmax
+    // pass) — the base side is a bare parquet scan, so the stored
+    // vectors are never re-scored by an assignment pass.
+    val plan = maintained.queryExecution.executedPlan.toString
+    plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) shouldBe 1
+    plan.linesIterator.count(_.contains("max_by")) should be <= 2 // partial+final of ONE aggregation
+  }
 }
