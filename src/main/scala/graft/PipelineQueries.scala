@@ -2745,6 +2745,38 @@ object PipelineQueries {
        |       LEAST(len, frame_no * step + step) - frame_no * step AS n_bytes
        |FROM f ORDER BY media_id, frame_no""".stripMargin
 
+  // ---- D15: variable-length maximal duplicated spans ------------------
+
+  /** D15: `Dedup.maxDupSpans` over the planted-dup corpus — maximal
+    * runs of cross-document-duplicated 3-shingles coalesced by the
+    * gaps-and-islands key (position − run_index, the q_w14 machinery),
+    * reported as (id, span_start, span_len in tokens) for spans ≥ 6.
+    * The upgrade over q_d7's fixed windows: a duplicate crossing a
+    * window boundary comes back as ONE maximal span (DedupSpec plants
+    * exactly that case). Oracle restates the island algebra verbatim.
+    */
+  val d15MaxSpans: Q = (s, d) =>
+    Dedup.maxDupSpans(corpus(s, d), "id", "text", n = 3, minLen = 6)
+      .orderBy("id", "span_start")
+  val d15MaxSpansSql: String =
+    s"""WITH $corpusSql,
+       |shp AS (
+       |  SELECT id, i - 1 AS pos,
+       |    ${hash60Sql("array_to_string(toks[i:i+2], ' ')")} AS h
+       |  FROM (SELECT id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+       |        FROM (SELECT id, string_split_regex(text, '\\s+') AS toks FROM corpus))),
+       |duph AS (SELECT h FROM shp GROUP BY h HAVING MIN(id) <> MAX(id)),
+       |dup AS (SELECT s.id, s.pos FROM shp s JOIN duph USING (h)),
+       |isl AS (
+       |  SELECT id, pos,
+       |    pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS k
+       |  FROM dup)
+       |SELECT id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       |  CAST(MAX(pos) - MIN(pos) + 3 AS BIGINT) AS span_len
+       |FROM isl GROUP BY id, k
+       |HAVING MAX(pos) - MIN(pos) + 3 >= 6
+       |ORDER BY id, span_start""".stripMargin
+
   // ---- E13: incremental IVF index maintenance -------------------------
 
   /** E13: the vector-index analogue of q_d12 — a STORED IVF assignment
@@ -3063,7 +3095,8 @@ object PipelineQueries {
     "q_m5_image_neardup" -> m5ImageNeardup,
     "q_t19_nb_train" -> t19NbTrain,
     "q_t20_nb_score" -> t20NbScore,
-    "q_e13_incr_ivf" -> e13IncrIvf
+    "q_e13_incr_ivf" -> e13IncrIvf,
+    "q_d15_max_spans" -> d15MaxSpans
   )
 
   val oracles: Map[String, String] = Map(
@@ -3140,6 +3173,7 @@ object PipelineQueries {
     "q_m5_image_neardup" -> m5ImageNeardupSql,
     "q_t19_nb_train" -> t19NbTrainSql,
     "q_t20_nb_score" -> t20NbScoreSql,
-    "q_e13_incr_ivf" -> e13IncrIvfSql
+    "q_e13_incr_ivf" -> e13IncrIvfSql,
+    "q_d15_max_spans" -> d15MaxSpansSql
   )
 }

@@ -725,6 +725,49 @@ object Dedup {
       .select(col("id"), col("clean_text"), col("n_chunks"), col("n_dropped"))
   }
 
+  /** Variable-length MAXIMAL duplicated spans — what substring-level
+    * decontamination actually needs, vs [[spanDedup]]'s fixed
+    * non-overlapping windows (which fragment any duplicate that
+    * crosses a window boundary and miss any shorter than a window).
+    * Approximates the suffix-array result by coalescing runs of
+    * cross-document-duplicated k-shingles into islands
+    * (gaps-and-islands key: position − run_index), reporting
+    * (id, span_start, span_len) in TOKENS for every maximal span of
+    * length ≥ minLen. A shingle is "duplicated" iff its content
+    * appears in at least two distinct documents (min(id) ≠ max(id)
+    * per hash — boilerplate repeated a billion times collapses
+    * map-side to one (min, max) row per upstream task).
+    *
+    * Scale shape: shingle hashing is map-side off the scan; the
+    * duplicated-hash test is one keyed groupBy with partial min/max;
+    * the island window sorts each document's OWN duplicated positions
+    * (per-doc bounded by document length — never a global sort); the
+    * span rollup is a keyed aggregate on (id, island).
+    */
+  def maxDupSpans(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, minLen: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Partitioning.spread(df)
+      .select(col(idCol).as("id"),
+        posexplode(TextOps.shingles(TextOps.tokens(col(textCol)), n))
+          .as(Seq("pos", "sh")))
+      .select(col("id"), col("pos").cast(LongType).as("pos"),
+        TextOps.hash60(col("sh")).as("h"))
+    val dupHashes = sh.groupBy("h")
+      .agg(min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .filter(col("min_id") =!= col("max_id"))
+      .select("h")
+    val dupPos = sh.join(dupHashes, "h").select("id", "pos")
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + n).as("span_len"))
+      .filter(col("span_len") >= minLen)
+      .select(col("id"), col("span_start"), col("span_len"))
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** 60-bit SimHash folded over per-token hash60 values.

@@ -403,4 +403,31 @@ class DedupSpec extends SparkSpec {
       (3L, "", 2L, 2L),
       (5L, "x y z", 3L, 1L))
   }
+
+  test("maxDupSpans: a duplicate crossing spanDedup's window boundary comes back as ONE maximal span") {
+    import spark.implicits._
+    // Doc 1 carries a 17-token run (tokens 4..20) that doc 2 repeats at
+    // a DIFFERENT offset (tokens 2..18) — so spanDedup's aligned
+    // 10-token windows can never line up on it (the copy's windows hash
+    // differently), while shingle islands recover the full extent.
+    val shared = (1 to 17).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 u4 $shared tail1 tail2"),
+      (2L, s"v1 v2 $shared w1 w2 w3 w4")
+    ).toDF("id", "text")
+
+    val spans = Dedup.maxDupSpans(docs, "id", "text", n = 3, minLen = 6)
+      .orderBy("id", "span_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    // Doc 1: shared run at token offset 4 (0-based), doc 2 at offset 2;
+    // each reported as ONE maximal 17-token span.
+    spans shouldBe Seq((1L, 4L, 17L), (2L, 2L, 17L))
+
+    // The contrast: spanDedup(10) fragments — doc 2 (higher id, the
+    // copy) loses NO chunk because none of its aligned windows
+    // content-match doc 1's differently-aligned windows.
+    val d7 = Dedup.spanDedup(docs, "id", "text", span = 10)
+      .orderBy("id").as[(Long, String, Long, Long)].collect()
+    d7.find(_._1 == 2L).get._4 shouldBe 0L // n_dropped: the 17-token duplicate invisible
+  }
 }
