@@ -135,6 +135,58 @@ object Main {
       withSession(spark => emit(AvailabilityQueries.sampleDays(
         spark.read.parquet(path), k), rest))
 
+    // ---- extension tier: the LLM-pipeline operators, reference-style
+    // ergonomics (cli/query.py:135-189 exposes analytics the same way).
+
+    // Near-duplicate audit over the documents table: one row per
+    // dedup signal (exact groups, MinHash-LSH verified pairs, clusters).
+    case "dedupreport" :: sfDir :: rest =>
+      withSession { spark =>
+        import spark.implicits._
+        val docs = graft.Tables.documents(spark, sfDir)
+          .select($"doc_id".as("id"), $"text")
+        val exact = graft.ops.Dedup.exactGroups(docs, "id", "text").count()
+        val pairs = graft.ops.Dedup.nearDupPairs(docs, "id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nPairs = pairs.count()
+        val nClusters = graft.ops.Dedup.dupClusters(pairs)
+          .select("cluster_id").distinct().count()
+        pairs.unpersist()
+        emit(Seq(
+          ("n_docs", docs.count()),
+          ("n_exact_dup_groups", exact),
+          ("n_near_dup_pairs", nPairs),
+          ("n_dup_clusters", nClusters)).toDF("metric", "value"), rest)
+      }
+
+    // Top-k cosine neighbors of one stored embedding (brute-force —
+    // the exact baseline; the ANN variants are `run q_e2..q_e6`).
+    case "annsearch" :: sfDir :: vecId :: rest =>
+      val k = rest.sliding(2).collectFirst {
+        case Seq("--k", v) => v.toInt
+      }.getOrElse(10)
+      withSession { spark =>
+        import spark.implicits._
+        val vecs = graft.Tables.embeddings(spark, sfDir)
+          .select($"vec_id".as("vid"), $"embedding".cast("array<double>").as("e"))
+        emit(graft.ops.Vectors.knnBruteForce(
+          vecs.filter($"vid" =!= vecId.toLong),
+          vecs.filter($"vid" === vecId.toLong), k), rest)
+      }
+
+    // Learned quality scores: train the count-based classifier on the
+    // lang='en' plant and rank documents by normalized score.
+    case "quality" :: sfDir :: rest =>
+      withSession { spark =>
+        import spark.implicits._
+        val docs = graft.Tables.documents(spark, sfDir)
+        val model = graft.ops.Classify.nbTrain(docs, "text", $"lang" === "en")
+        emit(graft.ops.Classify.nbScore(docs, "doc_id", "text", model)
+          .withColumn("score_per_tok",
+            $"score".cast("double") / $"n_tok")
+          .orderBy($"score_per_tok".desc, $"doc_id"), rest)
+      }
+
     // reference cross-check validator (cross_check.py:79-137): DB symbols
     // on a date vs a saved exchangeInfo response body.
     case "crosscheck" :: path :: jsonPath :: date :: rest =>
@@ -157,7 +209,9 @@ object Main {
           "volquantiles <path> <start> <end> [--k N] | " +
           "sampledays <path> [--k N] | " +
           "mostavailable <path> [--top N] | " +
-          "crosscheck <path> <exchangeInfo.json> <date>")
+          "crosscheck <path> <exchangeInfo.json> <date> | " +
+          "dedupreport <sfDir> | annsearch <sfDir> <vecId> [--k N] | " +
+          "quality <sfDir>")
       sys.exit(2)
   }
 }

@@ -28,4 +28,29 @@ class CliSpec extends SparkSpec {
     out should include("Physical Plan")
     out should include("PushedFilters")
   }
+
+  test("dedupreport emits the four dedup audit metrics") {
+    val out = captureOut(
+      cli.Main.main(Array("dedupreport", "/root/testdata/sf0.001", "--json")))
+    out should include("n_docs")
+    out should include("n_exact_dup_groups")
+    out should include("n_near_dup_pairs")
+    out should include("n_dup_clusters")
+  }
+
+  test("annsearch returns k scored neighbors of a stored embedding") {
+    val out = captureOut(
+      cli.Main.main(Array("annsearch", "/root/testdata/sf0.001", "0", "--k", "3", "--json")))
+    val rows = out.linesIterator.filter(_.contains("cos_sim")).toSeq
+    rows.size shouldBe 3
+    rows.head should include("vid")
+  }
+
+  test("quality ranks documents by learned normalized score") {
+    val out = captureOut(
+      cli.Main.main(Array("quality", "/root/testdata/sf0.001", "--limit", "5", "--json")))
+    val rows = out.linesIterator.filter(_.contains("score_per_tok")).toSeq
+    rows.size shouldBe 5
+    rows.head should include("doc_id")
+  }
 }
