@@ -52,10 +52,14 @@ object Classify {
     */
   def nbTrain(docs: DataFrame, textCol: String, label: Column,
               nFeatures: Int = 256): DataFrame = {
+    // Materialize the count table (≤ nFeatures rows): it feeds BOTH the
+    // totals and the weight join below — without the cut, each
+    // reference re-runs the full corpus tokenize+count pass.
     val counts = feats(docs.withColumn("__y", label), textCol, nFeatures)
       .groupBy(col("feat"))
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(col("__y"), 0L).otherwise(1L)).as("n_neg"))
+      .localCheckpoint(eager = true)
     val totals = counts.agg(sum(col("n_pos")).as("tot_pos"),
       sum(col("n_neg")).as("tot_neg"))
     counts.crossJoin(broadcast(totals))
@@ -78,16 +82,20 @@ object Classify {
     */
   def nbScore(docs: DataFrame, idCol: String, textCol: String,
               model: DataFrame, nFeatures: Int = 256): DataFrame = {
+    // The model is referenced twice (weight join + fallback totals);
+    // materialize the ≤ nFeatures rows once so a lazily-passed model
+    // plan (e.g. nbTrain's) is not trained twice.
+    val m = model.localCheckpoint(eager = true)
     val occ = feats(docs, textCol, nFeatures)
       .groupBy(col(idCol), col("feat"))
       .agg(count(lit(1)).as("n_occ"))
-    val fallback = model
+    val fallback = m
       .agg(sum(col("n_pos")).as("tot_pos"), sum(col("n_neg")).as("tot_neg"))
       .select(expr(
         s"""1000000L div (tot_pos + $nFeatures)
            | - 1000000L div (tot_neg + $nFeatures)""".stripMargin).as("w_unseen"))
     occ
-      .join(broadcast(model.select(col("feat"), col("w1e6"))), Seq("feat"), "left")
+      .join(broadcast(m.select(col("feat"), col("w1e6"))), Seq("feat"), "left")
       .crossJoin(broadcast(fallback))
       .withColumn("__w", coalesce(col("w1e6"), col("w_unseen")))
       .groupBy(col(idCol))

@@ -139,6 +139,30 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("q_t20_nb_score: bounded model broadcasts; per-doc feature counts partial-aggregate") {
+    val p = plan("q_t20_nb_score")
+    // The ≤nFeatures model (checkpoint-cut, trained exactly once) rides
+    // a broadcast into the scoring join; scoring itself stays keyed.
+    p should include("BroadcastHashJoin")
+    p should include("partial_count")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("q_d15_max_spans: one per-doc island window; dup-hash test partial-aggregates") {
+    val p = plan("q_d15_max_spans")
+    p.linesIterator.count(_.contains("Window [")) shouldBe 1
+    p should include("partial_min")
+    p should not include "CartesianProduct"
+  }
+
+  test("q_m5_image_neardup: pairs enumerate inside the band bucket aggregation") {
+    val p = plan("q_m5_image_neardup")
+    p should include("partial_collect_list")
+    p should not include "SortMergeJoin"   // no banded self-join
+    p should not include "CartesianProduct"
+  }
+
   test("q_t18_collocations: counts partial-aggregate; rank is a bounded TakeOrdered") {
     val p = plan("q_t18_collocations")
     p should include("partial_count")
