@@ -2843,11 +2843,11 @@ object PipelineQueries {
     * totals → weights. Tokenizer matches q_t14/q_t18 (\\s+ split,
     * length ≥ 2, lowered).
     */
-  private val nbModelCte: String =
+  private def nbModelCteFrom(trainWhere: String): String =
     s"""tknb AS (
        |  SELECT doc_id, (lang = 'en') AS y,
        |         unnest(string_split_regex(lower(text), '\\s+')) AS w
-       |  FROM documents),
+       |  FROM documents $trainWhere),
        |fnb AS (
        |  SELECT doc_id, y, ${seededHash60Sql("'nb'", "w")} % $NbFeat AS feat
        |  FROM tknb WHERE length(w) >= 2),
@@ -2862,6 +2862,7 @@ object PipelineQueries {
        |    CAST((n_pos + 1) * 1000000 // (tot_pos + $NbFeat)
        |       - (n_neg + 1) * 1000000 // (tot_neg + $NbFeat) AS BIGINT) AS w1e6
        |  FROM cnb, tnb)""".stripMargin
+  private val nbModelCte: String = nbModelCteFrom("")
   val t19NbTrainSql: String =
     s"""WITH $nbModelCte
        |SELECT feat, n_pos, n_neg, w1e6 FROM model ORDER BY feat""".stripMargin
@@ -2889,6 +2890,81 @@ object PipelineQueries {
        |  CAST(SUM(o.n_occ * m.w1e6) AS BIGINT) AS score
        |FROM onb o JOIN model m USING (feat)
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ---- T21: classifier evaluation (held-out AUC) ----------------------
+
+  /** T21: the evaluation loop of the learned gate — train the NB
+    * classifier on even doc_ids only, score the HELD-OUT odd half, and
+    * report the Mann-Whitney AUC of the score against the true label
+    * (`Classify.auc`): `auc_num = 2·wins + ties`,
+    * `auc_den = 2·n_pos·n_neg`, `auc1e6` floor-scaled. Integer-exact
+    * end to end (wins/ties counted over distinct-score prefix sums, no
+    * floats), so the WHOLE eval — split, train, held-out score, ranking
+    * quality — is oracle-checkable bit-for-bit. q_e12 measures the ANN
+    * index's recall; this measures the quality model's discrimination:
+    * the two "is the pipeline's learned component any good?" probes.
+    *
+    * Scale shape: score collapses to one row per DISTINCT score before
+    * ranking; the prefix sum is the two-phase bucketed shape — no
+    * quadratic pair join, no global-order window. num/den are DECIMAL
+    * internally (wins ~ n_pos·n_neg overflows BIGINT at corpus scale)
+    * and cast to BIGINT only for this gate's presentation.
+    */
+  val t21Auc: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val model = graft.ops.Classify.nbTrain(
+      docs.filter($"doc_id" % 2 === 0), "text", $"lang" === "en", NbFeat)
+    val scored = graft.ops.Classify.nbScore(
+      docs.filter($"doc_id" % 2 === 1), "doc_id", "text", model, NbFeat)
+    val labeled = scored.join(
+      docs.select($"doc_id", ($"lang" === "en").as("__y")), Seq("doc_id"))
+    graft.ops.Classify.auc(labeled, $"score", $"__y")
+      .select($"n_pos", $"n_neg",
+        $"auc_num".cast("long").as("auc_num"),
+        $"auc_den".cast("long").as("auc_den"), $"auc1e6")
+  }
+  val t21AucSql: String =
+    s"""WITH ${nbModelCteFrom("WHERE doc_id % 2 = 0")},
+       |wun AS (
+       |  SELECT CAST(1000000 // (tot_pos + $NbFeat)
+       |            - 1000000 // (tot_neg + $NbFeat) AS BIGINT) AS w_unseen
+       |  FROM tnb),
+       |tks AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |  FROM documents WHERE doc_id % 2 = 1),
+       |fsc AS (
+       |  SELECT doc_id, ${seededHash60Sql("'nb'", "w")} % $NbFeat AS feat
+       |  FROM tks WHERE length(w) >= 2),
+       |osc AS (SELECT doc_id, feat, COUNT(*) AS n_occ FROM fsc GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT o.doc_id,
+       |    CAST(SUM(o.n_occ * COALESCE(m.w1e6, wun.w_unseen)) AS BIGINT) AS score
+       |  FROM osc o LEFT JOIN model m USING (feat), wun GROUP BY 1),
+       |lab AS (
+       |  SELECT s.score, (d.lang = 'en') AS y
+       |  FROM scored s JOIN documents d USING (doc_id)),
+       |sc AS (
+       |  SELECT score,
+       |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |    CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+       |  FROM lab GROUP BY 1),
+       |c AS (
+       |  SELECT score, np, nn,
+       |    COALESCE(SUM(nn) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn_below
+       |  FROM sc),
+       |t AS (
+       |  SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+       |    SUM(np::HUGEINT * nn_below) AS wins, SUM(np::HUGEINT * nn) AS ties
+       |  FROM c)
+       |SELECT n_pos, n_neg,
+       |  CAST(2 * wins + ties AS BIGINT) AS auc_num,
+       |  CAST(2 * n_pos::HUGEINT * n_neg AS BIGINT) AS auc_den,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0
+       |    THEN CAST((2 * wins + ties) * 1000000
+       |              // (2 * n_pos::HUGEINT * n_neg) AS BIGINT) END AS auc1e6
+       |FROM t""".stripMargin
 
   // ---- M4/M5: REAL image decode + perceptual-hash dedup ---------------
 
@@ -2926,8 +3002,12 @@ object PipelineQueries {
     val b = "((23 * (m % 37) + 3 * x + 19 * y) % 256)"
     s"(299 * $r + 587 * $g + 114 * $b) // 1000"
   }
-  private val m4HashCte: String =
-    s"""ids AS (SELECT doc_id AS m FROM documents),
+  /** The gray/thumb/dHash replay CTE chain parameterized on the set of
+    * image ids (column `m`) — shared by the document-image queries
+    * (ids = doc ids) and the video queries (ids = frame image ids).
+    */
+  private def dhashCteFrom(idsSql: String): String =
+    s"""ids AS ($idsSql),
        |px AS (SELECT unnest(generate_series(0, 17)) AS x),
        |py AS (SELECT unnest(generate_series(0, 15)) AS y),
        |gp AS (SELECT m, x, y, $m4GraySql AS gv FROM ids, px, py),
@@ -2943,6 +3023,9 @@ object PipelineQueries {
        |    CAST(SUM(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END) AS BIGINT) AS dh_hi,
        |    CAST(SUM(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS dh_lo
        |  FROM bits GROUP BY 1)""".stripMargin
+
+  private val m4HashCte: String =
+    dhashCteFrom("SELECT doc_id AS m FROM documents")
   val m4ImageDhashSql: String =
     s"""WITH $m4HashCte
        |SELECT m AS media_id, CAST(18 AS INTEGER) AS width,
@@ -2981,6 +3064,161 @@ object PipelineQueries {
        |       + bit_count(xor(ha.dh_hi, hb.dh_hi)) AS INTEGER) AS hamming
        |  FROM cand JOIN hashes ha ON ha.m = ia JOIN hashes hb ON hb.m = ib)
        |SELECT ia, ib, hamming FROM pairs WHERE hamming <= 4 ORDER BY ia, ib""".stripMargin
+
+  // ---- M6/M7: REAL audio decode + energy-fingerprint dedup ------------
+
+  /** M6: the audio member of the decode family with a REAL codec — each
+    * media id becomes a deterministic synthesized RIFF/WAVE PCM16 file
+    * (`Multimodal.synthWav`), is decoded back through
+    * `javax.sound.sampled.AudioSystem` (actual WAV parse, not the
+    * stub), windowed into 64 four-sample energies, and fingerprinted by
+    * adjacent-window energy-gradient signs — the audio analogue of
+    * q_m4's dHash. The oracle replays the sample/energy/bit INTEGER
+    * math directly from the waveform generator — PCM is lossless, so a
+    * fingerprint match PROVES the encode→decode round-trip preserved
+    * every sample; a broken decoder cannot pass.
+    *
+    * Scale shape: one typed mapPartitions in the scan's partitioning —
+    * decode and fingerprint never shuffle; the only exchange is the
+    * presentation sort.
+    */
+  val m6AudioFp: Q = (s, d) => {
+    import s.implicits._
+    val records = Tables.documents(s, d)
+      .select($"doc_id".as("media_id")).as[Long]
+      .map(id => graft.ops.MediaRecord(id, "audio", graft.ops.Multimodal.synthWav(id)))
+    graft.ops.Multimodal.audioFingerprint(records).toDF().orderBy("media_id")
+  }
+  /** Shared fingerprint CTE: integer replay of synthSample → window
+    * energies → 63 gradient bits → (hi, lo) halves.
+    */
+  private val m6FpCte: String =
+    """ids AS (SELECT doc_id AS m FROM documents),
+      |ts AS (SELECT unnest(generate_series(0, 255)) AS t),
+      |sv AS (SELECT m, t,
+      |  ((((31153 + 2 * (m % 41)) * t + 40503 * (m % 41)
+      |     + CASE WHEN t // 4 = m % 64 THEN 500 ELSE 0 END) % 65536) - 32768) AS s
+      |  FROM ids, ts),
+      |en AS (SELECT m, t // 4 AS w, CAST(SUM(s * s) AS BIGINT) AS e
+      |       FROM sv GROUP BY 1, 2),
+      |fbits AS (
+      |  SELECT a.m, a.w AS idx, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+      |  FROM en a JOIN en b ON b.m = a.m AND b.w = a.w + 1
+      |  WHERE a.w < 63),
+      |fps AS (
+      |  SELECT m,
+      |    CAST(SUM(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END) AS BIGINT) AS fp_hi,
+      |    CAST(SUM(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS fp_lo
+      |  FROM fbits GROUP BY 1)""".stripMargin
+  val m6AudioFpSql: String =
+    s"""WITH $m6FpCte
+       |SELECT m AS media_id, CAST(8000 AS INTEGER) AS sample_rate,
+       |       CAST(256 AS INTEGER) AS n_samples, fp_hi, fp_lo
+       |FROM fps ORDER BY media_id""".stripMargin
+
+  /** M7: the audio member of the dedup family — near-dup pairs via the
+    * SAME 4×16-bit banded-Hamming machinery as q_m5, over the energy
+    * fingerprint (`Multimodal.bandedHammingPairs` is modality-blind).
+    * Same-base fixture waveforms (one perturbed window apart, ≤ 2 bits
+    * each) pair up within Hamming ≤ 4; the oracle replays band +
+    * Hamming on its own fingerprint replay, codec included.
+    */
+  val m7AudioNeardup: Q = (s, d) => {
+    import s.implicits._
+    val records = Tables.documents(s, d)
+      .select($"doc_id".as("media_id")).as[Long]
+      .map(id => graft.ops.MediaRecord(id, "audio", graft.ops.Multimodal.synthWav(id)))
+    val fps = graft.ops.Multimodal.audioFingerprint(records)
+    graft.ops.Multimodal.audioNearDupPairs(fps, maxDist = 4)
+      .orderBy("ia", "ib")
+  }
+  val m7AudioNeardupSql: String =
+    s"""WITH $m6FpCte,
+       |bands AS (
+       |  SELECT m, b, CASE b WHEN 0 THEN fp_lo % 65536 WHEN 1 THEN fp_lo // 65536
+       |                      WHEN 2 THEN fp_hi % 65536 ELSE fp_hi // 65536 END AS chunk
+       |  FROM fps, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.m AS ia, c.m AS ib
+       |  FROM bands a JOIN bands c ON c.b = a.b AND c.chunk = a.chunk AND a.m < c.m),
+       |pairs AS (
+       |  SELECT ia, ib,
+       |    CAST(bit_count(xor(ha.fp_lo, hb.fp_lo))
+       |       + bit_count(xor(ha.fp_hi, hb.fp_hi)) AS INTEGER) AS hamming
+       |  FROM cand JOIN fps ha ON ha.m = ia JOIN fps hb ON hb.m = ib)
+       |SELECT ia, ib, hamming FROM pairs WHERE hamming <= 4 ORDER BY ia, ib""".stripMargin
+
+  // ---- M8/M9: video container demux + frame-level dedup ---------------
+
+  /** M8: video as a first-class modality — each media id (every 5th
+    * document, the video slice of the corpus) becomes a real
+    * length-prefixed frame container (`Multimodal.synthVideo`, 6 real
+    * PNG frames), is DEMUXED by genuine byte-level parsing, every 2nd
+    * frame is sampled (skipped frames are never decoded — the point of
+    * frame sampling at scale), and each sampled frame runs the REAL
+    * ImageIO decode + dHash chain from q_m4. The oracle recomputes the
+    * frame→image-id mapping and replays the per-frame pixel math — so
+    * demux, sampling, codec and hash are all engine-exact.
+    *
+    * Scale shape: demux/sample/decode/hash in ONE typed mapPartitions —
+    * a video's bytes never leave the scan task; only (id, frame, 2×
+    * 32-bit halves) rows travel to the presentation sort.
+    */
+  val m8VideoFrames: Q = (s, d) => {
+    import s.implicits._
+    val records = Tables.documents(s, d)
+      .select($"doc_id".as("media_id")).as[Long]
+      .filter(_ % 5 == 0)
+      .map(id => graft.ops.MediaRecord(id, "video", graft.ops.Multimodal.synthVideo(id)))
+    graft.ops.Multimodal.videoFrameHashes(records)
+      .orderBy("media_id", "frame_no")
+  }
+  /** Shared video CTE: the sampled (video, frame) → image-id mapping
+    * plus the dHash replay over exactly those image ids.
+    */
+  private val m8VideoCte: String =
+    s"""vids AS (SELECT doc_id AS v FROM documents WHERE doc_id % 5 = 0),
+       |fr AS (
+       |  SELECT v, f,
+       |    CASE WHEN f = v % 6 THEN 100000 + v ELSE (v % 29) * 1000 + f END AS fm
+       |  FROM vids, (SELECT unnest(generate_series(0, 5)) AS f)
+       |  WHERE f % 2 = 0),
+       |${dhashCteFrom("SELECT DISTINCT fm AS m FROM fr")}""".stripMargin
+  val m8VideoFramesSql: String =
+    s"""WITH $m8VideoCte
+       |SELECT fr.v AS media_id, CAST(fr.f AS INTEGER) AS frame_no,
+       |       h.dh_hi, h.dh_lo
+       |FROM fr JOIN hashes h ON h.m = fr.fm
+       |ORDER BY media_id, frame_no""".stripMargin
+
+  /** M9: the video member of the dedup family — two videos are
+    * near-dups when their sampled frames share ≥ 2 exact frame hashes
+    * (set-overlap content-based video retrieval, temporal order
+    * ignored). Candidates via an inverted-index self-join on the exact
+    * frame hash — quadratic only within one hash's posting list.
+    * Same-base fixture videos share 2 or 3 of their 3 sampled frames
+    * (the perturbed position is unique per video); different bases
+    * share none by construction.
+    */
+  val m9VideoNeardup: Q = (s, d) => {
+    import s.implicits._
+    val records = Tables.documents(s, d)
+      .select($"doc_id".as("media_id")).as[Long]
+      .filter(_ % 5 == 0)
+      .map(id => graft.ops.MediaRecord(id, "video", graft.ops.Multimodal.synthVideo(id)))
+    val fh = graft.ops.Multimodal.videoFrameHashes(records)
+    graft.ops.Multimodal.videoNearDupPairs(fh, minShared = 2)
+      .orderBy("va", "vb")
+  }
+  val m9VideoNeardupSql: String =
+    s"""WITH $m8VideoCte,
+       |vh AS (SELECT DISTINCT fr.v, h.dh_hi, h.dh_lo
+       |       FROM fr JOIN hashes h ON h.m = fr.fm)
+       |SELECT a.v AS va, b.v AS vb, CAST(COUNT(*) AS BIGINT) AS shared_frames
+       |FROM vh a JOIN vh b
+       |  ON b.dh_hi = a.dh_hi AND b.dh_lo = a.dh_lo AND a.v < b.v
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |ORDER BY va, vb""".stripMargin
 
   // ---- T13: inverted index (posting lists) ----------------------------
 
@@ -3093,8 +3331,13 @@ object PipelineQueries {
     "q_m2a_meta" -> m2aMeta,
     "q_m4_phash" -> m4ImageDhash,
     "q_m5_image_neardup" -> m5ImageNeardup,
+    "q_m6_audio_fp" -> m6AudioFp,
+    "q_m7_audio_neardup" -> m7AudioNeardup,
+    "q_m8_video_frames" -> m8VideoFrames,
+    "q_m9_video_neardup" -> m9VideoNeardup,
     "q_t19_nb_train" -> t19NbTrain,
     "q_t20_nb_score" -> t20NbScore,
+    "q_t21_auc" -> t21Auc,
     "q_e13_incr_ivf" -> e13IncrIvf,
     "q_d15_max_spans" -> d15MaxSpans
   )
@@ -3171,8 +3414,13 @@ object PipelineQueries {
     // match proves the codec round-trip.
     "q_m4_phash" -> m4ImageDhashSql,
     "q_m5_image_neardup" -> m5ImageNeardupSql,
+    "q_m6_audio_fp" -> m6AudioFpSql,
+    "q_m7_audio_neardup" -> m7AudioNeardupSql,
+    "q_m8_video_frames" -> m8VideoFramesSql,
+    "q_m9_video_neardup" -> m9VideoNeardupSql,
     "q_t19_nb_train" -> t19NbTrainSql,
     "q_t20_nb_score" -> t20NbScoreSql,
+    "q_t21_auc" -> t21AucSql,
     "q_e13_incr_ivf" -> e13IncrIvfSql,
     "q_d15_max_spans" -> d15MaxSpansSql
   )

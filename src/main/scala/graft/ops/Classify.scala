@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Count-based learned quality classifier — the FineWeb-Edu/DCLM-shaped
@@ -101,5 +102,59 @@ object Classify {
       .groupBy(col(idCol))
       .agg(sum(col("n_occ")).as("n_tok"),
         sum(col("n_occ") * col("__w")).as("score"))
+  }
+
+  /** AUC of an integer score against a boolean label — the
+    * Mann-Whitney formulation, integer-exact: over all (positive,
+    * negative) example pairs, `auc = (wins + ties/2) / (n_pos·n_neg)`
+    * where a win is `score_pos > score_neg`. Reported doubled so the
+    * half-credit ties stay integral: `auc_num = 2·wins + ties`,
+    * `auc_den = 2·n_pos·n_neg`, plus the floor-scaled
+    * `auc1e6 = auc_num·1e6 div auc_den` (DECIMAL(38,0) internally —
+    * wins is O(n_pos·n_neg) and overflows BIGINT long before the row
+    * counts do). The evaluation loop a learned gate needs before its
+    * threshold is trusted — recall@k's classifier sibling.
+    *
+    * NOT the quadratic pair join: collapse to one row per DISTINCT
+    * score (keyed groupBy, map-side combined), then
+    * `wins = Σ n_pos(s)·n_neg(<s)` via a prefix sum of negative counts
+    * in score order. The prefix sum is the DISTRIBUTED two-phase shape
+    * (`Sampling.packSequences`): min/max bounds ride a 1-row broadcast
+    * into monotone range buckets, each bucket's running sum is an
+    * independent keyed window, and the per-bucket totals (`buckets`
+    * rows) cumsum + broadcast back as offsets. No global-order window
+    * funnel anywhere.
+    */
+  def auc(scored: DataFrame, scoreCol: Column, labelCol: Column,
+          buckets: Int = 64): DataFrame = {
+    val sc = scored
+      .groupBy(scoreCol.as("__sc"))
+      .agg(sum(when(labelCol, 1L).otherwise(0L)).as("__np"),
+        sum(when(labelCol, 0L).otherwise(1L)).as("__nn"))
+    val bounds = sc.agg(min(col("__sc")).as("__lo"), max(col("__sc")).as("__hi"))
+    val bucketed = sc.crossJoin(broadcast(bounds))
+      // Monotone-in-score bucket id: floor((sc − lo) / width). Width ≥ 1
+      // keeps the degenerate all-equal-scores case from dividing by 0.
+      .withColumn("__w", expr(s"greatest(1L, (__hi - __lo) div $buckets + 1L)"))
+      .withColumn("__b", expr("(__sc - __lo) div __w").cast("int"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__sc"))
+    val partial = bucketed.withColumn("__cum_in", sum(col("__nn")).over(wIn))
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offsets = partial.groupBy(col("__b")).agg(sum(col("__nn")).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__off"))
+    partial.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__nn_below", col("__off") + col("__cum_in") - col("__nn"))
+      .agg(sum(col("__np")).as("n_pos"), sum(col("__nn")).as("n_neg"),
+        sum(expr("CAST(__np AS DECIMAL(38,0)) * __nn_below")).as("__wins"),
+        sum(expr("CAST(__np AS DECIMAL(38,0)) * __nn")).as("__ties"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("CAST(2 * __wins + __ties AS DECIMAL(38,0))").as("auc_num"),
+        expr("CAST(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg AS DECIMAL(38,0))").as("auc_den"),
+        expr("""CASE WHEN n_pos > 0 AND n_neg > 0
+                | THEN CAST((2 * __wins + __ties) * 1000000
+                |           div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)
+                |END""".stripMargin).as("auc1e6"))
   }
 }

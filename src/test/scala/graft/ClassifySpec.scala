@@ -53,4 +53,47 @@ class ClassifySpec extends SparkSpec {
     out.length shouldBe 1
     out.head.getLong(1) shouldBe 3L
   }
+
+  test("auc: hand-checked wins/ties algebra, perfect and inverted separation") {
+    import spark.implicits._
+    // pos scores {3, 2}, neg scores {1, 2}: wins = 3 (3>1, 3>2, 2>1),
+    // ties = 1 (2 vs 2) → auc = (3 + 0.5)/4 → num 7, den 8, 875000.
+    val mixed = Seq((3L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("score", "y")
+    val r = Classify.auc(mixed, col("score"), col("y")).collect().head
+    r.getLong(0) shouldBe 2L
+    r.getLong(1) shouldBe 2L
+    r.getDecimal(2).longValueExact() shouldBe 7L
+    r.getDecimal(3).longValueExact() shouldBe 8L
+    r.getLong(4) shouldBe 875000L
+    // Perfect separation → exactly 1e6; inverted labels → exactly 0.
+    val sep = Seq((10L, true), (9L, true), (2L, false), (1L, false))
+      .toDF("score", "y")
+    Classify.auc(sep, col("score"), col("y"))
+      .collect().head.getLong(4) shouldBe 1000000L
+    Classify.auc(sep, col("score"), !col("y"))
+      .collect().head.getLong(4) shouldBe 0L
+  }
+
+  test("auc: bucketed prefix sum is partitioning-invariant and handles negative scores") {
+    import spark.implicits._
+    // 200 examples over a signed score range crossing several bucket
+    // boundaries; label correlates with score but with noise + ties.
+    val rows = (0 until 200).map { i =>
+      val score = (i * 37 % 101) - 50L
+      (score, (score * 3 + (i % 7)) > 0)
+    }
+    val df = rows.toDF("score", "y")
+    val a = Classify.auc(df, col("score"), col("y"), buckets = 8).collect().head
+    val b = Classify.auc(df.repartition(13), col("score"), col("y"), buckets = 3)
+      .collect().head
+    a.toSeq shouldBe b.toSeq
+    // Cross-check wins/ties against the quadratic definition.
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val wins = pos.map(p => neg.count(p > _).toLong).sum
+    val ties = pos.map(p => neg.count(p == _).toLong).sum
+    a.getDecimal(2).longValueExact() shouldBe (2 * wins + ties)
+    a.getDecimal(3).longValueExact() shouldBe (2L * pos.length * neg.length)
+  }
 }

@@ -140,4 +140,80 @@ class MultimodalSpec extends SparkSpec {
     // hashes (a constant-hash bug would pair everything at distance 0).
     hashes.select("dh_hi", "dh_lo").distinct().count() should be >= 30L
   }
+
+  // ---- REAL audio decode + energy fingerprinting ----------------------
+
+  test("WAV encode→decode round-trip is sample-exact (real AudioSystem codec)") {
+    for (m <- Seq(0L, 7L, 41L, 200L)) {
+      val Some((rate, channels, samples)) = Multimodal.decodeWav(Multimodal.synthWav(m))
+      rate shouldBe Multimodal.AudioRate
+      channels shouldBe 1
+      samples.length shouldBe Multimodal.AudioN
+      for (t <- 0 until Multimodal.AudioN)
+        withClue(s"media $m sample $t") {
+          samples(t) shouldBe Multimodal.synthSample(m, t)
+        }
+    }
+    // Undecodable bytes route to None, never throw.
+    Multimodal.decodeWav("not audio".getBytes("UTF-8")) shouldBe None
+    // The synthWav container really is WAV — the sniffer agrees.
+    Multimodal.sniffFormat(Multimodal.synthWav(3L)) shouldBe "wav"
+  }
+
+  test("planted near-identical audio pairs up; fingerprints are not degenerate") {
+    import spark.implicits._
+    // Ids m and m+41 share a waveform base (one perturbed window each,
+    // ≤ 2 fingerprint bits) — perceptual near-dups within Hamming ≤ 4.
+    val ids = (0L until 82L).toDS()
+    val recs = ids.map(m => MediaRecord(m, "audio", Multimodal.synthWav(m)))
+    val fps = Multimodal.audioFingerprint(recs)
+    fps.count() shouldBe 82L
+    val pairs = Multimodal.audioNearDupPairs(fps, maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    for (m <- 0L until 41L) {
+      val ham = pairs.get((m, m + 41L))
+      withClue(s"pair ($m, ${m + 41})") { ham should not be empty }
+      ham.get should be <= 4
+    }
+    fps.toDF().select("fp_hi", "fp_lo").distinct().count() should be >= 30L
+  }
+
+  // ---- video container demux + frame hashing --------------------------
+
+  test("video demux round-trips frames byte-exactly and salvages truncated containers") {
+    val m = 15L
+    val vid = Multimodal.synthVideo(m)
+    val frames = Multimodal.demuxVideo(vid)
+    frames.map(_._1) shouldBe (0 until Multimodal.VideoFrames)
+    for ((f, png) <- frames)
+      png.toSeq shouldBe Multimodal.synthPng(Multimodal.videoFrameImageId(m, f)).toSeq
+    // Foreign container → no frames, no throw.
+    Multimodal.demuxVideo("RIFF1234WAVEfmt ".getBytes("UTF-8")) shouldBe Nil
+    // Truncated mid-frame → the fully-parsed prefix survives (a damaged
+    // file must not kill the scan task OR lose its good frames).
+    val cut = java.util.Arrays.copyOfRange(vid, 0, vid.length - 10)
+    val salvaged = Multimodal.demuxVideo(cut)
+    salvaged.length shouldBe (Multimodal.VideoFrames - 1)
+    for ((f, png) <- salvaged)
+      png.toSeq shouldBe Multimodal.synthPng(Multimodal.videoFrameImageId(m, f)).toSeq
+  }
+
+  test("videoFrameHashes samples every k-th frame; same-base videos share frames") {
+    import spark.implicits._
+    // Videos 5·m so bases (m mod 29) repeat: 10 and 150 quite apart.
+    val ids = Seq(0L, 5L, 10L, 145L, 150L, 155L).toDS()
+    val recs = ids.map(m => MediaRecord(m, "video", Multimodal.synthVideo(m)))
+    val fh = Multimodal.videoFrameHashes(recs)
+    // stride 2 over 6 frames = 3 sampled frames per video.
+    fh.groupBy("media_id").count().collect()
+      .foreach(_.getLong(1) shouldBe 3L)
+    fh.select("frame_no").distinct().collect()
+      .map(_.getInt(0)).sorted shouldBe Array(0, 2, 4)
+    // Same base (0, 145 both ≡ 0 mod 29): ≥ 2 shared frame hashes; the
+    // perturbed position is unique per video so at most one differs.
+    val pairs = Multimodal.videoNearDupPairs(fh, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.keySet should contain((0L, 145L))
+    pairs((0L, 145L)) should be >= 2L
+  }
 }
