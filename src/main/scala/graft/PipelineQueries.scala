@@ -2924,8 +2924,12 @@ object PipelineQueries {
         $"auc_num".cast("long").as("auc_num"),
         $"auc_den".cast("long").as("auc_den"), $"auc1e6")
   }
-  val t21AucSql: String =
-    s"""WITH ${nbModelCteFrom("WHERE doc_id % 2 = 0")},
+  /** Shared held-out-eval CTE chain: model trained on even doc_ids,
+    * scores (with unseen-feature fallback) + true labels for the odd
+    * half — feeds both the AUC (q_t21) and calibration (q_t22) oracles.
+    */
+  private val nbHeldoutCte: String =
+    s"""${nbModelCteFrom("WHERE doc_id % 2 = 0")},
        |wun AS (
        |  SELECT CAST(1000000 // (tot_pos + $NbFeat)
        |            - 1000000 // (tot_neg + $NbFeat) AS BIGINT) AS w_unseen
@@ -2943,7 +2947,9 @@ object PipelineQueries {
        |  FROM osc o LEFT JOIN model m USING (feat), wun GROUP BY 1),
        |lab AS (
        |  SELECT s.score, (d.lang = 'en') AS y
-       |  FROM scored s JOIN documents d USING (doc_id)),
+       |  FROM scored s JOIN documents d USING (doc_id))""".stripMargin
+  val t21AucSql: String =
+    s"""WITH $nbHeldoutCte,
        |sc AS (
        |  SELECT score,
        |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
@@ -2965,6 +2971,44 @@ object PipelineQueries {
        |    THEN CAST((2 * wins + ties) * 1000000
        |              // (2 * n_pos::HUGEINT * n_neg) AS BIGINT) END AS auc1e6
        |FROM t""".stripMargin
+
+  // ---- T22: classifier calibration table ------------------------------
+
+  /** T22: the reliability diagram behind the threshold choice — the
+    * held-out scores (same split as q_t21) in 10 fixed-width bins over
+    * [min, max], each bin reporting example count, positive count, the
+    * bin's actual score range, and the positive fraction as a
+    * floor-scaled 1e6 integer (`Classify.calibration`). AUC says the
+    * ranking discriminates; this says what a score of X MEANS — the
+    * pair a pipeline reads before hard-coding a quality cutoff.
+    *
+    * Scale shape: 1-row min/max broadcast → monotone fixed-width
+    * binning (never a global ntile window) → one keyed groupBy,
+    * map-side combined.
+    */
+  val t22Calibration: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val model = graft.ops.Classify.nbTrain(
+      docs.filter($"doc_id" % 2 === 0), "text", $"lang" === "en", NbFeat)
+    val scored = graft.ops.Classify.nbScore(
+      docs.filter($"doc_id" % 2 === 1), "doc_id", "text", model, NbFeat)
+    val labeled = scored.join(
+      docs.select($"doc_id", ($"lang" === "en").as("__y")), Seq("doc_id"))
+    graft.ops.Classify.calibration(labeled, $"score", $"__y", bins = 10)
+      .orderBy("bin")
+  }
+  val t22CalibrationSql: String =
+    s"""WITH $nbHeldoutCte,
+       |bnd AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM lab),
+       |binned AS (
+       |  SELECT (score - lo) * 10 // (hi - lo + 1) AS bin, score, y
+       |  FROM lab, bnd)
+       |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  MIN(score) AS score_lo, MAX(score) AS score_hi,
+       |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS pos1e6
+       |FROM binned GROUP BY 1 ORDER BY bin""".stripMargin
 
   // ---- M4/M5: REAL image decode + perceptual-hash dedup ---------------
 
@@ -3064,6 +3108,109 @@ object PipelineQueries {
        |       + bit_count(xor(ha.dh_hi, hb.dh_hi)) AS INTEGER) AS hamming
        |  FROM cand JOIN hashes ha ON ha.m = ia JOIN hashes hb ON hb.m = ib)
        |SELECT ia, ib, hamming FROM pairs WHERE hamming <= 4 ORDER BY ia, ib""".stripMargin
+
+  // ---- M10: DCT pHash (frequency-domain perceptual hash) --------------
+
+  /** M10: the second perceptual hash flavor — classic pHash: 16×16 gray
+    * thumbnail, 8×8 low-frequency DCT block, 63 AC coefficients
+    * thresholded at their lower median (`Multimodal.imagePHash`).
+    * Global-structure robustness where dHash is local. The DCT runs in
+    * FIXED-POINT INTEGER arithmetic over a constant round(cos·2^14)
+    * basis table that this oracle inlines verbatim (the generated-
+    * constant pattern of the q_g8 oracle) — no libm cosine at query
+    * time on either side, so the hash is engine-exact and a match
+    * proves codec + thumbnail + spectrum + median-rank all agree.
+    */
+  val m10DctPhash: Q = (s, d) => {
+    import s.implicits._
+    val records = Tables.documents(s, d)
+      .select($"doc_id".as("media_id")).as[Long]
+      .map(id => graft.ops.MediaRecord(id, "image", graft.ops.Multimodal.synthPng(id)))
+    graft.ops.Multimodal.imagePHash(records).toDF()
+      .select($"media_id", $"width", $"height",
+        $"dh_hi".as("ph_hi"), $"dh_lo".as("ph_lo"))
+      .orderBy("media_id")
+  }
+  val m10DctPhashSql: String = {
+    val ku = (for (u <- 0 until 8; p <- 0 until graft.ops.Multimodal.PThumb)
+      yield s"($u, $p, ${graft.ops.Multimodal.dctK(u)(p)})").mkString(", ")
+    s"""WITH ids AS (SELECT doc_id AS m FROM documents),
+       |px AS (SELECT unnest(generate_series(0, 17)) AS x),
+       |py AS (SELECT unnest(generate_series(0, 15)) AS y),
+       |gp AS (SELECT m, x, y, $m4GraySql AS gv FROM ids, px, py),
+       |t16 AS (
+       |  SELECT m, (16 * x + 15) // 18 AS tx, (16 * y + 15) // 16 AS ty,
+       |         CAST(SUM(gv) // COUNT(*) AS BIGINT) AS tv
+       |  FROM gp GROUP BY 1, 2, 3),
+       |ku AS (SELECT * FROM (VALUES $ku) AS kt(u, p, k)),
+       |dct AS (
+       |  SELECT t.m, a.u AS u, b.u AS v,
+       |         CAST(SUM(t.tv * a.k * b.k) AS BIGINT) AS c
+       |  FROM t16 t JOIN ku a ON a.p = t.tx JOIN ku b ON b.p = t.ty
+       |  GROUP BY 1, 2, 3),
+       |medp AS (
+       |  SELECT m, c AS medv FROM (
+       |    SELECT m, c, row_number() OVER (PARTITION BY m ORDER BY c) AS rn
+       |    FROM dct WHERE NOT (u = 0 AND v = 0))
+       |  WHERE rn = 32),
+       |pbits AS (
+       |  SELECT d.m, (d.v * 8 + d.u - 1) AS idx,
+       |         CASE WHEN d.c > mp.medv THEN 1 ELSE 0 END AS bit
+       |  FROM dct d JOIN medp mp ON mp.m = d.m
+       |  WHERE NOT (d.u = 0 AND d.v = 0)),
+       |ph AS (
+       |  SELECT m,
+       |    CAST(SUM(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END) AS BIGINT) AS ph_hi,
+       |    CAST(SUM(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS ph_lo
+       |  FROM pbits GROUP BY 1)
+       |SELECT m AS media_id, CAST(18 AS INTEGER) AS width,
+       |       CAST(16 AS INTEGER) AS height, ph_hi, ph_lo
+       |FROM ph ORDER BY media_id""".stripMargin
+  }
+
+  // ---- M11: image dedup clusters (end-to-end image purge) -------------
+
+  /** M11: close the image-dedup loop the way q_d2b closes the text one —
+    * connected components over the q_m5 perceptual near-dup pairs
+    * (`Dedup.dupClusters`: capped label propagation with the
+    * alternating-star fallback), each image reporting its cluster's
+    * canonical minimum id. The keep-canonical / purge-rest decision for
+    * images. Oracle: recursive-CTE transitive closure over the SAME
+    * pair algebra (band + Hamming over the pixel-math hash replay) — a
+    * deliberately different closure algorithm agreeing bit-for-bit.
+    */
+  val m11ImageClusters: Q = (s, d) => {
+    import s.implicits._
+    val records = Tables.documents(s, d)
+      .select($"doc_id".as("media_id")).as[Long]
+      .map(id => graft.ops.MediaRecord(id, "image", graft.ops.Multimodal.synthPng(id)))
+    val hashes = graft.ops.Multimodal.imageDHash(records).toDF()
+    graft.ops.Dedup.dupClusters(
+        graft.ops.Multimodal.imageNearDupPairs(hashes, maxDist = 4))
+      .orderBy("cluster_id", "id")
+  }
+  val m11ImageClustersSql: String =
+    s"""WITH RECURSIVE $m4HashCte,
+       |bands AS (
+       |  SELECT m, b, CASE b WHEN 0 THEN dh_lo % 65536 WHEN 1 THEN dh_lo // 65536
+       |                      WHEN 2 THEN dh_hi % 65536 ELSE dh_hi // 65536 END AS chunk
+       |  FROM hashes, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.m AS ia, c.m AS ib
+       |  FROM bands a JOIN bands c ON c.b = a.b AND c.chunk = a.chunk AND a.m < c.m),
+       |pairs AS (
+       |  SELECT ia, ib
+       |  FROM cand JOIN hashes ha ON ha.m = ia JOIN hashes hb ON hb.m = ib
+       |  WHERE bit_count(xor(ha.dh_lo, hb.dh_lo))
+       |      + bit_count(xor(ha.dh_hi, hb.dh_hi)) <= 4),
+       |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labels AS (
+       |  SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
+       |SELECT cluster_id, id FROM labels ORDER BY cluster_id, id""".stripMargin
 
   // ---- M6/M7: REAL audio decode + energy-fingerprint dedup ------------
 
@@ -3338,6 +3485,9 @@ object PipelineQueries {
     "q_t19_nb_train" -> t19NbTrain,
     "q_t20_nb_score" -> t20NbScore,
     "q_t21_auc" -> t21Auc,
+    "q_t22_calibration" -> t22Calibration,
+    "q_m10_dct_phash" -> m10DctPhash,
+    "q_m11_image_clusters" -> m11ImageClusters,
     "q_e13_incr_ivf" -> e13IncrIvf,
     "q_d15_max_spans" -> d15MaxSpans
   )
@@ -3421,6 +3571,9 @@ object PipelineQueries {
     "q_t19_nb_train" -> t19NbTrainSql,
     "q_t20_nb_score" -> t20NbScoreSql,
     "q_t21_auc" -> t21AucSql,
+    "q_t22_calibration" -> t22CalibrationSql,
+    "q_m10_dct_phash" -> m10DctPhashSql,
+    "q_m11_image_clusters" -> m11ImageClustersSql,
     "q_e13_incr_ivf" -> e13IncrIvfSql,
     "q_d15_max_spans" -> d15MaxSpansSql
   )

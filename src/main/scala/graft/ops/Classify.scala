@@ -125,6 +125,30 @@ object Classify {
     * rows) cumsum + broadcast back as offsets. No global-order window
     * funnel anywhere.
     */
+  /** Calibration table: fixed-width score bins over [min, max] with
+    * per-bin example count, positive count, and the positive fraction
+    * as a floor-scaled 1e6 integer — the reliability diagram behind a
+    * threshold choice (AUC says the RANKING is good; this says what a
+    * score of X actually means). Bin width comes from a 1-row min/max
+    * broadcast (the same monotone-bucket trick as [[auc]]), never a
+    * global-order ntile window; the aggregation is one keyed groupBy,
+    * map-side combined.
+    */
+  def calibration(scored: DataFrame, scoreCol: Column, labelCol: Column,
+                  bins: Int = 10): DataFrame = {
+    val bounds = scored.agg(min(scoreCol).as("__lo"), max(scoreCol).as("__hi"))
+    scored.select(scoreCol.as("__sc"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .crossJoin(broadcast(bounds))
+      // (sc − lo)·bins div (hi − lo + 1) ∈ [0, bins−1]; numerator and
+      // denominator both non-negative so truncating div == floor.
+      .withColumn("bin", expr(s"(__sc - __lo) * $bins div (__hi - __lo + 1L)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        min(col("__sc")).as("score_lo"), max(col("__sc")).as("score_hi"))
+      .withColumn("pos1e6", expr("n_pos * 1000000L div n"))
+  }
+
   def auc(scored: DataFrame, scoreCol: Column, labelCol: Column,
           buckets: Int = 64): DataFrame = {
     val sc = scored

@@ -321,6 +321,85 @@ object Multimodal {
   def imageNearDupPairs(hashes: DataFrame, maxDist: Int): DataFrame =
     bandedHammingPairs(hashes, maxDist)
 
+  // ---- DCT pHash: the frequency-domain perceptual hash ----------------
+  //
+  // dHash compares neighbouring pixels (fast, local); pHash thresholds
+  // the low-frequency DCT spectrum against its median (global structure
+  // — more robust to local edits, the classic ImageHash/pHash design).
+  // All arithmetic is FIXED-POINT INTEGER: the cosine basis is a
+  // constant table of round(cos·2^14) values that the oracle SQL
+  // inlines verbatim (the generated-constant pattern of the PageRank
+  // oracle), so hash equality is engine-exact — no libm cos at query
+  // time on either side.
+
+  /** pHash geometry: 16×16 gray thumbnail, 8×8 low-frequency DCT block,
+    * 63 AC coefficients thresholded at their lower median.
+    */
+  val PThumb = 16
+
+  /** Fixed-point DCT-II basis K(u, p) = round(cos(π·(2p+1)·u / 32)·2^14)
+    * for u ∈ 0..7, p ∈ 0..15. Shared verbatim with the oracle.
+    */
+  lazy val dctK: Array[Array[Long]] = Array.tabulate(8, PThumb)((u, p) =>
+    math.round(math.cos(math.Pi * (2 * p + 1) * u / (2.0 * PThumb)) * (1 << 14)))
+
+  /** 63-bit pHash over a 16×16 gray thumbnail: c(u,v) = Σ t(x,y)·
+    * K(u,x)·K(v,y) for the 8×8 low-frequency block (≤ 255·2^28·256,
+    * exact in Long); bit (v·8+u−1) set iff the AC coefficient exceeds
+    * the lower median of all 63 AC coefficients (DC is excluded — it
+    * only encodes mean brightness). Returned as (hi, lo) halves.
+    */
+  def pHashHalves(thumb: Array[Int]): (Long, Long) = {
+    val c = new Array[Long](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0L
+        var y = 0
+        while (y < PThumb) {
+          val kv = dctK(v)(y)
+          var x = 0
+          while (x < PThumb) { s += thumb(y * PThumb + x) * dctK(u)(x) * kv; x += 1 }
+          y += 1
+        }
+        c(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(c, 1, 64)
+    java.util.Arrays.sort(ac)
+    val med = ac(31) // lower median: 32nd smallest of 63
+    var lo = 0L; var hi = 0L
+    var i = 1
+    while (i < 64) {
+      if (c(i) > med) {
+        val idx = i - 1
+        if (idx < 32) lo |= (1L << idx) else hi |= (1L << (idx - 32))
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
+  /** Decode + DCT-pHash pipeline: REAL ImageIO decode, 16×16 gray box
+    * thumbnail, fixed-point pHash. Same no-shuffle mapPartitions shape
+    * as [[imageDHash]]; the two hashes share the decode and differ only
+    * in the hash stage, so a pipeline computing both pays one decode.
+    */
+  def imagePHash(ds: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeImage(r.content).map { case (w, h, rgb) =>
+          val (phHi, phLo) = pHashHalves(grayThumb(w, h, rgb, PThumb, PThumb))
+          ImageHash(r.media_id, w, h, phHi, phLo)
+        }
+      }
+    }
+  }
+
   // ---- REAL audio decode + energy fingerprinting ----------------------
   //
   // The audio member of the decode family, with a genuine codec:

@@ -96,4 +96,29 @@ class ClassifySpec extends SparkSpec {
     a.getDecimal(2).longValueExact() shouldBe (2 * wins + ties)
     a.getDecimal(3).longValueExact() shouldBe (2L * pos.length * neg.length)
   }
+
+  test("calibration: fixed-width bins conserve counts and report exact positive fractions") {
+    import spark.implicits._
+    // Scores 0..99, label = score ≥ 50: bins 0-4 all-negative, 5-9
+    // all-positive; each bin holds exactly 10 examples.
+    val df = (0 until 100).map(i => (i.toLong, i >= 50)).toDF("score", "y")
+    val bins = Classify.calibration(df, col("score"), col("y"), bins = 10)
+      .orderBy("bin").collect()
+    bins.length shouldBe 10
+    bins.map(_.getLong(1)).sum shouldBe 100L
+    for (r <- bins) {
+      val (bin, n, nPos, pos1e6) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getAs[Long]("pos1e6"))
+      n shouldBe 10L
+      nPos shouldBe (if (bin < 5) 0L else 10L)
+      pos1e6 shouldBe (if (bin < 5) 0L else 1000000L)
+    }
+    // Negative-score ranges bin correctly too (the −lo shift).
+    val neg = Seq((-30L, false), (-11L, false), (9L, true), (29L, true))
+      .toDF("score", "y")
+    val nb = Classify.calibration(neg, col("score"), col("y"), bins = 3)
+      .orderBy("bin").collect()
+    nb.map(_.getLong(0)).toSeq shouldBe Seq(0L, 1L, 2L)
+    nb.map(_.getLong(1)).sum shouldBe 4L
+  }
 }

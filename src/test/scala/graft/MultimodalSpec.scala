@@ -141,6 +141,33 @@ class MultimodalSpec extends SparkSpec {
     hashes.select("dh_hi", "dh_lo").distinct().count() should be >= 30L
   }
 
+  test("DCT pHash: fixed-point spectrum matches a direct recompute; near-dups stay close") {
+    import spark.implicits._
+    val ids = (0L until 74L).toDS()
+    val recs = ids.map(m => MediaRecord(m, "image", Multimodal.synthPng(m)))
+    val hashes = Multimodal.imagePHash(recs).toDF()
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    // Independent recompute straight from the pixel generator (no codec):
+    // the Dataset path must agree bit-for-bit.
+    for (m <- Seq(0L, 13L, 50L)) {
+      val rgb = Array.tabulate(Multimodal.SynthH * Multimodal.SynthW) { i =>
+        val (r, g, b) = Multimodal.synthRgb(m, i % Multimodal.SynthW, i / Multimodal.SynthW)
+        (r << 16) | (g << 8) | b
+      }
+      val direct = Multimodal.pHashHalves(Multimodal.grayThumb(
+        Multimodal.SynthW, Multimodal.SynthH, rgb, Multimodal.PThumb, Multimodal.PThumb))
+      hashes(m) shouldBe direct
+    }
+    // Same-base plants (one perturbed pixel) move few spectrum signs;
+    // the hash family would be useless if a 1-px edit rewrote it.
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val nearDists = (0L until 37L).map(m => ham(hashes(m), hashes(m + 37L)))
+    all(nearDists) should be <= 12
+    // ...while the spectrum is not degenerate across bases.
+    hashes.values.toSet.size should be >= 30
+  }
+
   // ---- REAL audio decode + energy fingerprinting ----------------------
 
   test("WAV encode→decode round-trip is sample-exact (real AudioSystem codec)") {
