@@ -209,4 +209,35 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
     p should include("partial_count")
   }
+
+  test("multimodal decode chains stay shuffle-free up to the presentation sort") {
+    // decode + hash run inside the scan's partitioning: exactly one
+    // exchange (the range partition for the ORDER BY), nothing keyed.
+    Seq("q_m4_phash", "q_m6_audio_fp", "q_m10_dct_phash", "q_m8_video_frames")
+      .foreach { n =>
+        val p = plan(n)
+        withClue(n) {
+          p.linesIterator.count(_.contains("Exchange")) shouldBe 1
+          p should include("rangepartitioning")
+        }
+      }
+  }
+
+  test("q_m9_video_neardup: inverted-index join on the frame hash, never cartesian") {
+    val p = plan("q_m9_video_neardup")
+    p should not include "CartesianProduct"
+    p should include("partial_count")
+  }
+
+  test("q_t21_auc: distinct-score collapse partial-aggregates; no quadratic pair join") {
+    val p = plan("q_t21_auc")
+    p should include("partial_sum")
+    p should not include "CartesianProduct"
+  }
+
+  test("q_t22_calibration: bin rollup is one keyed groupBy with map-side partials") {
+    val p = plan("q_t22_calibration")
+    p should include("partial_count")
+    p should not include "CartesianProduct"
+  }
 }
