@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.ops.{Dedup, Sketches, TextOps, Vectors}
@@ -3010,7 +3010,32 @@ object PipelineQueries {
        |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS pos1e6
        |FROM binned GROUP BY 1 ORDER BY bin""".stripMargin
 
-  // ---- M4/M5: REAL image decode + perceptual-hash dedup ---------------
+  // ---- M4-M11: REAL multimodal decode + perceptual dedup --------------
+
+  /** Media fixtures synthesized from doc ids. `Partitioning.spread`
+    * fans the 8-byte id frame across the cluster BEFORE the payloads
+    * exist — the gate corpus arrives as one parquet split, and without
+    * the spread every decode below would run on one core. (At 100 TB
+    * media comes pre-sharded across thousands of files and spread is a
+    * no-op by contract; what must never shuffle is the payload-bearing
+    * frame, and these helpers synthesize payloads only after the
+    * exchange.)
+    */
+  private def mediaRecords(s: SparkSession, d: String, kind: String,
+                           synth: Long => Array[Byte],
+                           everyNth: Int = 1): Dataset[graft.ops.MediaRecord] = {
+    import s.implicits._
+    val ids = graft.ops.Partitioning.spread(Tables.documents(s, d))
+      .select($"doc_id".as("media_id")).as[Long]
+    val sliced = if (everyNth == 1) ids else ids.filter(_ % everyNth == 0)
+    sliced.map(id => graft.ops.MediaRecord(id, kind, synth(id)))
+  }
+  private def imageRecords(s: SparkSession, d: String) =
+    mediaRecords(s, d, "image", graft.ops.Multimodal.synthPng)
+  private def audioRecords(s: SparkSession, d: String) =
+    mediaRecords(s, d, "audio", graft.ops.Multimodal.synthWav)
+  private def videoRecords(s: SparkSession, d: String) =
+    mediaRecords(s, d, "video", graft.ops.Multimodal.synthVideo, everyNth = 5)
 
   /** M4: the image member of the decode family with a REAL codec — each
     * media id becomes a deterministic synthesized PNG
@@ -3029,9 +3054,7 @@ object PipelineQueries {
     */
   val m4ImageDhash: Q = (s, d) => {
     import s.implicits._
-    val records = Tables.documents(s, d)
-      .select($"doc_id".as("media_id")).as[Long]
-      .map(id => graft.ops.MediaRecord(id, "image", graft.ops.Multimodal.synthPng(id)))
+    val records = imageRecords(s, d)
     graft.ops.Multimodal.imageDHash(records).toDF().orderBy("media_id")
   }
   /** Shared hash CTE: the integer replay of synthRgb → gray → 2×2 box
@@ -3086,9 +3109,7 @@ object PipelineQueries {
     */
   val m5ImageNeardup: Q = (s, d) => {
     import s.implicits._
-    val records = Tables.documents(s, d)
-      .select($"doc_id".as("media_id")).as[Long]
-      .map(id => graft.ops.MediaRecord(id, "image", graft.ops.Multimodal.synthPng(id)))
+    val records = imageRecords(s, d)
     val hashes = graft.ops.Multimodal.imageDHash(records).toDF()
     graft.ops.Multimodal.imageNearDupPairs(hashes, maxDist = 4)
       .orderBy("ia", "ib")
@@ -3123,9 +3144,7 @@ object PipelineQueries {
     */
   val m10DctPhash: Q = (s, d) => {
     import s.implicits._
-    val records = Tables.documents(s, d)
-      .select($"doc_id".as("media_id")).as[Long]
-      .map(id => graft.ops.MediaRecord(id, "image", graft.ops.Multimodal.synthPng(id)))
+    val records = imageRecords(s, d)
     graft.ops.Multimodal.imagePHash(records).toDF()
       .select($"media_id", $"width", $"height",
         $"dh_hi".as("ph_hi"), $"dh_lo".as("ph_lo"))
@@ -3181,9 +3200,7 @@ object PipelineQueries {
     */
   val m11ImageClusters: Q = (s, d) => {
     import s.implicits._
-    val records = Tables.documents(s, d)
-      .select($"doc_id".as("media_id")).as[Long]
-      .map(id => graft.ops.MediaRecord(id, "image", graft.ops.Multimodal.synthPng(id)))
+    val records = imageRecords(s, d)
     val hashes = graft.ops.Multimodal.imageDHash(records).toDF()
     graft.ops.Dedup.dupClusters(
         graft.ops.Multimodal.imageNearDupPairs(hashes, maxDist = 4))
@@ -3231,9 +3248,7 @@ object PipelineQueries {
     */
   val m6AudioFp: Q = (s, d) => {
     import s.implicits._
-    val records = Tables.documents(s, d)
-      .select($"doc_id".as("media_id")).as[Long]
-      .map(id => graft.ops.MediaRecord(id, "audio", graft.ops.Multimodal.synthWav(id)))
+    val records = audioRecords(s, d)
     graft.ops.Multimodal.audioFingerprint(records).toDF().orderBy("media_id")
   }
   /** Shared fingerprint CTE: integer replay of synthSample → window
@@ -3272,9 +3287,7 @@ object PipelineQueries {
     */
   val m7AudioNeardup: Q = (s, d) => {
     import s.implicits._
-    val records = Tables.documents(s, d)
-      .select($"doc_id".as("media_id")).as[Long]
-      .map(id => graft.ops.MediaRecord(id, "audio", graft.ops.Multimodal.synthWav(id)))
+    val records = audioRecords(s, d)
     val fps = graft.ops.Multimodal.audioFingerprint(records)
     graft.ops.Multimodal.audioNearDupPairs(fps, maxDist = 4)
       .orderBy("ia", "ib")
@@ -3313,10 +3326,7 @@ object PipelineQueries {
     */
   val m8VideoFrames: Q = (s, d) => {
     import s.implicits._
-    val records = Tables.documents(s, d)
-      .select($"doc_id".as("media_id")).as[Long]
-      .filter(_ % 5 == 0)
-      .map(id => graft.ops.MediaRecord(id, "video", graft.ops.Multimodal.synthVideo(id)))
+    val records = videoRecords(s, d)
     graft.ops.Multimodal.videoFrameHashes(records)
       .orderBy("media_id", "frame_no")
   }
@@ -3349,10 +3359,7 @@ object PipelineQueries {
     */
   val m9VideoNeardup: Q = (s, d) => {
     import s.implicits._
-    val records = Tables.documents(s, d)
-      .select($"doc_id".as("media_id")).as[Long]
-      .filter(_ % 5 == 0)
-      .map(id => graft.ops.MediaRecord(id, "video", graft.ops.Multimodal.synthVideo(id)))
+    val records = videoRecords(s, d)
     val fh = graft.ops.Multimodal.videoFrameHashes(records)
     graft.ops.Multimodal.videoNearDupPairs(fh, minShared = 2)
       .orderBy("va", "vb")

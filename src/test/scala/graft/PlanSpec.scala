@@ -210,14 +210,16 @@ class PlanSpec extends SparkSpec {
     p should include("partial_count")
   }
 
-  test("multimodal decode chains stay shuffle-free up to the presentation sort") {
-    // decode + hash run inside the scan's partitioning: exactly one
-    // exchange (the range partition for the ORDER BY), nothing keyed.
+  test("multimodal decode chains: payload-bearing stage never shuffles") {
+    // Exactly two exchanges: the pre-decode id spread (8-byte rows —
+    // Partitioning.spread fanning the single gate split across cores)
+    // and the range partition for the ORDER BY. The frame carrying
+    // decoded payloads/hashes between them is exchange-free.
     Seq("q_m4_phash", "q_m6_audio_fp", "q_m10_dct_phash", "q_m8_video_frames")
       .foreach { n =>
         val p = plan(n)
         withClue(n) {
-          p.linesIterator.count(_.contains("Exchange")) shouldBe 1
+          p.linesIterator.count(_.contains("Exchange")) shouldBe 2
           p should include("rangepartitioning")
         }
       }
