@@ -3254,7 +3254,7 @@ object PipelineQueries {
   /** Shared fingerprint CTE: integer replay of synthSample → window
     * energies → 63 gradient bits → (hi, lo) halves.
     */
-  private val m6FpCte: String =
+  private[graft] val m6FpCte: String =
     """ids AS (SELECT doc_id AS m FROM documents),
       |ts AS (SELECT unnest(generate_series(0, 255)) AS t),
       |sv AS (SELECT m, t,

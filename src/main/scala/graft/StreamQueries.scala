@@ -462,9 +462,50 @@ object StreamQueries {
       |UNION ALL SELECT * FROM rb
       |ORDER BY user_id, a_id ASC NULLS FIRST, b_id ASC NULLS FIRST""".stripMargin
 
+  /** ST10: STREAMING MEDIA dedup — the multimodal decode path run as a
+    * stream: file-source AvailableNow over the documents ids, each
+    * micro-batch synthesizing REAL WAV payloads and decoding them back
+    * through the genuine AudioSystem codec (a typed `map` inside the
+    * streaming plan — the same per-record chain as q_m6), then
+    * streaming `dropDuplicates` on the fingerprint halves. The output
+    * is projected to the fingerprint key alone, so the kept set is
+    * arrival-order-independent and equals batch SELECT DISTINCT — the
+    * q_st3 shape with a codec inside the stream. At scale this is the
+    * live-ingest dedup gate: fingerprint on arrival, admit only
+    * never-seen media.
+    */
+  val st10StreamMediaDedup: Q = (s, d) => {
+    import s.implicits._
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val sink = "st10_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val wav = graft.ops.Multimodal.synthWav(id)
+        // Real decode, not the synth shortcut: the stream must prove the
+        // codec round-trip like the batch query does.
+        val Some((_, _, samples)) = graft.ops.Multimodal.decodeWav(wav)
+        graft.ops.Multimodal.audioFpHalves(samples)
+      }
+      .toDF("fp_hi", "fp_lo")
+      .dropDuplicates("fp_hi", "fp_lo")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drain(s, sink, s.table(sink))
+      .orderBy("fp_hi", "fp_lo")
+  }
+  val st10StreamMediaDedupSql: String =
+    s"""WITH ${PipelineQueries.m6FpCte}
+       |SELECT DISTINCT fp_hi, fp_lo FROM fps
+       |ORDER BY fp_hi, fp_lo""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "q_st10_stream_media" -> st10StreamMediaDedup,
     "q_st1_stream_agg" -> st1StreamAgg,
     "q_st2_stream_enrich" -> st2StreamEnrich,
     "q_st3_stream_dedup" -> st3StreamDedup,
@@ -483,5 +524,6 @@ object StreamQueries {
     "q_st6_stream_sketch" -> st6StreamSketchSql,
     "q_st7_stream_join" -> st7StreamJoinSql,
     "q_st8_stream_outer_join" -> st8StreamOuterJoinSql,
-    "q_st9_stream_full_outer" -> st9StreamFullOuterJoinSql)
+    "q_st9_stream_full_outer" -> st9StreamFullOuterJoinSql,
+    "q_st10_stream_media" -> st10StreamMediaDedupSql)
 }

@@ -55,6 +55,42 @@ object TemporalQueries {
        |      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.us <= p.us)
        |WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** J20: as-of join with a staleness TOLERANCE (the pandas
+    * `merge_asof(tolerance=...)` contract): each purchase gets the
+    * latest prior click by the same user ONLY if it happened within the
+    * preceding 30 minutes — older prevailing state is as good as none
+    * (a quote from last week must not price today's trade). Same
+    * single-shuffle union+window plan as q_j10; the staleness gate
+    * nullifies the picked match, which — because the pick is the
+    * latest — is provably equal to restricting the join window.
+    */
+  val j20AsOfTol: Q = (s, d) => {
+    val e = eventsUs(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"))
+    val clicks = e.filter(col("event_type") === "click")
+    Temporal.asOfJoinTolerance(purchases, clicks, "user_id",
+        leftTs = col("purchase_us"), rightTs = col("us"),
+        leftCols = Seq("event_id", "purchase_us"),
+        payloadCols = Seq(col("us")), payloadNames = Seq("click_us"),
+        rightOrder = col("event_id"), tolerance = 1800000000L)
+      .select(col("event_id"), col("user_id"), col("purchase_us"), col("click_us"),
+        (col("purchase_us") - col("click_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+  val j20AsOfTolSql: String =
+    s"""WITH e AS ($eventsUsSql),
+       |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+       |c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click')
+       |SELECT event_id, user_id, purchase_us, click_us,
+       |       purchase_us - click_us AS gap_us
+       |FROM (SELECT p.event_id, p.user_id, p.us AS purchase_us, c.us AS click_us,
+       |             row_number() OVER (PARTITION BY p.event_id
+       |               ORDER BY c.us DESC NULLS LAST, c.event_id DESC) AS rn
+       |      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.us <= p.us
+       |        AND c.us >= p.us - 1800000000)
+       |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   /** J16: forward as-of join — each click gets the EARLIEST purchase by
     * the same user at-or-after it (time ties broken by min purchase
     * id): click-to-conversion attribution. Same single-shuffle plan as
@@ -521,6 +557,7 @@ object TemporalQueries {
     "q_j10_asof" -> j10AsOf,
     "q_j11_range" -> j11Range,
     "q_j16_asof_fwd" -> j16AsOfFwd,
+    "q_j20_asof_tol" -> j20AsOfTol,
     "q_g1_sessions" -> g1Sessions,
     "q_g2_bars" -> g2Bars,
     "q_g3_ffill" -> g3Ffill,
@@ -538,6 +575,7 @@ object TemporalQueries {
     "q_j10_asof" -> j10AsOfSql,
     "q_j11_range" -> j11RangeSql,
     "q_j16_asof_fwd" -> j16AsOfFwdSql,
+    "q_j20_asof_tol" -> j20AsOfTolSql,
     "q_g1_sessions" -> g1SessionsSql,
     "q_g2_bars" -> g2BarsSql,
     "q_g3_ffill" -> g3FfillSql,

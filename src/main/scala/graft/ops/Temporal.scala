@@ -73,6 +73,33 @@ object Temporal {
     filled.filter(col("__side") === 1).drop("__side")
   }
 
+  /** As-of join with a TOLERANCE (the pandas `merge_asof` contract): a
+    * match older than `tolerance` time units below `leftTs` is
+    * discarded — payloads go NULL, exactly as if no right row existed.
+    * Because the as-of pick is the LATEST at-or-before row, "latest is
+    * stale ⇒ everything is stale", so nullifying the one picked match
+    * equals restricting the join to the window — no second pass over
+    * the right side. Same single-shuffle union+window plan as
+    * [[asOfJoin]], with the matched right timestamp carried as one
+    * extra payload column and dropped after the staleness gate.
+    *
+    * `leftTs` must name a column in `leftCols` (the gate re-reads it on
+    * the joined frame); `tolerance` is in the timestamp's own units.
+    */
+  def asOfJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+                        leftTs: Column, rightTs: Column,
+                        leftCols: Seq[String], payloadCols: Seq[Column],
+                        payloadNames: Seq[String], rightOrder: Column,
+                        tolerance: Long): DataFrame = {
+    val matchTs = "__match_ts"
+    val joined = asOfJoin(left, right, key, leftTs, rightTs, leftCols,
+      payloadCols :+ rightTs, payloadNames :+ matchTs, rightOrder)
+    val fresh = col(matchTs).isNotNull && (leftTs - col(matchTs) <= tolerance)
+    payloadNames.foldLeft(joined)((df, n) =>
+        df.withColumn(n, when(fresh, col(n))))
+      .drop(matchTs)
+  }
+
   /** Forward as-of join: the EARLIEST right row with `rightTs >=
     * leftTs` (ties broken by MIN `rightOrder`) — "next maintenance
     * window after this event". Same union+window single-shuffle shape

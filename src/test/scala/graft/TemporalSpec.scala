@@ -40,6 +40,30 @@ class TemporalSpec extends SparkSpec {
       30L -> None)       // no quotes for key 3 at all
   }
 
+  test("asOfJoinTolerance: stale matches go NULL, the boundary gap is inclusive") {
+    val got = Temporal.asOfJoinTolerance(
+      trades, quotes, "k", leftTs = $"us", rightTs = $"us",
+      leftCols = Seq("id", "us"), payloadCols = Seq($"qid"),
+      payloadNames = Seq("quote_id"), rightOrder = $"qid",
+      tolerance = 50L)
+      .select("id", "quote_id").as[(Long, Option[Long])].collect().toMap
+    got shouldBe Map(
+      10L -> Some(102L), // gap 0 ≤ 50: kept
+      11L -> Some(103L), // gap 200−150 = 50: exactly at tolerance — kept
+      12L -> None,       // no at-or-before quote at all
+      20L -> Some(200L), // gap 0
+      30L -> None)
+    // Tightening the tolerance drops the boundary match but nothing else.
+    val tight = Temporal.asOfJoinTolerance(
+      trades, quotes, "k", leftTs = $"us", rightTs = $"us",
+      leftCols = Seq("id", "us"), payloadCols = Seq($"qid"),
+      payloadNames = Seq("quote_id"), rightOrder = $"qid",
+      tolerance = 49L)
+      .select("id", "quote_id").as[(Long, Option[Long])].collect().toMap
+    tight(11L) shouldBe None   // 50 > 49: the picked match is stale
+    tight(10L) shouldBe Some(102L)
+  }
+
   test("asOfJoin agrees with the naive join+row_number formulation") {
     val naive = trades.alias("t")
       .join(quotes.alias("q"), $"q.k" === $"t.k" && $"q.us" <= $"t.us", "left")
