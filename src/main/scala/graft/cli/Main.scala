@@ -187,6 +187,35 @@ object Main {
           .orderBy($"score_per_tok".desc, $"doc_id"), rest)
       }
 
+    // Multimodal dedup audit: one row per modality with decoded-media
+    // and perceptual-near-dup counts (images dHash-banded, audio
+    // energy-fingerprint-banded, videos by shared-frame overlap) — the
+    // media sibling of `dedupreport`.
+    case "mediareport" :: sfDir :: rest =>
+      withSession { spark =>
+        import spark.implicits._
+        import graft.ops.Multimodal
+        def ids = graft.ops.Partitioning.spread(graft.Tables.documents(spark, sfDir))
+          .select($"doc_id".as("media_id")).as[Long]
+        val imgs = Multimodal.imageDHash(
+          ids.map(m => graft.ops.MediaRecord(m, "image", Multimodal.synthPng(m)))).toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val auds = Multimodal.audioFingerprint(
+          ids.map(m => graft.ops.MediaRecord(m, "audio", Multimodal.synthWav(m))))
+        val vids = Multimodal.videoFrameHashes(
+          ids.filter(_ % 5 == 0)
+            .map(m => graft.ops.MediaRecord(m, "video", Multimodal.synthVideo(m))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = Seq(
+          ("image", imgs.count(), Multimodal.imageNearDupPairs(imgs, 4).count()),
+          ("audio", auds.count(), Multimodal.audioNearDupPairs(auds, 4).count()),
+          ("video", vids.select("media_id").distinct().count(),
+            Multimodal.videoNearDupPairs(vids, 2).count()))
+          .toDF("modality", "n_decoded", "n_near_dup_pairs")
+        imgs.unpersist(); vids.unpersist()
+        emit(out, rest)
+      }
+
     // reference cross-check validator (cross_check.py:79-137): DB symbols
     // on a date vs a saved exchangeInfo response body.
     case "crosscheck" :: path :: jsonPath :: date :: rest =>
@@ -211,7 +240,7 @@ object Main {
           "mostavailable <path> [--top N] | " +
           "crosscheck <path> <exchangeInfo.json> <date> | " +
           "dedupreport <sfDir> | annsearch <sfDir> <vecId> [--k N] | " +
-          "quality <sfDir>")
+          "quality <sfDir> | mediareport <sfDir>")
       sys.exit(2)
   }
 }

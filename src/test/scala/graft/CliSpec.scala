@@ -38,6 +38,13 @@ class CliSpec extends SparkSpec {
     out should include("n_dup_clusters")
   }
 
+  test("mediareport audits near-dups across all three modalities") {
+    val out = captureOut(
+      cli.Main.main(Array("mediareport", "/root/testdata/sf0.001", "--json")))
+    for (m <- Seq("image", "audio", "video")) out should include(m)
+    out should include("n_near_dup_pairs")
+  }
+
   test("annsearch returns k scored neighbors of a stored embedding") {
     val out = captureOut(
       cli.Main.main(Array("annsearch", "/root/testdata/sf0.001", "0", "--k", "3", "--json")))
