@@ -3229,6 +3229,77 @@ object PipelineQueries {
        |  SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
        |SELECT cluster_id, id FROM labels ORDER BY cluster_id, id""".stripMargin
 
+  // ---- M12: decode quarantine (bad-record channel) --------------------
+
+  /** M12: the error-channel contract of every decode stage, surfaced as
+    * an operator — a corpus where every 13th image payload is truncated
+    * to 10 bytes (magic intact, pixel data gone: `sniffFormat` still
+    * says png, the REAL decode fails) is routed through decode into
+    * per-kind admit/quarantine counts. One corrupt blob must not kill a
+    * 100 TB scan task, and the quarantine must be COUNTED, not silently
+    * dropped — this gate pins both. Oracle: the corruption rule is
+    * modular arithmetic on the id, so the counts replay exactly.
+    */
+  val m12Quarantine: Q = (s, d) => {
+    import s.implicits._
+    val records = mediaRecords(s, d, "image", { id =>
+      val png = graft.ops.Multimodal.synthPng(id)
+      if (id % 13 == 0) java.util.Arrays.copyOfRange(png, 0, 10) else png
+    })
+    records
+      .map(r => (r.kind, graft.ops.Multimodal.sniffFormat(r.content),
+        graft.ops.Multimodal.decodeImage(r.content).isDefined))
+      .toDF("kind", "sniffed", "ok")
+      .groupBy($"kind", $"sniffed")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"ok", 1L).otherwise(0L)).as("n_decoded"),
+        sum(when($"ok", 0L).otherwise(1L)).as("n_quarantined"))
+      .orderBy("kind", "sniffed")
+  }
+  val m12QuarantineSql: String =
+    """SELECT 'image' AS kind, 'png' AS sniffed,
+      |  CAST(COUNT(*) AS BIGINT) AS n_total,
+      |  CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_decoded,
+      |  CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
+      |FROM documents
+      |ORDER BY kind, sniffed""".stripMargin
+
+  // ---- T23: index-accelerated exact phrase search ---------------------
+
+  /** T23: corpus grep — every document containing the exact phrase
+    * "window merge", answered INDEX-FIRST: candidates are the
+    * docs whose word-2-shingle set contains ALL the phrase's shingles
+    * (two keyed lookups into the same inverted structure q_t13
+    * materializes — at 100 TB the index is a stored table and the scan
+    * side never runs), then the survivors alone are verified by the
+    * exact `contains` on the raw text. The decontamination workflow's
+    * "which docs leak this eval string" primitive. Oracle: the direct
+    * full-scan contains — proving index+verify loses and invents
+    * nothing.
+    */
+  val t23Grep: Q = (s, d) => {
+    import s.implicits._
+    val phrase = "window merge"
+    val phraseShingles = phrase.split(" ").sliding(2).map(_.mkString(" ")).toSeq
+    val docs = Tables.documents(s, d)
+    val cand = graft.ops.Partitioning.spread(docs)
+      .select($"doc_id",
+        graft.functions.ShingleGenerator.shingles(lower($"text"), 2).as("sh"))
+      .filter($"sh".isin(phraseShingles: _*))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"sh").as("n_sh"))
+      .filter($"n_sh" === phraseShingles.length)
+      .select($"doc_id")
+    docs.join(cand, Seq("doc_id"), "left_semi")
+      .filter($"text".contains(phrase))
+      .select($"doc_id")
+      .orderBy("doc_id")
+  }
+  val t23GrepSql: String =
+    """SELECT doc_id FROM documents
+      |WHERE contains(text, 'window merge')
+      |ORDER BY doc_id""".stripMargin
+
   // ---- M6/M7: REAL audio decode + energy-fingerprint dedup ------------
 
   /** M6: the audio member of the decode family with a REAL codec — each
@@ -3495,6 +3566,8 @@ object PipelineQueries {
     "q_t22_calibration" -> t22Calibration,
     "q_m10_dct_phash" -> m10DctPhash,
     "q_m11_image_clusters" -> m11ImageClusters,
+    "q_m12_quarantine" -> m12Quarantine,
+    "q_t23_grep" -> t23Grep,
     "q_e13_incr_ivf" -> e13IncrIvf,
     "q_d15_max_spans" -> d15MaxSpans
   )
@@ -3581,6 +3654,8 @@ object PipelineQueries {
     "q_t22_calibration" -> t22CalibrationSql,
     "q_m10_dct_phash" -> m10DctPhashSql,
     "q_m11_image_clusters" -> m11ImageClustersSql,
+    "q_m12_quarantine" -> m12QuarantineSql,
+    "q_t23_grep" -> t23GrepSql,
     "q_e13_incr_ivf" -> e13IncrIvfSql,
     "q_d15_max_spans" -> d15MaxSpansSql
   )

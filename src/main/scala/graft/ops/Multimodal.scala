@@ -199,11 +199,15 @@ object Multimodal {
     * throw — one corrupt blob must not kill a 100 TB scan task).
     */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
-    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    // ImageIO returns null for unrecognized containers but THROWS for a
+    // recognized container with corrupt payload (e.g. a truncated PNG) —
+    // both routes must land in the quarantine, so catch as well as map.
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       .map { img =>
         val w = img.getWidth; val h = img.getHeight
         (w, h, img.getRGB(0, 0, w, h, null, 0, w))
       }
+    catch { case _: Exception => None }
 
   /** Integer luma: (299·r + 587·g + 114·b) div 1000 — the fixed-point
     * BT.601 weights, floor division, no floats anywhere.

@@ -117,6 +117,12 @@ class MultimodalSpec extends SparkSpec {
     }
     // Undecodable bytes rout to None, never throw.
     Multimodal.decodeImage("not an image".getBytes("UTF-8")) shouldBe None
+    // A RECOGNIZED container with corrupt payload (truncated PNG: magic
+    // intact, pixel data gone) makes ImageIO THROW rather than return
+    // null — that route must also land in the quarantine.
+    val truncated = java.util.Arrays.copyOfRange(Multimodal.synthPng(7L), 0, 10)
+    Multimodal.sniffFormat(truncated) shouldBe "png"
+    Multimodal.decodeImage(truncated) shouldBe None
   }
 
   test("planted near-identical images pair up; unrelated bases do not collide as 0-distance") {
