@@ -598,7 +598,83 @@ object SketchQueries {
        |FROM rv GROUP BY wend ORDER BY window_end""".stripMargin
   }
 
+  /** K11: JOIN-SIZE / overlap estimation from two KMV sketches — the
+    * planner trick behind "should this join broadcast?": estimate
+    * |A ∩ B| of the click-user and purchase-user key sets from two
+    * 64-minimum sketches, without joining the full sets. Standard KMV
+    * intersection: take the bottom-k of the sketch UNION (threshold θ =
+    * its max), count members present in BOTH sketches (n_match); then
+    * Jaccard ≈ n_match/k and |A∩B| ≈ n_match·(k−1)·2^60/(k·θ). The
+    * exact intersection rides along as the estimator contract (the
+    * q_d10/q_k1 pattern: gate the ESTIMATE's algebra exactly, report
+    * the truth next to it). When the merged sketch is not full the
+    * sketches are lossless and the "estimate" is exact by construction.
+    *
+    * Scale shape: each side collapses to one 64-long array map-side
+    * (the KMV aggregator); everything after is arithmetic on two 1-row
+    * frames. The exact-intersection contract column is the only part
+    * that touches the full key sets — at production scale it is the
+    * quantity being AVOIDED, not computed.
+    */
+  val k11JoinSize: Q = (s, d) => {
+    val kmv = Sketches.kmvSketch(K)
+    def side(tp: String) =
+      Tables.events(s, d).filter(col("event_type") === tp)
+        .select(TextOps.hash60(col("user_id").cast("string")).as("h")).distinct()
+    val sa = side("click").agg(kmv(col("h")).as("sa"),
+      count(lit(1)).as("n_a"))
+    val sb = side("purchase").agg(kmv(col("h")).as("sb"),
+      count(lit(1)).as("n_b"))
+    val ex = side("click").join(side("purchase"), Seq("h"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    sa.crossJoin(sb).crossJoin(ex)
+      .withColumn("mk", expr(s"slice(array_sort(array_union(sa, sb)), 1, $K)"))
+      .withColumn("theta", expr("element_at(mk, size(mk))"))
+      .withColumn("n_match", expr(
+        "size(filter(mk, x -> array_contains(sa, x) AND array_contains(sb, x)))").cast("long"))
+      .withColumn("est_union", expr(
+        s"""CASE WHEN size(mk) < $K THEN CAST(size(mk) AS DOUBLE)
+           |ELSE CAST(${K - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+           |     / CAST(theta AS DOUBLE) END""".stripMargin))
+      .withColumn("est_inter", expr(
+        s"""CASE WHEN size(mk) < $K THEN CAST(n_match AS DOUBLE)
+           |ELSE CAST(n_match AS DOUBLE) * CAST(${K - 1} AS DOUBLE)
+           |     * CAST(1152921504606846976 AS DOUBLE)
+           |     / CAST($K AS DOUBLE) / CAST(theta AS DOUBLE) END""".stripMargin))
+      .select(col("n_a"), col("n_b"), col("n_inter_exact"), col("theta"),
+        col("n_match"), col("est_union"), col("est_inter"))
+  }
+  val k11JoinSizeSql: String = {
+    val h = TextOps.hash60Sql("CAST(user_id AS VARCHAR)")
+    s"""WITH ha AS (SELECT DISTINCT $h AS h FROM events WHERE event_type = 'click'),
+       |hb AS (SELECT DISTINCT $h AS h FROM events WHERE event_type = 'purchase'),
+       |sa AS (SELECT h FROM ha ORDER BY h LIMIT $K),
+       |sb AS (SELECT h FROM hb ORDER BY h LIMIT $K),
+       |u AS (SELECT h FROM sa UNION SELECT h FROM sb),
+       |mk AS (SELECT h FROM u ORDER BY h LIMIT $K),
+       |st AS (SELECT
+       |  (SELECT COUNT(*) FROM ha) AS n_a,
+       |  (SELECT COUNT(*) FROM hb) AS n_b,
+       |  (SELECT COUNT(*) FROM ha JOIN hb USING (h)) AS n_inter_exact,
+       |  (SELECT MAX(h) FROM mk) AS theta,
+       |  (SELECT COUNT(*) FROM mk
+       |   WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)) AS n_match,
+       |  (SELECT COUNT(*) FROM mk) AS msize)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(n_inter_exact AS BIGINT) AS n_inter_exact, theta,
+       |  CAST(n_match AS BIGINT) AS n_match,
+       |  CASE WHEN msize < $K THEN CAST(msize AS DOUBLE)
+       |  ELSE CAST(${K - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+       |       / CAST(theta AS DOUBLE) END AS est_union,
+       |  CASE WHEN msize < $K THEN CAST(n_match AS DOUBLE)
+       |  ELSE CAST(n_match AS DOUBLE) * CAST(${K - 1} AS DOUBLE)
+       |       * CAST(1152921504606846976 AS DOUBLE)
+       |       / CAST($K AS DOUBLE) / CAST(theta AS DOUBLE) END AS est_inter
+       |FROM st""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q_k11_join_size" -> k11JoinSize,
     "q_k1_kmv" -> k1Kmv,
     "q_k2_cms" -> k2Cms,
     "q_k5_cms_merge" -> k5CmsMerge,
@@ -611,6 +687,7 @@ object SketchQueries {
     "q_k10_quantile_window" -> k10QuantileWindow)
 
   val oracles: Map[String, String] = Map(
+    "q_k11_join_size" -> k11JoinSizeSql,
     "q_k1_kmv" -> k1KmvSql,
     "q_k2_cms" -> k2CmsSql,
     "q_k5_cms_merge" -> k5CmsMergeSql,

@@ -374,4 +374,30 @@ class SketchesSpec extends SparkSpec {
       .select($"bucket", $"r").as[(Long, Long)].collect().toMap
     mergedMax shouldBe union
   }
+
+  test("KMV intersection estimate: exact when sketches lossless, 4-sigma when full") {
+    import spark.implicits._
+    import graft.ops.{Sketches, TextOps}
+    val k = 64
+    val kmv = Sketches.kmvSketch(k)
+    // Two overlapping key sets, both ≫ k so the sketches are full:
+    // |A| = 600, |B| = 600, |A∩B| = 200.
+    def sketchOf(keys: Seq[Int]): Seq[Long] = keys.toDF("k")
+      .select(TextOps.hash60($"k".cast("string")).as("h"))
+      .agg(kmv($"h")).collect().head.getSeq[Long](0)
+    val sa = sketchOf(1 to 600)
+    val sb = sketchOf(401 to 1000)
+    val merged = (sa ++ sb).distinct.sorted.take(k)
+    val theta = merged.last
+    val nMatch = merged.count(h => sa.contains(h) && sb.contains(h))
+    val estInter = nMatch.toDouble * (k - 1) * Sketches.Exp60 / k / theta
+    // σ ≈ |A∪B|/√k on the union estimate; the intersection inherits it.
+    val sigma = 1000.0 / math.sqrt(k)
+    math.abs(estInter - 200.0) should be <= 4 * sigma
+    // Small sets: sketches hold everything; the intersection is exact.
+    val ta = sketchOf(1 to 30); val tb = sketchOf(21 to 50)
+    val tMerged = (ta ++ tb).distinct.sorted.take(k)
+    tMerged.length should be < k
+    tMerged.count(h => ta.contains(h) && tb.contains(h)) shouldBe 10
+  }
 }
