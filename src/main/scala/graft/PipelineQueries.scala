@@ -1437,8 +1437,12 @@ object PipelineQueries {
        |      list_filter(generate_series(1, len(seq) - 1),
        |        i -> seq[i] = a AND seq[i + 1] = b) AS matches
        |    FROM $prev, $best))""".stripMargin
-  val t17BpeEncodeSql: String =
-    s"""WITH words0 AS (
+  /** The t16/t17 learned-merge replay chain through `seq3` (per-word
+    * final piece sequences) — shared by the encode gate (q_t17) and the
+    * tokenize-and-pack composition (q_p11).
+    */
+  private val bpeEncodeCte: String =
+    s"""words0 AS (
        |  SELECT w, COUNT(*) AS cnt FROM (
        |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents)
        |  WHERE length(w) >= 1 GROUP BY 1),
@@ -1446,18 +1450,70 @@ object PipelineQueries {
        |  SELECT w, cnt, list_transform(generate_series(1, length(w)),
        |    i -> substr(w, i, 1)) AS seq
        |  FROM words0),
-       |p1 AS (${bpePairSql("seq0")}),
-       |b1 AS (SELECT a, b FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+       |bp1 AS (${bpePairSql("seq0")}),
+       |b1 AS (SELECT a, b FROM bp1 ORDER BY n DESC, a, b LIMIT 1),
        |seq1 AS (${bpeMergeSqlW("seq0", "b1")}),
-       |p2 AS (${bpePairSql("seq1")}),
-       |b2 AS (SELECT a, b FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+       |bp2 AS (${bpePairSql("seq1")}),
+       |b2 AS (SELECT a, b FROM bp2 ORDER BY n DESC, a, b LIMIT 1),
        |seq2 AS (${bpeMergeSqlW("seq1", "b2")}),
-       |p3 AS (${bpePairSql("seq2")}),
-       |b3 AS (SELECT a, b FROM p3 ORDER BY n DESC, a, b LIMIT 1),
-       |seq3 AS (${bpeMergeSqlW("seq2", "b3")})
+       |bp3 AS (${bpePairSql("seq2")}),
+       |b3 AS (SELECT a, b FROM bp3 ORDER BY n DESC, a, b LIMIT 1),
+       |seq3 AS (${bpeMergeSqlW("seq2", "b3")})""".stripMargin
+  val t17BpeEncodeSql: String =
+    s"""WITH $bpeEncodeCte
        |SELECT w, array_to_string(seq, ' ') AS pieces,
        |  CAST(len(seq) AS BIGINT) AS n_pieces, cnt
        |FROM seq3 ORDER BY w""".stripMargin
+
+  // ---- P11: tokenize-and-pack (end-to-end block materialization) ------
+
+  /** P11: the training-data endgame composed end to end — documents are
+    * tokenized under the LEARNED BPE tokenizer (q_t16's merges applied
+    * via q_t17's word→pieces lookup; the vocabulary-sized lookup joins
+    * WITHOUT a broadcast hint, the q_t18 lesson) and packed into
+    * 512-BPE-token training blocks by the distributed two-phase prefix
+    * sum (q_p3's machinery, now over real tokenizer counts instead of
+    * whitespace counts). A green row proves tokenizer replay, per-doc
+    * rollup, and parallel prefix-sum decomposition agree bit-for-bit
+    * through the whole chain.
+    */
+  val p11TokenizePack: Q = (s, d) => {
+    import s.implicits._
+    val wp = t17BpeEncode(s, d).select($"w", $"n_pieces")
+    val docTok = Tables.documents(s, d)
+      .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("w"))
+      .filter(length($"w") >= 1)
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("n_occ"))
+      .join(wp, Seq("w"))
+      .groupBy($"doc_id")
+      .agg(sum($"n_occ" * $"n_pieces").as("n_tok"))
+    graft.ops.Sampling.packSequences(docTok, $"doc_id", $"n_tok", budget = 512L)
+      .select($"doc_id", $"n_tok", $"block_id", $"block_offset")
+      .orderBy("block_id", "block_offset", "doc_id")
+  }
+  val p11TokenizePackSql: String =
+    s"""WITH $bpeEncodeCte,
+       |wp AS (SELECT w, CAST(len(seq) AS BIGINT) AS n_pieces FROM seq3),
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |  FROM documents),
+       |dt AS (
+       |  SELECT d.doc_id, CAST(SUM(wp.n_pieces) AS BIGINT) AS n_tok
+       |  FROM dw d JOIN wp ON wp.w = d.w
+       |  WHERE length(d.w) >= 1 GROUP BY 1),
+       |dh AS (
+       |  SELECT doc_id, n_tok,
+       |    ${TextOps.seededHash60Sql("'pack'", "CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM dt),
+       |ct AS (
+       |  SELECT doc_id, n_tok,
+       |    SUM(n_tok) OVER (ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM dh)
+       |SELECT doc_id, n_tok,
+       |  CAST((cum - n_tok) // 512 AS BIGINT) AS block_id,
+       |  CAST((cum - n_tok) % 512 AS BIGINT) AS block_offset
+       |FROM ct ORDER BY block_id, block_offset, doc_id""".stripMargin
 
   // ---- T1: language ID (marker-word heuristic) ------------------------
 
@@ -3567,6 +3623,7 @@ object PipelineQueries {
     "q_m10_dct_phash" -> m10DctPhash,
     "q_m11_image_clusters" -> m11ImageClusters,
     "q_m12_quarantine" -> m12Quarantine,
+    "q_p11_tokenize_pack" -> p11TokenizePack,
     "q_t23_grep" -> t23Grep,
     "q_e13_incr_ivf" -> e13IncrIvf,
     "q_d15_max_spans" -> d15MaxSpans
@@ -3655,6 +3712,7 @@ object PipelineQueries {
     "q_m10_dct_phash" -> m10DctPhashSql,
     "q_m11_image_clusters" -> m11ImageClustersSql,
     "q_m12_quarantine" -> m12QuarantineSql,
+    "q_p11_tokenize_pack" -> p11TokenizePackSql,
     "q_t23_grep" -> t23GrepSql,
     "q_e13_incr_ivf" -> e13IncrIvfSql,
     "q_d15_max_spans" -> d15MaxSpansSql
