@@ -2878,6 +2878,99 @@ object PipelineQueries {
        |FROM assigned a JOIN cells USING (cid), q
        |ORDER BY cos_sim DESC, vec_id LIMIT 8""".stripMargin
 
+  // ---- P12: mixture plan (data recipe under availability caps) --------
+
+  /** P12: the PLANNING step ahead of q_p2's mixture sampling — turn a
+    * target recipe into per-source sampling rates under the
+    * no-upsampling constraint. Targets here are parity-weighted (even-
+    * numbered sources get 2 shares, odd get 1 — a stand-in for any
+    * recipe table) over a budget of half the corpus tokens; each source
+    * gets `rate = min(1, need/available)` and reports its expected
+    * yield and SHORTFALL (a source without enough tokens cannot be
+    * upsampled — the plan says so instead of silently waterfilling).
+    * All floor-integer arithmetic, so the plan is oracle-exact.
+    *
+    * Scale shape: one keyed per-source count; totals ride a 1-row
+    * broadcast; everything else is arithmetic on a sources-sized frame.
+    */
+  val p12MixturePlan: Q = (s, d) => {
+    import s.implicits._
+    val bySource = Tables.documents(s, d)
+      .select($"source", size(TextOps.tokens($"text")).cast("long").as("n"))
+      .groupBy($"source").agg(sum($"n").as("n_tok"))
+      .withColumn("shares", lit(2L) - substring($"source", 4, 10).cast("long") % 2)
+    val tot = bySource.agg(sum($"n_tok").as("tot_tok"), sum($"shares").as("tot_shares"))
+    bySource.crossJoin(broadcast(tot))
+      .withColumn("target1e4", expr("shares * 10000L div tot_shares"))
+      .withColumn("need_tok", expr("target1e4 * (tot_tok div 2) div 10000L"))
+      .withColumn("rate1e4", expr("least(10000L, need_tok * 10000L div n_tok)"))
+      .withColumn("expected_tok", expr("n_tok * rate1e4 div 10000L"))
+      .withColumn("shortfall_tok", expr("greatest(0L, need_tok - expected_tok)"))
+      .select($"source", $"n_tok", $"target1e4", $"need_tok", $"rate1e4",
+        $"expected_tok", $"shortfall_tok")
+      .orderBy("source")
+  }
+  val p12MixturePlanSql: String =
+    """WITH bs AS (
+      |  SELECT source,
+      |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tok,
+      |    2 - CAST(substr(source, 4, 10) AS BIGINT) % 2 AS shares
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT SUM(n_tok) AS tot_tok, SUM(shares) AS tot_shares FROM bs),
+      |pl AS (
+      |  SELECT source, n_tok, shares,
+      |    CAST(shares * 10000 // tot_shares AS BIGINT) AS target1e4,
+      |    CAST((shares * 10000 // tot_shares) * (tot_tok // 2) // 10000 AS BIGINT) AS need_tok
+      |  FROM bs, t)
+      |SELECT source, n_tok, target1e4, need_tok,
+      |  CAST(LEAST(10000, need_tok * 10000 // n_tok) AS BIGINT) AS rate1e4,
+      |  CAST(n_tok * LEAST(10000, need_tok * 10000 // n_tok) // 10000 AS BIGINT) AS expected_tok,
+      |  CAST(GREATEST(0, need_tok - n_tok * LEAST(10000, need_tok * 10000 // n_tok) // 10000) AS BIGINT) AS shortfall_tok
+      |FROM pl ORDER BY source""".stripMargin
+
+  // ---- E14: IVF index health stats ------------------------------------
+
+  /** E14: the index-maintenance dashboard behind q_e3/q_e13 — per-cell
+    * population of the IVF assignment plus the global imbalance factor
+    * (max cell × k / total, 1e4-scaled): the number that says when to
+    * re-train centroids (a cell holding 5× its fair share makes nProbe
+    * recall collapse). One keyed count over the stored assignment; the
+    * two global scalars ride a 1-row broadcast. Same fixed-centroid
+    * replay convention as the q_e13 oracle.
+    */
+  val e14IvfStats: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id".as("vid"), $"embedding".cast("array<double>").as("e"))
+    val centroids = vecs.filter($"vid" < 8).select($"vid".as("cid"), $"e".as("ce"))
+    val cells = Vectors.ivfAssign(vecs.filter($"vid" >= 8), centroids)
+      .groupBy($"cid").agg(count(lit(1)).as("n_vecs"))
+    val tot = cells.agg(sum($"n_vecs").as("n_total"), max($"n_vecs").as("n_max"))
+    cells.crossJoin(broadcast(tot))
+      .select($"cid", $"n_vecs",
+        expr("n_vecs * 10000L div n_total").as("share1e4"),
+        expr("n_max * 8 * 10000L div n_total").as("imbalance1e4"))
+      .orderBy("cid")
+  }
+  val e14IvfStatsSql: String =
+    s"""WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cent AS (SELECT vid AS cid, e AS ce FROM v WHERE vid < 8),
+       |assigned AS (
+       |  SELECT vid, cid FROM (
+       |    SELECT v.vid, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vid ORDER BY
+       |        ${cosSql("v.e", "c.ce")} DESC,
+       |        c.cid) AS rn
+       |    FROM v, cent c WHERE v.vid >= 8)
+       |  WHERE rn = 1),
+       |cells AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs
+       |          FROM assigned GROUP BY 1),
+       |t AS (SELECT SUM(n_vecs) AS n_total, MAX(n_vecs) AS n_max FROM cells)
+       |SELECT cid, n_vecs,
+       |  CAST(n_vecs * 10000 // n_total AS BIGINT) AS share1e4,
+       |  CAST(n_max * 8 * 10000 // n_total AS BIGINT) AS imbalance1e4
+       |FROM cells, t ORDER BY cid""".stripMargin
+
   // ---- T19/T20: learned quality classifier (Naive-Bayes-style) --------
 
   /** T19: TRAIN the count-based quality classifier
@@ -3624,6 +3717,8 @@ object PipelineQueries {
     "q_m11_image_clusters" -> m11ImageClusters,
     "q_m12_quarantine" -> m12Quarantine,
     "q_p11_tokenize_pack" -> p11TokenizePack,
+    "q_p12_mixture_plan" -> p12MixturePlan,
+    "q_e14_ivf_stats" -> e14IvfStats,
     "q_t23_grep" -> t23Grep,
     "q_e13_incr_ivf" -> e13IncrIvf,
     "q_d15_max_spans" -> d15MaxSpans
@@ -3713,6 +3808,8 @@ object PipelineQueries {
     "q_m11_image_clusters" -> m11ImageClustersSql,
     "q_m12_quarantine" -> m12QuarantineSql,
     "q_p11_tokenize_pack" -> p11TokenizePackSql,
+    "q_p12_mixture_plan" -> p12MixturePlanSql,
+    "q_e14_ivf_stats" -> e14IvfStatsSql,
     "q_t23_grep" -> t23GrepSql,
     "q_e13_incr_ivf" -> e13IncrIvfSql,
     "q_d15_max_spans" -> d15MaxSpansSql
