@@ -177,6 +177,45 @@ object Store {
     }
   }
 
+  /** Time-based retention (TTL): drop every partition whose partition
+    * VALUE sorts strictly below `cutoff` — pure directory-level deletes,
+    * the cheapest possible data-removal path (contrast [[purgeKeys]],
+    * which must rewrite surviving rows). Comparison is lexicographic on
+    * the decoded partition value, which is chronological for the ISO
+    * `yyyy-MM-dd` day partitions this store uses; the null partition is
+    * never expired (it has no age). Returns the partition count dropped.
+    *
+    * Manifest discipline: data dirs are deleted FIRST, then the
+    * `_manifest` rows pointing into them are filtered out. If a crash
+    * lands between the two, the stale manifest rows reference missing
+    * files and the next `scanPruned` fails LOUDLY — the safe direction;
+    * filtering the manifest first would make pruned scans silently skip
+    * still-live files.
+    */
+  def expireBefore(spark: SparkSession, path: String, partCol: String,
+                   cutoff: String): Long = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val doomed = fs.listStatus(hPath).toSeq.filter { st =>
+      val name = st.getPath.getName
+      st.isDirectory && name.startsWith(s"$partCol=") && {
+        val v = ExternalCatalogUtils.unescapePathName(name.stripPrefix(s"$partCol="))
+        v != ExternalCatalogUtils.DEFAULT_PARTITION_NAME && v < cutoff
+      }
+    }
+    doomed.foreach(st => fs.delete(st.getPath, true))
+    val mPath = new org.apache.hadoop.fs.Path(manifestPath(path))
+    if (doomed.nonEmpty && fs.exists(mPath)) {
+      val frags = doomed.map(st => "/" + st.getPath.getName + "/")
+      spark.read.parquet(mPath.toString)
+        .filter(!frags.map(f => col("file").contains(f)).reduce(_ || _))
+        .localCheckpoint(eager = true) // never read-and-overwrite the same dir
+        .write.mode(SaveMode.Overwrite).parquet(mPath.toString)
+    }
+    doomed.size.toLong
+  }
+
   // ---- File-level data skipping (min/max stats manifest) ---------------
 
   /** The Delta/Iceberg data-skipping pattern in miniature: a per-FILE

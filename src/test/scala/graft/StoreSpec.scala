@@ -101,6 +101,31 @@ class StoreSpec extends SparkSpec {
     spark.read.parquet(path).count() shouldBe 5
   }
 
+  test("expireBefore drops whole partitions by TTL and filters their manifest rows") {
+    val path = Files.createTempDirectory("graft-expire").toString + "/t"
+    // grid() writes dates 2024-01-15..17, 3 symbols each.
+    Store.writePartitioned(grid("2024-01-18 02:00:00", 8000000L), path, "date")
+    Store.refreshManifest(spark, path, Seq("file_size_bytes"))
+    val before = spark.read.parquet(Store.manifestPath(path)).count()
+    before should be >= 3L
+
+    Store.expireBefore(spark, path, "date", "2024-01-17") shouldBe 2L
+    new java.io.File(s"$path/date=2024-01-15").exists() shouldBe false
+    new java.io.File(s"$path/date=2024-01-16").exists() shouldBe false
+    val after = spark.read.parquet(path)
+    after.count() shouldBe 3
+    after.select("date").distinct().collect()
+      .map(_.getDate(0).toString).toSeq shouldBe Seq("2024-01-17")
+    // The manifest lost exactly the expired dirs' rows: a pruned scan
+    // over the survivors still works and references no deleted file.
+    val scan = Store.scanPruned(spark, path, "file_size_bytes", 0L, Long.MaxValue)
+    scan.df.count() shouldBe 3
+    scan.filesTotal should be < before
+    // Expiring again at the same cutoff is a no-op.
+    Store.expireBefore(spark, path, "date", "2024-01-17") shouldBe 0L
+    spark.read.parquet(path).count() shouldBe 3
+  }
+
   test("latestByKey keeps exactly the newest row per key") {
     import spark.implicits._
     val df = Seq(
