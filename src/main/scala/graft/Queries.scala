@@ -1128,6 +1128,65 @@ object Queries {
       .select($"flag", $"n", $"med_c", $"ad".as("mad_c"))
       .orderBy("flag")
   }
+  /** A23: per-group ROBUST OUTLIER FLAGS — the row-level consumer of
+    * the a21 machinery: every event whose value deviates from its
+    * event-type's discrete median by more than 3× that group's MAD is
+    * flagged (the data-quality rule mean/stddev gets wrong under heavy
+    * tails, since outliers inflate their own threshold). Values ride as
+    * 1e4-scaled integers so median, MAD and the 3× gate are all
+    * interpolation-free integer comparisons — oracle-exact.
+    *
+    * Scale shape: two keyed rank-selection windows per group (median,
+    * then MAD) + a broadcast of the groups-sized stats frame back onto
+    * the rows. Groups are the parallel unit; for a group too large to
+    * window-sort, the k6 bottom-k sketch median is the approximate
+    * drop-in.
+    */
+  val a23Outliers: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.events(s, d).select($"event_type".as("g"),
+      ($"value".cast("decimal(18,4)") * 10000).cast("long").as("c"), $"event_id")
+    val byV = Window.partitionBy($"g").orderBy($"c", $"event_id")
+    val med = base
+      .withColumn("rn", row_number().over(byV))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"g")))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"g", $"c".as("med_c"), $"n")
+    val byAd = Window.partitionBy($"g").orderBy($"ad", $"event_id")
+    val mad = base.join(broadcast(med), "g")
+      .withColumn("ad", abs($"c" - $"med_c"))
+      .withColumn("rn2", row_number().over(byAd))
+      .filter($"rn2" === expr("(n + 1) div 2"))
+      .select($"g", $"med_c", $"ad".as("mad_c"))
+    base.join(broadcast(mad), "g")
+      .filter(abs($"c" - $"med_c") > lit(3) * $"mad_c")
+      .select($"g", $"event_id", $"c", $"med_c", $"mad_c")
+      .orderBy("g", "event_id")
+  }
+  val a23OutliersSql: String =
+    """WITH b AS (
+      |  SELECT event_type AS g,
+      |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS c, event_id
+      |  FROM events),
+      |r AS (
+      |  SELECT g, c, event_id,
+      |    row_number() OVER (PARTITION BY g ORDER BY c, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY g) AS n
+      |  FROM b),
+      |med AS (SELECT g, c AS med_c, n FROM r WHERE rn = (n + 1) // 2),
+      |a AS (
+      |  SELECT b.g, ABS(b.c - m.med_c) AS ad, m.med_c, m.n, b.event_id
+      |  FROM b JOIN med m ON m.g = b.g),
+      |r2 AS (
+      |  SELECT g, ad, med_c, n,
+      |    row_number() OVER (PARTITION BY g ORDER BY ad, event_id) AS rn2
+      |  FROM a),
+      |mad AS (SELECT g, med_c, ad AS mad_c FROM r2 WHERE rn2 = (n + 1) // 2)
+      |SELECT b.g AS g, b.event_id, b.c, m.med_c, m.mad_c
+      |FROM b JOIN mad m ON m.g = b.g
+      |WHERE ABS(b.c - m.med_c) > 3 * m.mad_c
+      |ORDER BY b.g, b.event_id""".stripMargin
+
   val a21MadSql: String =
     """WITH b AS (
       |  SELECT l_returnflag AS flag,
@@ -1221,6 +1280,7 @@ object Queries {
     "q_v5_freshness" -> v5Freshness,
     "q_v6_seasonal" -> v6Seasonal,
     "q_a21_mad" -> a21Mad,
+    "q_a23_outliers" -> a23Outliers,
     "q_c19_edit_distance" -> c19EditDistance
   ) ++ WindowQueries.all ++ PipelineQueries.all ++ ScalarQueries.all ++
     TemporalQueries.all ++ SketchQueries.all ++ MaintainQueries.all ++ StreamQueries.all
@@ -1271,6 +1331,7 @@ object Queries {
     "q_v5_freshness" -> v5FreshnessSql,
     "q_v6_seasonal" -> v6SeasonalSql,
     "q_a21_mad" -> a21MadSql,
+    "q_a23_outliers" -> a23OutliersSql,
     "q_c19_edit_distance" -> c19EditDistanceSql
   ) ++ WindowQueries.oracles ++ PipelineQueries.oracles ++ ScalarQueries.oracles ++
     TemporalQueries.oracles ++ SketchQueries.oracles ++ MaintainQueries.oracles ++ StreamQueries.oracles

@@ -502,10 +502,64 @@ object StreamQueries {
        |SELECT DISTINCT fp_hi, fp_lo FROM fps
        |ORDER BY fp_hi, fp_lo""".stripMargin
 
+  /** ST11: the learned quality gate AS a stream — the NB model (trained
+    * batch-side, ≤ 256 rows BY CONSTRUCTION) collapses to a plain
+    * broadcast variable, and each streamed document is scored in a
+    * typed map: tokenize, hash-trick feature, Σ weights — one pass, no
+    * streaming aggregation anywhere (chained aggregations are exactly
+    * what Structured Streaming refuses; a bounded-model broadcast is
+    * the production shape of a live quality filter anyway). The scores
+    * are integer-identical to batch q_t20 — the oracle IS the same
+    * replay — so the gate proves the broadcast-scoring path agrees with
+    * the relational one bit-for-bit.
+    */
+  val st11StreamQuality: Q = (s, d) => {
+    import s.implicits._
+    val nf = 256
+    val model = graft.ops.Classify.nbTrain(
+      Tables.documents(s, d), "text", col("lang") === "en", nf)
+      .localCheckpoint(eager = true)
+    val wMap = model.select(col("feat"), col("w1e6")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t = model.agg(sum(col("n_pos")), sum(col("n_neg"))).collect().head
+    val wUnseen = 1000000L / (t.getLong(0) + nf) - 1000000L / (t.getLong(1) + nf)
+    val bc = s.sparkContext.broadcast((wMap, wUnseen))
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val sink = "st11_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val (w, wu) = bc.value
+        var nTok = 0L; var score = 0L
+        text.toLowerCase.split("\\s+").foreach { tok =>
+          if (tok.length >= 2) {
+            val feat = graft.functions.Hash60Impl.hash60(
+              org.apache.spark.unsafe.types.UTF8String.fromString("nb:" + tok)) % nf
+            nTok += 1
+            score += w.getOrElse(feat, wu)
+          }
+        }
+        (id, nTok, score)
+      }
+      .toDF("doc_id", "n_tok", "score")
+      .filter(col("n_tok") > 0)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drain(s, sink, s.table(sink)).orderBy("doc_id")
+  }
+  /** Same algebra as q_t20's oracle: the stream must reproduce the
+    * batch scores exactly.
+    */
+  val st11StreamQualitySql: String = PipelineQueries.t20NbScoreSql
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q_st10_stream_media" -> st10StreamMediaDedup,
+    "q_st11_stream_quality" -> st11StreamQuality,
     "q_st1_stream_agg" -> st1StreamAgg,
     "q_st2_stream_enrich" -> st2StreamEnrich,
     "q_st3_stream_dedup" -> st3StreamDedup,
@@ -525,5 +579,6 @@ object StreamQueries {
     "q_st7_stream_join" -> st7StreamJoinSql,
     "q_st8_stream_outer_join" -> st8StreamOuterJoinSql,
     "q_st9_stream_full_outer" -> st9StreamFullOuterJoinSql,
-    "q_st10_stream_media" -> st10StreamMediaDedupSql)
+    "q_st10_stream_media" -> st10StreamMediaDedupSql,
+    "q_st11_stream_quality" -> st11StreamQualitySql)
 }
