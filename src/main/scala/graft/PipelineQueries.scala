@@ -2878,6 +2878,56 @@ object PipelineQueries {
        |FROM assigned a JOIN cells USING (cid), q
        |ORDER BY cos_sim DESC, vec_id LIMIT 8""".stripMargin
 
+  // ---- E15: MMR diverse selection -------------------------------------
+
+  /** E15: greedy Maximal-Marginal-Relevance — pick 5 vectors balancing
+    * relevance to the query (vid 0) against redundancy with the picks
+    * so far (`Vectors.mmrSelect`, λ = 0.5 written as an exact halving).
+    * The diverse-subset primitive behind eval-set construction: a plain
+    * top-k returns near-duplicates of one mode; MMR spends its budget
+    * across modes. Oracle: the greedy loop UNROLLED into 5 chained CTEs
+    * (the q_g8 generated-replay pattern), each re-deriving the argmax
+    * with GREATEST over the previously selected — a different algebra
+    * for the same selection, agreeing double-for-double.
+    */
+  val e15Mmr: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id".as("vid"), $"embedding".cast("array<double>").as("e"))
+    Vectors.mmrSelect(vecs.filter($"vid" =!= 0),
+      vecs.filter($"vid" === 0).select($"e"), k = 5)
+  }
+  val e15MmrSql: String = {
+    def round(i: Int): String =
+      if (i == 1)
+        """p1 AS (
+          |  SELECT vid, rel, CAST(0 AS DOUBLE) AS div
+          |  FROM c ORDER BY (rel - CAST(0 AS DOUBLE)) / 2 DESC, vid LIMIT 1)""".stripMargin
+      else {
+        val joins = (1 until i)
+          .map(j => s"JOIN v s$j ON s$j.vid = (SELECT vid FROM p$j)").mkString(" ")
+        val coss = (1 until i).map(j => cosSql("c.e", s"s$j.e"))
+        val div = if (coss.size == 1) coss.head else s"GREATEST(${coss.mkString(", ")})"
+        val notIn = (1 until i).map(j => s"(SELECT vid FROM p$j)").mkString(", ")
+        s"""p$i AS (
+           |  SELECT c.vid, c.rel, $div AS div
+           |  FROM c $joins
+           |  WHERE c.vid NOT IN ($notIn)
+           |  ORDER BY (c.rel - div) / 2 DESC, c.vid LIMIT 1)""".stripMargin
+      }
+    val rounds = (1 to 5).map(round).mkString(",\n")
+    val out = (1 to 5).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS rank, vid, rel AS rel_sim, " +
+        s"div AS div_sim, (rel - div) / 2 AS mmr_score FROM p$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT e AS qe FROM v WHERE vid = 0),
+       |c AS (SELECT vid, e, ${cosSql("e", "qe")} AS rel FROM v, q WHERE vid <> 0),
+       |$rounds
+       |$out
+       |ORDER BY rank""".stripMargin
+  }
+
   // ---- P12: mixture plan (data recipe under availability caps) --------
 
   /** P12: the PLANNING step ahead of q_p2's mixture sampling — turn a
@@ -3719,6 +3769,7 @@ object PipelineQueries {
     "q_p11_tokenize_pack" -> p11TokenizePack,
     "q_p12_mixture_plan" -> p12MixturePlan,
     "q_e14_ivf_stats" -> e14IvfStats,
+    "q_e15_mmr" -> e15Mmr,
     "q_t23_grep" -> t23Grep,
     "q_e13_incr_ivf" -> e13IncrIvf,
     "q_d15_max_spans" -> d15MaxSpans
@@ -3810,6 +3861,7 @@ object PipelineQueries {
     "q_p11_tokenize_pack" -> p11TokenizePackSql,
     "q_p12_mixture_plan" -> p12MixturePlanSql,
     "q_e14_ivf_stats" -> e14IvfStatsSql,
+    "q_e15_mmr" -> e15MmrSql,
     "q_t23_grep" -> t23GrepSql,
     "q_e13_incr_ivf" -> e13IncrIvfSql,
     "q_d15_max_spans" -> d15MaxSpansSql

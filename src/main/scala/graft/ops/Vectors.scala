@@ -334,6 +334,57 @@ object Vectors {
     * The single-row query side is broadcast; the scan side streams —
     * no shuffle until the final top-k (TakeOrdered, no global sort).
     */
+  /** Greedy Maximal-Marginal-Relevance selection: k vectors balancing
+    * relevance to the query against redundancy with what's already
+    * picked — `score(d) = (rel(d, q) − max_{s∈S} sim(d, s)) / 2`, the
+    * λ = 0.5 MMR objective written as an exact halving so both engines
+    * compute identical doubles (a 0.5 literal parses as DECIMAL in both
+    * Spark and DuckDB, with engine-specific rounding). The diverse-
+    * subset primitive behind eval-set construction and dedup-aware
+    * retrieval.
+    *
+    * Scale shape: k bounded rounds; each round one scan of the
+    * candidates + a broadcast of the ≤ k selected vectors + a 1-row
+    * argmax collect (the BPE/PageRank driver-scalar pattern — driver
+    * traffic is k rows total, never data-sized). The candidate frame
+    * with its query relevance is computed once and checkpoint-cut.
+    *
+    * Returns (rank, vid, rel_sim, div_sim, mmr_score) for the k picks
+    * in selection order.
+    */
+  def mmrSelect(vecs: DataFrame, query: DataFrame, k: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cand = Partitioning.spread(vecs)
+      .crossJoin(broadcast(query.select(col("e").as("qe"))))
+      .withColumn("rel", rankCosine(col("e"), col("qe")))
+      .select(col("vid"), col("e"), col("rel"))
+      .localCheckpoint(eager = true)
+    var selected = Vector.empty[(Int, Long, Double, Double, Double)]
+    for (r <- 1 to k) {
+      val chosen = selected.map(_._2)
+      val remaining =
+        if (chosen.isEmpty) cand else cand.filter(!col("vid").isin(chosen: _*))
+      val scored =
+        if (chosen.isEmpty) remaining.withColumn("div", lit(0.0))
+        else {
+          val selVecs = cand.filter(col("vid").isin(chosen: _*))
+            .select(col("e").as("se"))
+          remaining.crossJoin(broadcast(selVecs))
+            .withColumn("ps", rankCosine(col("e"), col("se")))
+            .groupBy(col("vid"), col("rel"))
+            .agg(max(col("ps")).as("div"))
+        }
+      val best = scored
+        .withColumn("score", (col("rel") - col("div")) / 2)
+        .orderBy(col("score").desc, col("vid"))
+        .limit(1).select("vid", "rel", "div", "score").collect().head
+      selected :+= ((r, best.getLong(0), best.getDouble(1),
+        best.getDouble(2), best.getDouble(3)))
+    }
+    selected.toDF("rank", "vid", "rel_sim", "div_sim", "mmr_score")
+  }
+
   def knnBruteForce(vecs: DataFrame, query: DataFrame, k: Int): DataFrame =
     Partitioning.spread(vecs).crossJoin(broadcast(query.select(col("e").as("qe"))))
       .withColumn("cos_sim", rankCosine(col("e"), col("qe")))

@@ -265,4 +265,28 @@ class VectorsSpec extends SparkSpec {
     plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) shouldBe 1
     plan.linesIterator.count(_.contains("max_by")) should be <= 2 // partial+final of ONE aggregation
   }
+
+  test("mmrSelect spends its budget across modes where plain top-k repeats one") {
+    import spark.implicits._
+    // Mode A: three near-duplicates slightly OFF the query axis (if the
+    // first pick lay exactly on the axis, every candidate's redundancy
+    // would equal its relevance and all scores degenerate to ~0). Mode
+    // B points away: top-3 by relevance returns all of A; MMR's
+    // redundancy penalty must spend pick 2 on B.
+    val vecs = Seq(
+      (1L, Array(1.0, 0.30)), (2L, Array(1.0, 0.32)), (3L, Array(1.0, 0.34)),
+      (10L, Array(0.6, -0.60)), (11L, Array(0.61, -0.60))
+    ).toDF("vid", "e")
+    val q = Seq(Tuple1(Array(1.0, 0.0))).toDF("e")
+    val picks = graft.ops.Vectors.mmrSelect(vecs, q, k = 3).collect()
+    picks.map(_.getInt(0)).toSeq shouldBe Seq(1, 2, 3)
+    picks(0).getLong(1) shouldBe 1L            // most relevant first
+    Seq(10L, 11L) should contain(picks(1).getLong(1)) // then the other mode
+    // first pick has zero diversity penalty by definition
+    picks(0).getDouble(3) shouldBe 0.0
+    // relevance-only top-3 would have been 1, 2, 3 — all mode A
+    val topk = graft.ops.Vectors.knnBruteForce(
+      vecs, q, 3).select("vid").collect().map(_.getLong(0)).toSeq
+    topk shouldBe Seq(1L, 2L, 3L)
+  }
 }
