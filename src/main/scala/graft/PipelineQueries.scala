@@ -2878,6 +2878,45 @@ object PipelineQueries {
        |FROM assigned a JOIN cells USING (cid), q
        |ORDER BY cos_sim DESC, vec_id LIMIT 8""".stripMargin
 
+  // ---- T24: per-document n-gram novelty -------------------------------
+
+  /** T24: novelty scoring — each document's fraction of distinct
+    * 3-shingles appearing in NO other document (1e6-scaled). The
+    * memorization-risk lens of corpus analysis: boilerplate-heavy docs
+    * score near 0, genuinely novel text near 1e6 — the inverse signal
+    * of the dedup family, computed on the SAME hashed-shingle
+    * representation (`Dedup.shingleHashSet`: 8-byte hashes shuffle, the
+    * strings never leave the map side). One df groupBy + one keyed join
+    * back — the q_t13 inverted-index shape read in reverse.
+    */
+  val t24Novelty: Q = (s, d) => {
+    import s.implicits._
+    val sh = Dedup.shingleHashSet(
+      Tables.documents(s, d).select($"doc_id".as("id"), $"text"), "id", "text", 3)
+      .localCheckpoint(eager = true) // df side + join side: one shingle pass
+    val df = sh.groupBy($"h").agg(count(lit(1)).as("df_docs")) // (id,h) distinct
+    sh.join(df, Seq("h"))
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when($"df_docs" === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty1e6", expr("n_unique * 1000000L div n_sh"))
+      .select($"id".as("doc_id"), $"n_sh", $"n_unique", $"novelty1e6")
+      .orderBy("doc_id")
+  }
+  val t24NoveltySql: String =
+    s"""WITH shd AS (
+       |  SELECT DISTINCT id, ${hash60Sql("sh")} AS h
+       |  FROM (SELECT id, unnest(list_transform(generate_series(1, len(toks) - 2),
+       |          i -> array_to_string(toks[i:i+2], ' '))) AS sh
+       |        FROM (SELECT doc_id AS id, string_split_regex(text, '\\s+') AS toks
+       |              FROM documents))),
+       |fdf AS (SELECT h, COUNT(*) AS df_docs FROM shd GROUP BY 1)
+       |SELECT s.id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+       |  CAST(SUM(CASE WHEN f.df_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |  CAST(SUM(CASE WHEN f.df_docs = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS novelty1e6
+       |FROM shd s JOIN fdf f USING (h)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   // ---- E15: MMR diverse selection -------------------------------------
 
   /** E15: greedy Maximal-Marginal-Relevance — pick 5 vectors balancing
@@ -3770,6 +3809,7 @@ object PipelineQueries {
     "q_p12_mixture_plan" -> p12MixturePlan,
     "q_e14_ivf_stats" -> e14IvfStats,
     "q_e15_mmr" -> e15Mmr,
+    "q_t24_novelty" -> t24Novelty,
     "q_t23_grep" -> t23Grep,
     "q_e13_incr_ivf" -> e13IncrIvf,
     "q_d15_max_spans" -> d15MaxSpans
@@ -3862,6 +3902,7 @@ object PipelineQueries {
     "q_p12_mixture_plan" -> p12MixturePlanSql,
     "q_e14_ivf_stats" -> e14IvfStatsSql,
     "q_e15_mmr" -> e15MmrSql,
+    "q_t24_novelty" -> t24NoveltySql,
     "q_t23_grep" -> t23GrepSql,
     "q_e13_incr_ivf" -> e13IncrIvfSql,
     "q_d15_max_spans" -> d15MaxSpansSql

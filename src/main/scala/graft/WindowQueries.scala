@@ -519,7 +519,45 @@ object WindowQueries {
       |  strftime(e, '%Y-%m-%d') AS streak_end
       |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** W15: cumulative adoption curve — per day, the users ACTIVE that
+    * day, the users seen for the FIRST time, and the cumulative
+    * distinct-user count to date. First-seen collapses each user to one
+    * (user, min day) row — the keyed exchange carries one row per user,
+    * never the event stream — and the only unkeyed window is the cumsum
+    * over the DAY-GRAIN frame, whose row count is calendar-bounded (a
+    * century is ~37k rows), not data-bounded.
+    */
+  val w15Adoption: Q = (s, d) => {
+    import s.implicits._
+    val days = Tables.events(s, d)
+      .groupBy(to_date($"ts").as("date"))
+      .agg(countDistinct($"user_id").as("n_active"))
+    val firstSeen = Tables.events(s, d)
+      .groupBy($"user_id").agg(min(to_date($"ts")).as("date"))
+      .groupBy($"date").agg(count(lit(1)).as("n_new"))
+    days.join(firstSeen, Seq("date"), "left")
+      .withColumn("n_new", coalesce($"n_new", lit(0L)))
+      .withColumn("cum_users", sum($"n_new").over(
+        Window.orderBy($"date").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(dstr($"date").as("date"), $"n_active", $"n_new", $"cum_users")
+      .orderBy("date")
+  }
+  val w15AdoptionSql: String =
+    """WITH act AS (
+      |  SELECT CAST(ts AS DATE) AS date,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+      |  FROM events GROUP BY 1),
+      |fs AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS date FROM events GROUP BY 1),
+      |nw AS (SELECT date, CAST(COUNT(*) AS BIGINT) AS n_new FROM fs GROUP BY 1)
+      |SELECT strftime(a.date, '%Y-%m-%d') AS date, a.n_active,
+      |  COALESCE(nw.n_new, 0) AS n_new,
+      |  CAST(SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY a.date
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM act a LEFT JOIN nw USING (date)
+      |ORDER BY date""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q_w15_adoption" -> w15Adoption,
     "q_w14_streaks" -> w14Streaks,
     "q_w13_anomaly" -> w13Anomaly,
     "q_w9_sliding_distinct" -> w9SlidingDistinct,
@@ -541,6 +579,7 @@ object WindowQueries {
 
   val oracles: Map[String, String] = Map(
     "q_w14_streaks" -> w14StreaksSql,
+    "q_w15_adoption" -> w15AdoptionSql,
     "q_w9_sliding_distinct" -> w9SlidingDistinctSql,
     "q_w11_cum_distinct" -> w11CumDistinctSql,
     "q_w12_drawdown" -> w12DrawdownSql,
