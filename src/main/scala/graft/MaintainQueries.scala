@@ -171,17 +171,54 @@ object MaintainQueries {
       |SELECT o_orderkey, op, o_custkey, o_orderstatus, o_totalprice
       |FROM d WHERE op IS NOT NULL ORDER BY o_orderkey, op""".stripMargin
 
+  // ---- S8: schema-evolution read --------------------------------------
+
+  /** S8: union snapshots written under DRIFTED schemas (see
+    * Maintain.readEvolved). The fixture splits orders at the s2 cutoff
+    * into an early snapshot written before `o_orderstatus` and
+    * `o_orderpriority` existed and a late snapshot carrying both —
+    * the merged read aligns by name and null-fills what each snapshot
+    * predates, with a `snap_v` lineage tag. The oracle states the
+    * same result as explicit NULL-typed projections + UNION ALL — a
+    * different formulation of the alignment the operator derives from
+    * the schemas themselves.
+    */
+  val s8SchemaMerge: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+    val cut = lit(Cutoff).cast("timestamp")
+    val v1 = orders.filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lit(1).as("snap_v"))
+    val v2 = orders.filter(col("o_orderdate") >= cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("o_orderpriority"), lit(2).as("snap_v"))
+    Maintain.readEvolved(Seq(v1, v2)).orderBy("o_orderkey")
+  }
+  val s8SchemaMergeSql: String =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice,
+       |  CAST(1 AS INTEGER) AS snap_v,
+       |  CAST(NULL AS VARCHAR) AS o_orderstatus,
+       |  CAST(NULL AS VARCHAR) AS o_orderpriority
+       |FROM orders WHERE o_orderdate < TIMESTAMP '$Cutoff 00:00:00'
+       |UNION ALL
+       |SELECT o_orderkey, o_custkey, o_totalprice,
+       |  CAST(2 AS INTEGER) AS snap_v, o_orderstatus, o_orderpriority
+       |FROM orders WHERE o_orderdate >= TIMESTAMP '$Cutoff 00:00:00'
+       |ORDER BY o_orderkey""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q_s2_incr_agg" -> s2IncrAgg,
     "q_s4_golden" -> s4Golden,
     "q_s6_cdc_apply" -> s6CdcApply,
-    "q_s7_cdc_extract" -> s7CdcExtract)
+    "q_s7_cdc_extract" -> s7CdcExtract,
+    "q_s8_schema_merge" -> s8SchemaMerge)
 
   val oracles: Map[String, String] = Map(
     "q_s2_incr_agg" -> s2IncrAggSql,
     "q_s4_golden" -> s4GoldenSql,
     "q_s6_cdc_apply" -> s6CdcApplySql,
-    "q_s7_cdc_extract" -> s7CdcExtractSql)
+    "q_s7_cdc_extract" -> s7CdcExtractSql,
+    "q_s8_schema_merge" -> s8SchemaMergeSql)
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.ops.{Dedup, Sketches, TextOps, Vectors}
@@ -2967,6 +2968,123 @@ object PipelineQueries {
        |ORDER BY rank""".stripMargin
   }
 
+  // ---- E16: semi-hard negative mining ---------------------------------
+
+  /** E16: SEMI-HARD NEGATIVES for contrastive training (see
+    * Vectors.semiHardNegatives): per anchor, the 5 most similar
+    * other-label vectors still BELOW the anchor's best same-label
+    * similarity — harder than random negatives, safer than the
+    * above-ceiling band where label noise lives. Anchors are the
+    * vec_id % 100 == 0 rows (a bounded external query set in
+    * production — same contract as q_e6's). The oracle restates the
+    * two-phase algebra as one windowed cross join — a rank it can
+    * afford at gate scale that the operator's k-bounded TopK
+    * aggregation avoids at any scale.
+    */
+  val e16SemiHard: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("e"))
+    val anchors = vecs.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"), $"e".as("qe"))
+    val cands = vecs.filter($"vec_id" % 100 =!= 0)
+      .select($"vec_id".as("vid"), $"label", $"e")
+    Vectors.semiHardNegatives(cands, anchors, k = 5)
+      .select($"q_id", $"rank", $"vec_id", $"cos_sim", $"pos_sim")
+      .orderBy("q_id", "rank")
+  }
+  val e16SemiHardSql: String =
+    s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |a AS (SELECT vec_id AS q_id, label AS q_label, e AS qe FROM v WHERE vec_id % 100 = 0),
+       |c AS (SELECT vec_id, label, e FROM v WHERE vec_id % 100 <> 0),
+       |s AS (SELECT a.q_id, a.q_label, c.vec_id, c.label,
+       |        ${cosSql("c.e", "a.qe")} AS cos_sim
+       |      FROM c CROSS JOIN a),
+       |p AS (SELECT q_id, MAX(cos_sim) AS pos_sim FROM s
+       |      WHERE label = q_label GROUP BY 1),
+       |n AS (SELECT s.q_id, s.vec_id, s.cos_sim, p.pos_sim,
+       |        CAST(row_number() OVER (PARTITION BY s.q_id
+       |          ORDER BY s.cos_sim DESC, s.vec_id) AS INT) AS rank
+       |      FROM s JOIN p USING (q_id)
+       |      WHERE s.label <> s.q_label AND s.cos_sim < p.pos_sim)
+       |SELECT q_id, rank, vec_id, cos_sim, pos_sim FROM n WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ---- T25: dataset card (per-slice corpus statistics) ----------------
+
+  /** T25: the DATASET CARD rollup — per (lang, source) slice: document
+    * and token volume, character volume, how many docs clear the
+    * Gopher gate (q_t12's rule, re-applied here as a conditional
+    * count), and the discrete median document length (the a21 lower-
+    * median rank selection — no interpolation, no floats). The summary
+    * table every corpus release ships; everything integer-exact so the
+    * card hash-matches any engine.
+    *
+    * Scale shape: one map-side-combined groupBy for the volume/gate
+    * columns + one keyed rank-selection window for the median, joined
+    * on the slice key. Slices are few; rows stream through both.
+    */
+  val t25DatasetCard: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"source", length($"text").as("nc"),
+        TextOps.tokens($"text").as("toks"))
+      .withColumn("n_words", size($"toks"))
+      .withColumn("mwl100",
+        floor(aggregate(transform($"toks", t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x) * 100.0 / $"n_words").cast("long"))
+      .withColumn("ar100",
+        floor(size(filter($"toks", t => t.rlike("[A-Za-z]"))) * 100.0 / $"n_words").cast("long"))
+      .withColumn("stop_hits", TextOps.markerCount($"toks", gateStops))
+      .withColumn("pass",
+        $"n_words" >= 50 && $"n_words" <= 100000 &&
+          $"mwl100" >= 300 && $"mwl100" <= 1000 &&
+          $"ar100" >= 70 && $"stop_hits" >= 2)
+    val vol = base.groupBy($"lang", $"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum($"n_words".cast("long")).as("tok_total"),
+      sum($"nc".cast("long")).as("chars_total"),
+      sum(when($"pass", 1L).otherwise(0L)).as("n_gate_pass"))
+    val byLen = Window.partitionBy($"lang", $"source").orderBy($"nc", $"doc_id")
+    val med = base
+      .withColumn("rn", row_number().over(byLen))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"lang", $"source")))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"lang", $"source", $"nc".cast("long").as("med_chars"))
+    vol.join(med, Seq("lang", "source"))
+      .orderBy("lang", "source")
+  }
+  val t25DatasetCardSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, source, length(text) AS nc,
+       |    string_split_regex(text, '\\s+') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, lang, source, nc, len(toks) AS n_words,
+       |    CAST(FLOOR(list_sum(list_transform(toks, t -> len(t))) * 100.0 / len(toks)) AS BIGINT) AS mwl100,
+       |    CAST(FLOOR(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) * 100.0 / len(toks)) AS BIGINT) AS ar100,
+       |    len(list_filter(toks, t -> t IN (${gateStops.map(w => s"'$w'").mkString(",")}))) AS stop_hits
+       |  FROM t),
+       |vol AS (
+       |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_words) AS BIGINT) AS tok_total,
+       |    CAST(SUM(nc) AS BIGINT) AS chars_total,
+       |    CAST(SUM(CASE WHEN n_words >= 50 AND n_words <= 100000
+       |          AND mwl100 >= 300 AND mwl100 <= 1000
+       |          AND ar100 >= 70 AND stop_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_pass
+       |  FROM m GROUP BY 1, 2),
+       |r AS (
+       |  SELECT lang, source, nc,
+       |    row_number() OVER (PARTITION BY lang, source ORDER BY nc, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang, source) AS n
+       |  FROM m),
+       |med AS (SELECT lang, source, CAST(nc AS BIGINT) AS med_chars
+       |        FROM r WHERE rn = (n + 1) // 2)
+       |SELECT v.lang AS lang, v.source AS source, n_docs, tok_total, chars_total,
+       |  n_gate_pass, med_chars
+       |FROM vol v JOIN med USING (lang, source)
+       |ORDER BY lang, source""".stripMargin
+
   // ---- P12: mixture plan (data recipe under availability caps) --------
 
   /** P12: the PLANNING step ahead of q_p2's mixture sampling — turn a
@@ -3809,6 +3927,8 @@ object PipelineQueries {
     "q_p12_mixture_plan" -> p12MixturePlan,
     "q_e14_ivf_stats" -> e14IvfStats,
     "q_e15_mmr" -> e15Mmr,
+    "q_e16_semi_hard" -> e16SemiHard,
+    "q_t25_dataset_card" -> t25DatasetCard,
     "q_t24_novelty" -> t24Novelty,
     "q_t23_grep" -> t23Grep,
     "q_e13_incr_ivf" -> e13IncrIvf,
@@ -3902,6 +4022,8 @@ object PipelineQueries {
     "q_p12_mixture_plan" -> p12MixturePlanSql,
     "q_e14_ivf_stats" -> e14IvfStatsSql,
     "q_e15_mmr" -> e15MmrSql,
+    "q_e16_semi_hard" -> e16SemiHardSql,
+    "q_t25_dataset_card" -> t25DatasetCardSql,
     "q_t24_novelty" -> t24NoveltySql,
     "q_t23_grep" -> t23GrepSql,
     "q_e13_incr_ivf" -> e13IncrIvfSql,

@@ -551,6 +551,38 @@ object TemporalQueries {
       seedsCte = Some("SELECT 2 * s_suppkey + 1 AS node FROM supplier WHERE s_nationkey = 0")) +
       "\nORDER BY r DESC, node LIMIT 50"
 
+  /** G10: per-node TRIANGLE COUNTS on the part co-purchase graph (parts
+    * sharing an order are linked — quadratic only within an order's
+    * small item list), via Graph.triangleCount's degree-oriented wedge
+    * closure. The cohesion member of the graph family: triangle-rich
+    * neighborhoods are communities, triangle-poor-for-their-degree
+    * nodes are spam-star shaped. The oracle replays a DIFFERENT
+    * algebra — the direct a<b<c three-way edge join, affordable at
+    * gate scale — so a hash match proves the acyclic orientation
+    * generates every triangle exactly once.
+    */
+  val g10Triangles: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey").as("o"),
+      col("l_partkey").as("p")).distinct()
+    val pairs = li.join(li.withColumnRenamed("p", "p2"), "o")
+      .where(col("p") < col("p2"))
+      .select(col("p").as("src"), col("p2").as("dst"))
+    graft.ops.Graph.triangleCount(pairs)
+      .orderBy(col("triangles").desc, col("node")).limit(50)
+  }
+  val g10TrianglesSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      |t AS (SELECT e1.a, e1.b, e2.b AS c
+      |      FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |roles AS (SELECT a AS node FROM t
+      |          UNION ALL SELECT b FROM t
+      |          UNION ALL SELECT c FROM t)
+      |SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+      |FROM roles GROUP BY 1
+      |ORDER BY triangles DESC, node LIMIT 50""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -569,7 +601,8 @@ object TemporalQueries {
     "q_j17_pit" -> j17Pit,
     "q_j18_overlap" -> j18Overlap,
     "q_g8_pagerank" -> g8PageRank,
-    "q_g9_ppr" -> g9Ppr)
+    "q_g9_ppr" -> g9Ppr,
+    "q_g10_triangles" -> g10Triangles)
 
   val oracles: Map[String, String] = Map(
     "q_j10_asof" -> j10AsOfSql,
@@ -587,5 +620,6 @@ object TemporalQueries {
     "q_j17_pit" -> j17PitSql,
     "q_j18_overlap" -> j18OverlapSql,
     "q_g8_pagerank" -> g8PageRankSql,
-    "q_g9_ppr" -> g9PprSql)
+    "q_g9_ppr" -> g9PprSql,
+    "q_g10_triangles" -> g10TrianglesSql)
 }

@@ -120,4 +120,74 @@ object Graph {
     (header +: rounds).mkString(",\n") +
       s"\nSELECT node, CAST(r AS BIGINT) AS r FROM r$iters"
   }
+
+  /** Per-node triangle counts via DEGREE-ORIENTED wedge closure — the
+    * cohesion statistic of graph-shaped quality signals (a document/
+    * domain whose neighborhood closes into triangles is a community,
+    * not a spam star; spam farms are triangle-poor for their degree).
+    *
+    * Algorithm (the classic MR/GraphX shape):
+    *   1. canonicalize to undirected distinct edges (a < b);
+    *   2. orient every edge from its (degree, id)-smaller endpoint to
+    *      the larger — an ACYCLIC orientation in which each triangle
+    *      has exactly ONE node with both out-edges, so every triangle
+    *      is generated once, no dedup pass;
+    *   3. group out-edges by source, enumerate out-neighbor pairs
+    *      INSIDE the aggregation (the simhashPairs shape — one keyed
+    *      shuffle, quadratic only within an out-list, and degree
+    *      orientation caps every out-list at O(√m));
+    *   4. close wedges with one equi-join back against the oriented
+    *      edge set; explode the three corners for per-node counts.
+    *
+    * Scale shape: two shuffles over the edge list (degree join +
+    * out-list groupBy) and one wedge∞edge equi-join — no node ever
+    * sees more than its own out-list, and the heavy-degree hubs that
+    * blow up naive wedge enumeration are exactly the nodes the
+    * orientation strips of out-edges. Reference has no graph ops; this
+    * extends the centrality family ([[pageRank]]) with the standard
+    * cohesion member.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      // referenced by the degree agg AND both orientation joins — persist
+      // or the upstream edge derivation re-executes three times
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    // a < b already, so ties orient a -> b: u is the (deg, id)-smaller end.
+    val oriented = withDeg.select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"),
+        when(col("da") <= col("db"), col("db")).otherwise(col("da")).as("dv"))
+      // consumed twice (wedge source + closing-edge side) — same rule
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Out-neighbor pairs ordered by the SAME (deg, id) total order the
+    // orientation uses, so the closing edge can only exist as (x -> y).
+    val wedges = oriented
+      .groupBy(col("u"))
+      .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("ns"))
+      .where(size(col("ns")) > 1)
+      .select(col("u"), explode(expr(
+        """flatten(transform(ns,
+          |  (x, i) -> transform(slice(ns, i + 2, size(ns)),
+          |            y -> named_struct('x', x.v, 'y', y.v))))""".stripMargin)).as("p"))
+      .select(col("u"), col("p.x").as("x"), col("p.y").as("y"))
+    val tris = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    // materialize the node-bounded rollup eagerly so the intermediates
+    // can be dropped before returning (the Dedup persist discipline)
+    val counts = tris
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+      .localCheckpoint(eager = true)
+    und.unpersist(); oriented.unpersist()
+    counts
+  }
 }

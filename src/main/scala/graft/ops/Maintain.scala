@@ -141,4 +141,23 @@ object Maintain {
           when(col("op") === "D", col(s"__pb.$c"))
             .otherwise(col(s"__pa.$c")).as(c)): _*)
   }
+
+  /** SCHEMA-EVOLUTION read: union snapshots whose schemas drifted over
+    * time (columns added in later writes), aligning columns BY NAME and
+    * null-filling the ones a snapshot predates — the read-side half of
+    * additive schema evolution, which at 100 TB is the only kind that
+    * doesn't force a rewrite of every historical file. Purely
+    * declarative (`unionByName(allowMissingColumns)`): no shuffle, each
+    * snapshot scans once with its own pushed-down projection, and the
+    * fill is a literal in the scan projection, not a join.
+    *
+    * Columns present in several snapshots must agree in type; that's
+    * the additive-evolution contract (widen/rename are rewrite-class
+    * changes and excluded by `unionByName`'s analysis-time error, which
+    * is the behavior you want — silent coercion hides corruption).
+    */
+  def readEvolved(snapshots: Seq[DataFrame]): DataFrame = {
+    require(snapshots.nonEmpty, "at least one snapshot")
+    snapshots.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 }

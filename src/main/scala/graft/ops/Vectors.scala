@@ -392,6 +392,42 @@ object Vectors {
       .orderBy(col("cos_sim").desc, col("vid"))
       .limit(k)
 
+  /** SEMI-HARD negative mining — the contrastive-training data op
+    * (FaceNet's semi-hard criterion): for each anchor, the k most
+    * similar OTHER-label candidates whose similarity is still BELOW
+    * the anchor's best same-label (positive) similarity. Negatives
+    * above that bar are likely label noise / undetected duplicates
+    * (false negatives that poison a contrastive loss); negatives far
+    * below it teach nothing — the band in between is the training
+    * signal.
+    *
+    * `cands` must expose (vid, label, e); `anchors` (q_id, q_label,
+    * qe) and must be SMALL (it broadcasts — the per-anchor phase-1
+    * frame is 1 row/anchor by construction). Two map-side passes over
+    * the candidate corpus: pass 1 reduces to each anchor's positive
+    * ceiling (partial MAX, one tiny exchange); pass 2 scores negatives
+    * against the broadcast ceilings and keeps k per anchor through the
+    * k-bounded TopK aggregator — shuffle carries ≤ k rows per
+    * anchor×partition, never the corpus. A two-phase plan is forced by
+    * the semantics: the ceiling must exist before "below the ceiling"
+    * is decidable, so no single-pass top-k can express it.
+    */
+  def semiHardNegatives(cands: DataFrame, anchors: DataFrame, k: Int): DataFrame = {
+    val spreadC = Partitioning.spread(cands)
+    val pos = spreadC.crossJoin(broadcast(anchors))
+      .filter(col("label") === col("q_label"))
+      .withColumn("cos_sim", rankCosine(col("e"), col("qe")))
+      .groupBy(col("q_id")).agg(max(col("cos_sim")).as("pos_sim"))
+    val negScored = spreadC.crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("cos_sim", rankCosine(col("e"), col("qe")))
+      .join(broadcast(pos), "q_id")
+      .filter(col("cos_sim") < col("pos_sim"))
+    TopK.topKPerGroup(negScored, "q_id", col("cos_sim"), col("vid"),
+        k, "cos_sim", "vec_id")
+      .join(broadcast(pos), "q_id")
+  }
+
   /** Per-dimension int8 scalar quantization — the 4× (fp32) / 8× (fp64)
     * embedding-store compression step of a vector pipeline. Each
     * dimension is affinely mapped onto codes 0..255 between its global

@@ -50,4 +50,40 @@ class GraphSpec extends SparkSpec {
     // the hub still outranks non-seed leaves (it absorbs the seed's 85%)
     out(0L) should be > out(2L)
   }
+
+  test("triangleCount: K4 gives each node C(3,2)=3 triangles; star gives none") {
+    import spark.implicits._
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val out = Graph.triangleCount(k4).as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+    // a star is wedge-rich but triangle-free: the orientation must not
+    // fabricate closures from the hub's (stripped) out-list
+    val star = (1L to 6L).map(l => (0L, l)).toDF("src", "dst")
+    Graph.triangleCount(star).count() shouldBe 0L
+  }
+
+  test("triangleCount is orientation-exact: each triangle counted once " +
+    "regardless of edge direction, duplication, or layout") {
+    import spark.implicits._
+    // two triangles sharing edge (1,2): nodes 1,2 in both; 3,4 in one
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 2L))
+    val messy = (base ++ base.map(_.swap) ++ base).toDF("src", "dst").repartition(7)
+    val out = Graph.triangleCount(messy).as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L)
+  }
+
+  test("triangleCount: the hub of a wheel closes a triangle per rim edge " +
+    "but generates no hub-centered wedges (degree orientation)") {
+    import spark.implicits._
+    // wheel: rim cycle 1-2-3-4-5-1 + hub 0 to every rim node
+    val rim = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+    val spokes = (1L to 5L).map(r => (0L, r))
+    val out = Graph.triangleCount((rim ++ spokes).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    // 5 triangles (hub, rim_i, rim_i+1): hub in all 5, each rim node in
+    // its two adjacent ones
+    out(0L) shouldBe 5L
+    (1L to 5L).foreach(r => out(r) shouldBe 2L)
+  }
 }

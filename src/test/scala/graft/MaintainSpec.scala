@@ -110,4 +110,25 @@ class MaintainSpec extends SparkSpec {
       .as[(Long, String, Int)].collect().toSet
     rebuilt shouldBe after.as[(Long, String, Int)].collect().toSet
   }
+
+  test("readEvolved aligns drifted schemas by name and null-fills, " +
+    "in either snapshot order") {
+    val v1 = Seq((1L, "a")).toDF("k", "x")
+    val v2 = Seq((2L, "b", 42)).toDF("k", "x", "y")
+    val fwd = Maintain.readEvolved(Seq(v1, v2))
+      .select("k", "x", "y").as[(Long, String, Option[Int])]
+      .collect().toSet
+    fwd shouldBe Set((1L, "a", None), (2L, "b", Some(42)))
+    val rev = Maintain.readEvolved(Seq(v2, v1))
+      .select("k", "x", "y").as[(Long, String, Option[Int])]
+      .collect().toSet
+    rev shouldBe fwd // alignment is by NAME, not by snapshot position
+  }
+
+  test("readEvolved refuses a type conflict instead of coercing silently") {
+    val v1 = Seq((1L, "a")).toDF("k", "x")
+    val v3 = Seq((2L, 9)).toDF("k", "x") // x drifted string -> int
+    an[Exception] should be thrownBy
+      Maintain.readEvolved(Seq(v1, v3)).collect()
+  }
 }

@@ -289,4 +289,28 @@ class VectorsSpec extends SparkSpec {
       vecs, q, 3).select("vid").collect().map(_.getLong(0)).toSeq
     topk shouldBe Seq(1L, 2L, 3L)
   }
+
+  test("semiHardNegatives: below-ceiling other-label top-k, " +
+    "too-similar negatives excluded as likely false negatives") {
+    import spark.implicits._
+    // anchor (1,0): positive ceiling from vid 1 (cos 0.8); vid 2 is an
+    // other-label exact copy (cos 1.0 > ceiling → excluded); 3, 4, 5
+    // are the semi-hard band in decreasing similarity.
+    val cands = Seq(
+      (1L, 0, Array(0.8, 0.6)),   // same label: sets pos_sim = 0.8
+      (2L, 1, Array(1.0, 0.0)),   // cos 1.0 — above ceiling, excluded
+      (3L, 1, Array(0.6, 0.8)),   // cos 0.6 — rank 1
+      (4L, 1, Array(0.0, 1.0)),   // cos 0.0 — rank 2
+      (5L, 2, Array(-1.0, 0.0))   // cos -1.0 — rank 3, cut by k=2
+    ).toDF("vid", "label", "e")
+    val anchors = Seq((100L, 0, Array(1.0, 0.0))).toDF("q_id", "q_label", "qe")
+    val out = Vectors.semiHardNegatives(cands, anchors, k = 2)
+      .select("q_id", "rank", "vec_id", "cos_sim", "pos_sim")
+      .as[(Long, Int, Long, Double, Double)].collect().sortBy(_._2)
+    out.map(r => (r._2, r._3)).toSeq shouldBe Seq((1, 3L), (2, 4L))
+    out.foreach { r =>
+      r._5 shouldBe 0.8 +- 1e-12      // the positive ceiling rides along
+      r._4 should be < r._5           // every pick is strictly below it
+    }
+  }
 }
