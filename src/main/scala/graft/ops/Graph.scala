@@ -190,4 +190,69 @@ object Graph {
     und.unpersist(); oriented.unpersist()
     counts
   }
+
+  /** K-CORE extraction by BOUNDED iterative peeling: `rounds` passes of
+    * "drop every node whose current degree < k", returning the
+    * surviving nodes with their within-core degree. The k-core is the
+    * standard robust-community filter (a node's degree can be spammed;
+    * its coreness requires k neighbors who THEMSELVES survive — the
+    * graph analogue of the mutual-endorsement quality prior).
+    *
+    * The round cap is part of the CONTRACT, not an approximation
+    * hazard: the oracle replays exactly `rounds` peels, so both
+    * engines agree bit-for-bit whether or not peeling has converged,
+    * and convergence itself is a spec concern (most graphs peel to a
+    * fixpoint in a handful of rounds; a path graph is the adversarial
+    * slow case). Per round: one map-side-combined degree count + two
+    * semi-joins against the survivor set — all keyed on the node, no
+    * driver-side data, lineage checkpoint-cut per round (the pageRank
+    * discipline).
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 50, "bounded peeling")
+    val und = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(eager = true) // cut the caller's lineage once
+    var round = 0
+    while (round < rounds) {
+      val keep = adj.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("a").as("node"))
+      adj = adj
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+      round += 1
+    }
+    adj.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** DuckDB replay of [[kCore]]: the same `rounds` peels as an
+    * unrolled CTE chain over an `e(src, dst)` CTE — kept next to the
+    * operator so the formulations cannot drift (pageRankSql pattern).
+    */
+  def kCoreSql(edgesCte: String, k: Int, rounds: Int): String = {
+    // Every adj CTE is referenced three times by the next peel; DuckDB
+    // inlines CTEs by default, which re-evaluates the whole chain
+    // 3^rounds times — AS MATERIALIZED pins each round to one
+    // evaluation, mirroring the operator's per-round localCheckpoint.
+    val header =
+      s"""WITH raw AS ($edgesCte),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM raw WHERE src <> dst),
+         |adj0 AS MATERIALIZED (SELECT a, b FROM und UNION ALL SELECT b, a FROM und)""".stripMargin
+    val peels = (1 to rounds).map { r =>
+      s"""keep$r AS MATERIALIZED (
+         |  SELECT a AS node FROM adj${r - 1} GROUP BY 1 HAVING COUNT(*) >= $k),
+         |adj$r AS MATERIALIZED (
+         |  SELECT adj${r - 1}.a, adj${r - 1}.b FROM adj${r - 1}
+         |  JOIN keep$r x ON adj${r - 1}.a = x.node
+         |  JOIN keep$r y ON adj${r - 1}.b = y.node)""".stripMargin
+    }
+    (header +: peels).mkString(",\n") +
+      s"\nSELECT a AS node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM adj$rounds GROUP BY 1"
+  }
 }

@@ -86,4 +86,45 @@ class GraphSpec extends SparkSpec {
     out(0L) shouldBe 5L
     (1L to 5L).foreach(r => out(r) shouldBe 2L)
   }
+
+  test("kCore: K4 with a pendant chain keeps exactly the K4 at k=3 — " +
+    "the chain peels even though its root touches the core") {
+    import spark.implicits._
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val chain = Seq((4L, 5L), (5L, 6L)) // 5 and 6 must cascade out
+    val out = Graph.kCore((k4 ++ chain).toDF("src", "dst"), k = 3, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+  }
+
+  test("kCore: a path peels from both ends one ring per round — " +
+    "bounded rounds expose exactly the unconverged frontier") {
+    import spark.implicits._
+    val path = (1L to 6L).sliding(2).map(p => (p(0), p(1))).toSeq.toDF("src", "dst")
+    // k=2 on a path has an EMPTY 2-core; after 1 round only the
+    // endpoints have peeled — the cap is a contract, not convergence
+    val r1 = Graph.kCore(path, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    r1.keySet shouldBe Set(2L, 3L, 4L, 5L)
+    Graph.kCore(path, k = 2, rounds = 3).count() shouldBe 0L
+  }
+
+  test("kCore converges on the gate's bipartite graph shape at its k " +
+    "(rounds 6 == rounds 8), and the result is direction/layout-invariant") {
+    import spark.implicits._
+    // deterministic bipartite fixture in the gate's shape: parts 2m,
+    // suppliers 2s+1, part m links suppliers (m+j) mod 25 for j < 8
+    val edges = (for { m <- 0L until 120L; j <- 0L until 8L }
+      yield (2L * m, 2L * ((m + j) % 25L) + 1L)).toDF("src", "dst")
+    val r6 = Graph.kCore(edges, k = 8, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    val r8 = Graph.kCore(edges, k = 8, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    r8 shouldBe r6 // converged well inside the cap
+    r6 should not be empty
+    val flipped = Graph.kCore(
+      edges.select(col("dst").as("src"), col("src").as("dst")).repartition(7),
+      k = 8, rounds = 6).as[(Long, Long)].collect().toMap
+    flipped shouldBe r6
+  }
 }
