@@ -3085,6 +3085,65 @@ object PipelineQueries {
        |FROM vol v JOIN med USING (lang, source)
        |ORDER BY lang, source""".stripMargin
 
+  // ---- T26: greedy max-coverage selection -----------------------------
+
+  /** T26: greedy MAX-COVERAGE document selection over 3-gram shingle
+    * hashes (see Sampling.coverSelect) — 4 rounds of "take the doc
+    * covering the most unclaimed shingles". The oracle replays the
+    * same greedy as an unrolled MATERIALIZED-CTE chain (the e15 MMR
+    * pattern; MATERIALIZED because each round re-references the
+    * previous covered set), agreeing on winners, per-round gains, and
+    * the cumulative covered count.
+    */
+  val t26CoverSelect: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("text"))
+    graft.ops.Sampling.coverSelect(
+        Dedup.shingleHashSet(docs, "id", "text", 3), k = 4)
+      .orderBy("rank")
+  }
+  val t26CoverSelectSql: String = {
+    def round(r: Int): String =
+      if (r == 1)
+        s"""g1 AS MATERIALIZED (SELECT id, COUNT(*) AS gain FROM sh GROUP BY 1),
+           |p1 AS MATERIALIZED (
+           |  SELECT ids.id, CAST(COALESCE(gain, 0) AS BIGINT) AS gain
+           |  FROM ids LEFT JOIN g1 USING (id)
+           |  ORDER BY gain DESC, id LIMIT 1),
+           |c1 AS MATERIALIZED (
+           |  SELECT DISTINCT h FROM sh WHERE id = (SELECT id FROM p1))""".stripMargin
+      else {
+        val notIn = (1 until r).map(j => s"(SELECT id FROM p$j)").mkString(", ")
+        s"""g$r AS MATERIALIZED (
+           |  SELECT id, COUNT(*) AS gain FROM sh
+           |  WHERE h NOT IN (SELECT h FROM c${r - 1}) GROUP BY 1),
+           |p$r AS MATERIALIZED (
+           |  SELECT ids.id, CAST(COALESCE(gain, 0) AS BIGINT) AS gain
+           |  FROM ids LEFT JOIN g$r USING (id)
+           |  WHERE ids.id NOT IN ($notIn)
+           |  ORDER BY gain DESC, id LIMIT 1),
+           |c$r AS MATERIALIZED (
+           |  SELECT h FROM c${r - 1}
+           |  UNION SELECT h FROM sh WHERE id = (SELECT id FROM p$r))""".stripMargin
+      }
+    val rounds = (1 to 4).map(round).mkString(",\n")
+    val out = (1 to 4).map { r =>
+      val cum = (1 to r).map(j => s"(SELECT gain FROM p$j)").mkString(" + ")
+      s"SELECT CAST($r AS INTEGER) AS rank, id AS doc_id, gain AS new_hashes, " +
+        s"CAST($cum AS BIGINT) AS covered_total FROM p$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH sh AS MATERIALIZED (
+       |  SELECT DISTINCT id, ${hash60Sql("sh")} AS h
+       |  FROM (SELECT id, unnest(list_transform(generate_series(1, len(toks) - 2),
+       |          i -> array_to_string(toks[i:i+2], ' '))) AS sh
+       |        FROM (SELECT doc_id AS id, string_split_regex(text, '\\s+') AS toks
+       |              FROM documents))),
+       |ids AS MATERIALIZED (SELECT DISTINCT id FROM sh),
+       |$rounds
+       |$out
+       |ORDER BY rank""".stripMargin
+  }
+
   // ---- P12: mixture plan (data recipe under availability caps) --------
 
   /** P12: the PLANNING step ahead of q_p2's mixture sampling — turn a
@@ -3929,6 +3988,7 @@ object PipelineQueries {
     "q_e15_mmr" -> e15Mmr,
     "q_e16_semi_hard" -> e16SemiHard,
     "q_t25_dataset_card" -> t25DatasetCard,
+    "q_t26_cover_select" -> t26CoverSelect,
     "q_t24_novelty" -> t24Novelty,
     "q_t23_grep" -> t23Grep,
     "q_e13_incr_ivf" -> e13IncrIvf,
@@ -4024,6 +4084,7 @@ object PipelineQueries {
     "q_e15_mmr" -> e15MmrSql,
     "q_e16_semi_hard" -> e16SemiHardSql,
     "q_t25_dataset_card" -> t25DatasetCardSql,
+    "q_t26_cover_select" -> t26CoverSelectSql,
     "q_t24_novelty" -> t24NoveltySql,
     "q_t23_grep" -> t23GrepSql,
     "q_e13_incr_ivf" -> e13IncrIvfSql,

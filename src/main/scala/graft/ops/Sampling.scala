@@ -235,4 +235,60 @@ object Sampling {
     df.filter(gateBucket(key, salt) <
       (rate * Buckets).cast(org.apache.spark.sql.types.LongType))
   }
+
+  /** Greedy MAX-COVERAGE selection (the submodular facility-location
+    * pick of data curation): choose `k` documents one at a time, each
+    * round taking the document that adds the most NOT-YET-COVERED
+    * feature hashes (ties to the lowest id) — the classic (1 − 1/e)
+    * greedy for building a small probe/eval set that touches as much
+    * of the corpus's feature space as possible. The diversity dual of
+    * Vectors.mmrSelect: MMR penalizes similarity to picks, coverage
+    * counts only what picks haven't claimed.
+    *
+    * `features` must expose (id, h) pairs (Dedup.shingleHashSet's
+    * shape). Per round: one anti-join of the feature table against the
+    * covered set + one map-side-combined gain count; the single
+    * driver-side action is the 1-row argmax (the BPE-merge discipline
+    * — k rows total cross the driver). The covered set is bounded by
+    * the picks' own features, not the corpus, and is checkpoint-cut
+    * each round. Zero-gain rounds still pick (lowest unpicked id) so
+    * the output is always exactly k rows, stated by the oracle too.
+    */
+  def coverSelect(features: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"bounded selection, got $k")
+    val spark = features.sparkSession
+    val feats = features
+      .select(col("id").cast("long").as("id"), col("h").cast("long").as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = feats.select(col("id")).distinct()
+    var covered = spark.range(0).select(col("id").as("h"))
+    val picks = scala.collection.mutable.ListBuffer.empty[(Int, Long, Long, Long)]
+    var total = 0L
+    var r = 1
+    while (r <= k) {
+      val gains = feats.join(covered, Seq("h"), "left_anti")
+        .groupBy(col("id")).agg(count(lit(1)).as("gain"))
+      val already = picks.map(_._2)
+      val winRows = ids
+        .filter(if (already.isEmpty) lit(true) else !col("id").isin(already.toSeq: _*))
+        .join(gains, Seq("id"), "left")
+        .select(col("id"), coalesce(col("gain"), lit(0L)).as("gain"))
+        .orderBy(col("gain").desc, col("id")).limit(1)
+        .collect() // exactly one row per round crosses the driver
+      if (winRows.nonEmpty) {
+        val (wid, gain) = (winRows(0).getLong(0), winRows(0).getLong(1))
+        total += gain
+        picks += ((r, wid, gain, total))
+        covered = covered
+          .union(feats.filter(col("id") === wid).select(col("h")))
+          .distinct()
+          .localCheckpoint(eager = true) // flat plan, bounded by picks
+      } else r = k // fewer docs than k: stop early with what exists
+      r += 1
+    }
+    feats.unpersist()
+    import spark.implicits._
+    picks.toSeq.toDF("rank", "doc_id", "new_hashes", "covered_total")
+  }
 }

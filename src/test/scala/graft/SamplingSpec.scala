@@ -247,4 +247,26 @@ class SamplingSpec extends SparkSpec {
     run(df.repartition(7)) shouldBe base
     run(df.orderBy(col("id").desc)) shouldBe base
   }
+
+  test("coverSelect is greedy-optimal on a planted overlap geometry, " +
+    "zero-gain rounds still pick deterministically") {
+    import spark.implicits._
+    // doc 1 covers {1..6}; doc 2 covers {1..4, 7, 8} (gain 2 after 1);
+    // doc 3 covers {5, 6, 7, 8} (gain 0 after 1 and 2); doc 4 = {9}
+    val feats = (
+      (1L to 6L).map(h => (1L, h)) ++
+        Seq(1L, 2L, 3L, 4L, 7L, 8L).map(h => (2L, h)) ++
+        Seq(5L, 6L, 7L, 8L).map(h => (3L, h)) ++
+        Seq((4L, 9L))
+      ).toDF("id", "h")
+    val out = Sampling.coverSelect(feats, k = 4)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // greedy: 1 (6 new), 2 (+2: 7,8), 4 (+1: 9), then 3 at gain 0 —
+    // still emitted, lowest unpicked id, cumulative total flat
+    out shouldBe Seq((1, 1L, 6L, 6L), (2, 2L, 2L, 8L),
+      (3, 4L, 1L, 9L), (4, 3L, 0L, 9L))
+    // layout invariance: the pick sequence is data, not partitioning
+    Sampling.coverSelect(feats.repartition(5), k = 4)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq shouldBe out
+  }
 }
