@@ -147,7 +147,7 @@ object Graph {
     * extends the centrality family ([[pageRank]]) with the standard
     * cohesion member.
     */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  def triangleCount(edges: DataFrame, checkpoint: Boolean = true): DataFrame = {
     val und = edges.select(
         least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
@@ -181,14 +181,17 @@ object Graph {
       .select(col("u"), col("p.x").as("x"), col("p.y").as("y"))
     val tris = wedges.join(
       oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
-    // materialize the node-bounded rollup eagerly so the intermediates
-    // can be dropped before returning (the Dedup persist discipline)
-    val counts = tris
+    val raw = tris
       .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
-      .localCheckpoint(eager = true)
-    und.unpersist(); oriented.unpersist()
-    counts
+    if (!checkpoint) raw // plan-inspection path: caches stay live
+    else {
+      // materialize the node-bounded rollup eagerly so the intermediates
+      // can be dropped before returning (the Dedup persist discipline)
+      val counts = raw.localCheckpoint(eager = true)
+      und.unpersist(); oriented.unpersist()
+      counts
+    }
   }
 
   /** K-CORE extraction by BOUNDED iterative peeling: `rounds` passes of

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Plan-shape regression locks for the scale-critical physical
   * properties the engine is designed around: predicate pushdown into
   * the parquet scan, broadcast of dimension sides, map-side partial
@@ -241,5 +243,57 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_t22_calibration")
     p should include("partial_count")
     p should not include "CartesianProduct"
+  }
+
+  test("q_g10_triangles: wedges enumerate inside the out-list aggregation, " +
+    "no cartesian anywhere in the closure") {
+    // the registered query checkpoints its node-bounded rollup (so the
+    // plan visible through Queries.all is a post-checkpoint scan) —
+    // lock the operator's own pre-checkpoint plan on the same edges
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = li.join(li.withColumnRenamed("p", "p2"), "o")
+      .where(col("p") < col("p2"))
+      .select(col("p").as("src"), col("p2").as("dst"))
+    val p = graft.ops.Graph.triangleCount(pairs, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    // out-neighbor lists collect under a keyed agg WITH a map-side
+    // partial (sort_array applies in the project above it), pairs
+    // explode from the list — the closing join is an equi-join, never
+    // a product
+    p should include("partial_collect_list")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q_e16_semi_hard: positive pass turns into an equi broadcast join, " +
+    "only the non-equi negatives pass nested-loops; TopK partial below the exchange") {
+    val p = plan("q_e16_semi_hard")
+    // Catalyst extracts label = q_label from the filter over the cross
+    // join → BroadcastHashJoin for the positive-ceiling pass; the
+    // negatives pass (label <> q_label) legitimately stays a broadcast
+    // nested loop over the tiny anchor set. Candidates never shuffle
+    // for scoring; only ≤ k rows per anchor×partition reach the agg
+    // exchange.
+    p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) shouldBe 1
+    p.linesIterator.count(_.contains("BroadcastHashJoin")) should be >= 2
+    p should include("partial_topkagg")
+    p should not include "CartesianProduct"
+  }
+
+  test("q_t25_dataset_card: volume rollup partial-aggregates; exactly one " +
+    "median rank-selection window") {
+    val p = plan("q_t25_dataset_card")
+    p should include("partial_count")
+    p.linesIterator.count(_.contains("Window [")) should be >= 1
+    p should not include "CartesianProduct"
+  }
+
+  test("q_s8_schema_merge: by-name union stays scan-projection only — " +
+    "no shuffle, no join, both scans pruned") {
+    val p = plan("q_s8_schema_merge")
+    p should include("Union")
+    p should not include "Exchange hashpartitioning"
+    p should not include "Join"
   }
 }
