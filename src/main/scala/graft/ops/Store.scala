@@ -286,6 +286,89 @@ object Store {
 
   final case class PrunedScan(df: DataFrame, filesRead: Long, filesTotal: Long)
 
+  def bloomManifestPath(path: String): String = s"$path/_bloom"
+
+  private val BloomBits = 1024 // 16 longs per file
+  private val BloomProbes = 4
+
+  /** Driver-side replica of `TextOps.seededHash60` ("<seed>:<value>",
+    * first 15 md5 nibbles) so lookup probes match the manifest's
+    * builder bit-for-bit without a Spark job.
+    */
+  private def seededHash60Local(seed: Int, s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed:$s".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** BLOOM-FILTER file manifest: the point-lookup complement of the
+    * min/max zonemap (`refreshManifest`). Range envelopes prune range
+    * scans but are useless for a high-cardinality equality probe on an
+    * unsorted key ("which files contain user X?") — every file's
+    * [min, max] spans the whole domain. A per-file Bloom filter over
+    * the key column answers it with no false NEGATIVES by
+    * construction, so pruning is always safe.
+    *
+    * Layout: (file, word, bits) rows — a 1024-bit filter as ≤ 16
+    * 64-bit words per file, only non-zero words stored. Built in one
+    * keyed aggregation: each row explodes into 4 seeded-hash probe
+    * positions, positions fold into per-(file, word) masks with
+    * BIT_OR's map-side partial — one exchange carrying ≤ 16 rows per
+    * file regardless of row count. The hash is the engine-portable
+    * seeded hash60 (any engine can rebuild or verify the manifest).
+    */
+  def refreshBloomManifest(spark: SparkSession, path: String,
+                           keyCol: String): Unit = {
+    val probes = spark.read.parquet(path)
+      .select(input_file_name().as("file"),
+        col(keyCol).cast("string").as("__k"))
+      .select(col("file"), explode(sequence(lit(0), lit(BloomProbes - 1))).as("__s"),
+        col("__k"))
+      .select(col("file"),
+        pmod(graft.ops.TextOps.seededHash60(col("__s"), col("__k")),
+          lit(BloomBits.toLong)).as("__p"))
+    probes
+      .select(col("file"), (col("__p") / 64L).cast("int").as("word"),
+        // functions.shiftleft only takes a literal shift — SQL's takes
+        // a column
+        expr("shiftleft(1L, int(__p % 64))").as("__m"))
+      .groupBy(col("file"), col("word"))
+      .agg(expr("bit_or(__m)").as("bits"))
+      .localCheckpoint(eager = true) // never read-and-overwrite the same dir
+      .write.mode(SaveMode.Overwrite).parquet(bloomManifestPath(path))
+  }
+
+  /** Bloom-pruned point lookup: read ONLY the files whose filter has
+    * every probe bit of `value` set, then apply the row predicate.
+    * False positives cost a wasted file read; false negatives cannot
+    * happen (each file's filter saw every row it holds). The probe
+    * positions are computed driver-side (4 md5 calls, no job); the
+    * candidate decision is one filter + count over the ≤16-rows-per-
+    * file manifest.
+    */
+  def scanBloomPruned(spark: SparkSession, path: String, keyCol: String,
+                      value: Any): PrunedScan = {
+    val need: Map[Int, Long] = (0 until BloomProbes)
+      .map(i => seededHash60Local(i, String.valueOf(value)) % BloomBits)
+      .groupBy(p => (p / 64).toInt)
+      .map { case (w, ps) => w -> ps.foldLeft(0L)((m, p) => m | (1L << (p % 64))) }
+    val mf = spark.read.parquet(bloomManifestPath(path))
+    val total = mf.select("file").distinct().count()
+    val satisfied = need.map { case (w, m) =>
+      mf.filter(col("word") === w && (col("bits").bitwiseAND(m) === m))
+        .select("file")
+    }.reduce(_.intersect(_)) // every required word's mask fully present
+    val files = satisfied.collect().map(_.getString(0)).toIndexedSeq
+    val pred = col(keyCol) === lit(value)
+    val df =
+      if (files.isEmpty)
+        spark.read.option("basePath", path).parquet(path).filter(pred).limit(0)
+      else
+        spark.read.option("basePath", path).parquet(files: _*).filter(pred)
+    PrunedScan(df, files.length, total)
+  }
+
   /** Manifest-pruned range scan: read ONLY the files whose [min, max]
     * envelope intersects [lo, hi] on `c`, then apply the row-level
     * predicate as usual (parquet row-group stats prune further inside

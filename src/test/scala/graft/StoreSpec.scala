@@ -346,4 +346,32 @@ class StoreSpec extends SparkSpec {
     p.filesRead should be < p.filesTotal
     p.df.count() shouldBe 3L // the three re-probed symbols
   }
+
+  test("bloom manifest: point lookup reads only matching files, " +
+    "never loses a row, and an absent key prunes everything") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-bloom").toString + "/t"
+    // symbol is HIGH-cardinality and unsorted within partitions — the
+    // zonemap's min/max envelope cannot prune an equality probe on it
+    val rows = (0 until 300).map { i =>
+      (Date.valueOf(s"2024-01-${15 + i % 3}"), s"SYM${i}USDT", 1000L + i)
+    }.toDF("date", "symbol", "file_size_bytes")
+    Store.writePartitioned(rows, path, "date")
+    Store.refreshBloomManifest(spark, path, "symbol")
+
+    // present key: exact rows back, and the filter pruned to one file
+    val hit = Store.scanBloomPruned(spark, path, "symbol", "SYM42USDT")
+    hit.df.select("file_size_bytes").as[Long].collect().toSeq shouldBe Seq(1042L)
+    hit.filesRead should be < hit.filesTotal
+    hit.filesTotal should be >= 3L // one or more files per date partition
+    // every planted key is findable — no false negatives by construction
+    (0 until 300 by 37).foreach { i =>
+      Store.scanBloomPruned(spark, path, "symbol", s"SYM${i}USDT")
+        .df.count() shouldBe 1L
+    }
+    // absent key: all probes miss (deterministic for this fixture)
+    val miss = Store.scanBloomPruned(spark, path, "symbol", "NOPEUSDT")
+    miss.filesRead shouldBe 0L
+    miss.df.count() shouldBe 0L
+  }
 }
