@@ -1,0 +1,298 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Graph, Maintain, Sampling, Skew, TextOps, Vectors}
+import graft.ops.TextOps.seededHash60Sql
+
+/** Round-8 third-session additions — the curation/maintenance frontier:
+  * incremental join-view maintenance, noisy-label audit, embedding-space
+  * class separation, BM25 retrieval, the cross-source duplication
+  * matrix, curriculum-ordered epoch materialization, key-skew
+  * diagnostics, and neighbor-set Jaccard link prediction.
+  *
+  * Every query has a DuckDB oracle restating the full algebra from the
+  * base parquet tables (same conventions as PipelineQueries: integral
+  * `div` / `//` only on non-negative operands, BIGINT casts on every
+  * DuckDB aggregate, portable md5-based hash60).
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cosSql(x: String, y: String): String = {
+    val c = s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+    s"(CASE WHEN isnan($c) THEN -1.0 ELSE $c END)"
+  }
+
+  // ---- S9: incremental join-view maintenance --------------------------
+
+  /** S9: a materialized orders⋈lineitem view kept current by the delta
+    * algebra ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB ([[Maintain.incrJoinView]]) —
+    * the oracle is simply the FULL join: the incremental path must be
+    * row-identical to recomputing from scratch. Delta membership is a
+    * deterministic key split (orders: o_orderkey%13, lineitem:
+    * l_partkey%11) so all four terms are non-empty at any SF.
+    */
+  val s9IncrJoinView: Q = (s, d) => {
+    val a = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val b = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+    val join = (x: DataFrame, y: DataFrame) =>
+      x.join(y, col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+          Queries.dstr(col("o_orderdate")).as("o_day"), col("l_quantity"))
+    val baseA = a.filter(col("o_orderkey") % 13 =!= 0)
+    val deltaA = a.filter(col("o_orderkey") % 13 === 0)
+    val baseB = b.filter(col("l_partkey") % 11 =!= 0)
+    val deltaB = b.filter(col("l_partkey") % 11 === 0)
+    Maintain.incrJoinView(join(baseA, baseB), baseA, baseB, deltaA, deltaB, join)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+  val s9IncrJoinViewSql: String =
+    """SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+      |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_day, l.l_quantity
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- E17: noisy-label audit -----------------------------------------
+
+  /** E17: k-NN label-consistency audit ([[Vectors.labelNoiseAudit]]) on
+    * the vec_id%7 anchor subset, k=10 — an anchor is `noisy` when its
+    * label disagrees with its neighborhood's plurality label.
+    */
+  val e17LabelNoise: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id".as("vid"), $"label", $"embedding".cast("array<double>").as("e"))
+    val anchors = vecs.filter($"vid" % 7 === 0)
+      .select($"vid".as("q_id"), $"label".as("q_label"), $"e".as("qe"))
+    Vectors.labelNoiseAudit(vecs, anchors, 10).orderBy("vec_id")
+  }
+  val e17LabelNoiseSql: String =
+    s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |a AS (SELECT vec_id AS q_id, label AS q_label, e AS qe FROM v WHERE vec_id % 7 = 0),
+       |sc AS (SELECT a.q_id, a.q_label, v.vec_id, v.label AS nn_label,
+       |         ${cosSql("v.e", "a.qe")} AS cos_sim
+       |       FROM v CROSS JOIN a WHERE v.vec_id <> a.q_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos_sim DESC, vec_id) AS rk FROM sc),
+       |votes AS (SELECT q_id, q_label, nn_label, CAST(COUNT(*) AS BIGINT) AS cnt
+       |          FROM r WHERE rk <= 10 GROUP BY 1, 2, 3),
+       |plur AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY cnt DESC, nn_label) AS prk FROM votes)
+       |SELECT q_id AS vec_id, q_label AS label, nn_label AS top_label,
+       |  cnt AS top_count, q_label <> nn_label AS noisy
+       |FROM plur WHERE prk = 1 ORDER BY vec_id""".stripMargin
+
+  // ---- E18: embedding-space class separation --------------------------
+
+  /** E18: per-label intra-spread vs nearest-foreign-centroid distance
+    * ([[Vectors.labelSeparation]]) on the int8-quantized grid — fully
+    * integer-exact, so the report reproduces on any engine.
+    */
+  val e18Separation: Q = (s, d) => {
+    import s.implicits._
+    Vectors.labelSeparation(
+        Tables.embeddings(s, d).select($"vec_id", $"label", $"embedding"),
+        "vec_id", "label", "embedding")
+      .orderBy("label")
+  }
+  val e18SeparationSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, pos - 1 AS pos, CAST(embedding[pos] AS DOUBLE) AS v
+      |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS pos
+      |        FROM embeddings)),
+      |dims AS (SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM ex GROUP BY 1),
+      |codes AS (
+      |  SELECT e.vec_id, e.pos,
+      |    CASE WHEN d.hi = d.lo THEN 0
+      |         ELSE CAST(FLOOR((e.v - d.lo) * 255.0 / (d.hi - d.lo) + 0.5) AS BIGINT)
+      |    END AS code
+      |  FROM ex e JOIN dims d USING (pos)),
+      |lc AS (SELECT l.label AS lab, c.vec_id, c.pos, c.code
+      |       FROM codes c JOIN embeddings l USING (vec_id)),
+      |cent AS (SELECT lab, pos, CAST(SUM(code) AS BIGINT) // COUNT(*) AS c
+      |         FROM lc GROUP BY 1, 2),
+      |pv AS (SELECT lc.vec_id, lc.lab,
+      |         CAST(SUM((lc.code - cent.c) * (lc.code - cent.c)) AS BIGINT) AS vd2
+      |       FROM lc JOIN cent ON cent.lab = lc.lab AND cent.pos = lc.pos
+      |       GROUP BY 1, 2),
+      |intra AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |            CAST(SUM(vd2) AS BIGINT) // COUNT(*) AS intra_msd
+      |          FROM pv GROUP BY 1),
+      |cp AS (SELECT x.lab AS la, y.lab AS lb,
+      |         CAST(SUM((x.c - y.c) * (x.c - y.c)) AS BIGINT) AS cd2
+      |       FROM cent x JOIN cent y ON x.pos = y.pos AND x.lab <> y.lab
+      |       GROUP BY 1, 2),
+      |near AS (SELECT la, lb, cd2,
+      |           row_number() OVER (PARTITION BY la ORDER BY cd2, lb) AS rk
+      |         FROM cp)
+      |SELECT i.lab AS label, i.n_vecs, i.intra_msd, n.lb AS nearest_label,
+      |  n.cd2 AS nearest_d2, n.cd2 * 1000 // nullif(i.intra_msd, 0) AS sep_x1000
+      |FROM intra i JOIN near n ON n.la = i.lab AND n.rk = 1
+      |ORDER BY label""".stripMargin
+
+  // ---- T27: BM25 ranked retrieval -------------------------------------
+
+  /** T27: BM25 top-20 for the query {vector, spark, merge}
+    * ([[TextOps.bm25Rank]]) — the log-free integer surrogate documented
+    * on the operator.
+    */
+  val t27Bm25: Q = (s, d) => {
+    import s.implicits._
+    TextOps.bm25Rank(Tables.documents(s, d), "doc_id", "text",
+        Seq("vector", "spark", "merge"), 20)
+      .select($"id".as("doc_id"), $"score")
+  }
+  val t27Bm25Sql: String =
+    """WITH toks AS (
+      |  SELECT id, lower(tok) AS term FROM
+      |    (SELECT doc_id AS id, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok
+      |     FROM documents)),
+      |dl AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      |scal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |           CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avgdl FROM dl),
+      |q AS (SELECT * FROM toks WHERE term IN ('vector', 'spark', 'merge')),
+      |dfreq AS (SELECT term, CAST(COUNT(DISTINCT id) AS BIGINT) AS df FROM q GROUP BY 1),
+      |tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM q GROUP BY 1, 2),
+      |contrib AS (
+      |  SELECT tf.id,
+      |    ((2 * (s.n_docs - f.df) + 1) * 1000000 // (2 * f.df + 1))
+      |      * 22 * tf.tf * s.avgdl
+      |      // (10 * s.avgdl * tf.tf + 3 * s.avgdl + 9 * d.dl) AS contrib
+      |  FROM tf JOIN dfreq f USING (term) JOIN dl d ON d.id = tf.id CROSS JOIN scal s)
+      |SELECT id AS doc_id, CAST(SUM(contrib) AS BIGINT) AS score
+      |FROM contrib GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  // ---- D16: cross-source duplication matrix ---------------------------
+
+  /** D16: which sources copy which — exact-dup pairs
+    * ([[Dedup.exactPairs]]) over a corpus where every 5th document also
+    * appears under a planted mirror source, folded to an unordered
+    * per-source-pair count ([[Dedup.crossSourceMatrix]]). The same
+    * matrix composes over MinHash/perceptual pair frames (spec-pinned).
+    */
+  val d16CrossSource: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id".as("id"), $"text", $"source")
+    val mirror = Tables.documents(s, d).filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 100000).as("id"), $"text",
+        concat(lit("mirror"), ($"doc_id" % 3).cast("string")).as("source"))
+    val corpus = docs.unionByName(mirror)
+    Dedup.crossSourceMatrix(Dedup.exactPairs(corpus, "id", "text"),
+        corpus, "id", "source")
+      .orderBy("src_a", "src_b")
+  }
+  val d16CrossSourceSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id AS id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS id, text,
+      |    'mirror' || CAST(doc_id % 3 AS VARCHAR) AS source
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |h AS (SELECT id, source, md5(text) AS h FROM corpus),
+      |p AS (SELECT a.source AS sa, b.source AS sb
+      |      FROM h a JOIN h b ON a.h = b.h AND a.id < b.id)
+      |SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- P13: curriculum-ordered epochs ---------------------------------
+
+  /** P13: two epochs of curriculum-ordered training positions
+    * ([[Sampling.curriculumOrder]]): bin = length quartile-ish
+    * (n_chars div 150 capped at 3), 8 shards, seeded per-epoch hash.
+    */
+  val p13Curriculum: Q = (s, d) => {
+    Sampling.curriculumOrder(Tables.documents(s, d), "doc_id",
+        expr("least(n_chars div 150, 3)"), epochs = 2, shards = 8)
+      .orderBy("epoch", "shard", "pos")
+  }
+  val p13CurriculumSql: String =
+    s"""WITH e AS (
+       |  SELECT doc_id, least(n_chars // 150, 3) AS bin, ep.epoch
+       |  FROM documents CROSS JOIN
+       |    (SELECT unnest(generate_series(0, 1)) AS epoch) ep),
+       |k AS (SELECT epoch, doc_id, bin,
+       |        ${seededHash60Sql("'ep' || CAST(epoch AS VARCHAR)", "CAST(doc_id AS VARCHAR)")} AS h
+       |      FROM e),
+       |p AS (SELECT epoch, doc_id, bin, h % 8 AS shard, h FROM k)
+       |SELECT epoch, doc_id, bin, shard,
+       |  CAST(row_number() OVER (PARTITION BY epoch, shard
+       |    ORDER BY bin, h, doc_id) AS BIGINT) AS pos
+       |FROM p ORDER BY epoch, shard, pos""".stripMargin
+
+  // ---- V7: key-skew diagnostics ---------------------------------------
+
+  /** V7: [[Skew.keySkewReport]] over three prospective shuffle keys —
+    * the measurement that justifies (or spares) a salted join.
+    */
+  val v7SkewReport: Q = (s, d) => {
+    Skew.keySkewReport(Tables.events(s, d), "user_id", "events.user_id")
+      .unionByName(Skew.keySkewReport(Tables.events(s, d), "event_type", "events.event_type"))
+      .unionByName(Skew.keySkewReport(Tables.lineitem(s, d), "l_orderkey", "lineitem.l_orderkey"))
+      .orderBy("key_col")
+  }
+  private def skewSql(table: String, key: String, label: String): String =
+    s"""SELECT '$label' AS key_col, n_rows, n_keys, max_cnt,
+       |  max_cnt * 1000000 // n_rows AS top_share_ppm,
+       |  max_cnt * 1000 * n_keys // n_rows AS skew_x1000,
+       |  (max_cnt * 1000 * n_keys // n_rows) > 5000 AS salt_advised
+       |FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       |        CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |        CAST(MAX(cnt) AS BIGINT) AS max_cnt
+       |      FROM (SELECT $key, COUNT(*) AS cnt FROM $table GROUP BY 1))""".stripMargin
+  val v7SkewReportSql: String =
+    Seq(skewSql("events", "user_id", "events.user_id"),
+      skewSql("events", "event_type", "events.event_type"),
+      skewSql("lineitem", "l_orderkey", "lineitem.l_orderkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+
+  // ---- G12: neighbor-set Jaccard --------------------------------------
+
+  /** G12: "related parts" by order-set Jaccard
+    * ([[Graph.neighborJaccard]]) over the order↔part incidence — top 50
+    * pairs; candidates only from co-attachment, never corpus².
+    */
+  val g12JaccardNeighbors: Q = (s, d) => {
+    Graph.neighborJaccard(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        minJaccard1e6 = 0)
+      .orderBy(col("jaccard_1e6").desc, col("a"), col("b")).limit(50)
+  }
+  val g12JaccardNeighborsSql: String =
+    """WITH inc AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS node FROM lineitem),
+      |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM inc GROUP BY 1),
+      |co AS (SELECT x.node AS a, y.node AS b, CAST(COUNT(*) AS BIGINT) AS co
+      |       FROM inc x JOIN inc y ON x.k = y.k AND x.node < y.node GROUP BY 1, 2),
+      |j AS (SELECT co.a, co.b, co.co, da.deg AS deg_a, db.deg AS deg_b,
+      |        co.co * 1000000 // (da.deg + db.deg - co.co) AS jaccard_1e6
+      |      FROM co JOIN deg da ON da.node = co.a JOIN deg db ON db.node = co.b)
+      |SELECT a, b, co, deg_a, deg_b, jaccard_1e6 FROM j
+      |ORDER BY jaccard_1e6 DESC, a, b LIMIT 50""".stripMargin
+
+  // ---- registry --------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "q_s9_incr_join_view" -> s9IncrJoinView,
+    "q_e17_label_noise" -> e17LabelNoise,
+    "q_e18_separation" -> e18Separation,
+    "q_t27_bm25" -> t27Bm25,
+    "q_d16_cross_source" -> d16CrossSource,
+    "q_p13_curriculum" -> p13Curriculum,
+    "q_v7_skew_report" -> v7SkewReport,
+    "q_g12_jaccard_neighbors" -> g12JaccardNeighbors
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_s9_incr_join_view" -> s9IncrJoinViewSql,
+    "q_e17_label_noise" -> e17LabelNoiseSql,
+    "q_e18_separation" -> e18SeparationSql,
+    "q_t27_bm25" -> t27Bm25Sql,
+    "q_d16_cross_source" -> d16CrossSourceSql,
+    "q_p13_curriculum" -> p13CurriculumSql,
+    "q_v7_skew_report" -> v7SkewReportSql,
+    "q_g12_jaccard_neighbors" -> g12JaccardNeighborsSql
+  )
+}

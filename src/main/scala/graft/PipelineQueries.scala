@@ -1442,7 +1442,7 @@ object PipelineQueries {
     * final piece sequences) — shared by the encode gate (q_t17) and the
     * tokenize-and-pack composition (q_p11).
     */
-  private val bpeEncodeCte: String =
+  private[graft] val bpeEncodeCte: String =
     s"""words0 AS (
        |  SELECT w, COUNT(*) AS cnt FROM (
        |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents)

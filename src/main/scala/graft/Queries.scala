@@ -1283,7 +1283,8 @@ object Queries {
     "q_a23_outliers" -> a23Outliers,
     "q_c19_edit_distance" -> c19EditDistance
   ) ++ WindowQueries.all ++ PipelineQueries.all ++ ScalarQueries.all ++
-    TemporalQueries.all ++ SketchQueries.all ++ MaintainQueries.all ++ StreamQueries.all
+    TemporalQueries.all ++ SketchQueries.all ++ MaintainQueries.all ++
+    StreamQueries.all ++ CurationQueries.all
 
   val oracles: Map[String, String] = Map(
     "q_f1_snapshot" -> f1SnapshotSql,
@@ -1334,5 +1335,6 @@ object Queries {
     "q_a23_outliers" -> a23OutliersSql,
     "q_c19_edit_distance" -> c19EditDistanceSql
   ) ++ WindowQueries.oracles ++ PipelineQueries.oracles ++ ScalarQueries.oracles ++
-    TemporalQueries.oracles ++ SketchQueries.oracles ++ MaintainQueries.oracles ++ StreamQueries.oracles
+    TemporalQueries.oracles ++ SketchQueries.oracles ++ MaintainQueries.oracles ++
+    StreamQueries.oracles ++ CurationQueries.oracles
 }

@@ -216,6 +216,27 @@ object Main {
         emit(out, rest)
       }
 
+    // BM25 full-text search over the documents table: space-separated
+    // query terms, top-k by the integer-exact surrogate score.
+    case "search" :: sfDir :: query :: rest =>
+      val k = rest.sliding(2).collectFirst {
+        case Seq("--k", v) => v.toInt
+      }.getOrElse(10)
+      withSession { spark =>
+        emit(graft.ops.TextOps.bm25Rank(
+          graft.Tables.documents(spark, sfDir), "doc_id", "text",
+          query.split("\\s+").toSeq.map(_.toLowerCase), k), rest)
+      }
+
+    // Key-skew diagnostics for a prospective join/aggregation key —
+    // decides whether a salted join is worth it before paying for the
+    // skewed shuffle.
+    case "skewreport" :: path :: key :: rest =>
+      withSession { spark =>
+        emit(graft.ops.Skew.keySkewReport(
+          spark.read.parquet(path), key, key), rest)
+      }
+
     // reference cross-check validator (cross_check.py:79-137): DB symbols
     // on a date vs a saved exchangeInfo response body.
     case "crosscheck" :: path :: jsonPath :: date :: rest =>
@@ -240,7 +261,8 @@ object Main {
           "mostavailable <path> [--top N] | " +
           "crosscheck <path> <exchangeInfo.json> <date> | " +
           "dedupreport <sfDir> | annsearch <sfDir> <vecId> [--k N] | " +
-          "quality <sfDir> | mediareport <sfDir>")
+          "quality <sfDir> | mediareport <sfDir> | " +
+          "search <sfDir> <terms> [--k N] | skewreport <path> <key>")
       sys.exit(2)
   }
 }

@@ -842,4 +842,48 @@ object Dedup {
         col("p.hamming").cast(IntegerType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+
+  /** EXACT duplicate pairs (ia < ib) from whole-text hash groups — the
+    * pair-shaped view of [[exactDupGroups]]'s group-shaped result, for
+    * consumers that want edges (cluster closure, the cross-source
+    * matrix below). One keyed shuffle on the md5; pairs enumerate
+    * INSIDE each hash group's sorted id list, so the work is
+    * Σ_group |group|², never corpus².
+    */
+  def exactPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(md5(col(textCol)).as("h"), col(idCol).as("id"))
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids,
+          |  (x, i) -> transform(slice(ids, i + 2, size(ids)),
+          |            y -> named_struct('ia', x, 'ib', y))))""".stripMargin)).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
+
+  /** CROSS-SOURCE duplication matrix — the corpus-provenance audit:
+    * which sources copy which? Takes ANY duplicate-pair frame
+    * (ia, ib) — exact pairs, MinHash-verified pairs, perceptual-hash
+    * pairs — plus per-doc (id, source) metadata, and counts pairs per
+    * unordered source pair. The "how much of source B is already in
+    * source A" signal that decides whether ingesting a new dump is
+    * worth the dedup bill.
+    *
+    * Two keyed joins attach the endpoints' sources (pair frames are
+    * small relative to the corpus — they only hold duplicates — so
+    * these shuffles carry the SIGNAL, not the corpus); the unordered
+    * normalization (`least`/`greatest`) folds (A,B) and (B,A) into one
+    * cell before the final map-side-combined count.
+    */
+  def crossSourceMatrix(pairs: DataFrame, meta: DataFrame,
+                        idCol: String, srcCol: String): DataFrame = {
+    val m = meta.select(col(idCol).as("__id"), col(srcCol).as("__src"))
+    pairs
+      .join(m.select(col("__id").as("ia"), col("__src").as("sa")), "ia")
+      .join(m.select(col("__id").as("ib"), col("__src").as("sb")), "ib")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

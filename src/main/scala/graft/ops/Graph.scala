@@ -258,4 +258,46 @@ object Graph {
     (header +: peels).mkString(",\n") +
       s"\nSELECT a AS node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM adj$rounds GROUP BY 1"
   }
+
+  /** NEIGHBOR-SET JACCARD similarity over a bipartite incidence list
+    * (key, node) — the link-prediction / "related items" primitive:
+    * two nodes are similar when the keys they attach to overlap.
+    *
+    *   jaccard(a, b) = |N(a) ∩ N(b)| / (|N(a)| + |N(b)| − |∩|)
+    *
+    * reported 1e6-scaled integral (`div`, non-negative — engine-exact).
+    *
+    * Candidate pairs come from the incidence list itself: only node
+    * pairs CO-ATTACHED to at least one key are enumerated (pairs inside
+    * one key's sorted node list — the in-bucket enumeration of the
+    * SimHash/banded-Hamming family), so the work is Σ_key |list|²,
+    * never corpus², and a disjoint pair is never materialized. Keys
+    * hotter than `maxList` nodes are dropped from candidate generation
+    * (their pairs are degenerate "everything relates to everything"
+    * signals, and one viral key would otherwise contribute |list|²
+    * pairs); degrees still count every key, so the reported Jaccard is
+    * exact for every SURVIVING pair.
+    */
+  def neighborJaccard(incidence: DataFrame, minJaccard1e6: Long,
+                      maxList: Int = 1000): DataFrame = {
+    val inc = incidence.toDF("k", "node").distinct()
+    val deg = inc.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val co = inc
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(col("node"))).as("ns"))
+      .where(size(col("ns")) > 1 && size(col("ns")) <= maxList)
+      .select(explode(expr(
+        """flatten(transform(ns, (x, i) ->
+          |  transform(slice(ns, i + 2, size(ns)),
+          |            y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("co"))
+    co
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+      .withColumn("jaccard_1e6",
+        expr("co * 1000000 div (deg_a + deg_b - co)"))
+      .filter(col("jaccard_1e6") >= minJaccard1e6)
+      .select("a", "b", "co", "deg_a", "deg_b", "jaccard_1e6")
+  }
 }

@@ -142,6 +142,37 @@ object Maintain {
             .otherwise(col(s"__pa.$c")).as(c)): _*)
   }
 
+  /** INCREMENTAL JOIN-VIEW maintenance — the join analogue of
+    * [[mergeStates]]' aggregate maintenance. For a materialized view
+    * V = A ⋈ B and bounded delta batches ΔA, ΔB, the classic delta
+    * algebra gives the exact increment
+    *
+    *   ΔV = (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+    *
+    * so `V' = V ∪ ΔV` is ROW-IDENTICAL to recomputing
+    * (A ∪ ΔA) ⋈ (B ∪ ΔB) from scratch — which at 100 TB is the
+    * difference between joining two delta batches against yesterday's
+    * bases and re-joining two full bases.
+    *
+    * The deltas ride a `broadcast` hint: a delta batch is bounded by
+    * CONTRACT (one ingest increment, the same boundedness
+    * `mergeStates` relies on), so each of the two base-side terms is a
+    * map-side hash join — the stored view and both bases are scanned
+    * once each and NEVER shuffled. The ΔA ⋈ ΔB corner is delta-sized
+    * on both sides.
+    *
+    * `project` maps each (left, right) row pair to the view's output
+    * columns; it must be the same projection that built `baseView`.
+    */
+  def incrJoinView(baseView: DataFrame, baseA: DataFrame, baseB: DataFrame,
+                   deltaA: DataFrame, deltaB: DataFrame,
+                   join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val dAB = join(broadcast(deltaA), baseB)
+    val adB = join(baseA, broadcast(deltaB))
+    val dAdB = join(broadcast(deltaA), deltaB)
+    baseView.unionByName(dAB).unionByName(adB).unionByName(dAdB)
+  }
+
   /** SCHEMA-EVOLUTION read: union snapshots whose schemas drifted over
     * time (columns added in later writes), aligning columns BY NAME and
     * null-filling the ones a snapshot predates — the read-side half of

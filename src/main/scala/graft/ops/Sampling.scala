@@ -291,4 +291,41 @@ object Sampling {
     import spark.implicits._
     picks.toSeq.toDF("rank", "doc_id", "new_hashes", "covered_total")
   }
+
+  /** CURRICULUM-ORDERED epoch materialization — the training-order
+    * contract a 100 TB dataloader needs written down, not improvised:
+    * for each epoch, every example gets a deterministic (shard,
+    * pos_in_shard) so any worker can open exactly its shard files and
+    * read them in order, and a preempted job resumes at a byte offset.
+    *
+    *   - shard: seeded-hash assignment — epoch-varying, so consecutive
+    *     epochs see different co-residency (the "reshuffle each epoch"
+    *     guarantee) without any global sort or rand() (deterministic
+    *     under task retry, unlike rand/monotonic ids).
+    *   - pos_in_shard: row_number per (epoch, shard) ordered by
+    *     (curriculum bin asc, seeded hash, id) — easy examples first
+    *     WITHIN each shard; since shard assignment is hash-uniform,
+    *     the interleaved global stream a round-robin reader sees is
+    *     curriculum-ordered in expectation, with no global window
+    *     anywhere. One window per (epoch, shard) partition — the
+    *     parallelism is the shard count, thousands in production.
+    *
+    * `binCol` is the caller's integer curriculum key (a quality bin, a
+    * length bucket); lower = earlier.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, binCol: Column,
+                      epochs: Int, shards: Int): DataFrame = {
+    val keyed = df
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("bin", binCol)
+      .withColumn("h", graft.ops.TextOps.seededHash60(
+        concat(lit("ep"), col("epoch").cast("string")), col(idCol).cast("string")))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("bin"), col("h"), col(idCol))
+    keyed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("epoch"), col(idCol), col("bin"), col("shard"), col("pos"))
+  }
 }

@@ -40,4 +40,40 @@ object Skew {
     saltLeft(large, saltBuckets)
       .join(explodeRight(small, saltBuckets), keys :+ "__salt")
       .drop("__salt")
+
+  /** Key-skew DIAGNOSTICS for a prospective join/aggregation key — the
+    * measurement that decides whether [[saltedJoin]] (or AQE skew
+    * handling) is needed before anyone pays for a skewed shuffle.
+    *
+    * One map-side-combined `groupBy(key).count` (the same shuffle shape
+    * the diagnosed operation would have, so the report costs no more
+    * than one run of it), collapsed to a single row of integer-exact
+    * ratios:
+    *
+    *   - `n_rows`, `n_keys`, `max_cnt`: raw shape
+    *   - `top_share_ppm`  = max_cnt·1e6 div n_rows — the fraction of
+    *     all rows carried by the single hottest key
+    *   - `skew_x1000`     = max_cnt·1000·n_keys div n_rows — hottest
+    *     key vs the MEAN key (1000 = perfectly uniform)
+    *   - `salt_advised`   = skew_x1000 > threshold·1000, i.e. the
+    *     hottest reducer would run `threshold`× longer than average
+    *
+    * All ratios are integral `div` (non-negative operands, so Spark's
+    * truncating div and DuckDB's floor `//` agree bit-for-bit).
+    */
+  def keySkewReport(df: DataFrame, key: String, label: String,
+                    threshold: Int = 5): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    counts.agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"))
+      .select(
+        lit(label).as("key_col"),
+        col("n_rows"), col("n_keys"), col("max_cnt"),
+        expr("max_cnt * 1000000 div n_rows").as("top_share_ppm"),
+        expr("max_cnt * 1000 * n_keys div n_rows").as("skew_x1000"),
+        (expr("max_cnt * 1000 * n_keys div n_rows") > threshold * 1000L)
+          .as("salt_advised"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -114,4 +114,55 @@ object TextOps {
        |    '$EmailPattern', '<EMAIL>', 'g'),
        |    '$Ipv4Pattern', '<IP>', 'g'),
        |    '$LongNumPattern', '<NUM>', 'g')""".stripMargin
+
+  /** BM25 ranked retrieval over the corpus — the step past TF-IDF
+    * (q_t11) that adds document-length normalization and tf
+    * saturation, i.e. the default ranking function of every full-text
+    * engine. Integer-exact LOG-FREE surrogate (the q_t18 PMI move):
+    * with k1 = 1.2, b = 0.75 cleared to integers,
+    *
+    *   idf1e6(t)   = (2·(N − df) + 1)·1e6 div (2·df + 1)
+    *                 — the Robertson odds ratio ×1e6, ln omitted (ln is
+    *                   monotone, so per-term ordering is preserved; the
+    *                   multi-term sum weighs rare terms MORE than true
+    *                   BM25 — a stated contract, not an approximation
+    *                   drifting with libm)
+    *   tf-part     = 22·tf·avgdl / (10·avgdl·tf + 3·avgdl + 9·dl)
+    *                 — exactly tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *                   with both sides ×10·avgdl, so it stays integral
+    *   score(d)    = Σ_t idf1e6·22·tf·avgdl div (10·avgdl·tf + 3·avgdl + 9·dl)
+    *
+    * Long-safe while idf1e6·22·tf·avgdl < 2^63 — i.e. N·tf·avgdl below
+    * ~4·10^11; past that, drop the 1e6 scale or move the product to
+    * DECIMAL(38,0).
+    *
+    * Shape: tf/dl/df are map-side-combined counts; the query-term df
+    * table is bounded by the QUERY (broadcast); corpus-size scalars
+    * ride a 1-row broadcast; the final top-k is a k-bounded
+    * TakeOrdered. Docs containing no query term never materialize.
+    */
+  def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(regexp_extract_all(col(textCol), lit("[A-Za-z]+"), lit(0))).as("tok"))
+      .select(col("id"), lower(col("tok")).as("term"))
+    val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val scal = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      .select(col("n_docs"), expr("tot div n_docs").as("avgdl"))
+    val q = toks.filter(col("term").isin(queryTerms: _*))
+    val dfreq = q.select(col("id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    q.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(dfreq), "term")
+      .join(dl, "id")
+      .crossJoin(broadcast(scal))
+      .withColumn("contrib", expr(
+        """((2 * (n_docs - df) + 1) * 1000000 div (2 * df + 1))
+          |  * 22 * tf * avgdl
+          |  div (10 * avgdl * tf + 3 * avgdl + 9 * dl)""".stripMargin))
+      .groupBy(col("id"))
+      .agg(sum(col("contrib")).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
 }

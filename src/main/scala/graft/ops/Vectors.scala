@@ -385,6 +385,100 @@ object Vectors {
     selected.toDF("rank", "vid", "rel_sim", "div_sim", "mmr_score")
   }
 
+  /** NOISY-LABEL audit by k-NN label consistency (confident-learning
+    * lite): an audited vector is suspect when its own label disagrees
+    * with the PLURALITY label of its k nearest neighbors — the
+    * training-data QA pass that catches mislabeled examples before
+    * they poison a classifier.
+    *
+    * `anchors` (q_id, q_label, qe) is the audited subset and must be
+    * BOUNDED by contract (an audit sample or one ingest batch — at
+    * corpus scale you audit incrementally, or swap the brute scoring
+    * for the IVF/LSH candidate generation, which changes nothing after
+    * the top-k). The corpus pass is map-side: anchors broadcast, each
+    * candidate partition scores locally and ships at most k rows per
+    * anchor through the k-bounded TopK aggregator. Neighbor labels are
+    * recovered by broadcasting the k·|anchors| winners frame back
+    * against the corpus — the corpus is scanned twice and shuffled
+    * never.
+    *
+    * Plurality ties break toward the SMALLEST label; ties in the k-th
+    * similarity break toward the smallest vec_id (the TopK contract).
+    * Output: one row per anchor — (vec_id, label, top_label,
+    * top_count, noisy).
+    */
+  def labelNoiseAudit(cands: DataFrame, anchors: DataFrame, k: Int): DataFrame = {
+    val scored = Partitioning.spread(cands).crossJoin(broadcast(anchors))
+      .filter(col("vid") =!= col("q_id"))
+      .withColumn("cos_sim", rankCosine(col("e"), col("qe")))
+    val top = TopK.topKPerGroup(scored, "q_id", col("cos_sim"), col("vid"),
+      k, "cos_sim", "nn_id")
+    val votes = cands.select(col("vid").as("nn_id"), col("label").as("nn_label"))
+      .join(broadcast(top.select("q_id", "nn_id")), "nn_id")
+      .groupBy(col("q_id"), col("nn_label"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cnt").desc, col("nn_label"))
+    votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(broadcast(anchors.select(col("q_id"), col("q_label"))), "q_id")
+      .select(col("q_id").as("vec_id"), col("q_label").as("label"),
+        col("nn_label").as("top_label"), col("cnt").as("top_count"),
+        (col("q_label") =!= col("nn_label")).as("noisy"))
+  }
+
+  /** EMBEDDING-SPACE class separation report — the dataset-quality
+    * audit behind "are these labels learnable": per label, the spread
+    * of members around their own centroid (intra) vs the distance to
+    * the nearest OTHER centroid (inter). A label whose nearest foreign
+    * centroid sits inside its own spread is a merge/noise candidate.
+    *
+    * Everything is integer-exact so the report is engine-reproducible:
+    * vectors go through the [[quantizeCodes]] per-dimension 0..255
+    * grid first (float sums are order-dependent; integer sums are
+    * not), centroids are `sum div count` per (label, dim), distances
+    * are integer squared-L2, and the final ratio is 1e3-scaled `div`.
+    *
+    * Shuffle shape: one keyed aggregation to (label, dim) cells —
+    * map-side combined, 256·|labels| cells regardless of corpus size —
+    * then centroids broadcast back for the per-vector distance pass;
+    * the |labels|² centroid table never leaves the driver-adjacent
+    * broadcast scale.
+    */
+  def labelSeparation(vecs: DataFrame, idCol: String, labelCol: String,
+                      vecCol: String): DataFrame = {
+    val codes = quantizeCodes(
+        Partitioning.spread(vecs).select(col(idCol), col(vecCol)), idCol, vecCol)
+      .join(broadcast(vecs.select(col(idCol), col(labelCol).as("lab"))), idCol)
+      .select(col(idCol).as("vid"), col("lab"), col("pos"), col("code"))
+    val cent = codes.groupBy(col("lab"), col("pos"))
+      .agg(sum(col("code")).as("s"), count(lit(1)).as("n"))
+      .select(col("lab"), col("pos"), expr("s div n").as("c"))
+    val perVec = codes
+      .join(broadcast(cent), Seq("lab", "pos"))
+      .withColumn("d2", (col("code") - col("c")) * (col("code") - col("c")))
+      .groupBy(col("vid"), col("lab"))
+      .agg(sum(col("d2")).as("vd2"))
+    val intra = perVec.groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vd2")).as("ss"))
+      .select(col("lab"), col("n_vecs"), expr("ss div n_vecs").as("intra_msd"))
+    val pairs = cent.select(col("lab").as("la"), col("pos"), col("c").as("ca"))
+      .join(cent.select(col("lab").as("lb"), col("pos"), col("c").as("cb")), "pos")
+      .filter(col("la") =!= col("lb"))
+      .withColumn("d2", (col("ca") - col("cb")) * (col("ca") - col("cb")))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum(col("d2")).as("cd2"))
+    val wNear = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("la")).orderBy(col("cd2"), col("lb"))
+    val nearest = pairs.withColumn("rk", row_number().over(wNear))
+      .filter(col("rk") === 1)
+      .select(col("la").as("lab"), col("lb").as("nearest_label"),
+        col("cd2").as("nearest_d2"))
+    intra.join(nearest, "lab")
+      .select(col("lab").as(labelCol), col("n_vecs"), col("intra_msd"),
+        col("nearest_label"), col("nearest_d2"),
+        expr("nearest_d2 * 1000 div nullif(intra_msd, 0)").as("sep_x1000"))
+  }
+
   def knnBruteForce(vecs: DataFrame, query: DataFrame, k: Int): DataFrame =
     Partitioning.spread(vecs).crossJoin(broadcast(query.select(col("e").as("qe"))))
       .withColumn("cos_sim", rankCosine(col("e"), col("qe")))

@@ -60,4 +60,21 @@ class CliSpec extends SparkSpec {
     rows.size shouldBe 5
     rows.head should include("doc_id")
   }
+
+  test("search ranks documents by BM25 for space-separated terms") {
+    val out = captureOut(
+      cli.Main.main(Array("search", "/root/testdata/sf0.001", "vector spark",
+        "--k", "3", "--json")))
+    val rows = out.linesIterator.filter(_.contains("score")).toSeq
+    rows.size shouldBe 3
+    rows.head should include("id")
+  }
+
+  test("skewreport diagnoses a prospective shuffle key") {
+    val out = captureOut(
+      cli.Main.main(Array("skewreport", "/root/testdata/sf0.001/lineitem.parquet",
+        "l_orderkey", "--json")))
+    out should include("top_share_ppm")
+    out should include("salt_advised")
+  }
 }

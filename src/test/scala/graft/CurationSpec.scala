@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Graph, Maintain, Sampling, Skew, TextOps, Vectors}
+
+/** Fixture-level behavior pins for the curation-frontier operators:
+  * incremental join-view maintenance, noisy-label audit, class
+  * separation, BM25, cross-source matrix, curriculum ordering, skew
+  * diagnostics, neighbor Jaccard.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Maintain.incrJoinView ------------------------------------------
+
+  test("incrJoinView == full recompute, including the delta×delta corner") {
+    val a = Seq((1L, "a1"), (2L, "a2"), (3L, "a3"), (4L, "dA4")).toDF("k", "av")
+    val b = Seq((1L, "b1"), (2L, "b2"), (4L, "dB4"), (4L, "b4x")).toDF("k", "bv")
+    // deltas: k=4 on BOTH sides — the ΔA⋈ΔB term is the only way that
+    // pair materializes; dropping it is the classic delta-algebra bug.
+    val (baseA, dA) = (a.filter($"k" =!= 4), a.filter($"k" === 4))
+    val (baseB, dB) = (b.filter($"k" =!= 4), b.filter($"k" === 4))
+    val join = (x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =>
+      x.join(y, "k").select($"k", $"av", $"bv")
+    val incr = Maintain.incrJoinView(join(baseA, baseB), baseA, baseB, dA, dB, join)
+    val full = join(a, b)
+    incr.count() shouldBe full.count()
+    incr.exceptAll(full).count() shouldBe 0
+    full.exceptAll(incr).count() shouldBe 0
+    // and the delta×delta corner really is present
+    incr.filter($"k" === 4).count() shouldBe 2
+  }
+
+  test("incrJoinView maintains a parquet-STORED view — the production shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ijv").toString
+    val a = (1L to 40L).map(k => (k, s"a$k")).toDF("k", "av")
+    val b = (1L to 40L).flatMap(k => Seq((k, s"b$k"), (k, s"c$k"))).toDF("k", "bv")
+    val join = (x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =>
+      x.join(y, "k").select($"k", $"av", $"bv")
+    val (baseA, dA) = (a.filter($"k" % 9 =!= 0), a.filter($"k" % 9 === 0))
+    val (baseB, dB) = (b.filter($"k" % 7 =!= 0), b.filter($"k" % 7 === 0))
+    join(baseA, baseB).write.parquet(s"$dir/view")
+    val stored = spark.read.parquet(s"$dir/view")
+    val maintained = Maintain.incrJoinView(stored, baseA, baseB, dA, dB, join)
+    maintained.exceptAll(join(a, b)).count() shouldBe 0
+    join(a, b).exceptAll(maintained).count() shouldBe 0
+  }
+
+  // ---- Vectors.labelNoiseAudit ----------------------------------------
+
+  test("labelNoiseAudit flags the planted mislabel and clears the clean anchor") {
+    // two tight clusters in 4-d; vector 20 sits in cluster A but wears
+    // cluster B's label.
+    def v(base: Double, j: Int) = Array.tabulate(4)(i => base + 0.01 * j + 0.001 * i)
+    val rows =
+      (0 until 8).map(j => (j.toLong, 0L, v(1.0, j))) ++ // cluster A, label 0
+        (10 until 18).map(j => (j.toLong, 1L, v(-1.0, j))) :+ // cluster B, label 1
+        ((20L, 1L, v(1.0, 9))) // in A, labeled 1 → noisy
+    val vecs = rows.toDF("vid", "label", "e")
+    val anchors = vecs.filter($"vid".isin(0L, 10L, 20L))
+      .select($"vid".as("q_id"), $"label".as("q_label"), $"e".as("qe"))
+    val out = Vectors.labelNoiseAudit(vecs, anchors, 5)
+      .select("vec_id", "noisy").as[(Long, Boolean)].collect().toMap
+    out(20L) shouldBe true
+    out(0L) shouldBe false
+    out(10L) shouldBe false
+  }
+
+  // ---- Vectors.labelSeparation ----------------------------------------
+
+  test("labelSeparation: separated labels report inter >> intra") {
+    // within-label spread must survive the shared 0..255 quantization
+    // grid (which spans BOTH clusters), so spread ~0.5 against a 10.0
+    // inter-cluster gap: intra stays non-zero, inter stays dominant.
+    def v(base: Double, j: Int) = Array.tabulate(4)(i => base + 0.5 * j + 0.05 * i)
+    val vecs = ((0 until 10).map(j => (j.toLong, 0L, v(0.0, j))) ++
+      (10 until 20).map(j => (j.toLong, 1L, v(20.0, j)))).toDF("vec_id", "label", "e")
+    val rep = Vectors.labelSeparation(vecs, "vec_id", "label", "e")
+      .orderBy("label").collect()
+    rep.length shouldBe 2
+    rep.foreach { r =>
+      r.getAs[Long]("n_vecs") shouldBe 10L
+      r.getAs[Long]("nearest_d2") should be > r.getAs[Long]("intra_msd")
+      r.getAs[Long]("sep_x1000") should be > 1000L
+    }
+    rep(0).getAs[Long]("nearest_label") shouldBe 1L
+    rep(1).getAs[Long]("nearest_label") shouldBe 0L
+  }
+
+  // ---- TextOps.bm25Rank -----------------------------------------------
+
+  test("bm25Rank: rarer query term outranks common one; long docs are discounted") {
+    val docs = Seq(
+      (1L, "rare common common pad pad pad"),
+      (2L, "common common common pad pad pad"),
+      // same tf of 'rare' as doc 1 but twice the length → discounted
+      (3L, "rare common pad pad pad pad pad pad pad pad pad pad"),
+      (4L, "pad filler filler filler pad pad")
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25Rank(docs, "doc_id", "text", Seq("rare", "common"), 10)
+      .as[(Long, Long)].collect()
+    val score = out.toMap
+    // doc 1 holds the rare term → beats the common-only doc 2
+    score(1L) should be > score(2L)
+    // doc 3 has doc 1's rare tf at twice the length → scores below doc 1
+    score(1L) should be > score(3L)
+    // doc 4 contains no query term → absent from the ranking
+    score.contains(4L) shouldBe false
+  }
+
+  // ---- Dedup.exactPairs / crossSourceMatrix ---------------------------
+
+  test("crossSourceMatrix folds unordered source pairs; composes over any pair frame") {
+    val docs = Seq(
+      (1L, "alpha text", "srcA"), (2L, "alpha text", "srcB"),
+      (3L, "alpha text", "srcB"), (4L, "beta text", "srcA"),
+      (5L, "gamma text", "srcC")).toDF("id", "text", "source")
+    val m = Dedup.crossSourceMatrix(Dedup.exactPairs(docs, "id", "text"),
+        docs, "id", "source")
+      .as[(String, String, Long)].collect().toSet
+    // pairs in the alpha group: (1,2) (1,3) cross srcA/srcB; (2,3) inside srcB
+    m shouldBe Set(("srcA", "srcB", 2L), ("srcB", "srcB", 1L))
+    // composes over a hand-made (perceptual/minhash-style) pair frame
+    val handPairs = Seq((4L, 5L)).toDF("ia", "ib")
+    Dedup.crossSourceMatrix(handPairs, docs, "id", "source")
+      .as[(String, String, Long)].collect().toSet shouldBe Set(("srcA", "srcC", 1L))
+  }
+
+  // ---- Sampling.curriculumOrder ---------------------------------------
+
+  test("curriculumOrder: bins ascend with pos inside every shard; epochs reshuffle; retry-deterministic") {
+    val docs = (0L until 200L).map(i => (i, (i % 7).toInt)).toDF("doc_id", "len7")
+    val out = Sampling.curriculumOrder(docs, "doc_id", ($"len7" % 4).cast("long"),
+      epochs = 2, shards = 4)
+    // curriculum: within each (epoch, shard), bin never decreases as pos grows
+    val viol = out.as[(Int, Long, Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._4)).values.map { rows =>
+        val sorted = rows.sortBy(_._5).map(_._3)
+        sorted.zip(sorted.tail).count { case (x, y) => x > y }
+      }.sum
+    viol shouldBe 0
+    // every example appears exactly once per epoch
+    out.groupBy("epoch").count().as[(Int, Long)].collect().toMap
+      .values.toSet shouldBe Set(200L)
+    // epochs genuinely reshuffle: shard assignment differs somewhere
+    val byEpoch = out.select("epoch", "doc_id", "shard")
+      .as[(Int, Long, Long)].collect().groupBy(_._1)
+      .map { case (e, rs) => e -> rs.map(r => r._2 -> r._3).toMap }
+    byEpoch(0) should not equal byEpoch(1)
+    // deterministic under repartition (task-retry surrogate)
+    val again = Sampling.curriculumOrder(docs.repartition(7), "doc_id",
+      ($"len7" % 4).cast("long"), epochs = 2, shards = 4)
+    again.exceptAll(out).count() shouldBe 0
+  }
+
+  // ---- Skew.keySkewReport ---------------------------------------------
+
+  test("keySkewReport advises salting exactly when a key dominates") {
+    val hot = ((0 until 900).map(_ => "hot") ++ (0 until 100).map(i => s"k$i"))
+      .toDF("k")
+    val rep = Skew.keySkewReport(hot, "k", "hot").collect().head
+    rep.getAs[Long]("max_cnt") shouldBe 900L
+    rep.getAs[Long]("top_share_ppm") shouldBe 900000L
+    rep.getAs[Boolean]("salt_advised") shouldBe true
+    val uniform = (0 until 1000).map(i => s"k${i % 100}").toDF("k")
+    Skew.keySkewReport(uniform, "k", "uni").collect()
+      .head.getAs[Boolean]("salt_advised") shouldBe false
+  }
+
+  // ---- Graph.neighborJaccard ------------------------------------------
+
+  test("neighborJaccard: exact overlap ratios; hot keys excluded from candidates") {
+    // node 1 attaches {a,b,c}, node 2 {b,c,d} → co=2, jac = 2/4
+    val inc = Seq(("a", 1L), ("b", 1L), ("c", 1L),
+      ("b", 2L), ("c", 2L), ("d", 2L), ("d", 3L)).toDF("k", "node")
+    val out = Graph.neighborJaccard(inc, 0)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._6).toMap
+    out((1L, 2L)) shouldBe 500000L
+    out((2L, 3L)) shouldBe 333333L // co=1, degs 3+1 → 1e6 div 3
+    // a key hotter than maxList contributes no candidate pairs
+    val viral = (1L to 50L).map(n => ("viral", n)).toDF("k", "node")
+    Graph.neighborJaccard(viral, 0, maxList = 10).count() shouldBe 0
+  }
+}

@@ -296,4 +296,68 @@ class PlanSpec extends SparkSpec {
     p should not include "Exchange hashpartitioning"
     p should not include "Join"
   }
+
+  test("q_s9_incr_join_view: every delta term is a broadcast hash join — " +
+    "the stored bases are scanned, never shuffled") {
+    val p = plan("q_s9_incr_join_view")
+    // base⋈base (the stored view surrogate) may plan however AQE likes
+    // at fixture size; the three DELTA terms must ride the bounded-side
+    // broadcast, and nothing may degenerate to a cartesian.
+    p.linesIterator.count(_.contains("BroadcastHashJoin")) should be >= 3
+    p should not include "CartesianProduct"
+  }
+
+  test("q_e17_label_noise: anchors broadcast into the corpus pass; " +
+    "k-bounded TopK partials below the exchange") {
+    val p = plan("q_e17_label_noise")
+    // corpus × anchors is the one justified nested-loop (tiny anchor
+    // side broadcast); winners/vote joins are broadcasts too.
+    p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) shouldBe 1
+    p should include("partial_topkagg")
+    p should not include "CartesianProduct"
+    p should not include "SortMergeJoin"
+  }
+
+  test("q_e18_separation: centroid cells collapse map-side; centroids " +
+    "ride broadcasts back for the distance pass") {
+    val p = plan("q_e18_separation")
+    p should include("partial_sum")
+    p.linesIterator.count(_.contains("BroadcastHashJoin")) should be >= 2
+    p should not include "CartesianProduct"
+  }
+
+  test("q_t27_bm25: query-term df and corpus scalars broadcast; counts " +
+    "partial-aggregate; top-k stays bounded") {
+    val p = plan("q_t27_bm25")
+    p should include("partial_count")
+    p should include("TakeOrderedAndProject")
+    p.linesIterator.count(_.contains("BroadcastHashJoin")) should be >= 1
+    p should not include "CartesianProduct"
+  }
+
+  test("q_g12_jaccard_neighbors: pairs enumerate inside the per-key " +
+    "aggregation — no self-join of the incidence list") {
+    val p = plan("q_g12_jaccard_neighbors")
+    // the degree joins are keyed; candidate generation is the grouped
+    // list explode, so the plan carries NO join of inc against itself
+    // on k (which would be a shuffled join with quadratic output).
+    p should include("partial_count")
+    p should not include "CartesianProduct"
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("q_p13_curriculum: one window per (epoch, shard) partition — " +
+    "no global (empty-partition) window anywhere") {
+    val p = plan("q_p13_curriculum")
+    // a Window with an empty partition spec would serialize the corpus
+    // through one task; the curriculum window must key on epoch+shard
+    // (the spec prints as `], [epoch#…, shard#…], [bin#… ASC`).
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    windows should not be empty
+    windows.foreach { l =>
+      l should include("shard")
+      l should not include "], [], ["
+    }
+    p should not include "CartesianProduct"
+  }
 }
