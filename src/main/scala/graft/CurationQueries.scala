@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import graft.ops.{Dedup, Graph, Maintain, Sampling, Skew, TextOps, Vectors}
 import graft.ops.TextOps.seededHash60Sql
 
@@ -272,6 +273,317 @@ object CurationQueries {
       |SELECT a, b, co, deg_a, deg_b, jaccard_1e6 FROM j
       |ORDER BY jaccard_1e6 DESC, a, b LIMIT 50""".stripMargin
 
+  // ---- T28: tokenizer fertility ---------------------------------------
+
+  /** T28: tokenizer-evaluation metrics per language under the LEARNED
+    * BPE merges (q_t16/q_t17's vocabulary): fertility (pieces per
+    * word ×1000) and compression (chars per piece ×1000) — the numbers
+    * that decide whether a tokenizer suits a language mix. Rides
+    * q_t17's word→pieces frame (vocabulary-bounded), joined to per-
+    * (lang, word) occurrence counts; all ratios integral `div`.
+    */
+  val t28Fertility: Q = (s, d) => {
+    import s.implicits._
+    val wp = PipelineQueries.t17BpeEncode(s, d).select($"w", $"n_pieces")
+    Tables.documents(s, d)
+      .select($"lang", explode(split(lower($"text"), "\\s+")).as("w"))
+      .filter(length($"w") >= 1)
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("n_occ"))
+      .join(wp, Seq("w"))
+      .groupBy($"lang")
+      .agg(sum($"n_occ").as("n_words"),
+        sum($"n_occ" * $"n_pieces").as("n_pieces"),
+        sum($"n_occ" * length($"w")).as("n_chars"))
+      .select($"lang", $"n_words", $"n_pieces", $"n_chars",
+        expr("n_pieces * 1000 div n_words").as("fertility_x1000"),
+        expr("n_chars * 1000 div n_pieces").as("chars_per_piece_x1000"))
+      .orderBy("lang")
+  }
+  val t28FertilitySql: String =
+    s"""WITH ${PipelineQueries.bpeEncodeCte},
+       |wp AS (SELECT w, CAST(len(seq) AS BIGINT) AS n_pieces FROM seq3),
+       |dw AS (SELECT lang, w FROM (
+       |         SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |         FROM documents)
+       |       WHERE length(w) >= 1),
+       |lw AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS n_occ FROM dw GROUP BY 1, 2),
+       |agg AS (SELECT lang, CAST(SUM(n_occ) AS BIGINT) AS n_words,
+       |          CAST(SUM(n_occ * wp.n_pieces) AS BIGINT) AS n_pieces,
+       |          CAST(SUM(n_occ * length(w)) AS BIGINT) AS n_chars
+       |        FROM lw JOIN wp USING (w) GROUP BY 1)
+       |SELECT lang, n_words, n_pieces, n_chars,
+       |  n_pieces * 1000 // n_words AS fertility_x1000,
+       |  n_chars * 1000 // n_pieces AS chars_per_piece_x1000
+       |FROM agg ORDER BY lang""".stripMargin
+
+  // ---- E19: out-of-distribution pruning -------------------------------
+
+  /** E19: cell-relative OOD flags ([[Vectors.cellOutliers]]) with the
+    * e3 fixed-centroid convention (vec_id < 8) and margin 0.05 — the
+    * "drop the weird tail" gate before training.
+    */
+  val e19Ood: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id".as("vid"), $"embedding".cast("array<double>").as("e"))
+    val cents = vecs.filter($"vid" < 8)
+      .select($"vid".as("cid"), $"e".as("ce"))
+    Vectors.cellOutliers(vecs, cents, 0.05).orderBy("vec_id")
+  }
+  val e19OodSql: String =
+    s"""WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cent AS (SELECT vid AS cid, e AS ce FROM v WHERE vid < 8),
+       |sc AS (SELECT v.vid, c.cid, ${cosSql("v.e", "c.ce")} AS sim FROM v, cent c),
+       |assigned AS (
+       |  SELECT vid, cid, sim FROM (
+       |    SELECT vid, cid, sim,
+       |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY sim DESC, cid) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |med AS (
+       |  SELECT cid, sim AS med_sim FROM (
+       |    SELECT cid, sim, vid,
+       |      ROW_NUMBER() OVER (PARTITION BY cid ORDER BY sim, vid) AS mrn,
+       |      COUNT(*) OVER (PARTITION BY cid) AS n
+       |    FROM assigned) WHERE mrn = (n + 1) // 2)
+       |SELECT a.vid AS vec_id, a.cid, a.sim AS cos_sim, m.med_sim
+       |FROM assigned a JOIN med m USING (cid)
+       |WHERE a.sim < m.med_sim - CAST(0.05 AS DOUBLE)
+       |ORDER BY vec_id""".stripMargin
+
+  // ---- ST12: streaming upsert into the Store --------------------------
+
+  /** ST12: the live-ingest maintenance loop — a streamed events feed
+    * applied to a parquet Store via `foreachBatch` →
+    * [[graft.ops.Store.upsert]]. The store is seeded with the per-day
+    * latest state BEFORE the cutoff day; the stream upserts everything
+    * from the cutoff on; the final table must equal the batch per-day
+    * latest-by-key over ALL events (pre-cutoff partitions untouched on
+    * disk — that's the partition-scoped-maintenance point). AvailableNow
+    * + a deterministic final state keeps it gate-eligible (the st1
+    * rationale); multi-batch convergence is StreamingSpec's job.
+    */
+  val st12StreamUpsert: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val cutoff = "2024-01-20"
+    val dir = java.nio.file.Files.createTempDirectory("graft-st12").toString
+    val store = s"$dir/store"
+    val ev = Tables.events(s, d).withColumn("day", Queries.dstr(col("ts")))
+    graft.ops.Store.latestByKey(ev.filter(col("day") < cutoff),
+        Seq("day", "user_id", "event_type"), "ts", "event_id")
+      .write.partitionBy("day").parquet(store)
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val q = Tables.normalizeTs(s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+      .withColumn("day", Queries.dstr(col("ts")))
+      .filter(col("day") >= cutoff)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Store.upsert(s, store, batch, "day",
+          Seq("day", "user_id", "event_type"), "ts", "event_id")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(store)
+      .select(col("day"), col("user_id"), col("event_type"),
+        col("event_id"), col("value"))
+      .orderBy("day", "user_id", "event_type")
+  }
+  val st12StreamUpsertSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, event_type, event_id, value
+      |FROM (SELECT *, ROW_NUMBER() OVER (
+      |        PARTITION BY strftime(ts, '%Y-%m-%d'), user_id, event_type
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY day, user_id, event_type""".stripMargin
+
+  // ---- S10: incremental aggregate over the incremental join view ------
+
+  /** S10: the full materialized-view chain — a per-month aggregate OF
+    * the orders⋈lineitem view maintained without recomputing either:
+    * ΔV from [[Maintain.joinViewDelta]] (deltas broadcast, bases never
+    * shuffle) feeds `countSumState`, merged into the stored aggregate
+    * state by the same algebra q_s2 gates for single-table aggregates.
+    * Oracle = the aggregate of the FULL join; the maintained state must
+    * be bit-identical (decimal-exact sums).
+    */
+  val s10IncrJoinAgg: Q = (s, d) => {
+    val a = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+    val b = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val join = (x: DataFrame, y: DataFrame) =>
+      x.join(y, col("o_orderkey") === col("l_orderkey"))
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("l_quantity"))
+    val baseA = a.filter(col("o_orderkey") % 13 =!= 0)
+    val deltaA = a.filter(col("o_orderkey") % 13 === 0)
+    val baseB = b.filter(col("l_partkey") % 11 =!= 0)
+    val deltaB = b.filter(col("l_partkey") % 11 === 0)
+    val stateBase = Maintain.countSumState(
+      join(baseA, baseB), Seq("month"), col("l_quantity"))
+    val stateDelta = Maintain.countSumState(
+      Maintain.joinViewDelta(baseA, baseB, deltaA, deltaB, join),
+      Seq("month"), col("l_quantity"))
+    Maintain.finalizeCountSum(
+        Maintain.mergeStates(Seq(stateBase, stateDelta), Seq("month")),
+        Seq("month"))
+      .orderBy("month")
+  }
+  val s10IncrJoinAggSql: String =
+    """SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+      |  COUNT(l.l_quantity) AS cnt,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    / COUNT(l.l_quantity) AS avg_value
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1 ORDER BY month""".stripMargin
+
+  // ---- T29: per-source vocabulary divergence --------------------------
+
+  /** T29: which sources read differently — per-source L1 divergence
+    * (ppm, over the top-50 corpus terms) between the source's term
+    * distribution and the corpus's. The text sibling of q_v3's
+    * numeric drift monitor: a source whose language suddenly shifts
+    * (scraper broke, spam flood) spikes here before any downstream
+    * model notices. Top-50 cut keeps the comparison frame k-bounded
+    * (vocabulary is unbounded at corpus scale); per-source totals
+    * still count EVERY token, so absent-from-source terms contribute
+    * their full corpus mass. All integral `div` on non-negative
+    * operands.
+    */
+  val t29SourceDivergence: Q = (s, d) => {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"source",
+        explode(regexp_extract_all($"text", lit("[A-Za-z]+"), lit(0))).as("tok"))
+      .select($"source", lower($"tok").as("term"))
+    val cell = toks.groupBy($"source", $"term").agg(count(lit(1)).as("n_st"))
+    val top = toks.groupBy($"term").agg(count(lit(1)).as("n_t"))
+      .orderBy($"n_t".desc, $"term").limit(50)
+    val ns = toks.groupBy($"source").agg(count(lit(1)).as("n_s"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    ns.crossJoin(broadcast(top))
+      .join(cell, Seq("source", "term"), "left")
+      .na.fill(0L, Seq("n_st"))
+      .crossJoin(broadcast(n))
+      .withColumn("diff", abs(expr("n_st * 1000000 div n_s - n_t * 1000000 div n")))
+      .groupBy($"source")
+      .agg(max($"n_s").as("n_tokens"), sum($"diff").as("sd"))
+      .select($"source", $"n_tokens", expr("sd div 2").as("div_ppm"))
+      .orderBy($"div_ppm".desc, $"source")
+  }
+  val t29SourceDivergenceSql: String =
+    """WITH toks AS (
+      |  SELECT source, lower(tok) AS term FROM
+      |    (SELECT source, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok
+      |     FROM documents)),
+      |cell AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n_st
+      |         FROM toks GROUP BY 1, 2),
+      |top AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_t FROM toks
+      |        GROUP BY 1 ORDER BY n_t DESC, term LIMIT 50),
+      |ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM toks GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+      |grid AS (
+      |  SELECT ns.source, ns.n_s, top.term, top.n_t,
+      |    COALESCE(cell.n_st, 0) AS n_st
+      |  FROM ns CROSS JOIN top
+      |  LEFT JOIN cell ON cell.source = ns.source AND cell.term = top.term)
+      |SELECT g.source, MAX(g.n_s) AS n_tokens,
+      |  CAST(SUM(ABS(g.n_st * 1000000 // g.n_s - g.n_t * 1000000 // n.n)) AS BIGINT)
+      |    // 2 AS div_ppm
+      |FROM grid g CROSS JOIN n
+      |GROUP BY 1 ORDER BY div_ppm DESC, source""".stripMargin
+
+  // ---- D17: LSH band-tuning table -------------------------------------
+
+  /** D17: the (bands × rowsPerBand) operating-point table
+    * ([[Dedup.lshTuning]]) over the d2 planted corpus and its 16
+    * minhashes — candidates, verified pairs, precision ppm for
+    * r ∈ {2, 4, 8}. The oracle replays all three bandings off the
+    * shared signature CTE.
+    */
+  val d17LshTuning: Q = (s, d) =>
+    Dedup.lshTuning(PipelineQueries.corpus(s, d), "id", "text",
+        shingleN = 3, k = 16, rowsPerBandConfigs = Seq(2, 4, 8), threshold = 0.5)
+      .orderBy("rows_per_band")
+  private def d17Block(r: Int): String = {
+    val b = 16 / r
+    s"""bands$r AS (
+       |  SELECT id, j // $r AS band,
+       |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY 1, 2),
+       |cand$r AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM bands$r a JOIN bands$r b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |inter$r AS (
+       |  SELECT c.ia, c.ib, COUNT(*) AS inter
+       |  FROM cand$r c JOIN sh x ON x.id = c.ia
+       |                JOIN sh y ON y.id = c.ib AND y.h = x.h
+       |  GROUP BY 1, 2),
+       |ver$r AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS nv
+       |  FROM inter$r i JOIN sizes na ON na.id = i.ia
+       |                 JOIN sizes nb ON nb.id = i.ib
+       |  WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.5),
+       |nc$r AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM cand$r),
+       |row$r AS (
+       |  SELECT $r AS rows_per_band, $b AS n_bands, nc.nc AS n_candidates,
+       |    ver.nv AS n_verified,
+       |    CASE WHEN nc.nc = 0 THEN NULL ELSE ver.nv * 1000000 // nc.nc END
+       |      AS precision_ppm
+       |  FROM nc$r nc, ver$r ver)""".stripMargin
+  }
+  val d17LshTuningSql: String =
+    s"""WITH ${PipelineQueries.corpusSql},
+       |${PipelineQueries.shingleSql},
+       |mh AS (
+       |${Dedup.minhashSql(16)}),
+       |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |${d17Block(2)},
+       |${d17Block(4)},
+       |${d17Block(8)}
+       |SELECT * FROM row2 UNION ALL SELECT * FROM row4 UNION ALL SELECT * FROM row8
+       |ORDER BY rows_per_band""".stripMargin
+
+  // ---- K12: time-decayed popularity counters --------------------------
+
+  /** K12: exponentially decayed per-type event counts with a one-day
+    * half-life, written as POWER-OF-TWO decay so the whole thing stays
+    * integer-exact: decayed = Σ_day cnt(day) div 2^(age_days), age
+    * clamped at 62 (a 2^63 shift would wrap; older days contribute 0
+    * anyway). The freshness-weighted popularity signal behind "what's
+    * trending" — mergeable (the per-(type, day) cells are the state,
+    * decay applies at read time, so yesterday's table never rewrites).
+    * Epoch-day arithmetic (datediff from 1970-01-01), no engine
+    * DATE_PART convention trusted — the q_v6 rule.
+    */
+  val k12DecayedCounts: Q = (s, d) => {
+    val cells = Tables.events(s, d)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("ed"))
+      .groupBy("event_type", "ed").agg(count(lit(1)).as("cnt"))
+    val mx = cells.agg(max(col("ed")).as("mx"))
+    cells.crossJoin(broadcast(mx))
+      .withColumn("w",
+        expr("cnt div shiftleft(1L, cast(least(mx - ed, 62) as int))"))
+      .groupBy("event_type")
+      .agg(sum(col("cnt")).as("n_events"), sum(col("w")).as("decayed"))
+      .orderBy(col("decayed").desc, col("event_type"))
+  }
+  val k12DecayedCountsSql: String =
+    """WITH dd AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
+      |  FROM events),
+      |c AS (SELECT event_type, ed, CAST(COUNT(*) AS BIGINT) AS cnt
+      |      FROM dd GROUP BY 1, 2),
+      |m AS (SELECT MAX(ed) AS mx FROM c)
+      |SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_events,
+      |  CAST(SUM(cnt // (CAST(1 AS BIGINT) << least(mx - ed, 62))) AS BIGINT)
+      |    AS decayed
+      |FROM c CROSS JOIN m GROUP BY 1 ORDER BY decayed DESC, event_type""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -282,7 +594,14 @@ object CurationQueries {
     "q_d16_cross_source" -> d16CrossSource,
     "q_p13_curriculum" -> p13Curriculum,
     "q_v7_skew_report" -> v7SkewReport,
-    "q_g12_jaccard_neighbors" -> g12JaccardNeighbors
+    "q_g12_jaccard_neighbors" -> g12JaccardNeighbors,
+    "q_t28_fertility" -> t28Fertility,
+    "q_e19_ood" -> e19Ood,
+    "q_st12_stream_upsert" -> st12StreamUpsert,
+    "q_s10_incr_join_agg" -> s10IncrJoinAgg,
+    "q_t29_source_divergence" -> t29SourceDivergence,
+    "q_d17_lsh_tuning" -> d17LshTuning,
+    "q_k12_decayed_counts" -> k12DecayedCounts
   )
 
   val oracles: Map[String, String] = Map(
@@ -293,6 +612,13 @@ object CurationQueries {
     "q_d16_cross_source" -> d16CrossSourceSql,
     "q_p13_curriculum" -> p13CurriculumSql,
     "q_v7_skew_report" -> v7SkewReportSql,
-    "q_g12_jaccard_neighbors" -> g12JaccardNeighborsSql
+    "q_g12_jaccard_neighbors" -> g12JaccardNeighborsSql,
+    "q_t28_fertility" -> t28FertilitySql,
+    "q_e19_ood" -> e19OodSql,
+    "q_st12_stream_upsert" -> st12StreamUpsertSql,
+    "q_s10_incr_join_agg" -> s10IncrJoinAggSql,
+    "q_t29_source_divergence" -> t29SourceDivergenceSql,
+    "q_d17_lsh_tuning" -> d17LshTuningSql,
+    "q_k12_decayed_counts" -> k12DecayedCountsSql
   )
 }

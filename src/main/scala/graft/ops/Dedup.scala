@@ -843,6 +843,45 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
 
+  /** LSH BAND-TUNING table — the measurement behind choosing
+    * (bands × rowsPerBand) for a MinHash index: for each candidate
+    * config over the SAME k-minhash signatures, the candidate-pair
+    * count, the verified-pair count (exact Jaccard ≥ threshold among
+    * candidates), and the resulting precision in ppm. Fewer rows per
+    * band → more candidates, higher recall, lower precision; this
+    * table is how a pipeline picks its operating point BEFORE paying
+    * for the full corpus run.
+    *
+    * Signatures and shingle sets are computed ONCE and shared across
+    * configs (persisted); each config adds only its own banding +
+    * verification. The per-config results cross the driver as single
+    * scalars (configs are bounded by the caller), so the output frame
+    * is |configs| rows regardless of corpus size.
+    */
+  def lshTuning(df: DataFrame, idCol: String, textCol: String, shingleN: Int,
+                k: Int, rowsPerBandConfigs: Seq[Int],
+                threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    val sh = shingleHashSet(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
+    val sigs = minhashSigs(sh, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    val rows = rowsPerBandConfigs.map { r =>
+      val cand = lshCandidatesFromSigs(sigs, r, k).localCheckpoint(eager = true)
+      val nCand = cand.count()
+      val nVer = jaccardVerify(cand, sh, setCol = "h")
+        .filter(col("jac") >= threshold).count()
+      (r, k / r, nCand, nVer,
+        if (nCand == 0) None else Some(nVer * 1000000L / nCand))
+    }
+    sigs.unpersist(); sh.unpersist()
+    import spark.implicits._
+    rows.toDF("rows_per_band", "n_bands", "n_candidates", "n_verified",
+      "precision_ppm")
+  }
+
   /** EXACT duplicate pairs (ia < ib) from whole-text hash groups — the
     * pair-shaped view of [[exactDupGroups]]'s group-shaped result, for
     * consumers that want edges (cluster closure, the cross-source

@@ -166,12 +166,22 @@ object Maintain {
     */
   def incrJoinView(baseView: DataFrame, baseA: DataFrame, baseB: DataFrame,
                    deltaA: DataFrame, deltaB: DataFrame,
-                   join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val dAB = join(broadcast(deltaA), baseB)
-    val adB = join(baseA, broadcast(deltaB))
-    val dAdB = join(broadcast(deltaA), deltaB)
-    baseView.unionByName(dAB).unionByName(adB).unionByName(dAdB)
-  }
+                   join: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    baseView.unionByName(joinViewDelta(baseA, baseB, deltaA, deltaB, join))
+
+  /** Just the increment ΔV of [[incrJoinView]] — the three delta join
+    * terms, without the stored view. This is what downstream
+    * INCREMENTAL consumers want: an aggregate over the view is
+    * maintained by merging `countSumState(joinViewDelta(...))` into its
+    * stored state ([[mergeStates]]), so neither the view NOR its
+    * aggregate ever recomputes from the bases.
+    */
+  def joinViewDelta(baseA: DataFrame, baseB: DataFrame,
+                    deltaA: DataFrame, deltaB: DataFrame,
+                    join: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    join(broadcast(deltaA), baseB)
+      .unionByName(join(baseA, broadcast(deltaB)))
+      .unionByName(join(broadcast(deltaA), deltaB))
 
   /** SCHEMA-EVOLUTION read: union snapshots whose schemas drifted over
     * time (columns added in later writes), aligning columns BY NAME and

@@ -479,6 +479,49 @@ object Vectors {
         expr("nearest_d2 * 1000 div nullif(intra_msd, 0)").as("sep_x1000"))
   }
 
+  /** OUT-OF-DISTRIBUTION pruning by cell-relative similarity — the
+    * embedding-space data-quality gate: assign every vector to its
+    * nearest centroid (the IVF coarse assignment), then flag vectors
+    * whose similarity to their OWN cell centroid falls `margin` below
+    * the cell's discrete lower-median similarity. Encoding failures,
+    * mis-embedded records and genuine outliers all land here — the
+    * "drop the weird 1%" pass before training.
+    *
+    * The median is per-CELL, so a naturally diffuse cluster doesn't
+    * mass-flag (the failure mode of one global threshold). Centroids
+    * must be bounded (they broadcast — the IVF contract); assignment
+    * is map-side; the median + flag pass is two window functions over
+    * one per-cell exchange. Discrete rank selection (row (n+1) div 2
+    * by (sim, vid)) — no interpolation, engine-exact on the
+    * bit-identical native cosine.
+    *
+    * `vecs` (vid, e), `centroids` (cid, ce). Output: the flagged rows
+    * (vec_id, cid, cos_sim, med_sim).
+    */
+  def cellOutliers(vecs: DataFrame, centroids: DataFrame, margin: Double): DataFrame = {
+    // same map-side max_by argmax as `ivfAssign`, with the winning
+    // similarity kept (the shuffle still carries one row per vector)
+    val assigned = Partitioning.spread(vecs)
+      .crossJoin(broadcast(centroids.select(col("cid"), col("ce"))))
+      .withColumn("sim", rankCosine(col("e"), col("ce")))
+      .groupBy("vid")
+      .agg(max_by(struct(col("cid"), col("sim")),
+        struct(col("sim"), (-col("cid")).as("neg_cid"))).as("best"))
+      .select(col("vid"), col("best.cid").as("cid"), col("best.sim").as("sim"))
+    val wMed = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("sim"), col("vid"))
+    val wCell = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+    val med = assigned
+      .withColumn("mrn", row_number().over(wMed))
+      .withColumn("n", count(lit(1)).over(wCell))
+      .filter(col("mrn") === expr("(n + 1) div 2"))
+      .select(col("cid"), col("sim").as("med_sim"))
+    assigned.join(broadcast(med), "cid")
+      .filter(col("sim") < col("med_sim") - margin)
+      .select(col("vid").as("vec_id"), col("cid"), col("sim").as("cos_sim"),
+        col("med_sim"))
+  }
+
   def knnBruteForce(vecs: DataFrame, query: DataFrame, k: Int): DataFrame =
     Partitioning.spread(vecs).crossJoin(broadcast(query.select(col("e").as("qe"))))
       .withColumn("cos_sim", rankCosine(col("e"), col("qe")))

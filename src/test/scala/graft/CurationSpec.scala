@@ -46,6 +46,26 @@ class CurationSpec extends SparkSpec {
     join(a, b).exceptAll(maintained).count() shouldBe 0
   }
 
+  test("aggregate maintained from joinViewDelta == direct aggregate of the full join") {
+    import graft.ops.Maintain
+    val a = (1L to 30L).map(k => (k, s"g${k % 3}")).toDF("k", "grp")
+    val b = (1L to 30L).flatMap(k => Seq((k, k * 10.0), (k, k * 1.0))).toDF("k", "x")
+    val join = (x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =>
+      x.join(y, "k").select($"grp", $"x")
+    val (baseA, dA) = (a.filter($"k" % 5 =!= 0), a.filter($"k" % 5 === 0))
+    val (baseB, dB) = (b.filter($"k" % 4 =!= 0), b.filter($"k" % 4 === 0))
+    val maintained = Maintain.finalizeCountSum(
+      Maintain.mergeStates(Seq(
+        Maintain.countSumState(join(baseA, baseB), Seq("grp"), $"x"),
+        Maintain.countSumState(
+          Maintain.joinViewDelta(baseA, baseB, dA, dB, join), Seq("grp"), $"x")),
+        Seq("grp")), Seq("grp"))
+    val direct = Maintain.finalizeCountSum(
+      Maintain.countSumState(join(a, b), Seq("grp"), $"x"), Seq("grp"))
+    maintained.exceptAll(direct).count() shouldBe 0
+    direct.exceptAll(maintained).count() shouldBe 0
+  }
+
   // ---- Vectors.labelNoiseAudit ----------------------------------------
 
   test("labelNoiseAudit flags the planted mislabel and clears the clean anchor") {
@@ -151,6 +171,92 @@ class CurationSpec extends SparkSpec {
     val again = Sampling.curriculumOrder(docs.repartition(7), "doc_id",
       ($"len7" % 4).cast("long"), epochs = 2, shards = 4)
     again.exceptAll(out).count() shouldBe 0
+  }
+
+  // ---- Vectors.cellOutliers -------------------------------------------
+
+  test("cellOutliers flags the planted stray, spares the tight cluster") {
+    val cents = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 0.0, 1.0, 0.0)),
+      (2L, Array(0.0, 0.0, 0.0, 1.0))).toDF("cid", "ce")
+    val vecs = ((10 until 20).map(j =>
+        (j.toLong, Array(1.0, 0.001 * j, 0.0, 0.0))) :+
+        // still nearest to centroid 0, but 60° off-axis → sim ≈ 0.5
+        ((99L, Array(0.5, 0.866, 0.0, 0.0)))).toDF("vid", "e")
+    val out = Vectors.cellOutliers(vecs, cents, 0.05)
+      .select("vec_id").as[Long].collect()
+    out.toSeq shouldBe Seq(99L)
+  }
+
+  // ---- streaming upsert: batch-structure invariance -------------------
+
+  test("foreachBatch Store.upsert converges to batch latest-by-key under " +
+    "multi-batch arrival, including a late batch with older timestamps") {
+    import graft.ops.Store
+    val dir = java.nio.file.Files.createTempDirectory("graft-st12spec").toString
+    def rows(t: (String, Long, Long, Long, String)*) =
+      t.toSeq.toDF("day", "user_id", "ts", "event_id", "v")
+    // seed state: u1's day-1 row
+    Store.latestByKey(rows(("d1", 1L, 1L, 1L, "seed")),
+        Seq("day", "user_id"), "ts", "event_id")
+      .write.partitionBy("day").parquet(s"$dir/store")
+    // two arrival FILES (flat single-file parquet, mtime-ordered so the
+    // file source replays f1 then f2); the SECOND carries an OLDER
+    // update for (d1,u1) — the merge must keep the newer stored row,
+    // not blindly append.
+    new java.io.File(s"$dir/feed").mkdirs()
+    def one(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-st12part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val dst = new java.io.File(s"$dir/feed", name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    one(rows(("d1", 1L, 3L, 3L, "new"), ("d1", 2L, 2L, 2L, "u2")),
+      "f1.parquet", 1700000000000L)
+    one(rows(("d1", 1L, 2L, 9L, "stale"), ("d2", 3L, 5L, 5L, "u3")),
+      "f2.parquet", 1700000100000L)
+    val schema = spark.read.parquet(s"$dir/feed").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/feed")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Store.upsert(spark, s"$dir/store", batch, "day",
+          Seq("day", "user_id"), "ts", "event_id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/store")
+      .select("day", "user_id", "event_id", "v")
+      .as[(String, Long, Long, String)].collect().toSet
+    got shouldBe Set(("d1", 1L, 3L, "new"), ("d1", 2L, 2L, "u2"),
+      ("d2", 3L, 5L, "u3"))
+  }
+
+  // ---- Dedup.lshTuning ------------------------------------------------
+
+  test("lshTuning: fewer rows per band never loses candidates; verified ⊆ candidates") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "a completely different document about spark query planning"),
+      (4L, "a completely different document about spark query planning today"),
+      (5L, "unrelated text with its own words entirely")).toDF("id", "text")
+    val t = graft.ops.Dedup.lshTuning(docs, "id", "text", 3, 16, Seq(2, 4, 8), 0.5)
+      .orderBy("rows_per_band")
+      .as[(Int, Int, Long, Long, Option[Long])].collect()
+    t.map(_._1).toSeq shouldBe Seq(2, 4, 8)
+    // banding with fewer rows per band is strictly more permissive:
+    // every pair sharing a 2r-row band also shares one of its r-row halves
+    t(0)._3 should be >= t(1)._3
+    t(1)._3 should be >= t(2)._3
+    t.foreach(r => r._4 should be <= r._3)
+    // the planted exact pair survives every config
+    t.foreach(r => r._4 should be >= 1L)
   }
 
   // ---- Skew.keySkewReport ---------------------------------------------

@@ -346,6 +346,22 @@ class PlanSpec extends SparkSpec {
     p should include("TakeOrderedAndProject")
   }
 
+  test("q_e19_ood: centroids broadcast; per-vector argmax collapses " +
+    "map-side (no per-vid window); median pass keyed by cell") {
+    val p = plan("q_e19_ood")
+    // assignment must be the max_by aggregation (partials below the
+    // exchange), not a row_number window keyed on vid — the window
+    // would shuffle corpus × centroids rows with no partial reduction.
+    p should include("partial_max_by")
+    // the assigned frame feeds the median build AND the flag pass —
+    // two corpus scans (each with its own broadcast nested loop over
+    // the bounded centroid set), zero corpus shuffles: the
+    // labelNoiseAudit shape.
+    p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) shouldBe 2
+    p should not include "CartesianProduct"
+    p should not include "SortMergeJoin"
+  }
+
   test("q_p13_curriculum: one window per (epoch, shard) partition — " +
     "no global (empty-partition) window anywhere") {
     val p = plan("q_p13_curriculum")
