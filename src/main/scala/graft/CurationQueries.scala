@@ -584,6 +584,52 @@ object CurationQueries {
       |    AS decayed
       |FROM c CROSS JOIN m GROUP BY 1 ORDER BY decayed DESC, event_type""".stripMargin
 
+  // ---- E20: IVF nprobe-tuning table -----------------------------------
+
+  /** E20: the recall-vs-cost curve for IVF probe widths
+    * ([[Vectors.ivfTuning]]) on the e3 fixed-centroid convention
+    * (centroids = vec_id < 8, query = vec_id 0, k = 10) for
+    * nprobe ∈ {1, 2, 4}. The ANN sibling of the q_d17 LSH table.
+    */
+  val e20IvfTuning: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id".as("vid"), $"embedding".cast("array<double>").as("e"))
+    val searchable = vecs.filter($"vid" =!= 0)
+    val cents = vecs.filter($"vid" < 8).select($"vid".as("cid"), $"e".as("ce"))
+    val query = vecs.filter($"vid" === 0).select($"e")
+    Vectors.ivfTuning(searchable, cents, query, k = 10, nprobes = Seq(1, 2, 4))
+      .orderBy("nprobe")
+  }
+  private def e20Block(np: Int): String =
+    s"""cells$np AS (SELECT cid FROM cent, q
+       |  ORDER BY ${cosSql("ce", "qe")} DESC, cid LIMIT $np),
+       |scan$np AS (SELECT a.vid, ${cosSql("a.e", "q.qe")} AS cs
+       |  FROM assigned a JOIN cells$np USING (cid), q),
+       |top$np AS (SELECT vid FROM scan$np ORDER BY cs DESC, vid LIMIT 10),
+       |row$np AS (SELECT $np AS nprobe,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM scan$np) AS n_scanned,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM top$np JOIN brute USING (vid))
+       |    * 1000000 // 10 AS recall_ppm)""".stripMargin
+  val e20IvfTuningSql: String =
+    s"""WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cent AS (SELECT vid AS cid, e AS ce FROM v WHERE vid < 8),
+       |q AS (SELECT e AS qe FROM v WHERE vid = 0),
+       |assigned AS (
+       |  SELECT vid, cid, e FROM (
+       |    SELECT v.vid, c.cid, v.e,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vid ORDER BY
+       |        ${cosSql("v.e", "c.ce")} DESC, c.cid) AS rn
+       |    FROM v, cent c WHERE v.vid <> 0)
+       |  WHERE rn = 1),
+       |brute AS (SELECT vid FROM v, q WHERE vid <> 0
+       |  ORDER BY ${cosSql("e", "qe")} DESC, vid LIMIT 10),
+       |${e20Block(1)},
+       |${e20Block(2)},
+       |${e20Block(4)}
+       |SELECT * FROM row1 UNION ALL SELECT * FROM row2 UNION ALL SELECT * FROM row4
+       |ORDER BY nprobe""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -601,7 +647,8 @@ object CurationQueries {
     "q_s10_incr_join_agg" -> s10IncrJoinAgg,
     "q_t29_source_divergence" -> t29SourceDivergence,
     "q_d17_lsh_tuning" -> d17LshTuning,
-    "q_k12_decayed_counts" -> k12DecayedCounts
+    "q_k12_decayed_counts" -> k12DecayedCounts,
+    "q_e20_ivf_tuning" -> e20IvfTuning
   )
 
   val oracles: Map[String, String] = Map(
@@ -619,6 +666,7 @@ object CurationQueries {
     "q_s10_incr_join_agg" -> s10IncrJoinAggSql,
     "q_t29_source_divergence" -> t29SourceDivergenceSql,
     "q_d17_lsh_tuning" -> d17LshTuningSql,
-    "q_k12_decayed_counts" -> k12DecayedCountsSql
+    "q_k12_decayed_counts" -> k12DecayedCountsSql,
+    "q_e20_ivf_tuning" -> e20IvfTuningSql
   )
 }

@@ -604,9 +604,61 @@ object TemporalQueries {
       |FROM roles GROUP BY 1
       |ORDER BY triangles DESC, node LIMIT 50""".stripMargin
 
+  /** J22: NEAREST-direction as-of join
+    * ([[graft.ops.Temporal.asOfJoinNearest]]) — each purchase takes the
+    * click closest in time in EITHER direction, ties to the backward
+    * match; completes the j10 (backward) / j16 (forward) / j20
+    * (tolerance) merge_asof family. The oracle derives both direction
+    * candidates independently and restates the tie rule.
+    */
+  val j22AsOfNearest: Q = (s, d) => {
+    val e = eventsUs(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"))
+    val clicks = e.filter(col("event_type") === "click")
+    Temporal.asOfJoinNearest(purchases, clicks, "user_id",
+        leftTs = col("purchase_us"), rightTs = col("us"),
+        leftCols = Seq("event_id", "purchase_us"),
+        payloadCols = Seq(col("us")), payloadNames = Seq("click_us"),
+        rightOrder = col("event_id"))
+      .select(col("event_id"), col("user_id"), col("purchase_us"), col("click_us"),
+        abs(col("purchase_us") - col("click_us")).as("gap_abs_us"))
+      .orderBy("event_id")
+  }
+  val j22AsOfNearestSql: String =
+    s"""WITH e AS ($eventsUsSql),
+       |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+       |c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
+       |b AS (SELECT event_id, user_id, purchase_us, click_us FROM (
+       |        SELECT p.event_id, p.user_id, p.us AS purchase_us, c.us AS click_us,
+       |          row_number() OVER (PARTITION BY p.event_id
+       |            ORDER BY c.us DESC NULLS LAST, c.event_id DESC) AS rn
+       |        FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.us <= p.us)
+       |      WHERE rn = 1),
+       |f AS (SELECT event_id, click_us FROM (
+       |        SELECT p.event_id, c.us AS click_us,
+       |          row_number() OVER (PARTITION BY p.event_id
+       |            ORDER BY c.us ASC NULLS LAST, c.event_id ASC) AS rn
+       |        FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.us > p.us)
+       |      WHERE rn = 1)
+       |SELECT b.event_id, b.user_id, b.purchase_us,
+       |  CASE WHEN f.click_us IS NULL THEN b.click_us
+       |       WHEN b.click_us IS NOT NULL
+       |         AND b.purchase_us - b.click_us <= f.click_us - b.purchase_us
+       |         THEN b.click_us
+       |       ELSE f.click_us END AS click_us,
+       |  ABS(b.purchase_us - CASE WHEN f.click_us IS NULL THEN b.click_us
+       |       WHEN b.click_us IS NOT NULL
+       |         AND b.purchase_us - b.click_us <= f.click_us - b.purchase_us
+       |         THEN b.click_us
+       |       ELSE f.click_us END) AS gap_abs_us
+       |FROM b JOIN f USING (event_id)
+       |ORDER BY event_id""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "q_j22_asof_nearest" -> j22AsOfNearest,
     "q_j10_asof" -> j10AsOf,
     "q_j11_range" -> j11Range,
     "q_j16_asof_fwd" -> j16AsOfFwd,
@@ -627,6 +679,7 @@ object TemporalQueries {
     "q_g11_kcore" -> g11KCore)
 
   val oracles: Map[String, String] = Map(
+    "q_j22_asof_nearest" -> j22AsOfNearestSql,
     "q_j10_asof" -> j10AsOfSql,
     "q_j11_range" -> j11RangeSql,
     "q_j16_asof_fwd" -> j16AsOfFwdSql,

@@ -116,6 +116,68 @@ object Temporal {
       leftTs = -leftTs, rightTs = -rightTs,
       leftCols, payloadCols, payloadNames, rightOrder = -rightOrder)
 
+  /** NEAREST-match as-of join (the pandas `merge_asof
+    * direction='nearest'` contract, completing the backward /
+    * forward / tolerance family): each left row takes the right match
+    * with the SMALLEST absolute time distance, a tie going to the
+    * backward (at-or-before) match. Within a direction, ties at equal
+    * timestamp resolve by `rightOrder` exactly as [[asOfJoin]] does
+    * (backward: largest; forward: smallest).
+    *
+    * One union + ONE keyed exchange-and-sort carries BOTH directions:
+    * the backward candidate is `last(ignoreNulls)` over the preceding
+    * frame, the forward candidate `first(ignoreNulls)` over the
+    * following frame of the SAME window ordering, so Spark reuses one
+    * sort — never two as-of passes glued by a join. The matched right
+    * timestamp rides along per direction to decide the winner; all
+    * payloads switch sides TOGETHER on that one row-level condition.
+    *
+    * Timestamps must be numeric (epoch units) — the distance
+    * comparison needs subtraction, the [[asOfJoinTolerance]]
+    * convention.
+    */
+  def asOfJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: Column, rightTs: Column,
+                      leftCols: Seq[String], payloadCols: Seq[Column],
+                      payloadNames: Seq[String], rightOrder: Column): DataFrame = {
+    require(payloadCols.length == payloadNames.length, "payload arity")
+    val names2 = payloadNames :+ "__mts"
+    val pay2 = payloadCols :+ rightTs
+    val payloadTypes = right.select(pay2: _*).schema.fields.map(_.dataType)
+    val l = left.select(
+      col(key) +: lit(1).as("__side") +: leftTs.as("__ts") +:
+        lit(null).cast("long").as("__ord") +:
+        (leftCols.map(col) ++ names2.zip(payloadTypes).map {
+          case (n, t) => lit(null).cast(t).as(n)
+        }): _*)
+    val r = right.select(
+      col(key) +: lit(0).as("__side") +: rightTs.as("__ts") +:
+        rightOrder.cast("long").as("__ord") +:
+        (leftCols.map(n => lit(null).cast(left.schema(n).dataType).as(n)) ++
+          pay2.zip(names2).map { case (c, n) => c.as(n) }): _*)
+    val wB = Window.partitionBy(key)
+      .orderBy(col("__ts"), col("__side"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(key)
+      .orderBy(col("__ts"), col("__side"), col("__ord"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = l.unionByName(r)
+      .select(col(key) +: col("__side") +: col("__ts") +: leftCols.map(col) ++:
+        (names2.map(n => last(col(n), ignoreNulls = true).over(wB).as(s"__b_$n")) ++
+          names2.map(n => first(col(n), ignoreNulls = true).over(wF).as(s"__f_$n"))): _*)
+      .filter(col("__side") === 1)
+    // equal-ts rights sort BEFORE the left row (side 0 < 1), so they
+    // appear only in the backward frame — distance 0, and backward wins
+    // the tie anyway, so the forward frame genuinely means "strictly
+    // after".
+    val takeB = col("__f___mts").isNull ||
+      (col("__b___mts").isNotNull &&
+        (col("__ts") - col("__b___mts") <= col("__f___mts") - col("__ts")))
+    filled.select(col(key) +: leftCols.map(col) ++:
+      payloadNames.map(n =>
+        when(takeB, col(s"__b_$n")).otherwise(col(s"__f_$n")).as(n)): _*)
+  }
+
   /** Interval (range) join: pairs (l, r) with matching `key` and
     * `rightTs` in the half-open window `(leftTs, leftTs + windowUs]`,
     * timestamps as epoch-microsecond longs.

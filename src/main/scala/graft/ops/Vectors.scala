@@ -522,6 +522,49 @@ object Vectors {
         col("med_sim"))
   }
 
+  /** IVF nprobe-TUNING table — the ANN sibling of `Dedup.lshTuning`:
+    * for each candidate probe width, how many vectors the search
+    * actually scans and what recall@k it achieves against the exact
+    * brute-force top-k. This is the recall-vs-cost curve an operator
+    * reads before fixing nprobe for a corpus-scale deployment.
+    *
+    * The coarse assignment is computed ONCE and shared (persisted);
+    * each config only swaps the probed-cell filter. Driver traffic is
+    * bounded: the k ground-truth ids, the |centroids| cell ranking,
+    * and k ids per config — never corpus rows.
+    *
+    * `vecs` (vid, e) is the searchable corpus, `centroids` (cid, ce)
+    * bounded, `query` one row (e).
+    */
+  def ivfTuning(vecs: DataFrame, centroids: DataFrame, query: DataFrame,
+                k: Int, nprobes: Seq[Int]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val assigned = ivfAssign(vecs, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    val qe = broadcast(query.select(col("e").as("qe")))
+    val bruteIds = knnBruteForce(vecs, query, k)
+      .select("vid").as[Long].collect().toSet
+    val cellRank = centroids.crossJoin(qe)
+      .withColumn("cs", rankCosine(col("ce"), col("qe")))
+      .orderBy(col("cs").desc, col("cid"))
+      .select("cid").as[Long].collect()
+    val rows = nprobes.map { np =>
+      val cells = cellRank.take(np)
+      val scan = assigned.filter(col("cid").isin(cells: _*))
+      val nScanned = scan.count()
+      val got = scan.crossJoin(qe)
+        .withColumn("cs", rankCosine(col("e"), col("qe")))
+        .orderBy(col("cs").desc, col("vid"))
+        .limit(k).select("vid").as[Long].collect()
+      val hits = got.count(bruteIds)
+      (np, nScanned, hits * 1000000L / k)
+    }
+    assigned.unpersist()
+    rows.toDF("nprobe", "n_scanned", "recall_ppm")
+  }
+
   def knnBruteForce(vecs: DataFrame, query: DataFrame, k: Int): DataFrame =
     Partitioning.spread(vecs).crossJoin(broadcast(query.select(col("e").as("qe"))))
       .withColumn("cos_sim", rankCosine(col("e"), col("qe")))

@@ -237,6 +237,54 @@ class CurationSpec extends SparkSpec {
       ("d2", 3L, 5L, "u3"))
   }
 
+  // ---- Temporal.asOfJoinNearest ---------------------------------------
+
+  test("asOfJoinNearest: closer side wins, exact tie goes backward, " +
+    "one-sided rows fall through") {
+    import graft.ops.Temporal
+    val left = Seq(
+      (1L, "u", 100L), // back at 90 (d=10), fwd at 130 (d=30) → back
+      (2L, "u", 125L), // back at 90 (d=35), fwd at 130 (d=5) → fwd
+      (3L, "u", 110L), // back at 90 (d=20), fwd at 130 (d=20) → TIE → back
+      (4L, "v", 50L),  // only a forward match exists
+      (5L, "w", 50L)   // no match at all
+    ).toDF("eid", "k", "lts")
+    val right = Seq(("u", 90L, 1L), ("u", 130L, 2L), ("v", 80L, 3L))
+      .toDF("k", "rts", "rid")
+    val out = Temporal.asOfJoinNearest(left, right, "k",
+        leftTs = $"lts", rightTs = $"rts",
+        leftCols = Seq("eid", "lts"),
+        payloadCols = Seq($"rts", $"rid"), payloadNames = Seq("m_ts", "m_id"),
+        rightOrder = $"rid")
+      .select("eid", "m_ts", "m_id")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    out(1L) shouldBe ((Some(90L), Some(1L)))
+    out(2L) shouldBe ((Some(130L), Some(2L)))
+    out(3L) shouldBe ((Some(90L), Some(1L))) // tie → backward
+    out(4L) shouldBe ((Some(80L), Some(3L)))
+    out(5L) shouldBe ((None, None))
+  }
+
+  // ---- Vectors.ivfTuning ----------------------------------------------
+
+  test("ivfTuning: scanned count and recall are non-decreasing in nprobe; " +
+    "probing every cell recovers brute-force exactly") {
+    def v(a: Double, b: Double) = Array(a, b, 0.1, 0.1)
+    val vecs = ((1 until 20).map(j => (j.toLong, v(1.0 + 0.01 * j, 0.0))) ++
+      (20 until 40).map(j => (j.toLong, v(0.0, 1.0 + 0.01 * j)))).toDF("vid", "e")
+    val cents = Seq((0L, v(1.0, 0.0)), (1L, v(0.0, 1.0))).toDF("cid", "ce")
+    val query = Seq(Tuple1(v(1.0, 0.05))).toDF("e")
+    val t = graft.ops.Vectors.ivfTuning(vecs, cents, query, k = 5, nprobes = Seq(1, 2))
+      .orderBy("nprobe").as[(Int, Long, Long)].collect()
+    t.map(_._1).toSeq shouldBe Seq(1, 2)
+    t(1)._2 should be >= t(0)._2
+    t(1)._3 should be >= t(0)._3
+    // nprobe = |cells| scans everything → identical to brute force
+    t(1)._2 shouldBe 39L
+    t(1)._3 shouldBe 1000000L
+  }
+
   // ---- Dedup.lshTuning ------------------------------------------------
 
   test("lshTuning: fewer rows per band never loses candidates; verified ⊆ candidates") {
