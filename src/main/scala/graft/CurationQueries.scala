@@ -146,8 +146,11 @@ object CurationQueries {
         Seq("vector", "spark", "merge"), 20)
       .select($"id".as("doc_id"), $"score")
   }
-  val t27Bm25Sql: String =
-    """WITH toks AS (
+  /** Shared BM25 score CTE (`bmscore(id, score)`) — used by the t27
+    * retrieval gate and the t30 hybrid-fusion gate.
+    */
+  private val bm25Cte: String =
+    """toks AS (
       |  SELECT id, lower(tok) AS term FROM
       |    (SELECT doc_id AS id, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok
       |     FROM documents)),
@@ -162,9 +165,14 @@ object CurationQueries {
       |    ((2 * (s.n_docs - f.df) + 1) * 1000000 // (2 * f.df + 1))
       |      * 22 * tf.tf * s.avgdl
       |      // (10 * s.avgdl * tf.tf + 3 * s.avgdl + 9 * d.dl) AS contrib
-      |  FROM tf JOIN dfreq f USING (term) JOIN dl d ON d.id = tf.id CROSS JOIN scal s)
-      |SELECT id AS doc_id, CAST(SUM(contrib) AS BIGINT) AS score
-      |FROM contrib GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      |  FROM tf JOIN dfreq f USING (term) JOIN dl d ON d.id = tf.id CROSS JOIN scal s),
+      |bmscore AS (
+      |  SELECT id, CAST(SUM(contrib) AS BIGINT) AS score
+      |  FROM contrib GROUP BY 1)""".stripMargin
+  val t27Bm25Sql: String =
+    s"""WITH $bm25Cte
+       |SELECT id AS doc_id, score FROM bmscore
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   // ---- D16: cross-source duplication matrix ---------------------------
 
@@ -630,6 +638,94 @@ object CurationQueries {
        |SELECT * FROM row1 UNION ALL SELECT * FROM row2 UNION ALL SELECT * FROM row4
        |ORDER BY nprobe""".stripMargin
 
+  // ---- E21: Matryoshka dimension-truncation tuning --------------------
+
+  /** E21: recall@10 of first-d-dimensions cosine search vs the full
+    * 64-d exact top-10 ([[Vectors.dimTruncationTuning]]) for
+    * d ∈ {8, 16, 32, 64} — d = 64 pins 1e6 by construction.
+    */
+  val e21DimTruncation: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id".as("vid"), $"embedding".cast("array<double>").as("e"))
+    Vectors.dimTruncationTuning(vecs.filter($"vid" =!= 0),
+        vecs.filter($"vid" === 0).select($"e"), k = 10, dims = Seq(8, 16, 32, 64))
+      .orderBy("dim")
+  }
+  private def e21Block(dim: Int): String =
+    s"""top$dim AS (SELECT vid FROM v, q WHERE vid <> 0
+       |  ORDER BY ${cosSql(s"v.e[1:$dim]", s"q.qe[1:$dim]")} DESC, vid LIMIT 10),
+       |row$dim AS (SELECT $dim AS dim,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM top$dim JOIN full64 USING (vid))
+       |    * 1000000 // 10 AS recall_ppm)""".stripMargin
+  val e21DimTruncationSql: String =
+    s"""WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT e AS qe FROM v WHERE vid = 0),
+       |full64 AS (SELECT vid FROM v, q WHERE vid <> 0
+       |  ORDER BY ${cosSql("v.e", "q.qe")} DESC, vid LIMIT 10),
+       |${e21Block(8)},
+       |${e21Block(16)},
+       |${e21Block(32)},
+       |${e21Block(64)}
+       |SELECT * FROM row8 UNION ALL SELECT * FROM row16
+       |UNION ALL SELECT * FROM row32 UNION ALL SELECT * FROM row64
+       |ORDER BY dim""".stripMargin
+
+  // ---- T30: hybrid retrieval (BM25 ⊕ embedding, RRF fusion) -----------
+
+  /** T30: hybrid search — the RAG-era retrieval default: fuse the
+    * lexical BM25 ranking (q_t27's scorer) with the semantic
+    * embedding ranking (cosine to query vector 0; doc_id and vec_id
+    * share the id domain) by Reciprocal Rank Fusion,
+    * rrf = Σ 1e6 div (60 + rank), over the top-100 of each ranker.
+    * Integer-exact end to end. The two rank windows run over frames
+    * k-BOUNDED by construction (≤100 rows after the TakeOrdered), so
+    * the unkeyed window is a driver-adjacent formality, not a corpus
+    * serialization; the fusion join is 100×100 at most.
+    */
+  val t30HybridRrf: Q = (s, d) => {
+    import s.implicits._
+    val wL = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"id")
+    val lex = TextOps.bm25Rank(Tables.documents(s, d), "doc_id", "text",
+        Seq("vector", "spark", "merge"), 100)
+      .withColumn("rank_lex", row_number().over(wL).cast("long"))
+      .select($"id".as("doc_id"), $"rank_lex")
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val q = vecs.filter($"vec_id" === 0).select($"e".as("qe"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .orderBy($"cs".desc, $"vec_id")
+    val sem = graft.ops.Partitioning.spread(vecs.filter($"vec_id" =!= 0))
+      .crossJoin(broadcast(q))
+      .withColumn("cs", Vectors.rankCosine($"e", $"qe"))
+      .orderBy($"cs".desc, $"vec_id").limit(100)
+      .withColumn("rank_sem", row_number().over(wS).cast("long"))
+      .select($"vec_id".as("doc_id"), $"rank_sem")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_1e6", expr(
+        """coalesce(1000000 div (60 + rank_lex), 0)
+          | + coalesce(1000000 div (60 + rank_sem), 0)""".stripMargin))
+      .orderBy($"rrf_1e6".desc, $"doc_id").limit(20)
+  }
+  val t30HybridRrfSql: String =
+    s"""WITH $bm25Cte,
+       |lex AS (SELECT id AS doc_id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS rank_lex
+       |  FROM bmscore ORDER BY score DESC, id LIMIT 100),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |qv AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+       |scored AS (SELECT vec_id, ${cosSql("v.e", "qv.qe")} AS cs
+       |  FROM v, qv WHERE vec_id <> 0),
+       |sem AS (SELECT vec_id AS doc_id,
+       |    CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS BIGINT) AS rank_sem
+       |  FROM scored ORDER BY cs DESC, vec_id LIMIT 100)
+       |SELECT COALESCE(l.doc_id, m.doc_id) AS doc_id, l.rank_lex, m.rank_sem,
+       |  COALESCE(1000000 // (60 + l.rank_lex), 0)
+       |    + COALESCE(1000000 // (60 + m.rank_sem), 0) AS rrf_1e6
+       |FROM lex l FULL OUTER JOIN sem m ON m.doc_id = l.doc_id
+       |ORDER BY rrf_1e6 DESC, doc_id LIMIT 20""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -648,7 +744,9 @@ object CurationQueries {
     "q_t29_source_divergence" -> t29SourceDivergence,
     "q_d17_lsh_tuning" -> d17LshTuning,
     "q_k12_decayed_counts" -> k12DecayedCounts,
-    "q_e20_ivf_tuning" -> e20IvfTuning
+    "q_e20_ivf_tuning" -> e20IvfTuning,
+    "q_e21_dim_truncation" -> e21DimTruncation,
+    "q_t30_hybrid_rrf" -> t30HybridRrf
   )
 
   val oracles: Map[String, String] = Map(
@@ -667,6 +765,8 @@ object CurationQueries {
     "q_t29_source_divergence" -> t29SourceDivergenceSql,
     "q_d17_lsh_tuning" -> d17LshTuningSql,
     "q_k12_decayed_counts" -> k12DecayedCountsSql,
-    "q_e20_ivf_tuning" -> e20IvfTuningSql
+    "q_e20_ivf_tuning" -> e20IvfTuningSql,
+    "q_e21_dim_truncation" -> e21DimTruncationSql,
+    "q_t30_hybrid_rrf" -> t30HybridRrfSql
   )
 }

@@ -565,6 +565,36 @@ object Vectors {
     rows.toDF("nprobe", "n_scanned", "recall_ppm")
   }
 
+  /** DIMENSION-TRUNCATION tuning table (the Matryoshka-embedding
+    * question): recall@k of cosine search using only the FIRST d
+    * dimensions, per candidate d, against the full-dimension exact
+    * top-k. Truncated search is how a pipeline cuts ANN index size /
+    * bandwidth by 4–8× — this table says what that costs in recall
+    * BEFORE re-indexing the corpus. Passing the full dimension as one
+    * of the configs pins recall_ppm = 1e6 (a built-in self-check).
+    *
+    * One map-side scored pass per config (query broadcast, slice is a
+    * scan projection); driver traffic is k ids per config. Same
+    * bounded-config contract as [[ivfTuning]] / `Dedup.lshTuning`.
+    */
+  def dimTruncationTuning(vecs: DataFrame, query: DataFrame, k: Int,
+                          dims: Seq[Int]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val qe = broadcast(query.select(col("e").as("qe")))
+    def topIds(d: Int): Seq[Long] =
+      Partitioning.spread(vecs).crossJoin(qe)
+        .withColumn("cs",
+          rankCosine(slice(col("e"), 1, d), slice(col("qe"), 1, d)))
+        .orderBy(col("cs").desc, col("vid")).limit(k)
+        .select("vid").as[Long].collect().toSeq
+    val fullDim = vecs.select(size(col("e"))).first().getInt(0)
+    val full = topIds(fullDim).toSet
+    dims.map { dcur =>
+      (dcur, topIds(dcur).count(full) * 1000000L / k)
+    }.toDF("dim", "recall_ppm")
+  }
+
   def knnBruteForce(vecs: DataFrame, query: DataFrame, k: Int): DataFrame =
     Partitioning.spread(vecs).crossJoin(broadcast(query.select(col("e").as("qe"))))
       .withColumn("cos_sim", rankCosine(col("e"), col("qe")))

@@ -285,6 +285,23 @@ class CurationSpec extends SparkSpec {
     t(1)._3 shouldBe 1000000L
   }
 
+  test("dimTruncationTuning: full dimension recovers exactly; truncation " +
+    "loses the vectors whose signal lives in the cut dimensions") {
+    // corpus where vectors 1..5 match the query in dims 0-1 and vectors
+    // 6..10 match ONLY via dims 2-3: truncating to d=2 must lose the
+    // latter from the top-5.
+    val vecs = ((1 to 5).map(j => (j.toLong, Array(1.0, 1.0, 0.0, 0.01 * j))) ++
+      (6 to 10).map(j => (j.toLong, Array(0.0, 0.0, 1.0, 1.0 + 0.01 * j))) ++
+      (11 to 20).map(j => (j.toLong, Array(-1.0, 0.5, -0.5, 0.02 * j))))
+      .toDF("vid", "e")
+    val query = Seq(Tuple1(Array(0.1, 0.1, 1.0, 1.0))).toDF("e")
+    val t = graft.ops.Vectors.dimTruncationTuning(vecs, query, k = 5, dims = Seq(2, 4))
+      .orderBy("dim").as[(Int, Long)].collect()
+    t.map(_._1).toSeq shouldBe Seq(2, 4)
+    t(1)._2 shouldBe 1000000L // full dim == exact by construction
+    t(0)._2 should be < 1000000L // dims 2-3 carried the signal
+  }
+
   // ---- Dedup.lshTuning ------------------------------------------------
 
   test("lshTuning: fewer rows per band never loses candidates; verified ⊆ candidates") {
