@@ -726,6 +726,146 @@ object CurationQueries {
        |FROM lex l FULL OUTER JOIN sem m ON m.doc_id = l.doc_id
        |ORDER BY rrf_1e6 DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---- G13: label-propagation communities ------------------------------
+
+  /** G13: plurality label-propagation communities
+    * ([[Graph.labelPropagate]], 3 synchronous rounds) on the part
+    * co-purchase graph — distinct from the q_d2b components closure:
+    * dense groups converge, sparse bridges don't leak. Oracle =
+    * [[Graph.labelPropSql]]'s unrolled replay.
+    */
+  val g13Communities: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = li.join(li.withColumnRenamed("p", "p2"), "o")
+      .where(col("p") < col("p2"))
+      .select(col("p").as("src"), col("p2").as("dst"))
+    Graph.labelPropagate(pairs, rounds = 3)
+      .select(col("node"), col("label").as("community"))
+      .orderBy("node")
+  }
+  val g13CommunitiesSql: String =
+    Graph.labelPropSql(
+      """SELECT x.p AS src, y.p AS dst
+        |FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) x
+        |JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) y
+        |  ON x.o = y.o AND x.p < y.p""".stripMargin,
+      rounds = 3) + "\nORDER BY node"
+
+  // ---- V8: robust trend (Theil–Sen) ------------------------------------
+
+  /** V8: per-type robust daily-volume trend — the Theil–Sen estimator
+    * (median of pairwise slopes), fully integer-exact: slopes are
+    * scaled by L = lcm(1..29) so every (Δcount·L div Δdays) division
+    * is REMAINDER-FREE (Δdays ∈ 1..29 divides L), which makes Spark's
+    * truncating `div` and DuckDB's flooring `//` agree even on
+    * negative slopes. Pairs are quadratic ONLY in the bounded time
+    * window per key (≤ C(30,2) here; a production monitor always
+    * trends a bounded trailing window), median by discrete rank
+    * selection. The robust complement of q_v3/q_v6: one outlier day
+    * can't bend the slope.
+    */
+  val v8TheilSen: Q = (s, d) => {
+    val c = Tables.events(s, d)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("ed"))
+      .groupBy("event_type", "ed").agg(count(lit(1)).as("cnt"))
+    graft.ops.Temporal.theilSenTrend(c, "event_type", "ed", "cnt",
+        maxDx = 29, scaleL = 2329089562800L) // lcm(1..29)
+      .orderBy("event_type")
+  }
+  val v8TheilSenSql: String =
+    """WITH dd AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
+      |  FROM events),
+      |c AS (SELECT event_type, ed, CAST(COUNT(*) AS BIGINT) AS cnt
+      |      FROM dd GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.event_type, a.ed AS eda, b.ed AS edb,
+      |    (b.cnt - a.cnt) * 2329089562800 // (b.ed - a.ed) AS slope
+      |  FROM c a JOIN c b ON b.event_type = a.event_type
+      |    AND b.ed > a.ed AND b.ed - a.ed <= 29),
+      |r AS (
+      |  SELECT event_type, slope,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY slope, eda, edb) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM p)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_pairs, slope AS slope_scaled,
+      |  CASE WHEN slope > 0 THEN 'up' WHEN slope < 0 THEN 'down'
+      |       ELSE 'flat' END AS trend
+      |FROM r WHERE rn = (n + 1) // 2
+      |ORDER BY event_type""".stripMargin
+
+  // ---- P15: deterministic weighted interleave --------------------------
+
+  /** P15: the data-mixing SCHEDULE ([[Sampling.weightedInterleave]]):
+    * sources weighted (N mod 3)+1, L = 6; sorting by (slot, source)
+    * is the smooth round-robin a dataloader reads. Complements q_p2
+    * (which docs) with the order (when).
+    */
+  val p15Interleave: Q = (s, d) => {
+    val weights = (0 until 20).map(i => s"src$i" -> (i % 3 + 1)).toMap
+    Sampling.weightedInterleave(Tables.documents(s, d), "doc_id", "source",
+        weights, scaleL = 6L, seed = "p15")
+      .orderBy("slot", "source", "doc_id")
+  }
+  val p15InterleaveSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, source,
+       |    (CAST(substr(source, 4) AS INT) % 3) + 1 AS w,
+       |    ${seededHash60Sql("'p15'", "CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |i AS (
+       |  SELECT doc_id, source, w,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+       |      AS BIGINT) AS i
+       |  FROM w)
+       |SELECT doc_id, source, i, i * 6 // w AS slot
+       |FROM i ORDER BY slot, source, doc_id""".stripMargin
+
+  // ---- V9: CUSUM change-point monitor ----------------------------------
+
+  /** V9: per-type CUSUM drift flags ([[graft.ops.Temporal.cusumFlags]])
+    * against the type's own mean daily volume, threshold = one
+    * mean-day of accumulated drift — the sustained-shift monitor
+    * point rules and seasonal medians miss. The sequential-looking
+    * recurrence runs as two plain windows via the prefix-minus-
+    * running-min identity.
+    */
+  val v9Cusum: Q = (s, d) => {
+    val c = Tables.events(s, d)
+      .select(col("event_type"), Queries.dstr(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+    val stats = c.groupBy("event_type")
+      .agg(expr("sum(cnt) div count(1)").as("target"))
+    graft.ops.Temporal.cusumFlags(
+        c.join(broadcast(stats), "event_type"),
+        "event_type", "day", "cnt", col("target"), col("target"))
+      .orderBy("event_type", "day")
+  }
+  val v9CusumSql: String =
+    """WITH c AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) // COUNT(*) AS target
+      |      FROM c GROUP BY 1),
+      |p AS (
+      |  SELECT c.event_type, day, cnt, s.target,
+      |    SUM(cnt - target) OVER (PARTITION BY c.event_type ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING) AS pfx
+      |  FROM c JOIN s USING (event_type)),
+      |q AS (
+      |  SELECT event_type, day, cnt, target,
+      |    pfx - LEAST(0, MIN(pfx) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING)) AS cusum
+      |  FROM p)
+      |SELECT event_type, day, cnt, CAST(cusum AS BIGINT) AS cusum,
+      |  cusum > target AS flagged
+      |FROM q ORDER BY event_type, day""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -746,7 +886,11 @@ object CurationQueries {
     "q_k12_decayed_counts" -> k12DecayedCounts,
     "q_e20_ivf_tuning" -> e20IvfTuning,
     "q_e21_dim_truncation" -> e21DimTruncation,
-    "q_t30_hybrid_rrf" -> t30HybridRrf
+    "q_t30_hybrid_rrf" -> t30HybridRrf,
+    "q_g13_communities" -> g13Communities,
+    "q_v8_theilsen" -> v8TheilSen,
+    "q_p15_interleave" -> p15Interleave,
+    "q_v9_cusum" -> v9Cusum
   )
 
   val oracles: Map[String, String] = Map(
@@ -767,6 +911,10 @@ object CurationQueries {
     "q_k12_decayed_counts" -> k12DecayedCountsSql,
     "q_e20_ivf_tuning" -> e20IvfTuningSql,
     "q_e21_dim_truncation" -> e21DimTruncationSql,
-    "q_t30_hybrid_rrf" -> t30HybridRrfSql
+    "q_t30_hybrid_rrf" -> t30HybridRrfSql,
+    "q_g13_communities" -> g13CommunitiesSql,
+    "q_v8_theilsen" -> v8TheilSenSql,
+    "q_p15_interleave" -> p15InterleaveSql,
+    "q_v9_cusum" -> v9CusumSql
   )
 }

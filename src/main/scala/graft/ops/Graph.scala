@@ -259,6 +259,73 @@ object Graph {
       s"\nSELECT a AS node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM adj$rounds GROUP BY 1"
   }
 
+  /** SYNCHRONOUS label-propagation COMMUNITY detection, bounded
+    * rounds — distinct from the connected-components closure
+    * (`Dedup.dupClusters` minimizes labels; components ignore edge
+    * density): here each node adopts the PLURALITY label among its
+    * neighbors every round (tie → smallest label), so densely
+    * interconnected groups converge to one label while bridges don't
+    * leak labels across sparse cuts. Rounds are part of the contract
+    * (the k-core precedent) and the oracle replays exactly the same
+    * synchronous updates.
+    *
+    * Per round: one keyed join (neighbor labels) + one
+    * map-side-combined plurality aggregation (min of (−cnt, label)
+    * structs — no per-node window); `localCheckpoint` keeps the plan
+    * flat across rounds. Edge-linear per round at any scale.
+    */
+  def labelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges.toDF("s", "t").where(col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
+      .distinct()
+    val adj = und.select(col("a"), col("b"))
+      .unionByName(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = adj.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val nl = adj
+        .join(labels.select(col("node").as("b"), col("label").as("nbl")), "b")
+        .groupBy(col("a"), col("nbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("a"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("nbl"))).as("m"))
+        .select(col("a").as("node"), col("m.nbl").as("next"))
+      labels = labels.join(nl, Seq("node"), "left")
+        .select(col("node"), coalesce(col("next"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** DuckDB replay of [[labelPropagate]]: the same synchronous rounds
+    * unrolled into CTEs (the kCoreSql pattern).
+    */
+  def labelPropSql(edgesCte: String, rounds: Int): String = {
+    val header =
+      s"""WITH raw AS ($edgesCte),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM raw WHERE src <> dst),
+         |adj AS MATERIALIZED (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+         |lab0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM adj)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""cnt$r AS (
+         |  SELECT adj.a, l.label AS nbl, COUNT(*) AS cnt
+         |  FROM adj JOIN lab${r - 1} l ON l.node = adj.b GROUP BY 1, 2),
+         |pick$r AS (
+         |  SELECT a AS node, nbl FROM (
+         |    SELECT a, nbl, row_number() OVER (PARTITION BY a
+         |      ORDER BY cnt DESC, nbl) AS rn FROM cnt$r) WHERE rn = 1),
+         |lab$r AS MATERIALIZED (
+         |  SELECT l.node, COALESCE(p.nbl, l.label) AS label
+         |  FROM lab${r - 1} l LEFT JOIN pick$r p ON p.node = l.node)""".stripMargin
+    }
+    (header +: rs).mkString(",\n") +
+      s"\nSELECT node, label AS community FROM lab$rounds"
+  }
+
   /** NEIGHBOR-SET JACCARD similarity over a bipartite incidence list
     * (key, node) — the link-prediction / "related items" primitive:
     * two nodes are similar when the keys they attach to overlap.

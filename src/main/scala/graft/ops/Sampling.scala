@@ -313,6 +313,43 @@ object Sampling {
     * `binCol` is the caller's integer curriculum key (a quality bin, a
     * length bucket); lower = earlier.
     */
+  /** DETERMINISTIC WEIGHTED INTERLEAVE — the data-mixing dataloader
+    * ORDER, materialized: source s with weight w_s contributes its
+    * i-th example at slot key `i·L div w_s` (L a common multiple of
+    * the weights), so sorting by (slot, source) yields the smooth
+    * round-robin schedule where a weight-3 source appears 3× as often
+    * as a weight-1 source, uniformly — not in bursts. Within each
+    * source, order is a seeded hash (deterministic reshuffle, the
+    * [[curriculumOrder]] rule).
+    *
+    * Complements q_p2's mixture SAMPLING (which docs survive) with the
+    * SCHEDULE (in what order the survivors are read). No global
+    * window anywhere: one row_number per source partition + a
+    * map-side slot computation; consumers ORDER BY (slot, source) —
+    * an output-side sort, not a plan barrier.
+    *
+    * `weights` must be positive; `scaleL` a common multiple of all of
+    * them so the slot division is remainder-free (engine-exact).
+    */
+  def weightedInterleave(df: DataFrame, idCol: String, srcCol: String,
+                         weights: Map[String, Int], scaleL: Long,
+                         seed: String): DataFrame = {
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    require(weights.values.forall(scaleL % _ == 0), "scaleL must clear every weight")
+    val wExpr = weights.foldLeft(lit(null).cast("int")) {
+      case (acc, (s, w)) => when(col(srcCol) === s, lit(w)).otherwise(acc)
+    }
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol))
+      .orderBy(graft.ops.TextOps.seededHash60(lit(seed), col(idCol).cast("string")),
+        col(idCol))
+    df.withColumn("w", wExpr)
+      .filter(col("w").isNotNull)
+      .withColumn("i", row_number().over(wIn).cast("long"))
+      .withColumn("slot", expr(s"i * ${scaleL}L div w"))
+      .select(col(idCol), col(srcCol), col("i"), col("slot"))
+  }
+
   def curriculumOrder(df: DataFrame, idCol: String, binCol: Column,
                       epochs: Int, shards: Int): DataFrame = {
     val keyed = df

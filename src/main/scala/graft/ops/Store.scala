@@ -251,6 +251,45 @@ object Store {
         statsCols.flatMap(c =>
           Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
 
+  /** MANIFEST-vs-DISK audit — the operational-hygiene check between
+    * refreshes: a data file on disk with no manifest row is INVISIBLE
+    * to [[scanPruned]] (silent result loss — the worst failure mode a
+    * skipping layer has), and a manifest row whose file is gone makes
+    * pruning claim coverage it can't deliver. Returns one row per
+    * discrepancy (file, on_disk, in_manifest); empty = healthy.
+    *
+    * The tree walk runs on the driver — bounded by FILE COUNT, not
+    * data, the same scale class as the manifest itself (swap in a
+    * distributed listing past ~10^6 files). Paths are normalized on
+    * both sides ('file:///x' vs 'file:/x' scheme spellings differ
+    * between `input_file_name` and the Hadoop listing).
+    */
+  def manifestAudit(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else if (name.endsWith(".parquet")) Seq(st.getPath.toString)
+        else Nil
+      }
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^file:/+", "/")
+    val disk = walk(root).toDF("file")
+      .select(norm(col("file")).as("file"), lit(true).as("on_disk"))
+    val mani = spark.read.parquet(manifestPath(path))
+      .select(norm(col("file")).as("file"), lit(true).as("in_manifest"))
+    disk.join(mani, Seq("file"), "full_outer")
+      .select(col("file"),
+        coalesce(col("on_disk"), lit(false)).as("on_disk"),
+        coalesce(col("in_manifest"), lit(false)).as("in_manifest"))
+      .filter(!col("on_disk") || !col("in_manifest"))
+  }
+
   /** Full manifest rebuild over every live file. */
   def refreshManifest(spark: SparkSession, path: String,
                       statsCols: Seq[String]): Unit =

@@ -116,6 +116,72 @@ object Temporal {
       leftTs = -leftTs, rightTs = -rightTs,
       leftCols, payloadCols, payloadNames, rightOrder = -rightOrder)
 
+  /** Integer-exact THEIL–SEN robust trend per key: the median of all
+    * pairwise slopes over a bounded x-window — one outlier point
+    * cannot bend it, unlike least squares. Slopes are scaled by
+    * `scaleL`, which the caller picks as a common multiple of every
+    * possible Δx (e.g. lcm(1..maxDx)) so `(Δy·scaleL) div Δx` is
+    * REMAINDER-FREE — that's what lets Spark's truncating `div` and a
+    * floor-division oracle agree even on NEGATIVE slopes (trunc ==
+    * floor exactly when the remainder is zero).
+    *
+    * Pairs are quadratic only in the per-key window (`Δx ≤ maxDx` —
+    * a production monitor always trends a bounded trailing window);
+    * the median is discrete rank selection over one keyed window
+    * exchange. Input `perX`: one row per (key, x) with an integral
+    * `y`.
+    */
+  def theilSenTrend(perX: DataFrame, keyCol: String, xCol: String, yCol: String,
+                    maxDx: Int, scaleL: Long): DataFrame = {
+    val a = perX.select(col(keyCol), col(xCol).as("__xa"), col(yCol).as("__ya"))
+    val b = perX.select(col(keyCol), col(xCol).as("__xb"), col(yCol).as("__yb"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("slope"), col("__xa"), col("__xb"))
+    val wc = Window.partitionBy(keyCol)
+    a.join(b, Seq(keyCol))
+      .where(col("__xb") > col("__xa") && col("__xb") - col("__xa") <= maxDx)
+      .withColumn("slope",
+        expr(s"(__yb - __ya) * ${scaleL}L div (__xb - __xa)"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col(keyCol), col("n").as("n_pairs"),
+        col("slope").as("slope_scaled"),
+        when(col("slope") > 0, "up").when(col("slope") < 0, "down")
+          .otherwise("flat").as("trend"))
+  }
+
+  /** CUSUM change-point detection per key, window-only: the classic
+    * recurrence S_i = max(0, S_{i−1} + (x_i − target)) looks
+    * sequential, but the identity
+    *
+    *   S_i = P_i − min(0, min_{j ≤ i} P_j),  P = running Σ (x − target)
+    *
+    * turns it into two PLAIN window functions (running sum + running
+    * min) — one keyed exchange, no fold, no recursion, engine-exact
+    * in integers. A day is flagged when the accumulated upward drift
+    * exceeds `threshold` — the sustained-shift monitor that point
+    * rules (q_w13) and seasonal medians (q_v6) both miss, because it
+    * integrates SMALL drifts over time instead of testing each day
+    * alone.
+    *
+    * Input `perX`: one row per (key, x) with integral `y`; `target`
+    * is the per-key null-hypothesis level (pass the trailing mean the
+    * caller believes in).
+    */
+  def cusumFlags(perX: DataFrame, keyCol: String, xCol: String, yCol: String,
+                 target: Column, threshold: Column): DataFrame = {
+    val wRun = Window.partitionBy(keyCol).orderBy(col(xCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perX
+      .withColumn("__d", col(yCol) - target)
+      .withColumn("__p", sum(col("__d")).over(wRun))
+      .withColumn("cusum",
+        col("__p") - least(lit(0L), min(col("__p")).over(wRun)))
+      .withColumn("flagged", col("cusum") > threshold)
+      .select(col(keyCol), col(xCol), col(yCol), col("cusum"), col("flagged"))
+  }
+
   /** NEAREST-match as-of join (the pandas `merge_asof
     * direction='nearest'` contract, completing the backward /
     * forward / tolerance family): each left row takes the right match

@@ -324,6 +324,109 @@ class CurationSpec extends SparkSpec {
     t.foreach(r => r._4 should be >= 1L)
   }
 
+  // ---- Graph.labelPropagate -------------------------------------------
+
+  test("labelPropagate: two cliques joined by one bridge keep distinct " +
+    "communities — where the components closure would merge them") {
+    // K4 on {1..4} and K4 on {10..13}, bridged by a single 4–10 edge
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((4L, 10L))).toDF("src", "dst")
+    val lab = graft.ops.Graph.labelPropagate(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val left = Set(1L, 2L, 3L, 4L).map(lab)
+    val right = Set(10L, 11L, 12L, 13L).map(lab)
+    left.size shouldBe 1
+    right.size shouldBe 1
+    left should not equal right
+    // contrast: the connected-components closure merges everything
+    val pairs = edges.select($"src".as("ia"), $"dst".as("ib"))
+    graft.ops.Dedup.dupClusters(pairs)
+      .select("cluster_id").distinct().count() shouldBe 1L
+  }
+
+  // ---- Temporal.theilSenTrend -----------------------------------------
+
+  test("theilSenTrend: one outlier day cannot bend the robust slope") {
+    // clean slope +2/day with one wild spike at x=5
+    val rows = (0 to 9).map(x =>
+      ("k", x.toLong, if (x == 5) 1000L else 100L + 2L * x))
+      .toDF("key", "x", "y")
+    val out = graft.ops.Temporal.theilSenTrend(rows, "key", "x", "y",
+        maxDx = 9, scaleL = 2520L) // lcm(1..9)
+      .collect().head
+    out.getAs[String]("trend") shouldBe "up"
+    // the median pairwise slope is the clean +2/day (×2520), spike ignored
+    out.getAs[Long]("slope_scaled") shouldBe 2L * 2520L
+    // a least-squares-style mean of slopes WOULD be bent far above 2/day:
+    // 9 of 45 pairs involve the spike with |slope| up to 900/day.
+  }
+
+  // ---- Sampling.weightedInterleave ------------------------------------
+
+  test("weightedInterleave: slot order respects weights smoothly — a " +
+    "weight-2 source appears twice per weight-1 appearance, never in bursts") {
+    val docs = ((1 to 12).map(i => (i.toLong, "heavy")) ++
+      (101 to 106).map(i => (i.toLong, "light"))).toDF("id", "src")
+    val out = Sampling.weightedInterleave(docs, "id", "src",
+        Map("heavy" -> 2, "light" -> 1), scaleL = 2L, seed = "t")
+      .orderBy("slot", "src", "id")
+      .select("src").as[String].collect()
+    // slots: heavy i → i·1, light i → i·2; so between consecutive light
+    // appearances there are at most 2 heavies — smooth, not front-loaded
+    val lightPos = out.zipWithIndex.filter(_._1 == "light").map(_._2)
+    lightPos.zip(lightPos.tail).foreach { case (a, b) =>
+      (b - a) should be <= 3 }
+    out.count(_ == "heavy") shouldBe 12
+    // deterministic under repartition
+    val again = Sampling.weightedInterleave(docs.repartition(5), "id", "src",
+      Map("heavy" -> 2, "light" -> 1), scaleL = 2L, seed = "t")
+    again.exceptAll(Sampling.weightedInterleave(docs, "id", "src",
+      Map("heavy" -> 2, "light" -> 1), scaleL = 2L, seed = "t")).count() shouldBe 0
+  }
+
+  // ---- Temporal.cusumFlags --------------------------------------------
+
+  test("cusumFlags window identity == the sequential max(0, S+d) recurrence") {
+    val ys = Seq(5L, 5L, 2L, 9L, 9L, 9L, 1L, 5L, 14L, 0L)
+    val target = 5L
+    val rows = ys.zipWithIndex.map { case (y, x) => ("k", x.toLong, y) }
+      .toDF("key", "x", "y")
+    val got = graft.ops.Temporal.cusumFlags(rows, "key", "x", "y",
+        lit(target), lit(6L))
+      .orderBy("x").select("cusum").as[Long].collect().toSeq
+    val expected = ys.scanLeft(0L)((s, y) => math.max(0L, s + y - target)).tail
+    got shouldBe expected
+    // and the flag fires exactly where the accumulated drift > 6
+    val flags = graft.ops.Temporal.cusumFlags(rows, "key", "x", "y",
+        lit(target), lit(6L))
+      .orderBy("x").select("flagged").as[Boolean].collect().toSeq
+    flags shouldBe expected.map(_ > 6L)
+  }
+
+  // ---- Store.manifestAudit --------------------------------------------
+
+  test("manifestAudit: healthy table is empty; orphan and ghost files surface") {
+    import graft.ops.Store
+    val dir = java.nio.file.Files.createTempDirectory("graft-maudit").toString + "/t"
+    (1L to 50L).map(i => (i, i % 5)).toDF("v", "p")
+      .write.partitionBy("p").parquet(dir)
+    Store.refreshManifest(spark, dir, Seq("v"))
+    Store.manifestAudit(spark, dir).count() shouldBe 0L
+    // orphan: a data file the manifest has never seen
+    val part = new java.io.File(s"$dir/p=0").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val orphan = new java.io.File(s"$dir/p=0/orphan-copy.parquet")
+    java.nio.file.Files.copy(part.toPath, orphan.toPath)
+    // ghost: a manifest row whose file is gone
+    part.delete()
+    val audit = Store.manifestAudit(spark, dir)
+      .as[(String, Boolean, Boolean)].collect()
+    audit.exists(r => r._1.endsWith("orphan-copy.parquet") && r._2 && !r._3) shouldBe true
+    audit.exists(r => r._1.endsWith(part.getName) && !r._2 && r._3) shouldBe true
+  }
+
   // ---- Skew.keySkewReport ---------------------------------------------
 
   test("keySkewReport advises salting exactly when a key dominates") {

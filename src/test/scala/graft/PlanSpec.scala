@@ -362,6 +362,46 @@ class PlanSpec extends SparkSpec {
     p should not include "SortMergeJoin"
   }
 
+  test("q_v9_cusum: both running windows share one keyed exchange — " +
+    "the recurrence never degenerates to a fold or a global window") {
+    val p = plan("q_v9_cusum")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    windows should not be empty
+    windows.foreach(l => l should include("event_type"))
+    // the running-min consumes the prefix-sum's output, so Spark plans
+    // two Window stages — but they sort identically, so no exchange
+    // sits between them. Keyed exchanges stay bounded: day-counts agg,
+    // per-type stats agg, join alignment, the shared window sort.
+    windows.size shouldBe 2
+    p.linesIterator.count(_.contains("Exchange hashpartitioning")) should be <= 4
+    p should not include "CartesianProduct"
+  }
+
+  test("q_p15_interleave: per-source rank only — no global window, " +
+    "slot assignment stays in the scan projection") {
+    val p = plan("q_p15_interleave")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    windows should not be empty
+    windows.foreach { l =>
+      l should include("source")
+      l should not include "], [], ["
+    }
+    p should not include "CartesianProduct"
+    p should not include "Join"
+  }
+
+  test("q_g13_communities: rounds are checkpoint-cut — the final plan " +
+    "is a flat label scan + presentation sort, not an iteration tower") {
+    val p = plan("q_g13_communities")
+    // each propagation round ran eagerly behind a localCheckpoint; a
+    // regression that drops the cut would resurface the whole 3-round
+    // join/aggregate chain (and its 3^r plan blowup) right here.
+    p should not include "Join"
+    p should not include "Window ["
+    p.linesIterator.count(_.contains("Exchange")) should be <= 1 // range sort only
+    p should not include "CartesianProduct"
+  }
+
   test("q_p13_curriculum: one window per (epoch, shard) partition — " +
     "no global (empty-partition) window anywhere") {
     val p = plan("q_p13_curriculum")
