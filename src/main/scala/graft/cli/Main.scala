@@ -237,6 +237,20 @@ object Main {
           spark.read.parquet(path), key, key), rest)
       }
 
+    // Robust per-type volume trend over the events feed: Theil–Sen
+    // slope (median of pairwise slopes — outlier-immune) per event_type.
+    case "trend" :: sfDir :: rest =>
+      withSession { spark =>
+        import org.apache.spark.sql.functions._
+        val c = graft.Tables.events(spark, sfDir)
+          .select(col("event_type"),
+            datediff(to_date(col("ts")),
+              lit("1970-01-01").cast("date")).as("ed"))
+          .groupBy("event_type", "ed").agg(count(lit(1)).as("cnt"))
+        emit(graft.ops.Temporal.theilSenTrend(c, "event_type", "ed", "cnt",
+          maxDx = 29, scaleL = 2329089562800L).orderBy("event_type"), rest)
+      }
+
     // reference cross-check validator (cross_check.py:79-137): DB symbols
     // on a date vs a saved exchangeInfo response body.
     case "crosscheck" :: path :: jsonPath :: date :: rest =>
@@ -262,7 +276,8 @@ object Main {
           "crosscheck <path> <exchangeInfo.json> <date> | " +
           "dedupreport <sfDir> | annsearch <sfDir> <vecId> [--k N] | " +
           "quality <sfDir> | mediareport <sfDir> | " +
-          "search <sfDir> <terms> [--k N] | skewreport <path> <key>")
+          "search <sfDir> <terms> [--k N] | skewreport <path> <key> | " +
+          "trend <sfDir>")
       sys.exit(2)
   }
 }

@@ -70,6 +70,13 @@ class CliSpec extends SparkSpec {
     rows.head should include("id")
   }
 
+  test("trend reports a robust slope per event type") {
+    val out = captureOut(
+      cli.Main.main(Array("trend", "/root/testdata/sf0.001", "--json")))
+    out should include("slope_scaled")
+    out should include("trend")
+  }
+
   test("skewreport diagnoses a prospective shuffle key") {
     val out = captureOut(
       cli.Main.main(Array("skewreport", "/root/testdata/sf0.001/lineitem.parquet",

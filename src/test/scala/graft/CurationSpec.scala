@@ -66,6 +66,34 @@ class CurationSpec extends SparkSpec {
     direct.exceptAll(maintained).count() shouldBe 0
   }
 
+  test("incrJoinView traffic law: maintenance moves delta-scale traffic " +
+    "while the full recompute shuffles both bases") {
+    import graft.ops.{Maintain, Metrics}
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1") // force SMJ for unhinted joins
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ijvm").toString
+      val a = (1L to 4000L).map(k => (k, s"a$k")).toDF("k", "av")
+      val b = (1L to 4000L).flatMap(k => Seq((k, s"b$k"), (k, s"c$k"))).toDF("k", "bv")
+      val join = (x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =>
+        x.join(y, "k").select($"k", $"av", $"bv")
+      val (baseA, dA) = (a.filter($"k" % 100 =!= 0), a.filter($"k" % 100 === 0))
+      val (baseB, dB) = (b.filter($"k" % 90 =!= 0), b.filter($"k" % 90 === 0))
+      join(baseA, baseB).write.parquet(s"$dir/view")
+      val stored = spark.read.parquet(s"$dir/view")
+      val incr = Metrics.measure(
+        Maintain.incrJoinView(stored, baseA, baseB, dA, dB, join))
+      val full = Metrics.measure(join(a, b))
+      // recompute shuffles both bases through the SMJ...
+      full.shuffleRows should be >= 12000L
+      // ...maintenance doesn't: the stored view unions through, the
+      // delta terms ride explicit broadcasts, so shuffle traffic is
+      // delta-scale at most.
+      incr.shuffleRows should be <= full.shuffleRows / 10
+    } finally spark.conf.set(thresholdKey, saved)
+  }
+
   // ---- Vectors.labelNoiseAudit ----------------------------------------
 
   test("labelNoiseAudit flags the planted mislabel and clears the clean anchor") {
