@@ -866,6 +866,129 @@ object CurationQueries {
       |  cusum > target AS flagged
       |FROM q ORDER BY event_type, day""".stripMargin
 
+  // ---- T31: retrieval evaluation --------------------------------------
+
+  /** T31: the evaluation loop for the retrieval family (what q_e12 is
+    * to ANN): precision@10 and MRR of the BM25 ranking against a
+    * deterministic relevance oracle — a document is relevant iff it
+    * contains ALL the query terms. Integer-exact (ppm ratios, MRR =
+    * 1e6 div first-relevant-rank, 0 when none lands in the top 10).
+    * All frames k-bounded after the TakeOrdered; relevance ids ride a
+    * broadcast.
+    */
+  val t31RetrievalEval: Q = (s, d) => {
+    import s.implicits._
+    val wL = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"id")
+    val ranked = TextOps.bm25Rank(Tables.documents(s, d), "doc_id", "text",
+        Seq("vector", "spark", "merge"), 10)
+      .withColumn("rank", row_number().over(wL).cast("long"))
+    val rel = Tables.documents(s, d)
+      .select($"doc_id".as("id"),
+        explode(regexp_extract_all($"text", lit("[A-Za-z]+"), lit(0))).as("tok"))
+      .select($"id", lower($"tok").as("term"))
+      .filter($"term".isin("vector", "spark", "merge"))
+      .distinct()
+      .groupBy($"id").agg(count(lit(1)).as("nt"))
+      .filter($"nt" === 3)
+      .select($"id", lit(true).as("relevant"))
+    val nRel = rel.agg(count(lit(1)).as("n_relevant"))
+    ranked.join(broadcast(rel), Seq("id"), "left")
+      .agg(
+        sum(when($"relevant", 1L).otherwise(0L)).as("hits_at_10"),
+        min(when($"relevant", $"rank")).as("first_rel_rank"))
+      .crossJoin(broadcast(nRel))
+      .select($"n_relevant", $"hits_at_10",
+        expr("hits_at_10 * 1000000 div 10").as("precision_at_10_ppm"),
+        $"first_rel_rank",
+        coalesce(expr("1000000 div first_rel_rank"), lit(0L)).as("mrr_ppm"))
+  }
+  val t31RetrievalEvalSql: String =
+    s"""WITH $bm25Cte,
+       |ranked AS (SELECT id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS rank
+       |  FROM bmscore ORDER BY score DESC, id LIMIT 10),
+       |rel AS (
+       |  SELECT id FROM (
+       |    SELECT DISTINCT id, term FROM toks
+       |    WHERE term IN ('vector', 'spark', 'merge'))
+       |  GROUP BY id HAVING COUNT(*) = 3),
+       |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant FROM rel),
+       |hits AS (
+       |  SELECT CAST(COUNT(rel.id) AS BIGINT) AS hits_at_10,
+       |    MIN(CASE WHEN rel.id IS NOT NULL THEN ranked.rank END) AS first_rel_rank
+       |  FROM ranked LEFT JOIN rel ON rel.id = ranked.id)
+       |SELECT nr.n_relevant, h.hits_at_10,
+       |  h.hits_at_10 * 1000000 // 10 AS precision_at_10_ppm,
+       |  h.first_rel_rank,
+       |  COALESCE(1000000 // h.first_rel_rank, 0) AS mrr_ppm
+       |FROM hits h CROSS JOIN nr""".stripMargin
+
+  // ---- ST13: streaming CDC apply --------------------------------------
+
+  /** ST13: a streamed I/U/D changelog applied to a parquet store per
+    * micro-batch — the live CDC-follower loop (st12's sibling for
+    * DELETE-carrying feeds): each batch unions the stored state (as
+    * seq-0 inserts) with the arriving changes and re-derives the
+    * state through [[Maintain.applyCdc]], so a later batch's op beats
+    * the stored row and a 'D' removes it. The store is seeded with
+    * the seq-1 insert snapshot; the stream carries the seq≥2 U/D
+    * tail; the final table must equal the batch apply of the WHOLE
+    * feed (q_s6's algebra — the oracle is that statement).
+    * Multi-batch composition incl. delete-then-reinsert is
+    * CurationSpec's two-file probe.
+    */
+  val st13StreamCdc: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft-st13").toString
+    val store = s"$dir/store"
+    val payload = Seq("o_custkey", "o_orderstatus", "o_totalprice")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    // seed: the seq-1 insert snapshot IS the orders slice itself
+    o.write.parquet(store)
+    // the streamed tail: seq-2 updates + seq-3 deletes (the q_s6 feed)
+    def ev(df: DataFrame, seq: Int, op: String) =
+      df.withColumn("seq", lit(seq.toLong)).withColumn("op", lit(op))
+    ev(o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("U2")), 2, "U")
+      .unionByName(ev(o.filter(col("o_orderkey") % 13 === 0), 3, "D"))
+      .write.parquet(s"$dir/feed")
+    val schema = s.read.parquet(s"$dir/feed").schema
+    val q = s.readStream.schema(schema).parquet(s"$dir/feed")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val st = s.read.parquet(store)
+          .withColumn("seq", lit(0L)).withColumn("op", lit("I"))
+        Maintain.applyCdc(st.unionByName(batch.select(st.columns.map(col): _*)),
+            "o_orderkey", col("seq"), col("seq"), col("op"), payload)
+          // lineage cut BEFORE overwriting the dir we just read
+          .localCheckpoint(eager = true)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(store)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(store)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+  val st13StreamCdcSql: String =
+    """WITH cdc AS (
+      |  SELECT o_orderkey, 1 AS seq, 'I' AS op, o_custkey, o_orderstatus, o_totalprice FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, 'U', o_custkey, 'U2', o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 3, 'D', o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 13 = 0),
+      |last AS (
+      |  SELECT o_orderkey, op, o_custkey, o_orderstatus, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      |  FROM cdc)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM last WHERE rn = 1 AND op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -890,7 +1013,9 @@ object CurationQueries {
     "q_g13_communities" -> g13Communities,
     "q_v8_theilsen" -> v8TheilSen,
     "q_p15_interleave" -> p15Interleave,
-    "q_v9_cusum" -> v9Cusum
+    "q_v9_cusum" -> v9Cusum,
+    "q_t31_retrieval_eval" -> t31RetrievalEval,
+    "q_st13_stream_cdc" -> st13StreamCdc
   )
 
   val oracles: Map[String, String] = Map(
@@ -915,6 +1040,8 @@ object CurationQueries {
     "q_g13_communities" -> g13CommunitiesSql,
     "q_v8_theilsen" -> v8TheilSenSql,
     "q_p15_interleave" -> p15InterleaveSql,
-    "q_v9_cusum" -> v9CusumSql
+    "q_v9_cusum" -> v9CusumSql,
+    "q_t31_retrieval_eval" -> t31RetrievalEvalSql,
+    "q_st13_stream_cdc" -> st13StreamCdcSql
   )
 }

@@ -455,6 +455,48 @@ class CurationSpec extends SparkSpec {
     audit.exists(r => r._1.endsWith(part.getName) && !r._2 && r._3) shouldBe true
   }
 
+  // ---- streaming CDC apply: multi-batch composition -------------------
+
+  test("streaming CDC apply composes across batches — a delete in batch 1 " +
+    "stays gone until batch 2 re-inserts the key") {
+    import graft.ops.Maintain
+    val dir = java.nio.file.Files.createTempDirectory("graft-st13spec").toString
+    def cdc(t: (Long, Long, String, String)*) =
+      t.toSeq.toDF("k", "seq", "op", "v")
+    // stored state: three keys
+    Seq((1L, "v1"), (2L, "v1"), (3L, "v1")).toDF("k", "v")
+      .write.parquet(s"$dir/store")
+    def one(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-st13part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val dst = new java.io.File(s"$dir/feed"); dst.mkdirs()
+      val out = new java.io.File(dst, name)
+      java.nio.file.Files.copy(part.toPath, out.toPath)
+      out.setLastModified(mtime)
+    }
+    one(cdc((1L, 2L, "U", "v2"), (2L, 2L, "D", "v1")), "f1.parquet", 1700000000000L)
+    one(cdc((2L, 3L, "I", "v9")), "f2.parquet", 1700000100000L)
+    val schema = spark.read.parquet(s"$dir/feed").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/feed")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val st = spark.read.parquet(s"$dir/store")
+          .withColumn("seq", lit(0L)).withColumn("op", lit("I"))
+        Maintain.applyCdc(st.unionByName(batch.select(st.columns.map(col): _*)),
+            "k", col("seq"), col("seq"), col("op"), Seq("v"))
+          .localCheckpoint(eager = true)
+          .write.mode("overwrite").parquet(s"$dir/store")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$dir/store").as[(Long, String)].collect().toSet shouldBe
+      Set((1L, "v2"), (2L, "v9"), (3L, "v1"))
+  }
+
   // ---- Skew.keySkewReport ---------------------------------------------
 
   test("keySkewReport advises salting exactly when a key dominates") {
