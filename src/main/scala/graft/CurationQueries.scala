@@ -989,6 +989,103 @@ object CurationQueries {
       |FROM last WHERE rn = 1 AND op <> 'D'
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- T32: category-blocklist safety gate ----------------------------
+
+  /** T32: the lexicon safety filter ([[TextOps.blocklistGate]]) with a
+    * fixture lexicon over the synthetic vocabulary and threshold 2 —
+    * the MECHANISM (categorized terms, per-category trip threshold,
+    * bounded broadcast) is the real curation op; the lexicon contents
+    * are authored input by contract.
+    */
+  val t32BlocklistGate: Q = (s, d) => {
+    TextOps.blocklistGate(Tables.documents(s, d), "doc_id", "text",
+        Map("latency" -> Seq("slow", "fast"), "size" -> Seq("big", "small")),
+        threshold = 2)
+      .orderBy("doc_id", "cat")
+  }
+  val t32BlocklistGateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lower(tok) AS term FROM
+      |    (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok
+      |     FROM documents)),
+      |lex(cat, term) AS (
+      |  VALUES ('latency', 'slow'), ('latency', 'fast'),
+      |         ('size', 'big'), ('size', 'small'))
+      |SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS n_hits,
+      |  COUNT(*) >= 2 AS cat_blocked
+      |FROM toks JOIN lex USING (term)
+      |GROUP BY 1, 2 ORDER BY doc_id, cat""".stripMargin
+
+  // ---- D18: per-benchmark contamination report ------------------------
+
+  /** D18: the dataset-card contamination table
+    * ([[Dedup.contaminationReport]]): two planted benchmarks (doc_id
+    * multiples of 31 and 37), corpus = everything else; per benchmark
+    * the distinct corpus docs sharing ≥1 3-shingle and the total hit
+    * count.
+    */
+  val d18ContaminationReport: Q = (s, d) => {
+    import s.implicits._
+    val all = Tables.documents(s, d).select($"doc_id".as("id"), $"text")
+    val corpusDocs = all.filter($"id" % 31 =!= 0 && $"id" % 37 =!= 0)
+    Dedup.contaminationReport(corpusDocs,
+        Seq("bench31" -> all.filter($"id" % 31 === 0),
+          "bench37" -> all.filter($"id" % 37 === 0)),
+        "id", "text")
+      .orderBy("bench")
+  }
+  private def d18EvCte(name: String, m: Int): String =
+    s"""$name AS (
+       |  SELECT DISTINCT '$name' AS bench, ${TextOps.hash60Sql("sh")} AS h
+       |  FROM (SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+       |          i -> array_to_string(toks[i:i+2], ' '))) AS sh
+       |        FROM (SELECT string_split_regex(text, '\\s+') AS toks
+       |              FROM documents WHERE doc_id % $m = 0)))""".stripMargin
+  val d18ContaminationReportSql: String =
+    s"""WITH corp AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  WHERE doc_id % 31 <> 0 AND doc_id % 37 <> 0),
+       |sh AS (
+       |  SELECT DISTINCT id, ${TextOps.hash60Sql("sh")} AS h
+       |  FROM (SELECT id, unnest(list_transform(generate_series(1, len(toks) - 2),
+       |          i -> array_to_string(toks[i:i+2], ' '))) AS sh
+       |        FROM (SELECT id, string_split_regex(text, '\\s+') AS toks FROM corp))),
+       |${d18EvCte("bench31", 31)},
+       |${d18EvCte("bench37", 37)},
+       |ev AS (SELECT * FROM bench31 UNION SELECT * FROM bench37)
+       |SELECT ev.bench, CAST(COUNT(DISTINCT sh.id) AS BIGINT) AS n_docs_hit,
+       |  CAST(COUNT(*) AS BIGINT) AS n_hits
+       |FROM sh JOIN ev ON ev.h = sh.h
+       |GROUP BY 1 ORDER BY bench""".stripMargin
+
+  // ---- S11: partition-layout evolution --------------------------------
+
+  /** S11: lineitem history written day-partitioned before 1998, month-
+    * partitioned after — [[graft.ops.Store.readEvolvedMonth]] unions
+    * the generations and the per-month rollup must equal the plain
+    * single-layout aggregation (the oracle). The transposed-predicate
+    * pruning contract is CurationSpec's metrics lock.
+    */
+  val s11PartitionEvolution: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft-s11").toString
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        Queries.dstr(col("l_shipdate")).as("day"))
+    li.filter(col("day") < "1998-01-01")
+      .write.partitionBy("day").parquet(s"$dir/old")
+    li.filter(col("day") >= "1998-01-01")
+      .withColumn("month", substring(col("day"), 1, 7)).drop("day")
+      .write.partitionBy("month").parquet(s"$dir/new")
+    graft.ops.Store.readEvolvedMonth(s, s"$dir/old", s"$dir/new")
+      .groupBy("month")
+      .agg(count(lit(1)).as("cnt"), graft.ops.Exact.sum2(col("l_quantity")).as("sum_qty"))
+      .orderBy("month")
+  }
+  val s11PartitionEvolutionSql: String =
+    s"""SELECT strftime(l_shipdate, '%Y-%m') AS month, COUNT(*) AS cnt,
+       |  ${graft.ops.Exact.sum2Sql("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY 1 ORDER BY month""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1015,7 +1112,10 @@ object CurationQueries {
     "q_p15_interleave" -> p15Interleave,
     "q_v9_cusum" -> v9Cusum,
     "q_t31_retrieval_eval" -> t31RetrievalEval,
-    "q_st13_stream_cdc" -> st13StreamCdc
+    "q_st13_stream_cdc" -> st13StreamCdc,
+    "q_t32_blocklist_gate" -> t32BlocklistGate,
+    "q_d18_contamination_report" -> d18ContaminationReport,
+    "q_s11_partition_evolution" -> s11PartitionEvolution
   )
 
   val oracles: Map[String, String] = Map(
@@ -1042,6 +1142,9 @@ object CurationQueries {
     "q_p15_interleave" -> p15InterleaveSql,
     "q_v9_cusum" -> v9CusumSql,
     "q_t31_retrieval_eval" -> t31RetrievalEvalSql,
-    "q_st13_stream_cdc" -> st13StreamCdcSql
+    "q_st13_stream_cdc" -> st13StreamCdcSql,
+    "q_t32_blocklist_gate" -> t32BlocklistGateSql,
+    "q_d18_contamination_report" -> d18ContaminationReportSql,
+    "q_s11_partition_evolution" -> s11PartitionEvolutionSql
   )
 }

@@ -882,6 +882,34 @@ object Dedup {
       "precision_ppm")
   }
 
+  /** Per-BENCHMARK contamination report — the deliverable a
+    * decontamination pass ships: for EACH eval benchmark, how many
+    * corpus documents share at least one k-shingle with it and how
+    * many shingle hits there are in total. `decontaminate` answers
+    * "drop these docs" for one eval set; this answers "which
+    * benchmark leaked, and how badly" across all of them — the table
+    * that goes in the dataset card.
+    *
+    * Every benchmark's shingle set is bounded (eval sets are small by
+    * contract — the q_d6 rule), so all of them broadcast TOGETHER
+    * with a bench tag; the corpus shingle frame is computed once and
+    * joined once regardless of benchmark count.
+    */
+  def contaminationReport(docs: DataFrame, benches: Seq[(String, DataFrame)],
+                          idCol: String, textCol: String,
+                          shingleN: Int = 3): DataFrame = {
+    require(benches.nonEmpty, "at least one benchmark")
+    val sh = shingleHashSet(docs, idCol, textCol, shingleN)
+    val evalShingles = benches.map { case (name, ev) =>
+        shingleHashSet(ev, idCol, textCol, shingleN)
+          .select(lit(name).as("bench"), col("h"))
+      }.reduce(_.unionByName(_)).distinct()
+    sh.join(broadcast(evalShingles), "h")
+      .groupBy(col("bench"))
+      .agg(countDistinct(col("id")).as("n_docs_hit"),
+        count(lit(1)).as("n_hits"))
+  }
+
   /** EXACT duplicate pairs (ia < ib) from whole-text hash groups — the
     * pair-shaped view of [[exactDupGroups]]'s group-shaped result, for
     * consumers that want edges (cluster closure, the cross-source

@@ -251,6 +251,32 @@ object Store {
         statsCols.flatMap(c =>
           Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
 
+  /** PARTITION-LAYOUT EVOLUTION read: one logical table whose history
+    * lives in a day-partitioned layout (`oldPath`, partition column
+    * `day` = yyyy-MM-dd) and whose newer data moved to month
+    * partitioning (`newPath`, partition column `month` = yyyy-MM) —
+    * the lakehouse migration that must NOT rewrite the historical
+    * layout. The read unions both generations aligned on `month`
+    * (derived from `day` on the old side).
+    *
+    * The part that's easy to get wrong: a month filter applied AFTER
+    * the union cannot prune the old layout (the predicate sits on a
+    * DERIVED column). So the filter is TRANSPOSED per generation
+    * BEFORE the union — `month = m` on the new side, `day` prefix
+    * `m` on the old side — and both scans partition-prune. That
+    * transposition is the contract of this function, spec-locked via
+    * scan-row metrics.
+    */
+  def readEvolvedMonth(spark: SparkSession, oldPath: String, newPath: String,
+                       month: Option[String] = None): DataFrame = {
+    val o0 = spark.read.parquet(oldPath)
+    val o1 = month.fold(o0)(m => o0.filter(col("day").startsWith(m)))
+      .withColumn("month", substring(col("day"), 1, 7)).drop("day")
+    val n0 = spark.read.parquet(newPath)
+    val n1 = month.fold(n0)(m => n0.filter(col("month") === m))
+    o1.unionByName(n1.select(o1.columns.map(col).toIndexedSeq: _*))
+  }
+
   /** MANIFEST-vs-DISK audit — the operational-hygiene check between
     * refreshes: a data file on disk with no manifest row is INVISIBLE
     * to [[scanPruned]] (silent result loss — the worst failure mode a

@@ -115,6 +115,35 @@ object TextOps {
        |    '$Ipv4Pattern', '<IP>', 'g'),
        |    '$LongNumPattern', '<NUM>', 'g')""".stripMargin
 
+  /** Category-BLOCKLIST safety gate — the lexicon-based content filter
+    * every curation pipeline runs before anything learned: per
+    * (document, category) hit counts against a categorized term list,
+    * with the category tripped at `threshold` hits (one incidental
+    * token ≠ a topical document — the threshold is the contract, not
+    * an implementation detail). The lexicon is bounded by construction
+    * (it's authored) → broadcast; counts map-side combine; docs with
+    * zero hits never materialize.
+    *
+    * Output: one row per (id, cat) with ≥1 hit — (id, cat, n_hits,
+    * cat_blocked).
+    */
+  def blocklistGate(docs: DataFrame, idCol: String, textCol: String,
+                    lexicon: Map[String, Seq[String]],
+                    threshold: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = lexicon.toSeq
+      .flatMap { case (cat, ts) => ts.map(t => (cat, t.toLowerCase)) }
+      .toDF("cat", "term")
+    docs.select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit("[A-Za-z]+"), lit(0))).as("tok"))
+      .select(col(idCol), lower(col("tok")).as("term"))
+      .join(broadcast(lex), "term")
+      .groupBy(col(idCol), col("cat"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("cat_blocked", col("n_hits") >= threshold)
+  }
+
   /** BM25 ranked retrieval over the corpus — the step past TF-IDF
     * (q_t11) that adds document-length normalization and tf
     * saturation, i.e. the default ranking function of every full-text

@@ -330,6 +330,43 @@ class CurationSpec extends SparkSpec {
     t(0)._2 should be < 1000000L // dims 2-3 carried the signal
   }
 
+  // ---- TextOps.blocklistGate ------------------------------------------
+
+  test("blocklistGate: threshold separates topical docs from incidental hits") {
+    val docs = Seq(
+      (1L, "gore gore violence everywhere"), // topical: 3 hits in cat v
+      (2L, "one mention of gore only"),      // incidental: 1 hit
+      (3L, "spam spam and also gore"),       // topical in s, incidental in v
+      (4L, "perfectly clean text")
+    ).toDF("id", "text")
+    val out = TextOps.blocklistGate(docs, "id", "text",
+        Map("v" -> Seq("gore", "violence"), "s" -> Seq("spam")), threshold = 2)
+      .as[(Long, String, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    out((1L, "v")) shouldBe ((3L, true))
+    out((2L, "v")) shouldBe ((1L, false))
+    out((3L, "s")) shouldBe ((2L, true))
+    out((3L, "v")) shouldBe ((1L, false))
+    out.keys.map(_._1) should not contain 4L // zero-hit docs never materialize
+  }
+
+  // ---- Dedup.contaminationReport --------------------------------------
+
+  test("contaminationReport: each benchmark's leak counted independently") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),   // leaks bench A's shingle
+      (2L, "epsilon zeta eta theta"),   // leaks bench B's
+      (3L, "iota kappa lambda mu")      // clean
+    ).toDF("id", "text")
+    val bA = Seq((100L, "alpha beta gamma nothing")).toDF("id", "text")
+    val bB = Seq((200L, "epsilon zeta eta other")).toDF("id", "text")
+    val rep = graft.ops.Dedup.contaminationReport(corpus,
+        Seq("A" -> bA, "B" -> bB), "id", "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    rep("A") shouldBe ((1L, 1L)) // doc 1, one shared 3-shingle
+    rep("B") shouldBe ((1L, 1L))
+  }
+
   // ---- Dedup.lshTuning ------------------------------------------------
 
   test("lshTuning: fewer rows per band never loses candidates; verified ⊆ candidates") {
@@ -495,6 +532,37 @@ class CurationSpec extends SparkSpec {
     q.awaitTermination()
     spark.read.parquet(s"$dir/store").as[(Long, String)].collect().toSet shouldBe
       Set((1L, "v2"), (2L, "v9"), (3L, "v1"))
+  }
+
+  // ---- Store.readEvolvedMonth -----------------------------------------
+
+  test("readEvolvedMonth: the transposed month filter prunes BOTH " +
+    "partition generations, including the day-partitioned history") {
+    import graft.ops.{Metrics, Store}
+    val dir = java.nio.file.Files.createTempDirectory("graft-s11spec").toString
+    val rows = Seq(
+      ("1994-12-03", 1L), ("1994-12-07", 2L), ("1994-11-20", 3L),
+      ("1995-01-04", 4L), ("1995-01-09", 5L), ("1995-02-11", 6L))
+      .toDF("day", "v")
+    rows.filter($"day" < "1995-01-01")
+      .write.partitionBy("day").parquet(s"$dir/old")
+    rows.filter($"day" >= "1995-01-01")
+      .withColumn("month", substring($"day", 1, 7)).drop("day")
+      .write.partitionBy("month").parquet(s"$dir/new")
+    // full read covers every generation
+    Store.readEvolvedMonth(spark, s"$dir/old", s"$dir/new")
+      .count() shouldBe 6L
+    // a month living in the OLD generation: the day-prefix transposition
+    // must partition-prune — only that month's rows leave any scan
+    val old1 = Store.readEvolvedMonth(spark, s"$dir/old", s"$dir/new",
+      Some("1994-12"))
+    old1.select("v").as[Long].collect().toSet shouldBe Set(1L, 2L)
+    Metrics.measure(old1).scanRows shouldBe 2L
+    // and a month in the NEW generation prunes symmetrically
+    val new1 = Store.readEvolvedMonth(spark, s"$dir/old", s"$dir/new",
+      Some("1995-01"))
+    new1.select("v").as[Long].collect().toSet shouldBe Set(4L, 5L)
+    Metrics.measure(new1).scanRows shouldBe 2L
   }
 
   // ---- Skew.keySkewReport ---------------------------------------------
