@@ -1060,23 +1060,25 @@ object CurationQueries {
 
   // ---- S11: partition-layout evolution --------------------------------
 
-  /** S11: lineitem history written day-partitioned before 1998, month-
-    * partitioned after — [[graft.ops.Store.readEvolvedMonth]] unions
-    * the generations and the per-month rollup must equal the plain
-    * single-layout aggregation (the oracle). The transposed-predicate
-    * pruning contract is CurationSpec's metrics lock.
+  /** S11: the compaction-era layout split — the HOT tail of lineitem
+    * stays day-partitioned while the deep history is coarsened to
+    * month partitions (so the table never accumulates thousands of
+    * tiny day directories) — [[graft.ops.Store.readEvolvedMonth]]
+    * unions the generations and the per-month rollup must equal the
+    * plain single-layout aggregation (the oracle). The transposed-
+    * predicate pruning contract is CurationSpec's metrics lock.
     */
   val s11PartitionEvolution: Q = (s, d) => {
     val dir = java.nio.file.Files.createTempDirectory("graft-s11").toString
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         Queries.dstr(col("l_shipdate")).as("day"))
-    li.filter(col("day") < "1998-01-01")
-      .write.partitionBy("day").parquet(s"$dir/old")
-    li.filter(col("day") >= "1998-01-01")
+    li.filter(col("day") >= "2001-09-01")
+      .write.partitionBy("day").parquet(s"$dir/days")
+    li.filter(col("day") < "2001-09-01")
       .withColumn("month", substring(col("day"), 1, 7)).drop("day")
-      .write.partitionBy("month").parquet(s"$dir/new")
-    graft.ops.Store.readEvolvedMonth(s, s"$dir/old", s"$dir/new")
+      .write.partitionBy("month").parquet(s"$dir/months")
+    graft.ops.Store.readEvolvedMonth(s, s"$dir/days", s"$dir/months")
       .groupBy("month")
       .agg(count(lit(1)).as("cnt"), graft.ops.Exact.sum2(col("l_quantity")).as("sum_qty"))
       .orderBy("month")

@@ -251,28 +251,29 @@ object Store {
         statsCols.flatMap(c =>
           Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
 
-  /** PARTITION-LAYOUT EVOLUTION read: one logical table whose history
-    * lives in a day-partitioned layout (`oldPath`, partition column
-    * `day` = yyyy-MM-dd) and whose newer data moved to month
-    * partitioning (`newPath`, partition column `month` = yyyy-MM) —
-    * the lakehouse migration that must NOT rewrite the historical
-    * layout. The read unions both generations aligned on `month`
-    * (derived from `day` on the old side).
+  /** PARTITION-LAYOUT EVOLUTION read: one logical table split across
+    * a day-partitioned generation (`dayPath`, partition column `day` =
+    * yyyy-MM-dd) and a month-partitioned one (`monthPath`, partition
+    * column `month` = yyyy-MM) — either direction of the lakehouse
+    * layout migration (fine-grained history moving to months, or a
+    * hot day-grained tail ahead of a compacted month-grained archive)
+    * without rewriting the other generation. The read unions both
+    * aligned on `month` (derived from `day` on the day side).
     *
     * The part that's easy to get wrong: a month filter applied AFTER
-    * the union cannot prune the old layout (the predicate sits on a
+    * the union cannot prune the day layout (the predicate sits on a
     * DERIVED column). So the filter is TRANSPOSED per generation
-    * BEFORE the union — `month = m` on the new side, `day` prefix
-    * `m` on the old side — and both scans partition-prune. That
+    * BEFORE the union — `month = m` on the month side, `day` prefix
+    * `m` on the day side — and both scans partition-prune. That
     * transposition is the contract of this function, spec-locked via
     * scan-row metrics.
     */
-  def readEvolvedMonth(spark: SparkSession, oldPath: String, newPath: String,
+  def readEvolvedMonth(spark: SparkSession, dayPath: String, monthPath: String,
                        month: Option[String] = None): DataFrame = {
-    val o0 = spark.read.parquet(oldPath)
+    val o0 = spark.read.parquet(dayPath)
     val o1 = month.fold(o0)(m => o0.filter(col("day").startsWith(m)))
       .withColumn("month", substring(col("day"), 1, 7)).drop("day")
-    val n0 = spark.read.parquet(newPath)
+    val n0 = spark.read.parquet(monthPath)
     val n1 = month.fold(n0)(m => n0.filter(col("month") === m))
     o1.unionByName(n1.select(o1.columns.map(col).toIndexedSeq: _*))
   }
