@@ -245,9 +245,9 @@ object CurationQueries {
   }
   private def skewSql(table: String, key: String, label: String): String =
     s"""SELECT '$label' AS key_col, n_rows, n_keys, max_cnt,
-       |  max_cnt * 1000000 // n_rows AS top_share_ppm,
-       |  max_cnt * 1000 * n_keys // n_rows AS skew_x1000,
-       |  (max_cnt * 1000 * n_keys // n_rows) > 5000 AS salt_advised
+       |  CAST(CAST(max_cnt AS HUGEINT) * 1000000 // n_rows AS BIGINT) AS top_share_ppm,
+       |  CAST(CAST(max_cnt AS HUGEINT) * 1000 * n_keys // n_rows AS BIGINT) AS skew_x1000,
+       |  (CAST(max_cnt AS HUGEINT) * 1000 * n_keys // n_rows) > 5000 AS salt_advised
        |FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
        |        CAST(COUNT(*) AS BIGINT) AS n_keys,
        |        CAST(MAX(cnt) AS BIGINT) AS max_cnt
@@ -262,19 +262,25 @@ object CurationQueries {
 
   /** G12: "related parts" by order-set Jaccard
     * ([[Graph.neighborJaccard]]) over the order↔part incidence — top 50
-    * pairs; candidates only from co-attachment, never corpus².
+    * pairs; candidates only from co-attachment, never corpus². The
+    * hot-key cutoff (`maxList = 1000`) is passed explicitly and
+    * MIRRORED in the oracle's `keys` CTE, so engine and oracle state
+    * the same contract — on TPC-H the cutoff never fires (≤ 7 parts
+    * per order) but the gate stays honest on any skewed incidence.
     */
   val g12JaccardNeighbors: Q = (s, d) => {
     Graph.neighborJaccard(
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
-        minJaccard1e6 = 0)
+        minJaccard1e6 = 0, maxList = 1000)
       .orderBy(col("jaccard_1e6").desc, col("a"), col("b")).limit(50)
   }
   val g12JaccardNeighborsSql: String =
     """WITH inc AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS node FROM lineitem),
       |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM inc GROUP BY 1),
+      |keys AS (SELECT k FROM inc GROUP BY k HAVING COUNT(*) <= 1000),
       |co AS (SELECT x.node AS a, y.node AS b, CAST(COUNT(*) AS BIGINT) AS co
-      |       FROM inc x JOIN inc y ON x.k = y.k AND x.node < y.node GROUP BY 1, 2),
+      |       FROM inc x JOIN keys USING (k) JOIN inc y ON x.k = y.k AND x.node < y.node
+      |       GROUP BY 1, 2),
       |j AS (SELECT co.a, co.b, co.co, da.deg AS deg_a, db.deg AS deg_b,
       |        co.co * 1000000 // (da.deg + db.deg - co.co) AS jaccard_1e6
       |      FROM co JOIN deg da ON da.node = co.a JOIN deg db ON db.node = co.b)
@@ -928,15 +934,18 @@ object CurationQueries {
 
   /** ST13: a streamed I/U/D changelog applied to a parquet store per
     * micro-batch — the live CDC-follower loop (st12's sibling for
-    * DELETE-carrying feeds): each batch unions the stored state (as
-    * seq-0 inserts) with the arriving changes and re-derives the
-    * state through [[Maintain.applyCdc]], so a later batch's op beats
-    * the stored row and a 'D' removes it. The store is seeded with
-    * the seq-1 insert snapshot; the stream carries the seq≥2 U/D
-    * tail; the final table must equal the batch apply of the WHOLE
-    * feed (q_s6's algebra — the oracle is that statement).
-    * Multi-batch composition incl. delete-then-reinsert is
-    * CurationSpec's two-file probe.
+    * DELETE-carrying feeds): the store persists the winning
+    * (seq, op) per key INCLUDING tombstones
+    * ([[Maintain.applyCdcState]]), and each batch unions the stored
+    * state with the arriving changes — so the apply is
+    * ORDER-INDEPENDENT: a batch carrying an older seq for an
+    * already-deleted key loses to the persisted tombstone instead of
+    * resurrecting the row. The store is seeded with the seq-1 insert
+    * snapshot; the stream carries the seq≥2 U/D tail; the final
+    * table (tombstones filtered) must equal the batch apply of the
+    * WHOLE feed (q_s6's algebra — the oracle is that statement).
+    * Multi-batch composition incl. delete-then-reinsert AND
+    * out-of-order batch arrival is CurationSpec's probe.
     */
   val st13StreamCdc: Q = (s, d) => {
     val dir = java.nio.file.Files.createTempDirectory("graft-st13").toString
@@ -945,11 +954,11 @@ object CurationQueries {
     val o = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"))
-    // seed: the seq-1 insert snapshot IS the orders slice itself
-    o.write.parquet(store)
-    // the streamed tail: seq-2 updates + seq-3 deletes (the q_s6 feed)
     def ev(df: DataFrame, seq: Int, op: String) =
       df.withColumn("seq", lit(seq.toLong)).withColumn("op", lit(op))
+    // seed: the seq-1 insert snapshot, with its (seq, op) persisted
+    ev(o, 1, "I").write.parquet(store)
+    // the streamed tail: seq-2 updates + seq-3 deletes (the q_s6 feed)
     ev(o.filter(col("o_orderkey") % 7 === 0)
         .withColumn("o_orderstatus", lit("U2")), 2, "U")
       .unionByName(ev(o.filter(col("o_orderkey") % 13 === 0), 3, "D"))
@@ -960,9 +969,9 @@ object CurationQueries {
       .option("checkpointLocation", s"$dir/ckpt")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val st = s.read.parquet(store)
-          .withColumn("seq", lit(0L)).withColumn("op", lit("I"))
-        Maintain.applyCdc(st.unionByName(batch.select(st.columns.map(col): _*)),
-            "o_orderkey", col("seq"), col("seq"), col("op"), payload)
+        Maintain.applyCdcState(
+            st.unionByName(batch.select(st.columns.map(col): _*)),
+            "o_orderkey", "seq", col("seq"), "op", payload)
           // lineage cut BEFORE overwriting the dir we just read
           .localCheckpoint(eager = true)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(store)
@@ -970,6 +979,7 @@ object CurationQueries {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     s.read.parquet(store)
+      .filter(col("op") =!= "D")
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"))
       .orderBy("o_orderkey")

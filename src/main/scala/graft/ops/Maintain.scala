@@ -111,6 +111,36 @@ object Maintain {
       .select(col(key) +: payload.map(c => col(s"__last.$c").as(c)): _*)
   }
 
+  /** [[applyCdc]]'s STATE-CARRYING sibling for incremental / streamed
+    * application: returns the winning change per key INCLUDING the D
+    * tombstones, with the winning (seq, op) preserved — the frame a
+    * CDC follower persists as its state and unions with the next
+    * batch unchanged. Feeding the stored seq back (instead of
+    * re-seeding the state at seq 0 every batch) is what makes the
+    * apply ORDER-INDEPENDENT: a late batch carrying an older seq for
+    * an already-deleted key loses to the persisted tombstone instead
+    * of resurrecting the row. Final table state is
+    * `filter(op <> 'D')` over this frame; tombstones accumulate by
+    * design (one row per deleted key) and are purged by compaction
+    * once the feed's low-watermark passes their seq.
+    *
+    * Same scale shape as [[applyCdc]]: one map-side-combined `max_by`
+    * per key; the shuffle carries one candidate row per
+    * (key × partition), never the changelog.
+    */
+  def applyCdcState(changelog: DataFrame, key: String, seqCol: String,
+                    tieBreak: Column, opCol: String,
+                    payload: Seq[String]): DataFrame = {
+    val last = changelog.groupBy(col(key)).agg(
+      max_by(
+        struct(col(seqCol).as("__seq") +: col(opCol).as("__op") +:
+          payload.map(col): _*),
+        struct(col(seqCol).as("s"), tieBreak.as("tb"))).as("__last"))
+    last.select(col(key) +: col("__last.__seq").as(seqCol) +:
+      col("__last.__op").as(opCol) +:
+      payload.map(c => col(s"__last.$c").as(c)): _*)
+  }
+
   /** CDC EXTRACTION — [[applyCdc]]'s inverse: diff two snapshots of a
     * keyed table into the minimal I/U/D changelog that transforms
     * `before` into `after` (the change-data-feed a lakehouse emits so

@@ -292,27 +292,6 @@ object Sampling {
     picks.toSeq.toDF("rank", "doc_id", "new_hashes", "covered_total")
   }
 
-  /** CURRICULUM-ORDERED epoch materialization — the training-order
-    * contract a 100 TB dataloader needs written down, not improvised:
-    * for each epoch, every example gets a deterministic (shard,
-    * pos_in_shard) so any worker can open exactly its shard files and
-    * read them in order, and a preempted job resumes at a byte offset.
-    *
-    *   - shard: seeded-hash assignment — epoch-varying, so consecutive
-    *     epochs see different co-residency (the "reshuffle each epoch"
-    *     guarantee) without any global sort or rand() (deterministic
-    *     under task retry, unlike rand/monotonic ids).
-    *   - pos_in_shard: row_number per (epoch, shard) ordered by
-    *     (curriculum bin asc, seeded hash, id) — easy examples first
-    *     WITHIN each shard; since shard assignment is hash-uniform,
-    *     the interleaved global stream a round-robin reader sees is
-    *     curriculum-ordered in expectation, with no global window
-    *     anywhere. One window per (epoch, shard) partition — the
-    *     parallelism is the shard count, thousands in production.
-    *
-    * `binCol` is the caller's integer curriculum key (a quality bin, a
-    * length bucket); lower = earlier.
-    */
   /** DETERMINISTIC WEIGHTED INTERLEAVE — the data-mixing dataloader
     * ORDER, materialized: source s with weight w_s contributes its
     * i-th example at slot key `i·L div w_s` (L a common multiple of
@@ -350,6 +329,27 @@ object Sampling {
       .select(col(idCol), col(srcCol), col("i"), col("slot"))
   }
 
+  /** CURRICULUM-ORDERED epoch materialization — the training-order
+    * contract a 100 TB dataloader needs written down, not improvised:
+    * for each epoch, every example gets a deterministic (shard,
+    * pos_in_shard) so any worker can open exactly its shard files and
+    * read them in order, and a preempted job resumes at a byte offset.
+    *
+    *   - shard: seeded-hash assignment — epoch-varying, so consecutive
+    *     epochs see different co-residency (the "reshuffle each epoch"
+    *     guarantee) without any global sort or rand() (deterministic
+    *     under task retry, unlike rand/monotonic ids).
+    *   - pos_in_shard: row_number per (epoch, shard) ordered by
+    *     (curriculum bin asc, seeded hash, id) — easy examples first
+    *     WITHIN each shard; since shard assignment is hash-uniform,
+    *     the interleaved global stream a round-robin reader sees is
+    *     curriculum-ordered in expectation, with no global window
+    *     anywhere. One window per (epoch, shard) partition — the
+    *     parallelism is the shard count, thousands in production.
+    *
+    * `binCol` is the caller's integer curriculum key (a quality bin, a
+    * length bucket); lower = earlier.
+    */
   def curriculumOrder(df: DataFrame, idCol: String, binCol: Column,
                       epochs: Int, shards: Int): DataFrame = {
     val keyed = df

@@ -59,7 +59,14 @@ object Skew {
     *     hottest reducer would run `threshold`× longer than average
     *
     * All ratios are integral `div` (non-negative operands, so Spark's
-    * truncating div and DuckDB's floor `//` agree bit-for-bit).
+    * truncating div and DuckDB's floor `//` agree bit-for-bit). The
+    * products are widened to DECIMAL(38,0) before the divide: on the
+    * huge high-cardinality tables this diagnostic exists for,
+    * `max_cnt·1000·n_keys` can exceed Long (e.g. 1e7 · 1000 · 1e9),
+    * and a silent Long wrap would flip `salt_advised` exactly where it
+    * matters. Spark's `div` accepts decimals and still returns BIGINT,
+    * so the output schema is unchanged; the oracle mirrors with
+    * HUGEINT.
     */
   def keySkewReport(df: DataFrame, key: String, label: String,
                     threshold: Int = 5): DataFrame = {
@@ -71,9 +78,11 @@ object Skew {
       .select(
         lit(label).as("key_col"),
         col("n_rows"), col("n_keys"), col("max_cnt"),
-        expr("max_cnt * 1000000 div n_rows").as("top_share_ppm"),
-        expr("max_cnt * 1000 * n_keys div n_rows").as("skew_x1000"),
-        (expr("max_cnt * 1000 * n_keys div n_rows") > threshold * 1000L)
-          .as("salt_advised"))
+        expr("cast(max_cnt as decimal(38,0)) * 1000000 div n_rows")
+          .as("top_share_ppm"),
+        expr("cast(max_cnt as decimal(38,0)) * 1000 * n_keys div n_rows")
+          .as("skew_x1000"),
+        (expr("cast(max_cnt as decimal(38,0)) * 1000 * n_keys div n_rows")
+          > threshold * 1000L).as("salt_advised"))
   }
 }

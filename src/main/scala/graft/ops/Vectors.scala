@@ -442,14 +442,25 @@ object Vectors {
     * map-side combined, 256·|labels| cells regardless of corpus size —
     * then centroids broadcast back for the per-vector distance pass;
     * the |labels|² centroid table never leaves the driver-adjacent
-    * broadcast scale.
+    * broadcast scale. The label rides THROUGH the explode (it is a
+    * column of `vecs` already), so only the two bounded frames — the
+    * per-dim lo/hi grid and the (label, dim) centroid table — ever
+    * broadcast; nothing corpus-sized leaves an executor.
     */
   def labelSeparation(vecs: DataFrame, idCol: String, labelCol: String,
                       vecCol: String): DataFrame = {
-    val codes = quantizeCodes(
-        Partitioning.spread(vecs).select(col(idCol), col(vecCol)), idCol, vecCol)
-      .join(broadcast(vecs.select(col(idCol), col(labelCol).as("lab"))), idCol)
-      .select(col(idCol).as("vid"), col("lab"), col("pos"), col("code"))
+    // inline quantizeCodes with the label carried through the explode:
+    // a corpus-sized (id, label) broadcast for a later re-attach would
+    // break the bounded-broadcast contract at scale.
+    val ex = Partitioning.spread(vecs)
+      .select(col(idCol).as("vid"), col(labelCol).as("lab"), posexplode(col(vecCol)))
+      .select(col("vid"), col("lab"), col("pos"), col("col").cast("double").as("v"))
+    val dims = ex.groupBy("pos").agg(min("v").as("lo"), max("v").as("hi"))
+    val codes = ex.join(broadcast(dims), "pos")
+      .withColumn("code",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(floor((col("v") - col("lo")) * 255.0 / (col("hi") - col("lo")) + 0.5)))
+      .select(col("vid"), col("lab"), col("pos"), col("code"))
     val cent = codes.groupBy(col("lab"), col("pos"))
       .agg(sum(col("code")).as("s"), count(lit(1)).as("n"))
       .select(col("lab"), col("pos"), expr("s div n").as("c"))

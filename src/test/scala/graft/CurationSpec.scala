@@ -494,18 +494,19 @@ class CurationSpec extends SparkSpec {
 
   // ---- streaming CDC apply: multi-batch composition -------------------
 
-  test("streaming CDC apply composes across batches — a delete in batch 1 " +
-    "stays gone until batch 2 re-inserts the key") {
+  private def cdcFollowerRun(dir: String,
+                             files: Seq[(Seq[(Long, Long, String, String)], String, Long)])
+      : Set[(Long, String)] = {
     import graft.ops.Maintain
-    val dir = java.nio.file.Files.createTempDirectory("graft-st13spec").toString
-    def cdc(t: (Long, Long, String, String)*) =
-      t.toSeq.toDF("k", "seq", "op", "v")
-    // stored state: three keys
+    // stored state: three keys, seeded as seq-0 inserts WITH their
+    // (seq, op) persisted — the applyCdcState contract
     Seq((1L, "v1"), (2L, "v1"), (3L, "v1")).toDF("k", "v")
+      .withColumn("seq", lit(0L)).withColumn("op", lit("I"))
+      .select("k", "seq", "op", "v")
       .write.parquet(s"$dir/store")
-    def one(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+    def one(rows: Seq[(Long, Long, String, String)], name: String, mtime: Long): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft-st13part").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      rows.toDF("k", "seq", "op", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
       val dst = new java.io.File(s"$dir/feed"); dst.mkdirs()
@@ -513,8 +514,7 @@ class CurationSpec extends SparkSpec {
       java.nio.file.Files.copy(part.toPath, out.toPath)
       out.setLastModified(mtime)
     }
-    one(cdc((1L, 2L, "U", "v2"), (2L, 2L, "D", "v1")), "f1.parquet", 1700000000000L)
-    one(cdc((2L, 3L, "I", "v9")), "f2.parquet", 1700000100000L)
+    files.foreach { case (rows, name, mtime) => one(rows, name, mtime) }
     val schema = spark.read.parquet(s"$dir/feed").schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/feed")
@@ -522,16 +522,38 @@ class CurationSpec extends SparkSpec {
       .option("checkpointLocation", s"$dir/ckpt")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val st = spark.read.parquet(s"$dir/store")
-          .withColumn("seq", lit(0L)).withColumn("op", lit("I"))
-        Maintain.applyCdc(st.unionByName(batch.select(st.columns.map(col): _*)),
-            "k", col("seq"), col("seq"), col("op"), Seq("v"))
+        Maintain.applyCdcState(
+            st.unionByName(batch.select(st.columns.map(col): _*)),
+            "k", "seq", col("seq"), "op", Seq("v"))
           .localCheckpoint(eager = true)
           .write.mode("overwrite").parquet(s"$dir/store")
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(s"$dir/store").as[(Long, String)].collect().toSet shouldBe
+    spark.read.parquet(s"$dir/store").filter($"op" =!= "D")
+      .select("k", "v").as[(Long, String)].collect().toSet
+  }
+
+  test("streaming CDC apply composes across batches — a delete in batch 1 " +
+    "stays gone until batch 2 re-inserts the key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-st13spec").toString
+    cdcFollowerRun(dir, Seq(
+      (Seq((1L, 2L, "U", "v2"), (2L, 2L, "D", "v1")), "f1.parquet", 1700000000000L),
+      (Seq((2L, 3L, "I", "v9")), "f2.parquet", 1700000100000L))) shouldBe
       Set((1L, "v2"), (2L, "v9"), (3L, "v1"))
+  }
+
+  test("streaming CDC apply is ORDER-INDEPENDENT — an older U arriving " +
+    "after a newer D does not resurrect the deleted key") {
+    // batch 1 deletes key 2 at seq 3; batch 2 arrives LATE carrying the
+    // superseded seq-2 update for the same key. With the winning (seq,
+    // op) persisted as a tombstone, the late U loses; re-seeding the
+    // store at seq 0 each batch (the old formulation) would resurrect.
+    val dir = java.nio.file.Files.createTempDirectory("graft-st13ooo").toString
+    cdcFollowerRun(dir, Seq(
+      (Seq((2L, 3L, "D", "v1")), "f1.parquet", 1700000000000L),
+      (Seq((2L, 2L, "U", "v2"), (1L, 2L, "U", "v2")), "f2.parquet", 1700000100000L))) shouldBe
+      Set((1L, "v2"), (3L, "v1"))
   }
 
   // ---- Store.readEvolvedMonth -----------------------------------------
