@@ -43,4 +43,27 @@ object Bloom {
       expectedItems: Long, fpp: Double = 0.01): DataFrame =
     pruneByKey(fact, dim, factKey, dimKey, expectedItems, fpp)
       .join(dim, col(factKey) === col(dimKey))
+
+  /** COMPOSITE-key variant of [[pruneByKey]]: both sides derive a
+    * 64-bit `xxhash64` over the key columns and the filter is built /
+    * probed on that derived key — so multi-column join keys prune
+    * without materializing a packed key column. Hash collisions only
+    * ADD false positives (two key tuples sharing an xxhash64 value);
+    * they can never drop a real match, so the no-false-negative
+    * contract of the exact downstream join is preserved at any fpp.
+    *
+    * `expectedItems` may be capped below the true dim cardinality to
+    * bound the broadcast (a saturated filter degrades toward higher
+    * fpp, never toward false negatives) — the graceful-degradation
+    * contract a 100 TB build side needs.
+    */
+  def pruneByHashedKeys(fact: DataFrame, factKeys: Seq[String],
+      dim: DataFrame, dimKeys: Seq[String],
+      expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    val keyed = dim.select(xxhash64(dimKeys.map(col): _*).as("__bk"))
+    val bf = keyed.stat.bloomFilter("__bk", math.max(expectedItems, 1L), fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    fact.filter(might(xxhash64(factKeys.map(col): _*)))
+  }
 }

@@ -146,8 +146,20 @@ object Graph {
     * orientation strips of out-edges. Reference has no graph ops; this
     * extends the centrality family ([[pageRank]]) with the standard
     * cohesion member.
+    *
+    * With `bloomGate` (default on), the wedge stream is pre-filtered
+    * MAP-SIDE — below its join exchange — by a Bloom filter built over
+    * the oriented edge keys ([[Bloom.pruneByHashedKeys]] on
+    * xxhash64(x, y)): most wedges close nothing, so the closing-edge
+    * join's shuffle drops from every-wedge to near-triangle-count
+    * (+fpp), the dominant traffic term of the whole operator. No false
+    * negatives (the exact equi-join still decides), and the filter
+    * build is capped at 2^26 expected items (~55 MB) — past that it
+    * saturates toward higher fpp instead of growing the broadcast.
+    * MetricsSpec locks the shuffle-row reduction.
     */
-  def triangleCount(edges: DataFrame, checkpoint: Boolean = true): DataFrame = {
+  def triangleCount(edges: DataFrame, checkpoint: Boolean = true,
+                    bloomGate: Boolean = true): DataFrame = {
     val und = edges.select(
         least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
@@ -179,8 +191,19 @@ object Graph {
           |  (x, i) -> transform(slice(ns, i + 2, size(ns)),
           |            y -> named_struct('x', x.v, 'y', y.v))))""".stripMargin)).as("p"))
       .select(col("u"), col("p.x").as("x"), col("p.y").as("y"))
-    val tris = wedges.join(
-      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    val closing = oriented.select(col("u").as("x"), col("v").as("y"))
+    val candidates =
+      if (!bloomGate) wedges
+      else {
+        // oriented is persisted, so this count materializes the frame
+        // the join needs anyway; the filter build is one extra pass
+        // over the cached edges, repaid by the wedge-shuffle drop.
+        val m = oriented.count()
+        Bloom.pruneByHashedKeys(wedges, Seq("x", "y"),
+          closing, Seq("x", "y"),
+          expectedItems = math.min(m, 1L << 26), fpp = 0.03)
+      }
+    val tris = candidates.join(closing, Seq("x", "y"))
     val raw = tris
       .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))

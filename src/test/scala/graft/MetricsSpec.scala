@@ -54,4 +54,35 @@ class MetricsSpec extends SparkSpec {
     // only the partial-agg rows shuffle, never the joined fact rows
     m.shuffleRows should be < 100L
   }
+
+  test("triangle Bloom gate cuts the closing-edge join's shuffle to near " +
+    "triangle scale, result unchanged") {
+    // the q_g10 edge derivation at this SF: parts co-attached to an order
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = li.join(li.withColumnRenamed("p", "p2"), "o")
+      .where(col("p") < col("p2"))
+      .select(col("p").as("src"), col("p2").as("dst"))
+      .localCheckpoint(eager = true) // one fixed edge set for both runs
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the closing-edge join to SHUFFLE on both sides, as it
+      // would at 100 TB edge scale, so the wedge-side traffic is visible
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plain = Metrics.measure(
+        graft.ops.Graph.triangleCount(pairs, checkpoint = false, bloomGate = false))
+      val gated = Metrics.measure(
+        graft.ops.Graph.triangleCount(pairs, checkpoint = false, bloomGate = true))
+      gated.shuffleRows should be < plain.shuffleRows
+      // most wedges close nothing: the gate must remove the bulk of the
+      // wedge stream before its exchange, not shave a few percent
+      gated.shuffleRows.toDouble should be < plain.shuffleRows * 0.7
+      // and the gate must not change the answer
+      val a = graft.ops.Graph.triangleCount(pairs, bloomGate = false)
+        .as[(Long, Long)].collect().toMap
+      val b = graft.ops.Graph.triangleCount(pairs, bloomGate = true)
+        .as[(Long, Long)].collect().toMap
+      b shouldBe a
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
