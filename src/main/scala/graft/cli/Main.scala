@@ -262,6 +262,17 @@ object Main {
           spark.read.parquet(path), api, java.sql.Date.valueOf(date)), rest)
       }
 
+    // writer-startup repair: complete or roll back any crash-stranded
+    // two-phase state (compaction swap dirs, versioned pointer temp).
+    case "recover" :: path :: rest =>
+      withSession { spark =>
+        val actions = graft.ops.Store.recover(spark, path) ++
+          (if (rest.contains("--versioned")) graft.ops.Versioned.recover(spark, path)
+           else Seq.empty)
+        if (actions.isEmpty) println("healthy: no repair needed")
+        else actions.foreach(a => println(s"repaired: $a"))
+      }
+
     case _ =>
       System.err.println(
         "usage: list | run <query> <sfDir> [--json] [--limit N] | " +
@@ -277,7 +288,7 @@ object Main {
           "dedupreport <sfDir> | annsearch <sfDir> <vecId> [--k N] | " +
           "quality <sfDir> | mediareport <sfDir> | " +
           "search <sfDir> <terms> [--k N] | skewreport <path> <key> | " +
-          "trend <sfDir>")
+          "trend <sfDir> | recover <path> [--versioned]")
       sys.exit(2)
   }
 }

@@ -566,6 +566,71 @@ object Store {
     (before.size.toLong, leafFiles(hPath).size.toLong)
   }
 
+  /** CRASH-WINDOW REPAIR for [[compact]]'s two-phase swap — the restart
+    * routine that makes the non-atomic rename pair operationally safe.
+    * `compact` swaps via rename(live → `.pre-compact`) then
+    * rename(`.compacting` → live); a JVM death can strand any of four
+    * states, each of which this routine detects and completes or rolls
+    * back so the table is ALWAYS live afterwards:
+    *
+    *   - live + `.compacting`            → the rewrite never reached its
+    *     row-count verification (or failed it): drop the tmp. Roll BACK.
+    *   - live + `.pre-compact`           → death between rename 2 and
+    *     the backup delete: the swap already completed; drop the backup.
+    *   - no live + `.pre-compact` + `.compacting` → death between the
+    *     two renames. The tmp rewrite was fully written AND row-count
+    *     verified before rename 1 ever ran, so roll FORWARD: complete
+    *     rename 2, then drop the backup.
+    *   - no live + `.pre-compact` only   → defensive: restore the
+    *     backup (cannot occur from `compact`'s order, but a manual
+    *     cleanup may have removed the tmp first).
+    *
+    * Also drops stale `_temporary` job-staging dirs inside the live
+    * table (an aborted overwrite's leftovers, invisible to readers but
+    * rot on disk). Idempotent — run it unconditionally at writer
+    * startup; a healthy table is a no-op. Returns the repair actions
+    * taken, in order, for the operator's log.
+    */
+  def recover(spark: SparkSession, path: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + ".compacting")
+    val bak = new Path(path + ".pre-compact")
+    val actions = scala.collection.mutable.ArrayBuffer[String]()
+    if (fs.exists(live)) {
+      if (fs.exists(tmp)) {
+        fs.delete(tmp, true)
+        actions += s"dropped aborted compaction rewrite ${tmp.getName}"
+      }
+      if (fs.exists(bak)) {
+        fs.delete(bak, true)
+        actions += s"dropped completed-compaction backup ${bak.getName}"
+      }
+    } else if (fs.exists(bak)) {
+      if (fs.exists(tmp)) {
+        // roll forward: the tmp was row-count-verified before the live
+        // table was ever moved aside
+        if (!fs.rename(tmp, live))
+          sys.error(s"recover: cannot complete compaction swap into $path")
+        fs.delete(bak, true)
+        actions += "completed interrupted compaction swap (rolled forward)"
+      } else {
+        if (!fs.rename(bak, live))
+          sys.error(s"recover: cannot restore pre-compact backup into $path")
+        actions += "restored pre-compact backup (rolled back)"
+      }
+    }
+    if (fs.exists(live)) {
+      val staging = new Path(live, "_temporary")
+      if (fs.exists(staging)) {
+        fs.delete(staging, true)
+        actions += "dropped stale _temporary write-staging dir"
+      }
+    }
+    actions.toSeq
+  }
+
   /** Z-order clustered write: range-partition on the Morton key of the
     * two filter columns and sort within partitions, so every output
     * file's parquet row-group stats carry a bounded min/max envelope in

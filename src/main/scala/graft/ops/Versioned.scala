@@ -91,6 +91,43 @@ object Versioned {
     writePointer(spark, root, version)
   }
 
+  /** Pointer-publish crash repair — [[Store.recover]]'s sibling for the
+    * `_latest` temp-file + rename swap. Three strandable states:
+    *
+    *   - `_latest.tmp` present, `_latest` absent, tmp parses to an
+    *     existing `v=N` dir → death between delete(dst) and rename:
+    *     the new snapshot was fully written (write() renames only
+    *     after the data commit), so COMPLETE the publish.
+    *   - `_latest.tmp` present, `_latest` present → death before the
+    *     old pointer was removed: the old pointer is still the live
+    *     truth; drop the tmp (the newer data dir stays queryable by
+    *     version and is `vacuum` fodder if never re-published).
+    *   - `_latest.tmp` partial/garbage or naming a missing version →
+    *     drop it; whatever pointer state exists stands.
+    *
+    * Idempotent; healthy roots are a no-op. Returns the actions taken.
+    */
+  def recover(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val tmp = new Path(root, s"$Pointer.tmp")
+    if (!f.exists(tmp)) return Seq.empty
+    val dst = new Path(root, Pointer)
+    val parsed: Option[Long] = try {
+      val in = f.open(tmp)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLongOption
+      finally in.close()
+    } catch { case _: Exception => None }
+    parsed match {
+      case Some(v) if !f.exists(dst) && versions(spark, root).contains(v) =>
+        if (!f.rename(tmp, dst))
+          sys.error(s"versioned recover: cannot complete pointer publish under $root")
+        Seq(s"completed interrupted pointer publish to v=$v")
+      case _ =>
+        f.delete(tmp, false)
+        Seq("dropped stale pointer temp (previous pointer state stands)")
+    }
+  }
+
   /** Drop all versions except the live one and the `keep` most recent.
     * Never deletes the published version regardless of age.
     */

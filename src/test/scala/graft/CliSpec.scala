@@ -84,4 +84,20 @@ class CliSpec extends SparkSpec {
     out should include("top_share_ppm")
     out should include("salt_advised")
   }
+
+  test("recover repairs a crash-stranded compaction swap and reports it") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-clirec").toString
+    val path = s"$root/t"
+    Seq((1L, "a"), (2L, "b")).toDF("v", "part")
+      .write.partitionBy("part").parquet(path)
+    captureOut(cli.Main.main(Array("recover", path))) should include("healthy")
+    // strand the between-renames state: live moved aside, tmp verified
+    new java.io.File(path).renameTo(new java.io.File(path + ".compacting"))
+    new java.io.File(path + ".compacting").listFiles() // touch
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(path + ".pre-compact"))
+    val out = captureOut(cli.Main.main(Array("recover", path)))
+    out should include("repaired")
+    spark.read.parquet(path).count() shouldBe 2L
+  }
 }

@@ -374,4 +374,112 @@ class StoreSpec extends SparkSpec {
     miss.filesRead shouldBe 0L
     miss.df.count() shouldBe 0L
   }
+
+  // ---- recover: crash-window repair for the two-phase swaps -----------
+
+  /** A live 2-partition table plus a row-count-verified "rewrite" copy
+    * of it, from which each compact crash state can be staged by doing
+    * exactly the renames `compact` would have done up to the kill
+    * point.
+    */
+  private def crashFixture(): (String, java.io.File, java.io.File, java.io.File, Long) = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-recover").toString
+    val path = s"$root/t"
+    val rows = (1L to 40L).map(i => (i, s"p${i % 2}")).toDF("v", "part")
+    Store.writePartitioned(rows, path, "part")
+    Store.refreshManifest(spark, path, Seq("v"))
+    // the "rewrite": a verified byte copy of the live table, manifest
+    // included — like compact's real tmp, its manifest rows name the
+    // POST-swap (live) locations, so a roll-forward publishes a
+    // consistent table+manifest unit
+    copyTree(new java.io.File(path), new java.io.File(s"$root/rewrite"))
+    (path, new java.io.File(path), new java.io.File(path + ".compacting"),
+      new java.io.File(path + ".pre-compact"), 40L)
+  }
+
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    val s = src.toPath; val d = dst.toPath
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+  }
+
+  private def assertHealthy(path: String, n: Long): Unit = {
+    spark.read.parquet(path).count() shouldBe n
+    Store.manifestAudit(spark, path).count() shouldBe 0L
+    new java.io.File(path + ".compacting").exists() shouldBe false
+    new java.io.File(path + ".pre-compact").exists() shouldBe false
+    // idempotent: a second pass finds nothing to do
+    Store.recover(spark, path) shouldBe empty
+  }
+
+  test("recover: kill during the tmp rewrite — live untouched, tmp dropped") {
+    val (path, _, tmp, _, n) = crashFixture()
+    copyTree(new java.io.File(path.stripSuffix("/t") + "/rewrite"), tmp)
+    Store.recover(spark, path).head should include("aborted compaction rewrite")
+    assertHealthy(path, n)
+  }
+
+  test("recover: kill between the two swap renames — rolled FORWARD to " +
+    "the verified rewrite") {
+    val (path, live, tmp, bak, n) = crashFixture()
+    copyTree(new java.io.File(path.stripSuffix("/t") + "/rewrite"), tmp)
+    live.renameTo(bak) shouldBe true // rename 1 happened, rename 2 did not
+    Store.recover(spark, path).head should include("rolled forward")
+    assertHealthy(path, n)
+  }
+
+  test("recover: kill after the swap, before the backup delete — backup dropped") {
+    val (path, live, _, bak, n) = crashFixture()
+    copyTree(live, bak) // swap complete; stale backup remains
+    Store.recover(spark, path).head should include("completed-compaction backup")
+    assertHealthy(path, n)
+  }
+
+  test("recover: backup present with no tmp and no live — rolled back") {
+    val (path, live, _, bak, n) = crashFixture()
+    live.renameTo(bak) shouldBe true
+    Store.recover(spark, path).head should include("rolled back")
+    assertHealthy(path, n)
+  }
+
+  test("recover: healthy table is a no-op; stale _temporary staging is swept") {
+    val (path, live, _, _, n) = crashFixture()
+    Store.recover(spark, path) shouldBe empty
+    new java.io.File(live, "_temporary/0").mkdirs() shouldBe true
+    Store.recover(spark, path).head should include("_temporary")
+    assertHealthy(path, n)
+  }
+
+  test("versioned recover: completes an interrupted pointer publish, " +
+    "drops a partial or superseded temp") {
+    import spark.implicits._
+    import graft.ops.Versioned
+    val root = Files.createTempDirectory("graft-vrec").toString
+    Versioned.write(spark, root, Seq(1, 2).toDF("v"))       // v=0 published
+    val latest = new java.io.File(root, "_latest")
+    val tmp = new java.io.File(root, "_latest.tmp")
+    // state 1: second snapshot written, pointer delete done, rename lost
+    Seq(1, 2, 3).toDF("v").write.parquet(s"$root/v=1")
+    java.nio.file.Files.writeString(tmp.toPath, "1")
+    latest.delete() shouldBe true
+    Versioned.recover(spark, root).head should include("v=1")
+    Versioned.readLatest(spark, root).count() shouldBe 3
+    // state 2: a temp left behind while a valid pointer exists — dropped
+    java.nio.file.Files.writeString(tmp.toPath, "0")
+    Versioned.recover(spark, root).head should include("stands")
+    tmp.exists() shouldBe false
+    Versioned.readLatest(spark, root).count() shouldBe 3
+    // state 3: garbage temp, no pointer — dropped, publish stays absent
+    latest.delete() shouldBe true
+    java.nio.file.Files.writeString(tmp.toPath, "not-a-version")
+    Versioned.recover(spark, root).head should include("stands")
+    Versioned.latestVersion(spark, root) shouldBe None
+    // idempotent on a clean root
+    java.nio.file.Files.writeString(latest.toPath, "1")
+    Versioned.recover(spark, root) shouldBe empty
+  }
 }
