@@ -2269,15 +2269,17 @@ object PipelineQueries {
 
   /** Batched decode of opaque binary payloads (documents' bytes stand in
     * for media blobs): typed metadata + fixed-width features via
-    * `Multimodal.decodeFeatures`. The decode STUB's feature vector is
-    * hash-derived from the content bytes (`Multimodal.decodeStub`), so
-    * it IS SQL-expressible: the oracle below replays the Java
-    * 31·h+byte fold with HUGEINT modular arithmetic (h kept as its
-    * unsigned mod-2^64 representative, converted back to two's-
-    * complement at the end), signed-byte semantics included, and the
-    * f0 feature as the identical float32 division. A real codec would
-    * make this rows-only again — that's the honest boundary, and it is
-    * exactly one function (`decodeStub`) wide.
+    * `Multimodal.decodeFeatures`, which sniff-dispatches to the REAL
+    * codecs (ImageIO / AudioSystem / GVI1 demux) and falls back to the
+    * deterministic stub only for unknown containers. Document text is
+    * all unknown-format by construction, so THIS gate exercises the
+    * stub branch — whose hash-derived features ARE SQL-expressible:
+    * the oracle below replays the Java 31·h+byte fold with HUGEINT
+    * modular arithmetic (h kept as its unsigned mod-2^64
+    * representative, converted back to two's-complement at the end),
+    * signed-byte semantics included, and the f0 feature as the
+    * identical float32 division. The dispatched REAL-codec branches
+    * are gated by q_m14 over a mixed png/wav/gvi1/unknown corpus.
     */
   /** Shared M2/M2a decode frame: documents as MediaRecords through the
     * batched decode, metadata flattened. ONE definition so the oracled
@@ -2304,10 +2306,10 @@ object PipelineQueries {
   }
   // Byte i (1-based) of the blob, via its hex dump — robust to multi-byte
   // UTF-8 (substr on VARCHAR is character-based and would mis-slice).
-  private val m2Byte =
+  private[graft] val m2Byte =
     "((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16" +
       " + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1))"
-  private val m2Pow64 = "CAST(18446744073709551616 AS HUGEINT)"
+  private[graft] val m2Pow64 = "CAST(18446744073709551616 AS HUGEINT)"
   val m2DecodeSql: String =
     s"""WITH raw AS (
        |  SELECT doc_id AS media_id, 'text' AS kind, CAST(text AS BLOB) AS b FROM documents),
@@ -2319,6 +2321,7 @@ object PipelineQueries {
        |      WHEN octet_length(b) >= 12 AND substr(hex(b), 9, 8) = '66747970' THEN 'mp4'
        |      WHEN octet_length(b) >= 12 AND substr(hex(b), 1, 8) = '52494646'
        |        AND substr(hex(b), 17, 8) = '57415645' THEN 'wav'
+       |      WHEN octet_length(b) >= 8 AND substr(hex(b), 1, 8) = '47564931' THEN 'gvi1'
        |      ELSE 'unknown' END AS format
        |  FROM raw),
        |hh AS (
@@ -2365,6 +2368,8 @@ object PipelineQueries {
       |      WHEN octet_length(CAST(text AS BLOB)) >= 12
       |        AND substr(hex(CAST(text AS BLOB)), 1, 8) = '52494646'
       |        AND substr(hex(CAST(text AS BLOB)), 17, 8) = '57415645' THEN 'wav'
+      |      WHEN octet_length(CAST(text AS BLOB)) >= 8
+      |        AND substr(hex(CAST(text AS BLOB)), 1, 8) = '47564931' THEN 'gvi1'
       |      ELSE 'unknown' END AS format,
       |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
       |  FROM documents)
@@ -3484,17 +3489,24 @@ object PipelineQueries {
     val b = "((23 * (m % 37) + 3 * x + 19 * y) % 256)"
     s"(299 * $r + 587 * $g + 114 * $b) // 1000"
   }
-  /** The gray/thumb/dHash replay CTE chain parameterized on the set of
-    * image ids (column `m`) — shared by the document-image queries
-    * (ids = doc ids) and the video queries (ids = frame image ids).
+  /** The gray/2×2-box-thumbnail replay (cells `th(m, tx, ty, tv)`)
+    * parameterized on the image-id set — the shared prefix of the
+    * dHash chain, also used standalone by the dispatched-decode gate
+    * (q_m14's image features are thumb cells).
     */
-  private def dhashCteFrom(idsSql: String): String =
+  private[graft] def thumbCteFrom(idsSql: String): String =
     s"""ids AS ($idsSql),
        |px AS (SELECT unnest(generate_series(0, 17)) AS x),
        |py AS (SELECT unnest(generate_series(0, 15)) AS y),
        |gp AS (SELECT m, x, y, $m4GraySql AS gv FROM ids, px, py),
        |th AS (SELECT m, x // 2 AS tx, y // 2 AS ty, CAST(SUM(gv) // 4 AS BIGINT) AS tv
-       |       FROM gp GROUP BY 1, 2, 3),
+       |       FROM gp GROUP BY 1, 2, 3)""".stripMargin
+  /** The gray/thumb/dHash replay CTE chain parameterized on the set of
+    * image ids (column `m`) — shared by the document-image queries
+    * (ids = doc ids) and the video queries (ids = frame image ids).
+    */
+  private def dhashCteFrom(idsSql: String): String =
+    s"""${thumbCteFrom(idsSql)},
        |bits AS (
        |  SELECT a.m, (a.ty * 8 + a.tx) AS idx,
        |         CASE WHEN b.tv > a.tv THEN 1 ELSE 0 END AS bit

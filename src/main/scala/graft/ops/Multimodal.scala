@@ -33,13 +33,14 @@ case class DecodedMedia(media_id: Long, kind: String, meta: MediaMeta, features:
   * extracted in size-bounded batches via `mapPartitions`.
   *
   * The Spark-side plumbing — schema, Dataset encoders, partition
-  * balancing, batch shape — is real and tested. IMAGES have a REAL
-  * codec path: `decodeImage`/`imageDHash` run `javax.imageio` PNG
-  * decode + integer gray/thumbnail/dHash (oracle-proven round-trip —
-  * q_m4/q_m5). The generic multi-format feature extractor
-  * (`decodeFeatures`) still uses a clearly-marked deterministic STUB
-  * (`decodeStub`) for audio/video: this container has none of those codecs,
-  * and in production that single function is replaced by a JNI/library
+  * balancing, batch shape — is real and tested, and so are the codecs
+  * for every container this environment can decode: `javax.imageio`
+  * PNG/JPEG, `javax.sound.sampled` WAV, and the GVI1 frame-container
+  * demux (oracle-proven round-trips — q_m4–q_m12, q_m14). The generic
+  * feature extractor (`decodeFeatures`) sniff-dispatches to those real
+  * codecs (`decodeDispatch`) and falls back to the clearly-marked
+  * deterministic STUB (`decodeStub`) ONLY for unknown containers —
+  * in production that single fallback is replaced by a JNI/library
   * call without touching the pipeline around it.
   */
 object Multimodal {
@@ -56,6 +57,8 @@ object Multimodal {
     // at bytes 8-11 is audio.
     else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    // the GVI1 frame container (see demuxVideo): magic + frame count
+    else if (b.length >= 8 && b(0) == 'G' && b(1) == 'V' && b(2) == 'I' && b(3) == '1') "gvi1"
     else "unknown"
 
   /** STUB decode — deterministic fake standing in for the real codec.
@@ -94,10 +97,74 @@ object Multimodal {
   def balanceBySize(df: DataFrame, contentCol: String, partitions: Int): DataFrame =
     df.repartition(partitions, hash(col(contentCol)))
 
-  /** Decode + feature-extract in size-bounded batches. The batch shape
+  /** Number of features every decode path emits (stub and real). */
+  val NFeatures = 16
+
+  /** Real image features: the first [[NFeatures]] cells of the 9×8 gray
+    * box thumbnail, scaled to [0, 1] by a single float32 division of
+    * integer-exact operands — so the value replays bit-identically in
+    * any engine (same rule as the stub's f0).
+    */
+  private def imageFeatures(thumb: Array[Int]): Array[Float] =
+    Array.tabulate(NFeatures)(k =>
+      if (k < thumb.length) thumb(k) / 255.0f else 0.0f)
+
+  /** Real audio features: per 4-sample window k < [[NFeatures]], the
+    * sum of |sample| scaled by the window's maximum possible mass
+    * (4·32768) — both operands exact in float32 (< 2^24), one division.
+    */
+  private def audioFeatures(samples: Array[Int]): Array[Float] = {
+    val nw = samples.length / AudioWin
+    Array.tabulate(NFeatures) { w =>
+      if (w >= nw) 0.0f
+      else {
+        var s = 0; var i = 0
+        while (i < AudioWin) { s += math.abs(samples(w * AudioWin + i)); i += 1 }
+        s / 131072.0f
+      }
+    }
+  }
+
+  /** SNIFF-DISPATCHED decode: route each payload to its REAL codec —
+    * png/jpeg through ImageIO ([[decodeImage]]), wav through
+    * AudioSystem ([[decodeWav]]), gvi1 through the container demux +
+    * frame-0 image decode — and fall back to [[decodeStub]] ONLY for
+    * unknown containers. A recognized container whose payload fails to
+    * decode yields `valid = false` with zero features (the quarantine
+    * row — one corrupt blob must never kill a 100 TB scan task).
+    * Audio has no spatial dims: meta carries (0, 0) and the signal
+    * lives in the features.
+    */
+  def decodeDispatch(b: Array[Byte]): (MediaMeta, Array[Float]) = {
+    val fmt = sniffFormat(b)
+    def invalid = (MediaMeta(fmt, 0, 0, b.length.toLong, valid = false),
+      new Array[Float](NFeatures))
+    fmt match {
+      case "png" | "jpeg" =>
+        decodeImage(b).fold(invalid) { case (w, h, rgb) =>
+          (MediaMeta(fmt, w, h, b.length.toLong, valid = true),
+            imageFeatures(grayThumb(w, h, rgb, ThumbW, ThumbH)))
+        }
+      case "wav" =>
+        decodeWav(b).fold(invalid) { case (_, _, samples) =>
+          (MediaMeta(fmt, 0, 0, b.length.toLong, valid = true),
+            audioFeatures(samples))
+        }
+      case "gvi1" =>
+        val frame0 = demuxVideo(b).headOption.flatMap(f => decodeImage(f._2))
+        frame0.fold(invalid) { case (w, h, rgb) =>
+          (MediaMeta(fmt, w, h, b.length.toLong, valid = true),
+            imageFeatures(grayThumb(w, h, rgb, ThumbW, ThumbH)))
+        }
+      case _ => decodeStub(b)
+    }
+  }
+
+  /** Decode + feature-extract in size-bounded batches, routed through
+    * [[decodeDispatch]]: real codecs for every recognized container,
+    * the deterministic stub only for unknown bytes. The batch shape
     * (`batchSize` records per decode call) mirrors how a vectorized
-    * decode API would be fed; with a scalar stub it still exercises the
-    * grouping, ordering and memory profile of the real thing.
+    * decode API would be fed.
     */
   def decodeFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[DecodedMedia] = {
     import ds.sparkSession.implicits._
@@ -105,7 +172,7 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // Real deployment: one vectorized decode call per batch here.
         batch.iterator.map { r =>
-          val (meta, feats) = decodeStub(r.content)
+          val (meta, feats) = decodeDispatch(r.content)
           DecodedMedia(r.media_id, r.kind, meta, feats)
         }
       }
@@ -192,6 +259,32 @@ object Multimodal {
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  /** Re-encode any decodable image as REAL JPEG bytes via ImageIO at an
+    * explicit quality — the cross-codec fixture generator for
+    * re-encode dedup (the canonical "same image, different container"
+    * case): decode whatever container `bytes` holds, write the pixels
+    * back out through the JDK's JPEG codec. Deterministic for a given
+    * JDK (same pixels + quality → same bytes). Returns None when the
+    * input itself does not decode.
+    */
+  def encodeJpeg(bytes: Array[Byte], quality: Float = 0.9f): Option[Array[Byte]] =
+    decodeImage(bytes).map { case (w, h, rgb) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, w, h, rgb, 0, w)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
 
   /** REAL image decode: ImageIO sniffs the container and inflates the
     * pixels. Returns (width, height, packed RGB row-major) or None for

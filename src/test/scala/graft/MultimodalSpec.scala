@@ -32,22 +32,66 @@ class MultimodalSpec extends SparkSpec {
   test("decodeFeatures yields typed metadata + fixed-width features, deterministically") {
     val out = Multimodal.decodeFeatures(records, batchSize = 2)
       .collect().map(d => d.media_id -> d).toMap
+    // a recognized container with a CORRUPT payload quarantines:
+    // format sniffed, decode failed, zero features
     out(1L).meta.format shouldBe "png"
-    out(1L).meta.valid shouldBe true
+    out(1L).meta.valid shouldBe false
     out(1L).meta.n_bytes shouldBe png.length.toLong
+    out(1L).features.forall(_ == 0.0f) shouldBe true
+    out(4L).meta.format shouldBe "unknown"
     out(4L).meta.valid shouldBe false
-    out.values.foreach(_.features.length shouldBe 16)
-    // Deterministic across runs (stub is pure):
+    out.values.foreach(_.features.length shouldBe Multimodal.NFeatures)
+    // Deterministic across runs (every path is pure):
     val again = Multimodal.decodeFeatures(records, batchSize = 3)
       .collect().map(d => d.media_id -> d.features.toSeq).toMap
     out.map { case (k, v) => k -> v.features.toSeq } shouldBe again
   }
 
   test("decoded output is a queryable DataFrame with nested meta schema") {
-    val df = Multimodal.decodeFeatures(records).toDF()
+    import spark.implicits._
+    val mixed = Seq(
+      MediaRecord(1L, "image", Multimodal.synthPng(1L)),
+      MediaRecord(2L, "audio", Multimodal.synthWav(2L)),
+      MediaRecord(3L, "video", Multimodal.synthVideo(3L)),
+      MediaRecord(4L, "image", junk)).toDS()
+    val df = Multimodal.decodeFeatures(mixed).toDF()
     df.select(col("media_id"), col("meta.format"), col("meta.n_bytes"))
       .filter(col("meta.valid"))
-      .count() shouldBe 3
+      .count() shouldBe 3 // the three REAL decodes; unknown bytes are not valid
+  }
+
+  test("decodeDispatch routes every recognized container to its real " +
+    "codec; the stub runs ONLY for unknown magic bytes") {
+    // image: meta is the true geometry, features are the real thumbnail
+    val (im, imF) = Multimodal.decodeDispatch(Multimodal.synthPng(7L))
+    im shouldBe MediaMeta("png", Multimodal.SynthW, Multimodal.SynthH,
+      Multimodal.synthPng(7L).length.toLong, valid = true)
+    val Some((w, h, rgb)) = Multimodal.decodeImage(Multimodal.synthPng(7L))
+    val thumb = Multimodal.grayThumb(w, h, rgb, Multimodal.ThumbW, Multimodal.ThumbH)
+    imF.toSeq shouldBe (0 until Multimodal.NFeatures).map(k => thumb(k) / 255.0f)
+    // audio: real sample decode drives the window features
+    val (au, auF) = Multimodal.decodeDispatch(Multimodal.synthWav(7L))
+    au.format shouldBe "wav"
+    au.valid shouldBe true
+    val s0 = (0 until 4).map(t => math.abs(Multimodal.synthSample(7L, t))).sum
+    auF(0) shouldBe s0 / 131072.0f
+    // video: demux + frame-0 decode
+    val (vi, viF) = Multimodal.decodeDispatch(Multimodal.synthVideo(7L))
+    vi.format shouldBe "gvi1"
+    vi.valid shouldBe true
+    vi.width shouldBe Multimodal.SynthW
+    viF.exists(_ != 0.0f) shouldBe true
+    // recognized-but-corrupt: quarantined, never the stub's pseudo-dims
+    val (bad, badF) = Multimodal.decodeDispatch(png)
+    bad.format shouldBe "png"
+    bad.valid shouldBe false
+    bad.width shouldBe 0
+    badF.forall(_ == 0.0f) shouldBe true
+    // unknown magic: EXACTLY the stub, bit for bit
+    val (um, umF) = Multimodal.decodeDispatch(junk)
+    val (sm, smF) = Multimodal.decodeStub(junk)
+    um shouldBe sm
+    umF.toSeq shouldBe smF.toSeq
   }
 
   test("balanceBySize spreads payloads without clustering the largest together") {
@@ -103,6 +147,42 @@ class MultimodalSpec extends SparkSpec {
   }
 
   // ---- REAL image decode + perceptual hashing -------------------------
+
+  test("cross-codec: a JPEG re-encode dHashes within 3 bits of its PNG " +
+    "original; different bases stay far; the banded dedup recovers every twin") {
+    import spark.implicits._
+    def hashOf(b: Array[Byte]): (Long, Long) = {
+      val Some((w, h, rgb)) = Multimodal.decodeImage(b)
+      Multimodal.dHashHalves(Multimodal.grayThumb(w, h, rgb, 9, 8))
+    }
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    // twin distances: measured 0–3 on the JDK codec at quality 0.9 —
+    // ≤ 3 is what makes the 4×16-bit banding recovery DETERMINISTIC
+    // (pigeonhole: 3 flipped bits cannot touch all 4 bands). If a JDK
+    // change shifts this, this assertion fails before the gate does.
+    val twins = (0L until 120L).map { m =>
+      val png = Multimodal.synthPng(m)
+      ham(hashOf(png), hashOf(Multimodal.encodeJpeg(png, 0.9f).get))
+    }
+    twins.max should be <= 3
+    // different bases are nowhere near the threshold
+    ham(hashOf(Multimodal.synthPng(0L)),
+      hashOf(Multimodal.encodeJpeg(Multimodal.synthPng(3L), 0.9f).get)) should be > 4
+    // end-to-end through the BANDED near-dup operator: every twin pair
+    // must come back at the q_m5 threshold
+    val recs = (0L until 40L).flatMap { m =>
+      val png = Multimodal.synthPng(m)
+      Seq(MediaRecord(m, "png", png),
+        MediaRecord(1000000L + m, "jpeg", Multimodal.encodeJpeg(png, 0.9f).get))
+    }.toDS()
+    val pairs = Multimodal.imageNearDupPairs(
+        Multimodal.imageDHash(recs).toDF(), maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 40L).foreach { m =>
+      pairs should contain((m, 1000000L + m))
+    }
+  }
 
   test("PNG encode→decode round-trip is pixel-exact (real ImageIO codec)") {
     for (m <- Seq(0L, 5L, 41L, 123L)) {
