@@ -1805,25 +1805,10 @@ object PipelineQueries {
     * no shuffle before the output sort. Ratios cross the oracle as
     * floor(×100) integers so the gate booleans compare exactly.
     */
-  private val gateStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-  val t12GopherGate: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
-      .withColumn("n_words", size($"toks"))
-      .withColumn("mwl100",
-        floor(aggregate(transform($"toks", t => length(t).cast("long")),
-          lit(0L), (a, x) => a + x) * 100.0 / $"n_words").cast("long"))
-      .withColumn("ar100",
-        floor(size(filter($"toks", t => t.rlike("[A-Za-z]"))) * 100.0 / $"n_words").cast("long"))
-      .withColumn("stop_hits", TextOps.markerCount($"toks", gateStops))
-      .withColumn("pass",
-        $"n_words" >= 50 && $"n_words" <= 100000 &&
-          $"mwl100" >= 300 && $"mwl100" <= 1000 &&
-          $"ar100" >= 70 && $"stop_hits" >= 2)
-      .select($"doc_id", $"n_words", $"mwl100", $"ar100", $"stop_hits", $"pass")
+  private val gateStops = TextOps.gopherStops
+  val t12GopherGate: Q = (s, d) =>
+    TextOps.gopherWordGate(Tables.documents(s, d), "doc_id", "text", gateStops)
       .orderBy("doc_id")
-  }
   val t12GopherGateSql: String =
     s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
        |m AS (

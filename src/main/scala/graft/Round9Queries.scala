@@ -186,13 +186,156 @@ object RoundNineQueries {
     """SELECT doc_id AS ia, doc_id + 1000000 AS ib
       |FROM documents WHERE doc_id % 5 = 0 ORDER BY ia""".stripMargin
 
+  // ---- T33: the composed curation pipeline with its drop manifest -----
+
+  /** T33: the END-TO-END curation run ([[graft.ops.Curate.pipeline]]):
+    * blocklist → Gopher → learned NB quality → near-dup purge →
+    * decontamination → mixture over the planted dedup corpus (with
+    * source/lang carried through), gated on the six-row drop manifest
+    * THE PIPELINE ITSELF emits — (stage, rows_in, rows_dropped,
+    * rows_out) per stage. The oracle is the full CTE chain of the six
+    * already-gated per-stage algebras applied sequentially, so a green
+    * row proves the COMPOSITION exact, not just each stage in
+    * isolation (a wrong inter-stage join or a stage run on the wrong
+    * survivor set changes some count).
+    */
+  val t33Pipeline: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id".as("id"), $"text", $"source", $"lang")
+    val near = docs.filter($"id" % 5 === 0)
+      .select(($"id" + 100000L).as("id"),
+        regexp_replace($"text", "^\\S+\\s+", "").as("text"), $"source", $"lang")
+    val exact = docs.filter($"id" % 7 === 0)
+      .select(($"id" + 200000L).as("id"), $"text", $"source", $"lang")
+    val corpus = docs.unionByName(near).unionByName(exact)
+    val evalSet = Tables.documents(s, d).filter($"doc_id" % 97 === 0)
+      .select($"doc_id".as("id"), $"text")
+    val (_, manifest) = graft.ops.Curate.pipeline(corpus, evalSet,
+      lexicon = Map("latency" -> Seq("slow", "fast"), "size" -> Seq("big", "small")),
+      blockThreshold = 8,
+      nbLabel = $"lang" === "en", nbFeatures = 256,
+      mixRates = Map("src0" -> 1.0, "src1" -> 1.0,
+        "src2" -> 0.5, "src3" -> 0.5, "src4" -> 0.5),
+      mixDefault = 0.1)
+    manifest.orderBy("stage")
+  }
+
+  val t33PipelineSql: String = {
+    import graft.ops.TextOps.{hash60Sql, seededHash60Sql}
+    s"""WITH RECURSIVE corpus0 AS MATERIALIZED (
+       |  SELECT doc_id AS id, text, source, lang FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, regexp_replace(text, '^\\S+\\s+', ''), source, lang
+       |  FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000, text, source, lang FROM documents WHERE doc_id % 7 = 0),
+       |btoks AS MATERIALIZED (
+       |  SELECT id, lower(tok) AS term FROM
+       |    (SELECT id, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok FROM corpus0)),
+       |lex(cat, term) AS (
+       |  VALUES ('latency', 'slow'), ('latency', 'fast'),
+       |         ('size', 'big'), ('size', 'small')),
+       |blocked AS MATERIALIZED (SELECT DISTINCT id FROM (
+       |  SELECT id, cat FROM btoks JOIN lex USING (term)
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 8)),
+       |s1 AS MATERIALIZED (SELECT * FROM corpus0 WHERE id NOT IN (SELECT id FROM blocked)),
+       |gt AS MATERIALIZED (SELECT id, string_split_regex(text, '\\s+') AS toks FROM s1),
+       |gm AS MATERIALIZED (
+       |  SELECT id, len(toks) AS n_words,
+       |    CAST(FLOOR(list_sum(list_transform(toks, t -> len(t))) * 100.0 / len(toks)) AS BIGINT) AS mwl100,
+       |    CAST(FLOOR(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) * 100.0 / len(toks)) AS BIGINT) AS ar100,
+       |    len(list_filter(toks, t -> t IN ('the','be','to','of','and','that','have','with'))) AS stop_hits
+       |  FROM gt),
+       |s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN gm USING (id)
+       |  WHERE n_words >= 50 AND n_words <= 100000 AND mwl100 >= 300
+       |    AND mwl100 <= 1000 AND ar100 >= 70 AND stop_hits >= 2),
+       |tknb AS MATERIALIZED (SELECT id, (lang = 'en') AS y,
+       |    unnest(string_split_regex(lower(text), '\\s+')) AS w FROM s2),
+       |fnb AS MATERIALIZED (SELECT id, y, ${seededHash60Sql("'nb'", "w")} % 256 AS feat
+       |  FROM tknb WHERE length(w) >= 2),
+       |cnb AS MATERIALIZED (
+       |  SELECT feat,
+       |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+       |  FROM fnb GROUP BY 1),
+       |tnb AS (SELECT SUM(n_pos) AS tot_pos, SUM(n_neg) AS tot_neg FROM cnb),
+       |model AS MATERIALIZED (
+       |  SELECT feat, CAST((n_pos + 1) * 1000000 // (tot_pos + 256)
+       |     - (n_neg + 1) * 1000000 // (tot_neg + 256) AS BIGINT) AS w1e6
+       |  FROM cnb, tnb),
+       |onb AS MATERIALIZED (SELECT id, feat, COUNT(*) AS n_occ FROM fnb GROUP BY 1, 2),
+       |sc AS MATERIALIZED (SELECT o.id, CAST(SUM(o.n_occ * m.w1e6) AS BIGINT) AS score
+       |  FROM onb o JOIN model m USING (feat) GROUP BY 1),
+       |s3 AS MATERIALIZED (SELECT s2.* FROM s2 JOIN sc USING (id) WHERE score > 0),
+       |corpus AS (SELECT id, text FROM s3),
+       |${PipelineQueries.shingleSql},
+       |mh AS (
+       |${graft.ops.Dedup.minhashSql(16)}),
+       |bands AS MATERIALIZED (
+       |  SELECT id, j // 4 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |sizes AS MATERIALIZED (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS MATERIALIZED (
+       |  SELECT c.ia, c.ib, COUNT(*) AS inter
+       |  FROM cand c JOIN sh x ON x.id = c.ia JOIN sh y ON y.id = c.ib AND y.h = x.h
+       |  GROUP BY 1, 2),
+       |pairs AS MATERIALIZED (
+       |  SELECT i.ia, i.ib
+       |  FROM inter i JOIN sizes na ON na.id = i.ia JOIN sizes nb ON nb.id = i.ib
+       |  WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.5),
+       |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labels AS (
+       |  SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+       |s4 AS MATERIALIZED (SELECT * FROM s3
+       |  WHERE id NOT IN (SELECT id FROM labels WHERE id <> cluster_id)),
+       |evsh AS MATERIALIZED (
+       |  SELECT DISTINCT ${hash60Sql("sh")} AS h
+       |  FROM (SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+       |          i -> array_to_string(toks[i:i+2], ' '))) AS sh
+       |        FROM (SELECT string_split_regex(text, '\\s+') AS toks
+       |              FROM documents WHERE doc_id % 97 = 0))),
+       |cont AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM sh
+       |  WHERE id IN (SELECT id FROM s4) AND h IN (SELECT h FROM evsh)),
+       |s5 AS MATERIALIZED (SELECT * FROM s4 WHERE id NOT IN (SELECT id FROM cont)),
+       |s6 AS MATERIALIZED (SELECT * FROM s5
+       |  WHERE ${seededHash60Sql("'mix'", "CAST(id AS VARCHAR)")} % 10000
+       |    < CAST((CASE WHEN source = 'src0' THEN 1.0 WHEN source = 'src1' THEN 1.0
+       |                 WHEN source = 'src2' THEN 0.5 WHEN source = 'src3' THEN 0.5
+       |                 WHEN source = 'src4' THEN 0.5 ELSE 0.1 END) * 10000 AS BIGINT)),
+       |n AS (SELECT
+       |  (SELECT COUNT(*) FROM corpus0) AS n0, (SELECT COUNT(*) FROM s1) AS n1,
+       |  (SELECT COUNT(*) FROM s2) AS n2, (SELECT COUNT(*) FROM s3) AS n3,
+       |  (SELECT COUNT(*) FROM s4) AS n4, (SELECT COUNT(*) FROM s5) AS n5,
+       |  (SELECT COUNT(*) FROM s6) AS n6)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS stage, 'blocklist' AS name,
+       |    n0 AS rows_in, n0 - n1 AS rows_dropped, n1 AS rows_out FROM n
+       |  UNION ALL SELECT 2, 'gopher', n1, n1 - n2, n2 FROM n
+       |  UNION ALL SELECT 3, 'quality', n2, n2 - n3, n3 FROM n
+       |  UNION ALL SELECT 4, 'neardup', n3, n3 - n4, n4 FROM n
+       |  UNION ALL SELECT 5, 'decontaminate', n4, n4 - n5, n5 FROM n
+       |  UNION ALL SELECT 6, 'mixture', n5, n5 - n6, n6 FROM n)
+       |ORDER BY stage""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q_m14_dispatch" -> m14Dispatch,
-    "q_m13_cross_codec" -> m13CrossCodec
+    "q_m13_cross_codec" -> m13CrossCodec,
+    "q_t33_pipeline" -> t33Pipeline
   )
 
   val oracles: Map[String, String] = Map(
     "q_m14_dispatch" -> m14DispatchSql,
-    "q_m13_cross_codec" -> m13CrossCodecSql
+    "q_m13_cross_codec" -> m13CrossCodecSql,
+    "q_t33_pipeline" -> t33PipelineSql
   )
 }

@@ -262,6 +262,27 @@ object Main {
           spark.read.parquet(path), api, java.sql.Date.valueOf(date)), rest)
       }
 
+    // the composed curation pipeline over the documents table: emits the
+    // per-stage drop manifest; --out <dir> also writes the survivors.
+    case "curate" :: sfDir :: rest =>
+      withSession { spark =>
+        import org.apache.spark.sql.functions.col
+        val docs = graft.Tables.documents(spark, sfDir)
+          .select(col("doc_id").as("id"), col("text"), col("source"), col("lang"))
+        val evalSet = docs.filter(col("id") % 97 === 0).select(col("id"), col("text"))
+        val (survivors, manifest) = graft.ops.Curate.pipeline(docs, evalSet,
+          lexicon = Map("latency" -> Seq("slow", "fast"), "size" -> Seq("big", "small")),
+          blockThreshold = 8,
+          nbLabel = col("lang") === "en", nbFeatures = 256,
+          mixRates = Map("src0" -> 1.0, "src1" -> 1.0,
+            "src2" -> 0.5, "src3" -> 0.5, "src4" -> 0.5),
+          mixDefault = 0.1)
+        rest.sliding(2).collectFirst { case Seq("--out", dir) => dir }
+          .foreach(dir => survivors.write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir))
+        emit(manifest.orderBy("stage"), rest)
+      }
+
     // writer-startup repair: complete or roll back any crash-stranded
     // two-phase state (compaction swap dirs, versioned pointer temp).
     case "recover" :: path :: rest =>
@@ -288,7 +309,8 @@ object Main {
           "dedupreport <sfDir> | annsearch <sfDir> <vecId> [--k N] | " +
           "quality <sfDir> | mediareport <sfDir> | " +
           "search <sfDir> <terms> [--k N] | skewreport <path> <key> | " +
-          "trend <sfDir> | recover <path> [--versioned]")
+          "trend <sfDir> | recover <path> [--versioned] | " +
+          "curate <sfDir> [--out dir]")
       sys.exit(2)
   }
 }

@@ -115,6 +115,40 @@ object TextOps {
        |    '$Ipv4Pattern', '<IP>', 'g'),
        |    '$LongNumPattern', '<NUM>', 'g')""".stripMargin
 
+  /** Default stopword list of the Gopher word gate — shared by the
+    * standalone gate query (q_t12) and the composed pipeline (q_t33)
+    * so the two can never drift.
+    */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The word-level half of the Gopher curation rules (public: Rae et
+    * al. [Gopher] §A1.1): word-count bounds, mean word length in
+    * [3, 10], alphabetic-word ratio ≥ 0.7, ≥ 2 stopword hits. One
+    * map-side pass over the scan — every signal is a higher-order-
+    * function fold over the token array, no explode, no shuffle.
+    * Ratios are floor(×100) integers so the gate booleans compare
+    * exactly across engines. Output: (id, n_words, mwl100, ar100,
+    * stop_hits, pass).
+    */
+  def gopherWordGate(docs: DataFrame, idCol: String, textCol: String,
+                     stops: Seq[String] = gopherStops): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("mwl100",
+        floor(aggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x) * 100.0 / col("n_words")).cast("long"))
+      .withColumn("ar100",
+        floor(size(filter(col("toks"), t => t.rlike("[A-Za-z]"))) * 100.0
+          / col("n_words")).cast("long"))
+      .withColumn("stop_hits", markerCount(col("toks"), stops))
+      .withColumn("pass",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mwl100") >= 300 && col("mwl100") <= 1000 &&
+          col("ar100") >= 70 && col("stop_hits") >= 2)
+      .select(col(idCol), col("n_words"), col("mwl100"), col("ar100"),
+        col("stop_hits"), col("pass"))
+
   /** Category-BLOCKLIST safety gate — the lexicon-based content filter
     * every curation pipeline runs before anything learned: per
     * (document, category) hit counts against a categorized term list,

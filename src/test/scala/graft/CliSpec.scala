@@ -85,6 +85,17 @@ class CliSpec extends SparkSpec {
     out should include("salt_advised")
   }
 
+  test("curate emits the six-stage drop manifest and writes survivors") {
+    val out = java.nio.file.Files.createTempDirectory("graft-clicur").toString + "/surv"
+    val text = captureOut(
+      cli.Main.main(Array("curate", "/root/testdata/sf0.001", "--out", out, "--json")))
+    Seq("blocklist", "gopher", "quality", "neardup", "decontaminate", "mixture")
+      .foreach(stage => text should include(stage))
+    text should include("rows_dropped")
+    // the survivors parquet is written by the same run that made the manifest
+    spark.read.parquet(out).columns should contain("text")
+  }
+
   test("recover repairs a crash-stranded compaction swap and reports it") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-clirec").toString
