@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Curate
+
+/** Stage-attribution probe for the composed pipeline: one planted
+  * defect per stage, each of which must be dropped at EXACTLY its
+  * stage — the oracle gate (q_t33) proves the manifest counts; this
+  * proves the right document died at the right stage.
+  */
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 60 tokens: 30 doc-unique words interleaved with a shared word —
+    * shingle-unique across docs (every 3-gram contains a unique token),
+    * Gopher-passing (60 words, ~4-char mean, all alphabetic, the
+    * shared word doubles as the stopword), and NB-separable (the
+    * shared word's feature carries the doc's class mass).
+    */
+  private def mk(id: Long, shared: String): String =
+    (1 to 30).flatMap(k => Seq(s"u${id}x$k", shared)).mkString(" ")
+
+  test("pipeline drops each planted defect at its own stage and the " +
+    "manifest attributes every drop") {
+    val docs = Seq(
+      // stage-1 kill: trips the latency lexicon at threshold 2
+      (1L, mk(1, "good") + " slow fast slow fast", "keep", "en"),
+      // stage-2 kill: 10 words < the Gopher word-count floor
+      (2L, "only ten little words here under that word count gate", "keep", "en"),
+      // stage-3 kill: the one non-en doc — its shared-word feature
+      // carries negative class mass, score < 0
+      (3L, mk(3, "bad"), "keep", "de"),
+      // stage-4 kill: exact twin pair; the larger id loses to the
+      // cluster minimum
+      (4L, mk(4, "good"), "keep", "en"),
+      (5L, mk(4, "good"), "keep", "en"),
+      // stage-5 kill: shares the "alpha beta gamma" shingle with eval
+      (6L, mk(6, "good") + " alpha beta gamma", "keep", "en"),
+      // stage-6 kill: source routed to a 0.0 keep rate
+      (7L, mk(7, "good"), "cut", "en"),
+      // clean survivors
+      (8L, mk(8, "good"), "keep", "en"),
+      (9L, mk(9, "good"), "keep", "en"),
+      (10L, mk(10, "good"), "keep", "en"),
+      (11L, mk(11, "good"), "keep", "en")
+    ).toDF("id", "text", "source", "lang")
+    val evalSet = Seq((100L, "alpha beta gamma")).toDF("id", "text")
+
+    val (survivors, manifest) = Curate.pipeline(docs, evalSet,
+      lexicon = Map("latency" -> Seq("slow", "fast")), blockThreshold = 2,
+      nbLabel = col("lang") === "en", nbFeatures = 256,
+      mixRates = Map("keep" -> 1.0, "cut" -> 0.0), mixDefault = 1.0,
+      stops = Seq("good", "bad"))
+
+    manifest.orderBy("stage")
+      .select("stage", "name", "rows_in", "rows_dropped", "rows_out")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq shouldBe Seq(
+        (1L, "blocklist", 11L, 1L, 10L),
+        (2L, "gopher", 10L, 1L, 9L),
+        (3L, "quality", 9L, 1L, 8L),
+        (4L, "neardup", 8L, 1L, 7L),
+        (5L, "decontaminate", 7L, 1L, 6L),
+        (6L, "mixture", 6L, 1L, 5L))
+    // the twin that survives dedup is the cluster MINIMUM (id 4)
+    survivors.select("id").as[Long].collect().toSet shouldBe
+      Set(4L, 8L, 9L, 10L, 11L)
+  }
+}
