@@ -485,6 +485,10 @@ object Store {
   def compact(spark: SparkSession, path: String, partCol: String,
               targetBytes: Long = 128L << 20): (Long, Long) = {
     import org.apache.hadoop.fs.Path
+    // self-heal first: a previous compact may have died inside its swap
+    // window — without this, the read below finds no live table. No-op
+    // on a healthy table.
+    recover(spark, path)
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 

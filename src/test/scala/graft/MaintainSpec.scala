@@ -131,4 +131,40 @@ class MaintainSpec extends SparkSpec {
     an[Exception] should be thrownBy
       Maintain.readEvolved(Seq(v1, v3)).collect()
   }
+
+  test("applyCdcState folded over ANY batch split and order equals the " +
+    "one-shot batch apply (seeded property)") {
+    // a seeded random changelog: 20 keys × up to 6 ops each
+    val rnd = new scala.util.Random(42)
+    val ops = Seq("I", "U", "D")
+    val changelog = (1L to 20L).flatMap { k =>
+      (1 to 1 + rnd.nextInt(5)).map { s =>
+        (k, s.toLong, ops(rnd.nextInt(3)), s"v$k-$s")
+      }
+    }
+    val full = changelog.toDF("k", "seq", "op", "v")
+    val expected = Maintain.applyCdc(full, "k", col("seq"), col("seq"),
+        col("op"), Seq("v"))
+      .as[(Long, String)].collect().toSet
+    // five trials: shuffle the changelog, cut into random batches, fold
+    // the state-carrying apply — the final live view must always match
+    (1 to 5).foreach { trial =>
+      val shuffled = new scala.util.Random(trial).shuffle(changelog)
+      var state = Seq.empty[(Long, Long, String, String)]
+        .toDF("k", "seq", "op", "v")
+      var rest = shuffled
+      val r = new scala.util.Random(100 + trial)
+      while (rest.nonEmpty) {
+        val take = 1 + r.nextInt(math.max(1, rest.size))
+        val (batch, tail) = rest.splitAt(take)
+        rest = tail
+        state = Maintain.applyCdcState(
+          state.unionByName(batch.toDF("k", "seq", "op", "v")),
+          "k", "seq", col("seq"), "op", Seq("v"))
+          .localCheckpoint(eager = true)
+      }
+      state.filter(col("op") =!= "D").select("k", "v")
+        .as[(Long, String)].collect().toSet shouldBe expected
+    }
+  }
 }

@@ -446,6 +446,16 @@ class StoreSpec extends SparkSpec {
     assertHealthy(path, n)
   }
 
+  test("compact self-heals a swap-window strand before compacting") {
+    import spark.implicits._
+    val (path, live, tmp, bak, n) = crashFixture()
+    copyTree(new java.io.File(path.stripSuffix("/t") + "/rewrite"), tmp)
+    live.renameTo(bak) shouldBe true // stranded between the two renames
+    // a direct compact on the stranded table must recover, then compact
+    Store.compact(spark, path, "part", targetBytes = 512L << 20)
+    assertHealthy(path, n)
+  }
+
   test("recover: healthy table is a no-op; stale _temporary staging is swept") {
     val (path, live, _, _, n) = crashFixture()
     Store.recover(spark, path) shouldBe empty
