@@ -55,6 +55,20 @@ class MetricsSpec extends SparkSpec {
     m.shuffleRows should be < 100L
   }
 
+  test("pruneByHashedKeys degrades gracefully when saturated: a filter " +
+    "built far under the true cardinality still loses NO matches") {
+    val li = Tables.lineitem(spark, sf)
+    val dim = Tables.orders(spark, sf).select($"o_orderkey")
+    val exact = li.join(dim, $"l_orderkey" === $"o_orderkey").count()
+    // expectedItems = 1 for thousands of build keys: the filter
+    // saturates toward fpp 1 — pruning power gone, correctness intact
+    val gated = graft.ops.Bloom
+      .pruneByHashedKeys(li, Seq("l_orderkey"), dim, Seq("o_orderkey"),
+        expectedItems = 1L, fpp = 0.03)
+      .join(dim, $"l_orderkey" === $"o_orderkey").count()
+    gated shouldBe exact
+  }
+
   test("triangle Bloom gate cuts the closing-edge join's shuffle to near " +
     "triangle scale, result unchanged") {
     // the q_g10 edge derivation at this SF: parts co-attached to an order

@@ -227,6 +227,17 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q_m14_dispatch: the dispatched decode keeps the m4 shape — " +
+    "payload-bearing stage exchange-free") {
+    // same two-exchange contract as the single-codec chains: the
+    // pre-decode id spread and the presentation sort; the mixed-corpus
+    // dispatch adds routing, not shuffles.
+    val p = plan("q_m14_dispatch")
+    p.linesIterator.count(_.contains("Exchange")) shouldBe 2
+    p should include("rangepartitioning")
+    p should not include "CartesianProduct"
+  }
+
   test("q_m9_video_neardup: inverted-index join on the frame hash, never cartesian") {
     val p = plan("q_m9_video_neardup")
     p should not include "CartesianProduct"
