@@ -327,15 +327,42 @@ object RoundNineQueries {
        |ORDER BY stage""".stripMargin
   }
 
+  // ---- V10: k-anonymity suppression gate -------------------------------
+
+  /** V10: the aggregate-release rule ([[graft.ops.Profile.kAnonymize]])
+    * over the (lang, source) grid: groups under k = 6 members suppress
+    * into one combined row (total kept, identities not). One map-side-
+    * combined groupBy — the cost of the report itself.
+    */
+  val v10Kanon: Q = (s, d) => {
+    graft.ops.Profile.kAnonymize(Tables.documents(s, d), Seq("lang", "source"), 6L)
+      .orderBy("lang", "source")
+  }
+  val v10KanonSql: String =
+    """WITH g AS (
+      |  SELECT CAST(lang AS VARCHAR) AS lang, CAST(source AS VARCHAR) AS source,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT * FROM (
+      |  SELECT lang, source, n, CAST(0 AS BIGINT) AS suppressed_groups
+      |  FROM g WHERE n >= 6
+      |  UNION ALL
+      |  SELECT '__suppressed__', '__suppressed__',
+      |    CAST(SUM(n) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+      |  FROM g WHERE n < 6 HAVING SUM(n) >= 6)
+      |ORDER BY lang, source""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q_m14_dispatch" -> m14Dispatch,
     "q_m13_cross_codec" -> m13CrossCodec,
-    "q_t33_pipeline" -> t33Pipeline
+    "q_t33_pipeline" -> t33Pipeline,
+    "q_v10_kanon" -> v10Kanon
   )
 
   val oracles: Map[String, String] = Map(
     "q_m14_dispatch" -> m14DispatchSql,
     "q_m13_cross_codec" -> m13CrossCodecSql,
-    "q_t33_pipeline" -> t33PipelineSql
+    "q_t33_pipeline" -> t33PipelineSql,
+    "q_v10_kanon" -> v10KanonSql
   )
 }

@@ -66,4 +66,36 @@ object Profile {
         coalesce(col("__nd"), lit(0L)).as("n_distinct"),
         col("min_str"), col("max_str"))
   }
+
+  /** K-ANONYMITY suppression gate for exported group statistics — the
+    * release rule every aggregate report over sensitive data applies
+    * before leaving the platform: a quasi-identifier group with fewer
+    * than `k` members identifies its members, so groups under k are
+    * SUPPRESSED and re-reported as one combined `__suppressed__` row
+    * (their total survives — utility kept, identities not; the
+    * combined row is itself only emitted when it reaches k, else it
+    * would just re-identify a single small group).
+    *
+    * Output: one row per surviving group (dims..., n) plus at most one
+    * row with every dim = '__suppressed__' carrying the suppressed
+    * total and `suppressed_groups` count. Deterministic, engine-exact.
+    *
+    * Scale shape: ONE map-side-combined groupBy over the scan (the
+    * same shuffle the report itself costs); the suppression split is a
+    * filter over the group frame (group-cardinality-bounded, not
+    * row-bounded).
+    */
+  def kAnonymize(df: DataFrame, dims: Seq[String], k: Long): DataFrame = {
+    require(dims.nonEmpty && k >= 1, "kAnonymize needs dims and k >= 1")
+    val groups = df.groupBy(dims.map(c => col(c).cast(StringType).as(c)): _*)
+      .agg(count(lit(1)).as("n"))
+    val kept = groups.filter(col("n") >= k)
+      .select(dims.map(col) :+ col("n") :+ lit(0L).as("suppressed_groups"): _*)
+    val pooled = groups.filter(col("n") < k)
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("suppressed_groups"))
+      .filter(col("n") >= k)
+      .select(dims.map(d => lit("__suppressed__").as(d)) :+
+        col("n") :+ col("suppressed_groups"): _*)
+    kept.unionByName(pooled)
+  }
 }

@@ -38,4 +38,24 @@ class ProfileSpec extends SparkSpec {
     out("k") shouldBe 3L
     out("v") shouldBe 3L
   }
+
+  test("kAnonymize suppresses under-k groups into one pooled row; the " +
+    "pool itself must reach k to be released") {
+    import spark.implicits._
+    // groups: a=5 rows, b=5, c=2, d=1  (k=4: c and d suppress, pool=3 < 4)
+    val rows = (Seq.fill(5)("a") ++ Seq.fill(5)("b") ++ Seq.fill(2)("c") ++ Seq("d"))
+      .zipWithIndex.map { case (g, i) => (g, i.toLong) }.toDF("grp", "v")
+    val k4 = graft.ops.Profile.kAnonymize(rows, Seq("grp"), 4L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    k4.keySet shouldBe Set("a", "b") // pool of 3 < k: withheld entirely
+    k4("a") shouldBe ((5L, 0L))
+    // k=3: the pool (c+d = 3 rows, 2 groups) reaches k and is released
+    val k3 = graft.ops.Profile.kAnonymize(rows, Seq("grp"), 3L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    k3("__suppressed__") shouldBe ((3L, 2L))
+    k3.keySet shouldBe Set("a", "b", "__suppressed__")
+    // every released group (pool aside) meets the k floor
+    k3.collect { case (g, (n, _)) if g != "__suppressed__" => n }
+      .foreach(_ should be >= 3L)
+  }
 }
