@@ -3264,8 +3264,8 @@ object PipelineQueries {
        |tnb AS (SELECT SUM(n_pos) AS tot_pos, SUM(n_neg) AS tot_neg FROM cnb),
        |model AS (
        |  SELECT feat, n_pos, n_neg,
-       |    CAST((n_pos + 1) * 1000000 // (tot_pos + $NbFeat)
-       |       - (n_neg + 1) * 1000000 // (tot_neg + $NbFeat) AS BIGINT) AS w1e6
+       |    CAST(CAST(n_pos + 1 AS HUGEINT) * 1000000 // (tot_pos + $NbFeat)
+       |       - CAST(n_neg + 1 AS HUGEINT) * 1000000 // (tot_neg + $NbFeat) AS BIGINT) AS w1e6
        |  FROM cnb, tnb)""".stripMargin
   private val nbModelCte: String = nbModelCteFrom("")
   val t19NbTrainSql: String =

@@ -261,8 +261,8 @@ object RoundNineQueries {
        |  FROM fnb GROUP BY 1),
        |tnb AS (SELECT SUM(n_pos) AS tot_pos, SUM(n_neg) AS tot_neg FROM cnb),
        |model AS MATERIALIZED (
-       |  SELECT feat, CAST((n_pos + 1) * 1000000 // (tot_pos + 256)
-       |     - (n_neg + 1) * 1000000 // (tot_neg + 256) AS BIGINT) AS w1e6
+       |  SELECT feat, CAST(CAST(n_pos + 1 AS HUGEINT) * 1000000 // (tot_pos + 256)
+       |     - CAST(n_neg + 1 AS HUGEINT) * 1000000 // (tot_neg + 256) AS BIGINT) AS w1e6
        |  FROM cnb, tnb),
        |onb AS MATERIALIZED (SELECT id, feat, COUNT(*) AS n_occ FROM fnb GROUP BY 1, 2),
        |sc AS MATERIALIZED (SELECT o.id, CAST(SUM(o.n_occ * m.w1e6) AS BIGINT) AS score

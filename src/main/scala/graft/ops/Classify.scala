@@ -64,9 +64,14 @@ object Classify {
     val totals = counts.agg(sum(col("n_pos")).as("tot_pos"),
       sum(col("n_neg")).as("tot_neg"))
     counts.crossJoin(broadcast(totals))
+      // DECIMAL(38,0) products: per-feature counts reach ~tot/nFeatures,
+      // and at 1e14-token corpora (n+1)·1e6 closes on Long's ceiling —
+      // the silent-wrap class the skew report was hardened against.
+      // `div` on decimals still returns BIGINT (same schema/values at
+      // any non-overflowing scale); the oracle mirrors with HUGEINT.
       .withColumn("w1e6", expr(
-        s"""(n_pos + 1) * 1000000L div (tot_pos + $nFeatures)
-           | - (n_neg + 1) * 1000000L div (tot_neg + $nFeatures)""".stripMargin))
+        s"""cast(n_pos + 1 as decimal(38,0)) * 1000000 div (tot_pos + $nFeatures)
+           | - cast(n_neg + 1 as decimal(38,0)) * 1000000 div (tot_neg + $nFeatures)""".stripMargin))
       .select(col("feat"), col("n_pos"), col("n_neg"), col("w1e6"))
   }
 
