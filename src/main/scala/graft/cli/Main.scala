@@ -285,8 +285,18 @@ object Main {
 
     // writer-startup repair: complete or roll back any crash-stranded
     // two-phase state (compaction swap dirs, versioned pointer temp).
+    // SINGLE-WRITER: recover takes the table's writer lease, so it
+    // refuses (LeaseHeld) rather than destroy a LIVE writer's in-flight
+    // rewrite; a crashed writer's lease expires after the TTL, or pass
+    // --break-lease to remove it now — ONLY when you know no writer is
+    // alive (a broken lease under a live compact loses its rewrite).
     case "recover" :: path :: rest =>
       withSession { spark =>
+        if (rest.contains("--break-lease")) {
+          val lease = new org.apache.hadoop.fs.Path(path + ".lease")
+          val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.delete(lease, false)) println(s"broke lease ${lease.getName}")
+        }
         val actions = graft.ops.Store.recover(spark, path) ++
           (if (rest.contains("--versioned")) graft.ops.Versioned.recover(spark, path)
            else Seq.empty)
@@ -309,7 +319,7 @@ object Main {
           "dedupreport <sfDir> | annsearch <sfDir> <vecId> [--k N] | " +
           "quality <sfDir> | mediareport <sfDir> | " +
           "search <sfDir> <terms> [--k N] | skewreport <path> <key> | " +
-          "trend <sfDir> | recover <path> [--versioned] | " +
+          "trend <sfDir> | recover <path> [--versioned] [--break-lease] | " +
           "curate <sfDir> [--out dir]")
       sys.exit(2)
   }

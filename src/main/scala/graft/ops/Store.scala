@@ -21,6 +21,88 @@ import org.apache.spark.sql.types.DataType
   */
 object Store {
 
+  /** A second writer (or a `recover`) tried to enter a two-phase
+    * mutation while another writer's lease is live. `holder` is the
+    * contents of the lease file (pid@host/uuid), `ageMs` its age.
+    */
+  final case class LeaseHeld(path: String, holder: String, ageMs: Long)
+    extends RuntimeException(
+      s"single-writer lease on $path is held by $holder (${ageMs} ms old); " +
+        "retry after it is released, or after the TTL if the holder is dead")
+
+  /** Liveness TTL for [[withLease]]: a lease whose file has not been
+    * heartbeat-touched for this long belongs to a dead writer and may
+    * be broken. Live writers heartbeat at TTL/3, so only a crash (or a
+    * full-GC pause longer than the TTL) lets a lease go stale.
+    */
+  val DefaultLeaseTtlMs: Long = 30L * 60 * 1000
+
+  /** SINGLE-WRITER LEASE for the two-phase mutations. The swap/publish
+    * protocols of [[compact]], [[upsert]], [[purgeKeys]] and
+    * [[recover]] are each crash-safe in isolation, but none are safe
+    * against a CONCURRENT writer: a `recover` racing a live `compact`
+    * reads its half-built `.compacting` dir as a stranded one and
+    * deletes the in-flight rewrite. All two-phase entry points
+    * therefore acquire this lease — a `<table>.lease` sibling file
+    * created atomically (create-if-absent), heartbeat-touched at
+    * TTL/3 by a daemon thread while the operation runs, deleted on
+    * exit (success or failure). A lease older than `ttlMs` is a dead
+    * writer's and is broken; a younger one raises [[LeaseHeld]].
+    *
+    * NOT reentrant: the public ops acquire internally — never wrap
+    * them in your own `withLease` on the same path. The reference
+    * inherits this guarantee from its embedded database's file lock
+    * (availability_db.py's single connection); an immutable-store
+    * engine has to state it explicitly.
+    */
+  def withLease[T](spark: SparkSession, path: String,
+                   ttlMs: Long = DefaultLeaseTtlMs)(body: => T): T = {
+    import org.apache.hadoop.fs.Path
+    val lease = new Path(path + ".lease")
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val owner = java.lang.ProcessHandle.current().pid().toString + "@" +
+      java.net.InetAddress.getLocalHost.getHostName + "/" +
+      java.util.UUID.randomUUID().toString
+    // create(overwrite = false) is the atomic claim on HDFS-compatible
+    // filesystems: exactly one concurrent creator wins.
+    def tryClaim(): Boolean =
+      try {
+        val out = fs.create(lease, false)
+        try out.write(owner.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def holderInfo(): (String, Long) =
+      try {
+        val age = System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime
+        val in = fs.open(lease)
+        val h = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        (h, age)
+      } catch { case _: Exception => ("<unreadable>", -1L) }
+    if (!tryClaim()) {
+      val stale =
+        try System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime > ttlMs
+        catch { case _: java.io.FileNotFoundException => true } // holder just released
+      if (stale) fs.delete(lease, false)
+      if (!tryClaim()) { // still losing: a LIVE holder, or we lost the takeover race
+        val (h, age) = holderInfo()
+        throw LeaseHeld(path, h, age)
+      }
+    }
+    val beat = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        Thread.sleep(math.max(1L, ttlMs / 3))
+        fs.setTimes(lease, System.currentTimeMillis(), -1)
+      } catch { case _: InterruptedException | _: java.io.IOException => () }
+    }, s"graft-lease-heartbeat-$path")
+    beat.setDaemon(true)
+    beat.start()
+    try body
+    finally {
+      beat.interrupt()
+      try fs.delete(lease, false) catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** Latest row per key by `tsCol` (row_number = 1), with a total
     * tie-break column so re-runs are deterministic.
     * Reference upsert semantics: availability_db.py:97,162.
@@ -45,7 +127,8 @@ object Store {
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
              partCol: String, keys: Seq[String], tsCol: String,
-             tieBreak: String, statsCols: Seq[String] = Nil): Unit = {
+             tieBreak: String, statsCols: Seq[String] = Nil): Unit =
+      withLease(spark, path) {
     val overwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
     val savedMode = spark.conf.getOption(overwriteModeKey)
     spark.conf.set(overwriteModeKey, "dynamic")
@@ -77,7 +160,7 @@ object Store {
         case None    => spark.conf.unset(overwriteModeKey)
       }
     }
-  }
+  } // withLease
 
   /** PURGE keys (right-to-be-forgotten / takedown propagation): delete
     * every row whose key tuple appears in `purge`, rewriting ONLY the
@@ -104,7 +187,8 @@ object Store {
     */
   def purgeKeys(spark: SparkSession, path: String, purge: DataFrame,
                 partCol: String, keys: Seq[String],
-                verify: Boolean = true): Long = {
+                verify: Boolean = true): Long =
+      withLease(spark, path) {
     val overwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
     val savedMode = spark.conf.getOption(overwriteModeKey)
     spark.conf.set(overwriteModeKey, "dynamic")
@@ -483,12 +567,14 @@ object Store {
     * together — a compacted table never silently loses file skipping.
     */
   def compact(spark: SparkSession, path: String, partCol: String,
-              targetBytes: Long = 128L << 20): (Long, Long) = {
+              targetBytes: Long = 128L << 20): (Long, Long) =
+      withLease(spark, path) {
     import org.apache.hadoop.fs.Path
     // self-heal first: a previous compact may have died inside its swap
     // window — without this, the read below finds no live table. No-op
-    // on a healthy table.
-    recover(spark, path)
+    // on a healthy table. (Unlocked variant: this compact already holds
+    // the writer lease; the public recover would deadlock on it.)
+    recoverUnlocked(spark, path)
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -568,7 +654,7 @@ object Store {
     }
     fs.delete(bak, true)
     (before.size.toLong, leafFiles(hPath).size.toLong)
-  }
+  } // withLease
 
   /** CRASH-WINDOW REPAIR for [[compact]]'s two-phase swap — the restart
     * routine that makes the non-atomic rename pair operationally safe.
@@ -594,8 +680,19 @@ object Store {
     * rot on disk). Idempotent — run it unconditionally at writer
     * startup; a healthy table is a no-op. Returns the repair actions
     * taken, in order, for the operator's log.
+    *
+    * SINGLE-WRITER: acquires the table's [[withLease writer lease]], so
+    * a recover can no longer race a LIVE compact/upsert and misread its
+    * in-flight `.compacting`/`_temporary` as stranded (it raises
+    * [[LeaseHeld]] instead). A lease left behind by a crashed writer
+    * expires after the TTL; the CLI's `recover --break-lease` removes
+    * it early when the operator knows no writer is alive.
     */
-  def recover(spark: SparkSession, path: String): Seq[String] = {
+  def recover(spark: SparkSession, path: String,
+              ttlMs: Long = DefaultLeaseTtlMs): Seq[String] =
+    withLease(spark, path, ttlMs) { recoverUnlocked(spark, path) }
+
+  private def recoverUnlocked(spark: SparkSession, path: String): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -25,6 +25,16 @@ object Versioned {
 
   private val Pointer = "_latest"
 
+  /** Single-writer lease for the pointer-publish protocol — the
+    * [[Store.withLease]] guard applied to the snapshot root (lease file
+    * `<root>/_writer.lease`; the `_` prefix keeps it invisible to both
+    * `versions()` and parquet readers). Two concurrent `write`s would
+    * otherwise pick the same next version number, and a `recover`
+    * racing a live publish could adopt or drop the wrong pointer temp.
+    */
+  private def withWriterLease[T](spark: SparkSession, root: String)(body: => T): T =
+    Store.withLease(spark, new Path(root, "_writer").toString)(body)
+
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -66,12 +76,13 @@ object Versioned {
     * version number. The data write completes fully before the pointer
     * moves — readers never observe a partial snapshot.
     */
-  def write(spark: SparkSession, root: String, df: DataFrame): Long = {
-    val next = versions(spark, root).lastOption.map(_ + 1).getOrElse(0L)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$next")
-    writePointer(spark, root, next)
-    next
-  }
+  def write(spark: SparkSession, root: String, df: DataFrame): Long =
+    withWriterLease(spark, root) {
+      val next = versions(spark, root).lastOption.map(_ + 1).getOrElse(0L)
+      df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$next")
+      writePointer(spark, root, next)
+      next
+    }
 
   /** Read the currently published snapshot. */
   def readLatest(spark: SparkSession, root: String): DataFrame = {
@@ -85,11 +96,12 @@ object Versioned {
     spark.read.parquet(s"$root/v=$version")
 
   /** Point the table back at an existing version — pointer-only, O(1). */
-  def rollback(spark: SparkSession, root: String, version: Long): Unit = {
-    require(versions(spark, root).contains(version),
-      s"versioned: cannot roll back to absent version $version")
-    writePointer(spark, root, version)
-  }
+  def rollback(spark: SparkSession, root: String, version: Long): Unit =
+    withWriterLease(spark, root) {
+      require(versions(spark, root).contains(version),
+        s"versioned: cannot roll back to absent version $version")
+      writePointer(spark, root, version)
+    }
 
   /** Pointer-publish crash repair — [[Store.recover]]'s sibling for the
     * `_latest` temp-file + rename swap. Three strandable states:
@@ -107,26 +119,29 @@ object Versioned {
     *
     * Idempotent; healthy roots are a no-op. Returns the actions taken.
     */
-  def recover(spark: SparkSession, root: String): Seq[String] = {
+  def recover(spark: SparkSession, root: String): Seq[String] =
+      withWriterLease(spark, root) {
     val f = fs(spark, root)
     val tmp = new Path(root, s"$Pointer.tmp")
-    if (!f.exists(tmp)) return Seq.empty
-    val dst = new Path(root, Pointer)
-    val parsed: Option[Long] = try {
-      val in = f.open(tmp)
-      try new String(in.readAllBytes(), "UTF-8").trim.toLongOption
-      finally in.close()
-    } catch { case _: Exception => None }
-    parsed match {
-      case Some(v) if !f.exists(dst) && versions(spark, root).contains(v) =>
-        if (!f.rename(tmp, dst))
-          sys.error(s"versioned recover: cannot complete pointer publish under $root")
-        Seq(s"completed interrupted pointer publish to v=$v")
-      case _ =>
-        f.delete(tmp, false)
-        Seq("dropped stale pointer temp (previous pointer state stands)")
+    if (!f.exists(tmp)) Seq.empty
+    else {
+      val dst = new Path(root, Pointer)
+      val parsed: Option[Long] = try {
+        val in = f.open(tmp)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLongOption
+        finally in.close()
+      } catch { case _: Exception => None }
+      parsed match {
+        case Some(v) if !f.exists(dst) && versions(spark, root).contains(v) =>
+          if (!f.rename(tmp, dst))
+            sys.error(s"versioned recover: cannot complete pointer publish under $root")
+          Seq(s"completed interrupted pointer publish to v=$v")
+        case _ =>
+          f.delete(tmp, false)
+          Seq("dropped stale pointer temp (previous pointer state stands)")
+      }
     }
-  }
+  } // withWriterLease
 
   /** Drop all versions except the live one and the `keep` most recent.
     * Never deletes the published version regardless of age.

@@ -492,4 +492,61 @@ class StoreSpec extends SparkSpec {
     java.nio.file.Files.writeString(latest.toPath, "1")
     Versioned.recover(spark, root) shouldBe empty
   }
+
+  // ---- single-writer lease -------------------------------------------
+
+  test("lease: a second writer is refused while a live lease is held; " +
+    "a stale (dead-writer) lease is broken and taken over") {
+    val (path, _, _, _, n) = crashFixture()
+    // simulate a LIVE concurrent writer: a fresh lease file
+    val lease = new java.io.File(path + ".lease")
+    java.nio.file.Files.writeString(lease.toPath, "12345@otherhost/live-writer")
+    val e = intercept[Store.LeaseHeld](Store.recover(spark, path))
+    e.holder should include("otherhost")
+    intercept[Store.LeaseHeld](
+      Store.compact(spark, path, "part", targetBytes = 512L << 20))
+    // the refused attempts must not have destroyed the holder's lease
+    lease.exists() shouldBe true
+    // simulate the writer DYING: age the lease past the TTL — the next
+    // writer breaks it, runs, and releases
+    lease.setLastModified(System.currentTimeMillis() - 2 * Store.DefaultLeaseTtlMs) shouldBe true
+    Store.recover(spark, path) shouldBe empty
+    lease.exists() shouldBe false
+    assertHealthy(path, n)
+  }
+
+  test("lease: heartbeat keeps a live writer fresh past the nominal TTL; " +
+    "released on success and on failure") {
+    val (path, _, _, _, _) = crashFixture()
+    val lease = new java.io.File(path + ".lease")
+    var inner: Option[Store.LeaseHeld] = None
+    Store.withLease(spark, path, ttlMs = 600) {
+      lease.exists() shouldBe true
+      // outlive the nominal TTL: the TTL/3 heartbeat must keep the
+      // lease fresh, so a second acquirer is STILL refused
+      Thread.sleep(1400)
+      inner = Some(intercept[Store.LeaseHeld](
+        Store.withLease(spark, path, ttlMs = 600)(())))
+    }
+    inner.get.ageMs should be < 600L
+    lease.exists() shouldBe false // released on success
+    intercept[RuntimeException](Store.withLease(spark, path)(sys.error("boom")))
+    lease.exists() shouldBe false // released on failure
+  }
+
+  test("lease: versioned publish/rollback/recover are mutually excluded " +
+    "by the root's writer lease") {
+    import spark.implicits._
+    import graft.ops.Versioned
+    val root = Files.createTempDirectory("graft-vlease").toString
+    Versioned.write(spark, root, Seq(1).toDF("v"))
+    val lease = new java.io.File(root, "_writer.lease")
+    java.nio.file.Files.writeString(lease.toPath, "999@elsewhere/live")
+    intercept[Store.LeaseHeld](Versioned.write(spark, root, Seq(2).toDF("v")))
+    intercept[Store.LeaseHeld](Versioned.rollback(spark, root, 0L))
+    intercept[Store.LeaseHeld](Versioned.recover(spark, root))
+    lease.delete() shouldBe true
+    Versioned.write(spark, root, Seq(2).toDF("v")) shouldBe 1L
+    lease.exists() shouldBe false
+  }
 }
