@@ -211,13 +211,24 @@ object RoundNineQueries {
     val corpus = docs.unionByName(near).unionByName(exact)
     val evalSet = Tables.documents(s, d).filter($"doc_id" % 97 === 0)
       .select($"doc_id".as("id"), $"text")
-    val (_, manifest) = graft.ops.Curate.pipeline(corpus, evalSet,
+    // The STORE-BACKED path (stage writes + resume) is the production
+    // shape and the one this gate exercises; an ephemeral run dir makes
+    // the query self-contained. The manifest is driver-local rows, so
+    // the run dir can be dropped before returning.
+    val runDir = java.nio.file.Files.createTempDirectory("graft-t33").toString + "/run"
+    val (_, manifest) = graft.ops.Curate.pipelineStaged(corpus, evalSet,
       lexicon = Map("latency" -> Seq("slow", "fast"), "size" -> Seq("big", "small")),
       blockThreshold = 8,
       nbLabel = $"lang" === "en", nbFeatures = 256,
       mixRates = Map("src0" -> 1.0, "src1" -> 1.0,
         "src2" -> 0.5, "src3" -> 0.5, "src4" -> 0.5),
-      mixDefault = 0.1)
+      mixDefault = 0.1, runDir = runDir)
+    val root = new java.io.File(runDir).getParentFile
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(root)
     manifest.orderBy("stage")
   }
 

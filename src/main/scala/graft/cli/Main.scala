@@ -270,13 +270,18 @@ object Main {
         val docs = graft.Tables.documents(spark, sfDir)
           .select(col("doc_id").as("id"), col("text"), col("source"), col("lang"))
         val evalSet = docs.filter(col("id") % 97 === 0).select(col("id"), col("text"))
-        val (survivors, manifest) = graft.ops.Curate.pipeline(docs, evalSet,
+        // Store-backed staged run: --run-dir names the stage store (a
+        // re-run with the same dir RESUMES past completed stages — the
+        // operational restart story); default is an ephemeral temp dir.
+        val runDir = rest.sliding(2).collectFirst { case Seq("--run-dir", d) => d }
+          .getOrElse(java.nio.file.Files.createTempDirectory("graft-curate").toString + "/run")
+        val (survivors, manifest) = graft.ops.Curate.pipelineStaged(docs, evalSet,
           lexicon = Map("latency" -> Seq("slow", "fast"), "size" -> Seq("big", "small")),
           blockThreshold = 8,
           nbLabel = col("lang") === "en", nbFeatures = 256,
           mixRates = Map("src0" -> 1.0, "src1" -> 1.0,
             "src2" -> 0.5, "src3" -> 0.5, "src4" -> 0.5),
-          mixDefault = 0.1)
+          mixDefault = 0.1, runDir = runDir)
         rest.sliding(2).collectFirst { case Seq("--out", dir) => dir }
           .foreach(dir => survivors.write
             .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir))
@@ -320,7 +325,7 @@ object Main {
           "quality <sfDir> | mediareport <sfDir> | " +
           "search <sfDir> <terms> [--k N] | skewreport <path> <key> | " +
           "trend <sfDir> | recover <path> [--versioned] [--break-lease] | " +
-          "curate <sfDir> [--out dir]")
+          "curate <sfDir> [--out dir] [--run-dir dir]")
       sys.exit(2)
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** The COMPOSED end-to-end curation pipeline — every stage the engine
@@ -10,6 +10,20 @@ import org.apache.spark.sql.functions._
   * manifest. The manifest is produced by the run that did the dropping
   * — the dataset-card provenance row is a by-product of curation, not
   * a separately-computed report that can drift from it.
+  *
+  * Two materialization strategies share the same stage algebra:
+  *
+  *  - [[pipeline]] cuts each inter-stage frame with an eager
+  *    `localCheckpoint` — fastest wall-clock, but local checkpoints pin
+  *    non-replicated blocks to executors, so losing ONE executor
+  *    mid-run kills the whole job. Right for short interactive runs.
+  *  - [[pipelineStaged]] WRITES each inter-stage frame under a run
+  *    directory and resumes past completed stages — the production
+  *    shape for a multi-hour 100 TB run, where executor loss is
+  *    routine and restart-from-stage-N is the difference between a
+  *    finished pipeline and one that can never finish (the reference
+  *    runs each workflow step to its own output file for the same
+  *    reason, update-database.yml:282-397).
   */
 object Curate {
 
@@ -19,11 +33,8 @@ object Curate {
   val ManifestColumns: Seq[String] =
     Seq("stage", "name", "rows_in", "rows_dropped", "rows_out")
 
-  /** Run the six-stage pipeline over `docs` (`id`, `text`, `source`,
-    * plus whatever `nbLabel` references). Returns (survivors,
-    * manifest).
-    *
-    * Stage semantics (each the EXACT algebra of its standalone gate):
+  /** The six stage transforms, each mapping the surviving frame to the
+    * next — the EXACT algebra of each stage's standalone gate:
     *   1. blocklist     — drop docs tripping any lexicon category at
     *                      `blockThreshold` hits ([[TextOps.blocklistGate]]);
     *   2. gopher        — keep docs passing the word-level quality gate
@@ -39,12 +50,65 @@ object Curate {
     *   6. mixture       — per-source deterministic hash-gate keep rates
     *                      ([[Sampling.mixtureSample]]).
     *
+    * Every transform is DETERMINISTIC given its input frame (seeded
+    * hashes, no rand()), which is what makes [[pipelineStaged]]'s
+    * resume exact: recomputing stage k from the stored stage k-1
+    * reproduces the identical output.
+    */
+  private def stages(evalSet: DataFrame,
+                     lexicon: Map[String, Seq[String]], blockThreshold: Int,
+                     nbLabel: Column, nbFeatures: Int,
+                     mixRates: Map[String, Double], mixDefault: Double,
+                     stops: Seq[String]): Seq[(String, DataFrame => DataFrame)] = Seq(
+    "blocklist" -> { s0 =>
+      val blocked = TextOps.blocklistGate(s0, "id", "text", lexicon, blockThreshold)
+        .filter(col("cat_blocked")).select(col("id")).distinct()
+      s0.join(blocked, Seq("id"), "left_anti")
+    },
+    "gopher" -> { s1 =>
+      val passing = TextOps.gopherWordGate(s1, "id", "text", stops)
+        .filter(col("pass")).select(col("id"))
+      s1.join(passing, Seq("id"), "left_semi")
+    },
+    "quality" -> { s2 =>
+      val model = Classify.nbTrain(s2, "text", nbLabel, nbFeatures)
+      val good = Classify.nbScore(s2, "id", "text", model, nbFeatures)
+        .filter(col("score") > 0).select(col("id"))
+      s2.join(good, Seq("id"), "left_semi")
+    },
+    "neardup" -> { s3 =>
+      val removed = Dedup.dupClusters(Dedup.nearDupPairs(s3, "id", "text"))
+        .filter(col("id") =!= col("cluster_id")).select(col("id"))
+      s3.join(removed, Seq("id"), "left_anti")
+    },
+    "decontaminate" -> { s4 =>
+      val contaminated = Dedup.decontaminate(s4, evalSet, "id", "text")
+        .filter(col("n_overlap") > 0).select(col("id"))
+      s4.join(contaminated, Seq("id"), "left_anti")
+    },
+    "mixture" -> { s5 =>
+      Sampling.mixtureSample(s5, col("source"), col("id"), mixRates, mixDefault)
+    })
+
+  private def toManifest(spark: org.apache.spark.sql.SparkSession,
+                         names: Seq[String], counts: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    names.zipWithIndex.map { case (nm, i) =>
+      ((i + 1).toLong, nm, counts(i), counts(i) - counts(i + 1), counts(i + 1))
+    }.toDF(ManifestColumns: _*)
+  }
+
+  /** Run the six-stage pipeline over `docs` (`id`, `text`, `source`,
+    * plus whatever `nbLabel` references). Returns (survivors,
+    * manifest).
+    *
     * Scale shape: every stage is the already-audited operator — nothing
     * corpus² anywhere; the inter-stage frames are materialized with an
-    * eager lineage cut (what a production pipeline does by writing each
-    * stage), so no stage recomputes its predecessors and the six
-    * manifest counts are one cheap action each over a cached frame.
-    * Driver traffic is the six Long counts.
+    * eager lineage cut, so no stage recomputes its predecessors and the
+    * six manifest counts are one cheap action each over a cached frame.
+    * Driver traffic is the six Long counts. NOT fault-tolerant across
+    * executor loss (see the object doc) — production runs use
+    * [[pipelineStaged]].
     */
   def pipeline(docs: DataFrame, evalSet: DataFrame,
                lexicon: Map[String, Seq[String]], blockThreshold: Int,
@@ -52,41 +116,76 @@ object Curate {
                mixRates: Map[String, Double], mixDefault: Double,
                stops: Seq[String] = TextOps.gopherStops)
       : (DataFrame, DataFrame) = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    val fns = stages(evalSet, lexicon, blockThreshold, nbLabel, nbFeatures,
+      mixRates, mixDefault, stops)
+    val frames = fns.scanLeft(cut(docs)) { case (prev, (_, fn)) => cut(fn(prev)) }
+    val counts = frames.map(_.count())
+    (frames.last, toManifest(docs.sparkSession, fns.map(_._1), counts))
+  }
 
-    val s0 = cut(docs)
-    val blocked = TextOps.blocklistGate(s0, "id", "text", lexicon, blockThreshold)
-      .filter(col("cat_blocked")).select(col("id")).distinct()
-    val s1 = cut(s0.join(blocked, Seq("id"), "left_anti"))
-
-    val passing = TextOps.gopherWordGate(s1, "id", "text", stops)
-      .filter(col("pass")).select(col("id"))
-    val s2 = cut(s1.join(passing, Seq("id"), "left_semi"))
-
-    val model = Classify.nbTrain(s2, "text", nbLabel, nbFeatures)
-    val good = Classify.nbScore(s2, "id", "text", model, nbFeatures)
-      .filter(col("score") > 0).select(col("id"))
-    val s3 = cut(s2.join(good, Seq("id"), "left_semi"))
-
-    val removed = Dedup.dupClusters(Dedup.nearDupPairs(s3, "id", "text"))
-      .filter(col("id") =!= col("cluster_id")).select(col("id"))
-    val s4 = cut(s3.join(removed, Seq("id"), "left_anti"))
-
-    val contaminated = Dedup.decontaminate(s4, evalSet, "id", "text")
-      .filter(col("n_overlap") > 0).select(col("id"))
-    val s5 = cut(s4.join(contaminated, Seq("id"), "left_anti"))
-
-    val s6 = cut(Sampling.mixtureSample(s5, col("source"), col("id"),
-      mixRates, mixDefault))
-
-    val names = Seq("blocklist", "gopher", "quality", "neardup",
-      "decontaminate", "mixture")
-    val counts = Seq(s0, s1, s2, s3, s4, s5, s6).map(_.count())
-    val manifest = names.zipWithIndex.map { case (nm, i) =>
-      ((i + 1).toLong, nm, counts(i), counts(i) - counts(i + 1), counts(i + 1))
-    }.toDF(ManifestColumns: _*)
-    (s6, manifest)
+  /** STORE-BACKED, RESUMABLE pipeline run: stage k's output is written
+    * to `runDir/stage0k_<name>` before stage k+1 starts, and a re-run
+    * with the same `runDir` SKIPS every stage whose directory carries
+    * the committer's `_SUCCESS` marker — so a run killed anywhere
+    * (executor loss, driver OOM, preemption) resumes from the last
+    * completed stage instead of restarting a multi-hour job from zero.
+    *
+    * Crash window analysis (composing with the [[Store]] machinery):
+    *  - killed MID-WRITE of stage k → the dir exists without
+    *    `_SUCCESS` (the committer publishes it only at job commit);
+    *    resume deletes the partial dir — `_temporary` staging included,
+    *    the same sweep [[Store.recover]] performs — and recomputes
+    *    stage k from the stored stage k-1;
+    *  - killed BETWEEN stages → stages ≤ k are complete and immutable;
+    *    resume reads them back (their counts come from parquet footer
+    *    metadata, not a rescan) and continues at k+1.
+    *
+    * Stage 0 materializes the INPUT frame, so resume determinism never
+    * depends on re-deriving `docs` (whose upstream may have moved);
+    * every later stage is a deterministic function of its stored
+    * predecessor (see [[stages]]). Wall-clock cost vs [[pipeline]] is
+    * one parquet write+read per stage instead of a block-manager
+    * checkpoint — measured ~1.3× at sf0.1 (PLANS.md round 10), the
+    * price of surviving executor loss; at production scale stage
+    * writes overlap compute and the delta shrinks below restart cost.
+    *
+    * The caller owns `runDir` lifecycle: pass a fresh dir for a fresh
+    * run, the same dir to resume, and delete it (or keep it as the
+    * run's provenance record) after consuming the survivors.
+    */
+  def pipelineStaged(docs: DataFrame, evalSet: DataFrame,
+                     lexicon: Map[String, Seq[String]], blockThreshold: Int,
+                     nbLabel: Column, nbFeatures: Int,
+                     mixRates: Map[String, Double], mixDefault: Double,
+                     runDir: String,
+                     stops: Seq[String] = TextOps.gopherStops)
+      : (DataFrame, DataFrame) = {
+    import org.apache.hadoop.fs.Path
+    val spark = docs.sparkSession
+    val fs = new Path(runDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fns = stages(evalSet, lexicon, blockThreshold, nbLabel, nbFeatures,
+      mixRates, mixDefault, stops)
+    val all: Seq[(String, DataFrame => DataFrame)] =
+      ("input", identity[DataFrame](_)) +: fns
+    var prev: DataFrame = docs
+    val frames = all.zipWithIndex.map { case ((name, fn), i) =>
+      val dir = new Path(runDir, f"stage$i%02d_$name")
+      val complete = fs.exists(dir) && fs.exists(new Path(dir, "_SUCCESS"))
+      if (!complete) {
+        // partial dir from a mid-write kill (no _SUCCESS): drop it,
+        // stray _temporary staging and all, then recompute the stage
+        // from its stored predecessor.
+        if (fs.exists(dir)) fs.delete(dir, true)
+        fn(prev).write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+      }
+      val f = spark.read.parquet(dir.toString)
+      prev = f
+      f
+    }
+    // counts over stored parquet resolve from footer row counts — no
+    // data rescan on resume.
+    val counts = frames.map(_.count())
+    (frames.last, toManifest(spark, fns.map(_._1), counts))
   }
 }

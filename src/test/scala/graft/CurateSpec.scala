@@ -65,4 +65,65 @@ class CurateSpec extends SparkSpec {
     survivors.select("id").as[Long].collect().toSet shouldBe
       Set(4L, 8L, 9L, 10L, 11L)
   }
+
+  test("staged pipeline matches the in-session pipeline, and a run killed " +
+    "after stage N resumes to the identical manifest without recomputing " +
+    "completed stages") {
+    val docs = ((1L to 6L).map(i => (i, mk(i, "good"), "keep", "en")) :+
+      (7L, mk(4, "good"), "keep", "en") :+ // near-dup twin of id 4
+      (8L, mk(8, "good") + " alpha beta gamma", "keep", "en") :+ // contaminated
+      (9L, mk(9, "good"), "cut", "en")) // mixture-killed source
+      .toDF("id", "text", "source", "lang")
+    val evalSet = Seq((100L, "alpha beta gamma")).toDF("id", "text")
+    def run(dir: String) = Curate.pipelineStaged(docs, evalSet,
+      lexicon = Map("latency" -> Seq("slow", "fast")), blockThreshold = 2,
+      nbLabel = col("lang") === "en", nbFeatures = 256,
+      mixRates = Map("keep" -> 1.0, "cut" -> 0.0), mixDefault = 1.0,
+      runDir = dir, stops = Seq("good", "bad"))
+
+    val runDir = java.nio.file.Files.createTempDirectory("graft-curate").toString + "/run"
+    val (sv1, mf1) = run(runDir)
+    val expected = Curate.pipeline(docs, evalSet,
+      lexicon = Map("latency" -> Seq("slow", "fast")), blockThreshold = 2,
+      nbLabel = col("lang") === "en", nbFeatures = 256,
+      mixRates = Map("keep" -> 1.0, "cut" -> 0.0), mixDefault = 1.0,
+      stops = Seq("good", "bad"))
+    val mfRows = mf1.orderBy("stage")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    mfRows shouldBe expected._2.orderBy("stage")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    val svIds = sv1.select("id").as[Long].collect().toSet
+    svIds shouldBe expected._1.select("id").as[Long].collect().toSet
+
+    // ---- simulate death after stage 3 (quality): stages 4-6 never ran,
+    // and stage 4 was killed MID-WRITE (dir present, no _SUCCESS, stray
+    // job staging inside)
+    def stageDir(i: Int, name: String) =
+      new java.io.File(runDir, f"stage$i%02d_$name")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete()
+    }
+    rmTree(stageDir(4, "neardup")); rmTree(stageDir(5, "decontaminate"))
+    rmTree(stageDir(6, "mixture"))
+    val partial = stageDir(4, "neardup")
+    new java.io.File(partial, "_temporary/0").mkdirs() shouldBe true
+    java.nio.file.Files.writeString(
+      new java.io.File(partial, "part-00000").toPath, "garbage")
+
+    // completed stages must NOT be recomputed on resume: their success
+    // markers keep their mtimes
+    val keptMarker = new java.io.File(stageDir(3, "quality"), "_SUCCESS")
+    val mtimeBefore = keptMarker.lastModified()
+
+    val (sv2, mf2) = run(runDir)
+    mf2.orderBy("stage")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq shouldBe mfRows
+    sv2.select("id").as[Long].collect().toSet shouldBe svIds
+    keptMarker.lastModified() shouldBe mtimeBefore
+    // the partial stage was swept and rewritten to a committed state
+    new java.io.File(partial, "_SUCCESS").exists() shouldBe true
+    new java.io.File(partial, "_temporary").exists() shouldBe false
+    rmTree(new java.io.File(runDir))
+  }
 }
