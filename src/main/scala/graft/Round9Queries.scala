@@ -232,9 +232,15 @@ object RoundNineQueries {
     manifest.orderBy("stage")
   }
 
-  val t33PipelineSql: String = {
+  /** The shared CTE chain of the first five stage algebras
+    * (corpus0 → s5): the oracle backbone of q_t33 (which appends the
+    * mixture stage and the manifest arithmetic) and q_v11 (which
+    * k-anonymizes the published survivor set). One text, two gates —
+    * the chain cannot drift between them.
+    */
+  private val t33ChainSql: String = {
     import graft.ops.TextOps.{hash60Sql, seededHash60Sql}
-    s"""WITH RECURSIVE corpus0 AS MATERIALIZED (
+    s"""corpus0 AS MATERIALIZED (
        |  SELECT doc_id AS id, text, source, lang FROM documents
        |  UNION ALL
        |  SELECT doc_id + 100000, regexp_replace(text, '^\\S+\\s+', ''), source, lang
@@ -316,7 +322,12 @@ object RoundNineQueries {
        |cont AS MATERIALIZED (
        |  SELECT DISTINCT id FROM sh
        |  WHERE id IN (SELECT id FROM s4) AND h IN (SELECT h FROM evsh)),
-       |s5 AS MATERIALIZED (SELECT * FROM s4 WHERE id NOT IN (SELECT id FROM cont)),
+       |s5 AS MATERIALIZED (SELECT * FROM s4 WHERE id NOT IN (SELECT id FROM cont))""".stripMargin
+  }
+
+  val t33PipelineSql: String = {
+    import graft.ops.TextOps.seededHash60Sql
+    s"""WITH RECURSIVE $t33ChainSql,
        |s6 AS MATERIALIZED (SELECT * FROM s5
        |  WHERE ${seededHash60Sql("'mix'", "CAST(id AS VARCHAR)")} % 10000
        |    < CAST((CASE WHEN source = 'src0' THEN 1.0 WHEN source = 'src1' THEN 1.0
@@ -353,27 +364,99 @@ object RoundNineQueries {
     """WITH g AS (
       |  SELECT CAST(lang AS VARCHAR) AS lang, CAST(source AS VARCHAR) AS source,
       |    CAST(COUNT(*) AS BIGINT) AS n
-      |  FROM documents GROUP BY 1, 2)
+      |  FROM documents GROUP BY 1, 2),
+      |p AS (SELECT CAST(SUM(n) AS BIGINT) AS pn, CAST(COUNT(*) AS BIGINT) AS pg
+      |      FROM g WHERE n < 6)
       |SELECT * FROM (
-      |  SELECT lang, source, n, CAST(0 AS BIGINT) AS suppressed_groups
+      |  SELECT lang, source, n, CAST(0 AS BIGINT) AS suppressed_groups,
+      |    FALSE AS suppressed
       |  FROM g WHERE n >= 6
       |  UNION ALL
+      |  -- the pool row is emitted whenever under-k groups exist, but its
+      |  -- totals are WITHHELD (null) while the pool itself is under k
       |  SELECT '__suppressed__', '__suppressed__',
-      |    CAST(SUM(n) AS BIGINT), CAST(COUNT(*) AS BIGINT)
-      |  FROM g WHERE n < 6 HAVING SUM(n) >= 6)
+      |    CASE WHEN pn >= 6 THEN pn END, CASE WHEN pn >= 6 THEN pg END, TRUE
+      |  FROM p WHERE pg > 0)
       |ORDER BY lang, source""".stripMargin
+
+  // ---- V11: the pipeline's own provenance export, release-gated -------
+
+  /** V11: the dataset card of the PUBLISHED survivor set — the q_t33
+    * pipeline at its publication configuration (mixture subsampling is
+    * a training-time op, so rates are 1.0) with the per-(source, lang)
+    * composition aggregate routed through [[graft.ops.Profile.kAnonymize]]
+    * BEFORE export. Closes the loop between the two release gates: the
+    * pipeline that emits provenance aggregates applies the same
+    * suppression rule any exported group statistic gets (q_v10), so the
+    * flagship's own dataset card can never leak an under-k
+    * quasi-identifier group. The card is group-cardinality-bounded by
+    * definition, so it materializes to the driver and the stage store
+    * is dropped before returning. Oracle = the shared q_t33 CTE chain
+    * (corpus0→s5) + the suppression algebra — a green row proves the
+    * COMPOSITION of the six-stage pipeline with the release rule.
+    */
+  val v11CardKanon: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id".as("id"), $"text", $"source", $"lang")
+    val near = docs.filter($"id" % 5 === 0)
+      .select(($"id" + 100000L).as("id"),
+        regexp_replace($"text", "^\\S+\\s+", "").as("text"), $"source", $"lang")
+    val exact = docs.filter($"id" % 7 === 0)
+      .select(($"id" + 200000L).as("id"), $"text", $"source", $"lang")
+    val corpus = docs.unionByName(near).unionByName(exact)
+    val evalSet = Tables.documents(s, d).filter($"doc_id" % 97 === 0)
+      .select($"doc_id".as("id"), $"text")
+    val runDir = java.nio.file.Files.createTempDirectory("graft-v11").toString + "/run"
+    val (survivors, _) = graft.ops.Curate.pipelineStaged(corpus, evalSet,
+      lexicon = Map("latency" -> Seq("slow", "fast"), "size" -> Seq("big", "small")),
+      blockThreshold = 8,
+      nbLabel = $"lang" === "en", nbFeatures = 256,
+      mixRates = Map.empty, mixDefault = 1.0, runDir = runDir)
+    val card = graft.ops.Profile
+      .kAnonymize(survivors, Seq("source", "lang"), 2L)
+      .as[(String, String, Option[Long], Option[Long], Boolean)].collect().toSeq
+    val root = new java.io.File(runDir).getParentFile
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    card.toDF("source", "lang", "n", "suppressed_groups", "suppressed")
+      .orderBy("source", "lang")
+  }
+
+  val v11CardKanonSql: String =
+    s"""WITH RECURSIVE $t33ChainSql,
+       |g AS (
+       |  SELECT CAST(source AS VARCHAR) AS source, CAST(lang AS VARCHAR) AS lang,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM s5 GROUP BY 1, 2),
+       |p AS (SELECT CAST(SUM(n) AS BIGINT) AS pn, CAST(COUNT(*) AS BIGINT) AS pg
+       |      FROM g WHERE n < 2)
+       |SELECT * FROM (
+       |  SELECT source, lang, n, CAST(0 AS BIGINT) AS suppressed_groups,
+       |    FALSE AS suppressed
+       |  FROM g WHERE n >= 2
+       |  UNION ALL
+       |  SELECT '__suppressed__', '__suppressed__',
+       |    CASE WHEN pn >= 2 THEN pn END, CASE WHEN pn >= 2 THEN pg END, TRUE
+       |  FROM p WHERE pg > 0)
+       |ORDER BY source, lang""".stripMargin
 
   val all: Map[String, Q] = Map(
     "q_m14_dispatch" -> m14Dispatch,
     "q_m13_cross_codec" -> m13CrossCodec,
     "q_t33_pipeline" -> t33Pipeline,
-    "q_v10_kanon" -> v10Kanon
+    "q_v10_kanon" -> v10Kanon,
+    "q_v11_card_kanon" -> v11CardKanon
   )
 
   val oracles: Map[String, String] = Map(
     "q_m14_dispatch" -> m14DispatchSql,
     "q_m13_cross_codec" -> m13CrossCodecSql,
     "q_t33_pipeline" -> t33PipelineSql,
-    "q_v10_kanon" -> v10KanonSql
+    "q_v10_kanon" -> v10KanonSql,
+    "q_v11_card_kanon" -> v11CardKanonSql
   )
 }

@@ -76,9 +76,17 @@ object Profile {
     * combined row is itself only emitted when it reaches k, else it
     * would just re-identify a single small group).
     *
-    * Output: one row per surviving group (dims..., n) plus at most one
-    * row with every dim = '__suppressed__' carrying the suppressed
-    * total and `suppressed_groups` count. Deterministic, engine-exact.
+    * Output: one row per surviving group (dims..., n,
+    * suppressed_groups = 0, suppressed = false) plus at most one POOL
+    * row with suppressed = true. The boolean marker — not the dim
+    * values — is what identifies the pool: a GENUINE group whose
+    * quasi-identifier value happens to equal the '__suppressed__'
+    * display sentinel stays distinguishable (suppressed = false). When
+    * the pool itself is under k, its row is still EMITTED (so output
+    * totals visibly stop reconciling for a stated reason instead of
+    * silently) but its `n`/`suppressed_groups` are WITHHELD as null —
+    * publishing a sub-k total would just re-identify the pooled rows.
+    * Deterministic, engine-exact.
     *
     * Scale shape: ONE map-side-combined groupBy over the scan (the
     * same shuffle the report itself costs); the suppression split is a
@@ -90,12 +98,15 @@ object Profile {
     val groups = df.groupBy(dims.map(c => col(c).cast(StringType).as(c)): _*)
       .agg(count(lit(1)).as("n"))
     val kept = groups.filter(col("n") >= k)
-      .select(dims.map(col) :+ col("n") :+ lit(0L).as("suppressed_groups"): _*)
+      .select(dims.map(col) :+ col("n") :+ lit(0L).as("suppressed_groups") :+
+        lit(false).as("suppressed"): _*)
     val pooled = groups.filter(col("n") < k)
-      .agg(sum(col("n")).as("n"), count(lit(1)).as("suppressed_groups"))
-      .filter(col("n") >= k)
+      .agg(sum(col("n")).as("__pn"), count(lit(1)).as("__pg"))
+      .filter(col("__pg") > 0) // no under-k groups → no pool row at all
       .select(dims.map(d => lit("__suppressed__").as(d)) :+
-        col("n") :+ col("suppressed_groups"): _*)
+        when(col("__pn") >= k, col("__pn")).as("n") :+
+        when(col("__pn") >= k, col("__pg")).as("suppressed_groups") :+
+        lit(true).as("suppressed"): _*)
     kept.unionByName(pooled)
   }
 }

@@ -40,22 +40,44 @@ class ProfileSpec extends SparkSpec {
   }
 
   test("kAnonymize suppresses under-k groups into one pooled row; the " +
-    "pool itself must reach k to be released") {
+    "pool itself must reach k to have its totals released") {
     import spark.implicits._
     // groups: a=5 rows, b=5, c=2, d=1  (k=4: c and d suppress, pool=3 < 4)
     val rows = (Seq.fill(5)("a") ++ Seq.fill(5)("b") ++ Seq.fill(2)("c") ++ Seq("d"))
       .zipWithIndex.map { case (g, i) => (g, i.toLong) }.toDF("grp", "v")
-    val k4 = graft.ops.Profile.kAnonymize(rows, Seq("grp"), 4L)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    k4.keySet shouldBe Set("a", "b") // pool of 3 < k: withheld entirely
-    k4("a") shouldBe ((5L, 0L))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        r.getString(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+          (if (r.isNullAt(2)) -1L else r.getLong(2)), r.getBoolean(3))
+      }.toMap
+    val k4 = asMap(graft.ops.Profile.kAnonymize(rows, Seq("grp"), 4L))
+    // pool of 3 < k: the pool row is SURFACED (suppressed = true) but
+    // its totals are withheld as null — not silently vanished
+    k4.keySet shouldBe Set("a", "b", "__suppressed__")
+    k4("a") shouldBe ((5L, 0L, false))
+    k4("__suppressed__") shouldBe ((-1L, -1L, true))
     // k=3: the pool (c+d = 3 rows, 2 groups) reaches k and is released
-    val k3 = graft.ops.Profile.kAnonymize(rows, Seq("grp"), 3L)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    k3("__suppressed__") shouldBe ((3L, 2L))
+    val k3 = asMap(graft.ops.Profile.kAnonymize(rows, Seq("grp"), 3L))
+    k3("__suppressed__") shouldBe ((3L, 2L, true))
     k3.keySet shouldBe Set("a", "b", "__suppressed__")
     // every released group (pool aside) meets the k floor
-    k3.collect { case (g, (n, _)) if g != "__suppressed__" => n }
-      .foreach(_ should be >= 3L)
+    k3.collect { case (g, (n, _, false)) => n }.foreach(_ should be >= 3L)
+  }
+
+  test("kAnonymize: a genuine group VALUE equal to the display sentinel " +
+    "stays distinguishable from the pool via the suppressed marker") {
+    import spark.implicits._
+    val rows = (Seq.fill(4)("__suppressed__") ++ Seq.fill(4)("a") ++ Seq("b"))
+      .zipWithIndex.map { case (g, i) => (g, i.toLong) }.toDF("grp", "v")
+    val out = graft.ops.Profile.kAnonymize(rows, Seq("grp"), 3L).collect()
+      .map(r => (r.getString(0), r.getBoolean(3)) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // the genuine '__suppressed__'-valued group survives with its own
+    // count and marker false; the pool row (group b, 1 row < k, pool
+    // 1 < k → withheld) carries marker true
+    out(("__suppressed__", false)) shouldBe 4L
+    out(("a", false)) shouldBe 4L
+    out(("__suppressed__", true)) shouldBe -1L
+    out.size shouldBe 3
   }
 }
