@@ -86,6 +86,14 @@ object Bench {
           f"[bench] family $f%-9s n=${rs.size}%3d sum=${ok.map(_._2).sum}%8.2f s$slow")
     }
     println(json)
+    // The driver captures only a bounded TAIL of stdout, which has cut
+    // the full per-query line mid-dict three rounds running (BENCH_r07–
+    // r09 landed parsed:null). Emit a COMPACT summary as the FINAL
+    // stdout line — short enough to survive any tail window — so the
+    // driver's parse always lands; the full per-query map stays one
+    // line above and in target/bench.json.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${
+      results.count(_._2 >= 0)},"failed":${results.count(_._2 < 0)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

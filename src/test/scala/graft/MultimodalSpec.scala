@@ -94,6 +94,42 @@ class MultimodalSpec extends SparkSpec {
     umF.toSeq shouldBe smF.toSeq
   }
 
+  test("hostile JPEG payloads — truncated stream, CMYK-shaped SOF, magic-" +
+    "only garbage — quarantine as valid=false instead of killing the task") {
+    val jpeg = Multimodal.encodeJpeg(Multimodal.synthPng(7L)).get
+    // 1. truncated mid-entropy-stream (the kill-a-download case)
+    val truncated = jpeg.take(jpeg.length / 3)
+    // 2. SOF0 component count patched 3 -> 4: the CMYK-shaped stream
+    //    javax.imageio's JPEG reader is known to reject
+    val sofCorrupt = jpeg.clone()
+    val sof = sofCorrupt.indices.dropRight(9).find(i =>
+      (sofCorrupt(i) & 0xff) == 0xff && (sofCorrupt(i + 1) & 0xff) == 0xc0)
+    sof.isDefined shouldBe true // baseline JPEG: SOF0 must be present
+    sofCorrupt(sof.get + 9) = 4
+    // 3. JPEG magic followed by nothing decodable at all
+    val magicOnly = Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte) ++ new Array[Byte](60)
+    for (hostile <- Seq(truncated, sofCorrupt, magicOnly)) {
+      Multimodal.sniffFormat(hostile) shouldBe "jpeg"
+      // must not throw — one corrupt blob must never kill a scan task
+      val (meta, feats) = Multimodal.decodeDispatch(hostile)
+      meta.format shouldBe "jpeg"
+      meta.valid shouldBe false
+      meta.width shouldBe 0
+      feats.forall(_ == 0.0f) shouldBe true
+    }
+    // end-to-end through the batched Dataset path, mixed with healthy
+    // records: the hostile rows land as quarantine rows, the healthy
+    // ones decode
+    import spark.implicits._
+    val rows = Multimodal.decodeFeatures(Seq(
+      MediaRecord(1L, "image", Multimodal.synthPng(1L)),
+      MediaRecord(2L, "image", truncated),
+      MediaRecord(3L, "image", sofCorrupt),
+      MediaRecord(4L, "image", magicOnly)).toDS(), batchSize = 2)
+      .collect().map(m => m.media_id -> m.meta.valid).toMap
+    rows shouldBe Map(1L -> true, 2L -> false, 3L -> false, 4L -> false)
+  }
+
   test("balanceBySize spreads payloads without clustering the largest together") {
     import spark.implicits._
     // 32 large payloads + 128 tiny ones: size-range partitioning would
