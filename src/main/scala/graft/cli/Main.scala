@@ -273,7 +273,8 @@ object Main {
         // Store-backed staged run: --run-dir names the stage store (a
         // re-run with the same dir RESUMES past completed stages — the
         // operational restart story); default is an ephemeral temp dir.
-        val runDir = rest.sliding(2).collectFirst { case Seq("--run-dir", d) => d }
+        val named = rest.sliding(2).collectFirst { case Seq("--run-dir", d) => d }
+        val runDir = named
           .getOrElse(java.nio.file.Files.createTempDirectory("graft-curate").toString + "/run")
         val (survivors, manifest) = graft.ops.Curate.pipelineStaged(docs, evalSet,
           lexicon = Map("latency" -> Seq("slow", "fast"), "size" -> Seq("big", "small")),
@@ -286,6 +287,17 @@ object Main {
           .foreach(dir => survivors.write
             .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir))
         emit(manifest.orderBy("stage"), rest)
+        // An EPHEMERAL run dir (no --run-dir) holds a full copy of every
+        // inter-stage frame with no resume value once the survivors and
+        // manifest are consumed — drop it; a NAMED dir is the caller's
+        // restart/provenance record and is kept.
+        if (named.isEmpty) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(new java.io.File(runDir).getParentFile)
+        }
       }
 
     // writer-startup repair: complete or roll back any crash-stranded

@@ -153,6 +153,16 @@ object Curate {
     * The caller owns `runDir` lifecycle: pass a fresh dir for a fresh
     * run, the same dir to resume, and delete it (or keep it as the
     * run's provenance record) after consuming the survivors.
+    *
+    * CONFIGURATION FINGERPRINT: the run dir records a hash of the stage
+    * parameters (`_params.sha256`, written before stage 0); resuming
+    * with a DIFFERENT configuration fails fast instead of silently
+    * reusing stages computed under the old one — `_SUCCESS` alone
+    * proves a stage completed, not that it completed for *these*
+    * parameters. The INPUT frame is deliberately outside the
+    * fingerprint: stage 0 pins it on first run, and resume reading the
+    * pinned copy (rather than re-deriving `docs`, whose upstream may
+    * have moved) is the stated determinism contract above.
     */
   def pipelineStaged(docs: DataFrame, evalSet: DataFrame,
                      lexicon: Map[String, Seq[String]], blockThreshold: Int,
@@ -164,6 +174,29 @@ object Curate {
     import org.apache.hadoop.fs.Path
     val spark = docs.sparkSession
     val fs = new Path(runDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fp = {
+      val repr = Seq(
+        lexicon.toSeq.sortBy(_._1)
+          .map { case (k, v) => k + ":" + v.mkString("|") }.mkString(";"),
+        blockThreshold.toString, nbLabel.toString(), nbFeatures.toString,
+        mixRates.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";"),
+        mixDefault.toString, stops.mkString("|")).mkString(" ")
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val fpPath = new Path(runDir, "_params.sha256")
+    if (fs.exists(fpPath)) {
+      val in = fs.open(fpPath)
+      val prev = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      require(prev == fp,
+        s"pipelineStaged: run dir $runDir holds stages computed under a DIFFERENT " +
+          "configuration (params fingerprint mismatch) — resuming would silently mix " +
+          "configurations; pass a fresh runDir (or delete this one) to run with the " +
+          "new parameters")
+    } else {
+      val out = fs.create(fpPath, true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+    }
     val fns = stages(evalSet, lexicon, blockThreshold, nbLabel, nbFeatures,
       mixRates, mixDefault, stops)
     val all: Seq[(String, DataFrame => DataFrame)] =
