@@ -310,9 +310,18 @@ object Main {
     case "recover" :: path :: rest =>
       withSession { spark =>
         if (rest.contains("--break-lease")) {
-          val lease = new org.apache.hadoop.fs.Path(path + ".lease")
-          val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.delete(lease, false)) println(s"broke lease ${lease.getName}")
+          // the store's own lease, plus (under --versioned) the snapshot
+          // root's writer lease — Versioned.recover acquires that one,
+          // so breaking only the sibling file would still leave a
+          // crashed versioned writer blocking with LeaseHeld.
+          val leases = Seq(new org.apache.hadoop.fs.Path(path + ".lease")) ++
+            (if (rest.contains("--versioned"))
+               Seq(new org.apache.hadoop.fs.Path(path, "_writer.lease"))
+             else Seq.empty)
+          leases.foreach { lease =>
+            val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.delete(lease, false)) println(s"broke lease ${lease.getName}")
+          }
         }
         val actions = graft.ops.Store.recover(spark, path) ++
           (if (rest.contains("--versioned")) graft.ops.Versioned.recover(spark, path)

@@ -54,6 +54,22 @@ object Store {
     * inherits this guarantee from its embedded database's file lock
     * (availability_db.py's single connection); an immutable-store
     * engine has to state it explicitly.
+    *
+    * Liveness assumptions, stated plainly:
+    *  - a STALE lease is broken by RENAMING it to a unique
+    *    per-contender tombstone (rename is atomic on HDFS-compatible
+    *    filesystems), so of N contenders observing the same stale
+    *    lease exactly ONE wins the rename and the claim race stays
+    *    single-winner — a plain delete would let contender B remove
+    *    contender A's freshly created lease;
+    *  - the break is still UNFENCED against a holder paused PAST the
+    *    TTL (a multi-minute GC / suspended VM) that later resumes: the
+    *    TTL must exceed any plausible pause, which the 30-min default
+    *    does by orders of magnitude. As defense in depth, the
+    *    two-phase publish points re-read the lease's owner bytes
+    *    immediately before their irreversible step
+    *    ([[assertLeaseOwner]]) — a resumed zombie fails there instead
+    *    of clobbering the new owner's in-flight rewrite.
     */
   def withLease[T](spark: SparkSession, path: String,
                    ttlMs: Long = DefaultLeaseTtlMs)(body: => T): T = {
@@ -82,26 +98,92 @@ object Store {
       val stale =
         try System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime > ttlMs
         catch { case _: java.io.FileNotFoundException => true } // holder just released
-      if (stale) fs.delete(lease, false)
+      if (stale) {
+        // Atomic break: move the dead holder's file ASIDE under a name
+        // only this contender knows, then drop the tombstone. If the
+        // rename loses (another contender broke it first, or the holder
+        // released), fall through to tryClaim — create-if-absent keeps
+        // the claim itself single-winner either way.
+        val tomb = new Path(path + ".lease.broken." +
+          java.util.UUID.randomUUID().toString)
+        val renamed = try fs.rename(lease, tomb)
+          catch { case _: java.io.IOException => false }
+        if (renamed) {
+          try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
+        }
+      }
       if (!tryClaim()) { // still losing: a LIVE holder, or we lost the takeover race
         val (h, age) = holderInfo()
         throw LeaseHeld(path, h, age)
       }
     }
     val beat = new Thread(() => {
-      try while (!Thread.interrupted()) {
-        Thread.sleep(math.max(1L, ttlMs / 3))
-        fs.setTimes(lease, System.currentTimeMillis(), -1)
-      } catch { case _: InterruptedException | _: java.io.IOException => () }
+      // The catch sits INSIDE the loop: one transient filesystem hiccup
+      // (or an FS that rejects setTimes) must not silently end the
+      // heartbeat and let a LIVE long-running writer go stale mid-run.
+      // Only interruption — the release path — exits.
+      var running = true
+      while (running && !Thread.interrupted()) {
+        try {
+          Thread.sleep(math.max(1L, ttlMs / 3))
+          fs.setTimes(lease, System.currentTimeMillis(), -1)
+        } catch {
+          case _: InterruptedException => running = false
+          case _: Exception => () // transient/unsupported setTimes: keep beating
+        }
+      }
     }, s"graft-lease-heartbeat-$path")
     beat.setDaemon(true)
     beat.start()
+    heldLeases.set(heldLeases.get() + (path -> owner))
     try body
     finally {
+      heldLeases.set(heldLeases.get() - path)
       beat.interrupt()
-      try fs.delete(lease, false) catch { case _: java.io.IOException => () }
+      // Release only OUR lease: a zombie holder whose lease a new owner
+      // broke and re-claimed must not delete the NEW owner's file on
+      // its way out (the same asymmetry as the publish fence).
+      try {
+        val current =
+          try {
+            val in = fs.open(lease)
+            try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          } catch { case _: Exception => "" }
+        if (current == owner) fs.delete(lease, false)
+      } catch { case _: java.io.IOException => () }
     }
   }
+
+  /** (path → owner string) of leases held by withLease frames on THIS
+    * thread — the bookkeeping behind [[assertLeaseOwner]].
+    */
+  private val heldLeases = new ThreadLocal[Map[String, String]] {
+    override def initialValue(): Map[String, String] = Map.empty
+  }
+
+  /** Defense-in-depth fencing check, called by the two-phase mutations
+    * IMMEDIATELY before their irreversible publish step (the partition
+    * overwrite, the compaction swap rename): re-read the lease file and
+    * verify it still carries THIS writer's owner bytes. A writer paused
+    * past the TTL (long GC, suspended VM) whose lease was broken by a
+    * new owner fails HERE — before clobbering the new owner's in-flight
+    * state — instead of publishing as a zombie. No-op when the calling
+    * thread holds no [[withLease]] frame for `path` (the unlocked
+    * internal paths).
+    */
+  def assertLeaseOwner(spark: SparkSession, path: String): Unit =
+    heldLeases.get().get(path).foreach { owner =>
+      import org.apache.hadoop.fs.Path
+      val lease = new Path(path + ".lease")
+      val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val current =
+        try {
+          val in = fs.open(lease)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        } catch { case _: Exception => "<missing>" }
+      if (current != owner)
+        throw LeaseHeld(path, current, 0L)
+    }
 
   /** Latest row per key by `tsCol` (row_number = 1), with a total
     * tie-break column so re-runs are deterministic.
@@ -145,8 +227,9 @@ object Store {
       // destroys the only copy of the touched data. The merged batch is
       // bounded by the re-probe window, so materializing it is cheap
       // relative to the archive. (Same pattern as refreshRankingsArchive.)
-      merged.localCheckpoint(eager = true)
-        .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+      val staged = merged.localCheckpoint(eager = true)
+      assertLeaseOwner(spark, path) // fence: zombie writers stop BEFORE the overwrite
+      staged.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
       // Data-skipping manifest rides the upsert: stats recomputed for
       // the touched partitions only (batch-proportional, like the
       // upsert itself).
@@ -219,6 +302,7 @@ object Store {
         val touched = touchedParts.collect().map(pv).toSet
         val keptParts = kept.select(col(partCol)).distinct()
           .collect().map(pv).toSet
+        assertLeaseOwner(spark, path) // fence: zombie writers stop BEFORE the overwrite
         kept.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
         // Dynamic overwrite only rewrites partitions PRESENT in the
         // written data: a partition whose every row was purged has no
@@ -647,6 +731,7 @@ object Store {
     }
     val bak = new Path(path + ".pre-compact")
     fs.delete(bak, true)
+    assertLeaseOwner(spark, path) // fence: zombie writers stop BEFORE the swap
     if (!fs.rename(hPath, bak)) sys.error(s"compact: cannot move live table aside: $path")
     if (!fs.rename(tmp, hPath)) {
       fs.rename(bak, hPath) // restore

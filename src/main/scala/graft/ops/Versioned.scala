@@ -55,6 +55,10 @@ object Versioned {
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     val dst = new Path(root, Pointer)
+    // Fence: a writer paused past the lease TTL whose lease a new owner
+    // broke must fail HERE, before moving the pointer out from under
+    // the new owner's publish.
+    Store.assertLeaseOwner(spark, new Path(root, "_writer").toString)
     f.delete(dst, false)
     if (!f.rename(tmp, dst)) sys.error(s"versioned: pointer publish failed under $root")
   }

@@ -124,6 +124,19 @@ class CurateSpec extends SparkSpec {
     // the partial stage was swept and rewritten to a committed state
     new java.io.File(partial, "_SUCCESS").exists() shouldBe true
     new java.io.File(partial, "_temporary").exists() shouldBe false
+
+    // ---- resuming under a DIFFERENT configuration fails fast on the
+    // params fingerprint instead of silently reusing the old stages
+    val drift = intercept[IllegalArgumentException](Curate.pipelineStaged(
+      docs, evalSet,
+      lexicon = Map("latency" -> Seq("slow", "fast")), blockThreshold = 3, // was 2
+      nbLabel = col("lang") === "en", nbFeatures = 256,
+      mixRates = Map("keep" -> 1.0, "cut" -> 0.0), mixDefault = 1.0,
+      runDir = runDir, stops = Seq("good", "bad")))
+    drift.getMessage should include("fingerprint")
+    // same configuration still resumes cleanly after the refused attempt
+    run(runDir)._2.orderBy("stage")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq shouldBe mfRows
     rmTree(new java.io.File(runDir))
   }
 }

@@ -549,4 +549,61 @@ class StoreSpec extends SparkSpec {
     Versioned.write(spark, root, Seq(2).toDF("v")) shouldBe 1L
     lease.exists() shouldBe false
   }
+
+  test("lease: contenders racing to break one stale lease admit at most " +
+    "one holder at a time (rename-based break, no tombstone residue)") {
+    val (path, _, _, _, _) = crashFixture()
+    val lease = new java.io.File(path + ".lease")
+    java.nio.file.Files.writeString(lease.toPath, "777@deadhost/stale")
+    lease.setLastModified(
+      System.currentTimeMillis() - 2 * Store.DefaultLeaseTtlMs) shouldBe true
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 6).map { _ =>
+      new Thread(() =>
+        try Store.withLease(spark, path) {
+          val a = active.incrementAndGet()
+          maxActive.getAndUpdate(m => math.max(m, a))
+          Thread.sleep(50)
+          active.decrementAndGet()
+          wins.incrementAndGet()
+          ()
+        } catch { case _: Store.LeaseHeld => () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // the delete-based break admitted TWO live writers in exactly this
+    // shape (both observe stale; B's delete removes A's fresh claim);
+    // the rename-based break must not
+    maxActive.get() shouldBe 1
+    wins.get() should be >= 1
+    lease.exists() shouldBe false
+    // the break renames through a unique tombstone and deletes it
+    new java.io.File(path).getParentFile.listFiles()
+      .count(_.getName.contains(".lease.broken")) shouldBe 0
+  }
+
+  test("lease: a resumed zombie holder fails the publish-time owner fence " +
+    "and does not delete the new owner's lease on release") {
+    val (path, _, _, _, _) = crashFixture()
+    val lease = new java.io.File(path + ".lease")
+    // without a held lease frame the fence is a no-op (internal
+    // unlocked paths)
+    Store.assertLeaseOwner(spark, path)
+    Store.withLease(spark, path) {
+      // fence passes while the lease still carries our owner bytes
+      Store.assertLeaseOwner(spark, path)
+      // simulate 'paused past the TTL, broken, re-claimed': the lease
+      // file now carries a NEW owner's bytes (drop the checksum sidecar
+      // of OUR create — the new owner's create would have replaced it)
+      java.nio.file.Files.writeString(lease.toPath, "424242@newhost/new-owner")
+      new java.io.File(lease.getParentFile, "." + lease.getName + ".crc").delete()
+      val e = intercept[Store.LeaseHeld](Store.assertLeaseOwner(spark, path))
+      e.holder should include("newhost")
+    }
+    // the zombie's release must leave the new owner's lease in place
+    lease.exists() shouldBe true
+    java.nio.file.Files.readString(lease.toPath) should include("newhost")
+    lease.delete() shouldBe true
+  }
 }
