@@ -21,18 +21,35 @@ object RoundNineQueries {
   /** One record per document id, routed to a REAL container by id mod
     * 4: PNG / WAV / GVI1 video / raw unknown bytes — the corpus the
     * dispatched decode ([[Multimodal.decodeDispatch]]) exists for.
+    *
+    * Every 23rd id ALSO contributes a HOSTILE record (media_id offset
+    * by 3 000 000): a real JPEG stream truncated inside its header
+    * tables — undecodable by construction — so the release gate proves
+    * end-to-end that a corrupt payload lands as a `valid = false`
+    * zero-feature quarantine row instead of killing the scan task or
+    * silently vanishing. (The per-shape hostile fixtures live in
+    * MultimodalSpec; this is the one the ORACLE gates.)
     */
   private def mixedRecords(s: SparkSession, d: String) = {
     import s.implicits._
     Partitioning.spread(Tables.documents(s, d))
       .select($"doc_id".as("media_id")).as[Long]
-      .map { id =>
-        (id % 4) match {
+      .flatMap { id =>
+        val base = (id % 4) match {
           case 0 => graft.ops.MediaRecord(id, "image", Multimodal.synthPng(id))
           case 1 => graft.ops.MediaRecord(id, "audio", Multimodal.synthWav(id))
           case 2 => graft.ops.MediaRecord(id, "video", Multimodal.synthVideo(id))
           case _ => graft.ops.MediaRecord(id, "blob", s"doc-$id".getBytes("UTF-8"))
         }
+        val hostile =
+          if (id % 23 == 0)
+            // 64 bytes cuts inside the quantization tables of ANY JPEG
+            // this encoder emits — deterministically undecodable, while
+            // still a genuine truncated real-encoder stream
+            Seq(graft.ops.MediaRecord(3000000L + id, "image",
+              Multimodal.encodeJpeg(Multimodal.synthPng(id), 0.9f).get.take(64)))
+          else Seq.empty
+        base +: hostile
       }
   }
 
@@ -144,7 +161,13 @@ object RoundNineQueries {
        |  SELECT media_id, format, width, height, FALSE AS valid,
        |    CAST(s0 AS REAL) / CAST(1000.0 AS REAL) AS f0,
        |    CAST(s1 AS REAL) / CAST(1000.0 AS REAL) AS f1
-       |  FROM stub)
+       |  FROM stub
+       |  UNION ALL
+       |  -- hostile truncated-JPEG records: sniffed as jpeg, decode
+       |  -- fails, quarantined as valid=false with zero features
+       |  SELECT doc_id + 3000000, 'jpeg', 0, 0, FALSE,
+       |    CAST(0.0 AS REAL), CAST(0.0 AS REAL)
+       |  FROM documents WHERE doc_id % 23 = 0)
        |SELECT media_id, format, CAST(width AS INTEGER) AS width,
        |  CAST(height AS INTEGER) AS height, valid, f0, f1
        |FROM allrows ORDER BY media_id""".stripMargin
@@ -158,12 +181,14 @@ object RoundNineQueries {
     * both go through the full dedup chain — ImageIO decode (JPEG inflate
     * included), gray thumbnail, dHash, 4×16-bit banding, exact-Hamming
     * verify at the q_m5 threshold — and every (png, jpeg) twin pair
-    * must come back. The recovery is DETERMINISTIC, not probabilistic:
-    * MultimodalSpec pins the measured twin distance at ≤ 3 bits, and 3
-    * flipped bits cannot touch all 4 bands (pigeonhole), so a shared
-    * band — hence the candidate, hence the verified pair — is
-    * guaranteed. The oracle is the twin relation itself; hamming values
-    * are codec-internal and deliberately not emitted.
+    * must come back. The recovery is DETERMINISTIC for this corpus,
+    * pinned per residue class, not sampled: MultimodalSpec sweeps one
+    * id per joint pixel-content class the gated corpus contains and
+    * asserts distance ≤ 4 AND ≥ 1 untouched band for each. All classes
+    * but one sit at ≤ 3 flips, where the shared band is pigeonhole; the
+    * single distance-4 class (id 3470) is covered by its measured
+    * 2-band share. The oracle is the twin relation itself; hamming
+    * values are codec-internal and deliberately not emitted.
     */
   val m13CrossCodec: Q = (s, d) => {
     import s.implicits._

@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   * rewrite (`spark.sql.optimizer.runtime.bloomFilter.*`) — explicit so
   * pipelines can build the filter once and reuse it across several
   * fact scans of the same feed.
+  *
+  * EAGER BY CONTRACT: every method here runs the filter-build
+  * aggregation (one Spark job over the dim side) AT CALL TIME — the
+  * filter's bits must exist on the driver before the returned plan can
+  * embed the broadcast probe. Calling one of these is an action, not a
+  * plan transform: construct the pruned frame once and reuse it; don't
+  * call inside a per-query plan builder expecting laziness. (The truly
+  * lazy form is the optimizer's own rewrite above, which injects the
+  * build as a scalar subquery — internal Catalyst machinery by design.)
+  * PlanSpec pins this contract.
   */
 object Bloom {
 

@@ -427,4 +427,50 @@ class PlanSpec extends SparkSpec {
     }
     p should not include "CartesianProduct"
   }
+
+  test("Bloom pruning is eager BY CONTRACT: constructing a bloom-gated " +
+    "plan runs the filter build now; re-executing the returned frame " +
+    "does not rebuild it") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import spark.implicits._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // listener delivery is async and the bus is private[spark]: poll
+    // until the count is stable instead of waitUntilEmpty
+    def drained(): Int = {
+      var prev = -1; var cur = jobs.get(); var spins = 0
+      while (prev != cur && spins < 40) {
+        prev = cur; Thread.sleep(100); cur = jobs.get(); spins += 1
+      }
+      cur
+    }
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+        .toDF("src", "dst")
+      drained()
+      jobs.set(0)
+      // checkpoint=false is the plan-inspection path: any job counted
+      // here is the documented eager filter build (+ the cached-edge
+      // count that sizes it), NOT result materialization
+      val tri = graft.ops.Graph.triangleCount(edges, checkpoint = false)
+      val atConstruction = drained()
+      atConstruction should be >= 1 // the contract: construction IS an action
+      // and the build does not re-run per downstream action: executing
+      // the frame twice adds only the execution jobs, which would at
+      // least double the construction count if the build re-ran inside
+      jobs.set(0)
+      tri.count()
+      val firstExec = drained()
+      jobs.set(0)
+      tri.count()
+      val secondExec = drained()
+      // no hidden rebuild: re-execution never costs MORE jobs than the
+      // first run (caches/AQE may make it cheaper, never build-heavier)
+      secondExec should be <= firstExec
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
