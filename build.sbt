@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON. Two sbt behaviors used to break that: the default output strategy
+// wraps the forked JVM's stdout in `[info] ` logger lines, and sbt appends
+// a `[success] Total time: ...` trailer after the run. Pass the forked
+// process's streams through untouched and drop the trailer, so the bench
+// summary JSON is genuinely the final line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
