@@ -32,6 +32,29 @@ object StreamQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` = `n`, restoring
+    * the session default after. STATE-STORE SIZING, not a tuning hack:
+    * a stateful streaming operator instantiates one state store per
+    * shuffle partition (a stream-stream join: FOUR per partition), and
+    * every microbatch — including the no-data watermark-finalize batch
+    * that closes an AvailableNow run — pays the full per-store
+    * load/commit cycle. State partitioning therefore must be sized to
+    * STATE VOLUME, never inherited from the batch default: measured at
+    * sf0.1, the interval-join gates spent ~5 of their flat ~8 s in the
+    * 32-partition store cycle (provider-independent: RocksDB within
+    * noise of HDFS-backed), and dropping to state shards of ~5k rows
+    * cut each gate to ~2.9 s (tools/StateFloor, PLANS round 11).
+    * A NEW stream's first run bakes this into its checkpoint; restarts
+    * keep the checkpointed value, so the knob is per-pipeline, set at
+    * birth — exactly how a production deployment sizes its stores.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, saved)
+  }
+
   /** ST1: per-status order counts + decimal-exact totals computed BY A
     * STREAM — file-source AvailableNow over the orders parquet, running
     * aggregation in complete mode into a memory sink. The final table
@@ -301,7 +324,7 @@ object StreamQueries {
     * equals the batch join exactly — which is precisely what the
     * oracle states in plain SQL.
     */
-  val st7StreamJoin: Q = (s, d) => {
+  val st7StreamJoin: Q = (s, d) => withStatePartitions(s, 8) {
     val raw = s.read.parquet(s"$d/events.parquet")
     val sink = "st7_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
     def side(tp: String, idAs: String) =
@@ -346,7 +369,7 @@ object StreamQueries {
     * the gate checks the outer join's emission semantics, not just
     * the matches.
     */
-  val st8StreamOuterJoin: Q = (s, d) => {
+  val st8StreamOuterJoin: Q = (s, d) => withStatePartitions(s, 8) {
     val raw = s.read.parquet(s"$d/events.parquet")
     val sink = "st8_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
     def side(tp: String, idAs: String) =
@@ -397,7 +420,7 @@ object StreamQueries {
     * on the sf corpus every row of both sides materializes except the
     * tails those rules hold back.
     */
-  val st9StreamFullOuterJoin: Q = (s, d) => {
+  val st9StreamFullOuterJoin: Q = (s, d) => withStatePartitions(s, 8) {
     val raw = s.read.parquet(s"$d/events.parquet")
     val sink = "st9_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
     def side(tp: String, idAs: String) =
