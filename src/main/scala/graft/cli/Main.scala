@@ -314,9 +314,11 @@ object Main {
           // root's writer lease — Versioned.recover acquires that one,
           // so breaking only the sibling file would still leave a
           // crashed versioned writer blocking with LeaseHeld.
-          val leases = Seq(new org.apache.hadoop.fs.Path(path + ".lease")) ++
+          val leases = Seq(new org.apache.hadoop.fs.Path(path + ".lease"),
+            new org.apache.hadoop.fs.Path(path + ".lease.breaking")) ++
             (if (rest.contains("--versioned"))
-               Seq(new org.apache.hadoop.fs.Path(path, "_writer.lease"))
+               Seq(new org.apache.hadoop.fs.Path(path, "_writer.lease"),
+                 new org.apache.hadoop.fs.Path(path, "_writer.lease.breaking"))
              else Seq.empty)
           leases.foreach { lease =>
             val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -56,12 +56,19 @@ object Store {
     * engine has to state it explicitly.
     *
     * Liveness assumptions, stated plainly:
-    *  - a STALE lease is broken by RENAMING it to a unique
-    *    per-contender tombstone (rename is atomic on HDFS-compatible
-    *    filesystems), so of N contenders observing the same stale
-    *    lease exactly ONE wins the rename and the claim race stays
-    *    single-winner — a plain delete would let contender B remove
-    *    contender A's freshly created lease;
+    *  - a STALE lease is broken under a BREAK-INTENT MARKER
+    *    (`<table>.lease.breaking`, claimed with the same atomic
+    *    create-if-absent as the lease itself), and the breaker
+    *    RE-VERIFIES staleness while holding the marker before
+    *    deleting. The marker serializes contenders — of N observing
+    *    the same stale lease at most one may act on that judgment —
+    *    and the re-verify turns the judgment race into a back-off: a
+    *    contender whose staleness read predates another's fresh claim
+    *    sees the fresh mtime under the marker and yields. (A plain
+    *    judged-stale-then-delete would let contender B remove
+    *    contender A's freshly created lease — the two-live-writers
+    *    hole; the StoreSpec six-contender race sim locks this.) A
+    *    crashed breaker's marker is itself TTL-reaped.
     *  - the break is still UNFENCED against a holder paused PAST the
     *    TTL (a multi-minute GC / suspended VM) that later resumes: the
     *    TTL must exceed any plausible pause, which the 30-min default
@@ -79,42 +86,68 @@ object Store {
     val owner = java.lang.ProcessHandle.current().pid().toString + "@" +
       java.net.InetAddress.getLocalHost.getHostName + "/" +
       java.util.UUID.randomUUID().toString
-    // create(overwrite = false) is the atomic claim on HDFS-compatible
-    // filesystems: exactly one concurrent creator wins.
-    def tryClaim(): Boolean =
+    // Atomic create-if-absent claim. On HDFS, create(overwrite = false)
+    // is the atomic primitive (exactly one concurrent creator wins).
+    // Hadoop's LOCAL filesystem however implements it as a non-atomic
+    // exists-then-create (the StoreSpec six-contender race sim catches
+    // it double-admitting under load), so on file:// the claim goes
+    // through POSIX O_EXCL (Files.write CREATE_NEW), atomic at the
+    // kernel.
+    def claimFile(p: Path): Boolean =
       try {
-        val out = fs.create(lease, false)
-        try out.write(owner.getBytes("UTF-8")) finally out.close()
+        if (fs.getScheme == "file") {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(p.toUri.getPath),
+            owner.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+        } else {
+          val out = fs.create(p, false)
+          try out.write(owner.getBytes("UTF-8")) finally out.close()
+        }
         true
       } catch { case _: java.io.IOException => false }
-    def holderInfo(): (String, Long) =
-      try {
-        val age = System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime
-        val in = fs.open(lease)
-        val h = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        (h, age)
-      } catch { case _: Exception => ("<unreadable>", -1L) }
+    def tryClaim(): Boolean = claimFile(lease)
+    // age of a lease/marker file; None = absent (holder just released)
+    def ageOf(p: Path): Option[Long] =
+      try Some(System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
+    def rmQuiet(p: Path): Unit =
+      try fs.delete(p, false) catch { case _: java.io.IOException => () }
+    def throwHeld(): Nothing = {
+      val (h, age) =
+        try {
+          val a = System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime
+          val in = fs.open(lease)
+          val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          (s, a)
+        } catch { case _: Exception => ("<unreadable>", -1L) }
+      throw LeaseHeld(path, h, age)
+    }
     if (!tryClaim()) {
-      val stale =
-        try System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime > ttlMs
-        catch { case _: java.io.FileNotFoundException => true } // holder just released
-      if (stale) {
-        // Atomic break: move the dead holder's file ASIDE under a name
-        // only this contender knows, then drop the tombstone. If the
-        // rename loses (another contender broke it first, or the holder
-        // released), fall through to tryClaim — create-if-absent keeps
-        // the claim itself single-winner either way.
-        val tomb = new Path(path + ".lease.broken." +
-          java.util.UUID.randomUUID().toString)
-        val renamed = try fs.rename(lease, tomb)
-          catch { case _: java.io.IOException => false }
-        if (renamed) {
-          try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
-        }
-      }
-      if (!tryClaim()) { // still losing: a LIVE holder, or we lost the takeover race
-        val (h, age) = holderInfo()
-        throw LeaseHeld(path, h, age)
+      ageOf(lease) match {
+        case None =>
+          // holder just released between our create and stat: claim or
+          // lose to whoever got there first
+          if (!tryClaim()) throwHeld()
+        case Some(age) if age <= ttlMs => throwHeld() // live holder
+        case _ =>
+          // STALE. Serialize the break through the intent marker, and
+          // RE-VERIFY under it: our staleness judgment may predate
+          // another contender's completed break + fresh claim, and
+          // acting on a stale judgment is exactly the two-live-writers
+          // hole. A crashed breaker's marker is TTL-reaped first.
+          val marker = new Path(path + ".lease.breaking")
+          if (ageOf(marker).exists(_ > ttlMs)) rmQuiet(marker)
+          if (!claimFile(marker)) throwHeld() // another breaker is active
+          try {
+            ageOf(lease) match {
+              case Some(a) if a <= ttlMs => throwHeld() // fresh: lost the race
+              case still =>
+                still.foreach(_ => rmQuiet(lease)) // confirmed stale: break it
+                if (!tryClaim()) throwHeld() // a first-attempt claimer won the gap
+            }
+          } finally rmQuiet(marker)
       }
     }
     val beat = new Thread(() => {

@@ -551,7 +551,7 @@ class StoreSpec extends SparkSpec {
   }
 
   test("lease: contenders racing to break one stale lease admit at most " +
-    "one holder at a time (rename-based break, no tombstone residue)") {
+    "one holder at a time (marker-serialized break, no marker residue)") {
     val (path, _, _, _, _) = crashFixture()
     val lease = new java.io.File(path + ".lease")
     java.nio.file.Files.writeString(lease.toPath, "777@deadhost/stale")
@@ -572,15 +572,16 @@ class StoreSpec extends SparkSpec {
         } catch { case _: Store.LeaseHeld => () })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
-    // the delete-based break admitted TWO live writers in exactly this
-    // shape (both observe stale; B's delete removes A's fresh claim);
-    // the rename-based break must not
+    // the judged-stale-then-delete break admitted MULTIPLE live writers
+    // in exactly this shape (B's staleness judgment predates A's fresh
+    // claim; B deletes A's lease) — the marker-serialized break with
+    // under-marker re-verification must not
     maxActive.get() shouldBe 1
     wins.get() should be >= 1
     lease.exists() shouldBe false
-    // the break renames through a unique tombstone and deletes it
+    // the break-intent marker never outlives the break
     new java.io.File(path).getParentFile.listFiles()
-      .count(_.getName.contains(".lease.broken")) shouldBe 0
+      .count(_.getName.contains(".lease.breaking")) shouldBe 0
   }
 
   test("lease: a resumed zombie holder fails the publish-time owner fence " +
