@@ -19,6 +19,10 @@ run / fork := true
 // summary JSON is genuinely the final line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+// outputStrategy trips sbt's unused-key lint (it IS read by the forked
+// runner); the lint note itself would otherwise print above the bench
+// output.
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -376,7 +376,7 @@ object CurationQueries {
     * + a deterministic final state keeps it gate-eligible (the st1
     * rationale); multi-batch convergence is StreamingSpec's job.
     */
-  val st12StreamUpsert: Q = (s, d) => {
+  val st12StreamUpsert: Q = (s, d) => StreamQueries.withStatePartitions(s, 8) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val cutoff = "2024-01-20"
     val dir = java.nio.file.Files.createTempDirectory("graft-st12").toString
@@ -947,7 +947,7 @@ object CurationQueries {
     * Multi-batch composition incl. delete-then-reinsert AND
     * out-of-order batch arrival is CurationSpec's probe.
     */
-  val st13StreamCdc: Q = (s, d) => {
+  val st13StreamCdc: Q = (s, d) => StreamQueries.withStatePartitions(s, 8) {
     val dir = java.nio.file.Files.createTempDirectory("graft-st13").toString
     val store = s"$dir/store"
     val payload = Seq("o_custkey", "o_orderstatus", "o_totalprice")

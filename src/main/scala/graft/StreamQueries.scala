@@ -48,7 +48,7 @@ object StreamQueries {
     * keep the checkpointed value, so the knob is per-pipeline, set at
     * birth — exactly how a production deployment sizes its stores.
     */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+  private[graft] def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val saved = s.conf.get(key)
     s.conf.set(key, n.toString)
@@ -63,7 +63,7 @@ object StreamQueries {
     * backfill-as-stream pattern: one checkpointed pipeline serves both
     * the historical replay and the live tail.
     */
-  val st1StreamAgg: Q = (s, d) => {
+  val st1StreamAgg: Q = (s, d) => withStatePartitions(s, 8) {
     val path = s"$d/orders.parquet"
     val schema = s.read.parquet(path).schema
     // Unique sink name per invocation: memory sink tables are
@@ -134,7 +134,7 @@ object StreamQueries {
     * in StreamingSpec — its kept-row CONTENT is arrival-order-dependent
     * and so belongs to specs, not the oracle gate.
     */
-  val st3StreamDedup: Q = (s, d) => {
+  val st3StreamDedup: Q = (s, d) => withStatePartitions(s, 8) {
     // events.parquet is TIMESTAMP(NANOS): same legacy switch as
     // Tables.events (the ts column is dropped before dedup anyway).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -166,7 +166,7 @@ object StreamQueries {
     * The oracle states that rule in batch SQL, gating the
     * watermark/emission semantics themselves, not just the counts.
     */
-  val st4StreamWindow: Q = (s, d) => {
+  val st4StreamWindow: Q = (s, d) => withStatePartitions(s, 8) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet")
     val sink = "st4_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -211,7 +211,7 @@ object StreamQueries {
     * has an oracle-gated representative.
     */
   private val St5GapMs = 30L * 60 * 1000
-  val st5StreamSessions: Q = (s, d) => {
+  val st5StreamSessions: Q = (s, d) => withStatePartitions(s, 8) {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet")
@@ -269,7 +269,7 @@ object StreamQueries {
     * property the k3/k8 merge gates prove spatially, here proven
     * temporally. Oracle replays the bottom-k and the estimate.
     */
-  val st6StreamSketch: Q = (s, d) => {
+  val st6StreamSketch: Q = (s, d) => withStatePartitions(s, 8) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val sink = "st6_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -497,7 +497,7 @@ object StreamQueries {
     * live-ingest dedup gate: fingerprint on arrival, admit only
     * never-seen media.
     */
-  val st10StreamMediaDedup: Q = (s, d) => {
+  val st10StreamMediaDedup: Q = (s, d) => withStatePartitions(s, 8) {
     import s.implicits._
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val sink = "st10_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -536,7 +536,7 @@ object StreamQueries {
     * replay — so the gate proves the broadcast-scoring path agrees with
     * the relational one bit-for-bit.
     */
-  val st11StreamQuality: Q = (s, d) => {
+  val st11StreamQuality: Q = (s, d) => withStatePartitions(s, 8) {
     import s.implicits._
     val nf = 256
     val model = graft.ops.Classify.nbTrain(
