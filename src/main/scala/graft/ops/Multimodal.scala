@@ -389,28 +389,75 @@ object Multimodal {
     * (`distinct` on ids+hamming, a few-column frame). Shared by the
     * image (dHash) and audio (energy fingerprint) dedup members — the
     * banding algebra is modality-blind.
+    *
+    * EXACT-DUPLICATE COLLAPSE (the r11 scale-decade fix): real media
+    * corpora are exact-dup-heavy, and every re-encode family shares all
+    * four bands, so raw in-bucket enumeration is quadratic in bucket
+    * OCCUPANCY — at 10× the gate corpus one skewed (band, chunk)
+    * bucket's pair explosion OOM-ed a 12 g executor. Identical hashes
+    * are therefore collapsed to one REPRESENTATIVE (min id) before
+    * banding; candidates are enumerated between representatives —
+    * quadratic in DISTINCT hash values per bucket, invariant to how
+    * many exact copies each value has — and the verified rep-level
+    * pairs are expanded back to the member cross-products, plus the
+    * within-group all-pairs (hamming 0 by construction). The output
+    * RELATION is bit-identical to the naive enumeration (same pairs,
+    * same hamming), which the unchanged q_m5/m7/m9/m11/m13 oracles
+    * prove; only candidate-generation cost changes, from O(Σ bucket²)
+    * to O(Σ distinct²) + output size.
     */
-  def bandedHammingPairs(hashes: DataFrame, maxDist: Int): DataFrame =
-    hashes
+  def bandedHammingPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
+    // 1. collapse exact hash duplicates: one representative per value,
+    //    members kept for the expansion
+    val groups = hashes
+      .groupBy(col("dh_hi"), col("dh_lo"))
+      .agg(sort_array(collect_list(col("media_id"))).as("members"))
+      .withColumn("rep", element_at(col("members"), 1))
+    // 2. banded candidates + exact-Hamming verify BETWEEN representatives
+    val repPairs = groups
+      .select(col("rep"), col("dh_hi"), col("dh_lo"))
       .withColumn("b", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk", expr(
         """CASE b WHEN 0 THEN dh_lo % 65536 WHEN 1 THEN dh_lo div 65536
           |       WHEN 2 THEN dh_hi % 65536 ELSE dh_hi div 65536 END""".stripMargin))
       .groupBy(col("b"), col("chunk"))
       .agg(sort_array(collect_list(
-        struct(col("media_id"), col("dh_hi"), col("dh_lo")))).as("ms"))
+        struct(col("rep"), col("dh_hi"), col("dh_lo")))).as("ms"))
       .where(size(col("ms")) > 1)
       .select(explode(expr(
         """flatten(transform(ms,
           |  (x, i) -> transform(slice(ms, i + 2, size(ms)),
-          |            y -> named_struct('ia', x.media_id, 'ib', y.media_id,
+          |            y -> named_struct('ra', x.rep, 'rb', y.rep,
           |                              'hamming', bit_count(x.dh_lo ^ y.dh_lo)
           |                                       + bit_count(x.dh_hi ^ y.dh_hi)))))"""
           .stripMargin)).as("p"))
-      .select(col("p.ia").as("ia"), col("p.ib").as("ib"),
+      .select(col("p.ra").as("ra"), col("p.rb").as("rb"),
         col("p.hamming").cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+    // 3a. within-group pairs: exact copies, distance 0, ordered i < j
+    val withinGroup = groups
+      .where(size(col("members")) > 1)
+      .select(explode(expr(
+        """flatten(transform(members,
+          |  (x, i) -> transform(slice(members, i + 2, size(members)),
+          |            y -> named_struct('ia', x, 'ib', y))))""".stripMargin)).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"),
+        lit(0).cast("int").as("hamming"))
+    // 3b. cross-group expansion: every member pair inherits the
+    //     rep-level verdict; re-order ids since reps don't bound members
+    val ga = groups.select(col("rep").as("ra"), col("members").as("ma"))
+    val gb = groups.select(col("rep").as("rb"), col("members").as("mb"))
+    val crossGroup = repPairs
+      .join(ga, "ra").join(gb, "rb")
+      .select(explode(expr(
+        """flatten(transform(ma, x -> transform(mb,
+          |  y -> named_struct('ia', CASE WHEN x < y THEN x ELSE y END,
+          |                    'ib', CASE WHEN x < y THEN y ELSE x END))))"""
+          .stripMargin)).as("p"), col("hamming"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"), col("hamming"))
+    withinGroup.unionByName(crossGroup)
+  }
 
   /** Image member of the banded-Hamming dedup family (see
     * [[bandedHammingPairs]]).
