@@ -176,6 +176,27 @@ object Dedup {
       .agg(minhash16(col("h")).as("sig"))
   }
 
+  /** MAP-SIDE minhash signature from an already-collected hashed
+    * shingle-set array — the same k universal-hash minima
+    * [[MinHashSigAgg]] folds, as a codegen'd higher-order expression
+    * (zip_with over the (a_j, b_j) constant arrays, aggregate over the
+    * set). Arithmetic is identical to the aggregator's reduce
+    * ((h & mask)·a_j + b_j mod 2^30 — all values < 2^61, no overflow),
+    * so the signature is bit-equal (the DedupSpec equivalence test
+    * pins it). For a caller that already holds per-document hash
+    * arrays (the content-collapsed [[nearDupPairs]] cache) this
+    * replaces `explode` + the `minhashSigs` groupBy — a full-corpus
+    * shuffle — with zero data movement.
+    */
+  private[graft] def sigFromHashSet(hs: Column, k: Int = 16): Column = {
+    require(k == 16, "constant arrays generated for k=16")
+    val as = array((0 until k).map(j => lit(minhashA(j))): _*)
+    val bs = array((0 until k).map(j => lit(minhashB(j))): _*)
+    zip_with(as, bs, (a, b) =>
+      aggregate(hs, lit(Long.MaxValue), (acc, h) =>
+        least(acc, (h.bitwiseAND(lit(MinhashMask)) * a + b) % lit(MinhashMask + 1))))
+  }
+
   /** Exploded (id, j, m) view of `minhashSigs` — the row shape the
     * oracle SQL and the equivalence specs compare.
     */
@@ -230,9 +251,11 @@ object Dedup {
     * and the persist + eager-count the shared join input forced — the
     * whole candidate stage is one keyed shuffle plus the final pair
     * distinct, with nothing cached. Work per bucket is O(m²) in bucket
-    * size either way (a self-join on the bucket key concentrates the
-    * same key's rows in one task too); LSH buckets are near-dup groups,
-    * so m stays small by construction.
+    * OCCUPANCY — unbounded on exact-dup-heavy corpora, since identical
+    * documents share every band. This exploded formulation is kept as
+    * the naive reference the DedupSpec equivalence test pins
+    * [[lshCandidatesFromSigs]] (the production path, which collapses
+    * identical signatures before banding) against.
     */
   def lshCandidates(mh: DataFrame, rowsPerBand: Int): DataFrame =
     pairsWithinBuckets(
@@ -246,9 +269,69 @@ object Dedup {
     * band signatures are sliced out of the k-long array map-side — no
     * explode, no (id, band) re-aggregation. One shuffle to bucket, one
     * to dedup pairs.
+    *
+    * EXACT-DUPLICATE COLLAPSE (the r11 scale fix, mirroring
+    * [[Multimodal.bandedHammingPairs]]): byte-identical documents share
+    * the whole signature, so every copy of a duplicated page lands in
+    * the SAME bucket of EVERY band — in-bucket pair work is quadratic
+    * in bucket OCCUPANCY, amplified ×nBands and again by the pair
+    * `distinct`. A boilerplate page repeated 100 k× in a crawl would
+    * build 100 k-element bucket arrays and enumerate 10¹⁰ pairs per
+    * band; the sf1.0 decade run demonstrated the same shape OOM-ing
+    * the media path. Identical signatures are therefore collapsed to
+    * one REPRESENTATIVE (min id) before banding; buckets hold distinct
+    * signatures only, and the verified rep-level candidates are
+    * expanded back to member pairs — via chained explodes, which
+    * Spark's generators STREAM, never materializing a dup-group's
+    * m²/2 pair array in one row. The output relation is identical to
+    * naive enumeration (the DedupSpec equivalence test pins it against
+    * the exploded formulation); candidate-stage cost drops from
+    * O(nBands · Σ occupancy²) to O(Σ distinct²) + output size. Output
+    * IS still quadratic in exact-dup group size — that is the pair
+    * contract; run [[exactDedup]] upstream when pairs among exact
+    * copies are not wanted.
     */
   def lshCandidatesFromSigs(sigs: DataFrame, rowsPerBand: Int, k: Int): DataFrame =
-    pairsWithinBuckets(bandsOf(sigs, rowsPerBand, k))
+    candidatesFromSigGroups(sigGroups(sigs), rowsPerBand, k)
+
+  /** The signature-collapse half of [[lshCandidatesFromSigs]]:
+    * one group row per DISTINCT signature value, members sorted, rep =
+    * min id. Config-independent — [[lshTuning]] computes it once and
+    * shares it across every (bands × rowsPerBand) configuration.
+    */
+  private[graft] def sigGroups(sigs: DataFrame): DataFrame =
+    sigs
+      .groupBy(col("sig"))
+      .agg(sort_array(collect_list(col("id"))).as("members"))
+      .withColumn("rep", element_at(col("members"), 1))
+
+  /** The banding + expansion half of [[lshCandidatesFromSigs]], over a
+    * pre-collapsed [[sigGroups]] frame.
+    */
+  private[graft] def candidatesFromSigGroups(groups: DataFrame, rowsPerBand: Int,
+                                             k: Int): DataFrame = {
+    val repPairs = pairsWithinBuckets(
+      bandsOf(groups.select(col("rep").as("id"), col("sig")), rowsPerBand, k))
+    // Exact copies: all-pairs within a signature group, streamed by two
+    // generators (members is sorted, so the filter keeps each pair once).
+    val withinGroup = groups
+      .where(size(col("members")) > 1)
+      .select(explode(col("members")).as("ia"), col("members").as("mb"))
+      .select(col("ia"), explode(col("mb")).as("ib"))
+      .where(col("ia") < col("ib"))
+    // Cross-group: every member pair inherits its reps' candidacy; reps
+    // don't bound members, so re-order per pair.
+    val ga = groups.select(col("rep").as("ra"), col("members").as("ma"))
+    val gb = groups.select(col("rep").as("rb"), col("members").as("mb"))
+    val crossGroup = repPairs
+      .select(col("ia").as("ra"), col("ib").as("rb"))
+      .join(ga, "ra").join(gb, "rb")
+      .select(explode(col("ma")).as("a"), col("mb"))
+      .select(col("a"), explode(col("mb")).as("b"))
+      .select(least(col("a"), col("b")).as("ia"),
+        greatest(col("a"), col("b")).as("ib"))
+    withinGroup.unionByName(crossGroup)
+  }
 
   /** (id, band, sig-slice string) per signature band — the LSH bucket
     * keys, derived map-side from the packed signature array.
@@ -274,6 +357,16 @@ object Dedup {
     * ingest-time shape of dedup at 100 TB — per-batch cost tracks the
     * BATCH, not the corpus; the index frames are the same (id, h) /
     * (id, sig) tables [[nearDupPairs]] builds, stored once.
+    *
+    * Exact-dup amplification note (cf. the collapse in
+    * [[lshCandidatesFromSigs]]/[[nearDupPairs]]): the band JOIN here is
+    * delta-bounded — a delta doc hitting a base dup-group of size m
+    * yields m join rows per band, ×nBands over the inherent m output
+    * pairs, a constant-factor amplification rather than the
+    * occupancy² blow-up of all-pairs-in-bucket enumeration. The
+    * batch-path restructure is therefore not replicated here; if a
+    * DELTA itself carries large exact-dup families, exact-dedup the
+    * batch first (the composed pipeline's stage order already does).
     */
   def incrementalNearDupPairs(baseSh: DataFrame, baseSigs: DataFrame,
                               delta: DataFrame, idCol: String, textCol: String,
@@ -310,17 +403,22 @@ object Dedup {
     out
   }
 
-  /** Distinct (ia < ib) pairs of ids sharing a (band, sig) bucket. */
+  /** Distinct (ia < ib) pairs of ids sharing a (band, sig) bucket.
+    *
+    * Enumeration is two chained generators + an i<j filter rather than
+    * a nested-transform flatten: generators STREAM their output, so a
+    * large bucket never materializes its m²/2 pair array inside a
+    * single row (the failure shape the sf1.0 decade run exposed on the
+    * media path).
+    */
   private def pairsWithinBuckets(banded: DataFrame): DataFrame =
     banded
       .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids,
-          |  (x, i) -> transform(slice(ids, i + 2, size(ids)),
-          |            y -> named_struct('ia', x, 'ib', y))))""".stripMargin)).as("p"))
-      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      .select(explode(col("ids")).as("ia"), col("ids"))
+      .select(col("ia"), explode(col("ids")).as("ib"))
+      .where(col("ia") < col("ib"))
       .distinct()
 
   /** Exact n-gram Jaccard for candidate pairs, against the shingle sets
@@ -329,8 +427,17 @@ object Dedup {
     * |A∪B| = |A|+|B|−|A∩B|.
     */
   def jaccardVerify(cand: DataFrame, shingles: DataFrame,
-                    setCol: String = "sh"): DataFrame = {
-    val sizes = shingles.groupBy("id").agg(count(lit(1)).as("n"))
+                    setCol: String = "sh"): DataFrame =
+    jaccardVerifySized(cand, shingles,
+      shingles.groupBy("id").agg(count(lit(1)).as("n")), setCol)
+
+  /** [[jaccardVerify]] with the per-id set sizes supplied by the
+    * caller — skips the sizes aggregation when they are already known
+    * (e.g. `size(hs)` map-side off a grouped frame).
+    */
+  private[graft] def jaccardVerifySized(cand: DataFrame, shingles: DataFrame,
+                                        sizes: DataFrame,
+                                        setCol: String): DataFrame = {
     val inter = cand
       .join(shingles.select(col("id").as("ia"), col(setCol)), Seq("ia"))
       .join(shingles.select(col("id").as("ib"), col(setCol)), Seq("ib", setCol))
@@ -344,28 +451,89 @@ object Dedup {
 
   /** Full near-dup pipeline: shingle → minhash(k) → LSH(bands) →
     * exact-Jaccard ≥ threshold.
+    *
+    * CONTENT COLLAPSE (r11): documents with identical hashed shingle
+    * SETS have — by definition of Jaccard — identical similarity
+    * against every other document, so the whole minhash → LSH → verify
+    * chain runs once per DISTINCT content, not once per copy.
+    * Exact-dup-heavy corpora (the realistic crawl shape) otherwise pay
+    * the verify join quadratically in dup-group size TIMES set size: a
+    * page duplicated m× contributes m²/2 candidate pairs, each dragging
+    * its full shingle set through `jaccardVerify`'s equi-join. Here the
+    * group's rep pair is verified once and the verdict expanded to
+    * member pairs at output — within-group pairs are Jaccard 1.0
+    * exactly (identical sets), matching what the naive formulation
+    * computes for them. The output RELATION is unchanged (pairs among
+    * exact copies included — run [[exactDedup]] upstream when those are
+    * not wanted); per-distinct-content cost is what scales. Grouping is
+    * by the full sorted hash array, not a derived digest, so distinct
+    * contents can never merge.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
-    // The HASHED shingle set feeds minhash AND the verifier (3 plan
-    // references): without persistence the explode+distinct recomputes
-    // per reference, tripling the pipeline's dominant cost at any scale.
-    // Materialized eagerly so concurrent downstream stages read the
-    // cache instead of racing to fill it. Hashed (not string) sets keep
-    // every downstream shuffle/cache fixed-width — see shingleHashSet.
-    val sh = shingleHashSet(df, idCol, textCol, shingleN)
+    // Content groups feed the rep shingle table, the within-group
+    // expansion, and both sides of the cross-group expansion:
+    // materialized eagerly so downstream stages read the cache instead
+    // of racing to fill it. The per-id set is built by collect_set
+    // DIRECTLY off the shingle generator — the set semantics
+    // shingleHashSet gets from its distinct(), fused into the same
+    // exchange as the grouping (one shuffle, not two).
+    val grouped = Partitioning.spread(df)
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleGenerator.shingles(col(textCol), shingleN).as("sh"))
+      .select(col("id"), TextOps.hash60(col("sh")).as("h"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("h"))).as("hs"))
+      .groupBy(col("hs"))
+      .agg(sort_array(collect_list(col("id"))).as("members"))
+      .withColumn("rep", element_at(col("members"), 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count()
-    val cand = lshCandidatesFromSigs(minhashSigs(sh, k), rowsPerBand, k)
-    // The verified pair set is small (linear in candidates, not corpus):
-    // materialize it eagerly, then release every cache block this pipeline
-    // pinned — repeated invocations must not leak storage memory.
-    val out = jaccardVerify(cand, sh, setCol = "h")
+    grouped.count()
+    // Rep-level hashed shingle sets for the verifier: an explode over
+    // cached rows, not a second materialization.
+    val repSh = grouped.select(col("rep").as("id"), explode(col("hs")).as("h"))
+    // Signatures come map-side off the cached hs arrays (sigFromHashSet
+    // — bit-equal to minhashSigs, zero movement), and banding is plain
+    // pairsWithinBuckets, NOT the sig-collapsing lshCandidatesFromSigs:
+    // contents are already collapsed here, so residual bucket occupancy
+    // is the distinct-content near-dup family size — output-bounded —
+    // and the sig-collapse would only add its exchange + expansion
+    // joins for nothing. Set sizes come off the grouped frame map-side.
+    val repSigs = grouped.select(col("rep").as("id"),
+      sigFromHashSet(col("hs"), k).as("sig"))
+    val cand = pairsWithinBuckets(bandsOf(repSigs, rowsPerBand, k))
+    val sizes = grouped.select(col("rep").as("id"),
+      size(col("hs")).cast(LongType).as("n"))
+    val repVerified = jaccardVerifySized(cand, repSh, sizes, setCol = "h")
       .filter(col("jac") >= threshold)
-      .select(col("ia"), col("ib"), col("jac"))
+    // Exact copies: identical sets, Jaccard exactly 1.0; chained
+    // explodes stream the expansion (members is sorted — each pair once).
+    val withinGroup = grouped
+      .where(size(col("members")) > 1)
+      .where(lit(1.0) >= threshold)
+      .select(explode(col("members")).as("ia"), col("members").as("mm"))
+      .select(col("ia"), explode(col("mm")).as("ib"))
+      .where(col("ia") < col("ib"))
+      .withColumn("jac", lit(1.0))
+    // Cross-group: every member pair inherits its reps' verified jac;
+    // reps don't bound members, so re-order per pair.
+    val ga = grouped.select(col("rep").as("ra"), col("members").as("ma"))
+    val gb = grouped.select(col("rep").as("rb"), col("members").as("mb"))
+    val crossGroup = repVerified
+      .select(col("ia").as("ra"), col("ib").as("rb"), col("jac"))
+      .join(ga, "ra").join(gb, "rb")
+      .select(explode(col("ma")).as("a"), col("mb"), col("jac"))
+      .select(col("a"), explode(col("mb")).as("b"), col("jac"))
+      .select(least(col("a"), col("b")).as("ia"),
+        greatest(col("a"), col("b")).as("ib"), col("jac"))
+    // The verified pair set is linear in candidates, not corpus:
+    // materialize it eagerly, then release every cache block this
+    // pipeline pinned — repeated invocations must not leak storage.
+    val out = withinGroup.unionByName(crossGroup)
       .localCheckpoint(eager = true)
-    sh.unpersist()
+    repSh.unpersist()
+    grouped.unpersist()
     out
   }
 
@@ -823,25 +991,57 @@ object Dedup {
     * it the upstream simhash aggregation executed twice). The Hamming
     * verify runs on the bucket members' signatures carried alongside
     * the ids, so nothing re-joins against the corpus.
+    *
+    * EXACT-DUPLICATE COLLAPSE (r11, same reasoning as
+    * [[lshCandidatesFromSigs]]): identical documents have identical
+    * SimHash, so each copy family lands whole in all four band
+    * buckets; enumeration is quadratic in bucket occupancy AND the
+    * naive flatten builds a family's m²/2 pair array inside a single
+    * row. Signatures collapse to one representative per value before
+    * banding; buckets enumerate distinct values only; verified rep
+    * pairs expand back through streamed generators (within-group pairs
+    * at Hamming 0 by construction). Output relation unchanged — the
+    * spec pins it against the naive shape on a dup-heavy corpus.
     */
-  def simhashPairs(sh: DataFrame, maxDist: Int): DataFrame =
-    sh.withColumn("b", explode(sequence(lit(0), lit(3))))
+  def simhashPairs(sh: DataFrame, maxDist: Int): DataFrame = {
+    val groups = sh
+      .groupBy(col("simhash"))
+      .agg(sort_array(collect_list(col("id"))).as("members"))
+      .withColumn("rep", element_at(col("members"), 1))
+    val repPairs = groups
+      .withColumn("b", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk", expr("(simhash >> (15 * b)) & 32767"))
       .groupBy(col("b"), col("chunk"))
-      // struct sorts by leading field, so members order by id — the
-      // i<j enumeration below then guarantees ia < ib.
-      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ms"))
+      // struct sorts by leading field, so members order by rep id.
+      .agg(sort_array(collect_list(struct(col("rep"), col("simhash")))).as("ms"))
       .where(size(col("ms")) > 1)
       .select(explode(expr(
         """flatten(transform(ms,
           |  (x, i) -> transform(slice(ms, i + 2, size(ms)),
-          |            y -> named_struct('ia', x.id, 'ib', y.id,
+          |            y -> named_struct('ra', x.rep, 'rb', y.rep,
           |                              'hamming', bit_count(x.simhash ^ y.simhash)))))"""
           .stripMargin)).as("p"))
-      .select(col("p.ia").as("ia"), col("p.ib").as("ib"),
+      .select(col("p.ra").as("ra"), col("p.rb").as("rb"),
         col("p.hamming").cast(IntegerType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+    val withinGroup = groups
+      .where(size(col("members")) > 1)
+      .select(explode(col("members")).as("ia"), col("members").as("mm"))
+      .select(col("ia"), explode(col("mm")).as("ib"))
+      .where(col("ia") < col("ib"))
+      .withColumn("hamming", lit(0).cast(IntegerType))
+    val ga = groups.select(col("rep").as("ra"), col("members").as("ma"))
+    val gb = groups.select(col("rep").as("rb"), col("members").as("mb"))
+    val crossGroup = repPairs
+      .join(ga, "ra").join(gb, "rb")
+      .select(explode(col("ma")).as("a"), col("mb"), col("hamming"))
+      .select(col("a"), explode(col("mb")).as("b"), col("hamming"))
+      .select(least(col("a"), col("b")).as("ia"),
+        greatest(col("a"), col("b")).as("ib"), col("hamming"))
+    withinGroup.select(col("ia"), col("ib"), col("hamming"))
+      .unionByName(crossGroup)
+  }
 
   /** LSH BAND-TUNING table — the measurement behind choosing
     * (bands × rowsPerBand) for a MinHash index: for each candidate
@@ -865,18 +1065,52 @@ object Dedup {
     val sh = shingleHashSet(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.count()
-    val sigs = minhashSigs(sh, k)
+    // The exact-dup signature collapse (sigGroups) is config-independent
+    // — banding slices signatures differently per config, but identical
+    // signatures are identical regardless of slicing — so it is computed
+    // and cached ONCE here, not once per configuration inside
+    // lshCandidatesFromSigs.
+    val groups = sigGroups(minhashSigs(sh, k))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.count()
+    groups.count()
+    // COUNT AT REPRESENTATIVE LEVEL — member pairs are never
+    // enumerated. Every member pair maps to exactly one (group, group)
+    // pair (an id belongs to one sig group), so over the expanded
+    // relation candidatesFromSigGroups defines:
+    //   n_candidates = Σ_{rep pairs} |ma|·|mb| + Σ_groups C(m, 2)
+    //   n_verified adds the same weights over verified rep pairs, and
+    //   within-group pairs (Jaccard exactly 1.0 — identical sets)
+    //   verify iff 1.0 ≥ threshold.
+    // On a dup-heavy corpus the tuning table therefore costs
+    // O(distinct²-in-bucket), not O(output) — the measurement stays
+    // cheap even when the relation it measures explodes.
+    val nWithin = groups
+      .agg(coalesce(sum(expr("size(members) * cast(size(members) - 1 as bigint) div 2")),
+        lit(0L))).first().getLong(0)
+    val withinVerified = if (1.0 >= threshold) nWithin else 0L
+    // The member count rides THROUGH the banding as a struct id
+    // (sort_array / distinct / the i<j enumeration all order by the
+    // leading id field), so the weighted candidate count needs no join,
+    // and the verified count joins only two candidate-bounded frames.
+    val sigsW = groups.select(
+      struct(col("rep").as("id"), size(col("members")).cast(LongType).as("m")).as("id"),
+      col("sig"))
     val rows = rowsPerBandConfigs.map { r =>
-      val cand = lshCandidatesFromSigs(sigs, r, k).localCheckpoint(eager = true)
-      val nCand = cand.count()
-      val nVer = jaccardVerify(cand, sh, setCol = "h")
-        .filter(col("jac") >= threshold).count()
+      val repCand = pairsWithinBuckets(bandsOf(sigsW, r, k))
+        .select(col("ia.id").as("ia"), col("ib.id").as("ib"),
+          (col("ia.m") * col("ib.m")).as("w"))
+        .localCheckpoint(eager = true)
+      val nCand = nWithin + repCand
+        .agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
+      val nVer = withinVerified + jaccardVerify(
+          repCand.select("ia", "ib"), sh, setCol = "h")
+        .filter(col("jac") >= threshold)
+        .join(repCand, Seq("ia", "ib"))
+        .agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
       (r, k / r, nCand, nVer,
         if (nCand == 0) None else Some(nVer * 1000000L / nCand))
     }
-    sigs.unpersist(); sh.unpersist()
+    groups.unpersist(); sh.unpersist()
     import spark.implicits._
     rows.toDF("rows_per_band", "n_bands", "n_candidates", "n_verified",
       "precision_ppm")

@@ -231,20 +231,36 @@ object Vectors {
     * work is quadratic only WITHIN a bucket — never all-pairs. More
     * planes → smaller buckets → cheaper join at lower recall; callers
     * tune nPlanes to corpus size.
+    *
+    * EXACT-DUPLICATE COLLAPSE (r11, same reasoning as
+    * `Dedup.lshCandidatesFromSigs`): duplicated documents re-embed to
+    * the IDENTICAL vector, and identical vectors always share a
+    * bucket — in-bucket enumeration is quadratic in copy-family size,
+    * and the naive flatten builds a family's m²/2 pair array (each
+    * element carrying TWO embedding copies) inside one row. Vectors
+    * collapse to one representative per distinct embedding before
+    * bucketing; buckets enumerate distinct embeddings; rep verdicts
+    * expand back through streamed generators. A within-group pair's
+    * cos_sim is `rankCosine(e, e)` — the very expression the naive
+    * shape evaluates for an identical-vector pair, so the output
+    * relation is bit-identical.
     */
   def cosineDupPairs(vecs: DataFrame, vecCol: String, idCol: String,
-                     nPlanes: Int, dim: Int, threshold: Double): DataFrame =
-    Partitioning.spread(vecs)
+                     nPlanes: Int, dim: Int, threshold: Double): DataFrame = {
+    val groups = Partitioning.spread(vecs)
       .select(col(idCol).as("vid"), col(vecCol).as("e"))
+      .groupBy(col("e"))
+      .agg(sort_array(collect_list(col("vid"))).as("members"))
+      .withColumn("rep", element_at(col("members"), 1))
       .withColumn("bucket", bucketExpr("e", nPlanes, dim))
-      // Pairs are generated INSIDE the bucket aggregation (the same
-      // shape as Dedup.lshCandidates): one keyed shuffle carrying each
-      // vector once, versus the self-join that re-shuffled the bucketed
-      // frame for both sides and forced a persist + eager fill to stop
-      // the upstream scan + dot products executing twice. Each vector
-      // sits in exactly one bucket, so the i<j enumeration over the
-      // id-sorted members needs no pair distinct. The exact-cosine
-      // verify runs on the member vectors carried alongside the ids.
+    // Pairs are generated INSIDE the bucket aggregation (the same
+    // shape as Dedup.lshCandidates): one keyed shuffle carrying each
+    // distinct vector once. Each vector sits in exactly one bucket, so
+    // the i<j enumeration over the id-sorted members needs no pair
+    // distinct. The exact-cosine verify runs on the member vectors
+    // carried alongside the ids.
+    val repPairs = groups
+      .select(col("rep").as("vid"), col("e"), col("bucket"))
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(struct(col("vid"), col("e")))).as("ms"))
       .where(size(col("ms")) > 1)
@@ -255,7 +271,26 @@ object Vectors {
           |                              'ea', x.e, 'eb', y.e))))""".stripMargin)).as("p"))
       .withColumn("cos_sim", rankCosine(col("p.ea"), col("p.eb")))
       .filter(col("cos_sim") >= threshold)
-      .select(col("p.ia").as("ia"), col("p.ib").as("ib"), col("bucket"), col("cos_sim"))
+      .select(col("p.ia").as("ra"), col("p.ib").as("rb"), col("bucket"), col("cos_sim"))
+    val withinGroup = groups
+      .where(size(col("members")) > 1)
+      .withColumn("cos_sim", rankCosine(col("e"), col("e")))
+      .filter(col("cos_sim") >= threshold)
+      .select(explode(col("members")).as("ia"), col("members").as("mm"),
+        col("bucket"), col("cos_sim"))
+      .select(col("ia"), explode(col("mm")).as("ib"), col("bucket"), col("cos_sim"))
+      .where(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), col("bucket"), col("cos_sim"))
+    val ga = groups.select(col("rep").as("ra"), col("members").as("ma"))
+    val gb = groups.select(col("rep").as("rb"), col("members").as("mb"))
+    val crossGroup = repPairs
+      .join(ga, "ra").join(gb, "rb")
+      .select(explode(col("ma")).as("a"), col("mb"), col("bucket"), col("cos_sim"))
+      .select(col("a"), explode(col("mb")).as("b"), col("bucket"), col("cos_sim"))
+      .select(least(col("a"), col("b")).as("ia"),
+        greatest(col("a"), col("b")).as("ib"), col("bucket"), col("cos_sim"))
+    withinGroup.unionByName(crossGroup)
+  }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): coarse-cluster the embeddings, then WITHIN each

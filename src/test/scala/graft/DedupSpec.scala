@@ -49,6 +49,81 @@ class DedupSpec extends SparkSpec {
     packed.foreach { case (ia, ib) => ia should be < ib }
   }
 
+  // The scale shape that motivates the r11 collapse fixes: every text
+  // heavily exact-duplicated, so naive banding's buckets hold whole
+  // copy families and naive verification drags each family's m²/2
+  // pairs through the shingle join.
+  private lazy val dupHeavy = {
+    import spark.implicits._
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi",
+      "beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron",
+      "totally unrelated words about catalyst tungsten codegen shuffle exchange plans",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu pi")
+    (for {
+      (t, ti) <- texts.zipWithIndex
+      copy <- 0 until 25
+    } yield (ti * 1000L + copy, t)).toDF("id", "text")
+  }
+
+  test("sigFromHashSet (map-side, off the collected set) is bit-equal to minhashSigs") {
+    val sh = Dedup.shingleHashSet(docs.union(dupHeavy), "id", "text", 3)
+    val agg = Dedup.minhashSigs(sh, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val mapSide = sh.groupBy(col("id"))
+      .agg(sort_array(collect_set(col("h"))).as("hs"))
+      .select(col("id"), Dedup.sigFromHashSet(col("hs")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    mapSide shouldBe agg
+  }
+
+  test("exact-dup collapse preserves the candidate relation on a dup-heavy corpus") {
+    val sh = Dedup.shingleHashSet(dupHeavy, "id", "text", 3)
+    val packed = Dedup.lshCandidatesFromSigs(Dedup.minhashSigs(sh, 16), rowsPerBand = 4, k = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exploded = Dedup.lshCandidates(Dedup.minhashFromHashes(sh, 16), rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    packed shouldBe exploded
+    // every copy family's all-pairs must be present (25 choose 2 per
+    // text, 4 texts)
+    val withinFamily = packed.count { case (a, b) => a / 1000L == b / 1000L }
+    withinFamily shouldBe 4 * (25 * 24 / 2)
+    packed.foreach { case (ia, ib) => ia should be < ib }
+  }
+
+  test("lshTuning rep-level counts equal member-level enumeration on a dup-heavy corpus") {
+    val t = Dedup.lshTuning(dupHeavy, "id", "text", 3, 16, Seq(2, 4, 8), 0.5)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val sh = Dedup.shingleHashSet(dupHeavy, "id", "text", 3)
+    Seq(2, 4, 8).foreach { r =>
+      val cand = Dedup.lshCandidates(Dedup.minhashFromHashes(sh, 16), r)
+      val nCand = cand.count()
+      val nVer = Dedup.jaccardVerify(cand, sh, setCol = "h")
+        .filter(col("jac") >= 0.5).count()
+      t(r) shouldBe ((nCand, nVer))
+    }
+  }
+
+  test("content collapse preserves the verified pair relation on a dup-heavy corpus") {
+    // End-to-end nearDupPairs vs the naive formulation it replaced:
+    // candidates from exploded banding, every member pair verified
+    // individually through the shingle join. Same (ia, ib, jac) set —
+    // including exact-copy pairs at Jaccard 1.0 — is the contract.
+    val fixed = Dedup.nearDupPairs(dupHeavy, "id", "text", threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jac"))).toSet
+    val sh = Dedup.shingleHashSet(dupHeavy, "id", "text", 3)
+    val naiveCand = Dedup.lshCandidates(Dedup.minhashFromHashes(sh, 16), rowsPerBand = 4)
+    val naive = Dedup.jaccardVerify(naiveCand, sh, setCol = "h")
+      .filter(col("jac") >= 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"), r.getAs[Double]("jac"))).toSet
+    fixed shouldBe naive
+    fixed.count { case (a, b, _) => a / 1000L == b / 1000L } shouldBe 4 * (25 * 24 / 2)
+    fixed.filter { case (a, b, _) => a / 1000L == b / 1000L }
+      .foreach { case (_, _, j) => j shouldBe 1.0 }
+  }
+
   test("nearDupPairs releases every cache block it pinned") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.size
@@ -328,6 +403,33 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     pairs((1L, 2L)) shouldBe 0
     pairs.keySet.flatMap(p => Set(p._1, p._2)) should not contain 4L
+  }
+
+  test("simhashPairs exact-dup collapse preserves the pair relation on a dup-heavy corpus") {
+    // Naive reference built inline: band every signature (not just the
+    // distinct reps), all-pairs within (band, chunk), distinct, verify.
+    val sh = Dedup.simhash(dupHeavy, "id", "text")
+    val fixed = Dedup.simhashPairs(sh, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val naive = sh
+      .withColumn("b", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk", expr("(simhash >> (15 * b)) & 32767"))
+      .groupBy(col("b"), col("chunk"))
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ms"))
+      .where(org.apache.spark.sql.functions.size(col("ms")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ms,
+          |  (x, i) -> transform(slice(ms, i + 2, size(ms)),
+          |            y -> named_struct('ia', x.id, 'ib', y.id,
+          |                              'hamming', bit_count(x.simhash ^ y.simhash)))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.ia"), col("p.ib"), col("p.hamming").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    fixed shouldBe naive
+    // all 25-copy families present at hamming 0
+    fixed.count { case ((a, b), h) => a / 1000L == b / 1000L && h == 0 } should be >= 4 * (25 * 24 / 2)
   }
 
   test("markerCount (codegen'd array_remove form) equals the higher-order formulation") {

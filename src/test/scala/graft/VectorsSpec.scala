@@ -313,4 +313,44 @@ class VectorsSpec extends SparkSpec {
       r._4 should be < r._5           // every pick is strictly below it
     }
   }
+
+  test("cosineDupPairs exact-dup collapse preserves the pair relation on a dup-heavy corpus") {
+    import spark.implicits._
+    // Duplicated documents re-embed to the identical vector: 4 distinct
+    // embeddings × 15 exact copies each, two of them near-parallel.
+    val base = Seq(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.99, 0.14, 0.0, 0.0),     // near-parallel to the first
+      Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.7, 0.7))
+    val vecs = (for {
+      (e, ei) <- base.zipWithIndex
+      copy <- 0 until 15
+    } yield (ei * 100L + copy, e)).toDF("vec_id", "emb")
+    val fixed = Vectors.cosineDupPairs(vecs, "emb", "vec_id",
+        nPlanes = 3, dim = 4, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("bucket"), r.getAs[Double]("cos_sim"))).toSet
+    // Naive reference built inline: bucket every copy, all-pairs within
+    // a bucket, verify each member pair individually.
+    val naive = vecs
+      .select(col("vec_id").as("vid"), col("emb").as("e"))
+      .withColumn("bucket", Vectors.bucketExpr("e", 3, 4))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("vid"), col("e")))).as("ms"))
+      .where(org.apache.spark.sql.functions.size(col("ms")) > 1)
+      .select(col("bucket"), explode(expr(
+        """flatten(transform(ms,
+          |  (x, i) -> transform(slice(ms, i + 2, size(ms)),
+          |            y -> named_struct('ia', x.vid, 'ib', y.vid,
+          |                              'ea', x.e, 'eb', y.e))))""".stripMargin)).as("p"))
+      .withColumn("cos_sim", Vectors.rankCosine(col("p.ea"), col("p.eb")))
+      .filter(col("cos_sim") >= 0.9)
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"), col("bucket"), col("cos_sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("bucket"), r.getAs[Double]("cos_sim"))).toSet
+    fixed shouldBe naive
+    // every copy family's all-pairs present (15 choose 2 per embedding)
+    fixed.count { case (a, b, _, _) => a / 100L == b / 100L } shouldBe 4 * (15 * 14 / 2)
+  }
 }
