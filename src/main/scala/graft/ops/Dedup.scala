@@ -1004,10 +1004,18 @@ object Dedup {
     * spec pins it against the naive shape on a dup-heavy corpus.
     */
   def simhashPairs(sh: DataFrame, maxDist: Int): DataFrame = {
+    // The distinct-signature groups feed the banded rep enumeration,
+    // the within-group expansion, and both sides of the cross-group
+    // expansion (4 plan references): the upstream simhash aggregation
+    // and the group-by-signature exchange would otherwise re-execute
+    // per reference. Materialized eagerly, released after the eager
+    // output checkpoint below — same contract as [[nearDupPairs]].
     val groups = sh
       .groupBy(col("simhash"))
       .agg(sort_array(collect_list(col("id"))).as("members"))
       .withColumn("rep", element_at(col("members"), 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    groups.count()
     val repPairs = groups
       .withColumn("b", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk", expr("(simhash >> (15 * b)) & 32767"))
@@ -1039,8 +1047,13 @@ object Dedup {
       .select(col("a"), explode(col("mb")).as("b"), col("hamming"))
       .select(least(col("a"), col("b")).as("ia"),
         greatest(col("a"), col("b")).as("ib"), col("hamming"))
-    withinGroup.select(col("ia"), col("ib"), col("hamming"))
+    // The pair relation is linear in candidates, not corpus:
+    // materialize eagerly, then release the cache this pipeline pinned.
+    val out = withinGroup.select(col("ia"), col("ib"), col("hamming"))
       .unionByName(crossGroup)
+      .localCheckpoint(eager = true)
+    groups.unpersist()
+    out
   }
 
   /** LSH BAND-TUNING table — the measurement behind choosing

@@ -247,12 +247,21 @@ object Vectors {
     */
   def cosineDupPairs(vecs: DataFrame, vecCol: String, idCol: String,
                      nPlanes: Int, dim: Int, threshold: Double): DataFrame = {
+    // The distinct-embedding groups feed the bucketed rep enumeration,
+    // the within-group expansion, and both sides of the cross-group
+    // expansion (4 plan references): the group-by-vector exchange AND
+    // its sort-aggregation (ordering on a dim-wide double-array key —
+    // the expensive part) would otherwise re-execute per reference.
+    // Materialized eagerly, released after the eager output checkpoint
+    // below — same contract as Dedup.nearDupPairs.
     val groups = Partitioning.spread(vecs)
       .select(col(idCol).as("vid"), col(vecCol).as("e"))
       .groupBy(col("e"))
       .agg(sort_array(collect_list(col("vid"))).as("members"))
       .withColumn("rep", element_at(col("members"), 1))
       .withColumn("bucket", bucketExpr("e", nPlanes, dim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    groups.count()
     // Pairs are generated INSIDE the bucket aggregation (the same
     // shape as Dedup.lshCandidates): one keyed shuffle carrying each
     // distinct vector once. Each vector sits in exactly one bucket, so
@@ -289,7 +298,11 @@ object Vectors {
       .select(col("a"), explode(col("mb")).as("b"), col("bucket"), col("cos_sim"))
       .select(least(col("a"), col("b")).as("ia"),
         greatest(col("a"), col("b")).as("ib"), col("bucket"), col("cos_sim"))
-    withinGroup.unionByName(crossGroup)
+    // Verified pairs are linear in candidates, not corpus: materialize
+    // eagerly, then release the cache this pipeline pinned.
+    val out = withinGroup.unionByName(crossGroup).localCheckpoint(eager = true)
+    groups.unpersist()
+    out
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
