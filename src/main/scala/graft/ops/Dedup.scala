@@ -434,14 +434,20 @@ object Dedup {
   /** [[jaccardVerify]] with the per-id set sizes supplied by the
     * caller — skips the sizes aggregation when they are already known
     * (e.g. `size(hs)` map-side off a grouped frame).
+    *
+    * Any extra `cand` columns beyond (ia, ib) ride through the verify
+    * unchanged — they join the intersection groupBy's keys, so they
+    * must be functionally dependent on the pair (e.g. [[lshTuning]]'s
+    * multiplicity weight).
     */
   private[graft] def jaccardVerifySized(cand: DataFrame, shingles: DataFrame,
                                         sizes: DataFrame,
                                         setCol: String): DataFrame = {
+    val keys = cand.columns.toSeq
     val inter = cand
       .join(shingles.select(col("id").as("ia"), col(setCol)), Seq("ia"))
       .join(shingles.select(col("id").as("ib"), col(setCol)), Seq("ib", setCol))
-      .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("id").as("ia"), col("n").as("na")), Seq("ia"))
       .join(sizes.select(col("id").as("ib"), col("n").as("nb")), Seq("ib"))
@@ -1104,10 +1110,17 @@ object Dedup {
     // The member count rides THROUGH the banding as a struct id
     // (sort_array / distinct / the i<j enumeration all order by the
     // leading id field), so the weighted candidate count needs no join,
-    // and the verified count joins only two candidate-bounded frames.
+    // and the weight rides through the verify's own groupBy
+    // (jaccardVerifySized keys on every cand column) — no re-join
+    // against the candidate frame per config.
     val sigsW = groups.select(
       struct(col("rep").as("id"), size(col("members")).cast(LongType).as("m")).as("id"),
       col("sig"))
+    // Per-id set sizes are config-independent too: one aggregation over
+    // the cached shingle table, shared by every config's verify.
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sizes.count()
     val rows = rowsPerBandConfigs.map { r =>
       val repCand = pairsWithinBuckets(bandsOf(sigsW, r, k))
         .select(col("ia.id").as("ia"), col("ib.id").as("ib"),
@@ -1115,15 +1128,13 @@ object Dedup {
         .localCheckpoint(eager = true)
       val nCand = nWithin + repCand
         .agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
-      val nVer = withinVerified + jaccardVerify(
-          repCand.select("ia", "ib"), sh, setCol = "h")
+      val nVer = withinVerified + jaccardVerifySized(repCand, sh, sizes, "h")
         .filter(col("jac") >= threshold)
-        .join(repCand, Seq("ia", "ib"))
         .agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
       (r, k / r, nCand, nVer,
         if (nCand == 0) None else Some(nVer * 1000000L / nCand))
     }
-    groups.unpersist(); sh.unpersist()
+    sizes.unpersist(); groups.unpersist(); sh.unpersist()
     import spark.implicits._
     rows.toDF("rows_per_band", "n_bands", "n_candidates", "n_verified",
       "precision_ppm")
