@@ -578,6 +578,84 @@ object StreamQueries {
     */
   val st11StreamQualitySql: String = PipelineQueries.t20NbScoreSql
 
+  /** ST14: streaming NEAR-DUP dedup — the incremental LSH index
+    * (`Dedup.incrementalNearDupPairsFromSets`, the q_d12 operator) run
+    * as the maintenance loop of a real multi-batch stream. The dedup
+    * corpus is written out as four parquet files and read back with
+    * `maxFilesPerTrigger = 1`, so AvailableNow delivers four genuine
+    * microbatches; `foreachBatch` shingles each batch ONCE, probes its
+    * LSH bands against the stored index, emits the verified pairs, and
+    * appends the same shingle/signature frames to the index — exactly
+    * the ingest-time contract at 100 TB (per-batch cost tracks the
+    * batch, base×base pairs never regenerate; here the index lives in
+    * checkpointed memory, in production it is the q_s-family Store).
+    *
+    * WHY THE ORACLE CAN BE THE BATCH PIPELINE: a pair (a, b) with a in
+    * an earlier batch than b is emitted exactly once — in b's batch,
+    * where a is already in the index; a same-batch pair is emitted by
+    * the delta×delta leg of that batch's probe. The union over batches
+    * is therefore the full near-dup relation, INDEPENDENT of how the
+    * files split into batches — so the oracle is literally q_d2's
+    * from-scratch SQL, and the gate proves stream-accumulated
+    * incremental == batch rebuild, the same spatial/temporal merge
+    * argument as q_st6's sketch gate. The query hard-fails if the
+    * stream collapsed into a single batch (the multi-batch claim is
+    * the point).
+    */
+  val st14StreamNearDup: Q = (s, d) => {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      ArrayType, DoubleType}
+    val root = java.nio.file.Files.createTempDirectory("graft-st14").toFile
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete()
+    }
+    try {
+      val srcDir = new java.io.File(root, "src").getAbsolutePath
+      PipelineQueries.corpus(s, d).repartition(4, col("id"))
+        .write.parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      def empty(st: StructType) =
+        s.createDataFrame(java.util.Collections.emptyList[Row](), st)
+      // The stored index, grown batch by batch (checkpointed: the index
+      // must never re-derive earlier batches through lineage).
+      var baseSh = empty(StructType(Seq(StructField("id", LongType),
+        StructField("h", LongType))))
+      var baseSigs = empty(StructType(Seq(StructField("id", LongType),
+        StructField("sig", ArrayType(LongType)))))
+      val acc = collection.mutable.ArrayBuffer.empty[Row]
+      var nBatches = 0
+      val step: (Dataset[Row], Long) => Unit = (batch, _) => {
+        nBatches += 1
+        val dSh = graft.ops.Dedup.shingleHashSet(batch, "id", "text", 3)
+          .localCheckpoint(true)
+        acc ++= graft.ops.Dedup
+          .incrementalNearDupPairsFromSets(baseSh, baseSigs, dSh)
+          .collect()
+        baseSh = baseSh.unionByName(dSh).localCheckpoint(true)
+        baseSigs = baseSigs
+          .unionByName(graft.ops.Dedup.minhashSigs(dSh, 16))
+          .localCheckpoint(true)
+      }
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.foreachBatch(step)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(nBatches >= 2,
+        s"stream delivered $nBatches batch(es); the multi-batch contract needs >= 2")
+      val outSchema = StructType(Seq(StructField("ia", LongType),
+        StructField("ib", LongType), StructField("jac", DoubleType)))
+      s.createDataFrame(java.util.Arrays.asList(acc.toSeq: _*), outSchema)
+        .orderBy("ia", "ib")
+    } finally rmTree(root)
+  }
+  /** The from-scratch batch pipeline IS the oracle (see scaladoc). */
+  val st14StreamNearDupSql: String = PipelineQueries.d2MinHashLshSql
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -591,7 +669,8 @@ object StreamQueries {
     "q_st6_stream_sketch" -> st6StreamSketch,
     "q_st7_stream_join" -> st7StreamJoin,
     "q_st8_stream_outer_join" -> st8StreamOuterJoin,
-    "q_st9_stream_full_outer" -> st9StreamFullOuterJoin)
+    "q_st9_stream_full_outer" -> st9StreamFullOuterJoin,
+    "q_st14_stream_neardup" -> st14StreamNearDup)
   val oracles: Map[String, String] = Map(
     "q_st1_stream_agg" -> st1StreamAggSql,
     "q_st2_stream_enrich" -> st2StreamEnrichSql,
@@ -603,5 +682,6 @@ object StreamQueries {
     "q_st8_stream_outer_join" -> st8StreamOuterJoinSql,
     "q_st9_stream_full_outer" -> st9StreamFullOuterJoinSql,
     "q_st10_stream_media" -> st10StreamMediaDedupSql,
-    "q_st11_stream_quality" -> st11StreamQualitySql)
+    "q_st11_stream_quality" -> st11StreamQualitySql,
+    "q_st14_stream_neardup" -> st14StreamNearDupSql)
 }

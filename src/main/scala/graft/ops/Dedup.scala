@@ -375,6 +375,23 @@ object Dedup {
     val dSh = shingleHashSet(delta, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     dSh.count()
+    try incrementalNearDupPairsFromSets(baseSh, baseSigs, dSh, k, rowsPerBand,
+      threshold)
+    finally dSh.unpersist()
+  }
+
+  /** [[incrementalNearDupPairs]] with the delta's hashed shingle sets
+    * supplied by the caller — the shape an INDEX-MAINTAINING loop wants
+    * (the q_st14 streaming gate): the caller shingles each batch once,
+    * probes it here, then appends the SAME frame to the stored index,
+    * instead of shingling the batch a second time. `dSh` must be
+    * materialized (persisted or checkpointed): it is referenced by the
+    * band probe, the re-ingest anti-join, and the verifier.
+    */
+  def incrementalNearDupPairsFromSets(baseSh: DataFrame, baseSigs: DataFrame,
+                                      dSh: DataFrame, k: Int = 16,
+                                      rowsPerBand: Int = 4,
+                                      threshold: Double = 0.5): DataFrame = {
     val dBands = bandsOf(minhashSigs(dSh, k), rowsPerBand, k)
     val allBands = bandsOf(baseSigs, rowsPerBand, k).unionByName(dBands)
     val cand = dBands.select(col("band"), col("sig"), col("id").as("ida"))
@@ -395,12 +412,10 @@ object Dedup {
     val deltaIds = dSh.select(col("id")).distinct()
     val mergedSh = baseSh.join(broadcast(deltaIds), Seq("id"), "left_anti")
       .unionByName(dSh)
-    val out = jaccardVerify(cand, mergedSh, setCol = "h")
+    jaccardVerify(cand, mergedSh, setCol = "h")
       .filter(col("jac") >= threshold)
       .select(col("ia"), col("ib"), col("jac"))
       .localCheckpoint(eager = true)
-    dSh.unpersist()
-    out
   }
 
   /** Distinct (ia < ib) pairs of ids sharing a (band, sig) bucket.

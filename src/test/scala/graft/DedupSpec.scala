@@ -124,6 +124,33 @@ class DedupSpec extends SparkSpec {
       .foreach { case (_, _, j) => j shouldBe 1.0 }
   }
 
+  test("index-maintenance loop: accumulated incremental pairs over any batch split equal the batch rebuild") {
+    import spark.implicits._
+    // The q_st14 invariant, minus the streaming machinery: grow the
+    // index batch by batch, accumulate each batch's delta-probing
+    // pairs, and the union must equal nearDupPairs from scratch — with
+    // every pair emitted exactly once (no cross-batch duplicates).
+    val full = Dedup.nearDupPairs(docs.union(dupHeavy), "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jac")))
+    val batches = Seq(
+      docs.union(dupHeavy).filter($"id" % 3 === 0),
+      docs.union(dupHeavy).filter($"id" % 3 === 1),
+      docs.union(dupHeavy).filter($"id" % 3 === 2))
+    var baseSh = Seq.empty[(Long, Long)].toDF("id", "h")
+    var baseSigs = Seq.empty[(Long, Array[Long])].toDF("id", "sig")
+    val acc = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    batches.foreach { b =>
+      val dSh = Dedup.shingleHashSet(b, "id", "text", 3).localCheckpoint(true)
+      acc ++= Dedup.incrementalNearDupPairsFromSets(baseSh, baseSigs, dSh)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jac")))
+      baseSh = baseSh.unionByName(dSh).localCheckpoint(true)
+      baseSigs = baseSigs.unionByName(Dedup.minhashSigs(dSh, 16)).localCheckpoint(true)
+    }
+    acc.size shouldBe acc.toSet.size        // exactly-once across batches
+    acc.toSet shouldBe full.toSet
+    acc.size shouldBe full.length
+  }
+
   test("nearDupPairs releases every cache block it pinned") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.size

@@ -592,4 +592,14 @@ class StreamingSpec extends SparkSpec {
       rows.flatMap(_._3) should not contain 903L
     }
   }
+
+  test("q_st14: stream-accumulated incremental near-dup pairs equal the batch rebuild (sf0.001)") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = StreamQueries.st14StreamNearDup(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jac"))).toSet
+    val batch = PipelineQueries.d2MinHashLsh(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jac"))).toSet
+    streamed shouldBe batch
+    streamed should not be empty
+  }
 }
