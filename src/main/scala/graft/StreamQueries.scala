@@ -603,6 +603,10 @@ object StreamQueries {
     * the point).
     */
   val st14StreamNearDup: Q = (s, d) => {
+    // (No state store, no state-partition sizing: foreachBatch is
+    // stateless, and the 8-shard experiment measured within noise of
+    // the 32-partition default — the cost is the four batches' genuine
+    // probe/verify work, not task-count overhead.)
     import org.apache.spark.sql.{Dataset, Row}
     import org.apache.spark.sql.types.{StructType, StructField, LongType,
       ArrayType, DoubleType}
@@ -625,6 +629,8 @@ object StreamQueries {
         StructField("h", LongType))))
       var baseSigs = empty(StructType(Seq(StructField("id", LongType),
         StructField("sig", ArrayType(LongType)))))
+      var baseSizes = empty(StructType(Seq(StructField("id", LongType),
+        StructField("n", LongType))))
       val acc = collection.mutable.ArrayBuffer.empty[Row]
       var nBatches = 0
       val step: (Dataset[Row], Long) => Unit = (batch, _) => {
@@ -632,11 +638,15 @@ object StreamQueries {
         val dSh = graft.ops.Dedup.shingleHashSet(batch, "id", "text", 3)
           .localCheckpoint(true)
         acc ++= graft.ops.Dedup
-          .incrementalNearDupPairsFromSets(baseSh, baseSigs, dSh)
+          .incrementalNearDupPairsFromSets(baseSh, baseSigs, dSh,
+            baseSizes = Some(baseSizes))
           .collect()
         baseSh = baseSh.unionByName(dSh).localCheckpoint(true)
         baseSigs = baseSigs
           .unionByName(graft.ops.Dedup.minhashSigs(dSh, 16))
+          .localCheckpoint(true)
+        baseSizes = baseSizes
+          .unionByName(dSh.groupBy("id").agg(count(lit(1)).as("n")))
           .localCheckpoint(true)
       }
       val q = s.readStream.schema(schema)

@@ -387,11 +387,20 @@ object Dedup {
     * instead of shingling the batch a second time. `dSh` must be
     * materialized (persisted or checkpointed): it is referenced by the
     * band probe, the re-ingest anti-join, and the verifier.
+    *
+    * `baseSizes` (id, n) — the stored per-id set-size column of the
+    * index. When supplied, the verify's size table is assembled
+    * incrementally (base sizes minus re-ingested ids, plus map-side
+    * delta sizes) instead of re-aggregating the ENTIRE merged shingle
+    * table per batch — at 100 TB the latter is a corpus-wide groupBy
+    * on every ingest tick, the former is delta-bounded. Sizes are
+    * cheap index metadata; a maintaining loop should store them.
     */
   def incrementalNearDupPairsFromSets(baseSh: DataFrame, baseSigs: DataFrame,
                                       dSh: DataFrame, k: Int = 16,
                                       rowsPerBand: Int = 4,
-                                      threshold: Double = 0.5): DataFrame = {
+                                      threshold: Double = 0.5,
+                                      baseSizes: Option[DataFrame] = None): DataFrame = {
     val dBands = bandsOf(minhashSigs(dSh, k), rowsPerBand, k)
     val allBands = bandsOf(baseSigs, rowsPerBand, k).unionByName(dBands)
     val cand = dBands.select(col("band"), col("sig"), col("id").as("ida"))
@@ -412,7 +421,12 @@ object Dedup {
     val deltaIds = dSh.select(col("id")).distinct()
     val mergedSh = baseSh.join(broadcast(deltaIds), Seq("id"), "left_anti")
       .unionByName(dSh)
-    jaccardVerify(cand, mergedSh, setCol = "h")
+    val sizes = baseSizes match {
+      case Some(bs) => bs.join(broadcast(deltaIds), Seq("id"), "left_anti")
+        .unionByName(dSh.groupBy("id").agg(count(lit(1)).as("n")))
+      case None => mergedSh.groupBy("id").agg(count(lit(1)).as("n"))
+    }
+    jaccardVerifySized(cand, mergedSh, sizes, setCol = "h")
       .filter(col("jac") >= threshold)
       .select(col("ia"), col("ib"), col("jac"))
       .localCheckpoint(eager = true)

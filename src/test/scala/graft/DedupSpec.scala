@@ -138,13 +138,17 @@ class DedupSpec extends SparkSpec {
       docs.union(dupHeavy).filter($"id" % 3 === 2))
     var baseSh = Seq.empty[(Long, Long)].toDF("id", "h")
     var baseSigs = Seq.empty[(Long, Array[Long])].toDF("id", "sig")
+    var baseSizes = Seq.empty[(Long, Long)].toDF("id", "n")
     val acc = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     batches.foreach { b =>
       val dSh = Dedup.shingleHashSet(b, "id", "text", 3).localCheckpoint(true)
-      acc ++= Dedup.incrementalNearDupPairsFromSets(baseSh, baseSigs, dSh)
+      acc ++= Dedup.incrementalNearDupPairsFromSets(baseSh, baseSigs, dSh,
+          baseSizes = Some(baseSizes))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jac")))
       baseSh = baseSh.unionByName(dSh).localCheckpoint(true)
       baseSigs = baseSigs.unionByName(Dedup.minhashSigs(dSh, 16)).localCheckpoint(true)
+      baseSizes = baseSizes.unionByName(dSh.groupBy("id").agg(count(lit(1)).as("n")))
+        .localCheckpoint(true)
     }
     acc.size shouldBe acc.toSet.size        // exactly-once across batches
     acc.toSet shouldBe full.toSet
@@ -310,6 +314,25 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     got.keySet shouldBe Set((1L, 2L))
     // exact jac of the replaced doc: 7 shared / (8 + 7 - 7) = 0.875
+    got((1L, 2L)) shouldBe 0.875 +- 1e-9
+  }
+
+  test("stored-sizes path: a re-ingested id's STALE size row is dropped, not blended") {
+    import spark.implicits._
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base = Seq((1L, textA),
+      (2L, "completely different original content for document two here")).toDF("id", "text")
+    val baseSh = Dedup.shingleHashSet(base, "id", "text", 3)
+    val baseSizes = baseSh.groupBy("id").agg(count(lit(1)).as("n"))
+    val delta = Seq((2L, textA.split(" ").drop(1).mkString(" "))).toDF("id", "text")
+    val dSh = Dedup.shingleHashSet(delta, "id", "text", 3).localCheckpoint(true)
+    // Doc 2's stored size (8 shingles of the OLD text) must be REPLACED
+    // by the new text's 7 — keeping it would compute jac against a
+    // blended denominator and sink the true near-dup below threshold.
+    val got = Dedup.incrementalNearDupPairsFromSets(
+        baseSh, Dedup.minhashSigs(baseSh, 16), dSh, baseSizes = Some(baseSizes))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.keySet shouldBe Set((1L, 2L))
     got((1L, 2L)) shouldBe 0.875 +- 1e-9
   }
 
