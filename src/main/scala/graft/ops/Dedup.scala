@@ -1055,17 +1055,17 @@ object Dedup {
       .withColumn("b", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk", expr("(simhash >> (15 * b)) & 32767"))
       .groupBy(col("b"), col("chunk"))
-      // struct sorts by leading field, so members order by rep id.
-      .agg(sort_array(collect_list(struct(col("rep"), col("simhash")))).as("ms"))
+      .agg(collect_list(struct(col("rep"), col("simhash"))).as("ms"))
       .where(size(col("ms")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ms,
-          |  (x, i) -> transform(slice(ms, i + 2, size(ms)),
-          |            y -> named_struct('ra', x.rep, 'rb', y.rep,
-          |                              'hamming', bit_count(x.simhash ^ y.simhash)))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.ra").as("ra"), col("p.rb").as("rb"),
-        col("p.hamming").cast(IntegerType).as("hamming"))
+      // Chained generators, not a nested-transform flatten: generators
+      // STREAM, so a large bucket never materializes its m²/2 pair
+      // array inside a single row (reps are distinct, so x.rep < y.rep
+      // keeps each unordered pair exactly once).
+      .select(explode(col("ms")).as("x"), col("ms"))
+      .select(col("x"), explode(col("ms")).as("y"))
+      .where(col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("ra"), col("y.rep").as("rb"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast(IntegerType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
     val withinGroup = groups
@@ -1209,11 +1209,12 @@ object Dedup {
       .groupBy(col("h"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids,
-          |  (x, i) -> transform(slice(ids, i + 2, size(ids)),
-          |            y -> named_struct('ia', x, 'ib', y))))""".stripMargin)).as("p"))
-      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      // Chained generators STREAM the enumeration — a mega-duplicated
+      // boilerplate page (100k-copy families are routine in crawls)
+      // must not materialize its m²/2 pair array inside a single row.
+      .select(explode(col("ids")).as("ia"), col("ids"))
+      .select(col("ia"), explode(col("ids")).as("ib"))
+      .where(col("ia") < col("ib"))
 
   /** CROSS-SOURCE duplication matrix — the corpus-provenance audit:
     * which sources copy which? Takes ANY duplicate-pair frame

@@ -182,15 +182,20 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Out-neighbor pairs ordered by the SAME (deg, id) total order the
     // orientation uses, so the closing edge can only exist as (x -> y).
+    // Chained generators, not a nested-transform flatten: generators
+    // STREAM, so a high-out-degree hub (out-degree reaches ~√m even
+    // under degree orientation) never materializes its m²/2 wedge
+    // array inside a single row. The (dv, v) struct comparison IS the
+    // orientation's total order, so x < y keeps each wedge exactly
+    // once, ordered the way the closing edge can exist.
     val wedges = oriented
       .groupBy(col("u"))
-      .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("ns"))
+      .agg(collect_list(struct(col("dv"), col("v"))).as("ns"))
       .where(size(col("ns")) > 1)
-      .select(col("u"), explode(expr(
-        """flatten(transform(ns,
-          |  (x, i) -> transform(slice(ns, i + 2, size(ns)),
-          |            y -> named_struct('x', x.v, 'y', y.v))))""".stripMargin)).as("p"))
-      .select(col("u"), col("p.x").as("x"), col("p.y").as("y"))
+      .select(col("u"), explode(col("ns")).as("xs"), col("ns"))
+      .select(col("u"), col("xs"), explode(col("ns")).as("ys"))
+      .where(col("xs") < col("ys"))
+      .select(col("u"), col("xs.v").as("x"), col("ys.v").as("y"))
     val closing = oriented.select(col("u").as("x"), col("v").as("y"))
     val candidates =
       if (!bloomGate) wedges

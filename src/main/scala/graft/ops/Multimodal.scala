@@ -424,38 +424,38 @@ object Multimodal {
       .agg(sort_array(collect_list(
         struct(col("rep"), col("dh_hi"), col("dh_lo")))).as("ms"))
       .where(size(col("ms")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ms,
-          |  (x, i) -> transform(slice(ms, i + 2, size(ms)),
-          |            y -> named_struct('ra', x.rep, 'rb', y.rep,
-          |                              'hamming', bit_count(x.dh_lo ^ y.dh_lo)
-          |                                       + bit_count(x.dh_hi ^ y.dh_hi)))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.ra").as("ra"), col("p.rb").as("rb"),
-        col("p.hamming").cast("int").as("hamming"))
+      // Chained generators, not a nested-transform flatten: generators
+      // STREAM, so a large bucket never materializes its m²/2 pair
+      // array inside a single row (reps are distinct, so x.rep < y.rep
+      // keeps each unordered pair exactly once).
+      .select(explode(col("ms")).as("x"), col("ms"))
+      .select(col("x"), explode(col("ms")).as("y"))
+      .where(col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("ra"), col("y.rep").as("rb"),
+        (expr("bit_count(x.dh_lo ^ y.dh_lo)") +
+          expr("bit_count(x.dh_hi ^ y.dh_hi)")).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
-    // 3a. within-group pairs: exact copies, distance 0, ordered i < j
+    // 3a. within-group pairs: exact copies, distance 0, ordered i < j —
+    //     streamed the same way (members is sorted and duplicate-free)
     val withinGroup = groups
       .where(size(col("members")) > 1)
-      .select(explode(expr(
-        """flatten(transform(members,
-          |  (x, i) -> transform(slice(members, i + 2, size(members)),
-          |            y -> named_struct('ia', x, 'ib', y))))""".stripMargin)).as("p"))
-      .select(col("p.ia").as("ia"), col("p.ib").as("ib"),
-        lit(0).cast("int").as("hamming"))
+      .select(explode(col("members")).as("ia"), col("members").as("mm"))
+      .select(col("ia"), explode(col("mm")).as("ib"))
+      .where(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), lit(0).cast("int").as("hamming"))
     // 3b. cross-group expansion: every member pair inherits the
-    //     rep-level verdict; re-order ids since reps don't bound members
+    //     rep-level verdict; two streamed generators (a 100k-copy
+    //     family must not become one 10¹⁰-element row here either);
+    //     re-order ids since reps don't bound members
     val ga = groups.select(col("rep").as("ra"), col("members").as("ma"))
     val gb = groups.select(col("rep").as("rb"), col("members").as("mb"))
     val crossGroup = repPairs
       .join(ga, "ra").join(gb, "rb")
-      .select(explode(expr(
-        """flatten(transform(ma, x -> transform(mb,
-          |  y -> named_struct('ia', CASE WHEN x < y THEN x ELSE y END,
-          |                    'ib', CASE WHEN x < y THEN y ELSE x END))))"""
-          .stripMargin)).as("p"), col("hamming"))
-      .select(col("p.ia").as("ia"), col("p.ib").as("ib"), col("hamming"))
+      .select(explode(col("ma")).as("a"), col("mb"), col("hamming"))
+      .select(col("a"), explode(col("mb")).as("b"), col("hamming"))
+      .select(least(col("a"), col("b")).as("ia"),
+        greatest(col("a"), col("b")).as("ib"), col("hamming"))
     withinGroup.unionByName(crossGroup)
   }
 

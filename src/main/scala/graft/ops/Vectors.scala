@@ -271,16 +271,19 @@ object Vectors {
     val repPairs = groups
       .select(col("rep").as("vid"), col("e"), col("bucket"))
       .groupBy(col("bucket"))
-      .agg(sort_array(collect_list(struct(col("vid"), col("e")))).as("ms"))
+      .agg(collect_list(struct(col("vid"), col("e"))).as("ms"))
       .where(size(col("ms")) > 1)
-      .select(col("bucket"), explode(expr(
-        """flatten(transform(ms,
-          |  (x, i) -> transform(slice(ms, i + 2, size(ms)),
-          |            y -> named_struct('ia', x.vid, 'ib', y.vid,
-          |                              'ea', x.e, 'eb', y.e))))""".stripMargin)).as("p"))
-      .withColumn("cos_sim", rankCosine(col("p.ea"), col("p.eb")))
+      // Chained generators, not a nested-transform flatten: generators
+      // STREAM, so a big bucket never materializes its m²/2 pair array
+      // — each element carrying TWO dim-wide embeddings — inside a
+      // single row (vids are distinct, so x.vid < y.vid keeps each
+      // unordered pair exactly once).
+      .select(col("bucket"), explode(col("ms")).as("x"), col("ms"))
+      .select(col("bucket"), col("x"), explode(col("ms")).as("y"))
+      .where(col("x.vid") < col("y.vid"))
+      .withColumn("cos_sim", rankCosine(col("x.e"), col("y.e")))
       .filter(col("cos_sim") >= threshold)
-      .select(col("p.ia").as("ra"), col("p.ib").as("rb"), col("bucket"), col("cos_sim"))
+      .select(col("x.vid").as("ra"), col("y.vid").as("rb"), col("bucket"), col("cos_sim"))
     val withinGroup = groups
       .where(size(col("members")) > 1)
       .withColumn("cos_sim", rankCosine(col("e"), col("e")))
