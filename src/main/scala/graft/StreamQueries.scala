@@ -666,6 +666,63 @@ object StreamQueries {
   /** The from-scratch batch pipeline IS the oracle (see scaladoc). */
   val st14StreamNearDupSql: String = PipelineQueries.d2MinHashLshSql
 
+  /** ST15: streaming VECTOR-INDEX maintenance — q_st14's argument
+    * applied to the ANN family: the stored IVF assignment (the q_e13
+    * operator) is grown by `Vectors.ivfAppend` over a four-batch
+    * embedding stream — each batch assigns ONLY its own vectors
+    * against the fixed centroids, the base is never re-scored
+    * (VectorsSpec plan-locks that) — and the final index is searched.
+    * Per-vector assignment is independent of batch structure, so the
+    * converged index is the same SET for any batching and the search
+    * result equals the from-scratch build: the oracle is literally
+    * q_e13's full-rebuild SQL. Hard-fails on a single-batch collapse.
+    */
+  val st15StreamIvf: Q = (s, d) => {
+    import org.apache.spark.sql.{Dataset, Row}
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-st15").toFile
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete()
+    }
+    try {
+      val vecs = Tables.embeddings(s, d)
+        .select($"vec_id".as("vid"), $"embedding".cast("array<double>").as("e"))
+      // Centroids and the search query are CONFIG, not stream: they load
+      // batch-side, exactly like a deployed index's layout descriptor.
+      val centroids = vecs.filter($"vid" < 8).select($"vid".as("cid"), $"e".as("ce"))
+        .localCheckpoint(true)
+      val query = vecs.filter($"vid" === 5).select($"e").localCheckpoint(true)
+      val srcDir = new java.io.File(root, "src").getAbsolutePath
+      vecs.filter($"vid" =!= 5).repartition(4, col("vid")).write.parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      // The stored assignment, grown batch by batch; empty at birth
+      // (ivfAppend only unions base with the delta's fresh assignment).
+      var stored = graft.ops.Vectors.ivfAssign(vecs.filter(lit(false)), centroids)
+        .localCheckpoint(true)
+      var nBatches = 0
+      val step: (Dataset[Row], Long) => Unit = (batch, _) => {
+        nBatches += 1
+        stored = graft.ops.Vectors.ivfAppend(stored, batch, centroids)
+          .localCheckpoint(true)
+      }
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.foreachBatch(step)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(nBatches >= 2,
+        s"stream delivered $nBatches batch(es); the multi-batch contract needs >= 2")
+      graft.ops.Vectors.ivfSearch(stored, centroids, query, nProbe = 2, k = 8)
+        .select($"vid".as("vec_id"), $"cid", $"cos_sim")
+        .localCheckpoint(true)
+    } finally rmTree(root)
+  }
+  /** The from-scratch IVF build + search IS the oracle (see scaladoc). */
+  val st15StreamIvfSql: String = PipelineQueries.e13IncrIvfSql
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -680,7 +737,8 @@ object StreamQueries {
     "q_st7_stream_join" -> st7StreamJoin,
     "q_st8_stream_outer_join" -> st8StreamOuterJoin,
     "q_st9_stream_full_outer" -> st9StreamFullOuterJoin,
-    "q_st14_stream_neardup" -> st14StreamNearDup)
+    "q_st14_stream_neardup" -> st14StreamNearDup,
+    "q_st15_stream_ivf" -> st15StreamIvf)
   val oracles: Map[String, String] = Map(
     "q_st1_stream_agg" -> st1StreamAggSql,
     "q_st2_stream_enrich" -> st2StreamEnrichSql,
@@ -693,5 +751,6 @@ object StreamQueries {
     "q_st9_stream_full_outer" -> st9StreamFullOuterJoinSql,
     "q_st10_stream_media" -> st10StreamMediaDedupSql,
     "q_st11_stream_quality" -> st11StreamQualitySql,
-    "q_st14_stream_neardup" -> st14StreamNearDupSql)
+    "q_st14_stream_neardup" -> st14StreamNearDupSql,
+    "q_st15_stream_ivf" -> st15StreamIvfSql)
 }

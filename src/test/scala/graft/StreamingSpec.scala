@@ -602,4 +602,14 @@ class StreamingSpec extends SparkSpec {
     streamed shouldBe batch
     streamed should not be empty
   }
+
+  test("q_st15: stream-maintained IVF index search equals the from-scratch build (sf0.001)") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = StreamQueries.st15StreamIvf(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cos_sim"))).toSeq
+    val batch = PipelineQueries.e13IncrIvf(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cos_sim"))).toSeq
+    streamed.toSet shouldBe batch.toSet
+    streamed should not be empty
+  }
 }
