@@ -155,6 +155,35 @@ class DedupSpec extends SparkSpec {
     acc.size shouldBe full.length
   }
 
+  test("content collapse equals the naive shape on seeded RANDOM corpora (3 seeds)") {
+    import spark.implicits._
+    // Randomized counterpart of the fixed dup-heavy fixture: small
+    // vocabulary so near-dups arise organically, random copy counts so
+    // group structure varies. Seeded — failures reproduce.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    Seq(7L, 41L, 1913L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 12).flatMap { ti =>
+        val len = 8 + rnd.nextInt(6)
+        val text = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        val copies = 1 + rnd.nextInt(8)
+        (0 until copies).map(c => (ti * 1000L + c, text))
+      }
+      val df = rows.toDF("id", "text")
+      val fixed = Dedup.nearDupPairs(df, "id", "text", threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jac"))).toSet
+      val sh = Dedup.shingleHashSet(df, "id", "text", 3)
+      val naive = Dedup.jaccardVerify(
+          Dedup.lshCandidates(Dedup.minhashFromHashes(sh, 16), rowsPerBand = 4),
+          sh, setCol = "h")
+        .filter(col("jac") >= 0.5)
+        .collect().map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"),
+          r.getAs[Double]("jac"))).toSet
+      withClue(s"seed=$seed: ") { fixed shouldBe naive }
+    }
+  }
+
   test("nearDupPairs releases every cache block it pinned") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.size
