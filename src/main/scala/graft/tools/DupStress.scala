@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * printed and compared); only the execution shape differs. Findings
   * land in PLANS.md; this main stays as the reproduction.
   *
-  * Usage: DupStress [sfDir] [K] [--skip-naive]
+  * Usage: DupStress [sfDir] [K] [--skip-naive] [--only=text,simhash,cosine]
   */
 object DupStress {
   def main(args: Array[String]): Unit = {
@@ -30,6 +30,13 @@ object DupStress {
     val pos = args.filterNot(_.startsWith("--"))
     val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.01")
     val k = pos.drop(1).headOption.map(_.toInt).getOrElse(5)
+    // --only=text,simhash,cosine: run families in separate JVMs — a
+    // naive-shape OOM kills the local SparkContext, so one family's
+    // death must not censor the others' measurements (at sf0.1 K=50
+    // the naive simhash/cosine shapes DO die; that IS the finding).
+    val only: Set[String] = flags.find(_.startsWith("--only="))
+      .map(_.stripPrefix("--only=").split(",").toSet)
+      .getOrElse(Set("text", "simhash", "cosine"))
     val spark = graft.Sessions.local("graft-dupstress")
 
     val base = graft.Tables.documents(spark, sfDir)
@@ -62,13 +69,81 @@ object DupStress {
         sh0, setCol = "h").filter(col("jac") >= 0.5).count()
     }
 
-    val (nFixed, tFixed) = time("nearDupPairs (collapsed)") {
-      Dedup.nearDupPairs(corpus, "id", "text", threshold = 0.5).count()
+    val (nFixed, tFixed) = if (!only("text")) (-1L, -1.0) else
+      time("nearDupPairs (collapsed)") {
+        Dedup.nearDupPairs(corpus, "id", "text", threshold = 0.5).count()
+      }
+
+    // SimHash family: production (signature-collapsed) vs the naive
+    // shape rebuilt inline (band every copy, flatten-enumerate) — the
+    // DedupSpec equivalence reference.
+    val simSigs = if (!only("simhash")) null
+      else Dedup.simhash(corpus, "id", "text").localCheckpoint(true)
+    val (nSimFixed, tSimFixed) = if (!only("simhash")) (-1L, -1.0) else
+      time("simhashPairs (collapsed)") {
+        Dedup.simhashPairs(simSigs, maxDist = 6).count()
+      }
+    var tSimNaive = -1.0
+    if (only("simhash") && !flags.contains("--skip-naive")) {
+      val (n, t) = time("simhash naive (per-copy banding + flatten)") {
+        simSigs
+          .withColumn("b", explode(sequence(lit(0), lit(3))))
+          .withColumn("chunk", expr("(simhash >> (15 * b)) & 32767"))
+          .groupBy(col("b"), col("chunk"))
+          .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ms"))
+          .where(size(col("ms")) > 1)
+          .select(explode(expr(
+            """flatten(transform(ms,
+              |  (x, i) -> transform(slice(ms, i + 2, size(ms)),
+              |            y -> named_struct('ia', x.id, 'ib', y.id,
+              |              'hamming', bit_count(x.simhash ^ y.simhash)))))""".stripMargin)).as("p"))
+          .select(col("p.ia"), col("p.ib"), col("p.hamming"))
+          .distinct()
+          .filter(col("hamming") <= 6)
+          .count()
+      }
+      require(n == nSimFixed, s"simhash relation mismatch: naive=$n fixed=$nSimFixed")
+      tSimNaive = t
+    }
+
+    // Vector family: K-replicated embeddings (identical vectors), the
+    // collapsed cosineDupPairs vs the naive per-copy bucket flatten.
+    import graft.ops.Vectors
+    val baseVecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("e"))
+    val vecCorpus = if (!only("cosine")) null else (0 until k)
+      .map(r => baseVecs.select((col("vid") + lit(r.toLong * 10000000L)).as("vid"), col("e")))
+      .reduce(_ unionByName _)
+      .localCheckpoint(true)
+    val (nVecFixed, tVecFixed) = if (!only("cosine")) (-1L, -1.0) else
+      time("cosineDupPairs (collapsed)") {
+        Vectors.cosineDupPairs(vecCorpus, "e", "vid", nPlanes = 4, dim = 64,
+          threshold = 0.4).count()
+      }
+    var tVecNaive = -1.0
+    if (only("cosine") && !flags.contains("--skip-naive")) {
+      val (n, t) = time("cosine naive (per-copy bucketing + flatten)") {
+        vecCorpus
+          .withColumn("bucket", Vectors.bucketExpr("e", 4, 64))
+          .groupBy(col("bucket"))
+          .agg(sort_array(collect_list(struct(col("vid"), col("e")))).as("ms"))
+          .where(size(col("ms")) > 1)
+          .select(col("bucket"), explode(expr(
+            """flatten(transform(ms,
+              |  (x, i) -> transform(slice(ms, i + 2, size(ms)),
+              |            y -> named_struct('ia', x.vid, 'ib', y.vid,
+              |                              'ea', x.e, 'eb', y.e))))""".stripMargin)).as("p"))
+          .withColumn("cos_sim", Vectors.rankCosine(col("p.ea"), col("p.eb")))
+          .filter(col("cos_sim") >= 0.4)
+          .count()
+      }
+      require(n == nVecFixed, s"cosine relation mismatch: naive=$n fixed=$nVecFixed")
+      tVecNaive = t
     }
 
     var tNaive = -1.0
     var nNaive = -1L
-    if (!flags.contains("--skip-naive")) {
+    if (only("text") && !flags.contains("--skip-naive")) {
       val (n, t) = time("naive (exploded banding + member-pair verify)") {
         val sh = Dedup.shingleHashSet(corpus, "id", "text", 3)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -84,7 +159,9 @@ object DupStress {
     }
 
     println(s"""{"tool":"dupstress","sf":"$sfDir","k":$k,"pairs":$nFixed,""" +
-      s""""fixed_sec":$tFixed,"naive_sec":$tNaive}""")
+      s""""fixed_sec":$tFixed,"naive_sec":$tNaive,""" +
+      s""""simhash_pairs":$nSimFixed,"simhash_fixed_sec":$tSimFixed,"simhash_naive_sec":$tSimNaive,""" +
+      s""""cosine_pairs":$nVecFixed,"cosine_fixed_sec":$tVecFixed,"cosine_naive_sec":$tVecNaive}""")
     spark.stop()
   }
 }
