@@ -1098,6 +1098,58 @@ object CurationQueries {
        |  ${graft.ops.Exact.sum2Sql("l_quantity")} AS sum_qty
        |FROM lineitem GROUP BY 1 ORDER BY month""".stripMargin
 
+  // ---- C20: canonical-URL dedup ----------------------------------------
+
+  /** C20: URL canonicalization (`TextOps.canonicalUrl`) — the crawl
+    * pipeline's cheapest dedup key, exercised on a planted-variant
+    * corpus: every document contributes four spellings of its own URL
+    * (case/www/default-port noise, a `utm_*`-only query with shuffled
+    * param order, a fragment, a trailing slash) that must collapse to
+    * ONE canonical key, and every 5th document adds a genuinely
+    * distinct `?page=2` row that must NOT collapse. Output is the
+    * per-canonical dedup group (n_variants, keep_id) — exact URL dedup
+    * with [[Dedup.exactGroups]]'s scale shape (one keyed shuffle on
+    * the canonical string).
+    */
+  val c20UrlCanon: Q = (s, d) => {
+    import s.implicits._
+    val ids = Tables.documents(s, d).select($"doc_id".as("id"))
+    val variants = Seq(
+      concat(lit("https://Example.COM/docs/"), $"id", lit("/")),
+      concat(lit("HTTPS://www.example.com:443/docs/"), $"id"),
+      concat(lit("https://example.com/docs/"), $"id",
+        lit("?utm_campaign=x&utm_source=feed")),
+      concat(lit("https://example.com/docs/"), $"id", lit("#section-2")))
+      .map(u => ids.select($"id", u.as("url")))
+      .reduce(_ unionByName _)
+    val extra = ids.filter($"id" % 5 === 0)
+      .select($"id", concat(lit("https://example.com/docs/"), $"id",
+        lit("?page=2&utm_medium=mail")).as("url"))
+    variants.unionByName(extra)
+      .select($"id", TextOps.canonicalUrl($"url").as("canonical"))
+      .groupBy($"canonical")
+      .agg(count(lit(1)).as("n_variants"), min($"id").as("keep_id"))
+      .orderBy("canonical")
+  }
+  val c20UrlCanonSql: String =
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+       |raw AS (
+       |  SELECT id, 'https://Example.COM/docs/' || id || '/' AS url FROM ids
+       |  UNION ALL
+       |  SELECT id, 'HTTPS://www.example.com:443/docs/' || id FROM ids
+       |  UNION ALL
+       |  SELECT id, 'https://example.com/docs/' || id || '?utm_campaign=x&utm_source=feed' FROM ids
+       |  UNION ALL
+       |  SELECT id, 'https://example.com/docs/' || id || '#section-2' FROM ids
+       |  UNION ALL
+       |  SELECT id, 'https://example.com/docs/' || id || '?page=2&utm_medium=mail'
+       |  FROM ids WHERE id % 5 = 0),
+       |canon AS (
+       |  SELECT id, ${TextOps.canonicalUrlSql("url")} AS canonical FROM raw)
+       |SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_variants,
+       |  MIN(id) AS keep_id
+       |FROM canon GROUP BY 1 ORDER BY canonical""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1127,7 +1179,8 @@ object CurationQueries {
     "q_st13_stream_cdc" -> st13StreamCdc,
     "q_t32_blocklist_gate" -> t32BlocklistGate,
     "q_d18_contamination_report" -> d18ContaminationReport,
-    "q_s11_partition_evolution" -> s11PartitionEvolution
+    "q_s11_partition_evolution" -> s11PartitionEvolution,
+    "q_c20_url_canon" -> c20UrlCanon
   )
 
   val oracles: Map[String, String] = Map(
@@ -1157,6 +1210,7 @@ object CurationQueries {
     "q_st13_stream_cdc" -> st13StreamCdcSql,
     "q_t32_blocklist_gate" -> t32BlocklistGateSql,
     "q_d18_contamination_report" -> d18ContaminationReportSql,
-    "q_s11_partition_evolution" -> s11PartitionEvolutionSql
+    "q_s11_partition_evolution" -> s11PartitionEvolutionSql,
+    "q_c20_url_canon" -> c20UrlCanonSql
   )
 }

@@ -100,6 +100,56 @@ object TextOps {
     * must not be eaten as four short numbers), then bare digit runs.
     * Three codegen'd regexp_replace calls, map-side only.
     */
+  /** Canonical URL for crawl-scale dedup — the standard normalization
+    * chain, every step a codegen'd built-in (regexp/string/higher-order
+    * array functions; no UDF): lowercase scheme+authority, strip a
+    * leading `www.`, strip the scheme's default port (:80 http /
+    * :443 https), drop the fragment, trim trailing slashes (root stays
+    * `/`), drop `utm_*` tracking params, and SORT the surviving query
+    * params so param order can't split a duplicate. Two fetches of the
+    * same page that differ only in case/port/fragment/tracking/param
+    * order map to one key; `groupBy(canonicalUrl)` is then exact URL
+    * dedup with all the scale properties of [[Dedup.exactGroups]].
+    */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val auth0 = regexp_replace(
+      lower(regexp_extract(noFrag, "^[^:]+://([^/?#]*)", 1)), "^www\\.", "")
+    val auth = when(scheme === "http", regexp_replace(auth0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth0, ":443$", ""))
+      .otherwise(auth0)
+    val path0 = regexp_replace(
+      regexp_extract(noFrag, "^[^:]+://[^/?#]*([^?#]*)", 1), "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val q = array_join(array_sort(filter(split(
+        regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && substring(p, 1, 4) =!= "utm_")), "&")
+    concat(scheme, lit("://"), auth, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** DuckDB replay of [[canonicalUrl]] — same regex/array algebra. */
+  def canonicalUrlSql(x: String): String = {
+    val nf = s"regexp_replace($x, '#.*$$', '')"
+    val scheme = s"lower(regexp_extract($nf, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    val auth0 = s"regexp_replace(lower(regexp_extract($nf, '^[^:]+://([^/?#]*)', 1)), '^www\\.', '')"
+    val auth = s"""CASE WHEN $scheme = 'http' THEN regexp_replace($auth0, ':80$$', '')
+                  |     WHEN $scheme = 'https' THEN regexp_replace($auth0, ':443$$', '')
+                  |     ELSE $auth0 END""".stripMargin
+    val path0 = s"regexp_replace(regexp_extract($nf, '^[^:]+://[^/?#]*([^?#]*)', 1), '/+$$', '')"
+    val path = s"CASE WHEN $path0 = '' THEN '/' ELSE $path0 END"
+    // Double COALESCE: DuckDB regexp_extract is NULL on no match where
+    // Spark's returns '', and DuckDB array_to_string([]) is NULL where
+    // Spark's array_join([]) is '' — a query-less or utm-only URL must
+    // not go NULL end-to-end.
+    val q = s"""COALESCE(array_to_string(list_sort(list_filter(string_split(
+               |  COALESCE(regexp_extract($nf, '\\?([^#]*)', 1), ''), '&'),
+               |  p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&'), '')""".stripMargin
+    s"""($scheme || '://' || $auth || $path ||
+       | CASE WHEN $q = '' THEN '' ELSE '?' || $q END)""".stripMargin
+  }
+
   def redact(text: Column): Column =
     regexp_replace(
       regexp_replace(

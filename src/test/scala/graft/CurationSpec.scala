@@ -616,4 +616,31 @@ class CurationSpec extends SparkSpec {
     val viral = (1L to 50L).map(n => ("viral", n)).toDF("k", "node")
     Graph.neighborJaccard(viral, 0, maxList = 10).count() shouldBe 0
   }
+
+  test("canonicalUrl: every normalization step, and non-defaults survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // case/www/default-port/trailing-slash/fragment noise collapses
+      "https://Example.COM/docs/7/"                       -> "https://example.com/docs/7",
+      "HTTPS://www.example.com:443/docs/7"                -> "https://example.com/docs/7",
+      "https://example.com/docs/7#section-2"              -> "https://example.com/docs/7",
+      "https://example.com/docs/7?utm_source=a&utm_b=x"   -> "https://example.com/docs/7",
+      "http://example.com:80/"                            -> "http://example.com/",
+      // surviving params sort; utm_* dropped from the middle
+      "https://example.com/s?b=2&utm_source=x&a=1"        -> "https://example.com/s?a=1&b=2",
+      // NON-defaults survive: https on :80, explicit odd port, subdomain
+      "https://example.com:80/p"                          -> "https://example.com:80/p",
+      "http://example.com:8080/p"                         -> "http://example.com:8080/p",
+      "https://api.example.com/p"                         -> "https://api.example.com/p",
+      // root path normalizes to a single slash
+      "https://example.com"                               -> "https://example.com/",
+      "https://example.com///"                            -> "https://example.com/")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), graft.ops.TextOps.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      withClue(s"$in: ") { got(in) shouldBe want }
+    }
+  }
 }
