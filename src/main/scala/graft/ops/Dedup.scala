@@ -1136,34 +1136,54 @@ object Dedup {
       .agg(coalesce(sum(expr("size(members) * cast(size(members) - 1 as bigint) div 2")),
         lit(0L))).first().getLong(0)
     val withinVerified = if (1.0 >= threshold) nWithin else 0L
-    // The member count rides THROUGH the banding as a struct id
-    // (sort_array / distinct / the i<j enumeration all order by the
-    // leading id field), so the weighted candidate count needs no join,
-    // and the weight rides through the verify's own groupBy
-    // (jaccardVerifySized keys on every cand column) — no re-join
-    // against the candidate frame per config.
+    // The member count rides THROUGH the banding as a struct id (the
+    // i<j enumeration orders by the leading id field), so the weighted
+    // candidate count needs no join. ALL configurations run in ONE
+    // pass each phase, not a per-config job cascade: the bandings
+    // union under an `rpb` tag into a single bucket aggregation, the
+    // per-config weighted counts are one groupBy, and — since the
+    // exact-Jaccard of a pair does not depend on which banding
+    // surfaced it — each DISTINCT pair is verified ONCE and every
+    // config reuses the verdict through one candidate-bounded join.
     val sigsW = groups.select(
       struct(col("rep").as("id"), size(col("members")).cast(LongType).as("m")).as("id"),
       col("sig"))
-    // Per-id set sizes are config-independent too: one aggregation over
-    // the cached shingle table, shared by every config's verify.
+    val bandedAll = rowsPerBandConfigs.map(r =>
+        bandsOf(sigsW, r, k).withColumn("rpb", lit(r)))
+      .reduce(_ unionByName _)
+    val repCandAll = bandedAll
+      .groupBy(col("rpb"), col("band"), col("sig"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      // chained generators — streamed, like pairsWithinBuckets
+      .select(col("rpb"), explode(col("ids")).as("ia"), col("ids"))
+      .select(col("rpb"), col("ia"), explode(col("ids")).as("ib"))
+      .where(col("ia") < col("ib"))
+      .select(col("rpb"), col("ia.id").as("ia"), col("ib.id").as("ib"),
+        (col("ia.m") * col("ib.m")).as("w"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val candByCfg = repCandAll.groupBy(col("rpb"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("nc"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // Per-id set sizes are config-independent: one aggregation over the
+    // cached shingle table, shared by the single verify pass.
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sizes.count()
+    val verified = jaccardVerifySized(
+        repCandAll.select(col("ia"), col("ib")).distinct(), sh, sizes, "h")
+      .filter(col("jac") >= threshold)
+      .select(col("ia"), col("ib"))
+    val verByCfg = repCandAll.join(verified, Seq("ia", "ib"))
+      .groupBy(col("rpb"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("nv"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val rows = rowsPerBandConfigs.map { r =>
-      val repCand = pairsWithinBuckets(bandsOf(sigsW, r, k))
-        .select(col("ia.id").as("ia"), col("ib.id").as("ib"),
-          (col("ia.m") * col("ib.m")).as("w"))
-        .localCheckpoint(eager = true)
-      val nCand = nWithin + repCand
-        .agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
-      val nVer = withinVerified + jaccardVerifySized(repCand, sh, sizes, "h")
-        .filter(col("jac") >= threshold)
-        .agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
+      val nCand = nWithin + candByCfg.getOrElse(r, 0L)
+      val nVer = withinVerified + verByCfg.getOrElse(r, 0L)
       (r, k / r, nCand, nVer,
         if (nCand == 0) None else Some(nVer * 1000000L / nCand))
     }
-    sizes.unpersist(); groups.unpersist(); sh.unpersist()
+    groups.unpersist(); sh.unpersist()
     import spark.implicits._
     rows.toDF("rows_per_band", "n_bands", "n_candidates", "n_verified",
       "precision_ppm")
