@@ -22,8 +22,11 @@ object RoundNineQueries {
     * 4: PNG / WAV / GVI1 video / raw unknown bytes — the corpus the
     * dispatched decode ([[Multimodal.decodeDispatch]]) exists for.
     *
-    * Every 23rd id ALSO contributes a HOSTILE record (media_id offset
-    * by 3 000 000): a real JPEG stream truncated inside its header
+    * Every 23rd id ALSO contributes a HOSTILE record (media_id
+    * = -(doc_id + 1) — the negative id space, disjoint from the
+    * non-negative doc_id domain by construction at ANY corpus scale,
+    * where a fixed additive offset would collide once doc_ids reach
+    * it): a real JPEG stream truncated inside its header
     * tables — undecodable by construction — so the release gate proves
     * end-to-end that a corrupt payload lands as a `valid = false`
     * zero-feature quarantine row instead of killing the scan task or
@@ -35,6 +38,10 @@ object RoundNineQueries {
     Partitioning.spread(Tables.documents(s, d))
       .select($"doc_id".as("media_id")).as[Long]
       .flatMap { id =>
+        // the disjointness premise of the hostile id space: doc_ids are
+        // non-negative, so -(id + 1) can never collide with a base row
+        require(id >= 0, s"mixedRecords: negative doc_id $id breaks the " +
+          "hostile-id disjointness invariant (hostile media_id = -(doc_id + 1))")
         val base = (id % 4) match {
           case 0 => graft.ops.MediaRecord(id, "image", Multimodal.synthPng(id))
           case 1 => graft.ops.MediaRecord(id, "audio", Multimodal.synthWav(id))
@@ -46,7 +53,7 @@ object RoundNineQueries {
             // 64 bytes cuts inside the quantization tables of ANY JPEG
             // this encoder emits — deterministically undecodable, while
             // still a genuine truncated real-encoder stream
-            Seq(graft.ops.MediaRecord(3000000L + id, "image",
+            Seq(graft.ops.MediaRecord(-(id + 1L), "image",
               Multimodal.encodeJpeg(Multimodal.synthPng(id), 0.9f).get.take(64)))
           else Seq.empty
         base +: hostile
@@ -165,7 +172,7 @@ object RoundNineQueries {
        |  UNION ALL
        |  -- hostile truncated-JPEG records: sniffed as jpeg, decode
        |  -- fails, quarantined as valid=false with zero features
-       |  SELECT doc_id + 3000000, 'jpeg', 0, 0, FALSE,
+       |  SELECT -(doc_id + 1), 'jpeg', 0, 0, FALSE,
        |    CAST(0.0 AS REAL), CAST(0.0 AS REAL)
        |  FROM documents WHERE doc_id % 23 = 0)
        |SELECT media_id, format, CAST(width AS INTEGER) AS width,

@@ -175,10 +175,17 @@ object Curate {
     val spark = docs.sparkSession
     val fs = new Path(runDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fp = {
+      // nbLabel enters as its canonical SQL rendering, NOT Column
+      // .toString: a RESOLVED column (df("lang")) embeds per-session
+      // expression ids in toString, which would spuriously fail a
+      // legitimate cross-session resume under the identical
+      // configuration (expr.sql strips them; unresolved col("lang")
+      // renders the same either way).
       val repr = Seq(
         lexicon.toSeq.sortBy(_._1)
           .map { case (k, v) => k + ":" + v.mkString("|") }.mkString(";"),
-        blockThreshold.toString, nbLabel.toString(), nbFeatures.toString,
+        blockThreshold.toString, graft.functions.Cols.expression(nbLabel).sql,
+        nbFeatures.toString,
         mixRates.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";"),
         mixDefault.toString, stops.mkString("|")).mkString(" ")
       java.security.MessageDigest.getInstance("SHA-256")

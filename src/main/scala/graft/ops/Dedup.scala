@@ -189,7 +189,10 @@ object Dedup {
     * shuffle — with zero data movement.
     */
   private[graft] def sigFromHashSet(hs: Column, k: Int = 16): Column = {
-    require(k == 16, "constant arrays generated for k=16")
+    // Any k ≥ 1: the permutation constants are generated per index, so
+    // k ≠ 16 simply takes a different prefix of the same family (k = 16
+    // is the prefix the registered aggregator folds — bit-equal there).
+    require(k >= 1, s"k must be positive, got $k")
     val as = array((0 until k).map(j => lit(minhashA(j))): _*)
     val bs = array((0 until k).map(j => lit(minhashB(j))): _*)
     zip_with(as, bs, (a, b) =>
@@ -510,19 +513,8 @@ object Dedup {
     // Content groups feed the rep shingle table, the within-group
     // expansion, and both sides of the cross-group expansion:
     // materialized eagerly so downstream stages read the cache instead
-    // of racing to fill it. The per-id set is built by collect_set
-    // DIRECTLY off the shingle generator — the set semantics
-    // shingleHashSet gets from its distinct(), fused into the same
-    // exchange as the grouping (one shuffle, not two).
-    val grouped = Partitioning.spread(df)
-      .select(col(idCol).as("id"),
-        graft.functions.ShingleGenerator.shingles(col(textCol), shingleN).as("sh"))
-      .select(col("id"), TextOps.hash60(col("sh")).as("h"))
-      .groupBy(col("id"))
-      .agg(sort_array(collect_set(col("h"))).as("hs"))
-      .groupBy(col("hs"))
-      .agg(sort_array(collect_list(col("id"))).as("members"))
-      .withColumn("rep", element_at(col("members"), 1))
+    // of racing to fill it.
+    val grouped = contentGroups(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     grouped.count()
     // Rep-level hashed shingle sets for the verifier: an explode over
@@ -567,10 +559,32 @@ object Dedup {
     // pipeline pinned — repeated invocations must not leak storage.
     val out = withinGroup.unionByName(crossGroup)
       .localCheckpoint(eager = true)
-    repSh.unpersist()
     grouped.unpersist()
     out
   }
+
+  /** One group row per DISTINCT hashed shingle SET: (hs — the sorted
+    * hashed shingle array, members — sorted ids sharing it, rep —
+    * min id). The CONTENT-keyed collapse shared by [[nearDupPairs]]
+    * and [[lshTuning]]: grouping is by the full sorted hash array, not
+    * a derived digest (or the minhash signature — see [[lshTuning]]),
+    * so distinct contents can never merge, and within-group Jaccard is
+    * exactly 1.0 by definition. The per-id set is built by collect_set
+    * DIRECTLY off the shingle generator — the set semantics
+    * shingleHashSet gets from its distinct(), fused into the same
+    * exchange as the grouping (one shuffle, not two).
+    */
+  private[graft] def contentGroups(df: DataFrame, idCol: String, textCol: String,
+                                   shingleN: Int): DataFrame =
+    Partitioning.spread(df)
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleGenerator.shingles(col(textCol), shingleN).as("sh"))
+      .select(col("id"), TextOps.hash60(col("sh")).as("h"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("h"))).as("hs"))
+      .groupBy(col("hs"))
+      .agg(sort_array(collect_list(col("id"))).as("members"))
+      .withColumn("rep", element_at(col("members"), 1))
 
   /** Standalone exact n-gram Jaccard near-dup pairs — no minhash
     * approximation. Jaccard is defined over the INFORMATIVE shingle
@@ -1100,31 +1114,40 @@ object Dedup {
     * table is how a pipeline picks its operating point BEFORE paying
     * for the full corpus run.
     *
-    * Signatures and shingle sets are computed ONCE and shared across
-    * configs (persisted); each config adds only its own banding +
-    * verification. The per-config results cross the driver as single
-    * scalars (configs are bounded by the caller), so the output frame
-    * is |configs| rows regardless of corpus size.
+    * Shingle sets (content-grouped) and signatures are computed ONCE
+    * and shared across configs (persisted); each config adds only its
+    * own banding + verification. The per-config results cross the
+    * driver as single scalars (configs are bounded by the caller), so
+    * the output frame is |configs| rows regardless of corpus size.
     */
   def lshTuning(df: DataFrame, idCol: String, textCol: String, shingleN: Int,
                 k: Int, rowsPerBandConfigs: Seq[Int],
                 threshold: Double): DataFrame = {
     val spark = df.sparkSession
-    val sh = shingleHashSet(df, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count()
-    // The exact-dup signature collapse (sigGroups) is config-independent
-    // — banding slices signatures differently per config, but identical
-    // signatures are identical regardless of slicing — so it is computed
-    // and cached ONCE here, not once per configuration inside
-    // lshCandidatesFromSigs.
-    val groups = sigGroups(minhashSigs(sh, k))
+    // CONTENT collapse (r12) — groups are keyed by the full sorted
+    // hashed shingle SET ([[contentGroups]], exactly as nearDupPairs),
+    // NOT by the minhash signature: the signature is a lossy
+    // projection, and two documents with DIFFERENT sets can collide on
+    // all k minima (probability ~jac^k per pair — real at crawl scale,
+    // or adversarially). A sig-keyed collapse counts such a pair
+    // verified unconditionally even when its true Jaccard is below
+    // threshold, diverging from the exact-Jaccard definition this
+    // table (and the q_d17 oracle) uses. Content-keyed, the collapse
+    // premises hold by CONSTRUCTION: within-group Jaccard is exactly
+    // 1.0 (identical sets), and a member pair genuinely inherits its
+    // rep pair's exact verdict (identical sets ⇒ identical similarity
+    // to every other document). Sig-colliding DISTINCT contents still
+    // band into the same buckets — identical sigs slice identically
+    // under every config — so they surface as rep-level candidates in
+    // every configuration and are verified EXACTLY like any other
+    // candidate pair.
+    val groups = contentGroups(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     groups.count()
     // COUNT AT REPRESENTATIVE LEVEL — member pairs are never
     // enumerated. Every member pair maps to exactly one (group, group)
-    // pair (an id belongs to one sig group), so over the expanded
-    // relation candidatesFromSigGroups defines:
+    // pair (an id belongs to one content group), so over the expanded
+    // relation the naive enumeration defines:
     //   n_candidates = Σ_{rep pairs} |ma|·|mb| + Σ_groups C(m, 2)
     //   n_verified adds the same weights over verified rep pairs, and
     //   within-group pairs (Jaccard exactly 1.0 — identical sets)
@@ -1136,18 +1159,20 @@ object Dedup {
       .agg(coalesce(sum(expr("size(members) * cast(size(members) - 1 as bigint) div 2")),
         lit(0L))).first().getLong(0)
     val withinVerified = if (1.0 >= threshold) nWithin else 0L
-    // The member count rides THROUGH the banding as a struct id (the
-    // i<j enumeration orders by the leading id field), so the weighted
-    // candidate count needs no join. ALL configurations run in ONE
-    // pass each phase, not a per-config job cascade: the bandings
-    // union under an `rpb` tag into a single bucket aggregation, the
-    // per-config weighted counts are one groupBy, and — since the
-    // exact-Jaccard of a pair does not depend on which banding
-    // surfaced it — each DISTINCT pair is verified ONCE and every
-    // config reuses the verdict through one candidate-bounded join.
+    // Signatures come map-side off the cached hs arrays (sigFromHashSet
+    // — bit-equal to minhashSigs, zero movement). The member count
+    // rides THROUGH the banding as a struct id (the i<j enumeration
+    // orders by the leading id field), so the weighted candidate count
+    // needs no join. ALL configurations run in ONE pass each phase,
+    // not a per-config job cascade: the bandings union under an `rpb`
+    // tag into a single bucket aggregation, the per-config weighted
+    // counts are one groupBy, and — since the exact-Jaccard of a pair
+    // does not depend on which banding surfaced it — each DISTINCT
+    // pair is verified ONCE and every config reuses the verdict
+    // through one candidate-bounded join.
     val sigsW = groups.select(
       struct(col("rep").as("id"), size(col("members")).cast(LongType).as("m")).as("id"),
-      col("sig"))
+      sigFromHashSet(col("hs"), k).as("sig"))
     val bandedAll = rowsPerBandConfigs.map(r =>
         bandsOf(sigsW, r, k).withColumn("rpb", lit(r)))
       .reduce(_ unionByName _)
@@ -1166,11 +1191,13 @@ object Dedup {
     val candByCfg = repCandAll.groupBy(col("rpb"))
       .agg(coalesce(sum(col("w")), lit(0L)).as("nc"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // Per-id set sizes are config-independent: one aggregation over the
-    // cached shingle table, shared by the single verify pass.
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    // Rep shingle sets and per-rep set sizes come off the cached group
+    // frame — an explode and a map-side size(), no second corpus pass.
+    val repSh = groups.select(col("rep").as("id"), explode(col("hs")).as("h"))
+    val sizes = groups.select(col("rep").as("id"),
+      size(col("hs")).cast(LongType).as("n"))
     val verified = jaccardVerifySized(
-        repCandAll.select(col("ia"), col("ib")).distinct(), sh, sizes, "h")
+        repCandAll.select(col("ia"), col("ib")).distinct(), repSh, sizes, "h")
       .filter(col("jac") >= threshold)
       .select(col("ia"), col("ib"))
     val verByCfg = repCandAll.join(verified, Seq("ia", "ib"))
@@ -1183,7 +1210,7 @@ object Dedup {
       (r, k / r, nCand, nVer,
         if (nCand == 0) None else Some(nVer * 1000000L / nCand))
     }
-    groups.unpersist(); sh.unpersist()
+    groups.unpersist()
     import spark.implicits._
     rows.toDF("rows_per_band", "n_bands", "n_candidates", "n_verified",
       "precision_ppm")

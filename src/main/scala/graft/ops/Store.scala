@@ -37,6 +37,14 @@ object Store {
     */
   val DefaultLeaseTtlMs: Long = 30L * 60 * 1000
 
+  /** TEST-ONLY injection point: runs after a breaker has claimed the
+    * break-intent marker and before its under-marker re-verify — the
+    * window the StoreSpec resumed-zombie sim interposes on to prove
+    * the owner-byte re-check yields instead of deleting a successor's
+    * fresh lease. No-op in production.
+    */
+  private[graft] var breakRaceHook: () => Unit = () => ()
+
   /** SINGLE-WRITER LEASE for the two-phase mutations. The swap/publish
     * protocols of [[compact]], [[upsert]], [[purgeKeys]] and
     * [[recover]] are each crash-safe in isolation, but none are safe
@@ -67,8 +75,15 @@ object Store {
     *    sees the fresh mtime under the marker and yields. (A plain
     *    judged-stale-then-delete would let contender B remove
     *    contender A's freshly created lease — the two-live-writers
-    *    hole; the StoreSpec six-contender race sim locks this.) A
-    *    crashed breaker's marker is itself TTL-reaped.
+    *    hole; the StoreSpec six-contender race sim locks this.) The
+    *    re-verify checks the OWNER BYTES as well as the mtime: the
+    *    marker gates breakers only — a first-attempt claimer never
+    *    consults it — so a stale holder resuming, releasing, and a
+    *    fresh claim landing between the judgment and the delete would
+    *    leave a DIFFERENT writer's lease under the same path; the
+    *    breaker deletes only if the bytes still match its stale
+    *    snapshot, else yields (the StoreSpec resumed-zombie sim locks
+    *    this). A crashed breaker's marker is itself TTL-reaped.
     *  - the break is still UNFENCED against a holder paused PAST the
     *    TTL (a multi-minute GC / suspended VM) that later resumes: the
     *    TTL must exceed any plausible pause, which the 30-min default
@@ -114,6 +129,11 @@ object Store {
       catch { case _: java.io.FileNotFoundException => None }
     def rmQuiet(p: Path): Unit =
       try fs.delete(p, false) catch { case _: java.io.IOException => () }
+    def readOwner(p: Path): Option[String] =
+      try {
+        val in = fs.open(p)
+        Some(try new String(in.readAllBytes(), "UTF-8") finally in.close())
+      } catch { case _: Exception => None }
     def throwHeld(): Nothing = {
       val (h, age) =
         try {
@@ -132,20 +152,41 @@ object Store {
           if (!tryClaim()) throwHeld()
         case Some(age) if age <= ttlMs => throwHeld() // live holder
         case _ =>
-          // STALE. Serialize the break through the intent marker, and
+          // STALE. Snapshot WHOSE lease we judged stale (the owner
+          // bytes), serialize the break through the intent marker, and
           // RE-VERIFY under it: our staleness judgment may predate
           // another contender's completed break + fresh claim, and
           // acting on a stale judgment is exactly the two-live-writers
           // hole. A crashed breaker's marker is TTL-reaped first.
+          val staleOwner = readOwner(lease)
           val marker = new Path(path + ".lease.breaking")
           if (ageOf(marker).exists(_ > ttlMs)) rmQuiet(marker)
           if (!claimFile(marker)) throwHeld() // another breaker is active
           try {
+            breakRaceHook()
             ageOf(lease) match {
               case Some(a) if a <= ttlMs => throwHeld() // fresh: lost the race
-              case still =>
-                still.foreach(_ => rmQuiet(lease)) // confirmed stale: break it
+              case Some(_) =>
+                // Still stale by mtime — but delete only the EXACT
+                // lease we judged stale: mtime alone cannot tell a
+                // stale holder from a successor that slipped in through
+                // a resume-and-release + fresh-claim interleaving (the
+                // marker gates BREAKERS; first-attempt claimers never
+                // consult it). If the owner bytes moved on from our
+                // snapshot, the file under this path is no longer the
+                // lease our judgment was about — yield. (The byte
+                // re-read narrows the delete race to the microseconds
+                // between this read and rmQuiet; the irreversible
+                // publish steps are separately fenced by
+                // [[assertLeaseOwner]], see the contract note above.)
+                if (staleOwner.isEmpty || readOwner(lease) != staleOwner)
+                  throwHeld()
+                rmQuiet(lease)
                 if (!tryClaim()) throwHeld() // a first-attempt claimer won the gap
+              case None =>
+                // vanished: holder released on its own — nothing to
+                // break, just race for the empty slot
+                if (!tryClaim()) throwHeld()
             }
           } finally rmQuiet(marker)
       }

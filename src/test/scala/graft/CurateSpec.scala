@@ -137,6 +137,18 @@ class CurateSpec extends SparkSpec {
     // same configuration still resumes cleanly after the refused attempt
     run(runDir)._2.orderBy("stage")
       .as[(Long, String, Long, Long, Long)].collect().toSeq shouldBe mfRows
+    // ---- a RESOLVED label column (carries per-session expression ids
+    // — the legitimate cross-session-resume spelling) fingerprints
+    // identically to the unresolved one: the fingerprint hashes
+    // expr.sql, which strips exprIds. Column.toString would embed them
+    // and spuriously refuse this resume.
+    Curate.pipelineStaged(docs, evalSet,
+      lexicon = Map("latency" -> Seq("slow", "fast")), blockThreshold = 2,
+      nbLabel = docs("lang") === "en", nbFeatures = 256,
+      mixRates = Map("keep" -> 1.0, "cut" -> 0.0), mixDefault = 1.0,
+      runDir = runDir, stops = Seq("good", "bad"))
+      ._2.orderBy("stage")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq shouldBe mfRows
     rmTree(new java.io.File(runDir))
   }
 }

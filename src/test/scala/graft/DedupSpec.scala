@@ -104,6 +104,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lshTuning verifies sig-colliding DISTINCT contents exactly (content-keyed groups)") {
+    import spark.implicits._
+    // Two documents with DIFFERENT shingle sets but IDENTICAL minhash
+    // signatures: with k = 1 the signature is the single smallest
+    // hashed shingle, so doc A = exactly the one 3-gram of doc B whose
+    // hash is B's minimum collides by construction. A sig-keyed
+    // collapse would place both in one group and count the pair
+    // verified unconditionally; the exact definition (and the q_d17
+    // oracle) says Jaccard = 1/|B's set| < 0.5 — NOT verified.
+    val bText = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val grams = bText.split(" ").sliding(3).map(_.mkString(" ")).toVector
+    val gramHashes = Dedup.shingleHashSet(
+        grams.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text"),
+        "id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val minGram = grams(gramHashes.minBy(_._2)._1.toInt)
+    val docs2 = Seq((1L, minGram), (2L, bText)).toDF("id", "text")
+    val row = Dedup.lshTuning(docs2, "id", "text", 3, k = 1,
+      rowsPerBandConfigs = Seq(1), threshold = 0.5).collect()
+    row.length shouldBe 1
+    // identical sigs ⇒ every band collides ⇒ the pair IS a candidate…
+    row.head.getLong(2) shouldBe 1L
+    // …but its true Jaccard (1/8) is below threshold ⇒ not verified.
+    row.head.getLong(3) shouldBe 0L
+  }
+
   test("content collapse preserves the verified pair relation on a dup-heavy corpus") {
     // End-to-end nearDupPairs vs the naive formulation it replaced:
     // candidates from exploded banding, every member pair verified

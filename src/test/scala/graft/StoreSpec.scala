@@ -607,4 +607,38 @@ class StoreSpec extends SparkSpec {
     java.nio.file.Files.readString(lease.toPath) should include("newhost")
     lease.delete() shouldBe true
   }
+
+  test("lease: a breaker overtaken by a zombie release + fresh first-attempt " +
+    "claim yields under the marker (owner-byte re-check) instead of deleting " +
+    "the successor's lease") {
+    val (path, _, _, _, _) = crashFixture()
+    val lease = new java.io.File(path + ".lease")
+    java.nio.file.Files.writeString(lease.toPath, "777@deadhost/zombie")
+    val staleMtime = System.currentTimeMillis() - 2 * Store.DefaultLeaseTtlMs
+    lease.setLastModified(staleMtime) shouldBe true
+    // Interpose in the breaker's window: after it claims the break
+    // marker (and after its stale-owner snapshot), the zombie resumes
+    // and RELEASES — deleting its own file — and a first-attempt
+    // claimer, which never consults the marker, lands a fresh lease.
+    // The fresh lease's mtime is backdated too, so the mtime half of
+    // the re-verify alone would still judge stale: only the owner-byte
+    // comparison can tell the successor from the zombie here.
+    Store.breakRaceHook = () => {
+      lease.delete()
+      java.nio.file.Files.writeString(lease.toPath, "424242@newhost/successor")
+      lease.setLastModified(staleMtime)
+      ()
+    }
+    try {
+      val e = intercept[Store.LeaseHeld](Store.withLease(spark, path)(()))
+      e.holder should include("newhost")
+    } finally Store.breakRaceHook = () => ()
+    // the successor's lease survived the overtaken breaker…
+    lease.exists() shouldBe true
+    java.nio.file.Files.readString(lease.toPath) should include("newhost")
+    lease.delete() shouldBe true
+    // …and the break-intent marker did not leak
+    new java.io.File(path).getParentFile.listFiles()
+      .count(_.getName.contains(".lease.breaking")) shouldBe 0
+  }
 }
