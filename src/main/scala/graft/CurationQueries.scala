@@ -548,6 +548,67 @@ object CurationQueries {
        |      AS precision_ppm
        |  FROM nc$r nc, ver$r ver)""".stripMargin
   }
+  // ---- D19: LSH recall table (the other axis of D17) ------------------
+
+  /** D19: recall per (bands × rowsPerBand) config against EXACT
+    * ground truth on a deterministic hash-gated half-sample
+    * ([[Dedup.lshRecall]]) — D17 measures the precision a config
+    * wastes, this measures the true pairs it misses; together they
+    * pick the LSH operating point. Truth = exact Jaccard ≥ 0.5 off
+    * the sample's shingle inverted index (no minhash approximation);
+    * the oracle replays the gate, the truth join, and all three
+    * bandings at member level.
+    */
+  val d19LshRecall: Q = (s, d) =>
+    Dedup.lshRecall(PipelineQueries.corpus(s, d), "id", "text",
+        shingleN = 3, k = 16, rowsPerBandConfigs = Seq(2, 4, 8),
+        threshold = 0.5, sampleMod = 2)
+      .orderBy("rows_per_band")
+  private def d19Block(r: Int): String = {
+    val b = 16 / r
+    s"""bands$r AS (
+       |  SELECT id, j // $r AS band,
+       |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY 1, 2),
+       |cand$r AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM bands$r a JOIN bands$r b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |hit$r AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS nh
+       |  FROM cand$r c JOIN truth t ON t.ia = c.ia AND t.ib = c.ib),
+       |row$r AS (
+       |  SELECT $r AS rows_per_band, $b AS n_bands, nt.nt AS n_true,
+       |    h.nh AS n_hit,
+       |    CASE WHEN nt.nt = 0 THEN NULL ELSE h.nh * 1000000 // nt.nt END
+       |      AS recall_ppm
+       |  FROM nt, hit$r h)""".stripMargin
+  }
+  val d19LshRecallSql: String =
+    s"""WITH ${PipelineQueries.corpusSql},
+       |sample AS (
+       |  SELECT id, text FROM corpus
+       |  WHERE ${graft.ops.TextOps.hash60Sql("CAST(id AS VARCHAR)")} % 2 = 0),
+       |${PipelineQueries.shingleSql.replace("FROM corpus", "FROM sample")},
+       |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT x.id AS ia, y.id AS ib, COUNT(*) AS inter
+       |  FROM sh x JOIN sh y ON y.h = x.h AND x.id < y.id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT i.ia, i.ib
+       |  FROM inter i JOIN sizes na ON na.id = i.ia
+       |               JOIN sizes nb ON nb.id = i.ib
+       |  WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.5),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM truth),
+       |mh AS (
+       |${Dedup.minhashSql(16)}),
+       |${d19Block(2)},
+       |${d19Block(4)},
+       |${d19Block(8)}
+       |SELECT * FROM row2 UNION ALL SELECT * FROM row4 UNION ALL SELECT * FROM row8
+       |ORDER BY rows_per_band""".stripMargin
+
   val d17LshTuningSql: String =
     s"""WITH ${PipelineQueries.corpusSql},
        |${PipelineQueries.shingleSql},
@@ -1180,7 +1241,8 @@ object CurationQueries {
     "q_t32_blocklist_gate" -> t32BlocklistGate,
     "q_d18_contamination_report" -> d18ContaminationReport,
     "q_s11_partition_evolution" -> s11PartitionEvolution,
-    "q_c20_url_canon" -> c20UrlCanon
+    "q_c20_url_canon" -> c20UrlCanon,
+    "q_d19_lsh_recall" -> d19LshRecall
   )
 
   val oracles: Map[String, String] = Map(
@@ -1211,6 +1273,7 @@ object CurationQueries {
     "q_t32_blocklist_gate" -> t32BlocklistGateSql,
     "q_d18_contamination_report" -> d18ContaminationReportSql,
     "q_s11_partition_evolution" -> s11PartitionEvolutionSql,
-    "q_c20_url_canon" -> c20UrlCanonSql
+    "q_c20_url_canon" -> c20UrlCanonSql,
+    "q_d19_lsh_recall" -> d19LshRecallSql
   )
 }

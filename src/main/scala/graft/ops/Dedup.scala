@@ -1216,6 +1216,95 @@ object Dedup {
       "precision_ppm")
   }
 
+  /** LSH RECALL table — the other axis of the [[lshTuning]]
+    * operating-point choice: for each (bands × rowsPerBand) config,
+    * how many TRUE near-dup pairs (exact Jaccard ≥ threshold) the
+    * banding surfaces as candidates, as recall in ppm. Precision says
+    * how much verify work a config wastes; recall says how many real
+    * duplicates it MISSES — the S-curve trade-off both tables together
+    * resolve before the full corpus run. (Post-verification recall
+    * equals candidate recall: exact verification never drops a true
+    * pair.)
+    *
+    * Ground truth requires exact all-pairs similarity, which nothing
+    * can bound below quadratic in the worst case — so the eval runs on
+    * a DETERMINISTIC SAMPLE: `hash60(id) mod sampleMod == 0` (the
+    * sampling family's rand()-free gate — reproducible across engines,
+    * runs and retries), and the cost contract is sample-bounded: truth
+    * pairs come off the sample's shingle inverted index (Σ_h df_h²
+    * over sample postings), candidates off the sample's rep-level
+    * banding. Content collapse ([[contentGroups]]) applies throughout
+    * — identical sets have identical signatures, so member candidacy
+    * equals rep candidacy in every config and within-group pairs
+    * (Jaccard exactly 1.0) are true AND hit in every config; weighted
+    * rep-level counting therefore equals member-level enumeration, the
+    * same argument (and spec shape) as [[lshTuning]].
+    */
+  def lshRecall(df: DataFrame, idCol: String, textCol: String, shingleN: Int,
+                k: Int, rowsPerBandConfigs: Seq[Int], threshold: Double,
+                sampleMod: Int): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val spark = df.sparkSession
+    val sample = df.filter(
+      pmod(TextOps.hash60(col(idCol).cast("string")), lit(sampleMod.toLong)) === 0)
+    val groups = contentGroups(sample, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    groups.count()
+    val nWithin = groups
+      .agg(coalesce(sum(expr("size(members) * cast(size(members) - 1 as bigint) div 2")),
+        lit(0L))).first().getLong(0)
+    val withinTrue = if (1.0 >= threshold) nWithin else 0L
+    val repSh = groups.select(col("rep").as("id"), explode(col("hs")).as("h"))
+    val sizes = groups.select(col("rep").as("id"),
+      size(col("hs")).cast(LongType).as("n"))
+    val mOf = groups.select(col("rep"), size(col("members")).cast(LongType).as("m"))
+    // TRUTH: exact Jaccard off the inverted index — one self-join keyed
+    // on the shingle hash (one row per SHARED shingle, never candidate ×
+    // set-size), then the size join. Weight w = ma·mb expands rep truth
+    // to member truth without enumerating members.
+    val truth = repSh.select(col("h"), col("id").as("ia"))
+      .join(repSh.select(col("h"), col("id").as("ib")), Seq("h"))
+      .where(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("ia"), col("n").as("na")), Seq("ia"))
+      .join(sizes.select(col("id").as("ib"), col("n").as("nb")), Seq("ib"))
+      .where(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))
+        >= threshold)
+      .join(mOf.select(col("rep").as("ia"), col("m").as("ma")), Seq("ia"))
+      .join(mOf.select(col("rep").as("ib"), col("m").as("mb")), Seq("ib"))
+      .select(col("ia"), col("ib"), (col("ma") * col("mb")).as("w"))
+      .localCheckpoint(eager = true) // bounded by the true-pair count
+    val nCross = truth.agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
+    val nTrue = withinTrue + nCross
+    // CANDIDATES: all configs in one banding pass (rpb tag), rep level;
+    // hits are the truth ∩ candidate join, weight carried by truth.
+    val repSigs = groups.select(col("rep").as("id"),
+      sigFromHashSet(col("hs"), k).as("sig"))
+    val bandedAll = rowsPerBandConfigs.map(r =>
+        bandsOf(repSigs, r, k).withColumn("rpb", lit(r)))
+      .reduce(_ unionByName _)
+    val candAll = bandedAll
+      .groupBy(col("rpb"), col("band"), col("sig"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(col("rpb"), explode(col("ids")).as("ia"), col("ids"))
+      .select(col("rpb"), col("ia"), explode(col("ids")).as("ib"))
+      .where(col("ia") < col("ib"))
+      .distinct()
+    val hitByCfg = candAll.join(truth, Seq("ia", "ib"))
+      .groupBy(col("rpb"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("nh"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = rowsPerBandConfigs.map { r =>
+      val nHit = withinTrue + hitByCfg.getOrElse(r, 0L)
+      (r, k / r, nTrue, nHit,
+        if (nTrue == 0) None else Some(nHit * 1000000L / nTrue))
+    }
+    groups.unpersist()
+    import spark.implicits._
+    rows.toDF("rows_per_band", "n_bands", "n_true", "n_hit", "recall_ppm")
+  }
+
   /** Per-BENCHMARK contamination report — the deliverable a
     * decontamination pass ships: for EACH eval benchmark, how many
     * corpus documents share at least one k-shingle with it and how

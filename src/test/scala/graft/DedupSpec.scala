@@ -104,6 +104,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lshRecall weighted rep-level counts equal member-level enumeration " +
+    "on the hash-gated sample") {
+    import spark.implicits._
+    val t = Dedup.lshRecall(dupHeavy, "id", "text", 3, 16, Seq(2, 4, 8),
+        threshold = 0.5, sampleMod = 2)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // Naive member-level replay: gate the sample identically, take ALL
+    // pairs of sampled ids as ground-truth candidates (exact Jaccard —
+    // no banding, no collapse), then per config intersect with the
+    // exploded-banding candidate relation.
+    val sample = dupHeavy.filter(
+      pmod(TextOps.hash60($"id".cast("string")), lit(2L)) === 0)
+    val ids = sample.select("id").as[Long].collect().sorted
+    ids.length should be > 10 // the gate must keep a real sample
+    val allPairs = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+    } yield (ids(i), ids(j))).toDF("ia", "ib")
+    val sh = Dedup.shingleHashSet(sample, "id", "text", 3)
+    val truthSet = Dedup.jaccardVerify(allPairs, sh, setCol = "h")
+      .filter(col("jac") >= 0.5)
+      .select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    truthSet should not be empty
+    Seq(2, 4, 8).foreach { r =>
+      val cand = Dedup.lshCandidates(Dedup.minhashFromHashes(sh, 16), r)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      t(r) shouldBe ((truthSet.size.toLong, (cand & truthSet).size.toLong))
+    }
+  }
+
   test("lshTuning verifies sig-colliding DISTINCT contents exactly (content-keyed groups)") {
     import spark.implicits._
     // Two documents with DIFFERENT shingle sets but IDENTICAL minhash
