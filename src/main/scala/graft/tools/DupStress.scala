@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   * printed and compared); only the execution shape differs. Findings
   * land in PLANS.md; this main stays as the reproduction.
   *
-  * Usage: DupStress [sfDir] [K] [--skip-naive] [--only=text,simhash,cosine]
+  * Usage: DupStress [sfDir] [K] [--skip-naive]
+  *                  [--only=text,simhash,cosine,tuning]
   */
 object DupStress {
   def main(args: Array[String]): Unit = {
@@ -158,10 +159,57 @@ object DupStress {
       require(nNaive == nFixed, s"relation mismatch: naive=$nNaive fixed=$nFixed")
     }
 
+    // Tuning family: the MEASUREMENT ops (lshTuning precision table,
+    // lshRecall truth table) on the K-replicated corpus. Their whole
+    // design claim is that the measurement stays cheap when the pair
+    // relation it measures explodes (counts ride as weights, pairs are
+    // never enumerated) — so the check here is twofold: wall-clock
+    // stays far from K², and, when the base corpus has unique texts
+    // (every content group is then exactly the K replicas of one base
+    // doc), the K-corpus table must equal the ARITHMETIC transform of
+    // the base table: n_cand_K = K²·n_cand_1 + nBase·C(K,2), same for
+    // verified (within-group pairs are Jaccard 1.0 ≥ 0.5).
+    var tTune = -1.0
+    var tRecall = -1.0
+    if (only("tuning")) {
+      import graft.ops.Dedup
+      // Replicate a text-DEDUPED base so every content group in the
+      // K-corpus is exactly the K replicas of one base doc — that makes
+      // the arithmetic identity below exact, not corpus-dependent.
+      val uBase = base.dropDuplicates("text").localCheckpoint(true)
+      val nU = uBase.count()
+      val uCorpus = (0 until k)
+        .map(r => uBase.select((col("id") + lit(r.toLong * 10000000L)).as("id"),
+          col("text")))
+        .reduce(_ unionByName _)
+        .localCheckpoint(true)
+      val base1 = Dedup.lshTuning(uBase, "id", "text", 3, 16, Seq(2, 4, 8), 0.5)
+        .collect().map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      val (tab, t1) = time(s"lshTuning (content-collapsed, K-replicated, ${nU * k} rows)") {
+        Dedup.lshTuning(uCorpus, "id", "text", 3, 16, Seq(2, 4, 8), 0.5)
+          .collect().map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      }
+      tTune = t1
+      val kk = k.toLong
+      val within = nU * kk * (kk - 1) / 2
+      base1.foreach { case (r, (c1, v1)) =>
+        val exp = (kk * kk * c1 + within, kk * kk * v1 + within)
+        require(tab(r) == exp,
+          s"tuning K-replication identity broken at rpb=$r: got ${tab(r)}, expected $exp")
+      }
+      System.err.println("[dupstress] lshTuning K-replication identity verified: " +
+        s"n_cand_K = K^2 * n_cand_1 + $nU * C($k,2) at every config")
+      val (_, t2) = time("lshRecall (content-collapsed, K-replicated, mod-2 sample)") {
+        Dedup.lshRecall(uCorpus, "id", "text", 3, 16, Seq(2, 4, 8), 0.5, 2).collect()
+      }
+      tRecall = t2
+    }
+
     println(s"""{"tool":"dupstress","sf":"$sfDir","k":$k,"pairs":$nFixed,""" +
       s""""fixed_sec":$tFixed,"naive_sec":$tNaive,""" +
       s""""simhash_pairs":$nSimFixed,"simhash_fixed_sec":$tSimFixed,"simhash_naive_sec":$tSimNaive,""" +
-      s""""cosine_pairs":$nVecFixed,"cosine_fixed_sec":$tVecFixed,"cosine_naive_sec":$tVecNaive}""")
+      s""""cosine_pairs":$nVecFixed,"cosine_fixed_sec":$tVecFixed,"cosine_naive_sec":$tVecNaive,""" +
+      s""""tuning_sec":$tTune,"recall_sec":$tRecall}""")
     spark.stop()
   }
 }
