@@ -723,6 +723,80 @@ object StreamQueries {
   /** The from-scratch IVF build + search IS the oracle (see scaladoc). */
   val st15StreamIvfSql: String = PipelineQueries.e13IncrIvfSql
 
+  /** ST16: streaming CONTAMINATION monitor — q_d18's per-benchmark
+    * leak report maintained at INGEST time. The benchmark shingle sets
+    * are CONFIG (eval sets are bounded by contract — the q_d6 rule),
+    * loaded once and broadcast to every microbatch; the corpus arrives
+    * as a four-file stream, and each batch joins ONLY its own shingles
+    * against the eval frame, folding per-benchmark (n_docs_hit,
+    * n_hits) increments into a running tally whose driver footprint is
+    * benchmark-bounded (one row per benchmark per batch). This
+    * completes the ingest-guard column — near-dup index (q_st14),
+    * vector index (q_st15), and now eval-set leak detection: the
+    * "which benchmark leaked, and how badly" table is live while a
+    * dump is still being ingested, not after a post-hoc batch audit.
+    *
+    * WHY THE ORACLE IS THE BATCH REPORT: every doc id lives in exactly
+    * ONE microbatch (the source files partition ids) and shingle sets
+    * are per-doc distinct, so each batch's (COUNT DISTINCT id,
+    * COUNT *) contribution touches ids no other batch can touch —
+    * the increments are additive under ANY batch structure and the
+    * accumulated tally equals q_d18's from-scratch report (the same
+    * batching-invariance argument as q_st14/q_st15). Hard-fails on a
+    * single-batch collapse.
+    */
+  val st16StreamContamination: Q = (s, d) => {
+    import org.apache.spark.sql.{Dataset, Row}
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-st16").toFile
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete()
+    }
+    try {
+      val all = Tables.documents(s, d).select($"doc_id".as("id"), $"text")
+      val corpusDocs = all.filter($"id" % 31 =!= 0 && $"id" % 37 =!= 0)
+      val evalShingles = Seq(
+          "bench31" -> all.filter($"id" % 31 === 0),
+          "bench37" -> all.filter($"id" % 37 === 0))
+        .map { case (name, ev) =>
+          graft.ops.Dedup.shingleHashSet(ev, "id", "text", 3)
+            .select(lit(name).as("bench"), col("h"))
+        }.reduce(_.unionByName(_)).distinct()
+        .localCheckpoint(true)
+      val srcDir = new java.io.File(root, "src").getAbsolutePath
+      corpusDocs.repartition(4, col("id")).write.parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val tally = collection.mutable.Map.empty[String, (Long, Long)]
+      var nBatches = 0
+      val step: (Dataset[Row], Long) => Unit = (batch, _) => {
+        nBatches += 1
+        graft.ops.Dedup.shingleHashSet(batch, "id", "text", 3)
+          .join(broadcast(evalShingles), "h")
+          .groupBy(col("bench"))
+          .agg(countDistinct(col("id")).as("nd"), count(lit(1)).as("nh"))
+          .collect().foreach { r =>
+            val (d0, h0) = tally.getOrElse(r.getString(0), (0L, 0L))
+            tally(r.getString(0)) = (d0 + r.getLong(1), h0 + r.getLong(2))
+          }
+      }
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.foreachBatch(step)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(nBatches >= 2,
+        s"stream delivered $nBatches batch(es); the multi-batch contract needs >= 2")
+      tally.toSeq.map { case (b, (nd, nh)) => (b, nd, nh) }
+        .toDF("bench", "n_docs_hit", "n_hits").orderBy("bench")
+    } finally rmTree(root)
+  }
+  /** The batch contamination report IS the oracle (see scaladoc). */
+  val st16StreamContaminationSql: String =
+    CurationQueries.d18ContaminationReportSql
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -738,7 +812,8 @@ object StreamQueries {
     "q_st8_stream_outer_join" -> st8StreamOuterJoin,
     "q_st9_stream_full_outer" -> st9StreamFullOuterJoin,
     "q_st14_stream_neardup" -> st14StreamNearDup,
-    "q_st15_stream_ivf" -> st15StreamIvf)
+    "q_st15_stream_ivf" -> st15StreamIvf,
+    "q_st16_stream_contamination" -> st16StreamContamination)
   val oracles: Map[String, String] = Map(
     "q_st1_stream_agg" -> st1StreamAggSql,
     "q_st2_stream_enrich" -> st2StreamEnrichSql,
@@ -752,5 +827,6 @@ object StreamQueries {
     "q_st10_stream_media" -> st10StreamMediaDedupSql,
     "q_st11_stream_quality" -> st11StreamQualitySql,
     "q_st14_stream_neardup" -> st14StreamNearDupSql,
-    "q_st15_stream_ivf" -> st15StreamIvfSql)
+    "q_st15_stream_ivf" -> st15StreamIvfSql,
+    "q_st16_stream_contamination" -> st16StreamContaminationSql)
 }

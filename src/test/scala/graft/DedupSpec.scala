@@ -104,6 +104,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("per-batch contamination increments over an id-disjoint split sum to " +
+    "the batch report (the q_st16 invariance)") {
+    import spark.implicits._
+    val all = docs.union(dupHeavy)
+    val corpusDocs = all.filter($"id" % 3 =!= 0)
+    val bench = all.filter($"id" % 3 === 0)
+    val report = Dedup.contaminationReport(corpusDocs, Seq("b" -> bench), "id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).headOption.getOrElse((0L, 0L))
+    report._2 should be > 0L
+    val ev = Dedup.shingleHashSet(bench, "id", "text", 3).select(col("h")).distinct()
+    // Ids are disjoint across batches, shingle sets per-doc distinct —
+    // so the per-batch (distinct docs, hits) increments must be
+    // additive for ANY id-disjoint split.
+    var nd = 0L; var nh = 0L
+    Seq(0L, 1L).foreach { m =>
+      val part = Dedup.shingleHashSet(
+          corpusDocs.filter($"id" % 2 === m), "id", "text", 3)
+        .join(ev, "h")
+      nd += part.select("id").distinct().count()
+      nh += part.count()
+    }
+    (nd, nh) shouldBe report
+  }
+
   test("lshRecall weighted rep-level counts equal member-level enumeration " +
     "on the hash-gated sample") {
     import spark.implicits._
