@@ -609,6 +609,61 @@ object CurationQueries {
        |SELECT * FROM row2 UNION ALL SELECT * FROM row4 UNION ALL SELECT * FROM row8
        |ORDER BY rows_per_band""".stripMargin
 
+  // ---- D20: quality-aware near-dup purge (keep-best, not keep-min) ----
+
+  /** D20: [[Dedup.purgeKeepBest]] over the d2 planted corpus — one
+    * survivor per near-dup cluster, chosen by an externally supplied
+    * quality score (here a deterministic hash score standing in for
+    * the q_t20 NB output, so the winner is genuinely score-driven and
+    * not id-correlated: the planted corpus derives variants by
+    * REMOVAL, so any content-monotone score would degenerate to
+    * keep-min and never exercise the rule). Ties break to the smaller
+    * id. Oracle: the d2b recursive-closure cluster map + the score
+    * window replayed member-level.
+    */
+  val d20PurgeBest: Q = (s, d) =>
+    Dedup.purgeKeepBest(PipelineQueries.corpus(s, d), "id", "text",
+        pmod(TextOps.hash60(col("id").cast("string")), lit(1000L)))
+      .orderBy("id")
+  val d20PurgeBestSql: String =
+    s"""WITH RECURSIVE ${PipelineQueries.corpusSql},
+       |${PipelineQueries.shingleSql},
+       |mh AS (
+       |${Dedup.minhashSql(16)}),
+       |bands AS (
+       |  SELECT id, j // 4 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.ia, c.ib, COUNT(*) AS inter
+       |  FROM cand c JOIN sh x ON x.id = c.ia JOIN sh y ON y.id = c.ib AND y.h = x.h
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT i.ia, i.ib
+       |  FROM inter i JOIN sizes na ON na.id = i.ia JOIN sizes nb ON nb.id = i.ib
+       |  WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.5),
+       |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labels AS (
+       |  SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+       |scores AS (
+       |  SELECT id, ${TextOps.hash60Sql("CAST(id AS VARCHAR)")} % 1000 AS score
+       |  FROM corpus),
+       |ranked AS (
+       |  SELECT l.id,
+       |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+       |                       ORDER BY s.score DESC, l.id) AS rk
+       |  FROM labels l JOIN scores s ON s.id = l.id)
+       |SELECT c.id AS id, s.score FROM corpus c JOIN scores s ON s.id = c.id
+       |WHERE c.id NOT IN (SELECT r.id FROM ranked r WHERE r.rk > 1)
+       |ORDER BY c.id""".stripMargin
+
   val d17LshTuningSql: String =
     s"""WITH ${PipelineQueries.corpusSql},
        |${PipelineQueries.shingleSql},
@@ -1159,6 +1214,45 @@ object CurationQueries {
        |  ${graft.ops.Exact.sum2Sql("l_quantity")} AS sum_qty
        |FROM lineitem GROUP BY 1 ORDER BY month""".stripMargin
 
+  // ---- S12: TTL retention sweep ----------------------------------------
+
+  /** S12: time-based retention ([[graft.ops.Store.expireBefore]]) —
+    * the compliance/TTL path that DELETES whole partitions below the
+    * cutoff as directory drops (never a row rewrite: contrast
+    * purgeKeys), lease-guarded, manifest rows filtered. The gate
+    * writes a day-partitioned store, expires everything before the
+    * cutoff, and must read back EXACTLY the oracle's WHERE day >=
+    * cutoff aggregate — plus the dropped-partition count the sweep
+    * reported, which the oracle recomputes as the distinct expired
+    * days. Proves both directions: everything young survives intact,
+    * everything old is gone, and the op's own accounting is honest.
+    */
+  val s12Retention: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft-s12").toString + "/t"
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"),
+        Queries.dstr(col("l_shipdate")).as("day"))
+    li.write.partitionBy("day").parquet(dir)
+    val dropped = graft.ops.Store.expireBefore(s, dir, "day", "2001-09-01")
+    s.read.parquet(dir)
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.ops.Exact.sum2(col("l_quantity")).as("sum_qty"))
+      .withColumn("n_dropped", lit(dropped))
+      .orderBy("day")
+  }
+  val s12RetentionSql: String =
+    s"""WITH base AS (
+       |  SELECT strftime(l_shipdate, '%Y-%m-%d') AS day, l_quantity
+       |  FROM lineitem),
+       |nd AS (
+       |  SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_dropped
+       |  FROM base WHERE day < '2001-09-01')
+       |SELECT day, COUNT(*) AS cnt,
+       |  ${graft.ops.Exact.sum2Sql("l_quantity")} AS sum_qty, nd.n_dropped
+       |FROM base, nd WHERE day >= '2001-09-01'
+       |GROUP BY day, nd.n_dropped ORDER BY day""".stripMargin
+
   // ---- C20: canonical-URL dedup ----------------------------------------
 
   /** C20: URL canonicalization (`TextOps.canonicalUrl`) — the crawl
@@ -1242,7 +1336,9 @@ object CurationQueries {
     "q_d18_contamination_report" -> d18ContaminationReport,
     "q_s11_partition_evolution" -> s11PartitionEvolution,
     "q_c20_url_canon" -> c20UrlCanon,
-    "q_d19_lsh_recall" -> d19LshRecall
+    "q_d19_lsh_recall" -> d19LshRecall,
+    "q_d20_purge_best" -> d20PurgeBest,
+    "q_s12_retention" -> s12Retention
   )
 
   val oracles: Map[String, String] = Map(
@@ -1274,6 +1370,8 @@ object CurationQueries {
     "q_d18_contamination_report" -> d18ContaminationReportSql,
     "q_s11_partition_evolution" -> s11PartitionEvolutionSql,
     "q_c20_url_canon" -> c20UrlCanonSql,
-    "q_d19_lsh_recall" -> d19LshRecallSql
+    "q_d19_lsh_recall" -> d19LshRecallSql,
+    "q_d20_purge_best" -> d20PurgeBestSql,
+    "q_s12_retention" -> s12RetentionSql
   )
 }

@@ -586,6 +586,40 @@ object Dedup {
       .agg(sort_array(collect_list(col("id"))).as("members"))
       .withColumn("rep", element_at(col("members"), 1))
 
+  /** Quality-aware near-dup purge — the q_d9 "keep one per cluster"
+    * rule with the keep decision a curation pipeline actually wants:
+    * the member with the BEST score survives (ties break to the
+    * smaller id — fully deterministic), not the member with the
+    * smallest id. "Best" is whatever the caller scored: the learned NB
+    * quality score, a Gopher metric, document completeness — dedup
+    * decides WHICH content is duplicated, the score decides WHICH COPY
+    * carries it forward; conflating the two (keep-min) throws away the
+    * highest-quality version of every page whose best copy is not its
+    * first-crawled one.
+    *
+    * Shape: the cluster map is |dup members| — tiny relative to the
+    * corpus — so it broadcasts onto the score frame for the attach,
+    * the per-cluster window runs over that bounded frame, and the
+    * loser set (members − clusters) broadcasts back for the anti-join,
+    * exactly the q_d9 layout. The corpus is never shuffled.
+    *
+    * Returns the surviving (id, score) rows.
+    */
+  def purgeKeepBest(df: DataFrame, idCol: String, textCol: String,
+                    score: Column, threshold: Double = 0.5): DataFrame = {
+    val scored = df.select(col(idCol).as("id"), score.as("score"))
+    val clusters = dupClusters(nearDupPairs(df, idCol, textCol,
+      threshold = threshold))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    val losers = scored.join(broadcast(clusters), Seq("id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1)
+      .select(col("id"))
+    scored.join(broadcast(losers), Seq("id"), "left_anti")
+  }
+
   /** Standalone exact n-gram Jaccard near-dup pairs — no minhash
     * approximation. Jaccard is defined over the INFORMATIVE shingle
     * universe: shingles whose document frequency exceeds `dfCap` are

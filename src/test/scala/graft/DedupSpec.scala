@@ -104,6 +104,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("purgeKeepBest keeps the highest-scoring cluster member, ties break " +
+    "to the min id, unclustered docs always survive") {
+    import spark.implicits._
+    // docs: {1, 2} exact dups, 3 a near-dup of both (one cluster);
+    // 4 unrelated; 5 too short to shingle. Scores make the best member
+    // NOT the min id (keep-min would keep 1) and tie 2 with 3.
+    val score = when($"id" === 1L, 10L).when($"id" === 2L, 30L)
+      .when($"id" === 3L, 30L).otherwise(5L)
+    val kept = Dedup.purgeKeepBest(docs, "id", "text", score)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cluster {1,2,3}: best score 30 is shared by 2 and 3 → min id 2
+    kept.keySet shouldBe Set(2L, 4L, 5L)
+    kept(2L) shouldBe 30L
+  }
+
   test("per-batch contamination increments over an id-disjoint split sum to " +
     "the batch report (the q_st16 invariance)") {
     import spark.implicits._
