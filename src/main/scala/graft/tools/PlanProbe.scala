@@ -2,23 +2,54 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-/** Prints the physical plans of the r11 collapse paths for the PLANS
+/** Prints the physical plans of the collapse paths for the PLANS
   * plan-audit notes (exchanges, broadcasts, generator placement).
-  * Usage: PlanProbe [sfDir]
+  * Usage: PlanProbe [sfDir] [collapse|recall|keepbest]
   */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val what = args.drop(1).headOption.getOrElse("collapse")
     val spark = graft.Sessions.local("graft-planprobe")
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"), col("text"))
-    val pairs = graft.ops.Dedup.nearDupPairs(docs, "id", "text")
-    System.err.println("=== nearDupPairs (post-collapse, checkpointed output) lineage is truncated; showing the CROSS-GROUP expansion plan instead ===")
-    val sh = graft.ops.Dedup.shingleHashSet(docs, "id", "text", 3)
-    val sigs = graft.ops.Dedup.minhashSigs(sh, 16)
-    val cand = graft.ops.Dedup.lshCandidatesFromSigs(sigs, 4, 16)
-    cand.explain("formatted")
-    System.err.println(s"pairs rows: ${pairs.count()}")
+    what match {
+      case "recall" =>
+        // lshRecall's internals collect per-config scalars, so the
+        // probe rebuilds its two data-bearing frames with the same
+        // code shape: the inverted-index TRUTH join and the tagged
+        // multi-config banding.
+        import graft.ops.Dedup
+        val sample = docs.filter(
+          pmod(graft.ops.TextOps.hash60(col("id").cast("string")), lit(2L)) === 0)
+        val groups = Dedup.contentGroups(sample, "id", "text", 3)
+        val repSh = groups.select(col("rep").as("id"), explode(col("hs")).as("h"))
+        val sizes = groups.select(col("rep").as("id"),
+          size(col("hs")).cast("long").as("n"))
+        val truth = repSh.select(col("h"), col("id").as("ia"))
+          .join(repSh.select(col("h"), col("id").as("ib")), Seq("h"))
+          .where(col("ia") < col("ib"))
+          .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("id").as("ia"), col("n").as("na")), Seq("ia"))
+          .join(sizes.select(col("id").as("ib"), col("n").as("nb")), Seq("ib"))
+          .where(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.5)
+        System.err.println("=== lshRecall TRUTH frame (inverted-index exact Jaccard) ===")
+        truth.explain("formatted")
+      case "keepbest" =>
+        val surv = graft.ops.Dedup.purgeKeepBest(docs, "id", "text",
+          pmod(graft.ops.TextOps.hash60(col("id").cast("string")), lit(1000L)))
+        System.err.println("=== purgeKeepBest survivors ===")
+        surv.explain("formatted")
+        System.err.println(s"survivors: ${surv.count()}")
+      case _ =>
+        val pairs = graft.ops.Dedup.nearDupPairs(docs, "id", "text")
+        System.err.println("=== nearDupPairs (post-collapse, checkpointed output) lineage is truncated; showing the CROSS-GROUP expansion plan instead ===")
+        val sh = graft.ops.Dedup.shingleHashSet(docs, "id", "text", 3)
+        val sigs = graft.ops.Dedup.minhashSigs(sh, 16)
+        val cand = graft.ops.Dedup.lshCandidatesFromSigs(sigs, 4, 16)
+        cand.explain("formatted")
+        System.err.println(s"pairs rows: ${pairs.count()}")
+    }
     spark.stop()
   }
 }
