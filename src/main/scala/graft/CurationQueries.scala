@@ -1220,38 +1220,42 @@ object CurationQueries {
     * the compliance/TTL path that DELETES whole partitions below the
     * cutoff as directory drops (never a row rewrite: contrast
     * purgeKeys), lease-guarded, manifest rows filtered. The gate
-    * writes a day-partitioned store, expires everything before the
-    * cutoff, and must read back EXACTLY the oracle's WHERE day >=
-    * cutoff aggregate — plus the dropped-partition count the sweep
-    * reported, which the oracle recomputes as the distinct expired
-    * days. Proves both directions: everything young survives intact,
-    * everything old is gone, and the op's own accounting is honest.
+    * writes a month-partitioned store (the realistic retention grain
+    * for this table's density — day partitions at sf0.1 are ~240-row
+    * shards across ~2 500 dirs, a small-files antipattern the first
+    * bench run measured at 48 s of pure write/list overhead), expires
+    * everything before the cutoff, and must read back EXACTLY the
+    * oracle's WHERE month >= cutoff aggregate — plus the
+    * dropped-partition count the sweep reported, which the oracle
+    * recomputes as the distinct expired months. Proves all three:
+    * everything young survives intact, everything old is gone, and
+    * the op's own accounting is honest.
     */
   val s12Retention: Q = (s, d) => {
     val dir = java.nio.file.Files.createTempDirectory("graft-s12").toString + "/t"
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_quantity"),
-        Queries.dstr(col("l_shipdate")).as("day"))
-    li.write.partitionBy("day").parquet(dir)
-    val dropped = graft.ops.Store.expireBefore(s, dir, "day", "2001-09-01")
+        substring(Queries.dstr(col("l_shipdate")), 1, 7).as("month"))
+    li.write.partitionBy("month").parquet(dir)
+    val dropped = graft.ops.Store.expireBefore(s, dir, "month", "2000-01")
     s.read.parquet(dir)
-      .groupBy(col("day").cast("string").as("day"))
+      .groupBy(col("month").cast("string").as("month"))
       .agg(count(lit(1)).as("cnt"),
         graft.ops.Exact.sum2(col("l_quantity")).as("sum_qty"))
       .withColumn("n_dropped", lit(dropped))
-      .orderBy("day")
+      .orderBy("month")
   }
   val s12RetentionSql: String =
     s"""WITH base AS (
-       |  SELECT strftime(l_shipdate, '%Y-%m-%d') AS day, l_quantity
+       |  SELECT strftime(l_shipdate, '%Y-%m') AS month, l_quantity
        |  FROM lineitem),
        |nd AS (
-       |  SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_dropped
-       |  FROM base WHERE day < '2001-09-01')
-       |SELECT day, COUNT(*) AS cnt,
+       |  SELECT CAST(COUNT(DISTINCT month) AS BIGINT) AS n_dropped
+       |  FROM base WHERE month < '2000-01')
+       |SELECT month, COUNT(*) AS cnt,
        |  ${graft.ops.Exact.sum2Sql("l_quantity")} AS sum_qty, nd.n_dropped
-       |FROM base, nd WHERE day >= '2001-09-01'
-       |GROUP BY day, nd.n_dropped ORDER BY day""".stripMargin
+       |FROM base, nd WHERE month >= '2000-01'
+       |GROUP BY month, nd.n_dropped ORDER BY month""".stripMargin
 
   // ---- C20: canonical-URL dedup ----------------------------------------
 
