@@ -389,6 +389,47 @@ class CurationSpec extends SparkSpec {
     t.foreach(r => r._4 should be >= 1L)
   }
 
+  // ---- Dedup.lshRecall ------------------------------------------------
+
+  test("lshRecall: recall is monotone non-increasing over nested band " +
+    "configs; empty sample degrades to n_true = 0 with null recall") {
+    val docs = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again"),
+      (6L, "a completely different document about spark query planning"),
+      (8L, "a completely different document about spark query planning today"),
+      (10L, "unrelated text with its own words entirely"),
+      (12L, "more filler prose so the gated sample keeps several documents"),
+      (14L, "yet another page of distinct words to populate the sample")).toDF("id", "text")
+    // sampleMod = 1 keeps everything: the recall ordering claim is
+    // about banding, not the gate.
+    val t = graft.ops.Dedup.lshRecall(docs, "id", "text", 3, 16, Seq(2, 4, 8),
+        threshold = 0.5, sampleMod = 1)
+      .orderBy("rows_per_band")
+      .as[(Int, Int, Long, Long, Option[Long])].collect()
+    t.map(_._1).toSeq shouldBe Seq(2, 4, 8)
+    // n_true is config-independent by construction
+    t.map(_._3).distinct.length shouldBe 1
+    t.head._3 should be >= 2L // the exact pair and the near pair are both true
+    // nested band boundaries (2 | 4 | 8 all divide 16): a pair sharing
+    // a 2r-row band shares one of its r-row halves, so hits (and
+    // recall) can only DROP as rows-per-band grows
+    t(0)._4 should be >= t(1)._4
+    t(1)._4 should be >= t(2)._4
+    // the planted exact pair is hit by every config
+    t.foreach(r => r._4 should be >= 1L)
+    t.foreach(r => r._4 should be <= r._3)
+    // a gate that keeps nothing: no truth, no hits, NULL recall —
+    // never a division by zero
+    val empty = graft.ops.Dedup.lshRecall(docs, "id", "text", 3, 16, Seq(4),
+        threshold = 0.5, sampleMod = 1000003)
+      .as[(Int, Int, Long, Long, Option[Long])].collect()
+    empty.length shouldBe 1
+    empty.head._3 shouldBe 0L
+    empty.head._4 shouldBe 0L
+    empty.head._5 shouldBe None
+  }
+
   // ---- Graph.labelPropagate -------------------------------------------
 
   test("labelPropagate: two cliques joined by one bridge keep distinct " +
