@@ -20,6 +20,17 @@ import graft.ops.TextOps.seededHash60Sql
 object CurationQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Best-effort recursive delete for gate-local temp stores. Callers
+    * MUST materialize (localCheckpoint) any result that reads from the
+    * doomed dir before invoking this — the gate's consumer writes the
+    * frame AFTER the query function returns.
+    */
+  private def rmTreeQuiet(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTreeQuiet)
+    f.delete(); ()
+  }
+
   private def cosSql(x: String, y: String): String = {
     val c = s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
     s"(CASE WHEN isnan($c) THEN -1.0 ELSE $c END)"
@@ -1195,19 +1206,23 @@ object CurationQueries {
     * predicate pruning contract is CurationSpec's metrics lock.
     */
   val s11PartitionEvolution: Q = (s, d) => {
-    val dir = java.nio.file.Files.createTempDirectory("graft-s11").toString
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        Queries.dstr(col("l_shipdate")).as("day"))
-    li.filter(col("day") >= "2001-09-01")
-      .write.partitionBy("day").parquet(s"$dir/days")
-    li.filter(col("day") < "2001-09-01")
-      .withColumn("month", substring(col("day"), 1, 7)).drop("day")
-      .write.partitionBy("month").parquet(s"$dir/months")
-    graft.ops.Store.readEvolvedMonth(s, s"$dir/days", s"$dir/months")
-      .groupBy("month")
-      .agg(count(lit(1)).as("cnt"), graft.ops.Exact.sum2(col("l_quantity")).as("sum_qty"))
-      .orderBy("month")
+    val root = java.nio.file.Files.createTempDirectory("graft-s11").toFile
+    try {
+      val dir = root.getAbsolutePath
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          Queries.dstr(col("l_shipdate")).as("day"))
+      li.filter(col("day") >= "2001-09-01")
+        .write.partitionBy("day").parquet(s"$dir/days")
+      li.filter(col("day") < "2001-09-01")
+        .withColumn("month", substring(col("day"), 1, 7)).drop("day")
+        .write.partitionBy("month").parquet(s"$dir/months")
+      graft.ops.Store.readEvolvedMonth(s, s"$dir/days", s"$dir/months")
+        .groupBy("month")
+        .agg(count(lit(1)).as("cnt"), graft.ops.Exact.sum2(col("l_quantity")).as("sum_qty"))
+        .orderBy("month")
+        .localCheckpoint(eager = true) // materialize before the store dies
+    } finally rmTreeQuiet(root)
   }
   val s11PartitionEvolutionSql: String =
     s"""SELECT strftime(l_shipdate, '%Y-%m') AS month, COUNT(*) AS cnt,
@@ -1232,18 +1247,22 @@ object CurationQueries {
     * the op's own accounting is honest.
     */
   val s12Retention: Q = (s, d) => {
-    val dir = java.nio.file.Files.createTempDirectory("graft-s12").toString + "/t"
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_quantity"),
-        substring(Queries.dstr(col("l_shipdate")), 1, 7).as("month"))
-    li.write.partitionBy("month").parquet(dir)
-    val dropped = graft.ops.Store.expireBefore(s, dir, "month", "2000-01")
-    s.read.parquet(dir)
-      .groupBy(col("month").cast("string").as("month"))
-      .agg(count(lit(1)).as("cnt"),
-        graft.ops.Exact.sum2(col("l_quantity")).as("sum_qty"))
-      .withColumn("n_dropped", lit(dropped))
-      .orderBy("month")
+    val root = java.nio.file.Files.createTempDirectory("graft-s12").toFile
+    try {
+      val dir = new java.io.File(root, "t").getAbsolutePath
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          substring(Queries.dstr(col("l_shipdate")), 1, 7).as("month"))
+      li.write.partitionBy("month").parquet(dir)
+      val dropped = graft.ops.Store.expireBefore(s, dir, "month", "2000-01")
+      s.read.parquet(dir)
+        .groupBy(col("month").cast("string").as("month"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.ops.Exact.sum2(col("l_quantity")).as("sum_qty"))
+        .withColumn("n_dropped", lit(dropped))
+        .orderBy("month")
+        .localCheckpoint(eager = true) // materialize before the store dies
+    } finally rmTreeQuiet(root)
   }
   val s12RetentionSql: String =
     s"""WITH base AS (

@@ -191,11 +191,27 @@ object Curate {
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
+    // Migration: run dirs written before the expr.sql rendering hashed
+    // nbLabel.toString(). For the unresolved-column configurations such
+    // dirs could actually have been resumed under (resolved columns
+    // embedded per-session exprIds and were never cross-session
+    // resumable anyway), the legacy rendering is reproducible — accept
+    // it as an alternate match so the rendering change is lossless.
+    val legacyFp = {
+      val repr = Seq(
+        lexicon.toSeq.sortBy(_._1)
+          .map { case (k, v) => k + ":" + v.mkString("|") }.mkString(";"),
+        blockThreshold.toString, nbLabel.toString(), nbFeatures.toString,
+        mixRates.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";"),
+        mixDefault.toString, stops.mkString("|")).mkString(" ")
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
     val fpPath = new Path(runDir, "_params.sha256")
     if (fs.exists(fpPath)) {
       val in = fs.open(fpPath)
       val prev = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      require(prev == fp,
+      require(prev == fp || prev == legacyFp,
         s"pipelineStaged: run dir $runDir holds stages computed under a DIFFERENT " +
           "configuration (params fingerprint mismatch) — resuming would silently mix " +
           "configurations; pass a fresh runDir (or delete this one) to run with the " +

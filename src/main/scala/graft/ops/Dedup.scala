@@ -586,6 +586,34 @@ object Dedup {
       .agg(sort_array(collect_list(col("id"))).as("members"))
       .withColumn("rep", element_at(col("members"), 1))
 
+  /** The shared rep-level scaffold of [[lshTuning]] and [[lshRecall]]
+    * over a (persisted) [[contentGroups]] frame — the pieces whose
+    * arithmetic the two tables must AGREE on (both oracles and the
+    * DupStress K-replication identity depend on identical group
+    * semantics): the within-group member-pair count Σ C(m, 2) (one
+    * driver scalar), the rep-level shingle postings, and the rep set
+    * sizes (both map-side off the cached group rows).
+    */
+  private def groupScaffold(groups: DataFrame): (Long, DataFrame, DataFrame) = {
+    val nWithin = groups
+      .agg(coalesce(sum(expr("size(members) * cast(size(members) - 1 as bigint) div 2")),
+        lit(0L))).first().getLong(0)
+    val repSh = groups.select(col("rep").as("id"), explode(col("hs")).as("h"))
+    val sizes = groups.select(col("rep").as("id"),
+      size(col("hs")).cast(LongType).as("n"))
+    (nWithin, repSh, sizes)
+  }
+
+  /** All banding configurations in ONE frame, tagged by `rpb` — the
+    * single-pass multi-config shape [[lshTuning]] and [[lshRecall]]
+    * share: one union, one downstream bucket aggregation, never a
+    * per-config job cascade.
+    */
+  private def taggedBands(sigs: DataFrame, rowsPerBandConfigs: Seq[Int],
+                          k: Int): DataFrame =
+    rowsPerBandConfigs.map(r => bandsOf(sigs, r, k).withColumn("rpb", lit(r)))
+      .reduce(_ unionByName _)
+
   /** Quality-aware near-dup purge — the q_d9 "keep one per cluster"
     * rule with the keep decision a curation pipeline actually wants:
     * the member with the BEST score survives (ties break to the
@@ -1189,9 +1217,7 @@ object Dedup {
     // On a dup-heavy corpus the tuning table therefore costs
     // O(distinct²-in-bucket), not O(output) — the measurement stays
     // cheap even when the relation it measures explodes.
-    val nWithin = groups
-      .agg(coalesce(sum(expr("size(members) * cast(size(members) - 1 as bigint) div 2")),
-        lit(0L))).first().getLong(0)
+    val (nWithin, repSh, sizes) = groupScaffold(groups)
     val withinVerified = if (1.0 >= threshold) nWithin else 0L
     // Signatures come map-side off the cached hs arrays (sigFromHashSet
     // — bit-equal to minhashSigs, zero movement). The member count
@@ -1207,9 +1233,7 @@ object Dedup {
     val sigsW = groups.select(
       struct(col("rep").as("id"), size(col("members")).cast(LongType).as("m")).as("id"),
       sigFromHashSet(col("hs"), k).as("sig"))
-    val bandedAll = rowsPerBandConfigs.map(r =>
-        bandsOf(sigsW, r, k).withColumn("rpb", lit(r)))
-      .reduce(_ unionByName _)
+    val bandedAll = taggedBands(sigsW, rowsPerBandConfigs, k)
     val repCandAll = bandedAll
       .groupBy(col("rpb"), col("band"), col("sig"))
       .agg(collect_list(col("id")).as("ids"))
@@ -1225,11 +1249,6 @@ object Dedup {
     val candByCfg = repCandAll.groupBy(col("rpb"))
       .agg(coalesce(sum(col("w")), lit(0L)).as("nc"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // Rep shingle sets and per-rep set sizes come off the cached group
-    // frame — an explode and a map-side size(), no second corpus pass.
-    val repSh = groups.select(col("rep").as("id"), explode(col("hs")).as("h"))
-    val sizes = groups.select(col("rep").as("id"),
-      size(col("hs")).cast(LongType).as("n"))
     val verified = jaccardVerifySized(
         repCandAll.select(col("ia"), col("ib")).distinct(), repSh, sizes, "h")
       .filter(col("jac") >= threshold)
@@ -1284,13 +1303,8 @@ object Dedup {
     val groups = contentGroups(sample, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     groups.count()
-    val nWithin = groups
-      .agg(coalesce(sum(expr("size(members) * cast(size(members) - 1 as bigint) div 2")),
-        lit(0L))).first().getLong(0)
+    val (nWithin, repSh, sizes) = groupScaffold(groups)
     val withinTrue = if (1.0 >= threshold) nWithin else 0L
-    val repSh = groups.select(col("rep").as("id"), explode(col("hs")).as("h"))
-    val sizes = groups.select(col("rep").as("id"),
-      size(col("hs")).cast(LongType).as("n"))
     val mOf = groups.select(col("rep"), size(col("members")).cast(LongType).as("m"))
     // TRUTH: exact Jaccard off the inverted index — one self-join keyed
     // on the shingle hash (one row per SHARED shingle, never candidate ×
@@ -1314,10 +1328,7 @@ object Dedup {
     // hits are the truth ∩ candidate join, weight carried by truth.
     val repSigs = groups.select(col("rep").as("id"),
       sigFromHashSet(col("hs"), k).as("sig"))
-    val bandedAll = rowsPerBandConfigs.map(r =>
-        bandsOf(repSigs, r, k).withColumn("rpb", lit(r)))
-      .reduce(_ unionByName _)
-    val candAll = bandedAll
+    val candAll = taggedBands(repSigs, rowsPerBandConfigs, k)
       .groupBy(col("rpb"), col("band"), col("sig"))
       .agg(collect_list(col("id")).as("ids"))
       .where(size(col("ids")) > 1)

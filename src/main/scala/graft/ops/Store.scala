@@ -172,14 +172,22 @@ object Store {
                 // stale holder from a successor that slipped in through
                 // a resume-and-release + fresh-claim interleaving (the
                 // marker gates BREAKERS; first-attempt claimers never
-                // consult it). If the owner bytes moved on from our
-                // snapshot, the file under this path is no longer the
-                // lease our judgment was about — yield. (The byte
-                // re-read narrows the delete race to the microseconds
-                // between this read and rmQuiet; the irreversible
-                // publish steps are separately fenced by
-                // [[assertLeaseOwner]], see the contract note above.)
-                if (staleOwner.isEmpty || readOwner(lease) != staleOwner)
+                // consult it). If the owner bytes READ and moved on
+                // from our snapshot, the file under this path is no
+                // longer the lease our judgment was about — yield.
+                // UNREADABLE bytes on either read do NOT yield: a
+                // successor's healthy lease is heartbeat-fresh and was
+                // already caught by the mtime branch above, so a
+                // stale-mtime file whose bytes cannot be read is a
+                // dead writer's residue, and yielding on it forever
+                // would wedge the store behind an unbreakable lease
+                // (the mtime judgment — the pre-fence contract — is
+                // the correct fallback). The byte re-read narrows the
+                // delete race to the microseconds between this read
+                // and rmQuiet; the irreversible publish steps are
+                // separately fenced by [[assertLeaseOwner]].
+                val cur = readOwner(lease)
+                if (staleOwner.isDefined && cur.isDefined && cur != staleOwner)
                   throwHeld()
                 rmQuiet(lease)
                 if (!tryClaim()) throwHeld() // a first-attempt claimer won the gap

@@ -37,7 +37,7 @@ object DupStress {
     // the naive simhash/cosine shapes DO die; that IS the finding).
     val only: Set[String] = flags.find(_.startsWith("--only="))
       .map(_.stripPrefix("--only=").split(",").toSet)
-      .getOrElse(Set("text", "simhash", "cosine"))
+      .getOrElse(Set("text", "simhash", "cosine", "tuning"))
     val spark = graft.Sessions.local("graft-dupstress")
 
     val base = graft.Tables.documents(spark, sfDir)
@@ -173,10 +173,18 @@ object DupStress {
     var tRecall = -1.0
     if (only("tuning")) {
       import graft.ops.Dedup
-      // Replicate a text-DEDUPED base so every content group in the
+      // Replicate a CONTENT-deduped base so every content group in the
       // K-corpus is exactly the K replicas of one base doc — that makes
-      // the arithmetic identity below exact, not corpus-dependent.
-      val uBase = base.dropDuplicates("text").localCheckpoint(true)
+      // the arithmetic identity below exact, not corpus-dependent. The
+      // dedup key is the same identity the collapse groups by (the
+      // hashed shingle SET via contentGroups), NOT the raw text string:
+      // two texts differing only in whitespace tokenize identically and
+      // would otherwise share a group, breaking the K-per-group premise.
+      val uBase = base.join(
+          Dedup.contentGroups(base, "id", "text", 3)
+            .select(col("rep").as("id")),
+          Seq("id"), "left_semi")
+        .localCheckpoint(true)
       val nU = uBase.count()
       val uCorpus = (0 until k)
         .map(r => uBase.select((col("id") + lit(r.toLong * 10000000L)).as("id"),

@@ -184,11 +184,18 @@ class DedupSpec extends SparkSpec {
     // oracle) says Jaccard = 1/|B's set| < 0.5 — NOT verified.
     val bText = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
     val grams = bText.split(" ").sliding(3).map(_.mkString(" ")).toVector
+    // The k=1 signature minimizes the PERMUTED value ((h & mask)·a0+b0
+    // mod 2^30), not the raw hash — pick B's argmin under the SAME
+    // permutation the signature folds, or the collision premise only
+    // holds by coincidence of the two argmins agreeing.
+    def perm0(h: Long): Long =
+      ((h & Dedup.MinhashMask) * Dedup.minhashA(0) + Dedup.minhashB(0)) %
+        (Dedup.MinhashMask + 1)
     val gramHashes = Dedup.shingleHashSet(
         grams.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text"),
         "id", "text", 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val minGram = grams(gramHashes.minBy(_._2)._1.toInt)
+    val minGram = grams(gramHashes.minBy(kv => perm0(kv._2))._1.toInt)
     val docs2 = Seq((1L, minGram), (2L, bText)).toDF("id", "text")
     val row = Dedup.lshTuning(docs2, "id", "text", 3, k = 1,
       rowsPerBandConfigs = Seq(1), threshold = 0.5).collect()
