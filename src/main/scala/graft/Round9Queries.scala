@@ -375,8 +375,16 @@ object RoundNineQueries {
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
        |labels AS (
        |  SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+       |ranked4 AS MATERIALIZED (
+       |  -- keep-BEST per cluster by the stage-3 NB score (ties to the
+       |  -- smaller id) — the q_d20 purge algebra, which r13 wired into
+       |  -- the pipeline's neardup stage in place of keep-min
+       |  SELECT l.id,
+       |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+       |                       ORDER BY s.score DESC, l.id) AS rk
+       |  FROM labels l JOIN sc s ON s.id = l.id),
        |s4 AS MATERIALIZED (SELECT * FROM s3
-       |  WHERE id NOT IN (SELECT id FROM labels WHERE id <> cluster_id)),
+       |  WHERE id NOT IN (SELECT id FROM ranked4 WHERE rk > 1)),
        |evsh AS MATERIALIZED (
        |  SELECT DISTINCT ${hash60Sql("sh")} AS h
        |  FROM (SELECT unnest(list_transform(generate_series(1, len(toks) - 2),

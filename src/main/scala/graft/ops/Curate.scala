@@ -41,10 +41,20 @@ object Curate {
     *                      ([[TextOps.gopherWordGate]]);
     *   3. quality       — train the NB classifier ON THE SURVIVORS
     *                      (`nbLabel` as the positive class), keep
-    *                      score > 0; a doc with no hashable token has
-    *                      no score and is dropped (stated contract);
-    *   4. neardup       — keep each near-dup cluster's minimum-id
-    *                      member (the d9 purge algebra);
+    *                      score > 0 and ATTACH the score as `nb_score`
+    *                      (the next stage's keep criterion); a doc
+    *                      with no hashable token has no score and is
+    *                      dropped (stated contract);
+    *   4. neardup       — keep each near-dup cluster's BEST-scoring
+    *                      member by the stage-3 `nb_score`, ties to
+    *                      the smaller id (the d20 keep-best algebra,
+    *                      [[Dedup.keepBestLosers]]); keep-min threw
+    *                      away the highest-quality copy of every page
+    *                      whose best version was not its first-crawled
+    *                      one, two lines after the quality stage had
+    *                      scored exactly that. `nb_score` is consumed
+    *                      here and dropped — later stages and the
+    *                      survivor schema are unchanged;
     *   5. decontaminate — drop docs sharing ANY 3-shingle with
     *                      `evalSet` ([[Dedup.decontaminate]]);
     *   6. mixture       — per-source deterministic hash-gate keep rates
@@ -73,13 +83,12 @@ object Curate {
     "quality" -> { s2 =>
       val model = Classify.nbTrain(s2, "text", nbLabel, nbFeatures)
       val good = Classify.nbScore(s2, "id", "text", model, nbFeatures)
-        .filter(col("score") > 0).select(col("id"))
-      s2.join(good, Seq("id"), "left_semi")
+        .filter(col("score") > 0).select(col("id"), col("score").as("nb_score"))
+      s2.join(good, Seq("id"))
     },
     "neardup" -> { s3 =>
-      val removed = Dedup.dupClusters(Dedup.nearDupPairs(s3, "id", "text"))
-        .filter(col("id") =!= col("cluster_id")).select(col("id"))
-      s3.join(removed, Seq("id"), "left_anti")
+      val losers = Dedup.keepBestLosers(s3, "id", "text", col("nb_score"))
+      s3.join(losers, Seq("id"), "left_anti").drop("nb_score")
     },
     "decontaminate" -> { s4 =>
       val contaminated = Dedup.decontaminate(s4, evalSet, "id", "text")
@@ -181,29 +190,24 @@ object Curate {
       // legitimate cross-session resume under the identical
       // configuration (expr.sql strips them; unresolved col("lang")
       // renders the same either way).
-      val repr = Seq(
+      // The leading element versions the STAGE ALGEBRA, not a
+      // parameter: when a stage's semantics change (keep-best-v2
+      // replaced the keep-min neardup rule this fingerprint family
+      // was born under), every dir written by older code holds stage
+      // outputs the new code would never produce, and its `_SUCCESS`
+      // markers must be refused exactly like a parameter drift. (An
+      // earlier legacy-fingerprint acceptance existed for the
+      // rendering-only nbLabel change above; it is gone because the
+      // algebra bump makes EVERY pre-change fingerprint stale — and a
+      // separator defect meant it had never matched a real legacy dir
+      // anyway, so nothing that ever worked was removed.)
+      val repr = Seq("stagealg=2:neardup-keep-best-nb",
         lexicon.toSeq.sortBy(_._1)
           .map { case (k, v) => k + ":" + v.mkString("|") }.mkString(";"),
         blockThreshold.toString, graft.functions.Cols.expression(nbLabel).sql,
         nbFeatures.toString,
         mixRates.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";"),
-        mixDefault.toString, stops.mkString("|")).mkString(" ")
-      java.security.MessageDigest.getInstance("SHA-256")
-        .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    }
-    // Migration: run dirs written before the expr.sql rendering hashed
-    // nbLabel.toString(). For the unresolved-column configurations such
-    // dirs could actually have been resumed under (resolved columns
-    // embedded per-session exprIds and were never cross-session
-    // resumable anyway), the legacy rendering is reproducible — accept
-    // it as an alternate match so the rendering change is lossless.
-    val legacyFp = {
-      val repr = Seq(
-        lexicon.toSeq.sortBy(_._1)
-          .map { case (k, v) => k + ":" + v.mkString("|") }.mkString(";"),
-        blockThreshold.toString, nbLabel.toString(), nbFeatures.toString,
-        mixRates.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";"),
-        mixDefault.toString, stops.mkString("|")).mkString(" ")
+        mixDefault.toString, stops.mkString("|")).mkString("\u0000")
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
@@ -211,7 +215,7 @@ object Curate {
     if (fs.exists(fpPath)) {
       val in = fs.open(fpPath)
       val prev = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      require(prev == fp || prev == legacyFp,
+      require(prev == fp,
         s"pipelineStaged: run dir $runDir holds stages computed under a DIFFERENT " +
           "configuration (params fingerprint mismatch) — resuming would silently mix " +
           "configurations; pass a fresh runDir (or delete this one) to run with the " +

@@ -625,27 +625,49 @@ object Dedup {
     * highest-quality version of every page whose best copy is not its
     * first-crawled one.
     *
-    * Shape: the cluster map is |dup members| — tiny relative to the
-    * corpus — so it broadcasts onto the score frame for the attach,
-    * the per-cluster window runs over that bounded frame, and the
-    * loser set (members − clusters) broadcasts back for the anti-join,
-    * exactly the q_d9 layout. The corpus is never shuffled.
+    * Shape: the cluster map and the loser set are |dup members| rows.
+    * The q_d9 contract applies verbatim: on a lightly-duplicated
+    * corpus both frames are tiny and AQE converts the joins to
+    * broadcasts at runtime; on a dup-DOMINATED corpus (30–50% dup
+    * members is common at crawl scale) they are corpus-scale, and a
+    * forced broadcast hint would overflow the driver — so the hints
+    * are deliberately ABSENT and the join strategy is left to AQE's
+    * runtime statistics rather than to a scaladoc premise. The
+    * per-cluster window runs over the member-bounded frame either
+    * way; the corpus itself is never shuffled.
     *
     * Returns the surviving (id, score) rows.
     */
   def purgeKeepBest(df: DataFrame, idCol: String, textCol: String,
                     score: Column, threshold: Double = 0.5): DataFrame = {
     val scored = df.select(col(idCol).as("id"), score.as("score"))
+    scored.join(keepBestLosersOf(scored, df, idCol, textCol, threshold),
+      Seq("id"), "left_anti")
+  }
+
+  /** The LOSER side of [[purgeKeepBest]] — every dup-cluster member
+    * except its best-scoring one (ties to the smaller id) — exposed so
+    * a caller that already holds the corpus (the curation pipeline's
+    * neardup stage) can anti-join the losers directly instead of
+    * semi-joining against a corpus-sized survivor frame.
+    */
+  def keepBestLosers(df: DataFrame, idCol: String, textCol: String,
+                     score: Column, threshold: Double = 0.5): DataFrame =
+    keepBestLosersOf(df.select(col(idCol).as("id"), score.as("score")),
+      df, idCol, textCol, threshold)
+
+  private def keepBestLosersOf(scored: DataFrame, df: DataFrame,
+                               idCol: String, textCol: String,
+                               threshold: Double): DataFrame = {
     val clusters = dupClusters(nearDupPairs(df, idCol, textCol,
       threshold = threshold))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
       .orderBy(col("score").desc, col("id").asc)
-    val losers = scored.join(broadcast(clusters), Seq("id"))
+    scored.join(clusters, Seq("id"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") > 1)
       .select(col("id"))
-    scored.join(broadcast(losers), Seq("id"), "left_anti")
   }
 
   /** Standalone exact n-gram Jaccard near-dup pairs — no minhash

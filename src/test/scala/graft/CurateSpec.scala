@@ -20,6 +20,17 @@ class CurateSpec extends SparkSpec {
   private def mk(id: Long, shared: String): String =
     (1 to 30).flatMap(k => Seq(s"u${id}x$k", shared)).mkString(" ")
 
+  /** PERIODIC doc: `reps` repetitions of (u<id>rep good). Any two reps
+    * counts ≥ 3 give the IDENTICAL 3-shingle SET ({u g u, g u g}) — so
+    * a pair of them is near-dup-paired unconditionally (content-group
+    * semantics, no banding involved) — while the NB score scales with
+    * the occurrence count: score = reps · (w(u<id>rep) + w(good)).
+    * The deterministic way to plant a cluster whose BEST copy is not
+    * its min-id copy.
+    */
+  private def per(id: Long, reps: Int): String =
+    (1 to reps).flatMap(_ => Seq(s"u${id}rep", "good")).mkString(" ")
+
   test("pipeline drops each planted defect at its own stage and the " +
     "manifest attributes every drop") {
     val docs = Seq(
@@ -30,10 +41,12 @@ class CurateSpec extends SparkSpec {
       // stage-3 kill: the one non-en doc — its shared-word feature
       // carries negative class mass, score < 0
       (3L, mk(3, "bad"), "keep", "de"),
-      // stage-4 kill: exact twin pair; the larger id loses to the
-      // cluster minimum
-      (4L, mk(4, "good"), "keep", "en"),
-      (5L, mk(4, "good"), "keep", "en"),
+      // stage-4 kill: near-dup twins whose BETTER-scoring copy is the
+      // LARGER id (id 5 repeats the same periodic content 45× vs 30×,
+      // so its NB score is 1.5× id 4's) — keep-min would keep id 4 and
+      // throw the best copy away; keep-best must keep id 5
+      (4L, per(4, 30), "keep", "en"),
+      (5L, per(4, 45), "keep", "en"),
       // stage-5 kill: shares the "alpha beta gamma" shingle with eval
       (6L, mk(6, "good") + " alpha beta gamma", "keep", "en"),
       // stage-6 kill: source routed to a 0.0 keep rate
@@ -61,9 +74,11 @@ class CurateSpec extends SparkSpec {
         (4L, "neardup", 8L, 1L, 7L),
         (5L, "decontaminate", 7L, 1L, 6L),
         (6L, "mixture", 6L, 1L, 5L))
-    // the twin that survives dedup is the cluster MINIMUM (id 4)
+    // the twin that survives dedup is the BEST-scoring member (id 5),
+    // NOT the cluster minimum — the d20 keep-best rule, live in the
+    // composed pipeline
     survivors.select("id").as[Long].collect().toSet shouldBe
-      Set(4L, 8L, 9L, 10L, 11L)
+      Set(5L, 8L, 9L, 10L, 11L)
   }
 
   test("staged pipeline matches the in-session pipeline, and a run killed " +
@@ -149,6 +164,31 @@ class CurateSpec extends SparkSpec {
       runDir = runDir, stops = Seq("good", "bad"))
       ._2.orderBy("stage")
       .as[(Long, String, Long, Long, Long)].collect().toSeq shouldBe mfRows
+
+    // ---- a dir stamped by PRE-keep-best code (the exact byte formats
+    // old code wrote to _params.sha256: NUL-joined repr WITHOUT the
+    // stage-algebra tag — both the expr.sql rendering and the older
+    // Column.toString rendering) must be REFUSED: its stage04_neardup
+    // holds keep-MIN output the current algebra would never produce,
+    // so accepting it would silently mix purge rules across stages.
+    def sha(repr: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val nbl = col("lang") === "en"
+    def oldRepr(label: String): String = Seq(
+      "latency:slow|fast", "2", label, "256",
+      "cut=0.0;keep=1.0", "1.0", "good|bad").mkString("\u0000")
+    for (staleFp <- Seq(
+        sha(oldRepr(graft.functions.Cols.expression(nbl).sql)), // r12 format
+        sha(oldRepr(nbl.toString())))) {                        // pre-r12 format
+      // drop the CRC sidecar Hadoop's checksummed local fs keeps for
+      // the file we are overwriting behind its back
+      new java.io.File(runDir, "._params.sha256.crc").delete()
+      java.nio.file.Files.writeString(
+        new java.io.File(runDir, "_params.sha256").toPath, staleFp)
+      val stale = intercept[IllegalArgumentException](run(runDir))
+      stale.getMessage should include("fingerprint")
+    }
     rmTree(new java.io.File(runDir))
   }
 }
