@@ -20,17 +20,6 @@ import graft.ops.TextOps.seededHash60Sql
 object CurationQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Best-effort recursive delete for gate-local temp stores. Callers
-    * MUST materialize (localCheckpoint) any result that reads from the
-    * doomed dir before invoking this — the gate's consumer writes the
-    * frame AFTER the query function returns.
-    */
-  private def rmTreeQuiet(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTreeQuiet)
-    f.delete(); ()
-  }
-
   private def cosSql(x: String, y: String): String = {
     val c = s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
     s"(CASE WHEN isnan($c) THEN -1.0 ELSE $c END)"
@@ -390,29 +379,32 @@ object CurationQueries {
   val st12StreamUpsert: Q = (s, d) => StreamQueries.withStatePartitions(s, 8) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val cutoff = "2024-01-20"
-    val dir = java.nio.file.Files.createTempDirectory("graft-st12").toString
-    val store = s"$dir/store"
-    val ev = Tables.events(s, d).withColumn("day", Queries.dstr(col("ts")))
-    graft.ops.Store.latestByKey(ev.filter(col("day") < cutoff),
-        Seq("day", "user_id", "event_type"), "ts", "event_id")
-      .write.partitionBy("day").parquet(store)
-    val raw = s.read.parquet(s"$d/events.parquet")
-    val q = Tables.normalizeTs(s.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d))
-      .withColumn("day", Queries.dstr(col("ts")))
-      .filter(col("day") >= cutoff)
-      .writeStream
-      .option("checkpointLocation", s"$dir/ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.Store.upsert(s, store, batch, "day",
+    graft.ops.TempFiles.withTempDir("graft-st12") { root =>
+      val dir = root.getAbsolutePath
+      val store = s"$dir/store"
+      val ev = Tables.events(s, d).withColumn("day", Queries.dstr(col("ts")))
+      graft.ops.Store.latestByKey(ev.filter(col("day") < cutoff),
           Seq("day", "user_id", "event_type"), "ts", "event_id")
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.read.parquet(store)
-      .select(col("day"), col("user_id"), col("event_type"),
-        col("event_id"), col("value"))
-      .orderBy("day", "user_id", "event_type")
+        .write.partitionBy("day").parquet(store)
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val q = Tables.normalizeTs(s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
+        .withColumn("day", Queries.dstr(col("ts")))
+        .filter(col("day") >= cutoff)
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ops.Store.upsert(s, store, batch, "day",
+            Seq("day", "user_id", "event_type"), "ts", "event_id")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(store)
+        .select(col("day"), col("user_id"), col("event_type"),
+          col("event_id"), col("value"))
+        .orderBy("day", "user_id", "event_type")
+        .localCheckpoint(eager = true) // materialize before the store dies
+    }
   }
   val st12StreamUpsertSql: String =
     """SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, event_type, event_id, value
@@ -1075,41 +1067,44 @@ object CurationQueries {
     * out-of-order batch arrival is CurationSpec's probe.
     */
   val st13StreamCdc: Q = (s, d) => StreamQueries.withStatePartitions(s, 8) {
-    val dir = java.nio.file.Files.createTempDirectory("graft-st13").toString
-    val store = s"$dir/store"
-    val payload = Seq("o_custkey", "o_orderstatus", "o_totalprice")
-    val o = Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_custkey"),
-        col("o_orderstatus"), col("o_totalprice"))
-    def ev(df: DataFrame, seq: Int, op: String) =
-      df.withColumn("seq", lit(seq.toLong)).withColumn("op", lit(op))
-    // seed: the seq-1 insert snapshot, with its (seq, op) persisted
-    ev(o, 1, "I").write.parquet(store)
-    // the streamed tail: seq-2 updates + seq-3 deletes (the q_s6 feed)
-    ev(o.filter(col("o_orderkey") % 7 === 0)
-        .withColumn("o_orderstatus", lit("U2")), 2, "U")
-      .unionByName(ev(o.filter(col("o_orderkey") % 13 === 0), 3, "D"))
-      .write.parquet(s"$dir/feed")
-    val schema = s.read.parquet(s"$dir/feed").schema
-    val q = s.readStream.schema(schema).parquet(s"$dir/feed")
-      .writeStream
-      .option("checkpointLocation", s"$dir/ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val st = s.read.parquet(store)
-        Maintain.applyCdcState(
-            st.unionByName(batch.select(st.columns.map(col): _*)),
-            "o_orderkey", "seq", col("seq"), "op", payload)
-          // lineage cut BEFORE overwriting the dir we just read
-          .localCheckpoint(eager = true)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(store)
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.read.parquet(store)
-      .filter(col("op") =!= "D")
-      .select(col("o_orderkey"), col("o_custkey"),
-        col("o_orderstatus"), col("o_totalprice"))
-      .orderBy("o_orderkey")
+    graft.ops.TempFiles.withTempDir("graft-st13") { root =>
+      val dir = root.getAbsolutePath
+      val store = s"$dir/store"
+      val payload = Seq("o_custkey", "o_orderstatus", "o_totalprice")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      def ev(df: DataFrame, seq: Int, op: String) =
+        df.withColumn("seq", lit(seq.toLong)).withColumn("op", lit(op))
+      // seed: the seq-1 insert snapshot, with its (seq, op) persisted
+      ev(o, 1, "I").write.parquet(store)
+      // the streamed tail: seq-2 updates + seq-3 deletes (the q_s6 feed)
+      ev(o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderstatus", lit("U2")), 2, "U")
+        .unionByName(ev(o.filter(col("o_orderkey") % 13 === 0), 3, "D"))
+        .write.parquet(s"$dir/feed")
+      val schema = s.read.parquet(s"$dir/feed").schema
+      val q = s.readStream.schema(schema).parquet(s"$dir/feed")
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val st = s.read.parquet(store)
+          Maintain.applyCdcState(
+              st.unionByName(batch.select(st.columns.map(col): _*)),
+              "o_orderkey", "seq", col("seq"), "op", payload)
+            // lineage cut BEFORE overwriting the dir we just read
+            .localCheckpoint(eager = true)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(store)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(store)
+        .filter(col("op") =!= "D")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+        .localCheckpoint(eager = true) // materialize before the store dies
+    }
   }
   val st13StreamCdcSql: String =
     """WITH cdc AS (
@@ -1205,9 +1200,8 @@ object CurationQueries {
     * plain single-layout aggregation (the oracle). The transposed-
     * predicate pruning contract is CurationSpec's metrics lock.
     */
-  val s11PartitionEvolution: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("graft-s11").toFile
-    try {
+  val s11PartitionEvolution: Q = (s, d) =>
+    graft.ops.TempFiles.withTempDir("graft-s11") { root =>
       val dir = root.getAbsolutePath
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
@@ -1222,8 +1216,7 @@ object CurationQueries {
         .agg(count(lit(1)).as("cnt"), graft.ops.Exact.sum2(col("l_quantity")).as("sum_qty"))
         .orderBy("month")
         .localCheckpoint(eager = true) // materialize before the store dies
-    } finally rmTreeQuiet(root)
-  }
+    }
   val s11PartitionEvolutionSql: String =
     s"""SELECT strftime(l_shipdate, '%Y-%m') AS month, COUNT(*) AS cnt,
        |  ${graft.ops.Exact.sum2Sql("l_quantity")} AS sum_qty
@@ -1246,9 +1239,8 @@ object CurationQueries {
     * everything young survives intact, everything old is gone, and
     * the op's own accounting is honest.
     */
-  val s12Retention: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("graft-s12").toFile
-    try {
+  val s12Retention: Q = (s, d) =>
+    graft.ops.TempFiles.withTempDir("graft-s12") { root =>
       val dir = new java.io.File(root, "t").getAbsolutePath
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_quantity"),
@@ -1262,8 +1254,7 @@ object CurationQueries {
         .withColumn("n_dropped", lit(dropped))
         .orderBy("month")
         .localCheckpoint(eager = true) // materialize before the store dies
-    } finally rmTreeQuiet(root)
-  }
+    }
   val s12RetentionSql: String =
     s"""WITH base AS (
        |  SELECT strftime(l_shipdate, '%Y-%m') AS month, l_quantity

@@ -245,12 +245,8 @@ object RoundNineQueries {
     new java.util.concurrent.ConcurrentHashMap[String, (java.io.File, Seq[(Long, String, Long, Long, Long)])]()
   private lazy val t33RunRoot: java.io.File = {
     val root = java.nio.file.Files.createTempDirectory("graft-t33-shared").toFile
-    sys.addShutdownHook(rmTree(root))
+    sys.addShutdownHook(graft.ops.TempFiles.rmTree(root))
     root
-  }
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-    f.delete()
   }
 
   /** Execute the staged pipeline at the q_t33 publication configuration
@@ -274,7 +270,7 @@ object RoundNineQueries {
       .select($"doc_id".as("id"), $"text")
     val runDir = new java.io.File(t33RunRoot,
       java.lang.Integer.toHexString(d.hashCode) + "/run")
-    rmTree(runDir)
+    graft.ops.TempFiles.rmTree(runDir)
     val (_, manifest) = graft.ops.Curate.pipelineStaged(corpus, evalSet,
       lexicon = Map("latency" -> Seq("slow", "fast"), "size" -> Seq("big", "small")),
       blockThreshold = 8,

@@ -610,13 +610,7 @@ object StreamQueries {
     import org.apache.spark.sql.{Dataset, Row}
     import org.apache.spark.sql.types.{StructType, StructField, LongType,
       ArrayType, DoubleType}
-    val root = java.nio.file.Files.createTempDirectory("graft-st14").toFile
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete()
-    }
-    try {
+    graft.ops.TempFiles.withTempDir("graft-st14") { root =>
       val srcDir = new java.io.File(root, "src").getAbsolutePath
       PipelineQueries.corpus(s, d).repartition(4, col("id"))
         .write.parquet(srcDir)
@@ -661,7 +655,7 @@ object StreamQueries {
         StructField("ib", LongType), StructField("jac", DoubleType)))
       s.createDataFrame(java.util.Arrays.asList(acc.toSeq: _*), outSchema)
         .orderBy("ia", "ib")
-    } finally rmTree(root)
+    }
   }
   /** The from-scratch batch pipeline IS the oracle (see scaladoc). */
   val st14StreamNearDupSql: String = PipelineQueries.d2MinHashLshSql
@@ -680,13 +674,7 @@ object StreamQueries {
   val st15StreamIvf: Q = (s, d) => {
     import org.apache.spark.sql.{Dataset, Row}
     import s.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft-st15").toFile
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete()
-    }
-    try {
+    graft.ops.TempFiles.withTempDir("graft-st15") { root =>
       val vecs = Tables.embeddings(s, d)
         .select($"vec_id".as("vid"), $"embedding".cast("array<double>").as("e"))
       // Centroids and the search query are CONFIG, not stream: they load
@@ -718,7 +706,7 @@ object StreamQueries {
       graft.ops.Vectors.ivfSearch(stored, centroids, query, nProbe = 2, k = 8)
         .select($"vid".as("vec_id"), $"cid", $"cos_sim")
         .localCheckpoint(true)
-    } finally rmTree(root)
+    }
   }
   /** The from-scratch IVF build + search IS the oracle (see scaladoc). */
   val st15StreamIvfSql: String = PipelineQueries.e13IncrIvfSql
@@ -748,13 +736,7 @@ object StreamQueries {
   val st16StreamContamination: Q = (s, d) => {
     import org.apache.spark.sql.{Dataset, Row}
     import s.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft-st16").toFile
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete()
-    }
-    try {
+    graft.ops.TempFiles.withTempDir("graft-st16") { root =>
       val all = Tables.documents(s, d).select($"doc_id".as("id"), $"text")
       val corpusDocs = all.filter($"id" % 31 =!= 0 && $"id" % 37 =!= 0)
       val evalShingles = Seq(
@@ -791,7 +773,7 @@ object StreamQueries {
         s"stream delivered $nBatches batch(es); the multi-batch contract needs >= 2")
       tally.toSeq.map { case (b, (nd, nh)) => (b, nd, nh) }
         .toDF("bench", "n_docs_hit", "n_hits").orderBy("bench")
-    } finally rmTree(root)
+    }
   }
   /** The batch contamination report IS the oracle (see scaladoc). */
   val st16StreamContaminationSql: String =
