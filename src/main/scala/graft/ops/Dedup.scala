@@ -1314,26 +1314,53 @@ object Dedup {
     * (Jaccard exactly 1.0) are true AND hit in every config; weighted
     * rep-level counting therefore equals member-level enumeration, the
     * same argument (and spec shape) as [[lshTuning]].
+    *
+    * `truthDfCap`: the truth self-join costs Σ_h df_h² over the
+    * SAMPLE's rep-level postings, and hash sampling shrinks a
+    * boilerplate shingle's df only linearly — one navigation chrome
+    * string shared by most of the sample still costs df² join rows.
+    * A cap restricts the TRUTH's shingle universe to informative
+    * shingles (rep-level df ≤ cap), with pair sizes recomputed over
+    * that universe — exactly [[ngramJaccardPairs]]'s stop-shingle
+    * contract, and truth becomes "exact Jaccard within the informative
+    * universe" (within-group identical-content pairs stay true: equal
+    * sets are equal under any universe). `None` (the default, the
+    * q_d19 gate's setting) keeps full-universe truth — right for
+    * corpora known boilerplate-free, a documented hazard otherwise.
     */
   def lshRecall(df: DataFrame, idCol: String, textCol: String, shingleN: Int,
                 k: Int, rowsPerBandConfigs: Seq[Int], threshold: Double,
-                sampleMod: Int): DataFrame = {
+                sampleMod: Int, truthDfCap: Option[Int] = None): DataFrame = {
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    require(truthDfCap.forall(_ >= 1), s"truthDfCap must be >= 1, got $truthDfCap")
     val spark = df.sparkSession
     val sample = df.filter(
       pmod(TextOps.hash60(col(idCol).cast("string")), lit(sampleMod.toLong)) === 0)
     val groups = contentGroups(sample, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     groups.count()
-    val (nWithin, repSh, sizes) = groupScaffold(groups)
+    val (nWithin, repSh, fullSizes) = groupScaffold(groups)
     val withinTrue = if (1.0 >= threshold) nWithin else 0L
     val mOf = groups.select(col("rep"), size(col("members")).cast(LongType).as("m"))
+    // Informative-universe gate for the truth side only (candidates
+    // band over the FULL sets — that is what production LSH sees, and
+    // recall against informative-universe truth is the question asked).
+    val (postings, sizes) = truthDfCap match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+        val informative = repSh.withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= cap).drop("df")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        informative.count()
+        (informative, informative.groupBy(col("id")).agg(count(lit(1)).as("n")))
+      case None => (repSh, fullSizes)
+    }
     // TRUTH: exact Jaccard off the inverted index — one self-join keyed
     // on the shingle hash (one row per SHARED shingle, never candidate ×
     // set-size), then the size join. Weight w = ma·mb expands rep truth
     // to member truth without enumerating members.
-    val truth = repSh.select(col("h"), col("id").as("ia"))
-      .join(repSh.select(col("h"), col("id").as("ib")), Seq("h"))
+    val truth = postings.select(col("h"), col("id").as("ia"))
+      .join(postings.select(col("h"), col("id").as("ib")), Seq("h"))
       .where(col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("id").as("ia"), col("n").as("na")), Seq("ia"))
@@ -1367,6 +1394,7 @@ object Dedup {
       (r, k / r, nTrue, nHit,
         if (nTrue == 0) None else Some(nHit * 1000000L / nTrue))
     }
+    if (postings ne repSh) postings.unpersist()
     groups.unpersist()
     import spark.implicits._
     rows.toDF("rows_per_band", "n_bands", "n_true", "n_hit", "recall_ppm")

@@ -44,9 +44,13 @@ object DupStress {
       .select(col("doc_id").as("id"), col("text"))
     val nBase = base.count()
     // K byte-identical replicas on disjoint id ranges: every base doc
-    // becomes a copy family of size K.
+    // becomes a copy family of size K. The stride derives from the
+    // actual id range — a fixed constant would silently collide (and
+    // break the K-family premise) once base ids outgrow it at larger
+    // scale factors.
+    val idStride = base.agg(max(col("id"))).first().getLong(0) + 1L
     val corpus = (0 until k)
-      .map(r => base.select((col("id") + lit(r.toLong * 10000000L)).as("id"), col("text")))
+      .map(r => base.select((col("id") + lit(r.toLong * idStride)).as("id"), col("text")))
       .reduce(_ unionByName _)
       .localCheckpoint(true)
     System.err.println(s"[dupstress] base=$nBase docs, K=$k => ${nBase * k} rows")
@@ -186,8 +190,13 @@ object DupStress {
           Seq("id"), "left_semi")
         .localCheckpoint(true)
       val nU = uBase.count()
+      // Replica ids must be DISJOINT across the K copies or the
+      // K-per-group premise (and the identity below) silently breaks —
+      // derive the stride from the actual id range instead of assuming
+      // base ids stay under a fixed constant at every scale factor.
+      val idStride = uBase.agg(max(col("id"))).first().getLong(0) + 1L
       val uCorpus = (0 until k)
-        .map(r => uBase.select((col("id") + lit(r.toLong * 10000000L)).as("id"),
+        .map(r => uBase.select((col("id") + lit(r.toLong * idStride)).as("id"),
           col("text")))
         .reduce(_ unionByName _)
         .localCheckpoint(true)

@@ -173,6 +173,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lshRecall truthDfCap: a no-op cap is bit-identical to full-universe " +
+    "truth, and a boilerplate-dominated corpus loses its boilerplate-only " +
+    "true pairs under the cap") {
+    import spark.implicits._
+    // 20 docs = one 12-word boilerplate sentence + 2 doc-unique tokens:
+    // every cross pair shares exactly the 10 boilerplate shingles
+    // (J = 10/14 ≥ 0.5 — true ONLY via boilerplate), while the 2
+    // junction shingles per doc are df-1 informative.
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val docs20 = (0L until 20L).map(i => (i, s"$boiler zq${i}a zq${i}b"))
+      .toDF("id", "text")
+    def recall(cap: Option[Int]) =
+      Dedup.lshRecall(docs20, "id", "text", 3, 16, Seq(2, 4), 0.5,
+        sampleMod = 1, truthDfCap = cap).collect()
+        .map(r => (r.getInt(0), r.getLong(2), r.getLong(3))).toSeq
+    val full = recall(None)
+    // every one of the C(20,2) cross pairs is true in the full universe
+    full.map(_._2).distinct shouldBe Seq(190L)
+    // a cap no shingle reaches changes nothing, bit for bit
+    recall(Some(1000000)) shouldBe full
+    // a cap below the boilerplate df (20) removes the only shared
+    // shingles: the informative-universe truth is empty
+    recall(Some(5)).map(_._2).distinct shouldBe Seq(0L)
+  }
+
   test("lshTuning verifies sig-colliding DISTINCT contents exactly (content-keyed groups)") {
     import spark.implicits._
     // Two documents with DIFFERENT shingle sets but IDENTICAL minhash
