@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextOps}
+
+/** Round-13 additions to the oracle-gated registry: the LSH
+  * operating-point CHOOSER (q_d21) — the decision the q_d17 precision
+  * and q_d19 recall tables exist to inform, now itself oracle-gated.
+  *
+  * Session-scoped file (the CurationQueries pattern) so the older
+  * registries stay stable.
+  */
+object Round13Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- D21: LSH operating-point chooser --------------------------------
+
+  /** Floors for the gated choice, picked against the sf-family corpus
+    * shape so BOTH constraints genuinely bite (measured at sf0.01:
+    * precision_ppm 900000/1000000/1000000 and recall_ppm
+    * 1000000/1000000/952380 for rpb 2/4/8): rpb=2 fails the precision
+    * floor (spurious candidates), rpb=8 — the cheapest config by
+    * candidate count — fails the recall floor, so the chooser must
+    * REJECT the cost minimum on feasibility and take rpb=4. The oracle
+    * replays the full decision — both metrics, feasibility, and the
+    * argmin — from the two tables' member-level algebra. (The
+    * cost-tiebreak among multiple feasible configs is DedupSpec's
+    * pin.)
+    */
+  val d21PrecisionFloorPpm = 950000L
+  val d21RecallFloorPpm = 960000L
+
+  /** D21: [[Dedup.chooseLshConfig]] over the planted dedup corpus —
+    * one row per (bands × rowsPerBand) config carrying both measured
+    * axes (precision / recall in ppm vs exact sample truth), the
+    * feasibility verdict against the floors, and the `chosen` mark on
+    * the cheapest feasible config (fewest candidates, ties to larger
+    * rowsPerBand). One shared signature/scaffold pass prices both
+    * axes: on the same sample, d17's verified set IS d19's
+    * truth ∩ candidates.
+    */
+  val d21LshChoose: Q = (s, d) =>
+    Dedup.chooseLshConfig(PipelineQueries.corpus(s, d), "id", "text",
+        shingleN = 3, k = 16, rowsPerBandConfigs = Seq(2, 4, 8),
+        threshold = 0.5, sampleMod = 2,
+        precisionFloorPpm = d21PrecisionFloorPpm,
+        recallFloorPpm = d21RecallFloorPpm)
+      .orderBy("rows_per_band")
+
+  private def d21Block(r: Int): String = {
+    val b = 16 / r
+    s"""bands$r AS (
+       |  SELECT id, j // $r AS band,
+       |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY 1, 2),
+       |cand$r AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM bands$r a JOIN bands$r b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |row$r AS (
+       |  SELECT $r AS rows_per_band, $b AS n_bands,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$r) AS n_candidates,
+       |    (SELECT CAST(COUNT(*) AS BIGINT)
+       |     FROM cand$r c JOIN truth t ON t.ia = c.ia AND t.ib = c.ib) AS n_verified,
+       |    (SELECT nt FROM nt) AS n_true)""".stripMargin
+  }
+
+  val d21LshChooseSql: String =
+    s"""WITH ${PipelineQueries.corpusSql},
+       |sample AS (
+       |  SELECT id, text FROM corpus
+       |  WHERE ${TextOps.hash60Sql("CAST(id AS VARCHAR)")} % 2 = 0),
+       |${PipelineQueries.shingleSql.replace("FROM corpus", "FROM sample")},
+       |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT x.id AS ia, y.id AS ib, COUNT(*) AS inter
+       |  FROM sh x JOIN sh y ON y.h = x.h AND x.id < y.id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT i.ia, i.ib
+       |  FROM inter i JOIN sizes na ON na.id = i.ia
+       |               JOIN sizes nb ON nb.id = i.ib
+       |  WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.5),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM truth),
+       |mh AS (
+       |${Dedup.minhashSql(16)}),
+       |${d21Block(2)},
+       |${d21Block(4)},
+       |${d21Block(8)},
+       |tbl AS (SELECT * FROM row2 UNION ALL SELECT * FROM row4
+       |        UNION ALL SELECT * FROM row8),
+       |calc AS (
+       |  SELECT *,
+       |    CASE WHEN n_candidates = 0 THEN NULL
+       |         ELSE n_verified * 1000000 // n_candidates END AS precision_ppm,
+       |    CASE WHEN n_true = 0 THEN NULL
+       |         ELSE n_verified * 1000000 // n_true END AS recall_ppm
+       |  FROM tbl),
+       |feas AS (
+       |  SELECT *, COALESCE(precision_ppm >= $d21PrecisionFloorPpm, FALSE)
+       |        AND COALESCE(recall_ppm >= $d21RecallFloorPpm, FALSE) AS feasible
+       |  FROM calc),
+       |sel AS (SELECT rows_per_band FROM feas WHERE feasible
+       |        ORDER BY n_candidates, rows_per_band DESC LIMIT 1)
+       |SELECT rows_per_band, n_bands, n_candidates, n_verified, n_true,
+       |  precision_ppm, recall_ppm, feasible,
+       |  feasible AND rows_per_band IN (SELECT rows_per_band FROM sel) AS chosen
+       |FROM feas ORDER BY rows_per_band""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q_d21_lsh_choose" -> d21LshChoose
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_d21_lsh_choose" -> d21LshChooseSql
+  )
+}

@@ -1400,6 +1400,128 @@ object Dedup {
     rows.toDF("rows_per_band", "n_bands", "n_true", "n_hit", "recall_ppm")
   }
 
+  /** LSH OPERATING-POINT CHOOSER — closes the tuning loop the
+    * [[lshTuning]] (precision) and [[lshRecall]] (recall) tables exist
+    * for: measure BOTH axes for every (bands × rowsPerBand) config in
+    * ONE pass over the deterministic hash-gated sample, mark each
+    * config `feasible` iff its precision AND recall clear the caller's
+    * floors, and mark `chosen` the cheapest feasible config — fewest
+    * candidate pairs (candidates are the verify work a production run
+    * pays), ties to the larger rowsPerBand (fewer bands = cheaper
+    * banding). Row order and the choice are fully deterministic.
+    *
+    * ONE shared pass, not two table calls: on the same sample and
+    * shingle universe, d17's "verified" set (candidates with exact
+    * Jaccard ≥ threshold) IS d19's "truth ∩ candidates" — so a single
+    * truth join prices both axes. Per config:
+    *   precision_ppm = n_verified·1e6 div n_candidates,
+    *   recall_ppm    = n_verified·1e6 div n_true,
+    * with the within-group (identical-content) terms added to all
+    * three counts exactly as in the two source tables. A config with
+    * zero candidates has UNDEFINED precision (null) and is never
+    * feasible — no evidence is not passing evidence; likewise a
+    * zero-truth sample leaves every config infeasible rather than
+    * vacuously feasible.
+    *
+    * The precision here is measured on the SAMPLE (lshTuning measures
+    * the full corpus): the chooser's whole point is pricing the
+    * operating point BEFORE paying for a corpus pass, and the sample
+    * is the only place exact truth is affordable — both axes are
+    * estimates of the same population quantities. `truthDfCap` is
+    * [[lshRecall]]'s informative-universe gate, applied to truth and
+    * verification consistently.
+    *
+    * Returns one row per config: (rows_per_band, n_bands,
+    * n_candidates, n_verified, n_true, precision_ppm, recall_ppm,
+    * feasible, chosen).
+    */
+  def chooseLshConfig(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int, k: Int, rowsPerBandConfigs: Seq[Int],
+                      threshold: Double, sampleMod: Int,
+                      precisionFloorPpm: Long, recallFloorPpm: Long,
+                      truthDfCap: Option[Int] = None): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    require(truthDfCap.forall(_ >= 1), s"truthDfCap must be >= 1, got $truthDfCap")
+    val spark = df.sparkSession
+    val sample = df.filter(
+      pmod(TextOps.hash60(col(idCol).cast("string")), lit(sampleMod.toLong)) === 0)
+    val groups = contentGroups(sample, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    groups.count()
+    val (nWithin, repSh, fullSizes) = groupScaffold(groups)
+    val withinTrue = if (1.0 >= threshold) nWithin else 0L
+    val mOf = groups.select(col("rep"), size(col("members")).cast(LongType).as("m"))
+    val (postings, sizes) = truthDfCap match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+        val informative = repSh.withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= cap).drop("df")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        informative.count()
+        (informative, informative.groupBy(col("id")).agg(count(lit(1)).as("n")))
+      case None => (repSh, fullSizes)
+    }
+    // truth: the lshRecall inverted-index join, rep level, weighted
+    val truth = postings.select(col("h"), col("id").as("ia"))
+      .join(postings.select(col("h"), col("id").as("ib")), Seq("h"))
+      .where(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("ia"), col("n").as("na")), Seq("ia"))
+      .join(sizes.select(col("id").as("ib"), col("n").as("nb")), Seq("ib"))
+      .where(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))
+        >= threshold)
+      .join(mOf.select(col("rep").as("ia"), col("m").as("ma")), Seq("ia"))
+      .join(mOf.select(col("rep").as("ib"), col("m").as("mb")), Seq("ib"))
+      .select(col("ia"), col("ib"), (col("ma") * col("mb")).as("w"))
+      .localCheckpoint(eager = true)
+    val nTrue = withinTrue +
+      truth.agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
+    // candidates: the lshTuning weighted banding, all configs one pass
+    val sigsW = groups.select(
+      struct(col("rep").as("id"), size(col("members")).cast(LongType).as("m")).as("id"),
+      sigFromHashSet(col("hs"), k).as("sig"))
+    val repCandAll = taggedBands(sigsW, rowsPerBandConfigs, k)
+      .groupBy(col("rpb"), col("band"), col("sig"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(col("rpb"), explode(col("ids")).as("ia"), col("ids"))
+      .select(col("rpb"), col("ia"), explode(col("ids")).as("ib"))
+      .where(col("ia") < col("ib"))
+      .select(col("rpb"), col("ia.id").as("ia"), col("ib.id").as("ib"),
+        (col("ia.m") * col("ib.m")).as("w"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val candByCfg = repCandAll.groupBy(col("rpb"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("nc"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // verified = truth ∩ candidates: one candidate-bounded join prices
+    // both precision's numerator and recall's hit count
+    val verByCfg = repCandAll
+      .join(truth.select(col("ia"), col("ib")), Seq("ia", "ib"))
+      .groupBy(col("rpb"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("nv"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    case class Cfg(rpb: Int, nCand: Long, nVer: Long,
+                   prec: Option[Long], rec: Option[Long], feasible: Boolean)
+    val cfgs = rowsPerBandConfigs.map { r =>
+      val nCand = nWithin + candByCfg.getOrElse(r, 0L)
+      val nVer = withinTrue + verByCfg.getOrElse(r, 0L)
+      val prec = if (nCand == 0) None else Some(nVer * 1000000L / nCand)
+      val rec = if (nTrue == 0) None else Some(nVer * 1000000L / nTrue)
+      Cfg(r, nCand, nVer, prec, rec,
+        prec.exists(_ >= precisionFloorPpm) && rec.exists(_ >= recallFloorPpm))
+    }
+    val chosenRpb = cfgs.filter(_.feasible)
+      .sortBy(c => (c.nCand, -c.rpb)).headOption.map(_.rpb)
+    if (postings ne repSh) postings.unpersist()
+    groups.unpersist()
+    import spark.implicits._
+    cfgs.map(c => (c.rpb, k / c.rpb, c.nCand, c.nVer, nTrue, c.prec, c.rec,
+        c.feasible, chosenRpb.contains(c.rpb)))
+      .toDF("rows_per_band", "n_bands", "n_candidates", "n_verified",
+        "n_true", "precision_ppm", "recall_ppm", "feasible", "chosen")
+  }
+
   /** Per-BENCHMARK contamination report — the deliverable a
     * decontamination pass ships: for EACH eval benchmark, how many
     * corpus documents share at least one k-shingle with it and how

@@ -173,6 +173,62 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("chooseLshConfig: metrics agree with lshTuning/lshRecall on the same " +
+    "sample, the choice is the cheapest feasible config, and floors are " +
+    "monotone (raising them only shrinks the feasible set)") {
+    import spark.implicits._
+    def table(pf: Long, rf: Long)
+        : Seq[(Int, Int, Long, Long, Long, Option[Long], Option[Long], Boolean, Boolean)] =
+      Dedup.chooseLshConfig(dupHeavy, "id", "text", 3, 16, Seq(2, 4, 8),
+          threshold = 0.5, sampleMod = 2,
+          precisionFloorPpm = pf, recallFloorPpm = rf)
+        .orderBy("rows_per_band")
+        .collect().toSeq.map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          if (r.isNullAt(6)) None else Some(r.getLong(6)),
+          r.getBoolean(7), r.getBoolean(8)))
+    val open = table(0L, 0L)
+    // ---- consistency: the one-pass chooser must reproduce BOTH source
+    // tables exactly — precision axis = lshTuning on the gated sample,
+    // recall axis = lshRecall with the same arguments.
+    val sample = dupHeavy.filter(
+      pmod(TextOps.hash60($"id".cast("string")), lit(2L)) === 0)
+    val tun = Dedup.lshTuning(sample, "id", "text", 3, 16, Seq(2, 4, 8), 0.5)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val rec = Dedup.lshRecall(dupHeavy, "id", "text", 3, 16, Seq(2, 4, 8),
+        threshold = 0.5, sampleMod = 2)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    open.foreach { case (rpb, _, nCand, nVer, nTrue, _, _, feasible, _) =>
+      (nCand, nVer) shouldBe tun(rpb)     // d17 axis
+      (nTrue, nVer) shouldBe rec(rpb)     // d19 axis (n_hit = n_verified)
+      feasible shouldBe true              // floors at zero reject nothing
+    }
+    // with all configs feasible, chosen = fewest candidates (ties to
+    // larger rpb — deterministic)
+    val cheapest = open.minBy(t => (t._3, -t._1))._1
+    open.filter(_._9).map(_._1) shouldBe Seq(cheapest)
+    // ---- monotonicity: for ANY floor pair, the feasible set is a
+    // subset of a looser pair's, and at most one config is chosen
+    val precs = open.flatMap(_._6).distinct
+    val recs = open.flatMap(_._7).distinct
+    val floorGrid = (0L +: precs.map(_ + 1)).distinct.flatMap(pf =>
+      (0L +: recs.map(_ + 1)).distinct.map(rf => (pf, rf)))
+    floorGrid.foreach { case (pf, rf) =>
+      val t = table(pf, rf)
+      val feas = t.filter(_._8).map(_._1).toSet
+      feas shouldBe open.filter(r =>
+        r._6.exists(_ >= pf) && r._7.exists(_ >= rf)).map(_._1).toSet
+      val chosen = t.filter(_._9).map(_._1)
+      chosen.size should be <= 1
+      if (feas.isEmpty) chosen shouldBe empty
+      else chosen shouldBe Seq(
+        t.filter(_._8).minBy(x => (x._3, -x._1))._1)
+    }
+    // the strictest grid point rejects everything: no vacuous choice
+    table(precs.max + 1, recs.max + 1).exists(_._9) shouldBe false
+  }
+
   test("lshRecall truthDfCap: a no-op cap is bit-identical to full-universe " +
     "truth, and a boilerplate-dominated corpus loses its boilerplate-only " +
     "true pairs under the cap") {
