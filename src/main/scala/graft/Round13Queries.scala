@@ -109,11 +109,56 @@ object Round13Queries {
        |  feasible AND rows_per_band IN (SELECT rows_per_band FROM sel) AS chosen
        |FROM feas ORDER BY rows_per_band""".stripMargin
 
+  // ---- ST17: streaming keep-best survivor maintenance ------------------
+
+  /** ST17: the ingest-guard column's last hop — q_st14 proved the
+    * near-dup PAIR index maintains incrementally; this proves the
+    * PURGE DECISION does too. The d20 corpus streams in as id-hashed
+    * file batches into a [[graft.ops.KeepBestIndex]]: each batch is
+    * delta-only hashed into the pair index, and the survivor set is
+    * resolved from the accumulated state — so a batch-k survivor is
+    * DEMOTED when a better-scoring duplicate lands later (DedupSpec
+    * pins that case explicitly; the planted corpus exercises it
+    * whenever a cluster's best copy is not in its first batch). Final
+    * state must equal the BATCH keep-best purge: the oracle is
+    * literally q_d20's SQL. Hard-fails on a single-batch collapse
+    * (the multi-batch claim is the point).
+    */
+  val st17StreamKeepBest: Q = (s, d) => {
+    import org.apache.spark.sql.{Dataset, Row}
+    graft.ops.TempFiles.withTempDir("graft-st17") { root =>
+      val srcDir = new java.io.File(root, "src").getAbsolutePath
+      PipelineQueries.corpus(s, d).repartition(4, col("id"))
+        .write.parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val idx = new graft.ops.KeepBestIndex(s)
+      var nBatches = 0
+      val step: (Dataset[Row], Long) => Unit = (batch, _) => {
+        nBatches += 1
+        idx.ingest(batch, "id", "text",
+          pmod(TextOps.hash60(col("id").cast("string")), lit(1000L)))
+      }
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.foreachBatch(step)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(nBatches >= 2,
+        s"stream delivered $nBatches batch(es); the multi-batch contract needs >= 2")
+      idx.survivors.orderBy("id").localCheckpoint(eager = true)
+    }
+  }
+  /** The batch keep-best purge IS the oracle (see scaladoc). */
+  val st17StreamKeepBestSql: String = CurationQueries.d20PurgeBestSql
+
   val all: Map[String, Q] = Map(
-    "q_d21_lsh_choose" -> d21LshChoose
+    "q_d21_lsh_choose" -> d21LshChoose,
+    "q_st17_stream_keepbest" -> st17StreamKeepBest
   )
 
   val oracles: Map[String, String] = Map(
-    "q_d21_lsh_choose" -> d21LshChooseSql
+    "q_d21_lsh_choose" -> d21LshChooseSql,
+    "q_st17_stream_keepbest" -> st17StreamKeepBestSql
   )
 }

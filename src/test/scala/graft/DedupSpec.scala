@@ -173,6 +173,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("KeepBestIndex: a later better-scoring duplicate DEMOTES the standing " +
+    "survivor, a worse one does not, ties keep the smaller id, and the final " +
+    "state is invariant under batch structure") {
+    import spark.implicits._
+    import graft.ops.KeepBestIndex
+    // one duplicated content T (ids 1, 2, 3 — identical text, so the
+    // pair is unconditional content-group machinery, no banding
+    // involved) and one unrelated content U (ids 4, 5)
+    val T = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val U = "one two three four five six seven eight nine ten"
+    val rows = Map(
+      1L -> (T, 10L), 2L -> (T, 30L), 3L -> (T, 20L),
+      4L -> (U, 5L), 5L -> (U, 5L))
+    def batch(ids: Long*) =
+      ids.map(i => (i, rows(i)._1, rows(i)._2)).toDF("id", "text", "sc")
+    def surv(idx: KeepBestIndex) =
+      idx.survivors.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val idx = new KeepBestIndex(spark)
+    idx.ingest(batch(1L, 4L), "id", "text", col("sc"))
+    surv(idx).keySet shouldBe Set(1L, 4L) // id 1 is T's standing survivor
+    idx.ingest(batch(2L), "id", "text", col("sc"))
+    surv(idx).keySet shouldBe Set(2L, 4L) // 30 > 10: id 1 DEMOTED
+    idx.ingest(batch(3L, 5L), "id", "text", col("sc"))
+    // 20 < 30: no demotion; U's tie (5 = 5) keeps the smaller id 4
+    val fin = surv(idx)
+    fin shouldBe Map(2L -> 30L, 4L -> 5L)
+    // batch-structure invariance: the same five docs as one batch, and
+    // in reversed arrival order, resolve to the identical final state
+    val oneShot = new KeepBestIndex(spark)
+    oneShot.ingest(batch(1L, 2L, 3L, 4L, 5L), "id", "text", col("sc"))
+    surv(oneShot) shouldBe fin
+    val reversed = new KeepBestIndex(spark)
+    Seq(Seq(5L, 3L), Seq(2L), Seq(4L, 1L)).foreach(ids =>
+      reversed.ingest(batch(ids: _*), "id", "text", col("sc")))
+    surv(reversed) shouldBe fin
+  }
+
   test("chooseLshConfig: metrics agree with lshTuning/lshRecall on the same " +
     "sample, the choice is the cheapest feasible config, and floors are " +
     "monotone (raising them only shrinks the feasible set)") {
