@@ -45,6 +45,19 @@ case class DecodedMedia(media_id: Long, kind: String, meta: MediaMeta, features:
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is FILE-backed: every
+  // ImageIO.read(InputStream)/createImageOutputStream call creates,
+  // writes, and deletes a temp file under java.io.tmpdir — per record,
+  // in the hot decode path, for payloads that already sit in memory as
+  // byte arrays. Measured at sf0.1 on a slow-/tmp host epoch this
+  // dominated the real-codec gates (q_m4 1.4→6.1 s, q_m10 0.8→4.7 s
+  // with ZERO code change); at cluster scale it is per-record disk
+  // I/O on every executor for no benefit. Memory caching is strictly
+  // right here. Runs in the object initializer so every JVM that
+  // touches a codec path (driver or executor — the decode lambdas
+  // reference this object) flips it before the first decode.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Magic-byte sniffing on the binary header (real logic, not stubbed —
     * operates on raw bytes like any container-format detector).
     */
