@@ -614,6 +614,77 @@ object Dedup {
     rowsPerBandConfigs.map(r => bandsOf(sigs, r, k).withColumn("rpb", lit(r)))
       .reduce(_ unionByName _)
 
+  /** The WEIGHTED multi-config rep-level candidate relation
+    * (rpb, ia, ib, w = ma·mb) — the one banding pass all three
+    * operating-point tables ([[lshTuning]], [[lshRecall]],
+    * [[chooseLshConfig]]) count from; extracting it is what keeps
+    * their arithmetic in provable lockstep (DedupSpec pins the three
+    * tables numerically equal on shared columns). Signatures come
+    * map-side off the cached hs arrays; the member count rides through
+    * the banding as a struct id so the weighted count needs no join;
+    * chained generators stream the in-bucket enumeration.
+    */
+  private def weightedRepCandAll(groups: DataFrame,
+                                 rowsPerBandConfigs: Seq[Int],
+                                 k: Int): DataFrame = {
+    val sigsW = groups.select(
+      struct(col("rep").as("id"), size(col("members")).cast(LongType).as("m")).as("id"),
+      sigFromHashSet(col("hs"), k).as("sig"))
+    taggedBands(sigsW, rowsPerBandConfigs, k)
+      .groupBy(col("rpb"), col("band"), col("sig"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(col("rpb"), explode(col("ids")).as("ia"), col("ids"))
+      .select(col("rpb"), col("ia"), explode(col("ids")).as("ib"))
+      .where(col("ia") < col("ib"))
+      .select(col("rpb"), col("ia.id").as("ia"), col("ib.id").as("ib"),
+        (col("ia.m") * col("ib.m")).as("w"))
+      .distinct()
+      .localCheckpoint(eager = true)
+  }
+
+  /** Truth-side postings + sizes under the optional informative-
+    * universe cap (rep-level df ≤ cap, sizes recomputed over that
+    * universe — [[ngramJaccardPairs]]'s stop-shingle contract). The
+    * Boolean says whether the postings frame is a fresh persist the
+    * caller must unpersist. Shared by [[lshRecall]] and
+    * [[chooseLshConfig]].
+    */
+  private def truthScaffold(repSh: DataFrame, fullSizes: DataFrame,
+                            truthDfCap: Option[Int])
+      : (DataFrame, DataFrame, Boolean) = truthDfCap match {
+    case Some(cap) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      val informative = repSh.withColumn("df", count(lit(1)).over(w))
+        .filter(col("df") <= cap).drop("df")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      informative.count()
+      (informative, informative.groupBy(col("id")).agg(count(lit(1)).as("n")), true)
+    case None => (repSh, fullSizes, false)
+  }
+
+  /** The rep-level WEIGHTED truth relation (ia, ib, w = ma·mb): exact
+    * Jaccard ≥ threshold off the inverted index — one self-join keyed
+    * on the shingle hash (one row per SHARED shingle, never candidate
+    * × set-size), then the size join; weights expand rep truth to
+    * member truth without enumerating members. Shared by
+    * [[lshRecall]] and [[chooseLshConfig]].
+    */
+  private def repTruth(postings: DataFrame, sizes: DataFrame, mOf: DataFrame,
+                       threshold: Double): DataFrame =
+    postings.select(col("h"), col("id").as("ia"))
+      .join(postings.select(col("h"), col("id").as("ib")), Seq("h"))
+      .where(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("ia"), col("n").as("na")), Seq("ia"))
+      .join(sizes.select(col("id").as("ib"), col("n").as("nb")), Seq("ib"))
+      .where(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))
+        >= threshold)
+      .join(mOf.select(col("rep").as("ia"), col("m").as("ma")), Seq("ia"))
+      .join(mOf.select(col("rep").as("ib"), col("m").as("mb")), Seq("ib"))
+      .select(col("ia"), col("ib"), (col("ma") * col("mb")).as("w"))
+      .localCheckpoint(eager = true) // bounded by the true-pair count
+
   /** Quality-aware near-dup purge — the q_d9 "keep one per cluster"
     * rule with the keep decision a curation pipeline actually wants:
     * the member with the BEST score survives (ties break to the
@@ -658,9 +729,20 @@ object Dedup {
 
   private def keepBestLosersOf(scored: DataFrame, df: DataFrame,
                                idCol: String, textCol: String,
-                               threshold: Double): DataFrame = {
-    val clusters = dupClusters(nearDupPairs(df, idCol, textCol,
-      threshold = threshold))
+                               threshold: Double): DataFrame =
+    keepBestLosersFromClusters(scored,
+      dupClusters(nearDupPairs(df, idCol, textCol, threshold = threshold)))
+
+  /** THE keep-best purge rule, as one function of (scores, cluster
+    * map): every cluster member except the best-scoring one, ties to
+    * the smaller id. Every keep-best consumer — the batch purge above,
+    * the curation pipeline's neardup stage, and the streaming
+    * [[KeepBestIndex]] — routes through this single window so the rule
+    * cannot drift between the batch gate (q_d20) and its streaming
+    * twin (q_st17), whose oracles require them identical.
+    */
+  private[ops] def keepBestLosersFromClusters(scored: DataFrame,
+                                              clusters: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
       .orderBy(col("score").desc, col("id").asc)
@@ -1252,22 +1334,7 @@ object Dedup {
     // does not depend on which banding surfaced it — each DISTINCT
     // pair is verified ONCE and every config reuses the verdict
     // through one candidate-bounded join.
-    val sigsW = groups.select(
-      struct(col("rep").as("id"), size(col("members")).cast(LongType).as("m")).as("id"),
-      sigFromHashSet(col("hs"), k).as("sig"))
-    val bandedAll = taggedBands(sigsW, rowsPerBandConfigs, k)
-    val repCandAll = bandedAll
-      .groupBy(col("rpb"), col("band"), col("sig"))
-      .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) > 1)
-      // chained generators — streamed, like pairsWithinBuckets
-      .select(col("rpb"), explode(col("ids")).as("ia"), col("ids"))
-      .select(col("rpb"), col("ia"), explode(col("ids")).as("ib"))
-      .where(col("ia") < col("ib"))
-      .select(col("rpb"), col("ia.id").as("ia"), col("ib.id").as("ib"),
-        (col("ia.m") * col("ib.m")).as("w"))
-      .distinct()
-      .localCheckpoint(eager = true)
+    val repCandAll = weightedRepCandAll(groups, rowsPerBandConfigs, k)
     val candByCfg = repCandAll.groupBy(col("rpb"))
       .agg(coalesce(sum(col("w")), lit(0L)).as("nc"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -1345,46 +1412,15 @@ object Dedup {
     // Informative-universe gate for the truth side only (candidates
     // band over the FULL sets — that is what production LSH sees, and
     // recall against informative-universe truth is the question asked).
-    val (postings, sizes) = truthDfCap match {
-      case Some(cap) =>
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
-        val informative = repSh.withColumn("df", count(lit(1)).over(w))
-          .filter(col("df") <= cap).drop("df")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        informative.count()
-        (informative, informative.groupBy(col("id")).agg(count(lit(1)).as("n")))
-      case None => (repSh, fullSizes)
-    }
-    // TRUTH: exact Jaccard off the inverted index — one self-join keyed
-    // on the shingle hash (one row per SHARED shingle, never candidate ×
-    // set-size), then the size join. Weight w = ma·mb expands rep truth
-    // to member truth without enumerating members.
-    val truth = postings.select(col("h"), col("id").as("ia"))
-      .join(postings.select(col("h"), col("id").as("ib")), Seq("h"))
-      .where(col("ia") < col("ib"))
-      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("ia"), col("n").as("na")), Seq("ia"))
-      .join(sizes.select(col("id").as("ib"), col("n").as("nb")), Seq("ib"))
-      .where(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))
-        >= threshold)
-      .join(mOf.select(col("rep").as("ia"), col("m").as("ma")), Seq("ia"))
-      .join(mOf.select(col("rep").as("ib"), col("m").as("mb")), Seq("ib"))
-      .select(col("ia"), col("ib"), (col("ma") * col("mb")).as("w"))
-      .localCheckpoint(eager = true) // bounded by the true-pair count
+    val (postings, sizes, ownPostings) =
+      truthScaffold(repSh, fullSizes, truthDfCap)
+    val truth = repTruth(postings, sizes, mOf, threshold)
     val nCross = truth.agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
     val nTrue = withinTrue + nCross
     // CANDIDATES: all configs in one banding pass (rpb tag), rep level;
     // hits are the truth ∩ candidate join, weight carried by truth.
-    val repSigs = groups.select(col("rep").as("id"),
-      sigFromHashSet(col("hs"), k).as("sig"))
-    val candAll = taggedBands(repSigs, rowsPerBandConfigs, k)
-      .groupBy(col("rpb"), col("band"), col("sig"))
-      .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(col("rpb"), explode(col("ids")).as("ia"), col("ids"))
-      .select(col("rpb"), col("ia"), explode(col("ids")).as("ib"))
-      .where(col("ia") < col("ib"))
-      .distinct()
+    val candAll = weightedRepCandAll(groups, rowsPerBandConfigs, k)
+      .select(col("rpb"), col("ia"), col("ib"))
     val hitByCfg = candAll.join(truth, Seq("ia", "ib"))
       .groupBy(col("rpb"))
       .agg(coalesce(sum(col("w")), lit(0L)).as("nh"))
@@ -1394,7 +1430,7 @@ object Dedup {
       (r, k / r, nTrue, nHit,
         if (nTrue == 0) None else Some(nHit * 1000000L / nTrue))
     }
-    if (postings ne repSh) postings.unpersist()
+    if (ownPostings) postings.unpersist()
     groups.unpersist()
     import spark.implicits._
     rows.toDF("rows_per_band", "n_bands", "n_true", "n_hit", "recall_ppm")
@@ -1451,46 +1487,14 @@ object Dedup {
     val (nWithin, repSh, fullSizes) = groupScaffold(groups)
     val withinTrue = if (1.0 >= threshold) nWithin else 0L
     val mOf = groups.select(col("rep"), size(col("members")).cast(LongType).as("m"))
-    val (postings, sizes) = truthDfCap match {
-      case Some(cap) =>
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
-        val informative = repSh.withColumn("df", count(lit(1)).over(w))
-          .filter(col("df") <= cap).drop("df")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        informative.count()
-        (informative, informative.groupBy(col("id")).agg(count(lit(1)).as("n")))
-      case None => (repSh, fullSizes)
-    }
+    val (postings, sizes, ownPostings) =
+      truthScaffold(repSh, fullSizes, truthDfCap)
     // truth: the lshRecall inverted-index join, rep level, weighted
-    val truth = postings.select(col("h"), col("id").as("ia"))
-      .join(postings.select(col("h"), col("id").as("ib")), Seq("h"))
-      .where(col("ia") < col("ib"))
-      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("ia"), col("n").as("na")), Seq("ia"))
-      .join(sizes.select(col("id").as("ib"), col("n").as("nb")), Seq("ib"))
-      .where(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))
-        >= threshold)
-      .join(mOf.select(col("rep").as("ia"), col("m").as("ma")), Seq("ia"))
-      .join(mOf.select(col("rep").as("ib"), col("m").as("mb")), Seq("ib"))
-      .select(col("ia"), col("ib"), (col("ma") * col("mb")).as("w"))
-      .localCheckpoint(eager = true)
+    val truth = repTruth(postings, sizes, mOf, threshold)
     val nTrue = withinTrue +
       truth.agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
     // candidates: the lshTuning weighted banding, all configs one pass
-    val sigsW = groups.select(
-      struct(col("rep").as("id"), size(col("members")).cast(LongType).as("m")).as("id"),
-      sigFromHashSet(col("hs"), k).as("sig"))
-    val repCandAll = taggedBands(sigsW, rowsPerBandConfigs, k)
-      .groupBy(col("rpb"), col("band"), col("sig"))
-      .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(col("rpb"), explode(col("ids")).as("ia"), col("ids"))
-      .select(col("rpb"), col("ia"), explode(col("ids")).as("ib"))
-      .where(col("ia") < col("ib"))
-      .select(col("rpb"), col("ia.id").as("ia"), col("ib.id").as("ib"),
-        (col("ia.m") * col("ib.m")).as("w"))
-      .distinct()
-      .localCheckpoint(eager = true)
+    val repCandAll = weightedRepCandAll(groups, rowsPerBandConfigs, k)
     val candByCfg = repCandAll.groupBy(col("rpb"))
       .agg(coalesce(sum(col("w")), lit(0L)).as("nc"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -1513,7 +1517,7 @@ object Dedup {
     }
     val chosenRpb = cfgs.filter(_.feasible)
       .sortBy(c => (c.nCand, -c.rpb)).headOption.map(_.rpb)
-    if (postings ne repSh) postings.unpersist()
+    if (ownPostings) postings.unpersist()
     groups.unpersist()
     import spark.implicits._
     cfgs.map(c => (c.rpb, k / c.rpb, c.nCand, c.nVer, nTrue, c.prec, c.rec,

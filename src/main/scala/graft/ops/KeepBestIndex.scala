@@ -33,7 +33,10 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
   *
   * Contract: `idCol` must be integral (stored as Long) and `score`
   * integral per the q_d20 exactness rule (Long scores make the
-  * keep-best window deterministic on every engine).
+  * keep-best window deterministic on every engine); ids must be
+  * unique WITHIN a batch (the usual keyed-upsert contract — an id
+  * re-delivered in a LATER batch replaces its stored state, see
+  * [[ingest]]).
   */
 final class KeepBestIndex(spark: SparkSession, shingleN: Int = 3, k: Int = 16,
                           rowsPerBand: Int = 4, threshold: Double = 0.5) {
@@ -56,12 +59,38 @@ final class KeepBestIndex(spark: SparkSession, shingleN: Int = 3, k: Int = 16,
     * new near-dup pairs (delta×base plus delta×delta) appended, the
     * stored shingle/signature/size state extended, and the batch's
     * (id, score) rows recorded for survivor resolution.
+    *
+    * RE-INGESTED ids REPLACE their stored state — the same contract as
+    * the wrapped [[Dedup.incrementalNearDupPairsFromSets]]: an id
+    * re-delivered by an at-least-once source (or a CDC-style content
+    * update) drops its old shingles/signature/size/score AND every
+    * accumulated pair computed against the old content before the
+    * batch folds in. A plain union would blend old+new shingle rows
+    * (deflating true-pair Jaccard) and, worse, leave the id with TWO
+    * scored rows — the keep-best window would rank the id against
+    * itself, put its rk=2 row in the loser set, and the anti-join
+    * would drop the document entirely even as its cluster's best copy
+    * (DedupSpec pins the replace case). Delta ids are batch-bounded,
+    * so each drop is a broadcast anti-join — map-side filters, no
+    * extra exchange.
     */
   def ingest(batch: DataFrame, idCol: String, textCol: String,
              score: Column): Unit = {
     val dSh = Dedup.shingleHashSet(batch, idCol, textCol, shingleN)
       .select(col("id").cast(LongType).as("id"), col("h"))
       .localCheckpoint(eager = true)
+    val deltaIds = batch.select(col(idCol).cast(LongType).as("id")).distinct()
+      .localCheckpoint(eager = true)
+    def dropDelta(df: DataFrame): DataFrame =
+      df.join(broadcast(deltaIds), Seq("id"), "left_anti")
+    baseSh = dropDelta(baseSh)
+    baseSigs = dropDelta(baseSigs)
+    baseSizes = dropDelta(baseSizes)
+    scored = dropDelta(scored)
+    pairs = pairs
+      .join(broadcast(deltaIds.select(col("id").as("ia"))), Seq("ia"), "left_anti")
+      .join(broadcast(deltaIds.select(col("id").as("ib"))), Seq("ib"), "left_anti")
+      .select(col("ia"), col("ib"))
     pairs = pairs.unionByName(
         Dedup.incrementalNearDupPairsFromSets(baseSh, baseSigs, dSh,
             k, rowsPerBand, threshold, baseSizes = Some(baseSizes))
@@ -84,14 +113,11 @@ final class KeepBestIndex(spark: SparkSession, shingleN: Int = 3, k: Int = 16,
     * automatic and the result independent of batch structure.
     */
   def survivors: DataFrame = {
-    val clusters = Dedup.dupClusters(pairs)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster_id"))
-      .orderBy(col("score").desc, col("id").asc)
-    val losers = scored.join(clusters, Seq("id"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") > 1)
-      .select(col("id"))
+    // the ONE keep-best window (Dedup.keepBestLosersFromClusters) —
+    // shared with the batch purge so the q_st17 ≡ q_d20 equivalence
+    // can never drift on the rule itself
+    val losers = Dedup.keepBestLosersFromClusters(scored,
+      Dedup.dupClusters(pairs))
     scored.join(losers, Seq("id"), "left_anti")
   }
 }

@@ -48,7 +48,8 @@ object DupStress {
     // actual id range — a fixed constant would silently collide (and
     // break the K-family premise) once base ids outgrow it at larger
     // scale factors.
-    val idStride = base.agg(max(col("id"))).first().getLong(0) + 1L
+    val idStride = base.agg(coalesce(max(col("id")), lit(-1L)))
+      .first().getLong(0) + 1L // null-safe: an empty base replicates to nothing
     val corpus = (0 until k)
       .map(r => base.select((col("id") + lit(r.toLong * idStride)).as("id"), col("text")))
       .reduce(_ unionByName _)
@@ -116,10 +117,14 @@ object DupStress {
     import graft.ops.Vectors
     val baseVecs = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("e"))
-    val vecCorpus = if (!only("cosine")) null else (0 until k)
-      .map(r => baseVecs.select((col("vid") + lit(r.toLong * 10000000L)).as("vid"), col("e")))
-      .reduce(_ unionByName _)
-      .localCheckpoint(true)
+    val vecCorpus = if (!only("cosine")) null else {
+      val vidStride = baseVecs.agg(coalesce(max(col("vid")), lit(-1L)))
+        .first().getLong(0) + 1L // null-safe, derived like the doc stride
+      (0 until k)
+        .map(r => baseVecs.select((col("vid") + lit(r.toLong * vidStride)).as("vid"), col("e")))
+        .reduce(_ unionByName _)
+        .localCheckpoint(true)
+    }
     val (nVecFixed, tVecFixed) = if (!only("cosine")) (-1L, -1.0) else
       time("cosineDupPairs (collapsed)") {
         Vectors.cosineDupPairs(vecCorpus, "e", "vid", nPlanes = 4, dim = 64,
@@ -194,7 +199,8 @@ object DupStress {
       // K-per-group premise (and the identity below) silently breaks —
       // derive the stride from the actual id range instead of assuming
       // base ids stay under a fixed constant at every scale factor.
-      val idStride = uBase.agg(max(col("id"))).first().getLong(0) + 1L
+      val idStride = uBase.agg(coalesce(max(col("id")), lit(-1L)))
+        .first().getLong(0) + 1L // null-safe, as at the corpus build
       val uCorpus = (0 until k)
         .map(r => uBase.select((col("id") + lit(r.toLong * idStride)).as("id"),
           col("text")))

@@ -171,6 +171,14 @@ class CurateSpec extends SparkSpec {
     // Column.toString rendering) must be REFUSED: its stage04_neardup
     // holds keep-MIN output the current algebra would never produce,
     // so accepting it would silently mix purge rules across stages.
+    // Fingerprint archaeology (hexdump-verified, the join byte is
+    // invisible in diffs): 6df147e introduced the fp as
+    // NUL-joined + nbLabel.toString; 758481f changed ONLY the
+    // rendering to expr.sql (join still the raw NUL byte); the
+    // space-joined legacyFp d6978cd added could therefore never match
+    // a hash either writer produced — which is why removing it lost
+    // nothing, and why THESE two NUL-joined reprs are the real
+    // historical formats this test guards against re-accepting.
     def sha(repr: String): String =
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString

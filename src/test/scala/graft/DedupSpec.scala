@@ -210,6 +210,38 @@ class DedupSpec extends SparkSpec {
     surv(reversed) shouldBe fin
   }
 
+  test("KeepBestIndex re-ingestion REPLACES stored state: a re-delivered id " +
+    "never ranks against its own stale copy, and a content update moves the " +
+    "id to its new cluster") {
+    import spark.implicits._
+    import graft.ops.KeepBestIndex
+    val T = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val U = "one two three four five six seven eight nine ten"
+    def batch(rows: (Long, String, Long)*) = rows.toDF("id", "text", "sc")
+    def surv(idx: KeepBestIndex) =
+      idx.survivors.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact re-delivery (at-least-once source): state must be as if the
+    // batch arrived once — a blended union would rank id 1 against its
+    // own duplicate scored row, put the rk=2 copy in the losers, and
+    // anti-join the document out of the survivors entirely
+    val idx = new KeepBestIndex(spark)
+    idx.ingest(batch((1L, T, 10L)), "id", "text", col("sc"))
+    idx.ingest(batch((1L, T, 10L)), "id", "text", col("sc"))
+    surv(idx) shouldBe Map(1L -> 10L)
+    // id 2 arrives as a T duplicate: cluster {1, 2}, best = 1 (10 > 5)
+    idx.ingest(batch((2L, T, 5L)), "id", "text", col("sc"))
+    surv(idx) shouldBe Map(1L -> 10L)
+    // content update: id 1 re-arrives as U content — its old T-cluster
+    // pairing against id 2 must be FORGOTTEN, so both now survive (the
+    // stale pair would have kept purging id 2 under id 1's old crown)
+    idx.ingest(batch((1L, U, 2L)), "id", "text", col("sc"))
+    surv(idx) shouldBe Map(1L -> 2L, 2L -> 5L)
+    // and the updated id 1 duplicates in its NEW cluster: a better U
+    // copy demotes it there
+    idx.ingest(batch((3L, U, 9L)), "id", "text", col("sc"))
+    surv(idx) shouldBe Map(3L -> 9L, 2L -> 5L)
+  }
+
   test("chooseLshConfig: metrics agree with lshTuning/lshRecall on the same " +
     "sample, the choice is the cheapest feasible config, and floors are " +
     "monotone (raising them only shrinks the feasible set)") {
