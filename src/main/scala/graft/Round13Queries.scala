@@ -109,6 +109,129 @@ object Round13Queries {
        |  feasible AND rows_per_band IN (SELECT rows_per_band FROM sel) AS chosen
        |FROM feas ORDER BY rows_per_band""".stripMargin
 
+  // ---- D22: auto-tuned near-dup pairs (chooser drives production) ------
+
+  /** D22: [[Dedup.nearDupPairsAuto]] — the q_d21 chooser's output
+    * actually DRIVING the production operator: choose the cheapest
+    * feasible banding on the hash-gated sample (the d21 floors), then
+    * run the full-corpus near-dup pair relation at that configuration,
+    * with the chosen `rows_per_band` carried as a provenance column.
+    * The oracle replays the WHOLE dynamic decision: the sample-side
+    * chooser (both axes + floors + argmin) AND the full-corpus pair
+    * relation of every candidate configuration, then selects the pair
+    * set belonging to whichever config the chooser picked — so the
+    * gate stays green even if a future data regeneration moves the
+    * choice. One verification pass covers all configs (the union of
+    * their candidate sets), mirroring the engine's shared-verdict
+    * shape.
+    */
+  val d22AutoDedup: Q = (s, d) =>
+    Dedup.nearDupPairsAuto(PipelineQueries.corpus(s, d), "id", "text",
+        sampleMod = 2,
+        precisionFloorPpm = d21PrecisionFloorPpm,
+        recallFloorPpm = d21RecallFloorPpm)
+      .select(col("rows_per_band"), col("ia"), col("ib"), col("jac"))
+      .orderBy("ia", "ib")
+
+  /** Sample-side chooser blocks (names prefixed `s` to coexist with
+    * the full-corpus CTEs) — the d21 algebra off the FILTERED full
+    * frames: sampling docs then shingling equals shingling then
+    * filtering docs, because shingles and signatures are per-doc.
+    */
+  private def d22SampleBlock(r: Int): String = {
+    val b = 16 / r
+    s"""sbands$r AS (
+       |  SELECT id, j // $r AS band,
+       |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
+       |  FROM smh GROUP BY 1, 2),
+       |scand$r AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM sbands$r a JOIN sbands$r b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |srow$r AS (
+       |  SELECT $r AS rows_per_band, $b AS n_bands,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM scand$r) AS n_candidates,
+       |    (SELECT CAST(COUNT(*) AS BIGINT)
+       |     FROM scand$r c JOIN struth t ON t.ia = c.ia AND t.ib = c.ib) AS n_verified,
+       |    (SELECT nt FROM snt) AS n_true)""".stripMargin
+  }
+
+  /** Full-corpus banding + candidate blocks per config. */
+  private def d22FullBlock(r: Int): String =
+    s"""fbands$r AS (
+       |  SELECT id, j // $r AS band,
+       |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY 1, 2),
+       |fcand$r AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM fbands$r a JOIN fbands$r b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id)""".stripMargin
+
+  val d22AutoDedupSql: String =
+    s"""WITH ${PipelineQueries.corpusSql},
+       |${PipelineQueries.shingleSql},
+       |mh AS (
+       |${Dedup.minhashSql(16)}),
+       |smp AS (
+       |  SELECT id FROM corpus
+       |  WHERE ${TextOps.hash60Sql("CAST(id AS VARCHAR)")} % 2 = 0),
+       |ssh AS MATERIALIZED (SELECT sh.id, sh.h FROM sh JOIN smp USING (id)),
+       |ssizes AS (SELECT id, COUNT(*) AS n FROM ssh GROUP BY 1),
+       |sinter AS MATERIALIZED (
+       |  SELECT x.id AS ia, y.id AS ib, COUNT(*) AS inter
+       |  FROM ssh x JOIN ssh y ON y.h = x.h AND x.id < y.id
+       |  GROUP BY 1, 2),
+       |struth AS MATERIALIZED (
+       |  SELECT i.ia, i.ib
+       |  FROM sinter i JOIN ssizes na ON na.id = i.ia
+       |                JOIN ssizes nb ON nb.id = i.ib
+       |  WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.5),
+       |snt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM struth),
+       |smh AS MATERIALIZED (SELECT mh.* FROM mh JOIN smp USING (id)),
+       |${d22SampleBlock(2)},
+       |${d22SampleBlock(4)},
+       |${d22SampleBlock(8)},
+       |stbl AS (SELECT * FROM srow2 UNION ALL SELECT * FROM srow4
+       |         UNION ALL SELECT * FROM srow8),
+       |scalc AS (
+       |  SELECT *,
+       |    CASE WHEN n_candidates = 0 THEN NULL
+       |         ELSE n_verified * 1000000 // n_candidates END AS precision_ppm,
+       |    CASE WHEN n_true = 0 THEN NULL
+       |         ELSE n_verified * 1000000 // n_true END AS recall_ppm
+       |  FROM stbl),
+       |sfeas AS (
+       |  SELECT *, COALESCE(precision_ppm >= $d21PrecisionFloorPpm, FALSE)
+       |        AND COALESCE(recall_ppm >= $d21RecallFloorPpm, FALSE) AS feasible
+       |  FROM scalc),
+       |sel AS (SELECT rows_per_band FROM sfeas WHERE feasible
+       |        ORDER BY n_candidates, rows_per_band DESC LIMIT 1),
+       |${d22FullBlock(2)},
+       |${d22FullBlock(4)},
+       |${d22FullBlock(8)},
+       |candall AS MATERIALIZED (
+       |  SELECT DISTINCT ia, ib FROM (
+       |    SELECT * FROM fcand2 UNION ALL SELECT * FROM fcand4
+       |    UNION ALL SELECT * FROM fcand8)),
+       |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS MATERIALIZED (
+       |  SELECT c.ia, c.ib, COUNT(*) AS inter
+       |  FROM candall c JOIN sh x ON x.id = c.ia JOIN sh y ON y.id = c.ib AND y.h = x.h
+       |  GROUP BY 1, 2),
+       |ver AS MATERIALIZED (
+       |  SELECT i.ia, i.ib, i.inter * 1.0 / (na.n + nb.n - i.inter) AS jac
+       |  FROM inter i JOIN sizes na ON na.id = i.ia JOIN sizes nb ON nb.id = i.ib
+       |  WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.5),
+       |chosenCand AS (
+       |  SELECT ia, ib FROM fcand2 WHERE 2 = (SELECT rows_per_band FROM sel)
+       |  UNION ALL
+       |  SELECT ia, ib FROM fcand4 WHERE 4 = (SELECT rows_per_band FROM sel)
+       |  UNION ALL
+       |  SELECT ia, ib FROM fcand8 WHERE 8 = (SELECT rows_per_band FROM sel))
+       |SELECT (SELECT rows_per_band FROM sel) AS rows_per_band, v.ia, v.ib, v.jac
+       |FROM ver v JOIN chosenCand c ON c.ia = v.ia AND c.ib = v.ib
+       |ORDER BY v.ia, v.ib""".stripMargin
+
   // ---- ST17: streaming keep-best survivor maintenance ------------------
 
   /** ST17: the ingest-guard column's last hop — q_st14 proved the
@@ -154,11 +277,13 @@ object Round13Queries {
 
   val all: Map[String, Q] = Map(
     "q_d21_lsh_choose" -> d21LshChoose,
+    "q_d22_auto_dedup" -> d22AutoDedup,
     "q_st17_stream_keepbest" -> st17StreamKeepBest
   )
 
   val oracles: Map[String, String] = Map(
     "q_d21_lsh_choose" -> d21LshChooseSql,
+    "q_d22_auto_dedup" -> d22AutoDedupSql,
     "q_st17_stream_keepbest" -> st17StreamKeepBestSql
   )
 }

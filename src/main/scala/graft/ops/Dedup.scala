@@ -1526,6 +1526,41 @@ object Dedup {
         "n_true", "precision_ppm", "recall_ppm", "feasible", "chosen")
   }
 
+  /** AUTO-TUNED near-dup pairs — the tuning loop's final hop: run
+    * [[chooseLshConfig]] on the deterministic hash-gated sample, take
+    * the chosen (cheapest feasible) banding configuration, and run
+    * [[nearDupPairs]] over the FULL corpus at it. One integer crosses
+    * the driver between the two phases. The output carries the chosen
+    * `rows_per_band` as a column so the decision is part of the
+    * result's provenance.
+    *
+    * THROWS when no configuration meets the floors — deliberately: a
+    * silent fallback to some default banding would run the corpus at
+    * an operating point the caller's floors just rejected, which is
+    * the exact failure mode the floors exist to prevent. Loosen a
+    * floor or extend `rowsPerBandConfigs` instead.
+    */
+  def nearDupPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, k: Int = 16,
+                       rowsPerBandConfigs: Seq[Int] = Seq(2, 4, 8),
+                       threshold: Double = 0.5, sampleMod: Int = 2,
+                       precisionFloorPpm: Long = 0L,
+                       recallFloorPpm: Long = 0L,
+                       truthDfCap: Option[Int] = None): DataFrame = {
+    val choice = chooseLshConfig(df, idCol, textCol, shingleN, k,
+        rowsPerBandConfigs, threshold, sampleMod,
+        precisionFloorPpm, recallFloorPpm, truthDfCap)
+      .filter(col("chosen")).select(col("rows_per_band")).collect()
+    require(choice.nonEmpty,
+      "nearDupPairsAuto: no banding configuration meets the precision/recall " +
+        "floors on the sample — loosen a floor or extend rowsPerBandConfigs " +
+        "(a silent default would run the corpus at an operating point the " +
+        "floors just rejected)")
+    val rpb = choice.head.getInt(0)
+    nearDupPairs(df, idCol, textCol, shingleN, k, rpb, threshold)
+      .withColumn("rows_per_band", lit(rpb))
+  }
+
   /** Per-BENCHMARK contamination report — the deliverable a
     * decontamination pass ships: for EACH eval benchmark, how many
     * corpus documents share at least one k-shingle with it and how

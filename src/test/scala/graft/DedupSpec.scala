@@ -298,6 +298,28 @@ class DedupSpec extends SparkSpec {
     table(precs.max + 1, recs.max + 1).exists(_._9) shouldBe false
   }
 
+  test("nearDupPairsAuto runs the full corpus at exactly the chosen config, " +
+    "and throws instead of silently defaulting when no config is feasible") {
+    import spark.implicits._
+    val auto = Dedup.nearDupPairsAuto(dupHeavy, "id", "text",
+      sampleMod = 2, precisionFloorPpm = 0L, recallFloorPpm = 0L)
+    val rpbs = auto.select("rows_per_band").distinct().as[Int].collect()
+    rpbs.length shouldBe 1 // one choice drove the whole relation
+    val chosen = Dedup.chooseLshConfig(dupHeavy, "id", "text", 3, 16,
+        Seq(2, 4, 8), 0.5, sampleMod = 2, 0L, 0L)
+      .filter(col("chosen")).select("rows_per_band").as[Int].collect()
+    rpbs.head shouldBe chosen.head
+    val manual = Dedup.nearDupPairs(dupHeavy, "id", "text",
+      rowsPerBand = rpbs.head)
+    auto.select("ia", "ib").as[(Long, Long)].collect().toSet shouldBe
+      manual.select("ia", "ib").as[(Long, Long)].collect().toSet
+    // floors nothing can clear: refuse, never fall back to a default
+    val boom = intercept[IllegalArgumentException](
+      Dedup.nearDupPairsAuto(dupHeavy, "id", "text", sampleMod = 2,
+        precisionFloorPpm = 1000001L, recallFloorPpm = 1000001L))
+    boom.getMessage should include("no banding configuration")
+  }
+
   test("lshRecall truthDfCap: a no-op cap is bit-identical to full-universe " +
     "truth, and a boilerplate-dominated corpus loses its boilerplate-only " +
     "true pairs under the cap") {
