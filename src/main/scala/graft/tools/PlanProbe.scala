@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 /** Prints the physical plans of the collapse paths for the PLANS
   * plan-audit notes (exchanges, broadcasts, generator placement).
-  * Usage: PlanProbe [sfDir] [collapse|recall|keepbest]
+  * Usage: PlanProbe [sfDir] [collapse|recall|keepbest|chooser|kbindex]
   */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
@@ -35,6 +35,28 @@ object PlanProbe {
           .where(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.5)
         System.err.println("=== lshRecall TRUTH frame (inverted-index exact Jaccard) ===")
         truth.explain("formatted")
+      case "chooser" =>
+        // chooseLshConfig's result frame is |configs| driver rows; the
+        // plan of interest is the survivors path it would drive — probe
+        // nearDupPairsAuto end to end (the chooser phase executes, the
+        // pairs phase's plan prints).
+        val auto = graft.ops.Dedup.nearDupPairsAuto(docs, "id", "text",
+          sampleMod = 2)
+        System.err.println("=== nearDupPairsAuto pairs at the chosen config ===")
+        auto.explain("formatted")
+        System.err.println(s"pairs: ${auto.count()}")
+      case "kbindex" =>
+        // the streaming survivor resolution: accumulated pairs ->
+        // clusters -> the shared keep-best window -> anti-join
+        val idx = new graft.ops.KeepBestIndex(spark)
+        idx.ingest(docs.filter(col("id") % 2 === 0), "id", "text",
+          pmod(graft.ops.TextOps.hash60(col("id").cast("string")), lit(1000L)))
+        idx.ingest(docs.filter(col("id") % 2 === 1), "id", "text",
+          pmod(graft.ops.TextOps.hash60(col("id").cast("string")), lit(1000L)))
+        val surv = idx.survivors
+        System.err.println("=== KeepBestIndex.survivors (two ingested batches) ===")
+        surv.explain("formatted")
+        System.err.println(s"survivors: ${surv.count()}")
       case "keepbest" =>
         val surv = graft.ops.Dedup.purgeKeepBest(docs, "id", "text",
           pmod(graft.ops.TextOps.hash60(col("id").cast("string")), lit(1000L)))
