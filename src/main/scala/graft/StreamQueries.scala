@@ -626,9 +626,12 @@ object StreamQueries {
       var baseSizes = empty(StructType(Seq(StructField("id", LongType),
         StructField("n", LongType))))
       val acc = collection.mutable.ArrayBuffer.empty[Row]
-      var nBatches = 0
+      // AtomicInteger, not a var: incremented on the micro-batch thread,
+      // read on the caller thread after awaitTermination — the explicit
+      // happens-before, not Spark's internal synchronization.
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
       val step: (Dataset[Row], Long) => Unit = (batch, _) => {
-        nBatches += 1
+        nBatches.incrementAndGet()
         val dSh = graft.ops.Dedup.shingleHashSet(batch, "id", "text", 3)
           .localCheckpoint(true)
         acc ++= graft.ops.Dedup
@@ -649,8 +652,8 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      require(nBatches >= 2,
-        s"stream delivered $nBatches batch(es); the multi-batch contract needs >= 2")
+      require(nBatches.get() >= 2,
+        s"stream delivered ${nBatches.get()} batch(es); the multi-batch contract needs >= 2")
       val outSchema = StructType(Seq(StructField("ia", LongType),
         StructField("ib", LongType), StructField("jac", DoubleType)))
       s.createDataFrame(java.util.Arrays.asList(acc.toSeq: _*), outSchema)
@@ -689,9 +692,12 @@ object StreamQueries {
       // (ivfAppend only unions base with the delta's fresh assignment).
       var stored = graft.ops.Vectors.ivfAssign(vecs.filter(lit(false)), centroids)
         .localCheckpoint(true)
-      var nBatches = 0
+      // AtomicInteger, not a var: incremented on the micro-batch thread,
+      // read on the caller thread after awaitTermination — the explicit
+      // happens-before, not Spark's internal synchronization.
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
       val step: (Dataset[Row], Long) => Unit = (batch, _) => {
-        nBatches += 1
+        nBatches.incrementAndGet()
         stored = graft.ops.Vectors.ivfAppend(stored, batch, centroids)
           .localCheckpoint(true)
       }
@@ -701,8 +707,8 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      require(nBatches >= 2,
-        s"stream delivered $nBatches batch(es); the multi-batch contract needs >= 2")
+      require(nBatches.get() >= 2,
+        s"stream delivered ${nBatches.get()} batch(es); the multi-batch contract needs >= 2")
       graft.ops.Vectors.ivfSearch(stored, centroids, query, nProbe = 2, k = 8)
         .select($"vid".as("vec_id"), $"cid", $"cos_sim")
         .localCheckpoint(true)
@@ -751,9 +757,12 @@ object StreamQueries {
       corpusDocs.repartition(4, col("id")).write.parquet(srcDir)
       val schema = s.read.parquet(srcDir).schema
       val tally = collection.mutable.Map.empty[String, (Long, Long)]
-      var nBatches = 0
+      // AtomicInteger, not a var: incremented on the micro-batch thread,
+      // read on the caller thread after awaitTermination — the explicit
+      // happens-before, not Spark's internal synchronization.
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
       val step: (Dataset[Row], Long) => Unit = (batch, _) => {
-        nBatches += 1
+        nBatches.incrementAndGet()
         graft.ops.Dedup.shingleHashSet(batch, "id", "text", 3)
           .join(broadcast(evalShingles), "h")
           .groupBy(col("bench"))
@@ -769,8 +778,8 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      require(nBatches >= 2,
-        s"stream delivered $nBatches batch(es); the multi-batch contract needs >= 2")
+      require(nBatches.get() >= 2,
+        s"stream delivered ${nBatches.get()} batch(es); the multi-batch contract needs >= 2")
       tally.toSeq.map { case (b, (nd, nh)) => (b, nd, nh) }
         .toDF("bench", "n_docs_hit", "n_hits").orderBy("bench")
     }

@@ -45,18 +45,20 @@ case class DecodedMedia(media_id: Long, kind: String, meta: MediaMeta, features:
   */
 object Multimodal {
 
-  // ImageIO's default stream cache is FILE-backed: every
+  // ImageIO's DEFAULT stream cache is FILE-backed: every
   // ImageIO.read(InputStream)/createImageOutputStream call creates,
   // writes, and deletes a temp file under java.io.tmpdir — per record,
   // in the hot decode path, for payloads that already sit in memory as
   // byte arrays. Measured at sf0.1 on a slow-/tmp host epoch this
   // dominated the real-codec gates (q_m4 1.4→6.1 s, q_m10 0.8→4.7 s
   // with ZERO code change); at cluster scale it is per-record disk
-  // I/O on every executor for no benefit. Memory caching is strictly
-  // right here. Runs in the object initializer so every JVM that
-  // touches a codec path (driver or executor — the decode lambdas
-  // reference this object) flips it before the first decode.
-  javax.imageio.ImageIO.setUseCache(false)
+  // I/O on every executor for no benefit. The fix is SCOPED, not
+  // global: every codec call below wraps its in-memory buffer in an
+  // explicit MemoryCache image stream (r14, replacing an earlier
+  // object-initializer ImageIO.setUseCache(false) — mutating
+  // process-global JVM state on class load would silently retarget
+  // co-resident code that relies on file-backed ImageIO streams, e.g.
+  // images larger than heap headroom).
 
   /** Magic-byte sniffing on the binary header (real logic, not stubbed —
     * operates on raw bytes like any container-format detector).
@@ -269,7 +271,8 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
     bos.toByteArray
   }
 
@@ -291,7 +294,7 @@ object Multimodal {
       params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       params.setCompressionQuality(quality)
       val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
       try {
         writer.setOutput(ios)
         writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
@@ -304,16 +307,20 @@ object Multimodal {
     * undecodable bytes (callers route those to a quarantine side, never
     * throw — one corrupt blob must not kill a 100 TB scan task).
     */
-  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     // ImageIO returns null for unrecognized containers but THROWS for a
     // recognized container with corrupt payload (e.g. a truncated PNG) —
     // both routes must land in the quarantine, so catch as well as map.
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try Option(javax.imageio.ImageIO.read(iis))
       .map { img =>
         val w = img.getWidth; val h = img.getHeight
         (w, h, img.getRGB(0, 0, w, h, null, 0, w))
       }
     catch { case _: Exception => None }
+    finally iis.close()
+  }
 
   /** Integer luma: (299·r + 587·g + 114·b) div 1000 — the fixed-point
     * BT.601 weights, floor division, no floats anywhere.
