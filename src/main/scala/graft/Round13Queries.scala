@@ -126,8 +126,14 @@ object Round13Queries {
     * shape.
     */
   val d22AutoDedup: Q = (s, d) =>
+    // truthDfCap = None is a DOCUMENTED posture, not a default: the
+    // planted corpus is boilerplate-free by construction (max natural
+    // pairwise 3-gram Jaccard ≈ 0.03, no shared chrome), so
+    // full-universe truth is the exact semantics and no shingle's df²
+    // can explode. Production corpora pass Some(cap) — the q_d23 gate
+    // proves the binding-cap algebra.
     Dedup.nearDupPairsAuto(PipelineQueries.corpus(s, d), "id", "text",
-        sampleMod = 2,
+        truthDfCap = None, sampleMod = 2,
         precisionFloorPpm = d21PrecisionFloorPpm,
         recallFloorPpm = d21RecallFloorPpm)
       .select(col("rows_per_band"), col("ia"), col("ib"), col("jac"))
@@ -255,9 +261,12 @@ object Round13Queries {
         .write.parquet(srcDir)
       val schema = s.read.parquet(srcDir).schema
       val idx = new graft.ops.KeepBestIndex(s)
-      var nBatches = 0
+      // AtomicInteger, not a var: incremented on the micro-batch thread,
+      // read on the caller thread after awaitTermination — the explicit
+      // happens-before, not Spark's internal synchronization.
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
       val step: (Dataset[Row], Long) => Unit = (batch, _) => {
-        nBatches += 1
+        nBatches.incrementAndGet()
         idx.ingest(batch, "id", "text",
           pmod(TextOps.hash60(col("id").cast("string")), lit(1000L)))
       }
@@ -267,8 +276,8 @@ object Round13Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      require(nBatches >= 2,
-        s"stream delivered $nBatches batch(es); the multi-batch contract needs >= 2")
+      require(nBatches.get() >= 2,
+        s"stream delivered ${nBatches.get()} batch(es); the multi-batch contract needs >= 2")
       idx.survivors.orderBy("id").localCheckpoint(eager = true)
     }
   }

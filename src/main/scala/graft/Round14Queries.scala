@@ -1,0 +1,559 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.ops.{Dedup, KeepBestIndex, KeepBestIndexStore, TextOps}
+
+/** Round-14 additions: the production-durability and cost-posture
+  * items — a STORE-BACKED keep-best index that survives a mid-stream
+  * kill (q_st18), the streaming guard auto-tuned at birth (q_st19),
+  * the chooser's truth cost under a BINDING informative-universe cap
+  * (q_d23), and the chooser pattern extended to the SimHash banded
+  * family (q_d24).
+  *
+  * Session-scoped file (the CurationQueries pattern) so the older
+  * registries stay stable.
+  */
+object Round14Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- D23: LSH chooser under a BINDING truthDfCap ----------------------
+
+  /** The planted boilerplate suffix: four tokens no natural document
+    * carries, appended to EVERY corpus document — its two interior
+    * 3-shingles ("zq0nav zq1chrome zq2footer", "zq1chrome zq2footer
+    * zq3bar") are shared by every distinct content, so their rep-level
+    * df is the sample's whole content universe and a cap of 64 caps
+    * them out while every informative shingle (df 1–3 in the synthetic
+    * corpus) survives. The junction shingles that straddle each
+    * document's own tail tokens stay per-document — informative.
+    */
+  val boilerText = "zq0nav zq1chrome zq2footer zq3bar"
+
+  /** Two PURE-boilerplate documents — an exact-duplicate family whose
+    * ENTIRE shingle set is capped out: the within-group edge the
+    * stop-shingle contract defines as NOT-true (informative Jaccard
+    * 0/0), gated here so the engine's [[Dedup]] withinTrueOf rule and
+    * the oracle's member-level algebra are proven to agree on it. Ids
+    * chosen so both land in the chooser's hash-gated sample
+    * (hash60 % 2 = 0 for both — verified at authoring time).
+    */
+  val boilerOnlyIds: Seq[Long] = Seq(9000002L, 9000003L)
+
+  def corpusBoiler(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    PipelineQueries.corpus(s, d)
+      .select(col("id"), concat(col("text"), lit(" " + boilerText)).as("text"))
+      .unionByName(boilerOnlyIds.map(i => (i, boilerText)).toDF("id", "text"))
+  }
+
+  val corpusBoilerSql: String =
+    s"""${PipelineQueries.corpusSql},
+       |corpusB AS (
+       |  SELECT id, text || ' $boilerText' AS text FROM corpus
+       |  UNION ALL SELECT ${boilerOnlyIds(0)}, '$boilerText'
+       |  UNION ALL SELECT ${boilerOnlyIds(1)}, '$boilerText')""".stripMargin
+
+  /** Floors measured at sf0.01 on the boilerplate-planted corpus so
+    * both constraints genuinely bite under the cap (see PLANS.md r14
+    * calibration note).
+    */
+  val d23PrecisionFloorPpm = 950000L
+  val d23RecallFloorPpm = 960000L
+
+  /** The informative-universe cap: rep-level df ≤ 64 keeps every
+    * natural shingle (df 1–3) and excludes exactly the two planted
+    * boilerplate shingles (df = the whole sample's content universe).
+    */
+  val d23TruthDfCap = 64
+
+  /** D23: [[Dedup.chooseLshConfig]] with a BINDING `truthDfCap` — the
+    * production posture for boilerplate-bearing corpora ([[Dedup
+    * .nearDupPairsAuto]]'s required-parameter rule): without the cap
+    * the chooser's exact-truth self-join pays Σ df² over the planted
+    * chrome shingle (the sample's whole universe squared); with it,
+    * truth is "exact Jaccard within the informative universe" and the
+    * quadratic term is gone. The oracle replays the ENTIRE capped
+    * algebra member-level: content groups → rep-level df → informative
+    * universe → informative sizes/inverted-index truth → full-set
+    * banding candidates → both ppm axes → floors → argmin. The planted
+    * pure-boilerplate duplicate family pins the 0/0 edge: a TRUE pair
+    * under full-universe truth, NOT true under the cap (its entire
+    * set is capped out), while still counting as a candidate in every
+    * config.
+    */
+  val d23LshChooseCapped: Q = (s, d) =>
+    Dedup.chooseLshConfig(corpusBoiler(s, d), "id", "text",
+        shingleN = 3, k = 16, rowsPerBandConfigs = Seq(2, 4, 8),
+        threshold = 0.5, sampleMod = 2,
+        precisionFloorPpm = d23PrecisionFloorPpm,
+        recallFloorPpm = d23RecallFloorPpm,
+        truthDfCap = Some(d23TruthDfCap))
+      .orderBy("rows_per_band")
+
+  private def d23Block(r: Int): String = {
+    val b = 16 / r
+    s"""bands$r AS (
+       |  SELECT id, j // $r AS band,
+       |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY 1, 2),
+       |cand$r AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM bands$r a JOIN bands$r b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |row$r AS (
+       |  SELECT $r AS rows_per_band, $b AS n_bands,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$r) AS n_candidates,
+       |    (SELECT CAST(COUNT(*) AS BIGINT)
+       |     FROM cand$r c JOIN truth t ON t.ia = c.ia AND t.ib = c.ib) AS n_verified,
+       |    (SELECT nt FROM nt) AS n_true)""".stripMargin
+  }
+
+  val d23LshChooseCappedSql: String =
+    s"""WITH $corpusBoilerSql,
+       |sample AS (
+       |  SELECT id, text FROM corpusB
+       |  WHERE ${TextOps.hash60Sql("CAST(id AS VARCHAR)")} % 2 = 0),
+       |${PipelineQueries.shingleSql.replace("FROM corpus", "FROM sample")},
+       |perdoc AS (
+       |  SELECT id, string_agg(CAST(h AS VARCHAR), ',' ORDER BY h) AS ck
+       |  FROM sh GROUP BY id),
+       |reps AS (SELECT MIN(id) AS id FROM perdoc GROUP BY ck),
+       |repsh AS MATERIALIZED (SELECT s.id, s.h FROM sh s JOIN reps r USING (id)),
+       |dfh AS (SELECT h, COUNT(*) AS df FROM repsh GROUP BY h),
+       |inf AS (SELECT h FROM dfh WHERE df <= $d23TruthDfCap),
+       |ish AS MATERIALIZED (SELECT s.id, s.h FROM sh s JOIN inf USING (h)),
+       |isizes AS (SELECT id, COUNT(*) AS n FROM ish GROUP BY 1),
+       |iinter AS MATERIALIZED (
+       |  SELECT x.id AS ia, y.id AS ib, COUNT(*) AS inter
+       |  FROM ish x JOIN ish y ON y.h = x.h AND x.id < y.id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT i.ia, i.ib
+       |  FROM iinter i JOIN isizes na ON na.id = i.ia
+       |                JOIN isizes nb ON nb.id = i.ib
+       |  WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.5),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM truth),
+       |mh AS (
+       |${Dedup.minhashSql(16)}),
+       |${d23Block(2)},
+       |${d23Block(4)},
+       |${d23Block(8)},
+       |tbl AS (SELECT * FROM row2 UNION ALL SELECT * FROM row4
+       |        UNION ALL SELECT * FROM row8),
+       |calc AS (
+       |  SELECT *,
+       |    CASE WHEN n_candidates = 0 THEN NULL
+       |         ELSE n_verified * 1000000 // n_candidates END AS precision_ppm,
+       |    CASE WHEN n_true = 0 THEN NULL
+       |         ELSE n_verified * 1000000 // n_true END AS recall_ppm
+       |  FROM tbl),
+       |feas AS (
+       |  SELECT *, COALESCE(precision_ppm >= $d23PrecisionFloorPpm, FALSE)
+       |        AND COALESCE(recall_ppm >= $d23RecallFloorPpm, FALSE) AS feasible
+       |  FROM calc),
+       |sel AS (SELECT rows_per_band FROM feas WHERE feasible
+       |        ORDER BY n_candidates, rows_per_band DESC LIMIT 1)
+       |SELECT rows_per_band, n_bands, n_candidates, n_verified, n_true,
+       |  precision_ppm, recall_ppm, feasible,
+       |  feasible AND rows_per_band IN (SELECT rows_per_band FROM sel) AS chosen
+       |FROM feas ORDER BY rows_per_band""".stripMargin
+
+  // ---- D24: SimHash band-width chooser ---------------------------------
+
+  /** Floors measured at sf0.01 so both constraints bite across the
+    * band grid (measured ppm — precision 952380/296442/67994/13831 and
+    * recall 330578/619834/818181/991735 for 2/3/4/6 bands): the
+    * cheapest config (2 bands, 42 candidates) fails the recall floor,
+    * the highest-recall config (6 bands) fails the precision floor —
+    * 1.4% precision means ~70 wasted Hamming verifications per true
+    * pair — so the chooser must take the middle (4 bands, the
+    * production [[graft.ops.Dedup.simhashPairs]] split, now certified
+    * rather than assumed). SimHash banding precision on this corpus is
+    * structurally low (few true pairs at Hamming ≤ 6, chunk collisions
+    * quadratic in the sample) — which is exactly the information the
+    * chooser exists to surface before a corpus pass.
+    */
+  val d24PrecisionFloorPpm = 60000L
+  val d24RecallFloorPpm = 800000L
+  val d24MaxDist = 6
+
+  /** D24: [[Dedup.chooseSimhashBands]] over the planted dedup corpus —
+    * the q_d21 chooser pattern on the SECOND banded family: one row
+    * per band count over the 60-bit SimHash, both axes measured
+    * against exact Hamming truth on the hash-gated sample (truth via
+    * the pigeonhole-complete 10-band enumeration engine-side; the
+    * oracle computes it as a deliberately different algebra — the
+    * sample's all-pairs Hamming join), feasibility floors, cheapest
+    * feasible chosen with ties to fewer bands.
+    */
+  val d24SimhashChoose: Q = (s, d) =>
+    Dedup.chooseSimhashBands(PipelineQueries.corpus(s, d), "id", "text",
+        bandConfigs = Seq(2, 3, 4, 6), maxDist = d24MaxDist, sampleMod = 2,
+        precisionFloorPpm = d24PrecisionFloorPpm,
+        recallFloorPpm = d24RecallFloorPpm)
+      .orderBy("n_bands")
+
+  private def d24Block(nb: Int): String = {
+    val w = 60 / nb
+    val mask = (1L << w) - 1
+    s"""banded$nb AS (
+       |  SELECT id, simhash, b, (simhash >> ($w * b)) & $mask AS chunk
+       |  FROM ssim, (SELECT unnest(generate_series(0, ${nb - 1})) AS b) t),
+       |cand$nb AS (
+       |  SELECT DISTINCT a.id AS ia, b2.id AS ib,
+       |    CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
+       |  FROM banded$nb a JOIN banded$nb b2
+       |    ON a.b = b2.b AND a.chunk = b2.chunk AND a.id < b2.id),
+       |row$nb AS (
+       |  SELECT $nb AS n_bands, $w AS chunk_bits,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$nb) AS n_candidates,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$nb
+       |     WHERE hamming <= $d24MaxDist) AS n_verified,
+       |    (SELECT nt FROM nt) AS n_true)""".stripMargin
+  }
+
+  val d24SimhashChooseSql: String =
+    s"""WITH ${PipelineQueries.corpusSql},
+       |tok AS (SELECT id, unnest(string_split_regex(text, '\\s+')) AS t FROM corpus),
+       |h AS (SELECT id, ${TextOps.hash60Sql("t")} AS hv FROM tok),
+       |bits AS (
+       |  SELECT id, i, SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM h, (SELECT unnest(generate_series(0, 59)) AS i) b GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS simhash
+       |  FROM bits GROUP BY id),
+       |ssim AS MATERIALIZED (
+       |  SELECT id, simhash FROM sim
+       |  WHERE ${TextOps.hash60Sql("CAST(id AS VARCHAR)")} % 2 = 0),
+       |truth AS MATERIALIZED (
+       |  SELECT a.id AS ia, b.id AS ib
+       |  FROM ssim a JOIN ssim b ON a.id < b.id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $d24MaxDist),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM truth),
+       |${d24Block(2)},
+       |${d24Block(3)},
+       |${d24Block(4)},
+       |${d24Block(6)},
+       |tbl AS (SELECT * FROM row2 UNION ALL SELECT * FROM row3
+       |        UNION ALL SELECT * FROM row4 UNION ALL SELECT * FROM row6),
+       |calc AS (
+       |  SELECT *,
+       |    CASE WHEN n_candidates = 0 THEN NULL
+       |         ELSE n_verified * 1000000 // n_candidates END AS precision_ppm,
+       |    CASE WHEN n_true = 0 THEN NULL
+       |         ELSE n_verified * 1000000 // n_true END AS recall_ppm
+       |  FROM tbl),
+       |feas AS (
+       |  SELECT *, COALESCE(precision_ppm >= $d24PrecisionFloorPpm, FALSE)
+       |        AND COALESCE(recall_ppm >= $d24RecallFloorPpm, FALSE) AS feasible
+       |  FROM calc),
+       |sel AS (SELECT n_bands FROM feas WHERE feasible
+       |        ORDER BY n_candidates, n_bands LIMIT 1)
+       |SELECT n_bands, chunk_bits, n_candidates, n_verified, n_true,
+       |  precision_ppm, recall_ppm, feasible,
+       |  feasible AND n_bands IN (SELECT n_bands FROM sel) AS chosen
+       |FROM feas ORDER BY n_bands""".stripMargin
+
+  // ---- ST18: store-backed keep-best index, killed and resumed ----------
+
+  /** ST18: [[graft.ops.KeepBestIndexStore]] under the failure q_st17's
+    * in-memory index cannot survive. The d20 corpus arrives as TWO
+    * streams against one store directory: the first instance ingests
+    * half the corpus (two micro-batches) and is KILLED (discarded —
+    * its executor-side blocks with it, which is the point: state lives
+    * in the store's committed parquet, not in the JVM); a poisoned
+    * MID-BATCH partial (absurd scores, no `_COMMIT` marker) is planted
+    * to simulate a crash during the next write; a SECOND instance
+    * opens the same directory — the sweep must drop the partial (the
+    * gate asserts the directory is gone) — and ingests the rest. Final
+    * survivors must equal the BATCH keep-best purge of the whole
+    * corpus: the oracle is literally q_d20's SQL, the q_st17 bar, now
+    * passed ACROSS a kill/resume boundary.
+    */
+  val st18StoreKeepBest: Q = (s, d) => {
+    import org.apache.spark.sql.{Dataset, Row}
+    graft.ops.TempFiles.withTempDir("graft-st18") { root =>
+      val corpus = PipelineQueries.corpus(s, d)
+      val quarter = pmod(TextOps.hash60(col("id").cast("string")), lit(4L))
+      val srcA = new java.io.File(root, "srcA").getAbsolutePath
+      val srcB = new java.io.File(root, "srcB").getAbsolutePath
+      corpus.filter(quarter < 2).repartition(2, col("id")).write.parquet(srcA)
+      corpus.filter(quarter >= 2).repartition(2, col("id")).write.parquet(srcB)
+      val storeDir = new java.io.File(root, "store").getAbsolutePath
+      val score = pmod(TextOps.hash60(col("id").cast("string")), lit(1000L))
+      def stream(src: String, idx: KeepBestIndexStore): Int = {
+        val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        val schema = s.read.parquet(src).schema
+        val step: (Dataset[Row], Long) => Unit = (batch, _) => {
+          n.incrementAndGet()
+          idx.ingest(batch, "id", "text", score)
+        }
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream.foreachBatch(step)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        n.get()
+      }
+      val nA = stream(srcA, KeepBestIndexStore.open(s, storeDir))
+      require(nA >= 2,
+        s"first stream delivered $nA batch(es); the multi-batch contract needs >= 2")
+      // the kill: instance 1 is gone. Plant the mid-batch crash artifact —
+      // a partial b=2 with poisoned scores and NO _COMMIT; if resume ever
+      // read it, these winners would flip and the d20 hash would mismatch.
+      val partial = new java.io.File(storeDir, s"b=$nA")
+      corpus.limit(5)
+        .select(col("id").cast("long").as("id"), lit(999999L).as("score"),
+          lit(nA).as("b"))
+        .write.parquet(new java.io.File(partial, "scored").getAbsolutePath)
+      val idx2 = KeepBestIndexStore.open(s, storeDir)
+      require(!partial.exists(),
+        "resume did not sweep the uncommitted mid-batch partial")
+      val nB = stream(srcB, idx2)
+      require(nB >= 2,
+        s"second stream delivered $nB batch(es); the multi-batch contract needs >= 2")
+      idx2.survivors.orderBy("id").localCheckpoint(eager = true)
+    }
+  }
+  /** The batch keep-best purge IS the oracle — the q_st17 bar, across
+    * a kill/resume boundary.
+    */
+  val st18StoreKeepBestSql: String = CurationQueries.d20PurgeBestSql
+
+  // ---- ST19: streaming keep-best auto-tuned on its first batch ---------
+
+  /** Floors for the first-batch chooser, calibrated at sf0.01 on the
+    * quarter-corpus first batch (169 docs, 11 true pairs; measured
+    * precision_ppm 785714/1000000/1000000 for rpb 2/4/8): the
+    * precision floor rejects rpb=2, rpb=4 and rpb=8 tie on candidate
+    * count and the tie rule takes the larger rowsPerBand — feasible at
+    * every gated scale (sf0.001/0.01/0.1 probed via the oracle), so
+    * the stream always STARTS; the refusal path (uncertifiable sample,
+    * fires BEFORE any state accumulates) is DedupSpec's pin.
+    */
+  val st19PrecisionFloorPpm = 900000L
+  val st19RecallFloorPpm = 900000L
+
+  /** ST19: the streaming guard certified at birth — q_st17's index
+    * with [[KeepBestIndex.AutoTune]]: the FIRST batch's hash-gated
+    * sample is priced by the chooser, the cheapest feasible banding
+    * drives every batch (carried out as the `rows_per_band` provenance
+    * column), and the final survivors must equal the BATCH keep-best
+    * purge at that config. The first batch is DETERMINISTIC — the
+    * corpus splits on a seeded hash (`seededHash60('stb', id) % 4`)
+    * into four single-file batches whose modification times force the
+    * file source's oldest-first order (asserted in-stream: batch 1
+    * must be exactly split 0) — so the oracle can replay the whole
+    * dynamic decision: the chooser on split 0's sample, all three
+    * configs' full-corpus keep-best survivor sets, and the selection
+    * of whichever config the chooser picked (the q_d22 pattern, lifted
+    * to the streaming path).
+    */
+  val st19StreamAutotuned: Q = (s, d) => {
+    import org.apache.spark.sql.{Dataset, Row}
+    graft.ops.TempFiles.withTempDir("graft-st19") { root =>
+      val corpus = PipelineQueries.corpus(s, d)
+      val batchOf = pmod(
+        TextOps.seededHash60(lit("stb"), col("id").cast("string")), lit(4L))
+      val srcDir = new java.io.File(root, "src")
+      srcDir.mkdirs()
+      val t0 = System.currentTimeMillis() - 3600000L
+      (0 until 4).foreach { b =>
+        val tmp = new java.io.File(root, s"w$b")
+        corpus.filter(batchOf === b).coalesce(1)
+          .write.parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file for split $b"))
+        val dst = new java.io.File(srcDir, f"$b%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // oldest-first: the file source orders by modification time
+        require(dst.setLastModified(t0 + b * 2000L), "setLastModified failed")
+      }
+      // sampleMod = 1: the first batch IS the sample. The usual
+      // hash-gated half-sample composes badly with the batch split
+      // here — a planted pair survives both gates with p = 1/64, and
+      // at sf0.01 ZERO truth pairs survived, leaving every config
+      // infeasible (measured; a zero-truth sample never certifies —
+      // by design). The exact-truth cost is batch-bounded either way,
+      // which is the contract that makes first-batch tuning affordable.
+      val idx = new KeepBestIndex(s, tuning = Some(KeepBestIndex.AutoTune(
+        rowsPerBandConfigs = Seq(2, 4, 8), sampleMod = 1,
+        precisionFloorPpm = st19PrecisionFloorPpm,
+        recallFloorPpm = st19RecallFloorPpm,
+        // the planted corpus is boilerplate-free by construction (the
+        // q_d22 posture; q_d23 gates the binding-cap algebra)
+        truthDfCap = None)))
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val step: (Dataset[Row], Long) => Unit = (batch, _) => {
+        if (nBatches.incrementAndGet() == 1) {
+          // the oracle replays the chooser on split 0 — assert the
+          // source's order so a listing-order regression fails LOUDLY
+          // instead of silently tuning on the wrong batch
+          val stray = batch.filter(
+            pmod(TextOps.seededHash60(lit("stb"), col("id").cast("string")),
+              lit(4L)) =!= 0).limit(1).collect()
+          require(stray.isEmpty,
+            "first micro-batch is not split 0 — file-source ordering broke")
+        }
+        idx.ingest(batch, "id", "text",
+          pmod(TextOps.hash60(col("id").cast("string")), lit(1000L)))
+      }
+      val q = s.readStream.schema(s.read.parquet(srcDir.getAbsolutePath).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.getAbsolutePath)
+        .writeStream.foreachBatch(step)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(nBatches.get() >= 2,
+        s"stream delivered ${nBatches.get()} batch(es); the multi-batch contract needs >= 2")
+      idx.survivors
+        .withColumn("rows_per_band", lit(idx.chosenRowsPerBand.get))
+        .orderBy("id").localCheckpoint(eager = true)
+    }
+  }
+
+  /** Sample-side chooser blocks over split 0 (the d21 algebra on the
+    * batch's sample).
+    */
+  private def st19SampleBlock(r: Int): String = {
+    val b = 16 / r
+    s"""sbands$r AS (
+       |  SELECT id, j // $r AS band,
+       |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
+       |  FROM smh GROUP BY 1, 2),
+       |scand$r AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM sbands$r a JOIN sbands$r b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |srow$r AS (
+       |  SELECT $r AS rows_per_band,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM scand$r) AS n_candidates,
+       |    (SELECT CAST(COUNT(*) AS BIGINT)
+       |     FROM scand$r c JOIN struth t ON t.ia = c.ia AND t.ib = c.ib) AS n_verified,
+       |    (SELECT nt FROM snt) AS n_true)""".stripMargin
+  }
+
+  /** Full-corpus banding + candidates per config. */
+  private def st19FullBlock(r: Int): String =
+    s"""fbands$r AS (
+       |  SELECT id, j // $r AS band,
+       |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY 1, 2),
+       |fcand$r AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM fbands$r a JOIN fbands$r b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id)""".stripMargin
+
+  /** Keep-best survivors per config: the d20 recursive-closure +
+    * score-window algebra, restricted to that config's verified pairs.
+    */
+  private def st19SurvBlock(r: Int): String =
+    s"""pairs$r AS MATERIALIZED (
+       |  SELECT v.ia, v.ib FROM ver v JOIN fcand$r c ON c.ia = v.ia AND c.ib = v.ib),
+       |edges$r AS (SELECT ia AS a, ib AS b FROM pairs$r
+       |            UNION SELECT ib, ia FROM pairs$r),
+       |reach$r(a, b) AS (
+       |  SELECT a, b FROM edges$r
+       |  UNION
+       |  SELECT x.a, e.b FROM reach$r x JOIN edges$r e ON x.b = e.a),
+       |labels$r AS (
+       |  SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach$r GROUP BY a),
+       |ranked$r AS (
+       |  SELECT l.id,
+       |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+       |                       ORDER BY s.score DESC, l.id) AS rk
+       |  FROM labels$r l JOIN scores s ON s.id = l.id),
+       |surv$r AS (
+       |  SELECT c.id, s.score FROM corpus c JOIN scores s ON s.id = c.id
+       |  WHERE c.id NOT IN (SELECT id FROM ranked$r WHERE rk > 1))""".stripMargin
+
+  val st19StreamAutotunedSql: String =
+    s"""WITH RECURSIVE ${PipelineQueries.corpusSql},
+       |${PipelineQueries.shingleSql},
+       |mh AS (
+       |${Dedup.minhashSql(16)}),
+       |b0 AS (
+       |  SELECT id FROM corpus
+       |  WHERE ${TextOps.seededHash60Sql("'stb'", "CAST(id AS VARCHAR)")} % 4 = 0),
+       |smp AS (SELECT id FROM b0),
+       |ssh AS MATERIALIZED (SELECT sh.id, sh.h FROM sh JOIN smp USING (id)),
+       |ssizes AS (SELECT id, COUNT(*) AS n FROM ssh GROUP BY 1),
+       |sinter AS MATERIALIZED (
+       |  SELECT x.id AS ia, y.id AS ib, COUNT(*) AS inter
+       |  FROM ssh x JOIN ssh y ON y.h = x.h AND x.id < y.id
+       |  GROUP BY 1, 2),
+       |struth AS MATERIALIZED (
+       |  SELECT i.ia, i.ib
+       |  FROM sinter i JOIN ssizes na ON na.id = i.ia
+       |                JOIN ssizes nb ON nb.id = i.ib
+       |  WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.5),
+       |snt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM struth),
+       |smh AS MATERIALIZED (SELECT mh.* FROM mh JOIN smp USING (id)),
+       |${st19SampleBlock(2)},
+       |${st19SampleBlock(4)},
+       |${st19SampleBlock(8)},
+       |stbl AS (SELECT * FROM srow2 UNION ALL SELECT * FROM srow4
+       |         UNION ALL SELECT * FROM srow8),
+       |scalc AS (
+       |  SELECT *,
+       |    CASE WHEN n_candidates = 0 THEN NULL
+       |         ELSE n_verified * 1000000 // n_candidates END AS precision_ppm,
+       |    CASE WHEN n_true = 0 THEN NULL
+       |         ELSE n_verified * 1000000 // n_true END AS recall_ppm
+       |  FROM stbl),
+       |sfeas AS (
+       |  SELECT *, COALESCE(precision_ppm >= $st19PrecisionFloorPpm, FALSE)
+       |        AND COALESCE(recall_ppm >= $st19RecallFloorPpm, FALSE) AS feasible
+       |  FROM scalc),
+       |sel AS (SELECT rows_per_band FROM sfeas WHERE feasible
+       |        ORDER BY n_candidates, rows_per_band DESC LIMIT 1),
+       |${st19FullBlock(2)},
+       |${st19FullBlock(4)},
+       |${st19FullBlock(8)},
+       |candall AS MATERIALIZED (
+       |  SELECT DISTINCT ia, ib FROM (
+       |    SELECT * FROM fcand2 UNION ALL SELECT * FROM fcand4
+       |    UNION ALL SELECT * FROM fcand8)),
+       |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS MATERIALIZED (
+       |  SELECT c.ia, c.ib, COUNT(*) AS inter
+       |  FROM candall c JOIN sh x ON x.id = c.ia JOIN sh y ON y.id = c.ib AND y.h = x.h
+       |  GROUP BY 1, 2),
+       |ver AS MATERIALIZED (
+       |  SELECT i.ia, i.ib
+       |  FROM inter i JOIN sizes na ON na.id = i.ia JOIN sizes nb ON nb.id = i.ib
+       |  WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.5),
+       |scores AS (
+       |  SELECT id, ${TextOps.hash60Sql("CAST(id AS VARCHAR)")} % 1000 AS score
+       |  FROM corpus),
+       |${st19SurvBlock(2)},
+       |${st19SurvBlock(4)},
+       |${st19SurvBlock(8)}
+       |SELECT s.id, s.score,
+       |  (SELECT rows_per_band FROM sel) AS rows_per_band
+       |FROM (
+       |  SELECT * FROM surv2 WHERE 2 = (SELECT rows_per_band FROM sel)
+       |  UNION ALL
+       |  SELECT * FROM surv4 WHERE 4 = (SELECT rows_per_band FROM sel)
+       |  UNION ALL
+       |  SELECT * FROM surv8 WHERE 8 = (SELECT rows_per_band FROM sel)) s
+       |ORDER BY s.id""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q_d23_lsh_choose_capped" -> d23LshChooseCapped,
+    "q_d24_simhash_choose" -> d24SimhashChoose,
+    "q_st18_store_keepbest" -> st18StoreKeepBest,
+    "q_st19_stream_autotuned" -> st19StreamAutotuned
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_d23_lsh_choose_capped" -> d23LshChooseCappedSql,
+    "q_d24_simhash_choose" -> d24SimhashChooseSql,
+    "q_st18_store_keepbest" -> st18StoreKeepBestSql,
+    "q_st19_stream_autotuned" -> st19StreamAutotunedSql
+  )
+}

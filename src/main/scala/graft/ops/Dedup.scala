@@ -663,6 +663,33 @@ object Dedup {
     case None => (repSh, fullSizes, false)
   }
 
+  /** Within-group (identical-content) TRUE-pair weight under the truth
+    * universe: Σ C(m, 2) over content groups — restricted, when a
+    * `truthDfCap` BINDS (`capped`), to groups whose INFORMATIVE shingle
+    * set is non-empty. A group whose entire set is capped out (a
+    * pure-boilerplate duplicate family) has informative Jaccard 0/0 —
+    * NOT a true pair under the stop-shingle contract
+    * ([[ngramJaccardPairs]]), exactly as the member-level
+    * inverted-index algebra computes it: a pair sharing zero
+    * informative shingles never appears in the truth join. Candidates
+    * are deliberately unaffected — identical sets band identically
+    * under every config, so such pairs still COUNT as candidates and
+    * fail verification, pricing the boilerplate waste into precision
+    * instead of hiding it. Uncapped, every identical-content pair is
+    * true by definition (equal sets are equal under the full
+    * universe) — the pre-r14 behavior, unchanged.
+    */
+  private def withinTrueOf(groups: DataFrame, nWithin: Long,
+                           postings: DataFrame, capped: Boolean,
+                           threshold: Double): Long =
+    if (1.0 < threshold) 0L
+    else if (!capped) nWithin
+    else groups
+      .join(postings.select(col("id").as("rep")).distinct(), Seq("rep"))
+      .agg(coalesce(sum(expr(
+        "size(members) * cast(size(members) - 1 as bigint) div 2")), lit(0L)))
+      .first().getLong(0)
+
   /** The rep-level WEIGHTED truth relation (ia, ib, w = ma·mb): exact
     * Jaccard ≥ threshold off the inverted index — one self-join keyed
     * on the shingle hash (one row per SHARED shingle, never candidate
@@ -1407,13 +1434,17 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     groups.count()
     val (nWithin, repSh, fullSizes) = groupScaffold(groups)
-    val withinTrue = if (1.0 >= threshold) nWithin else 0L
     val mOf = groups.select(col("rep"), size(col("members")).cast(LongType).as("m"))
     // Informative-universe gate for the truth side only (candidates
     // band over the FULL sets — that is what production LSH sees, and
     // recall against informative-universe truth is the question asked).
     val (postings, sizes, ownPostings) =
       truthScaffold(repSh, fullSizes, truthDfCap)
+    // Within-group pairs are true only while their informative set is
+    // non-empty — see [[withinTrueOf]] (pure-boilerplate families are
+    // 0/0 under a binding cap, the stop-shingle contract).
+    val withinTrue = withinTrueOf(groups, nWithin, postings, ownPostings,
+      threshold)
     val truth = repTruth(postings, sizes, mOf, threshold)
     val nCross = truth.agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
     val nTrue = withinTrue + nCross
@@ -1485,10 +1516,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     groups.count()
     val (nWithin, repSh, fullSizes) = groupScaffold(groups)
-    val withinTrue = if (1.0 >= threshold) nWithin else 0L
     val mOf = groups.select(col("rep"), size(col("members")).cast(LongType).as("m"))
     val (postings, sizes, ownPostings) =
       truthScaffold(repSh, fullSizes, truthDfCap)
+    // Within-group pairs stay CANDIDATES unconditionally (nCand below
+    // adds nWithin) but are TRUE/verified only while their informative
+    // set is non-empty — see [[withinTrueOf]].
+    val withinTrue = withinTrueOf(groups, nWithin, postings, ownPostings,
+      threshold)
     // truth: the lshRecall inverted-index join, rep level, weighted
     val truth = repTruth(postings, sizes, mOf, threshold)
     val nTrue = withinTrue +
@@ -1539,14 +1574,26 @@ object Dedup {
     * an operating point the caller's floors just rejected, which is
     * the exact failure mode the floors exist to prevent. Loosen a
     * floor or extend `rowsPerBandConfigs` instead.
+    *
+    * `truthDfCap` is REQUIRED (no default) — it is the auto path's cost
+    * posture, and silently inheriting one would hide a quadratic step:
+    * the chooser's exact-truth self-join costs Σ_h df_h² over the
+    * sample's rep-level postings, and with `None` a single boilerplate
+    * shingle shared by most sample documents (navigation chrome — the
+    * NORM at crawl scale) makes the chooser itself the quadratic step
+    * of the whole run. Pass `Some(cap)` (informative-universe truth —
+    * [[lshRecall]]'s stop-shingle contract, oracle-gated with a BINDING
+    * cap by q_d23) for any corpus not known boilerplate-free; `None`
+    * only when the corpus provably carries no high-df shingles (the
+    * planted q_d22 gate corpus is such a case, and documents it).
     */
   def nearDupPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                       truthDfCap: Option[Int],
                        shingleN: Int = 3, k: Int = 16,
                        rowsPerBandConfigs: Seq[Int] = Seq(2, 4, 8),
                        threshold: Double = 0.5, sampleMod: Int = 2,
                        precisionFloorPpm: Long = 0L,
-                       recallFloorPpm: Long = 0L,
-                       truthDfCap: Option[Int] = None): DataFrame = {
+                       recallFloorPpm: Long = 0L): DataFrame = {
     val choice = chooseLshConfig(df, idCol, textCol, shingleN, k,
         rowsPerBandConfigs, threshold, sampleMod,
         precisionFloorPpm, recallFloorPpm, truthDfCap)
@@ -1559,6 +1606,125 @@ object Dedup {
     val rpb = choice.head.getInt(0)
     nearDupPairs(df, idCol, textCol, shingleN, k, rpb, threshold)
       .withColumn("rows_per_band", lit(rpb))
+  }
+
+  /** Distinct weighted rep-level SimHash pairs under an `nb`-band
+    * split of the 60-bit signature: (ia, ib, w = ma·mb, hamming) for
+    * every rep pair sharing at least one band chunk. In-bucket
+    * enumeration (chained streamed generators, the [[simhashPairs]]
+    * shape); hamming rides out of the bucket for free — signatures are
+    * IN the bucket rows, so no config ever re-joins the corpus to
+    * verify. `groups` is the value-collapsed frame below: collapse is
+    * EXACT for SimHash (unlike the minhash-signature collapse
+    * [[lshTuning]] must avoid) because candidacy AND the verified
+    * quantity are both pure functions of the signature value itself.
+    */
+  private def simhashRepCand(groups: DataFrame, nb: Int): DataFrame = {
+    val w = 60 / nb
+    val mask = (1L << w) - 1
+    groups
+      .withColumn("b", explode(sequence(lit(0), lit(nb - 1))))
+      .withColumn("chunk", expr(s"(simhash >> ($w * b)) & $mask"))
+      .groupBy(col("b"), col("chunk"))
+      .agg(collect_list(struct(col("rep"), col("m"), col("simhash"))).as("ms"))
+      .where(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("x"), col("ms"))
+      .select(col("x"), explode(col("ms")).as("y"))
+      .where(col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("ia"), col("y.rep").as("ib"),
+        (col("x.m") * col("y.m")).as("w"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast(IntegerType).as("hamming"))
+      .distinct()
+  }
+
+  /** SIMHASH BAND-WIDTH CHOOSER — the [[chooseLshConfig]] pattern
+    * applied to the second banded family: for each candidate band
+    * count over the 60-bit SimHash, measure BOTH axes against exact
+    * Hamming truth on the deterministic hash-gated sample, mark
+    * feasibility against the caller's floors, and mark `chosen` the
+    * cheapest feasible config — fewest candidate pairs, ties to the
+    * FEWER bands (each band is one replication of the signature
+    * through the bucket exchange). More bands → shorter chunks → more
+    * spurious collisions (precision falls) but fewer missed true pairs
+    * (recall rises): the S-curve [[simhashPairs]]'s hard-coded 4×15
+    * split sits on, now priced before the corpus pass.
+    *
+    * TRUTH IS EXACT, NOT SAMPLED-APPROXIMATE, AND NEVER ALL-PAIRS: a
+    * pair at Hamming ≤ d shares an untouched chunk in ANY banding with
+    * more than d bands (pigeonhole), so the truth side enumerates a
+    * 10-band (6-bit-chunk) banding of the sample — complete for
+    * `maxDist` ≤ 9 (required) — and filters by exact Hamming computed
+    * in-bucket. Cost contract: truth-bucket occupancy is
+    * sample-reps/2^6 expected per (band, chunk) cell, Σ df² over 10
+    * bands — sample-bounded, the same posture as [[lshRecall]]'s
+    * inverted-index truth. Exact-value collapse applies throughout
+    * (identical SimHash ⇒ identical chunks in every banding AND
+    * Hamming 0 ≤ maxDist): weighted rep counting equals member
+    * enumeration, and within-group pairs are candidates, verified, and
+    * true in every config.
+    *
+    * Returns one row per config: (n_bands, chunk_bits, n_candidates,
+    * n_verified, n_true, precision_ppm, recall_ppm, feasible, chosen).
+    * Zero-candidate configs have NULL precision and are never feasible;
+    * a zero-truth sample leaves every config infeasible (no evidence is
+    * not passing evidence — the [[chooseLshConfig]] rule).
+    */
+  def chooseSimhashBands(df: DataFrame, idCol: String, textCol: String,
+                         bandConfigs: Seq[Int], maxDist: Int, sampleMod: Int,
+                         precisionFloorPpm: Long,
+                         recallFloorPpm: Long): DataFrame = {
+    require(bandConfigs.nonEmpty && bandConfigs.forall(b => b >= 1 && 60 % b == 0),
+      s"each band count must divide 60, got $bandConfigs")
+    require(maxDist >= 0 && maxDist <= 9,
+      s"maxDist must be in [0, 9] (the 10-band truth side is pigeonhole-" +
+        s"complete only below its band count), got $maxDist")
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val spark = df.sparkSession
+    val sample = df.filter(
+      pmod(TextOps.hash60(col(idCol).cast("string")), lit(sampleMod.toLong)) === 0)
+    val groups = simhash(sample, idCol, textCol)
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).cast(LongType).as("m"), min(col("id")).as("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    groups.count()
+    val nWithin = groups
+      .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)))
+      .first().getLong(0)
+    // all configs in one union'd pass, tagged by band count
+    val candAll = bandConfigs.map(nb =>
+        simhashRepCand(groups, nb).withColumn("nb", lit(nb)))
+      .reduce(_ unionByName _)
+      .localCheckpoint(eager = true)
+    val candByCfg = candAll.groupBy(col("nb"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("nc"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val verByCfg = candAll.filter(col("hamming") <= maxDist)
+      .groupBy(col("nb"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("nv"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // truth: the pigeonhole-complete 10-band enumeration, exact Hamming
+    val nCross = simhashRepCand(groups, 10)
+      .filter(col("hamming") <= maxDist)
+      .agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
+    val nTrue = nWithin + nCross
+    case class Cfg(nb: Int, nCand: Long, nVer: Long,
+                   prec: Option[Long], rec: Option[Long], feasible: Boolean)
+    val cfgs = bandConfigs.map { nb =>
+      val nCand = nWithin + candByCfg.getOrElse(nb, 0L)
+      val nVer = nWithin + verByCfg.getOrElse(nb, 0L)
+      val prec = if (nCand == 0) None else Some(nVer * 1000000L / nCand)
+      val rec = if (nTrue == 0) None else Some(nVer * 1000000L / nTrue)
+      Cfg(nb, nCand, nVer, prec, rec,
+        prec.exists(_ >= precisionFloorPpm) && rec.exists(_ >= recallFloorPpm))
+    }
+    val chosenNb = cfgs.filter(_.feasible)
+      .sortBy(c => (c.nCand, c.nb)).headOption.map(_.nb)
+    groups.unpersist()
+    import spark.implicits._
+    cfgs.map(c => (c.nb, 60 / c.nb, c.nCand, c.nVer, nTrue, c.prec, c.rec,
+        c.feasible, chosenNb.contains(c.nb)))
+      .toDF("n_bands", "chunk_bits", "n_candidates", "n_verified",
+        "n_true", "precision_ppm", "recall_ppm", "feasible", "chosen")
   }
 
   /** Per-BENCHMARK contamination report — the deliverable a

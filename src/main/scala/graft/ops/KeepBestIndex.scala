@@ -36,10 +36,23 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
   * keep-best window deterministic on every engine); ids must be
   * unique WITHIN a batch (the usual keyed-upsert contract — an id
   * re-delivered in a LATER batch replaces its stored state, see
-  * [[ingest]]).
+  * [[ingest]]; a batch VIOLATING the uniqueness contract is REFUSED,
+  * never blended — [[ingest]] checks).
+  *
+  * `tuning`: the streaming counterpart of [[Dedup.nearDupPairsAuto]] —
+  * when supplied, `rowsPerBand` is NOT taken from the constructor:
+  * the FIRST batch's deterministic hash-gated sample is priced by
+  * [[Dedup.chooseLshConfig]] against the tuning floors, the cheapest
+  * feasible banding drives every batch from then on (one integer of
+  * driver state, exposed as [[chosenRowsPerBand]] for provenance), and
+  * an infeasible first batch REFUSES — before ANY state accumulates,
+  * so a guard that cannot certify its floors never starts indexing at
+  * an uncertified operating point (the batch auto path's
+  * refuse-not-fallback rule, applied at stream birth).
   */
 final class KeepBestIndex(spark: SparkSession, shingleN: Int = 3, k: Int = 16,
-                          rowsPerBand: Int = 4, threshold: Double = 0.5) {
+                          rowsPerBand: Int = 4, threshold: Double = 0.5,
+                          tuning: Option[KeepBestIndex.AutoTune] = None) {
 
   private def empty(st: StructType): DataFrame =
     spark.createDataFrame(java.util.Collections.emptyList[Row](), st)
@@ -54,6 +67,21 @@ final class KeepBestIndex(spark: SparkSession, shingleN: Int = 3, k: Int = 16,
     StructField("id", LongType), StructField("score", LongType))))
   private var pairs = empty(StructType(Seq(
     StructField("ia", LongType), StructField("ib", LongType))))
+
+  private var tunedRpb: Option[Int] = None
+
+  /** The banding the index runs at: the constructor's when untuned,
+    * the first batch's certified choice once [[ingest]] has tuned
+    * (None before the first batch when `tuning` is set — provenance
+    * for "which operating point is this guard actually running?").
+    */
+  def chosenRowsPerBand: Option[Int] =
+    if (tuning.isEmpty) Some(rowsPerBand) else tunedRpb
+
+  private def effectiveRpb: Int =
+    if (tuning.isEmpty) rowsPerBand
+    else tunedRpb.getOrElse(throw new IllegalStateException(
+      "KeepBestIndex: banding not tuned yet — ingest the first batch first"))
 
   /** Fold one arriving batch into the index: delta-only shingling,
     * new near-dup pairs (delta×base plus delta×delta) appended, the
@@ -76,6 +104,37 @@ final class KeepBestIndex(spark: SparkSession, shingleN: Int = 3, k: Int = 16,
     */
   def ingest(batch: DataFrame, idCol: String, textCol: String,
              score: Column): Unit = {
+    // REFUSE a batch that violates within-batch id uniqueness rather
+    // than silently blending two scored rows for one id — the exact
+    // within-batch analogue of the ACROSS-batch corruption the REPLACE
+    // semantics eliminate (two scored rows make the keep-best window
+    // rank the id against itself and anti-join the document out even
+    // as its cluster's best copy). One batch-bounded aggregation.
+    val dupId = batch.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dupId.isEmpty,
+      s"KeepBestIndex.ingest: id ${dupId.headOption.map(_.get(0)).orNull} " +
+        "appears more than once WITHIN the batch — the keyed-upsert contract " +
+        "requires within-batch-unique ids (re-delivery is only defined ACROSS " +
+        "batches); dedup the batch upstream or split the duplicates into " +
+        "separate batches")
+    // Tune on the FIRST batch, before any state mutates: an infeasible
+    // sample refuses here with every state frame still empty.
+    tuning.foreach { t =>
+      if (tunedRpb.isEmpty) {
+        val choice = Dedup.chooseLshConfig(batch, idCol, textCol, shingleN, k,
+            t.rowsPerBandConfigs, threshold, t.sampleMod,
+            t.precisionFloorPpm, t.recallFloorPpm, t.truthDfCap)
+          .filter(col("chosen")).select(col("rows_per_band")).collect()
+        require(choice.nonEmpty,
+          "KeepBestIndex: no banding configuration meets the precision/recall " +
+            "floors on the first batch's sample — refusing BEFORE any state " +
+            "accumulates (a silent constructor-default banding would run the " +
+            "stream at an operating point the floors just rejected); loosen a " +
+            "floor or extend rowsPerBandConfigs")
+        tunedRpb = Some(choice.head.getInt(0))
+      }
+    }
     val dSh = Dedup.shingleHashSet(batch, idCol, textCol, shingleN)
       .select(col("id").cast(LongType).as("id"), col("h"))
       .localCheckpoint(eager = true)
@@ -93,7 +152,7 @@ final class KeepBestIndex(spark: SparkSession, shingleN: Int = 3, k: Int = 16,
       .select(col("ia"), col("ib"))
     pairs = pairs.unionByName(
         Dedup.incrementalNearDupPairsFromSets(baseSh, baseSigs, dSh,
-            k, rowsPerBand, threshold, baseSizes = Some(baseSizes))
+            k, effectiveRpb, threshold, baseSizes = Some(baseSizes))
           .select(col("ia"), col("ib")))
       .localCheckpoint(eager = true)
     baseSh = baseSh.unionByName(dSh).localCheckpoint(eager = true)
@@ -120,4 +179,19 @@ final class KeepBestIndex(spark: SparkSession, shingleN: Int = 3, k: Int = 16,
       Dedup.dupClusters(pairs))
     scored.join(losers, Seq("id"), "left_anti")
   }
+}
+
+object KeepBestIndex {
+  /** First-batch auto-tuning parameters — the [[Dedup.chooseLshConfig]]
+    * inputs the streaming guard certifies its operating point against.
+    * `truthDfCap` carries [[Dedup.nearDupPairsAuto]]'s REQUIRED-posture
+    * rule: pass `Some(cap)` for any corpus not known boilerplate-free
+    * (the chooser's exact-truth join is Σ df² in the sample's shingle
+    * universe).
+    */
+  final case class AutoTune(rowsPerBandConfigs: Seq[Int],
+                            sampleMod: Int,
+                            precisionFloorPpm: Long,
+                            recallFloorPpm: Long,
+                            truthDfCap: Option[Int])
 }

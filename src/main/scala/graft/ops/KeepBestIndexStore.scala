@@ -1,0 +1,263 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
+
+/** STORE-BACKED incremental keep-best survivor index — the
+  * production-durable form of [[KeepBestIndex]]. The in-memory class
+  * holds its five accumulated frames as eager `localCheckpoint`s:
+  * executor-pinned, non-replicated blocks (lose one executor
+  * mid-stream and the index is gone), re-materialized IN FULL every
+  * batch — O(batches × state) total work, the wrong cost shape for a
+  * long-lived 100 TB ingest guard. Here every batch persists ONLY its
+  * delta as parquet under a run directory, commits it atomically with
+  * a trailing `_COMMIT` marker (the `Curate.pipelineStaged` /
+  * `_SUCCESS` pattern — a marker-less directory is a mid-write crash
+  * and is dropped on the next open), and the ACCUMULATED state is a
+  * read-time view over the committed deltas. A killed stream resumes
+  * by reopening the directory: state is whatever was committed, the
+  * next batch folds in exactly as if the crash never happened
+  * (q_st18 gates kill-between-batches + a planted mid-batch partial;
+  * DedupSpec runs the kill-at-each-boundary sim).
+  *
+  * Cost shape per batch: WRITE is delta-bounded (the batch's shingle
+  * rows, signature, sizes, scores, ids) plus the batch's NEW pairs
+  * (output-bounded); nothing stored is ever rewritten. READ is the
+  * probe's inherent cost — the delta's bands join the accumulated
+  * band side, which any incremental index pays. Contrast the
+  * in-memory class: its per-batch `localCheckpoint` of `baseSh`
+  * REWRITES the full corpus-scale state every tick.
+  *
+  * RE-DELIVERY (the at-least-once contract, same semantics as
+  * [[KeepBestIndex.ingest]]) is LOGICAL here — append-only storage
+  * never deletes: every batch stores its id set, and the read-time
+  * view keeps a state row written at batch i only while its id was
+  * not re-delivered by a LATER committed batch (`b == latest(id)`);
+  * a pair row survives while NEITHER endpoint was re-delivered after
+  * it (`latest(ia) ≤ b ∧ latest(ib) ≤ b` — the pair was computed
+  * against content that is still current). Re-delivery writes the new
+  * content's rows and pairs in its own batch; the stale rows are
+  * shadowed, not rewritten. [[compact]] folds the view into one fresh
+  * batch and reclaims the shadowed space — amortize it every C
+  * batches and total work is O(batches × delta + state·batches/C),
+  * not O(batches × state).
+  *
+  * Single-writer contract (the reference pipeline's own posture: one
+  * scheduled updater per table — update-database.yml:282-397 runs one
+  * workflow instance); readers are safe any time — they only see
+  * committed batches.
+  */
+final class KeepBestIndexStore private (spark: SparkSession, dir: String,
+                                        shingleN: Int, k: Int,
+                                        rowsPerBand: Int, threshold: Double) {
+  import KeepBestIndexStore._
+
+  private val root = new Path(dir)
+  private def fs: FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def empty(st: StructType): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), st)
+
+  /** Committed batch numbers, ascending — a batch exists iff its
+    * `_COMMIT` marker does (the write order makes the marker the
+    * commit point).
+    */
+  private def committed: Seq[Int] = {
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case BatchDir(n) => n.toInt }
+      .filter(n => fs.exists(new Path(root, s"b=$n/_COMMIT")))
+      .sorted
+  }
+
+  /** One stored frame across the committed batches (each row carries
+    * the `b` it was written in). Reading by explicit committed paths —
+    * never a glob — is what makes uncommitted partials invisible even
+    * before open()'s cleanup sweep.
+    */
+  private def readFrame(name: String, schema: StructType): DataFrame = {
+    val bs = committed
+    if (bs.isEmpty) empty(schema)
+    else spark.read.parquet(bs.map(n => s"$dir/b=$n/$name"): _*)
+  }
+
+  /** (id, lb): the LATEST committed batch that delivered each id — the
+    * shadowing rule's pivot.
+    */
+  private def idsLatest: DataFrame =
+    readFrame("ids", idsSchema).groupBy(col("id")).agg(max(col("b")).as("lb"))
+
+  /** Current rows of a per-id frame: written in the batch that last
+    * delivered the id.
+    */
+  private def effective(name: String, schema: StructType): DataFrame =
+    readFrame(name, schema).join(idsLatest, Seq("id"))
+      .filter(col("b") === col("lb")).drop("b", "lb")
+
+  /** Current pair rows: neither endpoint re-delivered after the pair
+    * was computed (a later delivery replaced the content the pair was
+    * verified against — its replacement batch re-probed and re-wrote
+    * every still-true pair).
+    */
+  private def effectivePairs: DataFrame = {
+    val latest = idsLatest
+    readFrame("pairs", pairsSchema)
+      .join(latest.select(col("id").as("ia"), col("lb").as("la")), Seq("ia"))
+      .join(latest.select(col("id").as("ib"), col("lb").as("lbb")), Seq("ib"))
+      .filter(col("la") <= col("b") && col("lbb") <= col("b"))
+      .select(col("ia"), col("ib"))
+  }
+
+  /** Fold one batch into the store: REFUSE on within-batch duplicate
+    * ids (the [[KeepBestIndex.ingest]] contract), probe the delta
+    * against the committed view (delta-only shingling — the q_st14
+    * incremental contract; re-delivered ids' stale base rows are
+    * dropped inside the probe and shadowed in the store), write the
+    * six delta frames under the next batch directory, then commit
+    * with the trailing marker. A crash anywhere before the marker
+    * leaves a partial directory the next open() deletes; the batch
+    * re-ingests cleanly.
+    */
+  def ingest(batch: DataFrame, idCol: String, textCol: String,
+             score: Column): Unit = {
+    val dupId = batch.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dupId.isEmpty,
+      s"KeepBestIndexStore.ingest: id ${dupId.headOption.map(_.get(0)).orNull} " +
+        "appears more than once WITHIN the batch — the keyed-upsert contract " +
+        "requires within-batch-unique ids")
+    val n = committed.lastOption.fold(0)(_ + 1)
+    val bdir = new Path(root, s"b=$n")
+    // a partial from a previous failed attempt at THIS batch number
+    if (fs.exists(bdir)) fs.delete(bdir, true)
+    val dSh = Dedup.shingleHashSet(batch, idCol, textCol, shingleN)
+      .select(col("id").cast(LongType).as("id"), col("h"))
+      .localCheckpoint(eager = true)
+    val newPairs = Dedup.incrementalNearDupPairsFromSets(
+        effective("sh", shSchema), effective("sigs", sigsSchema), dSh,
+        k, rowsPerBand, threshold,
+        baseSizes = Some(effective("sizes", sizesSchema)))
+      .select(col("ia"), col("ib"))
+    def put(name: String, df: DataFrame): Unit =
+      df.withColumn("b", lit(n))
+        .write.parquet(new Path(bdir, name).toString)
+    put("sh", dSh)
+    put("sigs", Dedup.minhashSigs(dSh, k))
+    put("sizes", dSh.groupBy(col("id")).agg(count(lit(1)).as("n")))
+    put("scored", batch.select(col(idCol).cast(LongType).as("id"),
+      score.cast(LongType).as("score")))
+    put("ids", dSh.select(col("id")).distinct())
+    put("pairs", newPairs)
+    fs.create(new Path(bdir, "_COMMIT"), true).close()
+  }
+
+  /** The CURRENT surviving (id, score) rows off the committed view —
+    * the ONE keep-best window ([[Dedup.keepBestLosersFromClusters]],
+    * shared with the batch purge and the in-memory index), so the
+    * q_st18 ≡ q_d20 equivalence can never drift on the rule itself.
+    */
+  def survivors: DataFrame = {
+    val scored = effective("scored", scoredSchema)
+    val losers = Dedup.keepBestLosersFromClusters(scored,
+      Dedup.dupClusters(effectivePairs))
+    scored.join(losers, Seq("id"), "left_anti")
+  }
+
+  /** Fold the committed view into one fresh batch and drop the
+    * shadowed history — space reclamation, not semantics: the view
+    * before and after is identical. Crash-safe at every point: once
+    * the compacted batch's `_COMMIT` lands, every older row is
+    * shadowed by the read-time rule (all ids re-delivered at the
+    * compaction batch), so a crash during the trailing deletes leaves
+    * a larger-but-correct store and the next compact() reclaims it.
+    */
+  def compact(): Unit = {
+    val bs = committed
+    if (bs.size <= 1) return
+    val n = bs.last + 1
+    val bdir = new Path(root, s"b=$n")
+    if (fs.exists(bdir)) fs.delete(bdir, true)
+    def put(name: String, df: DataFrame): Unit =
+      df.withColumn("b", lit(n))
+        .write.parquet(new Path(bdir, name).toString)
+    put("sh", effective("sh", shSchema))
+    put("sigs", effective("sigs", sigsSchema))
+    put("sizes", effective("sizes", sizesSchema))
+    put("scored", effective("scored", scoredSchema))
+    put("ids", readFrame("ids", idsSchema).select(col("id")).distinct())
+    put("pairs", effectivePairs)
+    fs.create(new Path(bdir, "_COMMIT"), true).close()
+    bs.foreach(o => fs.delete(new Path(root, s"b=$o"), true))
+  }
+}
+
+object KeepBestIndexStore {
+
+  private val BatchDir = "b=(\\d+)".r
+
+  private val idsSchema = StructType(Seq(
+    StructField("id", LongType), StructField("b", IntegerType)))
+  private val shSchema = StructType(Seq(
+    StructField("id", LongType), StructField("h", LongType),
+    StructField("b", IntegerType)))
+  private val sigsSchema = StructType(Seq(
+    StructField("id", LongType), StructField("sig", ArrayType(LongType)),
+    StructField("b", IntegerType)))
+  private val sizesSchema = StructType(Seq(
+    StructField("id", LongType), StructField("n", LongType),
+    StructField("b", IntegerType)))
+  private val scoredSchema = StructType(Seq(
+    StructField("id", LongType), StructField("score", LongType),
+    StructField("b", IntegerType)))
+  private val pairsSchema = StructType(Seq(
+    StructField("ia", LongType), StructField("ib", LongType),
+    StructField("b", IntegerType)))
+
+  /** Open (or create) a store at `dir`. The parameters are FINGERPRINTED
+    * (`_params.sha256`, the `Curate.pipelineStaged` rule): reopening an
+    * existing store under different shingling/banding/threshold — or
+    * under a different state ALGEBRA version — is refused, because the
+    * stored deltas were computed under the old configuration and
+    * folding new-configuration batches into them would silently mix
+    * two indexes. Uncommitted batch directories (mid-write crashes)
+    * are swept here.
+    */
+  def open(spark: SparkSession, dir: String, shingleN: Int = 3, k: Int = 16,
+           rowsPerBand: Int = 4, threshold: Double = 0.5): KeepBestIndexStore = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val fp = {
+      val repr = Seq("kbi-alg=1", shingleN.toString, k.toString,
+        rowsPerBand.toString, threshold.toString).mkString(" ")
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val fpPath = new Path(root, "_params.sha256")
+    if (fs.exists(fpPath)) {
+      val in = fs.open(fpPath)
+      val prev = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      require(prev == fp,
+        s"KeepBestIndexStore: $dir holds state computed under a DIFFERENT " +
+          "configuration or algebra version (params fingerprint mismatch) — " +
+          "resuming would silently mix two indexes; pass a fresh dir (or " +
+          "delete this one) to run with the new parameters")
+    } else {
+      val out = fs.create(fpPath, true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+    }
+    // sweep mid-write partials: a batch directory without _COMMIT is a
+    // crash artifact — delete it whole (its rows were never visible)
+    fs.listStatus(root).toSeq.map(_.getPath).foreach { p =>
+      p.getName match {
+        case BatchDir(_) if !fs.exists(new Path(p, "_COMMIT")) =>
+          fs.delete(p, true)
+        case _ => ()
+      }
+    }
+    new KeepBestIndexStore(spark, dir, shingleN, k, rowsPerBand, threshold)
+  }
+}

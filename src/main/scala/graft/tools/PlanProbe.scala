@@ -41,7 +41,7 @@ object PlanProbe {
         // nearDupPairsAuto end to end (the chooser phase executes, the
         // pairs phase's plan prints).
         val auto = graft.ops.Dedup.nearDupPairsAuto(docs, "id", "text",
-          sampleMod = 2)
+          truthDfCap = None, sampleMod = 2)
         System.err.println("=== nearDupPairsAuto pairs at the chosen config ===")
         auto.explain("formatted")
         System.err.println(s"pairs: ${auto.count()}")

@@ -302,7 +302,8 @@ class DedupSpec extends SparkSpec {
     "and throws instead of silently defaulting when no config is feasible") {
     import spark.implicits._
     val auto = Dedup.nearDupPairsAuto(dupHeavy, "id", "text",
-      sampleMod = 2, precisionFloorPpm = 0L, recallFloorPpm = 0L)
+      truthDfCap = None, sampleMod = 2,
+      precisionFloorPpm = 0L, recallFloorPpm = 0L)
     val rpbs = auto.select("rows_per_band").distinct().as[Int].collect()
     rpbs.length shouldBe 1 // one choice drove the whole relation
     val chosen = Dedup.chooseLshConfig(dupHeavy, "id", "text", 3, 16,
@@ -315,7 +316,8 @@ class DedupSpec extends SparkSpec {
       manual.select("ia", "ib").as[(Long, Long)].collect().toSet
     // floors nothing can clear: refuse, never fall back to a default
     val boom = intercept[IllegalArgumentException](
-      Dedup.nearDupPairsAuto(dupHeavy, "id", "text", sampleMod = 2,
+      Dedup.nearDupPairsAuto(dupHeavy, "id", "text", truthDfCap = None,
+        sampleMod = 2,
         precisionFloorPpm = 1000001L, recallFloorPpm = 1000001L))
     boom.getMessage should include("no banding configuration")
   }
@@ -884,5 +886,131 @@ class DedupSpec extends SparkSpec {
     val d7 = Dedup.spanDedup(docs, "id", "text", span = 10)
       .orderBy("id").as[(Long, String, Long, Long)].collect()
     d7.find(_._1 == 2L).get._4 shouldBe 0L // n_dropped: the 17-token duplicate invisible
+  }
+
+  test("KeepBestIndex refuses a batch with duplicate ids instead of blending " +
+    "two scored rows for one id") {
+    import spark.implicits._
+    import graft.ops.KeepBestIndex
+    val T = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val idx = new KeepBestIndex(spark)
+    val boom = intercept[IllegalArgumentException](idx.ingest(
+      Seq((1L, T, 10L), (1L, T, 20L)).toDF("id", "text", "sc"),
+      "id", "text", col("sc")))
+    boom.getMessage should include("WITHIN the batch")
+    idx.survivors.count() shouldBe 0L // the refused batch left no state
+    idx.ingest(Seq((1L, T, 10L)).toDF("id", "text", "sc"), "id", "text", col("sc"))
+    idx.survivors.collect().map(r => r.getLong(0)) shouldBe Array(1L)
+  }
+
+  test("KeepBestIndex auto-tuning: the first batch's sample certifies the " +
+    "banding (provenance exposed), the tuned index equals the fixed-config " +
+    "index at the chosen banding, and infeasible floors refuse BEFORE any " +
+    "state accumulates") {
+    import spark.implicits._
+    import graft.ops.KeepBestIndex
+    def halves(df: org.apache.spark.sql.DataFrame) = {
+      val ids = df.select("id").as[Long].collect().sorted
+      val cut = ids(ids.length / 2)
+      (df.filter(col("id") < cut), df.filter(col("id") >= cut))
+    }
+    val (b1, b2) = halves(dupHeavy.withColumn("sc",
+      pmod(TextOps.hash60(col("id").cast("string")), lit(1000L))))
+    val tuned = new KeepBestIndex(spark, tuning = Some(KeepBestIndex.AutoTune(
+      Seq(2, 4, 8), sampleMod = 1, precisionFloorPpm = 0L,
+      recallFloorPpm = 0L, truthDfCap = None)))
+    tuned.chosenRowsPerBand shouldBe None // nothing certified yet
+    tuned.ingest(b1, "id", "text", col("sc"))
+    val expectedRpb = Dedup.chooseLshConfig(b1, "id", "text", 3, 16,
+        Seq(2, 4, 8), 0.5, sampleMod = 1, 0L, 0L)
+      .filter(col("chosen")).select("rows_per_band").as[Int].collect().head
+    tuned.chosenRowsPerBand shouldBe Some(expectedRpb)
+    tuned.ingest(b2, "id", "text", col("sc"))
+    val fixed = new KeepBestIndex(spark, rowsPerBand = expectedRpb)
+    fixed.ingest(b1, "id", "text", col("sc"))
+    fixed.ingest(b2, "id", "text", col("sc"))
+    tuned.survivors.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      fixed.survivors.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // floors nothing can clear: refuse at stream birth, zero state
+    val refused = new KeepBestIndex(spark, tuning = Some(KeepBestIndex.AutoTune(
+      Seq(2, 4, 8), sampleMod = 1, precisionFloorPpm = 1000001L,
+      recallFloorPpm = 1000001L, truthDfCap = None)))
+    val boom = intercept[IllegalArgumentException](
+      refused.ingest(b1, "id", "text", col("sc")))
+    boom.getMessage should include("BEFORE any state accumulates")
+    refused.chosenRowsPerBand shouldBe None
+    refused.survivors.count() shouldBe 0L
+  }
+
+  test("truthDfCap 0/0 edge: a PURE-boilerplate duplicate family is true " +
+    "under full-universe truth but NOT under a binding cap (its informative " +
+    "set is empty), while still counting as a candidate in every config") {
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    // 20 near-identical docs (true via boilerplate only) + a 2-copy
+    // family whose text IS the boilerplate: every one of its shingles
+    // is shared by all 22 docs, so a cap of 5 empties its informative
+    // set entirely — the ADVICE-flagged edge.
+    val docs22 = ((0L until 20L).map(i => (i, s"$boiler zq${i}a zq${i}b")) ++
+      Seq((100L, boiler), (101L, boiler))).toDF("id", "text")
+    def recall(cap: Option[Int]) =
+      Dedup.lshRecall(docs22, "id", "text", 3, 16, Seq(2, 4), 0.5,
+        sampleMod = 1, truthDfCap = cap).collect()
+        .map(r => (r.getInt(0), r.getLong(2), r.getLong(3))).toSeq
+    // full universe: C(20,2) boilerplate-true cross pairs + 2*20 pairs
+    // against the boiler-only docs (J = 10/12) + the within-family pair
+    recall(None).map(_._2).distinct shouldBe Seq(231L)
+    // capped: NOTHING is true — including the identical-content pair,
+    // whose entire set is capped out (0/0, the stop-shingle contract);
+    // before the r14 fix this read 1, not 0
+    recall(Some(5)).map(_._2).distinct shouldBe Seq(0L)
+    // the chooser agrees on both sides of the cap, and the family still
+    // COUNTS as candidates (identical sigs band together everywhere):
+    // n_candidates is cap-invariant
+    def choose(cap: Option[Int]) =
+      Dedup.chooseLshConfig(docs22, "id", "text", 3, 16, Seq(2, 4), 0.5,
+          sampleMod = 1, precisionFloorPpm = 0L, recallFloorPpm = 0L,
+          truthDfCap = cap)
+        .orderBy("rows_per_band").collect()
+        .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val full = choose(None)
+    val capped = choose(Some(5))
+    capped.map(_._2) shouldBe full.map(_._2) // n_candidates unchanged
+    capped.map(_._4).distinct shouldBe Array(0L) // n_true empty under cap
+    full.map(_._4).distinct shouldBe Array(231L)
+    capped.map(_._3).distinct shouldBe Array(0L) // n_verified = truth ∩ cand
+  }
+
+  test("chooseSimhashBands: truth equals all-pairs Hamming, the 4-band " +
+    "verified count equals simhashPairs, floors bite, invalid configs refuse") {
+    import spark.implicits._
+    val corpus = PipelineQueries.corpus(spark, "/root/testdata/sf0.001")
+    val t = Dedup.chooseSimhashBands(corpus, "id", "text",
+        bandConfigs = Seq(2, 3, 4, 6), maxDist = 6, sampleMod = 1,
+        precisionFloorPpm = 0L, recallFloorPpm = 0L)
+      .orderBy("n_bands").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(8)))
+    // exact truth, computed naively: all-pairs Hamming over the sample
+    val sims = Dedup.simhash(corpus, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nTrue = (for {
+      (ia, sa) <- sims; (ib, sb) <- sims if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 6
+    } yield 1).size.toLong
+    t.map(_._5).distinct shouldBe Array(nTrue)
+    // the production 4×15 banding's verified count IS simhashPairs
+    val pairs4 = Dedup.simhashPairs(Dedup.simhash(corpus, "id", "text"), 6).count()
+    t.find(_._1 == 4).get._4 shouldBe pairs4
+    // more bands never shrinks candidates (shorter chunks collide more)
+    t.map(_._3) shouldBe t.map(_._3).sorted
+    // strictest floors: nothing feasible, nothing chosen — no vacuous pick
+    Dedup.chooseSimhashBands(corpus, "id", "text", Seq(2, 4), 6, 1,
+        1000001L, 1000001L)
+      .filter(col("chosen")).count() shouldBe 0L
+    intercept[IllegalArgumentException](Dedup.chooseSimhashBands(
+      corpus, "id", "text", Seq(7), 6, 1, 0L, 0L)) // 7 does not divide 60
+    intercept[IllegalArgumentException](Dedup.chooseSimhashBands(
+      corpus, "id", "text", Seq(4), 10, 1, 0L, 0L)) // beyond truth completeness
   }
 }

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, KeepBestIndexStore, TempFiles}
+
+/** The StoreSpec-style durability suite for [[graft.ops
+  * .KeepBestIndexStore]]: kill-at-each-boundary resume, mid-batch
+  * partial sweep, logical re-delivery replacement over append-only
+  * storage, delta-bounded per-batch writes (no full-state rewrite),
+  * compaction equivalence, and the params-fingerprint refusal.
+  */
+class KeepBestStoreSpec extends SparkSpec {
+
+  // the KeepBestIndex demotion fixture: one duplicated content T with a
+  // mid-feed best copy, one tie-broken content U
+  private val T = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val U = "one two three four five six seven eight nine ten"
+  private val rows = Map(
+    1L -> (T, 10L), 2L -> (T, 30L), 3L -> (T, 20L),
+    4L -> (U, 5L), 5L -> (U, 5L))
+  private def batch(ids: Long*) = {
+    import spark.implicits._
+    ids.map(i => (i, rows(i)._1, rows(i)._2)).toDF("id", "text", "sc")
+  }
+  private val feed: Seq[Seq[Long]] =
+    Seq(Seq(1L, 4L), Seq(2L), Seq(3L, 5L), Seq(1L))
+  // batch 4 re-delivers id 1 (at-least-once): final state must be as if
+  // each id arrived once — survivors {2 -> 30 (T best), 4 -> 5 (U tie)}
+  private val expected = Map(2L -> 30L, 4L -> 5L)
+
+  private def surv(idx: KeepBestIndexStore): Map[Long, Long] =
+    idx.survivors.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kill-at-each-boundary: resuming from the committed store after a kill " +
+    "(plus a poisoned uncommitted mid-batch partial) reproduces the " +
+    "straight-through survivors at every boundary") {
+    TempFiles.withTempDir("kbstore-boundary") { root =>
+      // straight-through reference
+      val refDir = new java.io.File(root, "ref").getAbsolutePath
+      val ref = KeepBestIndexStore.open(spark, refDir)
+      feed.foreach(ids => ref.ingest(batch(ids: _*), "id", "text", col("sc")))
+      surv(ref) shouldBe expected
+      (1 until feed.size).foreach { cut =>
+        val dir = new java.io.File(root, s"cut$cut").getAbsolutePath
+        val a = KeepBestIndexStore.open(spark, dir)
+        feed.take(cut).foreach(ids => a.ingest(batch(ids: _*), "id", "text", col("sc")))
+        // the kill: instance a is dropped. Plant a mid-batch crash
+        // artifact — a partial next-batch dir with poisoned scores and
+        // no _COMMIT; resume must sweep it (and must never read it).
+        val partial = new java.io.File(dir, s"b=$cut")
+        batch(feed(cut): _*)
+          .select(col("id").cast("long").as("id"), lit(999999L).as("score"),
+            lit(cut).as("b"))
+          .write.parquet(new java.io.File(partial, "scored").getAbsolutePath)
+        val b = KeepBestIndexStore.open(spark, dir)
+        assert(!partial.exists(), "open() must sweep the uncommitted partial")
+        feed.drop(cut).foreach(ids => b.ingest(batch(ids: _*), "id", "text", col("sc")))
+        surv(b) shouldBe expected
+      }
+    }
+  }
+
+  test("re-delivery REPLACES logically over append-only storage: a re-delivered " +
+    "id never ranks against its stale copy, and a content update moves the id " +
+    "to its new cluster (the KeepBestIndex contract, store-backed)") {
+    import spark.implicits._
+    TempFiles.withTempDir("kbstore-redeliver") { root =>
+      def b(rows: (Long, String, Long)*) = rows.toDF("id", "text", "sc")
+      val idx = KeepBestIndexStore.open(spark, new java.io.File(root, "s").getAbsolutePath)
+      idx.ingest(b((1L, T, 10L)), "id", "text", col("sc"))
+      idx.ingest(b((1L, T, 10L)), "id", "text", col("sc")) // exact re-delivery
+      surv(idx) shouldBe Map(1L -> 10L)
+      idx.ingest(b((2L, T, 5L)), "id", "text", col("sc"))
+      surv(idx) shouldBe Map(1L -> 10L) // cluster {1,2}, best = 1
+      // content update: id 1 becomes U — its stale T pairing must be
+      // shadowed, so both survive
+      idx.ingest(b((1L, U, 2L)), "id", "text", col("sc"))
+      surv(idx) shouldBe Map(1L -> 2L, 2L -> 5L)
+      // and the updated id duplicates in its NEW cluster
+      idx.ingest(b((3L, U, 9L)), "id", "text", col("sc"))
+      surv(idx) shouldBe Map(3L -> 9L, 2L -> 5L)
+    }
+  }
+
+  test("per-batch writes are DELTA-bounded: each committed batch stores its own " +
+    "shingle rows only, never a rewrite of the accumulated state") {
+    TempFiles.withTempDir("kbstore-growth") { root =>
+      val dir = new java.io.File(root, "s").getAbsolutePath
+      val idx = KeepBestIndexStore.open(spark, dir)
+      feed.zipWithIndex.foreach { case (ids, n) =>
+        idx.ingest(batch(ids: _*), "id", "text", col("sc"))
+        val deltaSh = Dedup.shingleHashSet(batch(ids: _*), "id", "text", 3).count()
+        val storedSh = spark.read.parquet(s"$dir/b=$n/sh").count()
+        storedSh shouldBe deltaSh // O(delta), not O(state)
+      }
+    }
+  }
+
+  test("within-batch duplicate ids REFUSE before anything is written") {
+    import spark.implicits._
+    TempFiles.withTempDir("kbstore-dup") { root =>
+      val dir = new java.io.File(root, "s").getAbsolutePath
+      val idx = KeepBestIndexStore.open(spark, dir)
+      val bad = Seq((1L, T, 10L), (1L, T, 20L)).toDF("id", "text", "sc")
+      val boom = intercept[IllegalArgumentException](
+        idx.ingest(bad, "id", "text", col("sc")))
+      boom.getMessage should include("WITHIN the batch")
+      surv(idx) shouldBe Map.empty // nothing committed
+      idx.ingest(batch(1L, 4L), "id", "text", col("sc")) // still usable
+      surv(idx).keySet shouldBe Set(1L, 4L)
+    }
+  }
+
+  test("compact() folds the view into one batch without changing it, " +
+    "reclaims the shadowed history, and later batches keep folding in") {
+    TempFiles.withTempDir("kbstore-compact") { root =>
+      val dir = new java.io.File(root, "s").getAbsolutePath
+      val idx = KeepBestIndexStore.open(spark, dir)
+      feed.take(3).foreach(ids => idx.ingest(batch(ids: _*), "id", "text", col("sc")))
+      val before = surv(idx)
+      idx.compact()
+      surv(idx) shouldBe before
+      // exactly one committed batch dir remains
+      new java.io.File(dir).listFiles().map(_.getName)
+        .count(_.startsWith("b=")) shouldBe 1
+      // a reopened instance reads the compacted state and keeps folding
+      val again = KeepBestIndexStore.open(spark, dir)
+      feed.drop(3).foreach(ids => again.ingest(batch(ids: _*), "id", "text", col("sc")))
+      surv(again) shouldBe expected
+    }
+  }
+
+  test("params fingerprint: reopening under a different configuration refuses") {
+    TempFiles.withTempDir("kbstore-fp") { root =>
+      val dir = new java.io.File(root, "s").getAbsolutePath
+      KeepBestIndexStore.open(spark, dir, rowsPerBand = 4)
+      val boom = intercept[IllegalArgumentException](
+        KeepBestIndexStore.open(spark, dir, rowsPerBand = 2))
+      boom.getMessage should include("fingerprint")
+    }
+  }
+}
