@@ -51,7 +51,8 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField
   */
 final class KeepBestIndexStore private (spark: SparkSession, dir: String,
                                         shingleN: Int, k: Int,
-                                        rowsPerBand: Int, threshold: Double) {
+                                        rowsPerBand: Int, threshold: Double,
+                                        compactEvery: Option[Int]) {
   import KeepBestIndexStore._
 
   private val root = new Path(dir)
@@ -152,6 +153,13 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     put("ids", dSh.select(col("id")).distinct())
     put("pairs", newPairs)
     fs.create(new Path(bdir, "_COMMIT"), true).close()
+    // the amortization cadence: fold every C committed batches, so the
+    // shadowed history is bounded at C deltas and total maintenance
+    // work is O(batches × delta + state · batches/C), never
+    // O(batches × state). The compaction itself is crash-safe (see
+    // [[compact]]) — a kill between the ingest commit above and this
+    // fold just defers the fold to a later tick.
+    compactEvery.foreach(c => if (committed.size >= c) compact())
   }
 
   /** The CURRENT surviving (id, score) rows off the committed view —
@@ -224,9 +232,20 @@ object KeepBestIndexStore {
     * folding new-configuration batches into them would silently mix
     * two indexes. Uncommitted batch directories (mid-write crashes)
     * are swept here.
+    *
+    * `compactEvery`: auto-fold the committed view whenever that many
+    * batch deltas have accumulated (after the triggering ingest
+    * commits). NOT fingerprinted — it is a maintenance cadence, not
+    * state algebra: any instance may change it freely, the view is
+    * identical either way.
     */
   def open(spark: SparkSession, dir: String, shingleN: Int = 3, k: Int = 16,
-           rowsPerBand: Int = 4, threshold: Double = 0.5): KeepBestIndexStore = {
+           rowsPerBand: Int = 4, threshold: Double = 0.5,
+           compactEvery: Option[Int] = None): KeepBestIndexStore = {
+    require(compactEvery.forall(_ >= 2),
+      s"compactEvery must be >= 2 (a 1-cadence would fold after every " +
+        s"batch — the O(batches × state) shape this store exists to avoid), " +
+        s"got $compactEvery")
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) fs.mkdirs(root)
@@ -258,6 +277,7 @@ object KeepBestIndexStore {
         case _ => ()
       }
     }
-    new KeepBestIndexStore(spark, dir, shingleN, k, rowsPerBand, threshold)
+    new KeepBestIndexStore(spark, dir, shingleN, k, rowsPerBand, threshold,
+      compactEvery)
   }
 }

@@ -319,7 +319,14 @@ object Multimodal {
         (w, h, img.getRGB(0, 0, w, h, null, 0, w))
       }
     catch { case _: Exception => None }
-    finally iis.close()
+    finally {
+      // ImageIO.read(ImageInputStream) closes the stream itself on the
+      // success path (JDK behavior), and ImageInputStreamImpl.close()
+      // THROWS IOException("closed") on a second close — from a finally
+      // that would mask the result, so the belt-and-braces close for
+      // the null/unrecognized path must swallow it.
+      try iis.close() catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Integer luma: (299·r + 587·g + 114·b) div 1000 — the fixed-point

@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 
 /** Prints the physical plans of the collapse paths for the PLANS
   * plan-audit notes (exchanges, broadcasts, generator placement).
-  * Usage: PlanProbe [sfDir] [collapse|recall|keepbest|chooser|kbindex]
+  * Usage: PlanProbe [sfDir]
+  *   [collapse|recall|keepbest|chooser|kbindex|kbstore|simchooser]
   */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
@@ -57,6 +58,51 @@ object PlanProbe {
         System.err.println("=== KeepBestIndex.survivors (two ingested batches) ===")
         surv.explain("formatted")
         System.err.println(s"survivors: ${surv.count()}")
+      case "kbstore" =>
+        // the store-backed index: per-batch delta writes, read-time
+        // shadowing view (b == latest(id)), survivors off committed
+        // parquet — the plans of interest are the effective-state
+        // assembly and the survivor resolution over it
+        graft.ops.TempFiles.withTempDir("planprobe-kbstore") { root =>
+          val dir = new java.io.File(root, "s").getAbsolutePath
+          val idx = graft.ops.KeepBestIndexStore.open(spark, dir)
+          val score = pmod(graft.ops.TextOps.hash60(col("id").cast("string")), lit(1000L))
+          idx.ingest(docs.filter(col("id") % 2 === 0), "id", "text", score)
+          idx.ingest(docs.filter(col("id") % 2 === 1), "id", "text", score)
+          val surv = idx.survivors
+          System.err.println("=== KeepBestIndexStore.survivors (two committed batches, " +
+            "read-time shadowing view) ===")
+          surv.explain("formatted")
+          System.err.println(s"survivors: ${surv.count()}")
+          ()
+        }
+      case "simchooser" =>
+        // chooseSimhashBands' result is |configs| driver rows; the
+        // data-bearing frames are the tagged multi-config banding
+        // (Hamming verified IN-bucket — no verify join) and the
+        // pigeonhole-complete truth banding. Rebuilt with the same
+        // code shape for the plan audit.
+        import graft.ops.Dedup
+        val groups = Dedup.simhash(docs, "id", "text")
+          .groupBy(col("simhash"))
+          .agg(count(lit(1)).cast("long").as("m"), min(col("id")).as("rep"))
+        val cand = groups
+          .withColumn("b", explode(sequence(lit(0), lit(3))))
+          .withColumn("chunk", expr("(simhash >> (15 * b)) & 32767"))
+          .groupBy(col("b"), col("chunk"))
+          .agg(collect_list(struct(col("rep"), col("m"), col("simhash"))).as("ms"))
+          .where(size(col("ms")) > 1)
+          .select(explode(col("ms")).as("x"), col("ms"))
+          .select(col("x"), explode(col("ms")).as("y"))
+          .where(col("x.rep") < col("y.rep"))
+          .select(col("x.rep").as("ia"), col("y.rep").as("ib"),
+            (col("x.m") * col("y.m")).as("w"),
+            expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+          .distinct()
+        System.err.println("=== chooseSimhashBands candidate frame (in-bucket Hamming, " +
+          "one banding config shown) ===")
+        cand.explain("formatted")
+        System.err.println(s"cand rows: ${cand.count()}")
       case "keepbest" =>
         val surv = graft.ops.Dedup.purgeKeepBest(docs, "id", "text",
           pmod(graft.ops.TextOps.hash60(col("id").cast("string")), lit(1000L)))

@@ -130,6 +130,23 @@ class KeepBestStoreSpec extends SparkSpec {
     }
   }
 
+  test("compactEvery auto-folds on cadence: the shadowed history stays " +
+    "bounded, the view never changes, and the cadence is maintenance — " +
+    "not fingerprinted state") {
+    TempFiles.withTempDir("kbstore-autocompact") { root =>
+      val dir = new java.io.File(root, "s").getAbsolutePath
+      val idx = KeepBestIndexStore.open(spark, dir, compactEvery = Some(2))
+      feed.foreach(ids => idx.ingest(batch(ids: _*), "id", "text", col("sc")))
+      surv(idx) shouldBe expected
+      new java.io.File(dir).listFiles().map(_.getName)
+        .count(_.startsWith("b=")) should be <= 2
+      // a cadence-less instance opens the same store (no fingerprint drift)
+      surv(KeepBestIndexStore.open(spark, dir)) shouldBe expected
+      intercept[IllegalArgumentException](
+        KeepBestIndexStore.open(spark, dir, compactEvery = Some(1)))
+    }
+  }
+
   test("params fingerprint: reopening under a different configuration refuses") {
     TempFiles.withTempDir("kbstore-fp") { root =>
       val dir = new java.io.File(root, "s").getAbsolutePath
