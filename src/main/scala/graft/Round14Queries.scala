@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import graft.ops.{Dedup, KeepBestIndex, KeepBestIndexStore, TextOps}
+import graft.ops.{Dedup, IvfIndexStore, KeepBestIndex, KeepBestIndexStore, TextOps}
 
 /** Round-14 additions: the production-durability and cost-posture
   * items — a STORE-BACKED keep-best index that survives a mid-stream
@@ -543,17 +543,98 @@ object Round14Queries {
        |  SELECT * FROM surv8 WHERE 8 = (SELECT rows_per_band FROM sel)) s
        |ORDER BY s.id""".stripMargin
 
+  // ---- ST20: store-backed IVF index, killed and resumed ----------------
+
+  /** ST20: [[graft.ops.IvfIndexStore]] under the failure q_st15's
+    * in-memory stream cannot survive — the keep-best durability bar
+    * (q_st18) applied to the ANN family. The embedding corpus arrives
+    * as TWO streams against one store directory: the first instance
+    * ingests half (two micro-batches) and is KILLED (its
+    * executor-side state with it — the store's committed parquet is
+    * the only survivor); a poisoned MID-BATCH partial is planted — a
+    * fake vid assigned to the query's own cell with the query's exact
+    * vector, so if resume ever read it, it would top the search at
+    * cosine 1.0 and flip the oracle hash; a SECOND instance opens the
+    * same directory under the SAME centroid layout (the fingerprint
+    * admits it), must sweep the partial (asserted), ingests the rest,
+    * and searches. The final top-k must equal the from-scratch IVF
+    * build + search: the oracle is literally q_e13's full-rebuild SQL
+    * — the q_st15 bar, now passed across a kill/resume boundary.
+    */
+  val st20StoreIvf: Q = (s, d) => {
+    import org.apache.spark.sql.{Dataset, Row}
+    import s.implicits._
+    graft.ops.TempFiles.withTempDir("graft-st20") { root =>
+      val vecs = Tables.embeddings(s, d)
+        .select($"vec_id".as("vid"), $"embedding".cast("array<double>").as("e"))
+      // Centroids and the search query are CONFIG, not stream (the
+      // q_st15 posture); the store fingerprints the layout.
+      val centroids = vecs.filter($"vid" < 8)
+        .select($"vid".as("cid"), $"e".as("ce")).localCheckpoint(true)
+      val query = vecs.filter($"vid" === 5).select($"e").localCheckpoint(true)
+      val half = pmod(TextOps.hash60(col("vid").cast("string")), lit(4L))
+      val srcA = new java.io.File(root, "srcA").getAbsolutePath
+      val srcB = new java.io.File(root, "srcB").getAbsolutePath
+      vecs.filter($"vid" =!= 5 && half < 2)
+        .repartition(2, col("vid")).write.parquet(srcA)
+      vecs.filter($"vid" =!= 5 && half >= 2)
+        .repartition(2, col("vid")).write.parquet(srcB)
+      val storeDir = new java.io.File(root, "store").getAbsolutePath
+      def stream(src: String, idx: IvfIndexStore): Int = {
+        val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        val schema = s.read.parquet(src).schema
+        val step: (Dataset[Row], Long) => Unit = (batch, _) => {
+          n.incrementAndGet()
+          idx.ingest(batch)
+        }
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream.foreachBatch(step)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        n.get()
+      }
+      val nA = stream(srcA, IvfIndexStore.open(s, storeDir, centroids))
+      require(nA >= 2,
+        s"first stream delivered $nA batch(es); the multi-batch contract needs >= 2")
+      // the kill: instance 1 is gone. Plant the mid-batch crash artifact —
+      // a partial b=nA whose row sits in the query's own probe cell (cid 5,
+      // cosine 1.0 by construction) with NO _COMMIT: reading it would put
+      // vid 999991 at the top of the search and flip the e13 hash.
+      val partial = new java.io.File(storeDir, s"b=$nA")
+      query.select(lit(999991L).as("vid"), lit(5L).as("cid"), $"e",
+          lit(nA).as("b"))
+        .write.parquet(new java.io.File(partial, "assigned").getAbsolutePath)
+      val idx2 = IvfIndexStore.open(s, storeDir, centroids)
+      require(!partial.exists(),
+        "resume did not sweep the uncommitted mid-batch partial")
+      val nB = stream(srcB, idx2)
+      require(nB >= 2,
+        s"second stream delivered $nB batch(es); the multi-batch contract needs >= 2")
+      idx2.search(query, nProbe = 2, k = 8)
+        .select($"vid".as("vec_id"), $"cid", $"cos_sim")
+        .localCheckpoint(eager = true)
+    }
+  }
+  /** The from-scratch IVF build + search IS the oracle — the q_st15
+    * bar, across a kill/resume boundary.
+    */
+  val st20StoreIvfSql: String = PipelineQueries.e13IncrIvfSql
+
   val all: Map[String, Q] = Map(
     "q_d23_lsh_choose_capped" -> d23LshChooseCapped,
     "q_d24_simhash_choose" -> d24SimhashChoose,
     "q_st18_store_keepbest" -> st18StoreKeepBest,
-    "q_st19_stream_autotuned" -> st19StreamAutotuned
+    "q_st19_stream_autotuned" -> st19StreamAutotuned,
+    "q_st20_store_ivf" -> st20StoreIvf
   )
 
   val oracles: Map[String, String] = Map(
     "q_d23_lsh_choose_capped" -> d23LshChooseCappedSql,
     "q_d24_simhash_choose" -> d24SimhashChooseSql,
     "q_st18_store_keepbest" -> st18StoreKeepBestSql,
-    "q_st19_stream_autotuned" -> st19StreamAutotunedSql
+    "q_st19_stream_autotuned" -> st19StreamAutotunedSql,
+    "q_st20_store_ivf" -> st20StoreIvfSql
   )
 }

@@ -1,0 +1,218 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
+
+/** STORE-BACKED incremental IVF index — the ANN analogue of
+  * [[KeepBestIndexStore]], closing the same durability gap for the
+  * vector family that q_st18 closed for keep-best: the q_st15 stream
+  * grows its assignment as eager `localCheckpoint`s (executor-pinned,
+  * non-replicated, re-unioned every batch), so one lost executor
+  * mid-stream loses the index and total work is O(batches × state).
+  * Here every batch persists ONLY its own coarse assignment
+  * (`Vectors.ivfAssign` over the delta — one map-side broadcast pass,
+  * the q_e13 incremental contract: base vectors are never re-scored)
+  * as parquet under `b=N/`, committed atomically by a trailing
+  * `_COMMIT` marker; the accumulated index is a read-time view over
+  * the committed deltas. A killed stream resumes by reopening the
+  * directory — state is whatever was committed, the next batch folds
+  * in as if the crash never happened (q_st20 gates kill-between-
+  * streams + a planted poisoned mid-batch partial; IvfStoreSpec runs
+  * the kill-at-each-boundary sim).
+  *
+  * RE-DELIVERY (at-least-once) is the keyed-upsert rule, LOGICAL over
+  * append-only storage: the view keeps an assignment row written at
+  * batch i only while its vid was not re-delivered by a LATER
+  * committed batch (`b == latest(vid)`). A vector update re-assigns
+  * in its own batch and shadows the stale row; nothing stored is ever
+  * rewritten. IVF needs no pair frames — assignment is per-vector —
+  * so the whole state is ONE frame and the shadowing pivot.
+  * [[compact]] folds the view into one fresh batch and reclaims the
+  * shadowed space; with a `compactEvery` cadence total maintenance
+  * work is O(batches × delta + state · batches/C).
+  *
+  * CENTROIDS ARE STATE ALGEBRA, NOT CONFIG-PER-CALL: every stored cid
+  * was an argmax against one specific centroid set, so the set itself
+  * is fingerprinted (canonical sorted serialization under
+  * `_params.sha256`, the `Curate.pipelineStaged` rule) — reopening
+  * the directory with different centroids (or a different algebra
+  * version) is refused rather than silently mixing two layouts.
+  * Centroid sets are bounded by the family's own contract (they
+  * broadcast in every assign/search), so the canonicalization's
+  * driver-side collect is k-bounded, not corpus-bounded.
+  *
+  * Single-writer contract, readers safe any time — same posture as
+  * [[KeepBestIndexStore]] (the reference's one-scheduled-updater
+  * rule, update-database.yml:282-397).
+  */
+final class IvfIndexStore private (spark: SparkSession, dir: String,
+                                   centroids: DataFrame,
+                                   compactEvery: Option[Int]) {
+  import IvfIndexStore._
+
+  private val root = new Path(dir)
+  private def fs: FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def empty(st: StructType): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), st)
+
+  /** Committed batch numbers, ascending — a batch exists iff its
+    * `_COMMIT` marker does.
+    */
+  private def committed: Seq[Int] = {
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case BatchDir(n) => n.toInt }
+      .filter(n => fs.exists(new Path(root, s"b=$n/_COMMIT")))
+      .sorted
+  }
+
+  /** The stored assignment across committed batches (explicit paths,
+    * never a glob — uncommitted partials are invisible even before
+    * open()'s sweep).
+    */
+  private def readAssigned: DataFrame = {
+    val bs = committed
+    if (bs.isEmpty) empty(assignedSchema)
+    else spark.read.parquet(bs.map(n => s"$dir/b=$n/assigned"): _*)
+  }
+
+  /** Current index view: each vid's row from the batch that last
+    * delivered it (the keyed-upsert shadowing rule).
+    */
+  def assigned: DataFrame = {
+    val all = readAssigned
+    val latest = all.groupBy(col("vid")).agg(max(col("b")).as("lb"))
+    all.join(latest, Seq("vid"))
+      .filter(col("b") === col("lb"))
+      .select(col("vid"), col("cid"), col("e"))
+  }
+
+  /** Fold one batch of vectors (vid, e) into the store: REFUSE on
+    * within-batch duplicate vids (two rows for one key in a single
+    * batch have no defined winner — the keyed-upsert contract), assign
+    * the DELTA against the fingerprinted centroids (one map-side
+    * broadcast pass — batch-bounded, the base is never re-scored),
+    * write under the next batch directory, commit with the marker.
+    */
+  def ingest(batch: DataFrame): Unit = {
+    val dup = batch.groupBy(col("vid")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"IvfIndexStore.ingest: vid ${dup.headOption.map(_.get(0)).orNull} " +
+        "appears more than once WITHIN the batch — the keyed-upsert contract " +
+        "requires within-batch-unique vids")
+    val n = committed.lastOption.fold(0)(_ + 1)
+    val bdir = new Path(root, s"b=$n")
+    if (fs.exists(bdir)) fs.delete(bdir, true) // failed prior attempt
+    Vectors.ivfAssign(batch.select(col("vid"), col("e")), centroids)
+      .withColumn("b", lit(n))
+      .write.parquet(new Path(bdir, "assigned").toString)
+    fs.create(new Path(bdir, "_COMMIT"), true).close()
+    compactEvery.foreach(c => if (committed.size >= c) compact())
+  }
+
+  /** IVF search over the committed view — the one
+    * [[Vectors.ivfSearch]] ranking (probe the nProbe nearest cells,
+    * exact cosine inside them), so q_st20 ≡ q_e13 holds on the rule
+    * itself, across any kill/resume/compaction history.
+    */
+  def search(query: DataFrame, nProbe: Int, k: Int): DataFrame =
+    Vectors.ivfSearch(assigned, centroids, query, nProbe, k)
+
+  /** Fold the committed view into one fresh batch and drop the
+    * shadowed history — space reclamation, not semantics. Crash-safe:
+    * once the compacted batch's `_COMMIT` lands every older row is
+    * shadowed (all vids re-delivered at the compaction batch), so a
+    * crash during the trailing deletes leaves a larger-but-correct
+    * store for a later compact() to reclaim.
+    */
+  def compact(): Unit = {
+    val bs = committed
+    if (bs.size <= 1) return
+    val n = bs.last + 1
+    val bdir = new Path(root, s"b=$n")
+    if (fs.exists(bdir)) fs.delete(bdir, true)
+    assigned.withColumn("b", lit(n))
+      .write.parquet(new Path(bdir, "assigned").toString)
+    fs.create(new Path(bdir, "_COMMIT"), true).close()
+    bs.foreach(o => fs.delete(new Path(root, s"b=$o"), true))
+  }
+}
+
+object IvfIndexStore {
+
+  private val BatchDir = "b=(\\d+)".r
+
+  private val assignedSchema = StructType(Seq(
+    StructField("vid", LongType), StructField("cid", LongType),
+    StructField("e", ArrayType(DoubleType)), StructField("b", IntegerType)))
+
+  /** Canonical fingerprint of a centroid set: rows sorted by cid, each
+    * double rendered by `java.lang.Double.toString` (shortest
+    * round-trip form — deterministic for identical bit patterns), all
+    * under an algebra-version prefix. k-bounded by the broadcast
+    * contract.
+    */
+  private def centroidFingerprint(centroids: DataFrame): String = {
+    val rows = centroids.select(col("cid").cast(LongType),
+        col("ce").cast(ArrayType(DoubleType)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+      .map { case (cid, ce) => s"$cid:${ce.mkString(",")}" }
+    val repr = ("ivf-alg=1" +: rows).mkString("\n")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Open (or create) a store at `dir` for one centroid layout. The
+    * layout is fingerprinted — reopening under different centroids or
+    * a different algebra version refuses (the stored cids were argmax
+    * decisions against the OLD set; folding new-layout batches in
+    * would silently mix two indexes). Uncommitted batch directories
+    * (mid-write crashes) are swept here. `compactEvery` is a
+    * maintenance cadence, not state algebra — never fingerprinted.
+    */
+  def open(spark: SparkSession, dir: String, centroids: DataFrame,
+           compactEvery: Option[Int] = None): IvfIndexStore = {
+    require(compactEvery.forall(_ >= 2),
+      s"compactEvery must be >= 2 (a 1-cadence would fold after every " +
+        s"batch — the O(batches × state) shape this store exists to avoid), " +
+        s"got $compactEvery")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    // pin the layout the whole instance lifetime: the fingerprint and
+    // every later assign/search must see the SAME rows
+    val pinned = centroids.select(col("cid"), col("ce"))
+      .localCheckpoint(eager = true)
+    val fp = centroidFingerprint(pinned)
+    val fpPath = new Path(root, "_params.sha256")
+    if (fs.exists(fpPath)) {
+      val in = fs.open(fpPath)
+      val prev = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      require(prev == fp,
+        s"IvfIndexStore: $dir holds assignments computed against a DIFFERENT " +
+          "centroid layout or algebra version (params fingerprint mismatch) — " +
+          "resuming would silently mix two indexes; pass a fresh dir (or " +
+          "delete this one) to rebuild under the new layout")
+    } else {
+      val out = fs.create(fpPath, true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+    }
+    // sweep mid-write partials: a batch directory without _COMMIT is a
+    // crash artifact — its rows were never visible
+    fs.listStatus(root).toSeq.map(_.getPath).foreach { p =>
+      p.getName match {
+        case BatchDir(_) if !fs.exists(new Path(p, "_COMMIT")) =>
+          fs.delete(p, true)
+        case _ => ()
+      }
+    }
+    new IvfIndexStore(spark, dir, pinned, compactEvery)
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{IvfIndexStore, TempFiles}
+
+/** The KeepBestStoreSpec-style durability suite for [[graft.ops
+  * .IvfIndexStore]]: kill-at-each-boundary resume, mid-batch partial
+  * sweep, keyed-upsert re-delivery over append-only storage,
+  * delta-bounded per-batch writes, compaction equivalence, and the
+  * centroid-layout fingerprint refusal.
+  */
+class IvfStoreSpec extends SparkSpec {
+
+  // two orthogonal cells; every vector has an unambiguous nearest centroid
+  private def centroids: DataFrame = {
+    import spark.implicits._
+    Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "ce")
+  }
+  private val vecs = Map(
+    1L -> Seq(0.9, 0.1), 2L -> Seq(0.8, 0.2), 5L -> Seq(0.6, 0.4), // cell 0
+    3L -> Seq(0.1, 0.9), 4L -> Seq(0.2, 0.8))                      // cell 1
+  private def batch(ids: Long*): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i, vecs(i))).toDF("vid", "e")
+  }
+  private val feed: Seq[Seq[Long]] =
+    Seq(Seq(1L, 3L), Seq(2L), Seq(4L, 5L), Seq(1L))
+  // batch 4 re-delivers vid 1 (at-least-once): the view must be as if
+  // each vid arrived once
+  private val expected = Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L)
+
+  private def cellOf(idx: IvfIndexStore): Map[Long, Long] =
+    idx.assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  private def top(idx: IvfIndexStore): Seq[Long] = {
+    import spark.implicits._
+    val q = Seq(Tuple1(Seq(1.0, 0.0))).toDF("e")
+    idx.search(q, nProbe = 1, k = 2).collect().map(_.getLong(0)).toSeq
+  }
+
+  test("kill-at-each-boundary: resuming from the committed store after a kill " +
+    "(plus a poisoned uncommitted mid-batch partial) reproduces the " +
+    "straight-through index at every boundary") {
+    TempFiles.withTempDir("ivfstore-boundary") { root =>
+      val ref = IvfIndexStore.open(spark,
+        new java.io.File(root, "ref").getAbsolutePath, centroids)
+      feed.foreach(ids => ref.ingest(batch(ids: _*)))
+      cellOf(ref) shouldBe expected
+      top(ref) shouldBe Seq(1L, 2L) // cell-0 vectors by cosine to (1,0)
+      (1 until feed.size).foreach { cut =>
+        val dir = new java.io.File(root, s"cut$cut").getAbsolutePath
+        val a = IvfIndexStore.open(spark, dir, centroids)
+        feed.take(cut).foreach(ids => a.ingest(batch(ids: _*)))
+        // the kill: instance a is dropped. Plant a mid-batch crash
+        // artifact — a partial next-batch dir whose rows would flip the
+        // search if ever read (a fake vid at cosine 1.0 in the probed
+        // cell), with no _COMMIT; resume must sweep it.
+        import spark.implicits._
+        val partial = new java.io.File(dir, s"b=$cut")
+        Seq((999L, 0L, Seq(1.0, 0.0), cut)).toDF("vid", "cid", "e", "b")
+          .write.parquet(new java.io.File(partial, "assigned").getAbsolutePath)
+        val b = IvfIndexStore.open(spark, dir, centroids)
+        assert(!partial.exists(), "open() must sweep the uncommitted partial")
+        feed.drop(cut).foreach(ids => b.ingest(batch(ids: _*)))
+        cellOf(b) shouldBe expected
+        top(b) shouldBe Seq(1L, 2L)
+      }
+    }
+  }
+
+  test("re-delivery REPLACES logically over append-only storage: a moved " +
+    "vector's stale assignment is shadowed, never merged") {
+    import spark.implicits._
+    TempFiles.withTempDir("ivfstore-redeliver") { root =>
+      val idx = IvfIndexStore.open(spark,
+        new java.io.File(root, "s").getAbsolutePath, centroids)
+      idx.ingest(Seq((1L, Seq(0.9, 0.1))).toDF("vid", "e"))
+      idx.ingest(Seq((1L, Seq(0.9, 0.1))).toDF("vid", "e")) // exact re-delivery
+      cellOf(idx) shouldBe Map(1L -> 0L)
+      // content update: vid 1 moves across the plane — the view must
+      // show ONLY the new cell
+      idx.ingest(Seq((1L, Seq(0.05, 0.95))).toDF("vid", "e"))
+      cellOf(idx) shouldBe Map(1L -> 1L)
+      idx.assigned.count() shouldBe 1L // shadowed, not duplicated
+    }
+  }
+
+  test("within-batch duplicate vids REFUSE before anything is written") {
+    import spark.implicits._
+    TempFiles.withTempDir("ivfstore-dup") { root =>
+      val idx = IvfIndexStore.open(spark,
+        new java.io.File(root, "s").getAbsolutePath, centroids)
+      val bad = Seq((1L, Seq(0.9, 0.1)), (1L, Seq(0.1, 0.9))).toDF("vid", "e")
+      val boom = intercept[IllegalArgumentException](idx.ingest(bad))
+      boom.getMessage should include("WITHIN the batch")
+      cellOf(idx) shouldBe Map.empty // nothing committed
+      idx.ingest(batch(1L, 3L)) // still usable
+      cellOf(idx) shouldBe Map(1L -> 0L, 3L -> 1L)
+    }
+  }
+
+  test("per-batch writes are DELTA-bounded: each committed batch stores its " +
+    "own assignment rows only, never a rewrite of the accumulated state") {
+    TempFiles.withTempDir("ivfstore-growth") { root =>
+      val dir = new java.io.File(root, "s").getAbsolutePath
+      val idx = IvfIndexStore.open(spark, dir, centroids)
+      feed.zipWithIndex.foreach { case (ids, n) =>
+        idx.ingest(batch(ids: _*))
+        spark.read.parquet(s"$dir/b=$n/assigned").count() shouldBe ids.size.toLong
+      }
+    }
+  }
+
+  test("compact() folds the view into one batch without changing it, " +
+    "reclaims the shadowed history, and later batches keep folding in; " +
+    "compactEvery auto-folds on cadence and is not fingerprinted") {
+    TempFiles.withTempDir("ivfstore-compact") { root =>
+      val dir = new java.io.File(root, "s").getAbsolutePath
+      val idx = IvfIndexStore.open(spark, dir, centroids)
+      feed.take(3).foreach(ids => idx.ingest(batch(ids: _*)))
+      val before = cellOf(idx)
+      idx.compact()
+      cellOf(idx) shouldBe before
+      new java.io.File(dir).listFiles().map(_.getName)
+        .count(_.startsWith("b=")) shouldBe 1
+      val again = IvfIndexStore.open(spark, dir, centroids)
+      feed.drop(3).foreach(ids => again.ingest(batch(ids: _*)))
+      cellOf(again) shouldBe expected
+
+      val dir2 = new java.io.File(root, "auto").getAbsolutePath
+      val auto = IvfIndexStore.open(spark, dir2, centroids, compactEvery = Some(2))
+      feed.foreach(ids => auto.ingest(batch(ids: _*)))
+      cellOf(auto) shouldBe expected
+      new java.io.File(dir2).listFiles().map(_.getName)
+        .count(_.startsWith("b=")) should be <= 2
+      // a cadence-less instance opens the same store (no fingerprint drift)
+      cellOf(IvfIndexStore.open(spark, dir2, centroids)) shouldBe expected
+      intercept[IllegalArgumentException](
+        IvfIndexStore.open(spark, dir2, centroids, compactEvery = Some(1)))
+    }
+  }
+
+  test("centroid-layout fingerprint: reopening under different centroids " +
+    "refuses; the same layout reopens cleanly") {
+    import spark.implicits._
+    TempFiles.withTempDir("ivfstore-fp") { root =>
+      val dir = new java.io.File(root, "s").getAbsolutePath
+      val idx = IvfIndexStore.open(spark, dir, centroids)
+      idx.ingest(batch(1L, 3L))
+      cellOf(IvfIndexStore.open(spark, dir, centroids)) shouldBe
+        Map(1L -> 0L, 3L -> 1L)
+      val moved = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.5, 0.5))).toDF("cid", "ce")
+      val boom = intercept[IllegalArgumentException](
+        IvfIndexStore.open(spark, dir, moved))
+      boom.getMessage should include("fingerprint")
+    }
+  }
+}
