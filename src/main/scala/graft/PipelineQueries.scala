@@ -3435,7 +3435,7 @@ object PipelineQueries {
     val sliced = if (everyNth == 1) ids else ids.filter(_ % everyNth == 0)
     sliced.map(id => graft.ops.MediaRecord(id, kind, synth(id)))
   }
-  private def imageRecords(s: SparkSession, d: String) =
+  private[graft] def imageRecords(s: SparkSession, d: String) =
     mediaRecords(s, d, "image", graft.ops.Multimodal.synthPng)
   private def audioRecords(s: SparkSession, d: String) =
     mediaRecords(s, d, "audio", graft.ops.Multimodal.synthWav)
@@ -3503,7 +3503,7 @@ object PipelineQueries {
        |    CAST(SUM(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS dh_lo
        |  FROM bits GROUP BY 1)""".stripMargin
 
-  private val m4HashCte: String =
+  private[graft] val m4HashCte: String =
     dhashCteFrom("SELECT doc_id AS m FROM documents")
   val m4ImageDhashSql: String =
     s"""WITH $m4HashCte

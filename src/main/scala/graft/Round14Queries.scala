@@ -9,8 +9,9 @@ import graft.ops.{Dedup, IvfIndexStore, KeepBestIndex, KeepBestIndexStore, TextO
   * items — a STORE-BACKED keep-best index that survives a mid-stream
   * kill (q_st18), the streaming guard auto-tuned at birth (q_st19),
   * the chooser's truth cost under a BINDING informative-universe cap
-  * (q_d23), and the chooser pattern extended to the SimHash banded
-  * family (q_d24).
+  * (q_d23), the chooser pattern extended to the SimHash banded family
+  * (q_d24) and the perceptual-hash banded family (q_m16), and the
+  * store-backed IVF index under a kill/resume boundary (q_st20).
   *
   * Session-scoped file (the CurationQueries pattern) so the older
   * registries stay stable.
@@ -543,6 +544,104 @@ object Round14Queries {
        |  SELECT * FROM surv8 WHERE 8 = (SELECT rows_per_band FROM sel)) s
        |ORDER BY s.id""".stripMargin
 
+  // ---- M16: perceptual-hash band-count chooser --------------------------
+
+  /** Floors calibrated at sf0.01 (measured ppm — precision
+    * 762029/223604/121769 and recall 988649/1000000/1000000 for 2/4/8
+    * bands) so both constraints bite across the band grid: the recall
+    * floor rejects the cheapest config (2 bands misses ~1.1% of true
+    * pairs — wide 32-bit chunks lose any pair whose two flipped bits
+    * straddle both halves), the precision floor rejects 8 bands
+    * (12% precision = ~8 wasted Hamming verifications per true pair
+    * for zero recall gain over 4 bands on this corpus), and the
+    * production 4×16-bit split ([[graft.ops.Multimodal
+    * .bandedHammingPairs]]) is chosen on evidence.
+    */
+  val m16PrecisionFloorPpm = 200000L
+  val m16RecallFloorPpm = 990000L
+  val m16MaxDist = 4
+
+  /** M16: [[graft.ops.Multimodal.chooseHammingBands]] over the REAL
+    * decode pipeline's dHashes — the q_d21/q_d24 chooser pattern on
+    * the THIRD banded family (64-bit perceptual hash): one row per
+    * band count, both axes measured against exact Hamming truth on
+    * the hash-gated sample (truth via the pigeonhole-complete 16-band
+    * enumeration engine-side; the oracle computes it as a
+    * deliberately different algebra — the sample's all-pairs Hamming
+    * join over its own pixel-math hash replay), feasibility floors,
+    * cheapest feasible chosen with ties to fewer bands. The codec is
+    * INSIDE the gate: hashes come from actual PNG decodes, so the
+    * chooser row only matches if decode + hash + banding + truth all
+    * agree with the oracle's integer replay.
+    */
+  val m16HammingChoose: Q = (s, d) => {
+    import s.implicits._
+    val hashes = graft.ops.Multimodal
+      .imageDHash(PipelineQueries.imageRecords(s, d)).toDF()
+    graft.ops.Multimodal.chooseHammingBands(hashes,
+        bandConfigs = Seq(2, 4, 8), maxDist = m16MaxDist, sampleMod = 2,
+        precisionFloorPpm = m16PrecisionFloorPpm,
+        recallFloorPpm = m16RecallFloorPpm)
+      .orderBy("n_bands")
+  }
+
+  private def m16Block(nb: Int): String = {
+    val w = 64 / nb
+    val mask = (1L << w) - 1
+    val half = nb / 2
+    s"""banded$nb AS (
+       |  SELECT m, dh_hi, dh_lo, b,
+       |    CASE WHEN b < $half THEN (dh_lo >> ($w * b)) & $mask
+       |         ELSE (dh_hi >> ($w * (b - $half))) & $mask END AS chunk
+       |  FROM shash, (SELECT unnest(generate_series(0, ${nb - 1})) AS b) t),
+       |cand$nb AS (
+       |  SELECT DISTINCT a.m AS ia, b2.m AS ib,
+       |    CAST(bit_count(xor(a.dh_hi, b2.dh_hi))
+       |       + bit_count(xor(a.dh_lo, b2.dh_lo)) AS INT) AS hamming
+       |  FROM banded$nb a JOIN banded$nb b2
+       |    ON a.b = b2.b AND a.chunk = b2.chunk AND a.m < b2.m),
+       |row$nb AS (
+       |  SELECT $nb AS n_bands, $w AS chunk_bits,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$nb) AS n_candidates,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$nb
+       |     WHERE hamming <= $m16MaxDist) AS n_verified,
+       |    (SELECT nt FROM nt) AS n_true)""".stripMargin
+  }
+
+  val m16HammingChooseSql: String =
+    s"""WITH ${PipelineQueries.m4HashCte},
+       |shash AS MATERIALIZED (
+       |  SELECT m, dh_hi, dh_lo FROM hashes
+       |  WHERE ${TextOps.hash60Sql("CAST(m AS VARCHAR)")} % 2 = 0),
+       |truth AS MATERIALIZED (
+       |  SELECT a.m AS ia, b.m AS ib
+       |  FROM shash a JOIN shash b ON a.m < b.m
+       |  WHERE bit_count(xor(a.dh_hi, b.dh_hi))
+       |      + bit_count(xor(a.dh_lo, b.dh_lo)) <= $m16MaxDist),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM truth),
+       |${m16Block(2)},
+       |${m16Block(4)},
+       |${m16Block(8)},
+       |tbl AS (SELECT * FROM row2 UNION ALL SELECT * FROM row4
+       |        UNION ALL SELECT * FROM row8),
+       |calc AS (
+       |  SELECT *,
+       |    CASE WHEN n_candidates = 0 THEN NULL
+       |         ELSE n_verified * 1000000 // n_candidates END AS precision_ppm,
+       |    CASE WHEN n_true = 0 THEN NULL
+       |         ELSE n_verified * 1000000 // n_true END AS recall_ppm
+       |  FROM tbl),
+       |feas AS (
+       |  SELECT *, COALESCE(precision_ppm >= $m16PrecisionFloorPpm, FALSE)
+       |        AND COALESCE(recall_ppm >= $m16RecallFloorPpm, FALSE) AS feasible
+       |  FROM calc),
+       |sel AS (SELECT n_bands FROM feas WHERE feasible
+       |        ORDER BY n_candidates, n_bands LIMIT 1)
+       |SELECT n_bands, chunk_bits, n_candidates, n_verified, n_true,
+       |  precision_ppm, recall_ppm, feasible,
+       |  feasible AND n_bands IN (SELECT n_bands FROM sel) AS chosen
+       |FROM feas ORDER BY n_bands""".stripMargin
+
   // ---- ST20: store-backed IVF index, killed and resumed ----------------
 
   /** ST20: [[graft.ops.IvfIndexStore]] under the failure q_st15's
@@ -627,7 +726,8 @@ object Round14Queries {
     "q_d24_simhash_choose" -> d24SimhashChoose,
     "q_st18_store_keepbest" -> st18StoreKeepBest,
     "q_st19_stream_autotuned" -> st19StreamAutotuned,
-    "q_st20_store_ivf" -> st20StoreIvf
+    "q_st20_store_ivf" -> st20StoreIvf,
+    "q_m16_hamming_choose" -> m16HammingChoose
   )
 
   val oracles: Map[String, String] = Map(
@@ -635,6 +735,7 @@ object Round14Queries {
     "q_d24_simhash_choose" -> d24SimhashChooseSql,
     "q_st18_store_keepbest" -> st18StoreKeepBestSql,
     "q_st19_stream_autotuned" -> st19StreamAutotunedSql,
-    "q_st20_store_ivf" -> st20StoreIvfSql
+    "q_st20_store_ivf" -> st20StoreIvfSql,
+    "q_m16_hamming_choose" -> m16HammingChooseSql
   )
 }

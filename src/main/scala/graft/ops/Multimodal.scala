@@ -492,6 +492,130 @@ object Multimodal {
   def imageNearDupPairs(hashes: DataFrame, maxDist: Int): DataFrame =
     bandedHammingPairs(hashes, maxDist)
 
+  /** Distinct weighted rep-level pairs under an `nb`-band split of the
+    * 64-bit perceptual hash: (ia, ib, w = ma·mb, hamming) for every
+    * rep pair sharing at least one band chunk. The
+    * [[Dedup.chooseSimhashBands]] candidate shape over the hi/lo-half
+    * layout: `nb` is even, so every chunk of width 64/nb lies entirely
+    * in one non-negative 32-bit half and the shifts never touch a sign
+    * bit. Hamming rides out of the bucket for free — the halves are in
+    * the bucket rows, no config ever re-joins the corpus to verify.
+    * `groups` is the value-collapsed frame (collapse is EXACT here for
+    * the same reason as SimHash: candidacy and Hamming are pure
+    * functions of the hash value).
+    */
+  private def hammingRepCand(groups: DataFrame, nb: Int): DataFrame = {
+    val w = 64 / nb
+    val mask = (1L << w) - 1
+    val half = nb / 2
+    groups
+      .withColumn("b", explode(sequence(lit(0), lit(nb - 1))))
+      .withColumn("chunk", expr(
+        s"""CASE WHEN b < $half THEN (dh_lo >> ($w * b)) & $mask
+           |     ELSE (dh_hi >> ($w * (b - $half))) & $mask END""".stripMargin))
+      .groupBy(col("b"), col("chunk"))
+      .agg(collect_list(struct(col("rep"), col("m"),
+        col("dh_hi"), col("dh_lo"))).as("ms"))
+      .where(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("x"), col("ms"))
+      .select(col("x"), explode(col("ms")).as("y"))
+      .where(col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("ia"), col("y.rep").as("ib"),
+        (col("x.m") * col("y.m")).as("w"),
+        (expr("bit_count(x.dh_hi ^ y.dh_hi)") +
+          expr("bit_count(x.dh_lo ^ y.dh_lo)")).cast("int").as("hamming"))
+      .distinct()
+  }
+
+  /** PERCEPTUAL-HASH BAND-COUNT CHOOSER — the [[Dedup
+    * .chooseSimhashBands]] pattern applied to the THIRD banded family:
+    * for each candidate band count over a 64-bit perceptual hash
+    * (dHash, pHash, or the audio energy fingerprint — the banding
+    * algebra is modality-blind, like [[bandedHammingPairs]] it
+    * tunes), measure precision and recall against exact Hamming truth
+    * on the deterministic hash-gated sample, mark feasibility against
+    * the caller's floors, and mark `chosen` the cheapest feasible
+    * config (fewest candidates, ties to FEWER bands — each band is
+    * one replication of the hash through the bucket exchange).
+    * [[bandedHammingPairs]]'s hard-coded 4×16-bit split becomes an
+    * operating point priced before any corpus pass, exactly as
+    * q_d21/q_d24 did for the MinHash and SimHash families.
+    *
+    * TRUTH IS EXACT AND NEVER ALL-PAIRS: a pair at Hamming ≤ d shares
+    * an untouched chunk in any banding with more than d bands
+    * (pigeonhole), so the truth side enumerates a 16-band (4-bit-
+    * chunk) banding of the sample — complete for `maxDist` ≤ 15
+    * (required) — and filters by exact in-bucket Hamming.
+    * Exact-value collapse applies throughout (identical hashes share
+    * every chunk and sit at Hamming 0): weighted rep counting equals
+    * member enumeration, and within-group pairs are candidates,
+    * verified, and true in every config.
+    *
+    * Returns one row per config: (n_bands, chunk_bits, n_candidates,
+    * n_verified, n_true, precision_ppm, recall_ppm, feasible, chosen).
+    * Zero-candidate configs have NULL precision and are never
+    * feasible; a zero-truth sample leaves every config infeasible (no
+    * evidence is not passing evidence).
+    */
+  def chooseHammingBands(hashes: DataFrame, bandConfigs: Seq[Int],
+                         maxDist: Int, sampleMod: Int,
+                         precisionFloorPpm: Long,
+                         recallFloorPpm: Long): DataFrame = {
+    require(bandConfigs.nonEmpty &&
+        bandConfigs.forall(b => b >= 2 && b % 2 == 0 && 64 % b == 0),
+      s"each band count must be even and divide 64 (chunks must lie " +
+        s"within one 32-bit half), got $bandConfigs")
+    require(maxDist >= 0 && maxDist <= 15,
+      s"maxDist must be in [0, 15] (the 16-band truth side is pigeonhole-" +
+        s"complete only below its band count), got $maxDist")
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val spark = hashes.sparkSession
+    val sample = hashes.filter(
+      pmod(TextOps.hash60(col("media_id").cast("string")),
+        lit(sampleMod.toLong)) === 0)
+    val groups = sample
+      .groupBy(col("dh_hi"), col("dh_lo"))
+      .agg(count(lit(1)).cast("long").as("m"), min(col("media_id")).as("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    groups.count()
+    val nWithin = groups
+      .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)))
+      .first().getLong(0)
+    val candAll = bandConfigs.map(nb =>
+        hammingRepCand(groups, nb).withColumn("nb", lit(nb)))
+      .reduce(_ unionByName _)
+      .localCheckpoint(eager = true)
+    val candByCfg = candAll.groupBy(col("nb"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("nc"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val verByCfg = candAll.filter(col("hamming") <= maxDist)
+      .groupBy(col("nb"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("nv"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nCross = hammingRepCand(groups, 16)
+      .filter(col("hamming") <= maxDist)
+      .agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
+    val nTrue = nWithin + nCross
+    case class Cfg(nb: Int, nCand: Long, nVer: Long,
+                   prec: Option[Long], rec: Option[Long], feasible: Boolean)
+    val cfgs = bandConfigs.map { nb =>
+      val nCand = nWithin + candByCfg.getOrElse(nb, 0L)
+      val nVer = nWithin + verByCfg.getOrElse(nb, 0L)
+      val prec = if (nCand == 0) None else Some(nVer * 1000000L / nCand)
+      val rec = if (nTrue == 0) None else Some(nVer * 1000000L / nTrue)
+      Cfg(nb, nCand, nVer, prec, rec,
+        prec.exists(_ >= precisionFloorPpm) && rec.exists(_ >= recallFloorPpm))
+    }
+    val chosenNb = cfgs.filter(_.feasible)
+      .sortBy(c => (c.nCand, c.nb)).headOption.map(_.nb)
+    groups.unpersist()
+    import spark.implicits._
+    cfgs.map(c => (c.nb, 64 / c.nb, c.nCand, c.nVer, nTrue, c.prec, c.rec,
+        c.feasible, chosenNb.contains(c.nb)))
+      .toDF("n_bands", "chunk_bits", "n_candidates", "n_verified",
+        "n_true", "precision_ppm", "recall_ppm", "feasible", "chosen")
+  }
+
   // ---- DCT pHash: the frequency-domain perceptual hash ----------------
   //
   // dHash compares neighbouring pixels (fast, local); pHash thresholds

@@ -391,4 +391,56 @@ class MultimodalSpec extends SparkSpec {
     pairs.keySet should contain((0L, 145L))
     pairs((0L, 145L)) should be >= 2L
   }
+
+  test("chooseHammingBands: exact truth via pigeonhole banding, weighted " +
+    "value-collapse, both-axes floors, cheapest-feasible tie to fewer bands, " +
+    "zero-truth never certifies, malformed configs refuse") {
+    import spark.implicits._
+    // A1-A2: Hamming 2 (true at maxDist 4); B1=B2: one exact-dup family
+    // (within-group pair — candidate, verified, true in EVERY config);
+    // C: far from everything. Wide 2-band chunks separate A from B; the
+    // narrower 16/8-bit bandings collide A and B through shared zero
+    // chunks, so precision drops as bands rise — the S-curve the chooser
+    // must price.
+    val hashes = Seq(
+      (1L, 5L, 7L), (2L, 5L, 4L),                  // A1, A2
+      (7L, 9L, 9L), (8L, 9L, 9L),                  // B1, B2 (identical)
+      (9L, 0xF0F0F0F0L, 0x0F0F0F0FL))              // C
+      .toDF("media_id", "dh_hi", "dh_lo")
+    def rows(prec: Long, rec: Long) =
+      Multimodal.chooseHammingBands(hashes, Seq(2, 4, 8), maxDist = 4,
+          sampleMod = 1, precisionFloorPpm = prec, recallFloorPpm = rec)
+        .orderBy("n_bands").collect()
+        .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(7), r.getBoolean(8)))
+    // hand-computed: truth = {A1A2, B-within} = 2 in every config;
+    // 2 bands sees 2 candidates; 4/8 bands add the A-B zero-chunk noise
+    // at MEMBER level (B is an m=2 family: each A-B rep pair is 2
+    // member pairs — the weighted value-collapse contract), so
+    // candidates = within 1 + A1A2 1 + 2·(A1B, A2B) = 6
+    rows(0L, 0L) shouldBe Array(
+      (2, 2L, 2L, 2L, true, true),   // cheapest feasible wins
+      (4, 6L, 2L, 2L, true, false),
+      (8, 6L, 2L, 2L, true, false))
+    // precision floor 600000 keeps only the 2-band split feasible
+    val strict = rows(600000L, 900000L)
+    strict.map(t => t._5) shouldBe Array(true, false, false)
+    strict.map(t => t._6) shouldBe Array(true, false, false)
+    // zero-truth sample: every config infeasible — no vacuous evidence
+    val far = Seq((1L, 5L, 7L), (9L, 0xF0F0F0F0L, 0x0F0F0F0FL))
+      .toDF("media_id", "dh_hi", "dh_lo")
+    Multimodal.chooseHammingBands(far, Seq(2, 4), maxDist = 4, sampleMod = 1,
+        precisionFloorPpm = 0L, recallFloorPpm = 0L)
+      .collect().foreach { r =>
+        r.getBoolean(7) shouldBe false
+        r.getBoolean(8) shouldBe false
+      }
+    // malformed configs refuse: odd band count, non-divisor, deep maxDist
+    intercept[IllegalArgumentException](
+      Multimodal.chooseHammingBands(hashes, Seq(3), 4, 1, 0L, 0L))
+    intercept[IllegalArgumentException](
+      Multimodal.chooseHammingBands(hashes, Seq(6), 4, 1, 0L, 0L))
+    intercept[IllegalArgumentException](
+      Multimodal.chooseHammingBands(hashes, Seq(4), 16, 1, 0L, 0L))
+  }
 }
