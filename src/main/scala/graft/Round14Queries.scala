@@ -10,8 +10,10 @@ import graft.ops.{Dedup, IvfIndexStore, KeepBestIndex, KeepBestIndexStore, TextO
   * kill (q_st18), the streaming guard auto-tuned at birth (q_st19),
   * the chooser's truth cost under a BINDING informative-universe cap
   * (q_d23), the chooser pattern extended to the SimHash banded family
-  * (q_d24) and the perceptual-hash banded family (q_m16), and the
-  * store-backed IVF index under a kill/resume boundary (q_st20).
+  * (q_d24), the perceptual-hash banded family (q_m16), and the
+  * cosine hyperplane family (q_e22 — every banded family in the
+  * engine now has a floor-certified chooser), and the store-backed
+  * IVF index under a kill/resume boundary (q_st20).
   *
   * Session-scoped file (the CurationQueries pattern) so the older
   * registries stay stable.
@@ -642,6 +644,111 @@ object Round14Queries {
        |  feasible AND n_bands IN (SELECT n_bands FROM sel) AS chosen
        |FROM feas ORDER BY n_bands""".stripMargin
 
+  // ---- E22: cosine-LSH plane-count chooser -------------------------------
+
+  /** Guarded cosine for the oracle SQL — mirrors `Vectors.rankCosine`
+    * (the PipelineQueries.cosSql rule): NaN maps to -1.0.
+    */
+  private def cosSql(x: String, y: String): String = {
+    val c = s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+    s"(CASE WHEN isnan($c) THEN -1.0 ELSE $c END)"
+  }
+
+  /** Floors calibrated at sf0.01 (measured ppm — precision
+    * 783/1332/2722 and recall 423728/186440/101694 for 2/4/6 planes)
+    * so both constraints bite across the plane grid: the precision
+    * floor rejects 2 planes, the recall floor rejects 6, and the
+    * production 4-plane operating point (q_e4's [[graft.ops.Vectors
+    * .cosineDupPairs]] call) is chosen on evidence. The absolute
+    * numbers ARE the finding: a single-bucket AND-construction at
+    * threshold 0.4 runs at 0.13% precision and 19% recall on this
+    * corpus — the quantified case for the multi-probe and IVF paths
+    * (q_e5/q_e3) the engine already ships, surfaced before any corpus
+    * pass.
+    */
+  val e22PrecisionFloorPpm = 1000L
+  val e22RecallFloorPpm = 150000L
+  val e22Threshold = 0.4
+
+  /** E22: [[graft.ops.Vectors.chooseCosinePlanes]] over the embedding
+    * corpus — the chooser pattern on the FOURTH banded family, the
+    * hyperplane AND-construction: one row per plane count, candidacy
+    * = same full bucket, verified by exact cosine ≥ 0.4 computed
+    * in-bucket, truth = the family's own brute-force posture
+    * (rep-level all-pairs cosine over the hash-gated sample,
+    * cap-refused above `truthRepCap`). The oracle replays signature,
+    * nested-mask candidacy, member-level counting, both ppm axes,
+    * floors, and the tie-to-more-planes argmin.
+    */
+  val e22CosineChoose: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    graft.ops.Vectors.chooseCosinePlanes(vecs, "e", "vec_id",
+        planeConfigs = Seq(2, 4, 6), dim = 64, threshold = e22Threshold,
+        sampleMod = 1,
+        precisionFloorPpm = e22PrecisionFloorPpm,
+        recallFloorPpm = e22RecallFloorPpm)
+      .orderBy("n_planes")
+  }
+
+  private def e22Block(p: Int): String = {
+    val mask = (1L << p) - 1
+    s"""cand$p AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    ${cosSql("a.e", "b.e")} AS cos_sim
+       |  FROM j a JOIN j b
+       |    ON (a.bucket & $mask) = (b.bucket & $mask) AND a.vec_id < b.vec_id),
+       |row$p AS (
+       |  SELECT $p AS n_planes,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$p) AS n_candidates,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$p
+       |     WHERE cos_sim >= $e22Threshold) AS n_verified,
+       |    (SELECT nt FROM nt) AS n_true)""".stripMargin
+  }
+
+  val e22CosineChooseSql: String =
+    s"""WITH planes AS (
+       |  SELECT p, list_transform(generate_series(1, 64), j ->
+       |    CASE WHEN ${TextOps.hash60Sql("CAST(p AS VARCHAR)||'_'||CAST(j AS VARCHAR)")} % 2 = 1
+       |         THEN 1.0 ELSE -1.0 END) AS w
+       |  FROM (SELECT unnest(generate_series(0, 5)) AS p)),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sv AS MATERIALIZED (
+       |  SELECT vec_id, e FROM v
+       |  WHERE ${TextOps.hash60Sql("CAST(vec_id AS VARCHAR)")} % 1 = 0),
+       |sig AS (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(e, w) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+       |  FROM sv, planes GROUP BY vec_id),
+       |j AS MATERIALIZED (SELECT sv.vec_id, sv.e, sig.bucket FROM sv JOIN sig USING (vec_id)),
+       |truth AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM j a JOIN j b ON a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.e", "b.e")} >= $e22Threshold),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM truth),
+       |${e22Block(2)},
+       |${e22Block(4)},
+       |${e22Block(6)},
+       |tbl AS (SELECT * FROM row2 UNION ALL SELECT * FROM row4
+       |        UNION ALL SELECT * FROM row6),
+       |calc AS (
+       |  SELECT *,
+       |    CASE WHEN n_candidates = 0 THEN NULL
+       |         ELSE n_verified * 1000000 // n_candidates END AS precision_ppm,
+       |    CASE WHEN n_true = 0 THEN NULL
+       |         ELSE n_verified * 1000000 // n_true END AS recall_ppm
+       |  FROM tbl),
+       |feas AS (
+       |  SELECT *, COALESCE(precision_ppm >= $e22PrecisionFloorPpm, FALSE)
+       |        AND COALESCE(recall_ppm >= $e22RecallFloorPpm, FALSE) AS feasible
+       |  FROM calc),
+       |sel AS (SELECT n_planes FROM feas WHERE feasible
+       |        ORDER BY n_candidates, n_planes DESC LIMIT 1)
+       |SELECT n_planes, n_candidates, n_verified, n_true,
+       |  precision_ppm, recall_ppm, feasible,
+       |  feasible AND n_planes IN (SELECT n_planes FROM sel) AS chosen
+       |FROM feas ORDER BY n_planes""".stripMargin
+
   // ---- ST20: store-backed IVF index, killed and resumed ----------------
 
   /** ST20: [[graft.ops.IvfIndexStore]] under the failure q_st15's
@@ -727,7 +834,8 @@ object Round14Queries {
     "q_st18_store_keepbest" -> st18StoreKeepBest,
     "q_st19_stream_autotuned" -> st19StreamAutotuned,
     "q_st20_store_ivf" -> st20StoreIvf,
-    "q_m16_hamming_choose" -> m16HammingChoose
+    "q_m16_hamming_choose" -> m16HammingChoose,
+    "q_e22_cosine_choose" -> e22CosineChoose
   )
 
   val oracles: Map[String, String] = Map(
@@ -736,6 +844,7 @@ object Round14Queries {
     "q_st18_store_keepbest" -> st18StoreKeepBestSql,
     "q_st19_stream_autotuned" -> st19StreamAutotunedSql,
     "q_st20_store_ivf" -> st20StoreIvfSql,
-    "q_m16_hamming_choose" -> m16HammingChooseSql
+    "q_m16_hamming_choose" -> m16HammingChooseSql,
+    "q_e22_cosine_choose" -> e22CosineChooseSql
   )
 }

@@ -308,6 +308,134 @@ object Vectors {
     out
   }
 
+  /** COSINE-LSH PLANE-COUNT CHOOSER — the chooser pattern
+    * (`Dedup.chooseLshConfig` / `chooseSimhashBands` /
+    * `Multimodal.chooseHammingBands`) applied to the FOURTH banded
+    * family, the hyperplane AND-construction [[cosineDupPairs]] runs
+    * on: for each candidate plane count, measure precision and recall
+    * of "same full bucket" candidacy against exact-cosine truth on
+    * the deterministic hash-gated sample, mark feasibility against
+    * the caller's floors, and mark `chosen` the cheapest feasible
+    * config — fewest candidate pairs, ties to MORE planes (same
+    * verify cost, finer buckets, less skew). More planes → smaller
+    * buckets → cheaper verify at lower recall: the dial callers of
+    * [[cosineDupPairs]] set by hand, now priced before a corpus pass.
+    *
+    * ONE bucket pass serves every config: the signature is computed
+    * once at max(planeConfigs) bits, pairs are enumerated inside the
+    * min(planeConfigs)-bit buckets (a superset of every config's
+    * candidacy — sign-LSH buckets NEST: agreement on the low p bits
+    * implies agreement on the low q ≤ p bits), and a pair is a
+    * candidate at p iff the low p bits of its signature XOR are zero.
+    * Exact cosine rides in the bucket rows, so no config re-joins the
+    * corpus; each rep sits in exactly one bucket, so no pair-distinct
+    * is needed. Exact-duplicate collapse applies throughout
+    * (candidacy and cosine are pure functions of the vectors):
+    * weighted rep counting equals member enumeration.
+    *
+    * TRUTH IS THE FAMILY'S OWN BRUTE-FORCE POSTURE, CAP-BOUNDED:
+    * sign-LSH has no pigeonhole-complete enumeration (a true pair can
+    * disagree on any plane subset), so truth is the exact rep-level
+    * all-pairs cosine over the sample — the "brute force only as
+    * truth side" rule every e-family recall gate already follows —
+    * and it REFUSES (require) when the sample's rep count exceeds
+    * `truthRepCap` rather than silently paying an unbounded quadratic
+    * bill: size `sampleMod` to the cap, the [[Dedup.nearDupPairsAuto]]
+    * refuse-not-fallback ethos.
+    *
+    * Returns one row per config: (n_planes, n_candidates, n_verified,
+    * n_true, precision_ppm, recall_ppm, feasible, chosen).
+    * Zero-candidate configs have NULL precision and are never
+    * feasible; a zero-truth sample leaves every config infeasible (no
+    * evidence is not passing evidence).
+    */
+  def chooseCosinePlanes(vecs: DataFrame, vecCol: String, idCol: String,
+                         planeConfigs: Seq[Int], dim: Int, threshold: Double,
+                         sampleMod: Int,
+                         precisionFloorPpm: Long, recallFloorPpm: Long,
+                         truthRepCap: Int = 10000): DataFrame = {
+    require(planeConfigs.nonEmpty && planeConfigs.forall(p => p >= 1 && p <= 62),
+      s"plane counts must be in [1, 62] (the bucket is a sign-bit-packed " +
+        s"long), got $planeConfigs")
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    require(truthRepCap >= 1, s"truthRepCap must be >= 1, got $truthRepCap")
+    val spark = vecs.sparkSession
+    val pMax = planeConfigs.max
+    val pMin = planeConfigs.min
+    def mask(p: Int): Long = (1L << p) - 1
+    val sample = vecs.filter(
+      pmod(graft.ops.TextOps.hash60(col(idCol).cast("string")),
+        lit(sampleMod.toLong)) === 0)
+    val groups = Partitioning.spread(sample)
+      .select(col(idCol).as("vid"), col(vecCol).as("e"))
+      .groupBy(col("e"))
+      .agg(count(lit(1)).cast("long").as("m"), min(col("vid")).as("rep"))
+      .withColumn("bucket", bucketExpr("e", pMax, dim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nReps = groups.count()
+    require(nReps <= truthRepCap,
+      s"chooseCosinePlanes: the sample has $nReps distinct vectors, above " +
+        s"truthRepCap=$truthRepCap — the exact-truth pass would pay an " +
+        s"unbudgeted O(reps²·dim) bill; raise sampleMod (or the cap, " +
+        s"knowingly) instead of letting the chooser become the quadratic step")
+    val selfCos = rankCosine(col("e"), col("e"))
+    val wrow = groups.agg(
+      coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)),
+      coalesce(sum(when(selfCos >= threshold, expr("m * (m - 1) div 2"))
+        .otherwise(0L)), lit(0L))).first()
+    val nWithin = wrow.getLong(0)
+    val nWithinTrue = wrow.getLong(1)
+    // pairs once, in the coarsest buckets; per-config candidacy is a
+    // mask test on the signature XOR carried out of the bucket
+    val pairs = groups
+      .withColumn("bmin", col("bucket").bitwiseAND(lit(mask(pMin))))
+      .groupBy(col("bmin"))
+      .agg(collect_list(struct(col("rep"), col("m"), col("e"),
+        col("bucket"))).as("ms"))
+      .where(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("x"), col("ms"))
+      .select(col("x"), explode(col("ms")).as("y"))
+      .where(col("x.rep") < col("y.rep"))
+      .select((col("x.m") * col("y.m")).as("w"),
+        col("x.bucket").bitwiseXOR(col("y.bucket")).as("sx"),
+        rankCosine(col("x.e"), col("y.e")).as("cos"))
+    val aggs = planeConfigs.flatMap { p =>
+      val in = col("sx").bitwiseAND(lit(mask(p))) === 0
+      Seq(coalesce(sum(when(in, col("w")).otherwise(0L)), lit(0L)).as(s"nc_$p"),
+        coalesce(sum(when(in && col("cos") >= threshold, col("w"))
+          .otherwise(0L)), lit(0L)).as(s"nv_$p"))
+    }
+    val arow = pairs.agg(aggs.head, aggs.tail: _*).first()
+    // exact truth: cap-bounded rep-level brute force (see scaladoc)
+    val gy = groups.select(col("rep").as("ry"), col("m").as("my"),
+      col("e").as("ey"))
+    val nCrossTrue = groups
+      .select(col("rep").as("rx"), col("m").as("mx"), col("e").as("ex"))
+      .crossJoin(broadcast(gy))
+      .where(col("rx") < col("ry") &&
+        rankCosine(col("ex"), col("ey")) >= threshold)
+      .agg(coalesce(sum(col("mx") * col("my")), lit(0L))).first().getLong(0)
+    val nTrue = nWithinTrue + nCrossTrue
+    groups.unpersist()
+    case class Cfg(p: Int, nCand: Long, nVer: Long,
+                   prec: Option[Long], rec: Option[Long], feasible: Boolean)
+    val cfgs = planeConfigs.map { p =>
+      val nCand = nWithin + arow.getLong(arow.fieldIndex(s"nc_$p"))
+      val nVer = nWithinTrue + arow.getLong(arow.fieldIndex(s"nv_$p"))
+      val prec = if (nCand == 0) None else Some(nVer * 1000000L / nCand)
+      val rec = if (nTrue == 0) None else Some(nVer * 1000000L / nTrue)
+      Cfg(p, nCand, nVer, prec, rec,
+        prec.exists(_ >= precisionFloorPpm) && rec.exists(_ >= recallFloorPpm))
+    }
+    val chosenP = cfgs.filter(_.feasible)
+      .sortBy(c => (c.nCand, -c.p)).headOption.map(_.p)
+    import spark.implicits._
+    cfgs.map(c => (c.p, c.nCand, c.nVer, nTrue, c.prec, c.rec,
+        c.feasible, chosenP.contains(c.p)))
+      .toDF("n_planes", "n_candidates", "n_verified", "n_true",
+        "precision_ppm", "recall_ppm", "feasible", "chosen")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): coarse-cluster the embeddings, then WITHIN each
     * cluster drop any document that has a semantic near-duplicate

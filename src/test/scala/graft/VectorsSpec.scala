@@ -353,4 +353,59 @@ class VectorsSpec extends SparkSpec {
     // every copy family's all-pairs present (15 choose 2 per embedding)
     fixed.count { case (a, b, _, _) => a / 100L == b / 100L } shouldBe 4 * (15 * 14 / 2)
   }
+
+  test("chooseCosinePlanes: nested-mask candidacy is monotone, truth matches " +
+    "brute force, duplicate families ride the collapse, the truth cap and " +
+    "malformed configs refuse, zero-truth never certifies") {
+    import spark.implicits._
+    // 20 deterministic dim-8 vectors plus one duplicated family: truth
+    // recomputed brute-force in the test, so the chooser's n_true is
+    // pinned against an independent computation
+    def vec(i: Long): Seq[Double] =
+      (1 to 8).map(j => math.sin(i * 37.0 + j * 11.0))
+    val base = (1L to 20L).map(i => (i, vec(i)))
+    val rows = base :+ ((100L, vec(7))) :+ ((101L, vec(7))) // m=3 family with id 7
+    val df = rows.toDF("vec_id", "e")
+    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val th = 0.6
+    val all = rows.combinations(2).toSeq
+    val nTrue = all.count { case Seq((_, x), (_, y)) => cosine(x, y) >= th }
+    val out = Vectors.chooseCosinePlanes(df, "e", "vec_id",
+        planeConfigs = Seq(1, 2, 4), dim = 8, threshold = th, sampleMod = 1,
+        precisionFloorPpm = 0L, recallFloorPpm = 0L)
+      .orderBy("n_planes").collect()
+    out.foreach(_.getLong(3) shouldBe nTrue.toLong)
+    // candidacy NESTS: more planes can only shrink candidates/verified
+    val cands = out.map(_.getLong(1))
+    val vers = out.map(_.getLong(2))
+    cands.sliding(2).foreach { case Array(a, b) => b should be <= a }
+    vers.sliding(2).foreach { case Array(a, b) => b should be <= a }
+    // the duplicated family (3 copies of vec(7) counting member-level:
+    // 3 within pairs) is candidate AND verified in every config
+    vers.foreach(_ should be >= 3L)
+    // exactly one chosen among feasible: fewest candidates, tie to more planes
+    out.count(_.getBoolean(7)) shouldBe 1
+    out.filter(_.getBoolean(7)).head.getLong(1) shouldBe cands.min
+    // truth cap refuses rather than paying the quadratic bill
+    val boom = intercept[IllegalArgumentException](
+      Vectors.chooseCosinePlanes(df, "e", "vec_id", Seq(2), 8, th, 1, 0L, 0L,
+        truthRepCap = 5))
+    boom.getMessage should include("truthRepCap")
+    // zero-truth sample: nothing certifies
+    val far = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(-1.0, 0.0)))
+      .toDF("vec_id", "e")
+    Vectors.chooseCosinePlanes(far, "e", "vec_id", Seq(1, 2), 2, 0.9, 1, 0L, 0L)
+      .collect().foreach { r =>
+        r.getBoolean(6) shouldBe false
+        r.getBoolean(7) shouldBe false
+      }
+    // malformed plane counts refuse
+    intercept[IllegalArgumentException](
+      Vectors.chooseCosinePlanes(df, "e", "vec_id", Seq(0), 8, th, 1, 0L, 0L))
+    intercept[IllegalArgumentException](
+      Vectors.chooseCosinePlanes(df, "e", "vec_id", Seq(63), 8, th, 1, 0L, 0L))
+  }
 }
