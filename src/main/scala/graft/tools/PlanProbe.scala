@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 /** Prints the physical plans of the collapse paths for the PLANS
   * plan-audit notes (exchanges, broadcasts, generator placement).
   * Usage: PlanProbe [sfDir]
-  *   [collapse|recall|keepbest|chooser|kbindex|kbstore|simchooser]
+  *   [collapse|recall|keepbest|chooser|kbindex|kbstore|simchooser|
+  *    ivfstore|hamchooser|coschooser]
   */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
@@ -103,6 +104,90 @@ object PlanProbe {
           "one banding config shown) ===")
         cand.explain("formatted")
         System.err.println(s"cand rows: ${cand.count()}")
+      case "ivfstore" =>
+        // the store-backed IVF index: per-batch delta assignment, the
+        // read-time shadowing view (b == latest(vid)), and the search
+        // over it — the plans of interest are the effective-state
+        // assembly and ivfSearch's probe
+        import spark.implicits._
+        graft.ops.TempFiles.withTempDir("planprobe-ivfstore") { root =>
+          val dir = new java.io.File(root, "s").getAbsolutePath
+          val vecs = graft.Tables.embeddings(spark, sfDir)
+            .select(col("vec_id").as("vid"),
+              col("embedding").cast("array<double>").as("e"))
+          val centroids = vecs.filter(col("vid") < 8)
+            .select(col("vid").as("cid"), col("e").as("ce"))
+          val idx = graft.ops.IvfIndexStore.open(spark, dir, centroids)
+          idx.ingest(vecs.filter(col("vid") =!= 5 && col("vid") % 2 === 0))
+          idx.ingest(vecs.filter(col("vid") =!= 5 && col("vid") % 2 === 1))
+          val res = idx.search(vecs.filter(col("vid") === 5).select(col("e")),
+            nProbe = 2, k = 8)
+          System.err.println("=== IvfIndexStore.search (two committed batches, " +
+            "read-time shadowing view) ===")
+          res.explain("formatted")
+          System.err.println(s"hits: ${res.count()}")
+          ()
+        }
+      case "hamchooser" =>
+        // chooseHammingBands' result is |configs| driver rows; the
+        // data-bearing frame is the tagged multi-config banding over
+        // the hi/lo halves (Hamming verified IN-bucket). Rebuilt with
+        // the same code shape for the plan audit.
+        val hashes = graft.ops.Multimodal.imageDHash(
+          graft.PipelineQueries.imageRecords(spark, sfDir)).toDF()
+        val groups = hashes
+          .groupBy(col("dh_hi"), col("dh_lo"))
+          .agg(count(lit(1)).cast("long").as("m"), min(col("media_id")).as("rep"))
+        val hcand = groups
+          .withColumn("b", explode(sequence(lit(0), lit(3))))
+          .withColumn("chunk", expr(
+            """CASE WHEN b < 2 THEN (dh_lo >> (16 * b)) & 65535
+              |     ELSE (dh_hi >> (16 * (b - 2))) & 65535 END""".stripMargin))
+          .groupBy(col("b"), col("chunk"))
+          .agg(collect_list(struct(col("rep"), col("m"),
+            col("dh_hi"), col("dh_lo"))).as("ms"))
+          .where(size(col("ms")) > 1)
+          .select(explode(col("ms")).as("x"), col("ms"))
+          .select(col("x"), explode(col("ms")).as("y"))
+          .where(col("x.rep") < col("y.rep"))
+          .select(col("x.rep").as("ia"), col("y.rep").as("ib"),
+            (col("x.m") * col("y.m")).as("w"),
+            (expr("bit_count(x.dh_hi ^ y.dh_hi)") +
+              expr("bit_count(x.dh_lo ^ y.dh_lo)")).as("hamming"))
+          .distinct()
+        System.err.println("=== chooseHammingBands candidate frame (in-bucket " +
+          "Hamming over the hi/lo halves, one banding config shown) ===")
+        hcand.explain("formatted")
+        System.err.println(s"cand rows: ${hcand.count()}")
+      case "coschooser" =>
+        // chooseCosinePlanes: ONE bucket pass at max(planes) serves all
+        // configs — pairs enumerate in the coarsest buckets, candidacy
+        // per config is a mask test on the signature XOR, cosine rides
+        // in the bucket. Plus the cap-bounded brute-force truth frame.
+        import graft.ops.Vectors
+        val vecs = graft.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id").as("vid"),
+            col("embedding").cast("array<double>").as("e"))
+        val groups = vecs
+          .groupBy(col("e"))
+          .agg(count(lit(1)).cast("long").as("m"), min(col("vid")).as("rep"))
+          .withColumn("bucket", Vectors.bucketExpr("e", 6, 64))
+        val paired = groups
+          .withColumn("bmin", col("bucket").bitwiseAND(lit(3L)))
+          .groupBy(col("bmin"))
+          .agg(collect_list(struct(col("rep"), col("m"), col("e"),
+            col("bucket"))).as("ms"))
+          .where(size(col("ms")) > 1)
+          .select(explode(col("ms")).as("x"), col("ms"))
+          .select(col("x"), explode(col("ms")).as("y"))
+          .where(col("x.rep") < col("y.rep"))
+          .select((col("x.m") * col("y.m")).as("w"),
+            col("x.bucket").bitwiseXOR(col("y.bucket")).as("sx"),
+            Vectors.rankCosine(col("x.e"), col("y.e")).as("cos"))
+        System.err.println("=== chooseCosinePlanes pair frame (one signature " +
+          "pass at max planes, coarsest-bucket enumeration, mask candidacy) ===")
+        paired.explain("formatted")
+        System.err.println(s"pair rows: ${paired.count()}")
       case "keepbest" =>
         val surv = graft.ops.Dedup.purgeKeepBest(docs, "id", "text",
           pmod(graft.ops.TextOps.hash60(col("id").cast("string")), lit(1000L)))
