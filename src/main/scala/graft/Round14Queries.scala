@@ -610,8 +610,12 @@ object Round14Queries {
        |    (SELECT nt FROM nt) AS n_true)""".stripMargin
   }
 
-  val m16HammingChooseSql: String =
-    s"""WITH ${PipelineQueries.m4HashCte},
+  /** The m16 chooser CTE chain (through `sel`) — shared verbatim with
+    * the q_m17 auto oracle so the replayed decision can never drift
+    * between the two gates.
+    */
+  private val m16ChooserCtes: String =
+    s"""${PipelineQueries.m4HashCte},
        |shash AS MATERIALIZED (
        |  SELECT m, dh_hi, dh_lo FROM hashes
        |  WHERE ${TextOps.hash60Sql("CAST(m AS VARCHAR)")} % 2 = 0),
@@ -638,11 +642,70 @@ object Round14Queries {
        |        AND COALESCE(recall_ppm >= $m16RecallFloorPpm, FALSE) AS feasible
        |  FROM calc),
        |sel AS (SELECT n_bands FROM feas WHERE feasible
-       |        ORDER BY n_candidates, n_bands LIMIT 1)
+       |        ORDER BY n_candidates, n_bands LIMIT 1)""".stripMargin
+
+  val m16HammingChooseSql: String =
+    s"""WITH $m16ChooserCtes
        |SELECT n_bands, chunk_bits, n_candidates, n_verified, n_true,
        |  precision_ppm, recall_ppm, feasible,
        |  feasible AND n_bands IN (SELECT n_bands FROM sel) AS chosen
        |FROM feas ORDER BY n_bands""".stripMargin
+
+  // ---- M17: auto-tuned perceptual near-dup pairs -------------------------
+
+  /** M17: [[graft.ops.Multimodal.bandedHammingPairsAuto]] — the q_d22
+    * "chooser drives production" bar on the perceptual family: the
+    * m16 chooser (same floors, same sample) picks the band count, the
+    * full-corpus banded-Hamming pass runs at it, provenance rides out
+    * as `n_bands`, and an uncertifiable sample REFUSES before any
+    * corpus work. The oracle replays the ENTIRE dynamic decision —
+    * the m16 chooser CTEs verbatim plus all three configs'
+    * full-corpus pair relations — so the gate survives a regeneration
+    * that moves the choice.
+    */
+  val m17AutoHamming: Q = (s, d) => {
+    import s.implicits._
+    val hashes = graft.ops.Multimodal
+      .imageDHash(PipelineQueries.imageRecords(s, d)).toDF()
+    graft.ops.Multimodal.bandedHammingPairsAuto(hashes,
+        maxDist = m16MaxDist, bandConfigs = Seq(2, 4, 8), sampleMod = 2,
+        precisionFloorPpm = m16PrecisionFloorPpm,
+        recallFloorPpm = m16RecallFloorPpm)
+      .orderBy("ia", "ib")
+  }
+
+  private def m17FullBlock(nb: Int): String = {
+    val w = 64 / nb
+    val mask = (1L << w) - 1
+    val half = nb / 2
+    s"""fbanded$nb AS (
+       |  SELECT m, dh_hi, dh_lo, b,
+       |    CASE WHEN b < $half THEN (dh_lo >> ($w * b)) & $mask
+       |         ELSE (dh_hi >> ($w * (b - $half))) & $mask END AS chunk
+       |  FROM hashes, (SELECT unnest(generate_series(0, ${nb - 1})) AS b) t),
+       |fcand$nb AS (
+       |  SELECT DISTINCT a.m AS ia, b2.m AS ib,
+       |    CAST(bit_count(xor(a.dh_hi, b2.dh_hi))
+       |       + bit_count(xor(a.dh_lo, b2.dh_lo)) AS INT) AS hamming
+       |  FROM fbanded$nb a JOIN fbanded$nb b2
+       |    ON a.b = b2.b AND a.chunk = b2.chunk AND a.m < b2.m)""".stripMargin
+  }
+
+  val m17AutoHammingSql: String =
+    s"""WITH $m16ChooserCtes,
+       |${m17FullBlock(2)},
+       |${m17FullBlock(4)},
+       |${m17FullBlock(8)}
+       |SELECT ia, ib, hamming, n_bands FROM (
+       |  SELECT ia, ib, hamming, 2 AS n_bands FROM fcand2
+       |  WHERE hamming <= $m16MaxDist AND 2 = (SELECT n_bands FROM sel)
+       |  UNION ALL
+       |  SELECT ia, ib, hamming, 4 AS n_bands FROM fcand4
+       |  WHERE hamming <= $m16MaxDist AND 4 = (SELECT n_bands FROM sel)
+       |  UNION ALL
+       |  SELECT ia, ib, hamming, 8 AS n_bands FROM fcand8
+       |  WHERE hamming <= $m16MaxDist AND 8 = (SELECT n_bands FROM sel))
+       |ORDER BY ia, ib""".stripMargin
 
   // ---- E22: cosine-LSH plane-count chooser -------------------------------
 
@@ -707,8 +770,11 @@ object Round14Queries {
        |    (SELECT nt FROM nt) AS n_true)""".stripMargin
   }
 
-  val e22CosineChooseSql: String =
-    s"""WITH planes AS (
+  /** The e22 chooser CTE chain (through `sel`) — shared verbatim with
+    * the q_e23 auto oracle.
+    */
+  private val e22ChooserCtes: String =
+    s"""planes AS (
        |  SELECT p, list_transform(generate_series(1, 64), j ->
        |    CASE WHEN ${TextOps.hash60Sql("CAST(p AS VARCHAR)||'_'||CAST(j AS VARCHAR)")} % 2 = 1
        |         THEN 1.0 ELSE -1.0 END) AS w
@@ -743,11 +809,64 @@ object Round14Queries {
        |        AND COALESCE(recall_ppm >= $e22RecallFloorPpm, FALSE) AS feasible
        |  FROM calc),
        |sel AS (SELECT n_planes FROM feas WHERE feasible
-       |        ORDER BY n_candidates, n_planes DESC LIMIT 1)
+       |        ORDER BY n_candidates, n_planes DESC LIMIT 1)""".stripMargin
+
+  val e22CosineChooseSql: String =
+    s"""WITH $e22ChooserCtes
        |SELECT n_planes, n_candidates, n_verified, n_true,
        |  precision_ppm, recall_ppm, feasible,
        |  feasible AND n_planes IN (SELECT n_planes FROM sel) AS chosen
        |FROM feas ORDER BY n_planes""".stripMargin
+
+  // ---- E23: auto-tuned cosine near-dup pairs ----------------------------
+
+  /** E23: [[graft.ops.Vectors.cosineDupPairsAuto]] — the q_d22 bar on
+    * the vector family: the e22 chooser (same floors, same sample)
+    * picks the plane count, the full-corpus bucketed pass runs at it,
+    * provenance rides out as `n_planes`, and an uncertifiable sample
+    * REFUSES before any corpus work. The oracle replays the whole
+    * dynamic decision — the e22 chooser CTEs verbatim plus every
+    * config's full-corpus pair relation. (`sv`/`j` serve both the
+    * chooser and the corpus pass because this gate runs sampleMod=1;
+    * a production caller with a gated sample pays the corpus
+    * signature pass separately, as q_d22 documents for MinHash.)
+    */
+  val e23AutoCosine: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    graft.ops.Vectors.cosineDupPairsAuto(vecs, "e", "vec_id",
+        planeConfigs = Seq(2, 4, 6), dim = 64, threshold = e22Threshold,
+        sampleMod = 1,
+        precisionFloorPpm = e22PrecisionFloorPpm,
+        recallFloorPpm = e22RecallFloorPpm)
+      .orderBy("ia", "ib")
+  }
+
+  private def e23FullBlock(p: Int): String = {
+    val mask = (1L << p) - 1
+    s"""ecand$p AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    (a.bucket & $mask) AS bucket, ${cosSql("a.e", "b.e")} AS cos_sim
+       |  FROM j a JOIN j b
+       |    ON (a.bucket & $mask) = (b.bucket & $mask) AND a.vec_id < b.vec_id)""".stripMargin
+  }
+
+  val e23AutoCosineSql: String =
+    s"""WITH $e22ChooserCtes,
+       |${e23FullBlock(2)},
+       |${e23FullBlock(4)},
+       |${e23FullBlock(6)}
+       |SELECT ia, ib, bucket, cos_sim, n_planes FROM (
+       |  SELECT ia, ib, bucket, cos_sim, 2 AS n_planes FROM ecand2
+       |  WHERE cos_sim >= $e22Threshold AND 2 = (SELECT n_planes FROM sel)
+       |  UNION ALL
+       |  SELECT ia, ib, bucket, cos_sim, 4 AS n_planes FROM ecand4
+       |  WHERE cos_sim >= $e22Threshold AND 4 = (SELECT n_planes FROM sel)
+       |  UNION ALL
+       |  SELECT ia, ib, bucket, cos_sim, 6 AS n_planes FROM ecand6
+       |  WHERE cos_sim >= $e22Threshold AND 6 = (SELECT n_planes FROM sel))
+       |ORDER BY ia, ib""".stripMargin
 
   // ---- ST20: store-backed IVF index, killed and resumed ----------------
 
@@ -835,7 +954,9 @@ object Round14Queries {
     "q_st19_stream_autotuned" -> st19StreamAutotuned,
     "q_st20_store_ivf" -> st20StoreIvf,
     "q_m16_hamming_choose" -> m16HammingChoose,
-    "q_e22_cosine_choose" -> e22CosineChoose
+    "q_e22_cosine_choose" -> e22CosineChoose,
+    "q_m17_auto_hamming" -> m17AutoHamming,
+    "q_e23_auto_cosine" -> e23AutoCosine
   )
 
   val oracles: Map[String, String] = Map(
@@ -845,6 +966,8 @@ object Round14Queries {
     "q_st19_stream_autotuned" -> st19StreamAutotunedSql,
     "q_st20_store_ivf" -> st20StoreIvfSql,
     "q_m16_hamming_choose" -> m16HammingChooseSql,
-    "q_e22_cosine_choose" -> e22CosineChooseSql
+    "q_e22_cosine_choose" -> e22CosineChooseSql,
+    "q_m17_auto_hamming" -> m17AutoHammingSql,
+    "q_e23_auto_cosine" -> e23AutoCosineSql
   )
 }

@@ -433,7 +433,19 @@ object Multimodal {
     * prove; only candidate-generation cost changes, from O(Σ bucket²)
     * to O(Σ distinct²) + output size.
     */
-  def bandedHammingPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
+  def bandedHammingPairs(hashes: DataFrame, maxDist: Int,
+                         nBands: Int = 4): DataFrame = {
+    // nBands generalizes the historical 4×16-bit split (the default —
+    // callers and the q_m5/m7/m9/m11/m13 oracles are unchanged: for
+    // non-negative 32-bit halves the shift/mask chunks below are
+    // bit-identical to the old %/div formulation). Even counts only,
+    // so every chunk lies in one half; [[chooseHammingBands]] prices
+    // the grid and [[bandedHammingPairsAuto]] wires it in.
+    require(nBands >= 2 && nBands % 2 == 0 && 64 % nBands == 0,
+      s"nBands must be even and divide 64, got $nBands")
+    val w = 64 / nBands
+    val mask = (1L << w) - 1
+    val half = nBands / 2
     // 1. collapse exact hash duplicates: one representative per value,
     //    members kept for the expansion
     val groups = hashes
@@ -443,10 +455,10 @@ object Multimodal {
     // 2. banded candidates + exact-Hamming verify BETWEEN representatives
     val repPairs = groups
       .select(col("rep"), col("dh_hi"), col("dh_lo"))
-      .withColumn("b", explode(sequence(lit(0), lit(3))))
+      .withColumn("b", explode(sequence(lit(0), lit(nBands - 1))))
       .withColumn("chunk", expr(
-        """CASE b WHEN 0 THEN dh_lo % 65536 WHEN 1 THEN dh_lo div 65536
-          |       WHEN 2 THEN dh_hi % 65536 ELSE dh_hi div 65536 END""".stripMargin))
+        s"""CASE WHEN b < $half THEN (dh_lo >> ($w * b)) & $mask
+           |     ELSE (dh_hi >> ($w * (b - $half))) & $mask END""".stripMargin))
       .groupBy(col("b"), col("chunk"))
       .agg(sort_array(collect_list(
         struct(col("rep"), col("dh_hi"), col("dh_lo")))).as("ms"))
@@ -614,6 +626,31 @@ object Multimodal {
         c.feasible, chosenNb.contains(c.nb)))
       .toDF("n_bands", "chunk_bits", "n_candidates", "n_verified",
         "n_true", "precision_ppm", "recall_ppm", "feasible", "chosen")
+  }
+
+  /** AUTO-TUNED perceptual near-dup pairs — [[chooseHammingBands]]
+    * driving [[bandedHammingPairs]], the [[Dedup.nearDupPairsAuto]]
+    * contract on this family: the chooser prices the grid on the
+    * hash-gated sample, the cheapest floor-feasible band count runs
+    * the corpus pass (carried out as the `n_bands` provenance column),
+    * and when NO config meets the floors the call REFUSES — a silent
+    * default would run the corpus at an operating point the floors
+    * just rejected. ONE integer crosses the driver between phases.
+    */
+  def bandedHammingPairsAuto(hashes: DataFrame, maxDist: Int,
+                             bandConfigs: Seq[Int], sampleMod: Int,
+                             precisionFloorPpm: Long,
+                             recallFloorPpm: Long): DataFrame = {
+    val choice = chooseHammingBands(hashes, bandConfigs, maxDist, sampleMod,
+        precisionFloorPpm, recallFloorPpm)
+      .filter(col("chosen")).select(col("n_bands")).collect()
+    require(choice.nonEmpty,
+      "bandedHammingPairsAuto: no band count meets the precision/recall " +
+        "floors on the sample — loosen a floor or extend bandConfigs " +
+        "(a silent default would run the corpus at an operating point the " +
+        "floors just rejected)")
+    val nb = choice.head.getInt(0)
+    bandedHammingPairs(hashes, maxDist, nb).withColumn("n_bands", lit(nb))
   }
 
   // ---- DCT pHash: the frequency-domain perceptual hash ----------------

@@ -436,6 +436,34 @@ object Vectors {
         "precision_ppm", "recall_ppm", "feasible", "chosen")
   }
 
+  /** AUTO-TUNED embedding-cosine near-dup pairs —
+    * [[chooseCosinePlanes]] driving [[cosineDupPairs]], the
+    * [[Dedup.nearDupPairsAuto]] contract on the vector family: the
+    * chooser prices the plane grid on the hash-gated sample
+    * (cap-bounded exact truth), the cheapest floor-feasible plane
+    * count runs the corpus pass (carried out as the `n_planes`
+    * provenance column), and when NO config meets the floors the call
+    * REFUSES rather than silently running the corpus at a rejected
+    * operating point. ONE integer crosses the driver between phases.
+    */
+  def cosineDupPairsAuto(vecs: DataFrame, vecCol: String, idCol: String,
+                         planeConfigs: Seq[Int], dim: Int, threshold: Double,
+                         sampleMod: Int,
+                         precisionFloorPpm: Long, recallFloorPpm: Long,
+                         truthRepCap: Int = 10000): DataFrame = {
+    val choice = chooseCosinePlanes(vecs, vecCol, idCol, planeConfigs, dim,
+        threshold, sampleMod, precisionFloorPpm, recallFloorPpm, truthRepCap)
+      .filter(col("chosen")).select(col("n_planes")).collect()
+    require(choice.nonEmpty,
+      "cosineDupPairsAuto: no plane count meets the precision/recall " +
+        "floors on the sample — loosen a floor or extend planeConfigs " +
+        "(a silent default would run the corpus at an operating point the " +
+        "floors just rejected)")
+    val p = choice.head.getInt(0)
+    cosineDupPairs(vecs, vecCol, idCol, p, dim, threshold)
+      .withColumn("n_planes", lit(p))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): coarse-cluster the embeddings, then WITHIN each
     * cluster drop any document that has a semantic near-duplicate
