@@ -751,7 +751,11 @@ object Round14Queries {
         planeConfigs = Seq(2, 4, 6), dim = 64, threshold = e22Threshold,
         sampleMod = 1,
         precisionFloorPpm = e22PrecisionFloorPpm,
-        recallFloorPpm = e22RecallFloorPpm)
+        recallFloorPpm = e22RecallFloorPpm,
+        // sized for the 10x decade run (sf0.1 reps ~2000, decade
+        // ~20000); production raises sampleMod instead — the scaladoc's
+        // contract. The cap still refuses a mis-sized call.
+        truthRepCap = 25000)
       .orderBy("n_planes")
   }
 
@@ -839,7 +843,8 @@ object Round14Queries {
         planeConfigs = Seq(2, 4, 6), dim = 64, threshold = e22Threshold,
         sampleMod = 1,
         precisionFloorPpm = e22PrecisionFloorPpm,
-        recallFloorPpm = e22RecallFloorPpm)
+        recallFloorPpm = e22RecallFloorPpm,
+        truthRepCap = 25000) // the e22 sizing note
       .orderBy("ia", "ib")
   }
 

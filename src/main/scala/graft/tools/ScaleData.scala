@@ -28,6 +28,10 @@ import org.apache.spark.sql.functions._
   *    co-purchase graph replicas with the original degree law.
   *  - events: event_id/user_id offsets, timestamps kept → same time
   *    range at K× density, K× stream-join state keys.
+  *  - embeddings: vec_id stride 100 000, replica vectors rotated by
+  *    rep positions (orthogonal ⇒ within-replica cosines exact; needs
+  *    K ≤ dim) — the vector gates scale with data, not densified copy
+  *    families.
   *  - remaining tables copy through unchanged (dimension sides).
   *
   * Each table lands as a SINGLE parquet file named like the source
@@ -94,8 +98,30 @@ object ScaleData {
         .select(ev.columns.map(col).toIndexedSeq: _*),
       "events.parquet")
 
+    // embeddings: vec_id stride 100000 (preserves the %10 delta split
+    // and keeps the vid<8 centroid/query config rows unique to replica
+    // 0), replica vectors ROTATED by rep positions — rotation is an
+    // orthogonal map, so every within-replica cosine (and therefore
+    // each replica's near-dup structure, cell geometry, and bucket
+    // occupancy law) is preserved exactly while cross-replica ids
+    // stay a disjoint universe; cross-replica cosines are incidental,
+    // which is fine for BENCH-only data.
+    val em = spark.read.parquet(s"$src/embeddings.parquet")
+    writeSingle(
+      em.crossJoin(reps)
+        .withColumn("vec_id", col("vec_id") + col("rep") * 100000L)
+        .withColumn("embedding", expr(
+          """CASE WHEN rep = 0 THEN embedding ELSE
+            |  concat(slice(embedding, CAST(rep AS INT) + 1,
+            |               size(embedding) - CAST(rep AS INT)),
+            |         slice(embedding, 1, CAST(rep AS INT)))
+            |END""".stripMargin))
+        .drop("rep")
+        .select(em.columns.map(col).toIndexedSeq: _*),
+      "embeddings.parquet")
+
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "embeddings")) {
+                  "orders")) {
       writeSingle(spark.read.parquet(s"$src/$t.parquet"), s"$t.parquet")
     }
     spark.stop()
