@@ -665,8 +665,11 @@ object Round14Queries {
     */
   val m17AutoHamming: Q = (s, d) => {
     import s.implicits._
+    // checkpoint: the hashes feed BOTH phases (chooser sample + corpus
+    // pass) — without it every PNG decodes twice
     val hashes = graft.ops.Multimodal
       .imageDHash(PipelineQueries.imageRecords(s, d)).toDF()
+      .localCheckpoint(true)
     graft.ops.Multimodal.bandedHammingPairsAuto(hashes,
         maxDist = m16MaxDist, bandConfigs = Seq(2, 4, 8), sampleMod = 2,
         precisionFloorPpm = m16PrecisionFloorPpm,

@@ -157,14 +157,10 @@ object IvfIndexStore {
     * under an algebra-version prefix. k-bounded by the broadcast
     * contract.
     */
-  private def centroidFingerprint(centroids: DataFrame): String = {
-    val rows = centroids.select(col("cid").cast(LongType),
-        col("ce").cast(ArrayType(DoubleType)))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
-      .map { case (cid, ce) => s"$cid:${ce.mkString(",")}" }
-    val repr = ("ivf-alg=1" +: rows).mkString("\n")
+  private def centroidFingerprint(rows: Seq[(Long, Seq[Double])]): String = {
+    val repr = ("ivf-alg=1" +:
+      rows.sortBy(_._1).map { case (cid, ce) => s"$cid:${ce.mkString(",")}" })
+      .mkString("\n")
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
@@ -187,10 +183,20 @@ object IvfIndexStore {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) fs.mkdirs(root)
     // pin the layout the whole instance lifetime: the fingerprint and
-    // every later assign/search must see the SAME rows
-    val pinned = centroids.select(col("cid"), col("ce"))
-      .localCheckpoint(eager = true)
-    val fp = centroidFingerprint(pinned)
+    // every later assign/search must see the SAME rows. The collect is
+    // k-bounded (the broadcast contract), and rebuilding the frame
+    // from the DRIVER-held rows — rather than localCheckpoint'ing the
+    // caller's frame — means no executor-pinned block whose loss
+    // would kill a long-lived instance mid-stream.
+    val rows = centroids.select(col("cid").cast(LongType),
+        col("ce").cast(ArrayType(DoubleType)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .toIndexedSeq
+    val fp = centroidFingerprint(rows)
+    import spark.implicits._
+    val pinned = rows.map { case (cid, ce) => (cid, ce) }
+      .toDF("cid", "ce")
     val fpPath = new Path(root, "_params.sha256")
     if (fs.exists(fpPath)) {
       val in = fs.open(fpPath)
