@@ -12,8 +12,11 @@ import graft.ops.{Dedup, IvfIndexStore, KeepBestIndex, KeepBestIndexStore, TextO
   * (q_d23), the chooser pattern extended to the SimHash banded family
   * (q_d24), the perceptual-hash banded family (q_m16), and the
   * cosine hyperplane family (q_e22 — every banded family in the
-  * engine now has a floor-certified chooser), and the store-backed
-  * IVF index under a kill/resume boundary (q_st20).
+  * engine now has a floor-certified chooser), the store-backed
+  * IVF index under a kill/resume boundary (q_st20), the choosers
+  * driving production on both new families (q_m17, q_e23), and the
+  * chooser bar on the SEARCH side — anchor-tuned, floor-certified
+  * probe width serving a different traffic query (q_e24).
   *
   * Session-scoped file (the CurationQueries pattern) so the older
   * registries stay stable.
@@ -876,6 +879,92 @@ object Round14Queries {
        |  WHERE cos_sim >= $e22Threshold AND 6 = (SELECT n_planes FROM sel))
        |ORDER BY ia, ib""".stripMargin
 
+  // ---- E24: auto-probed IVF search ---------------------------------------
+
+  /** Floor measured per SF (recall_ppm for nprobe 1/2/4: sf0.001 =
+    * 900000/1e6/1e6, sf0.01 = 900000/1e6/1e6, sf0.1 = 1e6/1e6/1e6):
+    * at 950000 the cheapest width (1 probe) fails at the two smaller
+    * scales and passes at sf0.1 — the certified width MOVES with the
+    * data (2 → 2 → 1), the oracle replays the move, and no gated
+    * scale refuses.
+    */
+  val e24RecallFloorPpm = 950000L
+
+  /** E24: [[graft.ops.Vectors.ivfSearchAuto]] — the chooser bar on the
+    * SEARCH side: nprobe tuned on the ANCHOR query (vec 0) against
+    * exact brute-force truth, the cheapest floor-feasible width serves
+    * the TRAFFIC query (vec 5), provenance rides out as `nprobe`, an
+    * unreachable floor REFUSES. Tune and serve share one assignment
+    * pass. The oracle replays the tuning table, the argmin, and every
+    * width's serve result, selecting whichever the tuner picked.
+    */
+  val e24AutoProbe: Q = (s, d) => {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id".as("vid"), $"embedding".cast("array<double>").as("e"))
+    val corpus = vecs.filter(!$"vid".isin(0L, 5L))
+    val cents = vecs.filter($"vid" < 8).select($"vid".as("cid"), $"e".as("ce"))
+    graft.ops.Vectors.ivfSearchAuto(corpus, cents,
+        tuneQuery = vecs.filter($"vid" === 0).select($"e"),
+        serveQuery = vecs.filter($"vid" === 5).select($"e"),
+        k = 10, nprobes = Seq(1, 2, 4),
+        recallFloorPpm = e24RecallFloorPpm)
+      .select($"vid".as("vec_id"), $"cid", $"cos_sim", $"nprobe")
+  }
+
+  private def e24TuneBlock(np: Int): String =
+    s"""tcells$np AS (SELECT cid FROM cent, tq
+       |  ORDER BY ${cosSql("ce", "tqe")} DESC, cid LIMIT $np),
+       |tscan$np AS (SELECT a.vid, ${cosSql("a.e", "tq.tqe")} AS cs
+       |  FROM assigned a JOIN tcells$np USING (cid), tq),
+       |ttop$np AS (SELECT vid FROM tscan$np ORDER BY cs DESC, vid LIMIT 10),
+       |trow$np AS (SELECT $np AS nprobe,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM tscan$np) AS n_scanned,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ttop$np JOIN brute USING (vid))
+       |    * 1000000 // 10 AS recall_ppm)""".stripMargin
+
+  private def e24ServeBlock(np: Int): String =
+    s"""scells$np AS (SELECT cid FROM cent, sq
+       |  ORDER BY ${cosSql("ce", "sqe")} DESC, cid LIMIT $np),
+       |serve$np AS (
+       |  SELECT vec_id, cid, cos_sim FROM (
+       |    SELECT a.vid AS vec_id, a.cid, ${cosSql("a.e", "sq.sqe")} AS cos_sim
+       |    FROM assigned a JOIN scells$np USING (cid), sq
+       |    ORDER BY cos_sim DESC, a.vid LIMIT 10))""".stripMargin
+
+  val e24AutoProbeSql: String =
+    s"""WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cent AS (SELECT vid AS cid, e AS ce FROM v WHERE vid < 8),
+       |tq AS (SELECT e AS tqe FROM v WHERE vid = 0),
+       |sq AS (SELECT e AS sqe FROM v WHERE vid = 5),
+       |corpus AS (SELECT vid, e FROM v WHERE vid NOT IN (0, 5)),
+       |assigned AS (
+       |  SELECT vid, cid, e FROM (
+       |    SELECT c2.vid, c.cid, c2.e,
+       |      ROW_NUMBER() OVER (PARTITION BY c2.vid ORDER BY
+       |        ${cosSql("c2.e", "c.ce")} DESC, c.cid) AS rn
+       |    FROM corpus c2, cent c)
+       |  WHERE rn = 1),
+       |brute AS (SELECT vid FROM corpus, tq
+       |  ORDER BY ${cosSql("e", "tqe")} DESC, vid LIMIT 10),
+       |${e24TuneBlock(1)},
+       |${e24TuneBlock(2)},
+       |${e24TuneBlock(4)},
+       |trows AS (SELECT * FROM trow1 UNION ALL SELECT * FROM trow2
+       |          UNION ALL SELECT * FROM trow4),
+       |sel AS (SELECT nprobe FROM trows WHERE recall_ppm >= $e24RecallFloorPpm
+       |        ORDER BY n_scanned, nprobe LIMIT 1),
+       |${e24ServeBlock(1)},
+       |${e24ServeBlock(2)},
+       |${e24ServeBlock(4)}
+       |SELECT vec_id, cid, cos_sim, nprobe FROM (
+       |  SELECT *, 1 AS nprobe FROM serve1 WHERE 1 = (SELECT nprobe FROM sel)
+       |  UNION ALL
+       |  SELECT *, 2 AS nprobe FROM serve2 WHERE 2 = (SELECT nprobe FROM sel)
+       |  UNION ALL
+       |  SELECT *, 4 AS nprobe FROM serve4 WHERE 4 = (SELECT nprobe FROM sel))
+       |ORDER BY cos_sim DESC, vec_id""".stripMargin
+
   // ---- ST20: store-backed IVF index, killed and resumed ----------------
 
   /** ST20: [[graft.ops.IvfIndexStore]] under the failure q_st15's
@@ -964,7 +1053,8 @@ object Round14Queries {
     "q_m16_hamming_choose" -> m16HammingChoose,
     "q_e22_cosine_choose" -> e22CosineChoose,
     "q_m17_auto_hamming" -> m17AutoHamming,
-    "q_e23_auto_cosine" -> e23AutoCosine
+    "q_e23_auto_cosine" -> e23AutoCosine,
+    "q_e24_auto_probe" -> e24AutoProbe
   )
 
   val oracles: Map[String, String] = Map(
@@ -976,6 +1066,7 @@ object Round14Queries {
     "q_m16_hamming_choose" -> m16HammingChooseSql,
     "q_e22_cosine_choose" -> e22CosineChooseSql,
     "q_m17_auto_hamming" -> m17AutoHammingSql,
-    "q_e23_auto_cosine" -> e23AutoCosineSql
+    "q_e23_auto_cosine" -> e23AutoCosineSql,
+    "q_e24_auto_probe" -> e24AutoProbeSql
   )
 }

@@ -761,14 +761,33 @@ object Vectors {
     val assigned = ivfAssign(vecs, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assigned.count()
+    val rows = tuningRows(assigned, centroids, query, k, nprobes)
+    assigned.unpersist()
+    rows.toDF("nprobe", "n_scanned", "recall_ppm")
+  }
+
+  /** The (nprobe, n_scanned, recall_ppm) rows off an ALREADY-assigned
+    * index — shared by [[ivfTuning]] and [[ivfSearchAuto]] so the two
+    * can never disagree on the metric, and so the auto path pays the
+    * assignment pass once for both phases. Truth is [[knnBruteForce]]
+    * over the assigned rows (brute force only ever on the truth side —
+    * the family contract); the per-config scan reuses the one cached
+    * assignment, and only k-bounded id sets cross the driver.
+    */
+  private def tuningRows(assigned: DataFrame, centroids: DataFrame,
+                         query: DataFrame, k: Int,
+                         nprobes: Seq[Int]): Seq[(Int, Long, Long)] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
     val qe = broadcast(query.select(col("e").as("qe")))
-    val bruteIds = knnBruteForce(vecs, query, k)
+    val bruteIds = knnBruteForce(assigned.select(col("vid"), col("e")),
+        query, k)
       .select("vid").as[Long].collect().toSet
     val cellRank = centroids.crossJoin(qe)
       .withColumn("cs", rankCosine(col("ce"), col("qe")))
       .orderBy(col("cs").desc, col("cid"))
       .select("cid").as[Long].collect()
-    val rows = nprobes.map { np =>
+    nprobes.map { np =>
       val cells = cellRank.take(np)
       val scan = assigned.filter(col("cid").isin(cells: _*))
       val nScanned = scan.count()
@@ -779,8 +798,40 @@ object Vectors {
       val hits = got.count(bruteIds)
       (np, nScanned, hits * 1000000L / k)
     }
+  }
+
+  /** AUTO-PROBED IVF SEARCH — the chooser-drives-production bar on the
+    * SEARCH side: tune the probe width on a bounded ANCHOR query
+    * against exact brute-force truth (the [[ivfTuning]] table off one
+    * shared assignment pass), take the cheapest width whose recall@k
+    * meets the floor (fewest scanned rows, ties to the smaller
+    * width), REFUSE when none does, then serve the TRAFFIC query at
+    * the certified width with `nprobe` riding out as provenance. Tune
+    * and serve are different queries by design — tuning against the
+    * traffic query itself would pay brute force for the very answer
+    * the index exists to avoid; anchors amortize across traffic.
+    */
+  def ivfSearchAuto(vecs: DataFrame, centroids: DataFrame,
+                    tuneQuery: DataFrame, serveQuery: DataFrame,
+                    k: Int, nprobes: Seq[Int],
+                    recallFloorPpm: Long): DataFrame = {
+    val assigned = ivfAssign(vecs, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    val choice = tuningRows(assigned, centroids, tuneQuery, k, nprobes)
+      .filter(_._3 >= recallFloorPpm)
+      .sortBy(r => (r._2, r._1)).headOption.map(_._1)
+    require(choice.nonEmpty,
+      s"ivfSearchAuto: no probe width in $nprobes reaches recall " +
+        s"$recallFloorPpm ppm on the anchor query — widen nprobes or lower " +
+        "the floor (a silent default would serve traffic at a recall the " +
+        "floor just rejected)")
+    val np = choice.get
+    val res = ivfSearch(assigned, centroids, serveQuery, np, k)
+      .withColumn("nprobe", lit(np))
+      .localCheckpoint(eager = true)
     assigned.unpersist()
-    rows.toDF("nprobe", "n_scanned", "recall_ppm")
+    res
   }
 
   /** DIMENSION-TRUNCATION tuning table (the Matryoshka-embedding

@@ -408,4 +408,30 @@ class VectorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Vectors.chooseCosinePlanes(df, "e", "vec_id", Seq(63), 8, th, 1, 0L, 0L))
   }
+
+  test("ivfSearchAuto: the floor picks the cheapest adequate width, serves " +
+    "the traffic query at it with provenance, and refuses an unreachable floor") {
+    import spark.implicits._
+    // two orthogonal cells; brute top-3 for the anchor (1,0) spans both
+    // cells (vid 3 sits at 45°, third by cosine, but lives in cell 1) —
+    // so nprobe=1 recall = 2/3 and only nprobe=2 meets a 0.9 floor
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+      (3L, Seq(0.7, 0.714)), (4L, Seq(0.0, 1.0)))
+      .toDF("vid", "e")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "ce")
+    val tune = Seq(Tuple1(Seq(1.0, 0.0))).toDF("e")
+    val serve = Seq(Tuple1(Seq(0.0, 1.0))).toDF("e")
+    val out = Vectors.ivfSearchAuto(corpus, cents, tune, serve,
+        k = 3, nprobes = Seq(1, 2), recallFloorPpm = 900000L)
+      .collect()
+    out.map(_.getInt(3)).distinct.toSeq shouldBe Seq(2) // provenance
+    // served at width 2 both cells scan: top-3 for (0,1) = 4, 3, 2
+    out.map(_.getLong(0)).toSeq shouldBe Seq(4L, 3L, 2L)
+    // an unreachable floor refuses instead of silently serving
+    val boom = intercept[IllegalArgumentException](
+      Vectors.ivfSearchAuto(corpus, cents, tune, serve,
+        k = 3, nprobes = Seq(1), recallFloorPpm = 900000L))
+    boom.getMessage should include("recall")
+  }
 }
