@@ -16,7 +16,9 @@ import graft.ops.{Dedup, IvfIndexStore, KeepBestIndex, KeepBestIndexStore, TextO
   * IVF index under a kill/resume boundary (q_st20), the choosers
   * driving production on both new families (q_m17, q_e23), and the
   * chooser bar on the SEARCH side — anchor-tuned, floor-certified
-  * probe width serving a different traffic query (q_e24).
+  * probe width serving a different traffic query (q_e24) — and the
+  * two themes composed: a store-backed keep-best index auto-tuned at
+  * birth, killed, and resumed on its persisted birth choice (q_st21).
   *
   * Session-scoped file (the CurationQueries pattern) so the older
   * registries stay stable.
@@ -1044,6 +1046,100 @@ object Round14Queries {
     */
   val st20StoreIvfSql: String = PipelineQueries.e13IncrIvfSql
 
+  // ---- ST21: store-backed keep-best, auto-tuned at birth, killed --------
+
+  /** ST21: the round's two themes COMPOSED — q_st18's durability ×
+    * q_st19's birth certification: a [[KeepBestIndexStore]] opened
+    * with [[KeepBestIndexStore.openAuto]] tunes its banding on the
+    * first batch's sample (st19's floors, sampleMod=1, the same
+    * seeded mtime-ordered four-way split so batch 1 IS split 0), is
+    * KILLED after two batches, survives a planted poisoned partial,
+    * and resumes in a fresh instance that reads the BIRTH CHOICE from
+    * `_tuned_rpb` — never re-chooses (the stored deltas were banded
+    * at the birth choice; re-choosing on a later batch's sample would
+    * mix two indexes). Final survivors + the stored `rows_per_band`
+    * provenance must equal the in-memory auto-tuned stream: the
+    * oracle is literally q_st19's SQL, the way q_st18 reuses q_d20's.
+    */
+  val st21StoreAutotuned: Q = (s, d) => {
+    import org.apache.spark.sql.{Dataset, Row}
+    graft.ops.TempFiles.withTempDir("graft-st21") { root =>
+      val corpus = PipelineQueries.corpus(s, d)
+      val batchOf = pmod(
+        TextOps.seededHash60(lit("stb"), col("id").cast("string")), lit(4L))
+      val srcA = new java.io.File(root, "srcA"); srcA.mkdirs()
+      val srcB = new java.io.File(root, "srcB"); srcB.mkdirs()
+      val t0 = System.currentTimeMillis() - 3600000L
+      (0 until 4).foreach { b =>
+        val tmp = new java.io.File(root, s"w$b")
+        corpus.filter(batchOf === b).coalesce(1)
+          .write.parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file for split $b"))
+        val dst = new java.io.File(if (b < 2) srcA else srcB, f"$b%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(t0 + b * 2000L), "setLastModified failed")
+      }
+      val storeDir = new java.io.File(root, "store").getAbsolutePath
+      val score = pmod(TextOps.hash60(col("id").cast("string")), lit(1000L))
+      val tune = KeepBestIndex.AutoTune(
+        rowsPerBandConfigs = Seq(2, 4, 8), sampleMod = 1,
+        precisionFloorPpm = st19PrecisionFloorPpm,
+        recallFloorPpm = st19RecallFloorPpm,
+        truthDfCap = None) // the planted corpus is boilerplate-free (q_d22 posture)
+      def stream(src: java.io.File, idx: KeepBestIndexStore,
+                 assertFirstIsSplit0: Boolean): Int = {
+        val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        val schema = s.read.parquet(src.getAbsolutePath).schema
+        val step: (Dataset[Row], Long) => Unit = (batch, _) => {
+          if (n.incrementAndGet() == 1 && assertFirstIsSplit0) {
+            val stray = batch.filter(
+              pmod(TextOps.seededHash60(lit("stb"), col("id").cast("string")),
+                lit(4L)) =!= 0).limit(1).collect()
+            require(stray.isEmpty,
+              "first micro-batch is not split 0 — file-source ordering broke")
+          }
+          idx.ingest(batch, "id", "text", score)
+        }
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src.getAbsolutePath)
+          .writeStream.foreachBatch(step)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        n.get()
+      }
+      val idx1 = KeepBestIndexStore.openAuto(s, storeDir, tune)
+      val nA = stream(srcA, idx1, assertFirstIsSplit0 = true)
+      require(nA >= 2,
+        s"first stream delivered $nA batch(es); the multi-batch contract needs >= 2")
+      val bornAt = idx1.chosenRowsPerBand.getOrElse(
+        sys.error("store not tuned after first stream"))
+      // the kill. Plant the poisoned partial: absurd scores at b=nA, no
+      // _COMMIT — read, they would flip the keep-best winners.
+      val partial = new java.io.File(storeDir, s"b=$nA")
+      corpus.limit(5)
+        .select(col("id").cast("long").as("id"), lit(999999L).as("score"),
+          lit(nA).as("b"))
+        .write.parquet(new java.io.File(partial, "scored").getAbsolutePath)
+      val idx2 = KeepBestIndexStore.openAuto(s, storeDir, tune)
+      require(!partial.exists(),
+        "resume did not sweep the uncommitted mid-batch partial")
+      require(idx2.chosenRowsPerBand.contains(bornAt),
+        "resume did not read the birth choice from _tuned_rpb")
+      val nB = stream(srcB, idx2, assertFirstIsSplit0 = false)
+      require(nB >= 2,
+        s"second stream delivered $nB batch(es); the multi-batch contract needs >= 2")
+      idx2.survivors
+        .withColumn("rows_per_band", lit(bornAt))
+        .orderBy("id").localCheckpoint(eager = true)
+    }
+  }
+  /** The in-memory auto-tuned stream's oracle IS the oracle — q_st19's
+    * SQL verbatim (the q_st18/q_d20 reuse pattern).
+    */
+  val st21StoreAutotunedSql: String = st19StreamAutotunedSql
+
   val all: Map[String, Q] = Map(
     "q_d23_lsh_choose_capped" -> d23LshChooseCapped,
     "q_d24_simhash_choose" -> d24SimhashChoose,
@@ -1054,7 +1150,8 @@ object Round14Queries {
     "q_e22_cosine_choose" -> e22CosineChoose,
     "q_m17_auto_hamming" -> m17AutoHamming,
     "q_e23_auto_cosine" -> e23AutoCosine,
-    "q_e24_auto_probe" -> e24AutoProbe
+    "q_e24_auto_probe" -> e24AutoProbe,
+    "q_st21_store_autotuned" -> st21StoreAutotuned
   )
 
   val oracles: Map[String, String] = Map(
@@ -1067,6 +1164,7 @@ object Round14Queries {
     "q_e22_cosine_choose" -> e22CosineChooseSql,
     "q_m17_auto_hamming" -> m17AutoHammingSql,
     "q_e23_auto_cosine" -> e23AutoCosineSql,
-    "q_e24_auto_probe" -> e24AutoProbeSql
+    "q_e24_auto_probe" -> e24AutoProbeSql,
+    "q_st21_store_autotuned" -> st21StoreAutotunedSql
   )
 }

@@ -51,13 +51,28 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField
   */
 final class KeepBestIndexStore private (spark: SparkSession, dir: String,
                                         shingleN: Int, k: Int,
-                                        rowsPerBand: Int, threshold: Double,
-                                        compactEvery: Option[Int]) {
+                                        initialRpb: Option[Int],
+                                        threshold: Double,
+                                        compactEvery: Option[Int],
+                                        tuning: Option[KeepBestIndex.AutoTune]) {
   import KeepBestIndexStore._
 
   private val root = new Path(dir)
   private def fs: FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private var tunedRpb: Option[Int] = initialRpb
+
+  /** The banding the store runs at: fixed at [[KeepBestIndexStore.open]],
+    * or the first batch's certified choice for an [[KeepBestIndexStore
+    * .openAuto]] store (None before birth — provenance for "which
+    * operating point is this guard actually running?").
+    */
+  def chosenRowsPerBand: Option[Int] = tunedRpb
+
+  private def effectiveRpb: Int =
+    tunedRpb.getOrElse(throw new IllegalStateException(
+      "KeepBestIndexStore: banding not tuned yet — ingest the first batch first"))
 
   private def empty(st: StructType): DataFrame =
     spark.createDataFrame(java.util.Collections.emptyList[Row](), st)
@@ -130,6 +145,33 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
       s"KeepBestIndexStore.ingest: id ${dupId.headOption.map(_.get(0)).orNull} " +
         "appears more than once WITHIN the batch — the keyed-upsert contract " +
         "requires within-batch-unique ids")
+    // Tune at BIRTH, before anything is written: an infeasible first
+    // batch refuses with the directory still empty (the KeepBestIndex
+    // refuse-before-state rule, store-backed). The choice is persisted
+    // as `_tuned_rpb` FIRST, then the standard params fingerprint —
+    // that order makes a crash between the two writes recoverable
+    // (openAuto heals a missing fingerprint from the stored choice;
+    // the reverse order would strand a fingerprint whose rpb is
+    // unrecoverable from its hash).
+    tuning.foreach { t =>
+      if (tunedRpb.isEmpty) {
+        val choice = Dedup.chooseLshConfig(batch, idCol, textCol, shingleN, k,
+            t.rowsPerBandConfigs, threshold, t.sampleMod,
+            t.precisionFloorPpm, t.recallFloorPpm, t.truthDfCap)
+          .filter(col("chosen")).select(col("rows_per_band")).collect()
+        require(choice.nonEmpty,
+          "KeepBestIndexStore: no banding configuration meets the precision/" +
+            "recall floors on the first batch's sample — refusing BEFORE " +
+            "anything is written (a silent default banding would run the " +
+            "store at an operating point the floors just rejected); loosen a " +
+            "floor or extend rowsPerBandConfigs")
+        val rpb = choice.head.getInt(0)
+        writeText(fs, new Path(root, "_tuned_rpb"), rpb.toString)
+        writeText(fs, new Path(root, "_params.sha256"),
+          fingerprint(shingleN, k, rpb, threshold))
+        tunedRpb = Some(rpb)
+      }
+    }
     val n = committed.lastOption.fold(0)(_ + 1)
     val bdir = new Path(root, s"b=$n")
     // a partial from a previous failed attempt at THIS batch number
@@ -139,7 +181,7 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
       .localCheckpoint(eager = true)
     val newPairs = Dedup.incrementalNearDupPairsFromSets(
         effective("sh", shSchema), effective("sigs", sigsSchema), dSh,
-        k, rowsPerBand, threshold,
+        k, effectiveRpb, threshold,
         baseSizes = Some(effective("sizes", sizesSchema)))
       .select(col("ia"), col("ib"))
     def put(name: String, df: DataFrame): Unit =
@@ -238,38 +280,105 @@ object KeepBestIndexStore {
     * commits). NOT fingerprinted — it is a maintenance cadence, not
     * state algebra: any instance may change it freely, the view is
     * identical either way.
-    */
-  def open(spark: SparkSession, dir: String, shingleN: Int = 3, k: Int = 16,
+    */  def open(spark: SparkSession, dir: String, shingleN: Int = 3, k: Int = 16,
            rowsPerBand: Int = 4, threshold: Double = 0.5,
            compactEvery: Option[Int] = None): KeepBestIndexStore = {
-    require(compactEvery.forall(_ >= 2),
-      s"compactEvery must be >= 2 (a 1-cadence would fold after every " +
-        s"batch — the O(batches × state) shape this store exists to avoid), " +
-        s"got $compactEvery")
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) fs.mkdirs(root)
-    val fp = {
-      val repr = Seq("kbi-alg=1", shingleN.toString, k.toString,
-        rowsPerBand.toString, threshold.toString).mkString(" ")
-      java.security.MessageDigest.getInstance("SHA-256")
-        .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    }
+    requireCadence(compactEvery)
+    val (root, fs) = rootFs(spark, dir)
+    val fp = fingerprint(shingleN, k, rowsPerBand, threshold)
     val fpPath = new Path(root, "_params.sha256")
     if (fs.exists(fpPath)) {
-      val in = fs.open(fpPath)
-      val prev = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      require(prev == fp,
+      require(readText(fs, fpPath) == fp,
         s"KeepBestIndexStore: $dir holds state computed under a DIFFERENT " +
           "configuration or algebra version (params fingerprint mismatch) — " +
           "resuming would silently mix two indexes; pass a fresh dir (or " +
           "delete this one) to run with the new parameters")
-    } else {
-      val out = fs.create(fpPath, true)
-      try out.write(fp.getBytes("UTF-8")) finally out.close()
-    }
-    // sweep mid-write partials: a batch directory without _COMMIT is a
-    // crash artifact — delete it whole (its rows were never visible)
+    } else writeText(fs, fpPath, fp)
+    sweepPartials(fs, root)
+    new KeepBestIndexStore(spark, dir, shingleN, k, Some(rowsPerBand),
+      threshold, compactEvery, tuning = None)
+  }
+
+  /** Open a store whose banding is CHOSEN AT BIRTH — the
+    * [[KeepBestIndex.AutoTune]] contract, store-backed: on a fresh
+    * directory the first [[KeepBestIndexStore.ingest]] prices the
+    * tuning grid on that batch's sample and REFUSES (nothing written)
+    * when no config meets the floors; the certified choice persists as
+    * `_tuned_rpb` plus the STANDARD params fingerprint, so a resumed
+    * store — by this method OR by [[open]] with the matching
+    * rowsPerBand — is indistinguishable from a fixed-banding store.
+    * The tuning parameters are birth-time only: a resume never
+    * re-chooses (the stored deltas were banded at the birth choice —
+    * re-choosing would mix two indexes, exactly what the fingerprint
+    * exists to refuse).
+    */
+  def openAuto(spark: SparkSession, dir: String,
+               tune: KeepBestIndex.AutoTune,
+               shingleN: Int = 3, k: Int = 16, threshold: Double = 0.5,
+               compactEvery: Option[Int] = None): KeepBestIndexStore = {
+    requireCadence(compactEvery)
+    val (root, fs) = rootFs(spark, dir)
+    val rpbPath = new Path(root, "_tuned_rpb")
+    val fpPath = new Path(root, "_params.sha256")
+    val stored: Option[Int] =
+      if (fs.exists(rpbPath)) {
+        val rpb = readText(fs, rpbPath).trim.toInt
+        val fp = fingerprint(shingleN, k, rpb, threshold)
+        if (fs.exists(fpPath)) {
+          require(readText(fs, fpPath) == fp,
+            s"KeepBestIndexStore: $dir was tuned under DIFFERENT non-banding " +
+              "parameters or algebra version (params fingerprint mismatch) — " +
+              "resuming would silently mix two indexes")
+        } else writeText(fs, fpPath, fp) // heal a crash between the two writes
+        Some(rpb)
+      } else {
+        require(!fs.exists(fpPath),
+          s"KeepBestIndexStore: $dir holds a FIXED-banding store (params " +
+            "fingerprint present, no _tuned_rpb) — its rowsPerBand is not " +
+            "recoverable from the hash; reopen it with open() and the " +
+            "original banding instead of openAuto")
+        None
+      }
+    sweepPartials(fs, root)
+    new KeepBestIndexStore(spark, dir, shingleN, k, stored, threshold,
+      compactEvery, tuning = Some(tune))
+  }
+
+  private def requireCadence(compactEvery: Option[Int]): Unit =
+    require(compactEvery.forall(_ >= 2),
+      s"compactEvery must be >= 2 (a 1-cadence would fold after every " +
+        s"batch — the O(batches × state) shape this store exists to avoid), " +
+        s"got $compactEvery")
+
+  private def rootFs(spark: SparkSession, dir: String): (Path, FileSystem) = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    (root, fs)
+  }
+
+  private[ops] def fingerprint(shingleN: Int, k: Int, rowsPerBand: Int,
+                               threshold: Double): String = {
+    val repr = Seq("kbi-alg=1", shingleN.toString, k.toString,
+      rowsPerBand.toString, threshold.toString).mkString(" ")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private[ops] def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  private[ops] def writeText(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Sweep mid-write partials: a batch directory without `_COMMIT` is
+    * a crash artifact — delete it whole (its rows were never visible).
+    */
+  private def sweepPartials(fs: FileSystem, root: Path): Unit =
     fs.listStatus(root).toSeq.map(_.getPath).foreach { p =>
       p.getName match {
         case BatchDir(_) if !fs.exists(new Path(p, "_COMMIT")) =>
@@ -277,7 +386,4 @@ object KeepBestIndexStore {
         case _ => ()
       }
     }
-    new KeepBestIndexStore(spark, dir, shingleN, k, rowsPerBand, threshold,
-      compactEvery)
-  }
 }

@@ -156,4 +156,50 @@ class KeepBestStoreSpec extends SparkSpec {
       boom.getMessage should include("fingerprint")
     }
   }
+
+  test("openAuto: birth refusal writes NOTHING; the birth choice persists " +
+    "and a resume reads it instead of re-choosing; a fixed-banding store " +
+    "refuses openAuto; open() with the tuned banding interoperates") {
+    import graft.ops.KeepBestIndex
+    TempFiles.withTempDir("kbstore-auto") { root =>
+      // floors nothing can meet: the first ingest must refuse with the
+      // directory still empty (no _tuned_rpb, no fingerprint, no batch)
+      val dirR = new java.io.File(root, "refuse").getAbsolutePath
+      val impossible = KeepBestIndex.AutoTune(Seq(2, 4, 8), sampleMod = 1,
+        precisionFloorPpm = 1000001L, recallFloorPpm = 1000001L,
+        truthDfCap = None)
+      val r = KeepBestIndexStore.openAuto(spark, dirR, impossible)
+      val boom = intercept[IllegalArgumentException](
+        r.ingest(batch(1L, 2L, 3L), "id", "text", col("sc")))
+      boom.getMessage should include("floors")
+      new java.io.File(dirR).listFiles().map(_.getName).toSet shouldBe Set.empty
+      // a feasible tune: birth on the first batch, choice persisted
+      val tune = KeepBestIndex.AutoTune(Seq(2, 4, 8), sampleMod = 1,
+        precisionFloorPpm = 0L, recallFloorPpm = 0L, truthDfCap = None)
+      val dir = new java.io.File(root, "s").getAbsolutePath
+      val a = KeepBestIndexStore.openAuto(spark, dir, tune)
+      a.chosenRowsPerBand shouldBe None // provenance: untuned before birth
+      // the BIRTH batch carries a true pair (1 and 2 share content T) —
+      // a zero-truth sample never certifies, by design
+      val autoFeed = Seq(Seq(1L, 2L), Seq(4L), Seq(3L, 5L), Seq(1L))
+      autoFeed.take(2).foreach(ids => a.ingest(batch(ids: _*), "id", "text", col("sc")))
+      val born = a.chosenRowsPerBand.get
+      // the kill: a resume reads the BIRTH choice, never re-chooses
+      val b = KeepBestIndexStore.openAuto(spark, dir, tune)
+      b.chosenRowsPerBand shouldBe Some(born)
+      autoFeed.drop(2).foreach(ids => b.ingest(batch(ids: _*), "id", "text", col("sc")))
+      surv(b) shouldBe expected
+      // interop: open() with the tuned banding resumes the same store;
+      // a different banding refuses on the fingerprint
+      surv(KeepBestIndexStore.open(spark, dir, rowsPerBand = born)) shouldBe expected
+      intercept[IllegalArgumentException](
+        KeepBestIndexStore.open(spark, dir, rowsPerBand = born + 1))
+      // a FIXED-banding store refuses openAuto (rpb unrecoverable)
+      val dirF = new java.io.File(root, "fixed").getAbsolutePath
+      KeepBestIndexStore.open(spark, dirF)
+      val boom2 = intercept[IllegalArgumentException](
+        KeepBestIndexStore.openAuto(spark, dirF, tune))
+      boom2.getMessage should include("FIXED-banding")
+    }
+  }
 }
