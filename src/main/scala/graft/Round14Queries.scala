@@ -18,7 +18,9 @@ import graft.ops.{Dedup, IvfIndexStore, KeepBestIndex, KeepBestIndexStore, TextO
   * chooser bar on the SEARCH side — anchor-tuned, floor-certified
   * probe width serving a different traffic query (q_e24) — and the
   * two themes composed: a store-backed keep-best index auto-tuned at
-  * birth, killed, and resumed on its persisted birth choice (q_st21).
+  * birth, killed, and resumed on its persisted birth choice (q_st21),
+  * and the durable IVF store served at a read-time-certified probe
+  * width across the same kill (q_st22).
   *
   * Session-scoped file (the CurationQueries pattern) so the older
   * registries stay stable.
@@ -1140,6 +1142,76 @@ object Round14Queries {
     */
   val st21StoreAutotunedSql: String = st19StreamAutotunedSql
 
+  // ---- ST22: certified-width search over the durable IVF store ----------
+
+  /** ST22: [[graft.ops.IvfIndexStore.searchAuto]] — q_st20's durable
+    * index served at q_e24's certified width, with the kill/resume in
+    * between: the embedding corpus (minus anchor 0 and traffic 5)
+    * streams into the store across a kill + poisoned partial, and the
+    * resumed instance tunes nprobe on the anchor against brute-force
+    * truth over the CURRENT committed state, then serves the traffic
+    * query at the certified width. The probe width is a READ-time
+    * decision (unlike the banding birth choice q_st21 fingerprints) —
+    * it re-certifies against whatever the index holds. Oracle = the
+    * q_e24 replay with this gate's corpus.
+    */
+  val st22StoreSearchAuto: Q = (s, d) => {
+    import org.apache.spark.sql.{Dataset, Row}
+    import s.implicits._
+    graft.ops.TempFiles.withTempDir("graft-st22") { root =>
+      val vecs = Tables.embeddings(s, d)
+        .select($"vec_id".as("vid"), $"embedding".cast("array<double>").as("e"))
+      val centroids = vecs.filter($"vid" < 8)
+        .select($"vid".as("cid"), $"e".as("ce")).localCheckpoint(true)
+      val tuneQ = vecs.filter($"vid" === 0).select($"e").localCheckpoint(true)
+      val serveQ = vecs.filter($"vid" === 5).select($"e").localCheckpoint(true)
+      val corpus = vecs.filter(!$"vid".isin(0L, 5L))
+      val half = pmod(TextOps.hash60(col("vid").cast("string")), lit(4L))
+      val srcA = new java.io.File(root, "srcA").getAbsolutePath
+      val srcB = new java.io.File(root, "srcB").getAbsolutePath
+      corpus.filter(half < 2).repartition(2, col("vid")).write.parquet(srcA)
+      corpus.filter(half >= 2).repartition(2, col("vid")).write.parquet(srcB)
+      val storeDir = new java.io.File(root, "store").getAbsolutePath
+      def stream(src: String, idx: IvfIndexStore): Int = {
+        val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        val schema = s.read.parquet(src).schema
+        val step: (Dataset[Row], Long) => Unit = (batch, _) => {
+          n.incrementAndGet()
+          idx.ingest(batch)
+        }
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream.foreachBatch(step)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        n.get()
+      }
+      val nA = stream(srcA, IvfIndexStore.open(s, storeDir, centroids))
+      require(nA >= 2,
+        s"first stream delivered $nA batch(es); the multi-batch contract needs >= 2")
+      // kill + poisoned partial in the traffic query's own probe cell
+      val partial = new java.io.File(storeDir, s"b=$nA")
+      serveQ.select(lit(999992L).as("vid"), lit(5L).as("cid"), $"e",
+          lit(nA).as("b"))
+        .write.parquet(new java.io.File(partial, "assigned").getAbsolutePath)
+      val idx2 = IvfIndexStore.open(s, storeDir, centroids)
+      require(!partial.exists(),
+        "resume did not sweep the uncommitted mid-batch partial")
+      val nB = stream(srcB, idx2)
+      require(nB >= 2,
+        s"second stream delivered $nB batch(es); the multi-batch contract needs >= 2")
+      idx2.searchAuto(tuneQ, serveQ, k = 10, nprobes = Seq(1, 2, 4),
+          recallFloorPpm = e24RecallFloorPpm)
+        .select($"vid".as("vec_id"), $"cid", $"cos_sim", $"nprobe")
+        .localCheckpoint(eager = true)
+    }
+  }
+  /** The q_e24 replay IS the oracle — same corpus (vids minus anchor
+    * and traffic), same tuning table, same argmin, same serve.
+    */
+  val st22StoreSearchAutoSql: String = e24AutoProbeSql
+
   val all: Map[String, Q] = Map(
     "q_d23_lsh_choose_capped" -> d23LshChooseCapped,
     "q_d24_simhash_choose" -> d24SimhashChoose,
@@ -1151,7 +1223,8 @@ object Round14Queries {
     "q_m17_auto_hamming" -> m17AutoHamming,
     "q_e23_auto_cosine" -> e23AutoCosine,
     "q_e24_auto_probe" -> e24AutoProbe,
-    "q_st21_store_autotuned" -> st21StoreAutotuned
+    "q_st21_store_autotuned" -> st21StoreAutotuned,
+    "q_st22_store_search_auto" -> st22StoreSearchAuto
   )
 
   val oracles: Map[String, String] = Map(
@@ -1165,6 +1238,7 @@ object Round14Queries {
     "q_m17_auto_hamming" -> m17AutoHammingSql,
     "q_e23_auto_cosine" -> e23AutoCosineSql,
     "q_e24_auto_probe" -> e24AutoProbeSql,
-    "q_st21_store_autotuned" -> st21StoreAutotunedSql
+    "q_st21_store_autotuned" -> st21StoreAutotunedSql,
+    "q_st22_store_search_auto" -> st22StoreSearchAutoSql
   )
 }

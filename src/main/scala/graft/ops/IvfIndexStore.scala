@@ -123,6 +123,34 @@ final class IvfIndexStore private (spark: SparkSession, dir: String,
   def search(query: DataFrame, nProbe: Int, k: Int): DataFrame =
     Vectors.ivfSearch(assigned, centroids, query, nProbe, k)
 
+  /** CERTIFIED-WIDTH search over the committed view —
+    * [[Vectors.ivfSearchAuto]]'s contract on the durable index: the
+    * probe width is tuned on a bounded ANCHOR query against exact
+    * brute-force truth over the CURRENT effective state, the cheapest
+    * floor-adequate width serves the traffic query with `nprobe`
+    * provenance, and an unreachable floor REFUSES. The effective view
+    * materializes once (localCheckpoint) and serves both phases —
+    * tune and serve never pay the shadowing assembly twice. Unlike
+    * the banding choice (state algebra, fingerprinted at birth), the
+    * probe width is a READ-time decision: it can differ per anchor
+    * and re-certifies against whatever the index currently holds.
+    */
+  def searchAuto(tuneQuery: DataFrame, serveQuery: DataFrame,
+                 k: Int, nprobes: Seq[Int],
+                 recallFloorPpm: Long): DataFrame = {
+    val eff = assigned.localCheckpoint(true)
+    val choice = Vectors.tuningRows(eff, centroids, tuneQuery, k, nprobes)
+      .filter(_._3 >= recallFloorPpm)
+      .sortBy(r => (r._2, r._1)).headOption.map(_._1)
+    require(choice.nonEmpty,
+      s"IvfIndexStore.searchAuto: no probe width in $nprobes reaches recall " +
+        s"$recallFloorPpm ppm on the anchor query — widen nprobes or lower " +
+        "the floor (a silent default would serve traffic at a recall the " +
+        "floor just rejected)")
+    Vectors.ivfSearch(eff, centroids, serveQuery, choice.get, k)
+      .withColumn("nprobe", lit(choice.get))
+  }
+
   /** Fold the committed view into one fresh batch and drop the
     * shadowed history — space reclamation, not semantics. Crash-safe:
     * once the compacted batch's `_COMMIT` lands every older row is

@@ -774,9 +774,9 @@ object Vectors {
     * the family contract); the per-config scan reuses the one cached
     * assignment, and only k-bounded id sets cross the driver.
     */
-  private def tuningRows(assigned: DataFrame, centroids: DataFrame,
-                         query: DataFrame, k: Int,
-                         nprobes: Seq[Int]): Seq[(Int, Long, Long)] = {
+  private[ops] def tuningRows(assigned: DataFrame, centroids: DataFrame,
+                              query: DataFrame, k: Int,
+                              nprobes: Seq[Int]): Seq[(Int, Long, Long)] = {
     val spark = assigned.sparkSession
     import spark.implicits._
     val qe = broadcast(query.select(col("e").as("qe")))
