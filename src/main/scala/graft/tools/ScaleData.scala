@@ -107,6 +107,10 @@ object ScaleData {
     // stay a disjoint universe; cross-replica cosines are incidental,
     // which is fine for BENCH-only data.
     val em = spark.read.parquet(s"$src/embeddings.parquet")
+    val emDim = em.select(size(col("embedding"))).head().getInt(0)
+    require(k <= emDim,
+      s"embedding rotation needs K <= dim (slice(e, rep+1, …) with rep >= dim " +
+        s"would silently emit a wrong-length vector): K=$k, dim=$emDim")
     writeSingle(
       em.crossJoin(reps)
         .withColumn("vec_id", col("vec_id") + col("rep") * 100000L)
