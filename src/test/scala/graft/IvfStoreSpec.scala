@@ -155,4 +155,35 @@ class IvfStoreSpec extends SparkSpec {
       boom.getMessage should include("fingerprint")
     }
   }
+
+  test("searchAuto: certified width serves with provenance off the committed " +
+    "view; an unreachable floor refuses; re-certifies against CURRENT state") {
+    import spark.implicits._
+    TempFiles.withTempDir("ivfstore-searchauto") { root =>
+      val idx = IvfIndexStore.open(spark,
+        new java.io.File(root, "s").getAbsolutePath, centroids)
+      // cell-0 members + one 45-degree vector living in cell 1: the
+      // anchor's brute top-3 spans both cells, so nprobe=1 recall=2/3
+      // and only nprobe=2 meets a 0.9 floor (the e24 fixture, durable)
+      idx.ingest(Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+        (3L, Seq(0.7, 0.714)), (4L, Seq(0.0, 1.0))).toDF("vid", "e"))
+      val tune = Seq(Tuple1(Seq(1.0, 0.0))).toDF("e")
+      val serve = Seq(Tuple1(Seq(0.0, 1.0))).toDF("e")
+      val out = idx.searchAuto(tune, serve, k = 3, nprobes = Seq(1, 2),
+        recallFloorPpm = 900000L).collect()
+      out.map(_.getInt(3)).distinct.toSeq shouldBe Seq(2)
+      out.map(_.getLong(0)).toSeq shouldBe Seq(4L, 3L, 2L)
+      val boom = intercept[IllegalArgumentException](
+        idx.searchAuto(tune, serve, k = 3, nprobes = Seq(1),
+          recallFloorPpm = 900000L))
+      boom.getMessage should include("recall")
+      // re-delivery moves vid 3 fully into cell 0: the anchor's top-3
+      // now lives in one cell, so the SAME call re-certifies nprobe=1 —
+      // the read-time decision tracks current state, not history
+      idx.ingest(Seq((3L, Seq(1.0, 0.05))).toDF("vid", "e"))
+      idx.searchAuto(tune, serve, k = 3, nprobes = Seq(1, 2),
+          recallFloorPpm = 900000L)
+        .collect().map(_.getInt(3)).distinct.toSeq shouldBe Seq(1)
+    }
+  }
 }
