@@ -1048,6 +1048,75 @@ object Round14Queries {
     */
   val st20StoreIvfSql: String = PipelineQueries.e13IncrIvfSql
 
+  // ---- ST23: keep-best store compacted mid-stream, killed, resumed ------
+
+  /** ST23: q_st18 with COMPACTION live in the loop — `compactEvery=2`
+    * folds the committed view while the stream is still running, the
+    * kill lands AFTER a fold (so the second instance resumes from a
+    * COMPACTED store, not the original deltas), a poisoned partial is
+    * planted at the post-compaction batch number, and the final
+    * survivors must still hash-match the batch q_d20 oracle. Upgrades
+    * compaction from spec-only evidence (KeepBestStoreSpec's
+    * equivalence sims) to oracle-grade: fold + reclaim + resume +
+    * continued folding, end to end against an independent engine.
+    */
+  val st23StoreCompacted: Q = (s, d) => {
+    import org.apache.spark.sql.{Dataset, Row}
+    graft.ops.TempFiles.withTempDir("graft-st23") { root =>
+      val corpus = PipelineQueries.corpus(s, d)
+      val quarter = pmod(TextOps.hash60(col("id").cast("string")), lit(4L))
+      val srcA = new java.io.File(root, "srcA").getAbsolutePath
+      val srcB = new java.io.File(root, "srcB").getAbsolutePath
+      corpus.filter(quarter < 2).repartition(2, col("id")).write.parquet(srcA)
+      corpus.filter(quarter >= 2).repartition(2, col("id")).write.parquet(srcB)
+      val storeDir = new java.io.File(root, "store").getAbsolutePath
+      val score = pmod(TextOps.hash60(col("id").cast("string")), lit(1000L))
+      def stream(src: String, idx: KeepBestIndexStore): Int = {
+        val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        val schema = s.read.parquet(src).schema
+        val step: (Dataset[Row], Long) => Unit = (batch, _) => {
+          n.incrementAndGet()
+          idx.ingest(batch, "id", "text", score)
+        }
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream.foreachBatch(step)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        n.get()
+      }
+      val nA = stream(srcA,
+        KeepBestIndexStore.open(s, storeDir, compactEvery = Some(2)))
+      require(nA >= 2,
+        s"first stream delivered $nA batch(es); the multi-batch contract needs >= 2")
+      // the cadence MUST have fired: two ingests + compactEvery=2 fold
+      // into one fresh batch, so exactly one committed dir remains and
+      // its number sits past the raw batch count
+      val bdirs = new java.io.File(storeDir).listFiles()
+        .map(_.getName).filter(_.startsWith("b=")).toSeq
+      require(bdirs.size == 1 && bdirs.head != "b=0",
+        s"compaction cadence did not fold the first stream's deltas: $bdirs")
+      val nextB = bdirs.head.stripPrefix("b=").toInt + 1
+      val partial = new java.io.File(storeDir, s"b=$nextB")
+      corpus.limit(5)
+        .select(col("id").cast("long").as("id"), lit(999999L).as("score"),
+          lit(nextB).as("b"))
+        .write.parquet(new java.io.File(partial, "scored").getAbsolutePath)
+      val idx2 = KeepBestIndexStore.open(s, storeDir, compactEvery = Some(2))
+      require(!partial.exists(),
+        "resume did not sweep the uncommitted mid-batch partial")
+      val nB = stream(srcB, idx2)
+      require(nB >= 2,
+        s"second stream delivered $nB batch(es); the multi-batch contract needs >= 2")
+      idx2.survivors.orderBy("id").localCheckpoint(eager = true)
+    }
+  }
+  /** The batch keep-best purge IS the oracle — the q_st18 bar, now
+    * across a kill/resume boundary that lands on a COMPACTED store.
+    */
+  val st23StoreCompactedSql: String = CurationQueries.d20PurgeBestSql
+
   // ---- ST21: store-backed keep-best, auto-tuned at birth, killed --------
 
   /** ST21: the round's two themes COMPOSED — q_st18's durability ×
@@ -1224,7 +1293,8 @@ object Round14Queries {
     "q_e23_auto_cosine" -> e23AutoCosine,
     "q_e24_auto_probe" -> e24AutoProbe,
     "q_st21_store_autotuned" -> st21StoreAutotuned,
-    "q_st22_store_search_auto" -> st22StoreSearchAuto
+    "q_st22_store_search_auto" -> st22StoreSearchAuto,
+    "q_st23_store_compacted" -> st23StoreCompacted
   )
 
   val oracles: Map[String, String] = Map(
@@ -1239,6 +1309,7 @@ object Round14Queries {
     "q_e23_auto_cosine" -> e23AutoCosineSql,
     "q_e24_auto_probe" -> e24AutoProbeSql,
     "q_st21_store_autotuned" -> st21StoreAutotunedSql,
-    "q_st22_store_search_auto" -> st22StoreSearchAutoSql
+    "q_st22_store_search_auto" -> st22StoreSearchAutoSql,
+    "q_st23_store_compacted" -> st23StoreCompactedSql
   )
 }
