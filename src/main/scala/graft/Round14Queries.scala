@@ -225,8 +225,11 @@ object Round14Queries {
        |    (SELECT nt FROM nt) AS n_true)""".stripMargin
   }
 
-  val d24SimhashChooseSql: String =
-    s"""WITH ${PipelineQueries.corpusSql},
+  /** The d24 chooser CTE chain (through `sel`) — shared verbatim with
+    * the q_d25 auto oracle.
+    */
+  private val d24ChooserCtes: String =
+    s"""${PipelineQueries.corpusSql},
        |tok AS (SELECT id, unnest(string_split_regex(text, '\\s+')) AS t FROM corpus),
        |h AS (SELECT id, ${TextOps.hash60Sql("t")} AS hv FROM tok),
        |bits AS (
@@ -261,11 +264,82 @@ object Round14Queries {
        |        AND COALESCE(recall_ppm >= $d24RecallFloorPpm, FALSE) AS feasible
        |  FROM calc),
        |sel AS (SELECT n_bands FROM feas WHERE feasible
-       |        ORDER BY n_candidates, n_bands LIMIT 1)
+       |        ORDER BY n_candidates, n_bands LIMIT 1)""".stripMargin
+
+  val d24SimhashChooseSql: String =
+    s"""WITH $d24ChooserCtes
        |SELECT n_bands, chunk_bits, n_candidates, n_verified, n_true,
        |  precision_ppm, recall_ppm, feasible,
        |  feasible AND n_bands IN (SELECT n_bands FROM sel) AS chosen
        |FROM feas ORDER BY n_bands""".stripMargin
+
+  // ---- D25: auto-tuned SimHash near-dup pairs ---------------------------
+
+  /** D25 floors — sized so a config CERTIFIES at every gated scale
+    * while both axes still bite everywhere (measured ppm per scale in
+    * PLANS.md): the precision floor rejects 6 bands at all three
+    * scales, the recall floor rejects 2 bands at all three, and the
+    * choice MOVES with the data (4 bands at sf0.001, 3 at sf0.01, 4 at
+    * sf0.1). d24 keeps its own tighter pair, under which sf0.1 has NO
+    * feasible config — the refusal this gate's floors are sized to
+    * avoid is itself demonstrated there (chosen = none in d24's sf0.1
+    * table), and DedupSpec pins the refusal path.
+    */
+  val d25PrecisionFloorPpm = 30000L
+  val d25RecallFloorPpm = 600000L
+
+  /** D25: [[Dedup.simhashPairsAuto]] — the q_d22 bar on the LAST
+    * banded family without a production auto path: the chooser picks
+    * the band count on the hash-gated sample, the full-corpus
+    * in-bucket-Hamming pass runs at it with `n_bands` provenance, and
+    * an uncertifiable sample REFUSES. The corpus signatures are
+    * computed once for both phases. Oracle = the d24 chooser CTEs
+    * (at this gate's floors) + every config's full-corpus pair
+    * relation, selecting whichever the chooser picked.
+    */
+  val d25AutoSimhash: Q = (s, d) =>
+    Dedup.simhashPairsAuto(PipelineQueries.corpus(s, d), "id", "text",
+        bandConfigs = Seq(2, 3, 4, 6), maxDist = d24MaxDist, sampleMod = 2,
+        precisionFloorPpm = d25PrecisionFloorPpm,
+        recallFloorPpm = d25RecallFloorPpm)
+      .orderBy("ia", "ib")
+
+  private def d25FullBlock(nb: Int): String = {
+    val w = 60 / nb
+    val mask = (1L << w) - 1
+    s"""fbanded$nb AS (
+       |  SELECT id, simhash, b, (simhash >> ($w * b)) & $mask AS chunk
+       |  FROM sim, (SELECT unnest(generate_series(0, ${nb - 1})) AS b) t),
+       |fcand$nb AS (
+       |  SELECT DISTINCT a.id AS ia, b2.id AS ib,
+       |    CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
+       |  FROM fbanded$nb a JOIN fbanded$nb b2
+       |    ON a.b = b2.b AND a.chunk = b2.chunk AND a.id < b2.id)""".stripMargin
+  }
+
+  val d25AutoSimhashSql: String =
+    s"""WITH ${d24ChooserCtes
+        .replace(s"precision_ppm >= $d24PrecisionFloorPpm",
+          s"precision_ppm >= $d25PrecisionFloorPpm")
+        .replace(s"recall_ppm >= $d24RecallFloorPpm",
+          s"recall_ppm >= $d25RecallFloorPpm")},
+       |${d25FullBlock(2)},
+       |${d25FullBlock(3)},
+       |${d25FullBlock(4)},
+       |${d25FullBlock(6)}
+       |SELECT ia, ib, hamming, n_bands FROM (
+       |  SELECT ia, ib, hamming, 2 AS n_bands FROM fcand2
+       |  WHERE hamming <= $d24MaxDist AND 2 = (SELECT n_bands FROM sel)
+       |  UNION ALL
+       |  SELECT ia, ib, hamming, 3 AS n_bands FROM fcand3
+       |  WHERE hamming <= $d24MaxDist AND 3 = (SELECT n_bands FROM sel)
+       |  UNION ALL
+       |  SELECT ia, ib, hamming, 4 AS n_bands FROM fcand4
+       |  WHERE hamming <= $d24MaxDist AND 4 = (SELECT n_bands FROM sel)
+       |  UNION ALL
+       |  SELECT ia, ib, hamming, 6 AS n_bands FROM fcand6
+       |  WHERE hamming <= $d24MaxDist AND 6 = (SELECT n_bands FROM sel))
+       |ORDER BY ia, ib""".stripMargin
 
   // ---- ST18: store-backed keep-best index, killed and resumed ----------
 
@@ -1294,7 +1368,8 @@ object Round14Queries {
     "q_e24_auto_probe" -> e24AutoProbe,
     "q_st21_store_autotuned" -> st21StoreAutotuned,
     "q_st22_store_search_auto" -> st22StoreSearchAuto,
-    "q_st23_store_compacted" -> st23StoreCompacted
+    "q_st23_store_compacted" -> st23StoreCompacted,
+    "q_d25_auto_simhash" -> d25AutoSimhash
   )
 
   val oracles: Map[String, String] = Map(
@@ -1310,6 +1385,7 @@ object Round14Queries {
     "q_e24_auto_probe" -> e24AutoProbeSql,
     "q_st21_store_autotuned" -> st21StoreAutotunedSql,
     "q_st22_store_search_auto" -> st22StoreSearchAutoSql,
-    "q_st23_store_compacted" -> st23StoreCompactedSql
+    "q_st23_store_compacted" -> st23StoreCompactedSql,
+    "q_d25_auto_simhash" -> d25AutoSimhashSql
   )
 }

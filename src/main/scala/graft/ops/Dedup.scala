@@ -1245,7 +1245,14 @@ object Dedup {
     * at Hamming 0 by construction). Output relation unchanged — the
     * spec pins it against the naive shape on a dup-heavy corpus.
     */
-  def simhashPairs(sh: DataFrame, maxDist: Int): DataFrame = {
+  def simhashPairs(sh: DataFrame, maxDist: Int, nBands: Int = 4): DataFrame = {
+    // nBands generalizes the historical 4x15-bit split (the default
+    // keeps every caller and oracle bit-identical); [[chooseSimhashBands]]
+    // prices the grid and [[simhashPairsAuto]] wires it in.
+    require(nBands >= 1 && 60 % nBands == 0,
+      s"nBands must divide 60, got $nBands")
+    val w = 60 / nBands
+    val mask = (1L << w) - 1
     // The distinct-signature groups feed the banded rep enumeration,
     // the within-group expansion, and both sides of the cross-group
     // expansion (4 plan references): the upstream simhash aggregation
@@ -1259,8 +1266,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     groups.count()
     val repPairs = groups
-      .withColumn("b", explode(sequence(lit(0), lit(3))))
-      .withColumn("chunk", expr("(simhash >> (15 * b)) & 32767"))
+      .withColumn("b", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("chunk", expr(s"(simhash >> ($w * b)) & $mask"))
       .groupBy(col("b"), col("chunk"))
       .agg(collect_list(struct(col("rep"), col("simhash"))).as("ms"))
       .where(size(col("ms")) > 1)
@@ -1673,16 +1680,29 @@ object Dedup {
                          bandConfigs: Seq[Int], maxDist: Int, sampleMod: Int,
                          precisionFloorPpm: Long,
                          recallFloorPpm: Long): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val sample = df.filter(
+      pmod(TextOps.hash60(col(idCol).cast("string")), lit(sampleMod.toLong)) === 0)
+    chooseSimhashBandsFromSigs(simhash(sample, idCol, textCol),
+      bandConfigs, maxDist, precisionFloorPpm, recallFloorPpm)
+  }
+
+  /** [[chooseSimhashBands]] off ALREADY-computed (id, simhash) rows —
+    * the sample gating is the caller's; [[simhashPairsAuto]] uses this
+    * so the corpus signatures are computed ONCE for both the chooser
+    * sample and the corpus pass.
+    */
+  def chooseSimhashBandsFromSigs(sigs: DataFrame, bandConfigs: Seq[Int],
+                                 maxDist: Int,
+                                 precisionFloorPpm: Long,
+                                 recallFloorPpm: Long): DataFrame = {
     require(bandConfigs.nonEmpty && bandConfigs.forall(b => b >= 1 && 60 % b == 0),
       s"each band count must divide 60, got $bandConfigs")
     require(maxDist >= 0 && maxDist <= 9,
       s"maxDist must be in [0, 9] (the 10-band truth side is pigeonhole-" +
         s"complete only below its band count), got $maxDist")
-    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
-    val spark = df.sparkSession
-    val sample = df.filter(
-      pmod(TextOps.hash60(col(idCol).cast("string")), lit(sampleMod.toLong)) === 0)
-    val groups = simhash(sample, idCol, textCol)
+    val spark = sigs.sparkSession
+    val groups = sigs
       .groupBy(col("simhash"))
       .agg(count(lit(1)).cast(LongType).as("m"), min(col("id")).as("rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1725,6 +1745,36 @@ object Dedup {
         c.feasible, chosenNb.contains(c.nb)))
       .toDF("n_bands", "chunk_bits", "n_candidates", "n_verified",
         "n_true", "precision_ppm", "recall_ppm", "feasible", "chosen")
+  }
+
+  /** AUTO-TUNED SimHash near-dup pairs — [[chooseSimhashBands]]
+    * driving [[simhashPairs]], completing the chooser/auto pair for
+    * the last banded family (MinHash has d21/d22, perceptual m16/m17,
+    * cosine e22/e23): the corpus signatures are computed ONCE
+    * (checkpointed — the chooser's sample and the corpus pass share
+    * them through [[chooseSimhashBandsFromSigs]]), the cheapest
+    * floor-feasible band count runs the corpus pass with `n_bands`
+    * provenance, and an uncertifiable sample REFUSES. ONE integer
+    * crosses the driver between phases.
+    */
+  def simhashPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                       bandConfigs: Seq[Int], maxDist: Int, sampleMod: Int,
+                       precisionFloorPpm: Long,
+                       recallFloorPpm: Long): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val sigs = simhash(df, idCol, textCol).localCheckpoint(eager = true)
+    val sampleSigs = sigs.filter(
+      pmod(TextOps.hash60(col("id").cast("string")), lit(sampleMod.toLong)) === 0)
+    val choice = chooseSimhashBandsFromSigs(sampleSigs, bandConfigs, maxDist,
+        precisionFloorPpm, recallFloorPpm)
+      .filter(col("chosen")).select(col("n_bands")).collect()
+    require(choice.nonEmpty,
+      "simhashPairsAuto: no band count meets the precision/recall floors " +
+        "on the sample — loosen a floor or extend bandConfigs (a silent " +
+        "default would run the corpus at an operating point the floors " +
+        "just rejected)")
+    val nb = choice.head.getInt(0)
+    simhashPairs(sigs, maxDist, nb).withColumn("n_bands", lit(nb))
   }
 
   /** Per-BENCHMARK contamination report — the deliverable a

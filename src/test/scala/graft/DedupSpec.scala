@@ -1013,4 +1013,33 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.chooseSimhashBands(
       corpus, "id", "text", Seq(4), 10, 1, 0L, 0L)) // beyond truth completeness
   }
+
+  test("simhashPairsAuto runs the full corpus at exactly the chosen band " +
+    "count, and throws instead of silently defaulting when no config is " +
+    "feasible") {
+    import spark.implicits._
+    val auto = Dedup.simhashPairsAuto(dupHeavy, "id", "text",
+      bandConfigs = Seq(2, 3, 4, 6), maxDist = 6, sampleMod = 2,
+      precisionFloorPpm = 0L, recallFloorPpm = 0L)
+    val nbs = auto.select("n_bands").distinct().as[Int].collect()
+    nbs.length shouldBe 1 // one choice drove the whole relation
+    val chosen = Dedup.chooseSimhashBands(dupHeavy, "id", "text",
+        Seq(2, 3, 4, 6), maxDist = 6, sampleMod = 2, 0L, 0L)
+      .filter(col("chosen")).select("n_bands").as[Int].collect()
+    nbs.head shouldBe chosen.head
+    val manual = Dedup.simhashPairs(
+      Dedup.simhash(dupHeavy, "id", "text"), maxDist = 6, nBands = nbs.head)
+    auto.select("ia", "ib").as[(Long, Long)].collect().toSet shouldBe
+      manual.select("ia", "ib").as[(Long, Long)].collect().toSet
+    // floors nothing can clear: refuse, never fall back to a default
+    val boom = intercept[IllegalArgumentException](
+      Dedup.simhashPairsAuto(dupHeavy, "id", "text", Seq(2, 3, 4, 6),
+        maxDist = 6, sampleMod = 2,
+        precisionFloorPpm = 1000001L, recallFloorPpm = 1000001L))
+    boom.getMessage should include("no band count")
+    // the default 4-band split is bit-identical to the generalized path
+    val sh = Dedup.simhash(dupHeavy, "id", "text")
+    Dedup.simhashPairs(sh, 6).collect().toSet shouldBe
+      Dedup.simhashPairs(sh, 6, nBands = 4).collect().toSet
+  }
 }
