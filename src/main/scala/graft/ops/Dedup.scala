@@ -517,6 +517,23 @@ object Dedup {
     val grouped = contentGroups(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     grouped.count()
+    val out = nearDupPairsFromGroups(grouped, k, rowsPerBand, threshold)
+    grouped.unpersist()
+    out
+  }
+
+  /** [[nearDupPairs]] off an ALREADY-computed (and caller-persisted)
+    * [[contentGroups]] frame — the compute-once contract
+    * [[nearDupPairsAuto]] needs: the corpus is shingled/hashed/grouped
+    * exactly ONCE and the same cached frame feeds both the chooser's
+    * sample scaffold and the full-corpus banding (the q_d25
+    * SimHash-family pattern, applied to MinHash). The caller owns the
+    * persist/unpersist of `grouped`; the returned pair relation is an
+    * eager localCheckpoint, so releasing the cache after this returns
+    * is safe. DedupSpec pins FromGroups ≡ the from-text form.
+    */
+  def nearDupPairsFromGroups(grouped: DataFrame, k: Int, rowsPerBand: Int,
+                             threshold: Double): DataFrame = {
     // Rep-level hashed shingle sets for the verifier: an explode over
     // cached rows, not a second materialization.
     val repSh = grouped.select(col("rep").as("id"), explode(col("hs")).as("h"))
@@ -555,12 +572,10 @@ object Dedup {
       .select(least(col("a"), col("b")).as("ia"),
         greatest(col("a"), col("b")).as("ib"), col("jac"))
     // The verified pair set is linear in candidates, not corpus:
-    // materialize it eagerly, then release every cache block this
-    // pipeline pinned — repeated invocations must not leak storage.
-    val out = withinGroup.unionByName(crossGroup)
+    // materialize it eagerly so the caller can release the groups
+    // cache — repeated invocations must not leak storage.
+    withinGroup.unionByName(crossGroup)
       .localCheckpoint(eager = true)
-    grouped.unpersist()
-    out
   }
 
   /** One group row per DISTINCT hashed shingle SET: (hs — the sorted
@@ -584,6 +599,27 @@ object Dedup {
       .agg(sort_array(collect_set(col("h"))).as("hs"))
       .groupBy(col("hs"))
       .agg(sort_array(collect_list(col("id"))).as("members"))
+      .withColumn("rep", element_at(col("members"), 1))
+
+  /** The [[contentGroups]] of the deterministic hash-gated sample,
+    * DERIVED from the full corpus's groups instead of re-shingling:
+    * restricting the corpus to `hash60(id) mod sampleMod == 0` only
+    * shrinks each group's member list (the hs key is a pure function
+    * of the text, untouched by which ids survive the gate), so
+    * contentGroups(sample) ≡ filter each full group's sorted members
+    * by the gate, drop emptied groups, re-take rep = first member.
+    * Distinct contents can never merge or split under the restriction.
+    * This is what lets [[nearDupPairsAuto]] shingle the corpus ONCE —
+    * the derivation is an array filter over already-cached group rows,
+    * zero corpus passes. DedupSpec pins the equivalence.
+    */
+  private[graft] def sampleGroupsOf(groups: DataFrame, sampleMod: Int): DataFrame =
+    groups
+      .select(col("hs"),
+        filter(col("members"), m =>
+          pmod(TextOps.hash60(m.cast("string")), lit(sampleMod.toLong)) === 0)
+          .as("members"))
+      .where(size(col("members")) > 0)
       .withColumn("rep", element_at(col("members"), 1))
 
   /** The shared rep-level scaffold of [[lshTuning]] and [[lshRecall]]
@@ -1513,15 +1549,51 @@ object Dedup {
                       shingleN: Int, k: Int, rowsPerBandConfigs: Seq[Int],
                       threshold: Double, sampleMod: Int,
                       precisionFloorPpm: Long, recallFloorPpm: Long,
-                      truthDfCap: Option[Int] = None): DataFrame = {
+                      truthDfCap: Option[Int] = None,
+                      sampleRepCap: Option[Long] = None): DataFrame = {
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
-    require(truthDfCap.forall(_ >= 1), s"truthDfCap must be >= 1, got $truthDfCap")
-    val spark = df.sparkSession
     val sample = df.filter(
       pmod(TextOps.hash60(col(idCol).cast("string")), lit(sampleMod.toLong)) === 0)
-    val groups = contentGroups(sample, idCol, textCol, shingleN)
+    chooseLshConfigFromGroups(contentGroups(sample, idCol, textCol, shingleN),
+      k, rowsPerBandConfigs, threshold, precisionFloorPpm, recallFloorPpm,
+      truthDfCap, sampleRepCap)
+  }
+
+  /** [[chooseLshConfig]] off an ALREADY-derived sample [[contentGroups]]
+    * frame — the hash gating (and, in [[nearDupPairsAuto]], the
+    * [[sampleGroupsOf]] derivation off the full corpus's cached groups)
+    * is the caller's, so the corpus is never re-shingled for the
+    * chooser. `sampleRepCap`, when set, REFUSES if the sample holds
+    * more distinct contents than the caller's rep budget — the
+    * [[Vectors.chooseCosinePlanes]] truthRepCap posture: size
+    * `sampleMod` to the budget (see [[chooseSampleMod]]) instead of
+    * silently paying an unbudgeted sample pass. The count it checks is
+    * the persist-materialization count the method pays anyway — the
+    * refusal is free.
+    */
+  def chooseLshConfigFromGroups(sampleGroups: DataFrame, k: Int,
+                                rowsPerBandConfigs: Seq[Int],
+                                threshold: Double,
+                                precisionFloorPpm: Long, recallFloorPpm: Long,
+                                truthDfCap: Option[Int],
+                                sampleRepCap: Option[Long] = None): DataFrame = {
+    require(truthDfCap.forall(_ >= 1), s"truthDfCap must be >= 1, got $truthDfCap")
+    require(sampleRepCap.forall(_ >= 1),
+      s"sampleRepCap must be >= 1, got $sampleRepCap")
+    val spark = sampleGroups.sparkSession
+    val groups = sampleGroups
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    groups.count()
+    val nReps = groups.count()
+    sampleRepCap.foreach { cap =>
+      if (nReps > cap) {
+        groups.unpersist()
+        throw new IllegalArgumentException(
+          s"requirement failed: chooseLshConfig: the sample holds $nReps " +
+            s"distinct contents, above sampleRepCap=$cap — the chooser would " +
+            "pay an unbudgeted sample pass; raise sampleMod (or derive it " +
+            "from the budget with chooseSampleMod) instead")
+      }
+    }
     val (nWithin, repSh, fullSizes) = groupScaffold(groups)
     val mOf = groups.select(col("rep"), size(col("members")).cast(LongType).as("m"))
     val (postings, sizes, ownPostings) =
@@ -1600,19 +1672,78 @@ object Dedup {
                        rowsPerBandConfigs: Seq[Int] = Seq(2, 4, 8),
                        threshold: Double = 0.5, sampleMod: Int = 2,
                        precisionFloorPpm: Long = 0L,
-                       recallFloorPpm: Long = 0L): DataFrame = {
-    val choice = chooseLshConfig(df, idCol, textCol, shingleN, k,
-        rowsPerBandConfigs, threshold, sampleMod,
-        precisionFloorPpm, recallFloorPpm, truthDfCap)
-      .filter(col("chosen")).select(col("rows_per_band")).collect()
+                       recallFloorPpm: Long = 0L,
+                       sampleRepCap: Option[Long] = None): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    // ONE corpus representation pass (the q_d25 compute-once pattern,
+    // applied to MinHash): shingle→hash→group the FULL corpus once,
+    // derive the chooser's sample groups off the cached rows
+    // ([[sampleGroupsOf]] — an array filter, zero corpus passes), and
+    // band the same cached rows for the production pairs phase. The
+    // pre-r15 shape re-ran contentGroups over the full corpus after
+    // the chooser's sample pass — a redundant corpus scan+hash that at
+    // 100 TB is a full extra pass.
+    val grouped = contentGroups(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grouped.count()
+    val choice =
+      try chooseLshConfigFromGroups(sampleGroupsOf(grouped, sampleMod), k,
+          rowsPerBandConfigs, threshold, precisionFloorPpm, recallFloorPpm,
+          truthDfCap, sampleRepCap)
+        .filter(col("chosen")).select(col("rows_per_band")).collect()
+      catch { case e: Throwable => grouped.unpersist(); throw e }
+    if (choice.isEmpty) grouped.unpersist()
     require(choice.nonEmpty,
       "nearDupPairsAuto: no banding configuration meets the precision/recall " +
         "floors on the sample — loosen a floor or extend rowsPerBandConfigs " +
         "(a silent default would run the corpus at an operating point the " +
         "floors just rejected)")
     val rpb = choice.head.getInt(0)
-    nearDupPairs(df, idCol, textCol, shingleN, k, rpb, threshold)
+    val out = nearDupPairsFromGroups(grouped, k, rpb, threshold)
       .withColumn("rows_per_band", lit(rpb))
+    grouped.unpersist()
+    out
+  }
+
+  /** Smallest `sampleMod` whose hash-gated sample fits a rep budget in
+    * EXPECTATION: the `hash60(id) mod m == 0` gate admits ~count/m ids
+    * (hash60 is uniform over ids), so the minimal integer m with
+    * count/m ≤ budget is ⌈count/budget⌉ — one count and a ceiling
+    * division, nothing corpus-scale. The budget is conservative for
+    * the content-collapsed choosers (distinct contents ≤ sampled ids).
+    * Pair it with the chooser's cap (`sampleRepCap` here,
+    * `truthRepCap` in [[Vectors.chooseCosinePlanes]]) so hash-skew
+    * overshoot REFUSES instead of silently exceeding the budget —
+    * q_d26/q_e25 gate the derivation end to end.
+    */
+  def chooseSampleMod(corpusCount: Long, repBudget: Long): Int = {
+    require(corpusCount >= 0, s"corpusCount must be >= 0, got $corpusCount")
+    require(repBudget >= 1, s"repBudget must be >= 1, got $repBudget")
+    math.max(1L, (corpusCount + repBudget - 1) / repBudget).toInt
+  }
+
+  /** [[nearDupPairsAuto]] with the sample SELF-SIZED to a rep budget:
+    * one corpus count derives the cheapest `sampleMod` that fits
+    * `budget` in expectation ([[chooseSampleMod]]), and the chooser
+    * runs with `sampleRepCap = budget` so an over-budget actual sample
+    * (hash skew) refuses rather than silently paying. This replaces
+    * the caller-guessed `sampleMod` knob — a production user states
+    * the truth budget they can afford; the engine sizes the gate.
+    * The derived `sample_mod` rides out as a provenance column beside
+    * the chosen `rows_per_band`.
+    */
+  def nearDupPairsAutoBudgeted(df: DataFrame, idCol: String, textCol: String,
+                               truthDfCap: Option[Int], budget: Long,
+                               shingleN: Int = 3, k: Int = 16,
+                               rowsPerBandConfigs: Seq[Int] = Seq(2, 4, 8),
+                               threshold: Double = 0.5,
+                               precisionFloorPpm: Long = 0L,
+                               recallFloorPpm: Long = 0L): DataFrame = {
+    val m = chooseSampleMod(df.count(), budget)
+    nearDupPairsAuto(df, idCol, textCol, truthDfCap, shingleN, k,
+        rowsPerBandConfigs, threshold, m, precisionFloorPpm, recallFloorPpm,
+        sampleRepCap = Some(budget))
+      .withColumn("sample_mod", lit(m))
   }
 
   /** Distinct weighted rep-level SimHash pairs under an `nb`-band

@@ -322,6 +322,77 @@ class DedupSpec extends SparkSpec {
     boom.getMessage should include("no banding configuration")
   }
 
+  test("sampleGroupsOf derived off the full corpus's contentGroups equals " +
+    "contentGroups of the hash-gated sample, for every sampleMod") {
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("hs").cast("string"), col("members").cast("string"),
+        col("rep").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    val full = Dedup.contentGroups(dupHeavy, "id", "text", 3)
+    for (m <- Seq(1, 2, 3, 5)) {
+      val direct = Dedup.contentGroups(
+        dupHeavy.filter(pmod(TextOps.hash60(col("id").cast("string")),
+          lit(m.toLong)) === 0), "id", "text", 3)
+      key(Dedup.sampleGroupsOf(full, m)) shouldBe key(direct)
+    }
+  }
+
+  test("nearDupPairsFromGroups over a cached contentGroups frame equals the " +
+    "from-text nearDupPairs, so the auto path's compute-once sharing is exact") {
+    import spark.implicits._
+    val grouped = Dedup.contentGroups(dupHeavy, "id", "text", 3).cache()
+    grouped.count()
+    val fromGroups = Dedup.nearDupPairsFromGroups(grouped, 16, 4, 0.5)
+      .select("ia", "ib", "jac").as[(Long, Long, Double)].collect().toSet
+    grouped.unpersist()
+    val fromText = Dedup.nearDupPairs(dupHeavy, "id", "text", 3, 16, 4, 0.5)
+      .select("ia", "ib", "jac").as[(Long, Long, Double)].collect().toSet
+    fromGroups shouldBe fromText
+  }
+
+  test("chooseSampleMod returns the minimal mod fitting the rep budget in " +
+    "expectation, and chooseLshConfig's sampleRepCap refuses one step below " +
+    "the actual sample size") {
+    // minimality: m = ceil(n/b) is the smallest integer with n/m <= b
+    for (n <- Seq(1L, 7L, 40L, 41L, 1000L); b <- Seq(1L, 3L, 10L, 40L)) {
+      val m = Dedup.chooseSampleMod(n, b)
+      assert(n <= m.toLong * b, s"derived mod $m does not fit n=$n b=$b")
+      if (m > 1) assert(n > (m - 1).toLong * b,
+        s"derived mod $m is not minimal for n=$n b=$b")
+    }
+    Dedup.chooseSampleMod(0L, 5L) shouldBe 1
+    // refusal is exact at the actual sample rep count: mod 1 samples the
+    // whole corpus, whose distinct-content count is known
+    val nReps = Dedup.contentGroups(dupHeavy, "id", "text", 3).count()
+    noException should be thrownBy
+      Dedup.chooseLshConfig(dupHeavy, "id", "text", 3, 16, Seq(2, 4), 0.5,
+        sampleMod = 1, precisionFloorPpm = 0L, recallFloorPpm = 0L,
+        truthDfCap = None, sampleRepCap = Some(nReps)).collect()
+    val boom = intercept[IllegalArgumentException](
+      Dedup.chooseLshConfig(dupHeavy, "id", "text", 3, 16, Seq(2, 4), 0.5,
+        sampleMod = 1, precisionFloorPpm = 0L, recallFloorPpm = 0L,
+        truthDfCap = None, sampleRepCap = Some(nReps - 1)))
+    boom.getMessage should include("sampleRepCap")
+  }
+
+  test("nearDupPairsAutoBudgeted derives the mod from the corpus count, runs " +
+    "the auto path at it, and carries sample_mod provenance") {
+    import spark.implicits._
+    val n = dupHeavy.count()
+    val budgeted = Dedup.nearDupPairsAutoBudgeted(dupHeavy, "id", "text",
+      truthDfCap = None, budget = n,
+      precisionFloorPpm = 0L, recallFloorPpm = 0L)
+    budgeted.select("sample_mod").distinct().as[Int].collect() shouldBe Array(1)
+    val manual = Dedup.nearDupPairsAuto(dupHeavy, "id", "text",
+      truthDfCap = None, sampleMod = 1,
+      precisionFloorPpm = 0L, recallFloorPpm = 0L)
+    budgeted.select("rows_per_band", "ia", "ib", "jac")
+        .as[(Int, Long, Long, Double)].collect().toSet shouldBe
+      manual.select("rows_per_band", "ia", "ib", "jac")
+        .as[(Int, Long, Long, Double)].collect().toSet
+  }
+
   test("lshRecall truthDfCap: a no-op cap is bit-identical to full-universe " +
     "truth, and a boilerplate-dominated corpus loses its boilerplate-only " +
     "true pairs under the cap") {
