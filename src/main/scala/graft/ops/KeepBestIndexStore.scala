@@ -77,15 +77,31 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
   private def empty(st: StructType): DataFrame =
     spark.createDataFrame(java.util.Collections.emptyList[Row](), st)
 
+  /** Committed-set cache, valid ONLY between this instance's own
+    * mutations: the single-writer contract makes the writer's view
+    * authoritative (nothing else appends or compacts), so [[ingest]]
+    * lists ONCE per tick and maintains the set itself — O(1)
+    * object-store round-trips per tick in history length instead of
+    * O(batches) `exists` probes per [[committed]] call. A pure READER
+    * instance never mutates, never populates the cache, and re-lists
+    * on every view assembly — always fresh.
+    */
+  private var committedCache: Option[Seq[Int]] = None
+
   /** Committed batch numbers, ascending — a batch exists iff its
     * `_COMMIT` marker does (the write order makes the marker the
     * commit point).
     */
-  private def committed: Seq[Int] = {
+  private def committed: Seq[Int] = committedCache.getOrElse(listCommitted)
+
+  /** One glob listing collects every marker — a single namenode/LIST
+    * round trip, never a per-directory `exists` cascade.
+    */
+  private def listCommitted: Seq[Int] = {
     if (!fs.exists(root)) return Seq.empty
-    fs.listStatus(root).toSeq.map(_.getPath.getName)
+    Option(fs.globStatus(new Path(root, "b=*/_COMMIT"))).toSeq.flatten
+      .map(_.getPath.getParent.getName)
       .collect { case BatchDir(n) => n.toInt }
-      .filter(n => fs.exists(new Path(root, s"b=$n/_COMMIT")))
       .sorted
   }
 
@@ -172,7 +188,13 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
         tunedRpb = Some(rpb)
       }
     }
-    val n = committed.lastOption.fold(0)(_ + 1)
+    // ONE listing per tick: the writer owns the committed set for the
+    // rest of this ingest (and beyond — single-writer contract), so the
+    // probe's view assembly and the cadence check below re-read the
+    // cache, not the object store.
+    val before = listCommitted
+    committedCache = Some(before)
+    val n = before.lastOption.fold(0)(_ + 1)
     val bdir = new Path(root, s"b=$n")
     // a partial from a previous failed attempt at THIS batch number
     if (fs.exists(bdir)) fs.delete(bdir, true)
@@ -195,6 +217,7 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     put("ids", dSh.select(col("id")).distinct())
     put("pairs", newPairs)
     fs.create(new Path(bdir, "_COMMIT"), true).close()
+    committedCache = Some(before :+ n)
     // the amortization cadence: fold every C committed batches, so the
     // shadowed history is bounded at C deltas and total maintenance
     // work is O(batches × delta + state · batches/C), never
@@ -241,6 +264,7 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     put("pairs", effectivePairs)
     fs.create(new Path(bdir, "_COMMIT"), true).close()
     bs.foreach(o => fs.delete(new Path(root, s"b=$o"), true))
+    committedCache = Some(Seq(n))
   }
 }
 
@@ -280,7 +304,8 @@ object KeepBestIndexStore {
     * commits). NOT fingerprinted — it is a maintenance cadence, not
     * state algebra: any instance may change it freely, the view is
     * identical either way.
-    */  def open(spark: SparkSession, dir: String, shingleN: Int = 3, k: Int = 16,
+    */
+  def open(spark: SparkSession, dir: String, shingleN: Int = 3, k: Int = 16,
            rowsPerBand: Int = 4, threshold: Double = 0.5,
            compactEvery: Option[Int] = None): KeepBestIndexStore = {
     requireCadence(compactEvery)

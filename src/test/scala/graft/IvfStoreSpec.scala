@@ -186,4 +186,44 @@ class IvfStoreSpec extends SparkSpec {
         .collect().map(_.getInt(3)).distinct.toSeq shouldBe Seq(1)
     }
   }
+
+  test("searchAuto memoizes the certification per committed state: N serves " +
+    "between ingests pay ONE anchor-truth pass, and ingest/compact/new-anchor " +
+    "re-certify") {
+    import spark.implicits._
+    TempFiles.withTempDir("ivfstore-memo") { root =>
+      val idx = IvfIndexStore.open(spark,
+        new java.io.File(root, "s").getAbsolutePath, centroids)
+      idx.ingest(batch(1L, 3L))
+      val tune = Seq(Tuple1(Seq(1.0, 0.0))).toDF("e")
+      val serveA = Seq(Tuple1(Seq(0.9, 0.1))).toDF("e")
+      val serveB = Seq(Tuple1(Seq(0.2, 0.8))).toDF("e")
+      def serve(q: DataFrame) = idx.searchAuto(tune, q, k = 1,
+        nprobes = Seq(1, 2), recallFloorPpm = 1000000L).collect()
+      idx.certifications shouldBe 0
+      serve(serveA).map(_.getLong(0)).toSeq shouldBe Seq(1L)
+      idx.certifications shouldBe 1
+      // three more serves on the same state + anchor: zero new passes,
+      // and the answers still come off the certified view
+      serve(serveB).map(_.getLong(0)).toSeq shouldBe Seq(3L)
+      serve(serveA).map(_.getLong(0)).toSeq shouldBe Seq(1L)
+      serve(serveB).map(_.getLong(0)).toSeq shouldBe Seq(3L)
+      idx.certifications shouldBe 1
+      // state moved: the stale certification is dropped and ONE new
+      // pass covers the next run of serves
+      idx.ingest(batch(2L))
+      serve(serveA).map(_.getLong(0)).toSeq shouldBe Seq(1L)
+      serve(serveB).map(_.getLong(0)).toSeq shouldBe Seq(3L)
+      idx.certifications shouldBe 2
+      // compaction moves the version too — same rule
+      idx.compact()
+      serve(serveA).map(_.getLong(0)).toSeq shouldBe Seq(1L)
+      idx.certifications shouldBe 3
+      // a DIFFERENT anchor frame is a different certification question
+      val tune2 = Seq(Tuple1(Seq(0.0, 1.0))).toDF("e")
+      idx.searchAuto(tune2, serveA, k = 1, nprobes = Seq(1, 2),
+        recallFloorPpm = 1000000L).collect()
+      idx.certifications shouldBe 4
+    }
+  }
 }
