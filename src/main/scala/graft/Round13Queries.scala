@@ -144,7 +144,7 @@ object Round13Queries {
     * frames: sampling docs then shingling equals shingling then
     * filtering docs, because shingles and signatures are per-doc.
     */
-  private def d22SampleBlock(r: Int): String = {
+  private[graft] def d22SampleBlock(r: Int): String = {
     val b = 16 / r
     s"""sbands$r AS (
        |  SELECT id, j // $r AS band,
@@ -163,7 +163,7 @@ object Round13Queries {
   }
 
   /** Full-corpus banding + candidate blocks per config. */
-  private def d22FullBlock(r: Int): String =
+  private[graft] def d22FullBlock(r: Int): String =
     s"""fbands$r AS (
        |  SELECT id, j // $r AS band,
        |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig

@@ -225,10 +225,14 @@ object Round14Queries {
        |    (SELECT nt FROM nt) AS n_true)""".stripMargin
   }
 
-  /** The d24 chooser CTE chain (through `sel`) — shared verbatim with
-    * the q_d25 auto oracle.
+  /** The d24 chooser CTE chain (through `sel`), parameterized by the
+    * feasibility floors — d24 and d25 generate their SQL from the SAME
+    * builder with their own floor pairs (no post-hoc string surgery:
+    * a floor mismatch is a compile-time argument, never a silent
+    * no-op replace).
     */
-  private val d24ChooserCtes: String =
+  private def d24ChooserCtes(precisionFloorPpm: Long,
+                             recallFloorPpm: Long): String =
     s"""${PipelineQueries.corpusSql},
        |tok AS (SELECT id, unnest(string_split_regex(text, '\\s+')) AS t FROM corpus),
        |h AS (SELECT id, ${TextOps.hash60Sql("t")} AS hv FROM tok),
@@ -260,14 +264,14 @@ object Round14Queries {
        |         ELSE n_verified * 1000000 // n_true END AS recall_ppm
        |  FROM tbl),
        |feas AS (
-       |  SELECT *, COALESCE(precision_ppm >= $d24PrecisionFloorPpm, FALSE)
-       |        AND COALESCE(recall_ppm >= $d24RecallFloorPpm, FALSE) AS feasible
+       |  SELECT *, COALESCE(precision_ppm >= $precisionFloorPpm, FALSE)
+       |        AND COALESCE(recall_ppm >= $recallFloorPpm, FALSE) AS feasible
        |  FROM calc),
        |sel AS (SELECT n_bands FROM feas WHERE feasible
        |        ORDER BY n_candidates, n_bands LIMIT 1)""".stripMargin
 
   val d24SimhashChooseSql: String =
-    s"""WITH $d24ChooserCtes
+    s"""WITH ${d24ChooserCtes(d24PrecisionFloorPpm, d24RecallFloorPpm)}
        |SELECT n_bands, chunk_bits, n_candidates, n_verified, n_true,
        |  precision_ppm, recall_ppm, feasible,
        |  feasible AND n_bands IN (SELECT n_bands FROM sel) AS chosen
@@ -318,11 +322,7 @@ object Round14Queries {
   }
 
   val d25AutoSimhashSql: String =
-    s"""WITH ${d24ChooserCtes
-        .replace(s"precision_ppm >= $d24PrecisionFloorPpm",
-          s"precision_ppm >= $d25PrecisionFloorPpm")
-        .replace(s"recall_ppm >= $d24RecallFloorPpm",
-          s"recall_ppm >= $d25RecallFloorPpm")},
+    s"""WITH ${d24ChooserCtes(d25PrecisionFloorPpm, d25RecallFloorPpm)},
        |${d25FullBlock(2)},
        |${d25FullBlock(3)},
        |${d25FullBlock(4)},
@@ -796,7 +796,7 @@ object Round14Queries {
   /** Guarded cosine for the oracle SQL — mirrors `Vectors.rankCosine`
     * (the PipelineQueries.cosSql rule): NaN maps to -1.0.
     */
-  private def cosSql(x: String, y: String): String = {
+  private[graft] def cosSql(x: String, y: String): String = {
     val c = s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
     s"(CASE WHEN isnan($c) THEN -1.0 ELSE $c END)"
   }
@@ -858,10 +858,15 @@ object Round14Queries {
        |    (SELECT nt FROM nt) AS n_true)""".stripMargin
   }
 
-  /** The e22 chooser CTE chain (through `sel`) — shared verbatim with
-    * the q_e23 auto oracle.
+  /** The e22 chooser CTE chain (through `sel`), parameterized by the
+    * sample-gate modulus SQL and the feasibility floors — shared with
+    * the q_e23 auto oracle (modulus `"1"`, the e22 floors) and the
+    * q_e25 budget-derived oracle (a scalar subquery computing
+    * ⌈count/budget⌉, its own floors). Same no-string-surgery rule as
+    * [[d24ChooserCtes]].
     */
-  private val e22ChooserCtes: String =
+  private[graft] def e22ChooserCtes(modSql: String, precisionFloorPpm: Long,
+                                    recallFloorPpm: Long): String =
     s"""planes AS (
        |  SELECT p, list_transform(generate_series(1, 64), j ->
        |    CASE WHEN ${TextOps.hash60Sql("CAST(p AS VARCHAR)||'_'||CAST(j AS VARCHAR)")} % 2 = 1
@@ -870,7 +875,7 @@ object Round14Queries {
        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |sv AS MATERIALIZED (
        |  SELECT vec_id, e FROM v
-       |  WHERE ${TextOps.hash60Sql("CAST(vec_id AS VARCHAR)")} % 1 = 0),
+       |  WHERE ${TextOps.hash60Sql("CAST(vec_id AS VARCHAR)")} % ($modSql) = 0),
        |sig AS (
        |  SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(e, w) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS bucket
        |  FROM sv, planes GROUP BY vec_id),
@@ -893,14 +898,14 @@ object Round14Queries {
        |         ELSE n_verified * 1000000 // n_true END AS recall_ppm
        |  FROM tbl),
        |feas AS (
-       |  SELECT *, COALESCE(precision_ppm >= $e22PrecisionFloorPpm, FALSE)
-       |        AND COALESCE(recall_ppm >= $e22RecallFloorPpm, FALSE) AS feasible
+       |  SELECT *, COALESCE(precision_ppm >= $precisionFloorPpm, FALSE)
+       |        AND COALESCE(recall_ppm >= $recallFloorPpm, FALSE) AS feasible
        |  FROM calc),
        |sel AS (SELECT n_planes FROM feas WHERE feasible
        |        ORDER BY n_candidates, n_planes DESC LIMIT 1)""".stripMargin
 
   val e22CosineChooseSql: String =
-    s"""WITH $e22ChooserCtes
+    s"""WITH ${e22ChooserCtes("1", e22PrecisionFloorPpm, e22RecallFloorPpm)}
        |SELECT n_planes, n_candidates, n_verified, n_true,
        |  precision_ppm, recall_ppm, feasible,
        |  feasible AND n_planes IN (SELECT n_planes FROM sel) AS chosen
@@ -932,7 +937,7 @@ object Round14Queries {
       .orderBy("ia", "ib")
   }
 
-  private def e23FullBlock(p: Int): String = {
+  private[graft] def e23FullBlock(p: Int): String = {
     val mask = (1L << p) - 1
     s"""ecand$p AS (
        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
@@ -942,7 +947,7 @@ object Round14Queries {
   }
 
   val e23AutoCosineSql: String =
-    s"""WITH $e22ChooserCtes,
+    s"""WITH ${e22ChooserCtes("1", e22PrecisionFloorPpm, e22RecallFloorPpm)},
        |${e23FullBlock(2)},
        |${e23FullBlock(4)},
        |${e23FullBlock(6)}

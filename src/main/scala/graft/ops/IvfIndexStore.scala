@@ -222,6 +222,24 @@ final class IvfIndexStore private (spark: SparkSession, dir: String,
     */
   private[graft] var certifications: Int = 0
 
+  private lazy val nCents: Long = centroids.count()
+
+  /** Global cell-imbalance factor of the effective assignment,
+    * 1e4-scaled — the q_e14 health metric off the durable view:
+    * `max_cell × k × 1e4 / total` (10000 = perfectly balanced; 5×
+    * means the hottest cell holds 5× its fair share and nProbe recall
+    * is collapsing). This is the trigger the retrain lifecycle
+    * ([[IvfIndexStore.retrainIfImbalanced]]) consumes. Zero on an
+    * empty store.
+    */
+  def imbalance1e4: Long = {
+    val row = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L)), coalesce(sum(col("n")), lit(0L)))
+      .first()
+    val (nMax, nTotal) = (row.getLong(0), row.getLong(1))
+    if (nTotal == 0L) 0L else nMax * nCents * 10000L / nTotal
+  }
+
   /** Fold the committed view into one fresh batch and drop the
     * shadowed history — space reclamation, not semantics. Crash-safe:
     * once the compacted batch's `_COMMIT` lands every older row is
@@ -308,6 +326,17 @@ object IvfIndexStore {
           "resuming would silently mix two indexes; pass a fresh dir (or " +
           "delete this one) to rebuild under the new layout")
     } else {
+      // persist the layout itself beside its fingerprint (canonical
+      // text, exact double round-trip), so [[openPinned]] can resume
+      // the store without the caller re-supplying the centroid set —
+      // the retrain lifecycle's pointer-following readers need that.
+      // Layout FIRST, fingerprint second: a crash between the two
+      // leaves a healable dir (reopening recomputes the fingerprint
+      // from the stored layout), never a fingerprint whose layout is
+      // unrecoverable from its hash.
+      KeepBestIndexStore.writeText(fs, new Path(root, "_centroids"),
+        rows.map { case (cid, ce) => s"$cid:${ce.mkString(",")}" }
+          .mkString("\n"))
       val out = fs.create(fpPath, true)
       try out.write(fp.getBytes("UTF-8")) finally out.close()
     }
@@ -321,5 +350,139 @@ object IvfIndexStore {
       }
     }
     new IvfIndexStore(spark, dir, pinned, compactEvery)
+  }
+
+  /** Open a store from its OWN persisted centroid layout (`_centroids`,
+    * written at creation) — no caller-supplied set: this is how the
+    * retrain lifecycle's pointer-following readers resume a version
+    * whose layout only the directory knows. Identical fingerprint
+    * semantics to [[open]] (the parse feeds the same canonicalization).
+    */
+  def openPinned(spark: SparkSession, dir: String,
+                 compactEvery: Option[Int] = None): IvfIndexStore = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cPath = new Path(root, "_centroids")
+    require(fs.exists(cPath),
+      s"IvfIndexStore.openPinned: $dir has no persisted centroid layout " +
+        "(_centroids) — it predates the layout-persisting algebra or was " +
+        "never created; reopen it with open() and the original centroids")
+    val rows = KeepBestIndexStore.readText(fs, cPath).split("\n").toIndexedSeq
+      .filter(_.nonEmpty)
+      .map { line =>
+        val Array(cid, ce) = line.split(":", 2)
+        (cid.toLong, ce.split(",").toIndexedSeq.map(_.toDouble))
+      }
+    import spark.implicits._
+    open(spark, dir, rows.toDF("cid", "ce"), compactEvery)
+  }
+
+  // ---- Pointer-managed serving root (the retrain lifecycle) -----------
+
+  private val Pointer = "_latest"
+  private val VersionDir = "v=(\\d+)".r
+
+  private def pointerOf(fs: FileSystem, root: Path): Option[Int] = {
+    val p = new Path(root, Pointer)
+    if (!fs.exists(p)) None
+    else Some(KeepBestIndexStore.readText(fs, p).trim.toInt)
+  }
+
+  /** Atomic pointer publish — temp write + rename, the [[Versioned]]
+    * rule: a crash mid-publish leaves the previous version live.
+    */
+  private def flipPointer(fs: FileSystem, root: Path, v: Int): Unit = {
+    val tmp = new Path(root, s"$Pointer.tmp")
+    KeepBestIndexStore.writeText(fs, tmp, v.toString)
+    val dst = new Path(root, Pointer)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      sys.error(s"IvfIndexStore: pointer publish failed under $root")
+  }
+
+  /** The live version number under a pointer-managed root, if any. */
+  def liveVersion(spark: SparkSession, root: String): Option[Int] = {
+    val r = new Path(root)
+    val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(r)) None else pointerOf(fs, r)
+  }
+
+  /** Create version 0 of a pointer-managed serving root: a normal
+    * fingerprinted store under `<root>/v=0`, published by `_latest`.
+    */
+  def createLive(spark: SparkSession, root: String, centroids: DataFrame,
+                 compactEvery: Option[Int] = None): IvfIndexStore = {
+    val r = new Path(root)
+    val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(r)) fs.mkdirs(r)
+    require(pointerOf(fs, r).isEmpty,
+      s"IvfIndexStore.createLive: $root already has a live version — " +
+        "open it with openLive (or retrain it) instead of re-creating")
+    val st = open(spark, new Path(r, "v=0").toString, centroids, compactEvery)
+    flipPointer(fs, r, 0)
+    st
+  }
+
+  /** Open whatever version the pointer currently names — snapshot
+    * isolation at directory granularity: a reader that resolved v=N
+    * keeps reading a consistent, untouched index while the retrainer
+    * publishes v=N+1 (old versions are never deleted here; they stay
+    * readable until an explicit cleanup).
+    */
+  def openLive(spark: SparkSession, root: String,
+               compactEvery: Option[Int] = None): IvfIndexStore = {
+    val v = liveVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"IvfIndexStore.openLive: $root has no published version — " +
+          "createLive it first"))
+    openPinned(spark, new Path(new Path(root), s"v=$v").toString, compactEvery)
+  }
+
+  /** THE RETRAIN LIFECYCLE STEP — closes the loop the q_e14 health
+    * metric opens: when the live index's cell imbalance exceeds
+    * `maxImbalance1e4`, re-train `kNew` centroids on the CURRENT
+    * effective vectors ([[Vectors.kmeansCentroids]] — deterministic
+    * init, Lloyd iterations), build a FRESH fingerprinted store dir
+    * under the next version number, bulk-assign the effective view
+    * into it as one batch, and atomically flip the root's `_latest`
+    * pointer (the [[Versioned]] temp+rename publish). Below the
+    * threshold this is a no-op returning None.
+    *
+    * Crash-safety: everything before the flip is invisible to readers
+    * (the pointer still names the old version); a crash mid-build
+    * leaves a versioned dir the next retrain attempt rebuilds (it
+    * picks max(existing)+1 — orphans are unreferenced, never adopted).
+    * The OLD version's directory is untouched and stays readable by
+    * any in-flight reader that resolved it before the flip.
+    *
+    * Scale shape: one imbalance aggregate over the effective view, the
+    * k-means passes (each one broadcast-argmax + one keyed mean
+    * shuffle), one bulk assign of the effective view (map-side,
+    * broadcast), one parquet write. Nothing is quadratic; the old
+    * index is never re-scored against the new layout except through
+    * the single bulk assign every rebuild inherently pays.
+    */
+  def retrainIfImbalanced(spark: SparkSession, root: String,
+                          maxImbalance1e4: Long, kNew: Int, iters: Int,
+                          compactEvery: Option[Int] = None): Option[IvfIndexStore] = {
+    val cur = openLive(spark, root, compactEvery)
+    if (cur.imbalance1e4 <= maxImbalance1e4) None
+    else {
+      val r = new Path(root)
+      val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val eff = cur.assigned.select(col("vid"), col("e"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      eff.count()
+      val cents = Vectors.kmeansCentroids(eff, kNew, iters)
+      val next = fs.listStatus(r).toSeq.map(_.getPath.getName)
+        .collect { case VersionDir(n) => n.toInt }.max + 1
+      val dir = new Path(r, s"v=$next")
+      if (fs.exists(dir)) fs.delete(dir, true) // crashed prior attempt
+      val st = open(spark, dir.toString, cents, compactEvery)
+      st.ingest(eff)
+      eff.unpersist()
+      flipPointer(fs, r, next)
+      Some(st)
+    }
   }
 }

@@ -464,6 +464,27 @@ object Vectors {
       .withColumn("n_planes", lit(p))
   }
 
+  /** [[cosineDupPairsAuto]] with the sample SELF-SIZED to the truth
+    * budget — [[Dedup.chooseSampleMod]]'s contract on the vector
+    * family: one corpus count derives the cheapest `sampleMod` whose
+    * expected sample fits `budget`, and the chooser runs with
+    * `truthRepCap = budget` so an over-budget actual sample (hash
+    * skew) REFUSES rather than silently paying an unbudgeted
+    * O(reps²·dim) truth pass. Replaces the caller-guessed `sampleMod`
+    * knob: state the budget, the engine sizes the gate. The derived
+    * `sample_mod` rides out as provenance beside `n_planes`.
+    */
+  def cosineDupPairsAutoBudgeted(vecs: DataFrame, vecCol: String,
+                                 idCol: String, planeConfigs: Seq[Int],
+                                 dim: Int, threshold: Double, budget: Int,
+                                 precisionFloorPpm: Long,
+                                 recallFloorPpm: Long): DataFrame = {
+    val m = Dedup.chooseSampleMod(vecs.count(), budget.toLong)
+    cosineDupPairsAuto(vecs, vecCol, idCol, planeConfigs, dim, threshold,
+        m, precisionFloorPpm, recallFloorPpm, truthRepCap = budget)
+      .withColumn("sample_mod", lit(m))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): coarse-cluster the embeddings, then WITHIN each
     * cluster drop any document that has a semantic near-duplicate

@@ -226,4 +226,68 @@ class IvfStoreSpec extends SparkSpec {
       idx.certifications shouldBe 4
     }
   }
+
+  test("openPinned resumes a store from its own persisted centroid layout, " +
+    "bit-identical to reopening with the original centroids") {
+    TempFiles.withTempDir("ivfstore-pinned") { root =>
+      val dir = new java.io.File(root, "s").getAbsolutePath
+      val a = IvfIndexStore.open(spark, dir, centroids)
+      a.ingest(batch(1L, 3L, 4L))
+      val b = IvfIndexStore.openPinned(spark, dir)
+      cellOf(b) shouldBe cellOf(a)
+      top(b) shouldBe top(a)
+      // the fingerprint still guards: a layout-less dir refuses
+      val boom = intercept[IllegalArgumentException](
+        IvfIndexStore.openPinned(spark,
+          new java.io.File(root, "empty").getAbsolutePath))
+      boom.getMessage should include("_centroids")
+    }
+  }
+
+  test("retrain lifecycle: above-threshold imbalance retrains into a new " +
+    "fingerprinted version and flips the pointer; the old version stays " +
+    "readable; below-threshold is a no-op") {
+    import spark.implicits._
+    TempFiles.withTempDir("ivfstore-retrain") { root =>
+      // a degenerate layout: every vector points into cell 0's halfspace,
+      // cell 1 (-x) catches nothing -> imbalance = k x max/total = 2.0
+      val bad = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(-1.0, 0.0))).toDF("cid", "ce")
+      val vroot = root.getAbsolutePath
+      val st0 = IvfIndexStore.createLive(spark, vroot, bad)
+      st0.ingest(batch(1L, 2L, 3L, 4L, 5L))
+      st0.imbalance1e4 shouldBe 20000L
+      IvfIndexStore.liveVersion(spark, vroot) shouldBe Some(0)
+      // below threshold: no-op, pointer unmoved
+      IvfIndexStore.retrainIfImbalanced(spark, vroot,
+        maxImbalance1e4 = 30000L, kNew = 2, iters = 2) shouldBe None
+      IvfIndexStore.liveVersion(spark, vroot) shouldBe Some(0)
+      // above threshold: retrain on the effective vectors, publish v=1
+      val st1 = IvfIndexStore.retrainIfImbalanced(spark, vroot,
+        maxImbalance1e4 = 15000L, kNew = 2, iters = 3).get
+      IvfIndexStore.liveVersion(spark, vroot) shouldBe Some(1)
+      // the trained layout separates the two natural clusters: the
+      // x-cluster {1,2,5} and the y-cluster {3,4} land in different
+      // cells, and the imbalance drops under the threshold
+      val cells = st1.assigned.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      cells.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L)
+      cells(1L) shouldBe cells(2L)
+      cells(1L) shouldBe cells(5L)
+      cells(3L) shouldBe cells(4L)
+      cells(1L) should not be cells(3L)
+      st1.imbalance1e4 should be <= 15000L
+      // the OLD version is untouched and still readable by a reader
+      // that resolved it before the flip
+      val old = IvfIndexStore.openPinned(spark,
+        new java.io.File(root, "v=0").getAbsolutePath)
+      old.assigned.collect().map(_.getLong(1)).distinct.toSeq shouldBe Seq(0L)
+      // the new live store serves through openLive
+      val live = IvfIndexStore.openLive(spark, vroot)
+      live.assigned.count() shouldBe 5
+      // re-creating an already-published root refuses
+      val boom = intercept[IllegalArgumentException](
+        IvfIndexStore.createLive(spark, vroot, bad))
+      boom.getMessage should include("live version")
+    }
+  }
 }
