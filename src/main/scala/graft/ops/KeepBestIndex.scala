@@ -185,9 +185,18 @@ object KeepBestIndex {
   /** First-batch auto-tuning parameters — the [[Dedup.chooseLshConfig]]
     * inputs the streaming guard certifies its operating point against.
     * `truthDfCap` carries [[Dedup.nearDupPairsAuto]]'s REQUIRED-posture
-    * rule: pass `Some(cap)` for any corpus not known boilerplate-free
-    * (the chooser's exact-truth join is Σ df² in the sample's shingle
-    * universe).
+    * rule, and it matters MOST here: birth tuning runs mid-stream,
+    * before any state exists — the one place a quadratic truth
+    * surprise is least recoverable. Pass `Some(cap)` for any corpus
+    * not known boilerplate-free (the chooser's exact-truth join is
+    * Σ df² in the sample's shingle universe, and one navigation-chrome
+    * shingle shared by most of the first batch makes BIRTH the
+    * quadratic step of the whole stream); `None` asserts the birth
+    * batch is PRE-CURATED boilerplate-free — the q_st19/q_st21 gates'
+    * planted-corpus posture, documented there. The cap routes into the
+    * birth chooser verbatim (KeepBestStoreSpec pins refusal-vs-
+    * certification flipping on the cap alone, and the capped choice
+    * matching [[Dedup.chooseLshConfig]] at the same cap).
     */
   final case class AutoTune(rowsPerBandConfigs: Seq[Int],
                             sampleMod: Int,

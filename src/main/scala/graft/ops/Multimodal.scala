@@ -572,7 +572,10 @@ object Multimodal {
   def chooseHammingBands(hashes: DataFrame, bandConfigs: Seq[Int],
                          maxDist: Int, sampleMod: Int,
                          precisionFloorPpm: Long,
-                         recallFloorPpm: Long): DataFrame = {
+                         recallFloorPpm: Long,
+                         idCol: String = "media_id",
+                         hiCol: String = "dh_hi",
+                         loCol: String = "dh_lo"): DataFrame = {
     require(bandConfigs.nonEmpty &&
         bandConfigs.forall(b => b >= 2 && b % 2 == 0 && 64 % b == 0),
       s"each band count must be even and divide 64 (chunks must lie " +
@@ -582,9 +585,15 @@ object Multimodal {
         s"complete only below its band count), got $maxDist")
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
     val spark = hashes.sparkSession
-    val sample = hashes.filter(
-      pmod(TextOps.hash60(col("media_id").cast("string")),
-        lit(sampleMod.toLong)) === 0)
+    // modality-blind for real: the defaults are the image dHash schema,
+    // audio fingerprints pass (idCol, hiCol = "fp_hi", loCol = "fp_lo")
+    // instead of renaming columns first
+    val sample = hashes
+      .select(col(idCol).as("media_id"), col(hiCol).as("dh_hi"),
+        col(loCol).as("dh_lo"))
+      .filter(
+        pmod(TextOps.hash60(col("media_id").cast("string")),
+          lit(sampleMod.toLong)) === 0)
     val groups = sample
       .groupBy(col("dh_hi"), col("dh_lo"))
       .agg(count(lit(1)).cast("long").as("m"), min(col("media_id")).as("rep"))

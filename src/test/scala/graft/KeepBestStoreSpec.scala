@@ -202,4 +202,55 @@ class KeepBestStoreSpec extends SparkSpec {
       boom2.getMessage should include("FIXED-banding")
     }
   }
+
+  test("openAuto birth tuning ROUTES truthDfCap into the chooser (the q_d23 " +
+    "informative-universe algebra at birth): a pure-boilerplate duplicate " +
+    "family is 0/0 under a binding cap, so capped birth refuses where " +
+    "uncapped certifies; with informative truth present the born choice " +
+    "equals the capped chooser's") {
+    import graft.ops.KeepBestIndex
+    import spark.implicits._
+    TempFiles.withTempDir("kbstore-cap") { root =>
+      val boiler = "zq0nav zq1chrome zq2footer zq3bar zq4side zq5head"
+      // every doc carries the boilerplate; the ONLY duplicate family is
+      // pure boilerplate (ids 7, 8) — its informative shingle set is
+      // empty, so capped truth is EMPTY (no evidence never certifies)
+      // while uncapped truth holds exactly that pair
+      val b1 = Seq(
+        1L -> s"$T $boiler", 2L -> s"$U $boiler",
+        3L -> s"moon river wider than a mile crossing in style $boiler",
+        7L -> boiler, 8L -> boiler)
+        .map { case (i, t) => (i, t, i * 10L) }.toDF("id", "text", "sc")
+      val cap = 3 // boilerplate df = 5 > cap; informative shingles df <= 2
+      def tuneOf(capOpt: Option[Int]) = KeepBestIndex.AutoTune(Seq(2, 4, 8),
+        sampleMod = 1, precisionFloorPpm = 0L, recallFloorPpm = 0L,
+        truthDfCap = capOpt)
+      // uncapped: the boiler-only pair IS truth — birth certifies
+      val dirU = new java.io.File(root, "uncapped").getAbsolutePath
+      val u = KeepBestIndexStore.openAuto(spark, dirU, tuneOf(None))
+      u.ingest(b1, "id", "text", col("sc"))
+      u.chosenRowsPerBand.isDefined shouldBe true
+      // capped, same batch, same floors: zero informative truth — the
+      // birth REFUSES (the cap reached the chooser, nothing written)
+      val dirC = new java.io.File(root, "capped").getAbsolutePath
+      val c = KeepBestIndexStore.openAuto(spark, dirC, tuneOf(Some(cap)))
+      val boom = intercept[IllegalArgumentException](
+        c.ingest(b1, "id", "text", col("sc")))
+      boom.getMessage should include("floors")
+      new java.io.File(dirC).listFiles().map(_.getName).toSet shouldBe Set.empty
+      // with an informative duplicate family added, capped birth
+      // certifies and the persisted choice equals the capped chooser's
+      val b2 = b1.unionByName(Seq(
+          (11L, s"$T tail one $boiler", 110L),
+          (12L, s"$T tail one $boiler", 120L))
+        .toDF("id", "text", "sc"))
+      val c2 = KeepBestIndexStore.openAuto(spark,
+        new java.io.File(root, "capped2").getAbsolutePath, tuneOf(Some(cap)))
+      c2.ingest(b2, "id", "text", col("sc"))
+      val expectedRpb = Dedup.chooseLshConfig(b2, "id", "text", 3, 16,
+          Seq(2, 4, 8), 0.5, sampleMod = 1, 0L, 0L, truthDfCap = Some(cap))
+        .filter(col("chosen")).select("rows_per_band").as[Int].collect()
+      c2.chosenRowsPerBand shouldBe expectedRpb.headOption
+    }
+  }
 }

@@ -443,4 +443,22 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Multimodal.chooseHammingBands(hashes, Seq(4), 16, 1, 0L, 0L))
   }
+
+  test("chooseHammingBands is modality-blind via column-name parameters: " +
+    "the audio fp_hi/fp_lo schema tunes without a rename, bit-identical " +
+    "to the renamed default-schema call") {
+    import spark.implicits._
+    val audio = Seq((1L, 5L, 7L), (2L, 5L, 4L), (7L, 9L, 9L), (8L, 9L, 9L),
+        (9L, 0xF0F0F0F0L, 0x0F0F0F0FL))
+      .toDF("media_id", "fp_hi", "fp_lo")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("n_bands").collect().map(_.toSeq).toSeq
+    key(Multimodal.chooseHammingBands(audio, Seq(2, 4, 8), maxDist = 4,
+      sampleMod = 1, precisionFloorPpm = 0L, recallFloorPpm = 0L,
+      hiCol = "fp_hi", loCol = "fp_lo")) shouldBe
+      key(Multimodal.chooseHammingBands(
+        audio.select($"media_id", $"fp_hi".as("dh_hi"), $"fp_lo".as("dh_lo")),
+        Seq(2, 4, 8), maxDist = 4, sampleMod = 1,
+        precisionFloorPpm = 0L, recallFloorPpm = 0L))
+  }
 }
