@@ -1908,6 +1908,42 @@ object Dedup {
     simhashPairs(sigs, maxDist, nb).withColumn("n_bands", lit(nb))
   }
 
+  /** [[simhashPairsAuto]] with the sample SELF-SIZED to a rep budget —
+    * [[chooseSampleMod]]'s contract on the SimHash family: the corpus
+    * signature frame (computed once, shared by chooser and corpus
+    * pass) is counted, ⌈n/budget⌉ picks the mod, and an over-budget
+    * actual sample (hash skew) REFUSES — the chooser's pigeonhole
+    * truth costs Σ df² over the sample's 10-band cells, and the
+    * budget is the bound the caller is pricing that at. The derived
+    * `sample_mod` rides out beside `n_bands`.
+    */
+  def simhashPairsAutoBudgeted(df: DataFrame, idCol: String, textCol: String,
+                               bandConfigs: Seq[Int], maxDist: Int,
+                               budget: Long, precisionFloorPpm: Long,
+                               recallFloorPpm: Long): DataFrame = {
+    val sigs = simhash(df, idCol, textCol).localCheckpoint(eager = true)
+    val m = chooseSampleMod(sigs.count(), budget)
+    val sampleSigs = sigs.filter(
+      pmod(TextOps.hash60(col("id").cast("string")), lit(m.toLong)) === 0)
+    val nSample = sampleSigs.count()
+    require(nSample <= budget,
+      s"simhashPairsAutoBudgeted: the derived mod $m admits $nSample sample " +
+        s"ids, above the stated budget $budget (hash skew) — raise the " +
+        "budget knowingly rather than letting the chooser exceed the bill " +
+        "it was priced at")
+    val choice = chooseSimhashBandsFromSigs(sampleSigs, bandConfigs, maxDist,
+        precisionFloorPpm, recallFloorPpm)
+      .filter(col("chosen")).select(col("n_bands")).collect()
+    require(choice.nonEmpty,
+      "simhashPairsAutoBudgeted: no band count meets the precision/recall " +
+        "floors on the sample — loosen a floor or extend bandConfigs (a " +
+        "silent default would run the corpus at an operating point the " +
+        "floors just rejected)")
+    val nb = choice.head.getInt(0)
+    simhashPairs(sigs, maxDist, nb)
+      .withColumn("n_bands", lit(nb)).withColumn("sample_mod", lit(m))
+  }
+
   /** Per-BENCHMARK contamination report — the deliverable a
     * decontamination pass ships: for EACH eval benchmark, how many
     * corpus documents share at least one k-shingle with it and how

@@ -122,9 +122,10 @@ final class KeepBestIndex(spark: SparkSession, shingleN: Int = 3, k: Int = 16,
     // sample refuses here with every state frame still empty.
     tuning.foreach { t =>
       if (tunedRpb.isEmpty) {
+        val (mod, cap) = t.gateFor(batch.count())
         val choice = Dedup.chooseLshConfig(batch, idCol, textCol, shingleN, k,
-            t.rowsPerBandConfigs, threshold, t.sampleMod,
-            t.precisionFloorPpm, t.recallFloorPpm, t.truthDfCap)
+            t.rowsPerBandConfigs, threshold, mod,
+            t.precisionFloorPpm, t.recallFloorPpm, t.truthDfCap, cap)
           .filter(col("chosen")).select(col("rows_per_band")).collect()
         require(choice.nonEmpty,
           "KeepBestIndex: no banding configuration meets the precision/recall " +
@@ -202,5 +203,20 @@ object KeepBestIndex {
                             sampleMod: Int,
                             precisionFloorPpm: Long,
                             recallFloorPpm: Long,
-                            truthDfCap: Option[Int])
+                            truthDfCap: Option[Int],
+                            sampleBudget: Option[Long] = None) {
+    /** The (sampleMod, sampleRepCap) pair birth tuning actually runs
+      * at: a stated `sampleBudget` SELF-SIZES the gate from the birth
+      * batch's count ([[Dedup.chooseSampleMod]] — one count, one
+      * ceiling division) and arms the chooser's rep cap at exactly
+      * that budget, so hash-skew overshoot refuses; with no budget,
+      * the raw `sampleMod` uncapped (the pre-r15 contract, unchanged).
+      * The count is by-name — only a budgeted tune pays it.
+      */
+    private[ops] def gateFor(batchCount: => Long): (Int, Option[Long]) =
+      sampleBudget match {
+        case Some(b) => (Dedup.chooseSampleMod(batchCount, b), Some(b))
+        case None => (sampleMod, None)
+      }
+  }
 }

@@ -171,9 +171,10 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     // unrecoverable from its hash).
     tuning.foreach { t =>
       if (tunedRpb.isEmpty) {
+        val (mod, cap) = t.gateFor(batch.count())
         val choice = Dedup.chooseLshConfig(batch, idCol, textCol, shingleN, k,
-            t.rowsPerBandConfigs, threshold, t.sampleMod,
-            t.precisionFloorPpm, t.recallFloorPpm, t.truthDfCap)
+            t.rowsPerBandConfigs, threshold, mod,
+            t.precisionFloorPpm, t.recallFloorPpm, t.truthDfCap, cap)
           .filter(col("chosen")).select(col("rows_per_band")).collect()
         require(choice.nonEmpty,
           "KeepBestIndexStore: no banding configuration meets the precision/" +

@@ -575,7 +575,8 @@ object Multimodal {
                          recallFloorPpm: Long,
                          idCol: String = "media_id",
                          hiCol: String = "dh_hi",
-                         loCol: String = "dh_lo"): DataFrame = {
+                         loCol: String = "dh_lo",
+                         sampleRepCap: Option[Long] = None): DataFrame = {
     require(bandConfigs.nonEmpty &&
         bandConfigs.forall(b => b >= 2 && b % 2 == 0 && 64 % b == 0),
       s"each band count must be even and divide 64 (chunks must lie " +
@@ -584,6 +585,8 @@ object Multimodal {
       s"maxDist must be in [0, 15] (the 16-band truth side is pigeonhole-" +
         s"complete only below its band count), got $maxDist")
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    require(sampleRepCap.forall(_ >= 1),
+      s"sampleRepCap must be >= 1, got $sampleRepCap")
     val spark = hashes.sparkSession
     // modality-blind for real: the defaults are the image dHash schema,
     // audio fingerprints pass (idCol, hiCol = "fp_hi", loCol = "fp_lo")
@@ -598,7 +601,17 @@ object Multimodal {
       .groupBy(col("dh_hi"), col("dh_lo"))
       .agg(count(lit(1)).cast("long").as("m"), min(col("media_id")).as("rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    groups.count()
+    val nReps = groups.count()
+    sampleRepCap.foreach { cap =>
+      if (nReps > cap) {
+        groups.unpersist()
+        throw new IllegalArgumentException(
+          s"requirement failed: chooseHammingBands: the sample holds $nReps " +
+            s"distinct hashes, above sampleRepCap=$cap — raise sampleMod " +
+            "(or derive it from the budget with Dedup.chooseSampleMod) " +
+            "instead of paying an unbudgeted truth pass")
+      }
+    }
     val nWithin = groups
       .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)))
       .first().getLong(0)
@@ -660,6 +673,31 @@ object Multimodal {
         "floors just rejected)")
     val nb = choice.head.getInt(0)
     bandedHammingPairs(hashes, maxDist, nb).withColumn("n_bands", lit(nb))
+  }
+
+  /** [[bandedHammingPairsAuto]] with the sample SELF-SIZED to a rep
+    * budget — [[Dedup.chooseSampleMod]] on the perceptual family: one
+    * count derives ⌈n/budget⌉, the chooser runs with `sampleRepCap =
+    * budget` so hash-skew overshoot refuses (its pigeonhole truth is
+    * Σ df² over the sample's 16-band cells — the budget bounds it),
+    * and the derived `sample_mod` rides out beside `n_bands`.
+    */
+  def bandedHammingPairsAutoBudgeted(hashes: DataFrame, maxDist: Int,
+                                     bandConfigs: Seq[Int], budget: Long,
+                                     precisionFloorPpm: Long,
+                                     recallFloorPpm: Long): DataFrame = {
+    val m = Dedup.chooseSampleMod(hashes.count(), budget)
+    val choice = chooseHammingBands(hashes, bandConfigs, maxDist, m,
+        precisionFloorPpm, recallFloorPpm, sampleRepCap = Some(budget))
+      .filter(col("chosen")).select(col("n_bands")).collect()
+    require(choice.nonEmpty,
+      "bandedHammingPairsAutoBudgeted: no band count meets the precision/" +
+        "recall floors on the sample — loosen a floor or extend bandConfigs " +
+        "(a silent default would run the corpus at an operating point the " +
+        "floors just rejected)")
+    val nb = choice.head.getInt(0)
+    bandedHammingPairs(hashes, maxDist, nb)
+      .withColumn("n_bands", lit(nb)).withColumn("sample_mod", lit(m))
   }
 
   // ---- DCT pHash: the frequency-domain perceptual hash ----------------

@@ -393,6 +393,36 @@ class DedupSpec extends SparkSpec {
         .as[(Int, Long, Long, Double)].collect().toSet
   }
 
+  test("simhashPairsAutoBudgeted derives the mod from the signature count, " +
+    "matches the explicit-mod auto path, and refuses on hash-skew overshoot") {
+    import spark.implicits._
+    val n = dupHeavy.count()
+    val budgeted = Dedup.simhashPairsAutoBudgeted(dupHeavy, "id", "text",
+      bandConfigs = Seq(2, 3, 4), maxDist = 8, budget = n,
+      precisionFloorPpm = 0L, recallFloorPpm = 0L)
+    budgeted.select("sample_mod").distinct().as[Int].collect() shouldBe Array(1)
+    val manual = Dedup.simhashPairsAuto(dupHeavy, "id", "text",
+      Seq(2, 3, 4), maxDist = 8, sampleMod = 1,
+      precisionFloorPpm = 0L, recallFloorPpm = 0L)
+    budgeted.select("n_bands", "ia", "ib").as[(Int, Long, Long)]
+        .collect().toSet shouldBe
+      manual.select("n_bands", "ia", "ib").as[(Int, Long, Long)]
+        .collect().toSet
+    // hash-skew overshoot refuses: a corpus whose ids ALL pass the
+    // mod-2 gate (chosen by their hash parity) admits the whole corpus
+    // at the derived mod 2, above the budget that derived it
+    val evenIds = Iterator.from(1).map(_.toLong)
+      .filter(i => graft.functions.Hash60Impl.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(i.toString)) % 2 == 0)
+      .take(8).toSeq
+    val skew = evenIds.map(i => (i, s"doc number $i with some shared tokens"))
+      .toDF("id", "text")
+    val boom = intercept[IllegalArgumentException](
+      Dedup.simhashPairsAutoBudgeted(skew, "id", "text", Seq(2, 3), 8,
+        budget = 7L, precisionFloorPpm = 0L, recallFloorPpm = 0L))
+    boom.getMessage should include("above the stated budget")
+  }
+
   test("lshRecall truthDfCap: a no-op cap is bit-identical to full-universe " +
     "truth, and a boilerplate-dominated corpus loses its boilerplate-only " +
     "true pairs under the cap") {

@@ -444,6 +444,38 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.chooseHammingBands(hashes, Seq(4), 16, 1, 0L, 0L))
   }
 
+  test("bandedHammingPairsAutoBudgeted derives the mod from the corpus count, " +
+    "matches the explicit-mod auto path, and the armed sampleRepCap refuses " +
+    "hash-skew overshoot") {
+    import spark.implicits._
+    val hashes = Seq((1L, 5L, 7L), (2L, 5L, 4L), (7L, 9L, 9L), (8L, 9L, 9L),
+        (9L, 0xF0F0F0F0L, 0x0F0F0F0FL))
+      .toDF("media_id", "dh_hi", "dh_lo")
+    val budgeted = Multimodal.bandedHammingPairsAutoBudgeted(hashes,
+      maxDist = 4, bandConfigs = Seq(2, 4), budget = hashes.count(),
+      precisionFloorPpm = 0L, recallFloorPpm = 0L)
+    budgeted.select("sample_mod").distinct().collect()
+      .map(_.getInt(0)).toSeq shouldBe Seq(1)
+    val manual = Multimodal.bandedHammingPairsAuto(hashes, maxDist = 4,
+      bandConfigs = Seq(2, 4), sampleMod = 1,
+      precisionFloorPpm = 0L, recallFloorPpm = 0L)
+    budgeted.select("n_bands", "ia", "ib").collect().map(_.toSeq).toSet shouldBe
+      manual.select("n_bands", "ia", "ib").collect().map(_.toSeq).toSet
+    // skew: ids chosen to ALL pass the mod-2 gate — the derived mod
+    // admits every row, above the budget that derived it
+    val evenIds = Iterator.from(1).map(_.toLong)
+      .filter(i => graft.functions.Hash60Impl.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(i.toString)) % 2 == 0)
+      .take(6).toSeq
+    val skew = evenIds.map(i => (i, i * 17L, i * 31L))
+      .toDF("media_id", "dh_hi", "dh_lo")
+    val boom = intercept[IllegalArgumentException](
+      Multimodal.bandedHammingPairsAutoBudgeted(skew, maxDist = 4,
+        bandConfigs = Seq(2, 4), budget = 5L,
+        precisionFloorPpm = 0L, recallFloorPpm = 0L))
+    boom.getMessage should include("sampleRepCap")
+  }
+
   test("chooseHammingBands is modality-blind via column-name parameters: " +
     "the audio fp_hi/fp_lo schema tunes without a rename, bit-identical " +
     "to the renamed default-schema call") {
