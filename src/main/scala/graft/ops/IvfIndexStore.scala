@@ -378,34 +378,12 @@ object IvfIndexStore {
   }
 
   // ---- Pointer-managed serving root (the retrain lifecycle) -----------
-
-  private val Pointer = "_latest"
-  private val VersionDir = "v=(\\d+)".r
-
-  private def pointerOf(fs: FileSystem, root: Path): Option[Int] = {
-    val p = new Path(root, Pointer)
-    if (!fs.exists(p)) None
-    else Some(KeepBestIndexStore.readText(fs, p).trim.toInt)
-  }
-
-  /** Atomic pointer publish — temp write + rename, the [[Versioned]]
-    * rule: a crash mid-publish leaves the previous version live.
-    */
-  private def flipPointer(fs: FileSystem, root: Path, v: Int): Unit = {
-    val tmp = new Path(root, s"$Pointer.tmp")
-    KeepBestIndexStore.writeText(fs, tmp, v.toString)
-    val dst = new Path(root, Pointer)
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      sys.error(s"IvfIndexStore: pointer publish failed under $root")
-  }
+  // Protocol shared with [[KeepBestIndexStore]]'s reband lifecycle via
+  // [[StoreRoot]] (pointer read, temp+rename publish, version layout).
 
   /** The live version number under a pointer-managed root, if any. */
-  def liveVersion(spark: SparkSession, root: String): Option[Int] = {
-    val r = new Path(root)
-    val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(r)) None else pointerOf(fs, r)
-  }
+  def liveVersion(spark: SparkSession, root: String): Option[Int] =
+    StoreRoot.liveVersion(spark, root)
 
   /** Create version 0 of a pointer-managed serving root: a normal
     * fingerprinted store under `<root>/v=0`, published by `_latest`.
@@ -415,11 +393,11 @@ object IvfIndexStore {
     val r = new Path(root)
     val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(r)) fs.mkdirs(r)
-    require(pointerOf(fs, r).isEmpty,
+    require(StoreRoot.pointerOf(fs, r).isEmpty,
       s"IvfIndexStore.createLive: $root already has a live version — " +
         "open it with openLive (or retrain it) instead of re-creating")
     val st = open(spark, new Path(r, "v=0").toString, centroids, compactEvery)
-    flipPointer(fs, r, 0)
+    StoreRoot.flipPointer(fs, r, 0)
     st
   }
 
@@ -474,14 +452,13 @@ object IvfIndexStore {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       eff.count()
       val cents = Vectors.kmeansCentroids(eff, kNew, iters)
-      val next = fs.listStatus(r).toSeq.map(_.getPath.getName)
-        .collect { case VersionDir(n) => n.toInt }.max + 1
-      val dir = new Path(r, s"v=$next")
+      val next = StoreRoot.nextVersion(fs, r)
+      val dir = StoreRoot.versionDir(r, next)
       if (fs.exists(dir)) fs.delete(dir, true) // crashed prior attempt
       val st = open(spark, dir.toString, cents, compactEvery)
       st.ingest(eff)
       eff.unpersist()
-      flipPointer(fs, r, next)
+      StoreRoot.flipPointer(fs, r, next)
       Some(st)
     }
   }

@@ -240,6 +240,60 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     scored.join(losers, Seq("id"), "left_anti")
   }
 
+  /** [[Dedup.contentGroups]] of the CURRENT effective state, rebuilt
+    * from STORED hashes — no text needed: the hs key is the sorted
+    * hashed shingle set the store already holds per id, so the
+    * reband chooser runs off state alone (the corpus may be long
+    * gone — at 100 TB you re-certify an index from the index).
+    */
+  private[graft] def effectiveGroups: DataFrame =
+    effective("sh", shSchema)
+      .groupBy(col("id")).agg(sort_array(collect_set(col("h"))).as("hs"))
+      .groupBy(col("hs"))
+      .agg(sort_array(collect_list(col("id"))).as("members"))
+      .withColumn("rep", element_at(col("members"), 1))
+
+  /** RE-CERTIFY the banding on the CURRENT state — the birth chooser's
+    * exact algebra ([[Dedup.chooseLshConfigFromGroups]]) off the
+    * stored hashes: the operating point that certified on the birth
+    * batch can go stale as the corpus grows (the d25/d26 finding — the
+    * feasible region MOVES with scale), and this is the measurement
+    * that says so. Returns the config the CURRENT state certifies
+    * (None when nothing meets the floors — the caller decides whether
+    * that refuses or alarms).
+    */
+  def rebandChoice(tune: KeepBestIndex.AutoTune): Option[Int] = {
+    val (mod, cap) = tune.gateFor(idsLatest.count())
+    Dedup.chooseLshConfigFromGroups(
+        Dedup.sampleGroupsOf(effectiveGroups, mod), k,
+        tune.rowsPerBandConfigs, threshold,
+        tune.precisionFloorPpm, tune.recallFloorPpm, tune.truthDfCap, cap)
+      .filter(col("chosen")).select(col("rows_per_band")).collect()
+      .headOption.map(_.getInt(0))
+  }
+
+  /** The effective per-id frames + recomputed pair relation at a NEW
+    * banding — the reband rebuild's payload: signatures are
+    * banding-independent (k minhashes; `rowsPerBand` only slices
+    * them), so the new pair relation re-bands the STORED sigs and
+    * re-verifies candidates against the STORED shingle postings —
+    * zero text, zero re-shingling, one banding + one candidate-bounded
+    * verify join over the state.
+    */
+  private[graft] def stateAt(rpb: Int): Map[String, DataFrame] = {
+    val sh = effective("sh", shSchema)
+    val sigs = effective("sigs", sigsSchema)
+    val sizes = effective("sizes", sizesSchema)
+    val cand = Dedup.lshCandidatesFromSigs(sigs, rpb, k)
+    val pairs = Dedup.jaccardVerifySized(cand, sh, sizes, setCol = "h")
+      .filter(col("jac") >= threshold)
+      .select(col("ia"), col("ib"))
+    Map("sh" -> sh, "sigs" -> sigs, "sizes" -> sizes,
+      "scored" -> effective("scored", scoredSchema),
+      "ids" -> readFrame("ids", idsSchema).select(col("id")).distinct(),
+      "pairs" -> pairs)
+  }
+
   /** Fold the committed view into one fresh batch and drop the
     * shadowed history — space reclamation, not semantics: the view
     * before and after is identical. Crash-safe at every point: once
@@ -368,6 +422,115 @@ object KeepBestIndexStore {
     sweepPartials(fs, root)
     new KeepBestIndexStore(spark, dir, shingleN, k, stored, threshold,
       compactEvery, tuning = Some(tune))
+  }
+
+  // ---- Pointer-managed serving root (the reband lifecycle) ------------
+  // [[StoreRoot]] protocol, shared with [[IvfIndexStore.retrainIfImbalanced]].
+
+  /** The live version number under a pointer-managed root, if any. */
+  def liveVersion(spark: SparkSession, root: String): Option[Int] =
+    StoreRoot.liveVersion(spark, root)
+
+  /** Create version 0 of a pointer-managed keep-best root: an
+    * [[openAuto]] store under `<root>/v=0` (banding chosen at the
+    * first ingest), published by `_latest`.
+    */
+  def createLive(spark: SparkSession, root: String,
+                 tune: KeepBestIndex.AutoTune,
+                 shingleN: Int = 3, k: Int = 16, threshold: Double = 0.5,
+                 compactEvery: Option[Int] = None): KeepBestIndexStore = {
+    val r = new Path(root)
+    val fs = StoreRoot.fsOf(spark, r)
+    if (!fs.exists(r)) fs.mkdirs(r)
+    require(StoreRoot.pointerOf(fs, r).isEmpty,
+      s"KeepBestIndexStore.createLive: $root already has a live version — " +
+        "open it with openLive (or reband it) instead of re-creating")
+    val st = openAuto(spark, StoreRoot.versionDir(r, 0).toString, tune,
+      shingleN, k, threshold, compactEvery)
+    StoreRoot.flipPointer(fs, r, 0)
+    st
+  }
+
+  /** Open whatever version the pointer currently names — snapshot
+    * isolation at directory granularity, exactly the
+    * [[IvfIndexStore.openLive]] contract.
+    */
+  def openLive(spark: SparkSession, root: String,
+               tune: KeepBestIndex.AutoTune,
+               shingleN: Int = 3, k: Int = 16, threshold: Double = 0.5,
+               compactEvery: Option[Int] = None): KeepBestIndexStore = {
+    val v = liveVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"KeepBestIndexStore.openLive: $root has no published version — " +
+          "createLive it first"))
+    openAuto(spark, StoreRoot.versionDir(new Path(root), v).toString, tune,
+      shingleN, k, threshold, compactEvery)
+  }
+
+  /** THE REBAND LIFECYCLE STEP — [[IvfIndexStore.retrainIfImbalanced]]'s
+    * analogue on the banding axis: the birth choice is STATE ALGEBRA
+    * (fingerprinted — an existing directory can never switch banding
+    * in place), but the operating point that certified on the birth
+    * batch goes stale as the corpus grows (the d25/d26 finding: the
+    * feasible region moves with scale). This step re-runs the chooser
+    * on the CURRENT effective state — from STORED hashes, no text, no
+    * re-shingling — and, when the certified config differs from the
+    * live one, rebuilds into a fresh fingerprinted `v=N+1`: signatures
+    * re-band directly (they are banding-independent), the pair
+    * relation re-verifies candidates against the stored postings, the
+    * per-id frames copy over as one batch, and the root pointer flips
+    * atomically. Returns None when the live banding is still the
+    * certified choice; REFUSES when the current state certifies
+    * nothing (floors unreachable — serving at the stale point silently
+    * would be the exact failure the floors exist to prevent).
+    *
+    * Crash-safety: everything before the flip is invisible to readers;
+    * a crashed rebuild leaves an orphaned version dir the next attempt
+    * rebuilds by number (never adopted). The old version's directory
+    * is untouched and stays readable.
+    *
+    * Scale shape: one chooser pass over the budget-gated sample of the
+    * state, one banding + candidate-bounded verify join, one copy of
+    * the effective frames. Never quadratic, never a corpus re-scan.
+    */
+  def rebandIfStale(spark: SparkSession, root: String,
+                    tune: KeepBestIndex.AutoTune,
+                    shingleN: Int = 3, k: Int = 16, threshold: Double = 0.5,
+                    compactEvery: Option[Int] = None): Option[KeepBestIndexStore] = {
+    val cur = openLive(spark, root, tune, shingleN, k, threshold, compactEvery)
+    val born = cur.chosenRowsPerBand.getOrElse(
+      return None) // pre-birth store: nothing to reband yet
+    val choice = cur.rebandChoice(tune)
+    require(choice.nonEmpty,
+      "KeepBestIndexStore.rebandIfStale: NO banding configuration meets the " +
+        "floors on the CURRENT state — the live operating point is stale and " +
+        "nothing certifies; loosen a floor or extend rowsPerBandConfigs " +
+        "(continuing to serve the stale banding silently is the failure the " +
+        "floors exist to surface)")
+    if (choice.contains(born)) None
+    else {
+      val rpbNew = choice.get
+      val r = new Path(root)
+      val fs = StoreRoot.fsOf(spark, r)
+      val next = StoreRoot.nextVersion(fs, r)
+      val dir = StoreRoot.versionDir(r, next)
+      if (fs.exists(dir)) fs.delete(dir, true) // crashed prior attempt
+      fs.mkdirs(dir)
+      // the birth persistence order (choice first, fingerprint second —
+      // a crash between the two heals on reopen)
+      writeText(fs, new Path(dir, "_tuned_rpb"), rpbNew.toString)
+      writeText(fs, new Path(dir, "_params.sha256"),
+        fingerprint(shingleN, k, rpbNew, threshold))
+      val bdir = new Path(dir, "b=0")
+      cur.stateAt(rpbNew).foreach { case (name, df) =>
+        df.withColumn("b", lit(0))
+          .write.parquet(new Path(bdir, name).toString)
+      }
+      fs.create(new Path(bdir, "_COMMIT"), true).close()
+      StoreRoot.flipPointer(fs, r, next)
+      Some(openAuto(spark, dir.toString, tune, shingleN, k, threshold,
+        compactEvery))
+    }
   }
 
   private def requireCadence(compactEvery: Option[Int]): Unit =

@@ -264,4 +264,65 @@ class KeepBestStoreSpec extends SparkSpec {
       c3.chosenRowsPerBand shouldBe expectedRpb.headOption
     }
   }
+
+  test("reband lifecycle: the birth banding goes stale as the corpus grows; " +
+    "rebandIfStale re-certifies from STORED hashes, rebuilds into v=N+1, " +
+    "flips the pointer, matches a from-text rebuild, and no-ops once stable") {
+    import graft.ops.KeepBestIndex
+    import spark.implicits._
+    TempFiles.withTempDir("kbstore-reband") { root =>
+      val vroot = new java.io.File(root, "live").getAbsolutePath
+      // birth batch: one exact pair — every config certifies (recall 1e6
+      // on the single true pair), the tie rule picks the cheapest
+      val birth = Seq((1L, T, 10L), (2L, T, 30L)).toDF("id", "text", "sc")
+      // growth: 8 moderate-similarity true pairs (last 2 of 10 tokens
+      // replaced -> 3-shingle Jaccard 0.6): wide-band configs miss them
+      // (0.6^8 per band), so the 600k recall floor de-certifies the
+      // birth choice on the grown state
+      def toks(i: Int, mutate: Boolean) = (0 until 10).map { j =>
+        if (mutate && j >= 8) s"mut${i}x$j" else s"tok${i}w$j"
+      }.mkString(" ")
+      val grown = (1 to 8).flatMap(i => Seq(
+        (100L + i, toks(i, mutate = false), 100L + i),
+        (200L + i, toks(i, mutate = true), 200L + i)))
+        .toDF("id", "text", "sc")
+      val tune = KeepBestIndex.AutoTune(Seq(2, 4, 8), sampleMod = 1,
+        precisionFloorPpm = 0L, recallFloorPpm = 600000L, truthDfCap = None)
+      val st0 = KeepBestIndexStore.createLive(spark, vroot, tune)
+      st0.ingest(birth, "id", "text", col("sc"))
+      val born = st0.chosenRowsPerBand.get
+      st0.ingest(grown, "id", "text", col("sc"))
+      KeepBestIndexStore.liveVersion(spark, vroot) shouldBe Some(0)
+      // the CURRENT state certifies a different config than birth did
+      val recert = st0.rebandChoice(tune)
+      recert.isDefined shouldBe true
+      recert should not be Some(born)
+      // rebuild + flip
+      val st1 = KeepBestIndexStore.rebandIfStale(spark, vroot, tune).get
+      KeepBestIndexStore.liveVersion(spark, vroot) shouldBe Some(1)
+      st1.chosenRowsPerBand shouldBe recert
+      // the rebuilt state equals a FRESH from-text store at the new
+      // banding ingesting everything in one batch
+      val fresh = KeepBestIndexStore.open(spark,
+        new java.io.File(root, "fresh").getAbsolutePath,
+        rowsPerBand = recert.get)
+      fresh.ingest(birth.unionByName(grown), "id", "text", col("sc"))
+      surv(st1) shouldBe surv(fresh)
+      // old version untouched and readable (openAuto resumes its birth
+      // choice); a second reband is a no-op — the live banding is now
+      // the certified one
+      KeepBestIndexStore.openAuto(spark,
+        new java.io.File(vroot, "v=0").getAbsolutePath, tune)
+        .chosenRowsPerBand shouldBe Some(born)
+      KeepBestIndexStore.rebandIfStale(spark, vroot, tune) shouldBe None
+      // the rebanded store keeps ingesting (delta probes against the
+      // adopted state): a better copy of content tok1* demotes the old
+      val better = Seq((900L, toks(1, mutate = false), 999L))
+        .toDF("id", "text", "sc")
+      st1.ingest(better, "id", "text", col("sc"))
+      val s = surv(st1)
+      s.keySet should contain(900L)
+      s.keySet should not contain (101L)
+    }
+  }
 }
