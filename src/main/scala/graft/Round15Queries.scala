@@ -509,17 +509,187 @@ object Round15Queries {
        |FROM ntop
        |ORDER BY cos_sim DESC, vec_id""".stripMargin
 
+  // ---- ST26: the keep-best REBAND lifecycle ------------------------------
+
+  /** The ten fixed tokens of the birth pair — two identical documents,
+    * so EVERY banding certifies at birth (one true pair, always hit;
+    * all configs tie at one candidate and the tie rule picks the
+    * cheapest banding, 8 rows/band).
+    */
+  val st26BirthText: String = (0 until 10).map(j => s"kbseed$j").mkString(" ")
+
+  /** ST26: [[KeepBestIndexStore.rebandIfStale]] — the retrain
+    * lifecycle's analogue on the BANDING axis, oracle-gated end to
+    * end: the store is born on a two-document exact pair (every config
+    * certifies; the tie rule picks rows_per_band = 8), then the corpus
+    * GROWS with one moderate-similarity pair per documents row (last 2
+    * of 10 tokens mutated → 3-shingle Jaccard 0.6 — a similarity the
+    * 8-row banding hits with probability 2·0.6⁸ ≈ 3%, far under the
+    * 60% recall floor), so the birth choice is now STALE: the
+    * lifecycle re-certifies on the CURRENT state FROM STORED HASHES
+    * (no text — groups rebuild from the shingle postings, signatures
+    * re-band directly), rebuilds into `v=1` at the newly certified
+    * banding, and flips the pointer. Output = the live store's
+    * keep-best survivors plus the decision provenance (born_rpb 8 →
+    * final_rpb 2, rebanded). The oracle replays BOTH chooser runs
+    * (birth corpus and full corpus), the pair relation at whichever
+    * config the full-state chooser picked, the connected-component
+    * clusters (recursive CTE), and the keep-best rule — the q_d20
+    * survivors algebra under a dynamically re-chosen banding.
+    */
+  val st26StoreReband: Q = (s, d) => {
+    import s.implicits._
+    graft.ops.TempFiles.withTempDir("graft-st26") { root =>
+      val vroot = new java.io.File(root, "live").getAbsolutePath
+      val ids = Tables.documents(s, d).select($"doc_id".as("bid"))
+      def tokText(mutate: Boolean) = concat_ws(" ",
+        transform(sequence(lit(0), lit(9)), j =>
+          when(lit(mutate) && j >= 8,
+            concat(lit("mut"), $"bid", lit("x"), j.cast("string")))
+          .otherwise(concat(lit("tok"), $"bid", lit("w"), j.cast("string")))))
+      val grown = ids.select($"bid".as("id"), tokText(mutate = false).as("text"))
+        .unionByName(ids.select(($"bid" + 500000L).as("id"),
+          tokText(mutate = true).as("text")))
+      val birth = Seq((9000001L, st26BirthText), (9000002L, st26BirthText))
+        .toDF("id", "text")
+      val score = pmod(TextOps.hash60(col("id").cast("string")), lit(1000L))
+      val tune = graft.ops.KeepBestIndex.AutoTune(Seq(2, 4, 8), sampleMod = 1,
+        precisionFloorPpm = 0L, recallFloorPpm = 600000L, truthDfCap = None)
+      val st0 = graft.ops.KeepBestIndexStore.createLive(s, vroot, tune)
+      st0.ingest(birth, "id", "text", score)
+      val born = st0.chosenRowsPerBand.get
+      st0.ingest(grown, "id", "text", score)
+      val st1 = graft.ops.KeepBestIndexStore.rebandIfStale(s, vroot, tune)
+        .getOrElse(sys.error("st26: the grown state must de-certify the " +
+          "birth banding and trigger a reband"))
+      require(graft.ops.KeepBestIndexStore.liveVersion(s, vroot).contains(1),
+        "st26: the pointer must name the rebanded version")
+      val finalRpb = st1.chosenRowsPerBand.get
+      graft.ops.KeepBestIndexStore.openLive(s, vroot, tune).survivors
+        .withColumn("born_rpb", lit(born))
+        .withColumn("final_rpb", lit(finalRpb))
+        .withColumn("rebanded", lit(born != finalRpb))
+        .orderBy("id")
+        .localCheckpoint(eager = true)
+    }
+  }
+
+  private def st26Block(tag: String, r: Int): String =
+    s"""${tag}bands$r AS (
+       |  SELECT id, j // $r AS band,
+       |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
+       |  FROM ${tag}mh GROUP BY 1, 2),
+       |${tag}cand$r AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM ${tag}bands$r a JOIN ${tag}bands$r b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |${tag}row$r AS (
+       |  SELECT $r AS rows_per_band,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ${tag}cand$r) AS n_candidates,
+       |    (SELECT CAST(COUNT(*) AS BIGINT)
+       |     FROM ${tag}cand$r c JOIN ${tag}truth t ON t.ia = c.ia AND t.ib = c.ib) AS n_verified,
+       |    (SELECT nt FROM ${tag}nt) AS n_true)""".stripMargin
+
+  /** One full chooser replay (truth, per-config candidates, both ppm
+    * axes, floors, argmin) over `${tag}sh`/`${tag}mh` — run TWICE: on
+    * the birth corpus and on the grown corpus.
+    */
+  private def st26Chooser(tag: String): String =
+    s"""${tag}sizes AS (SELECT id, COUNT(*) AS n FROM ${tag}sh GROUP BY 1),
+       |${tag}inter AS MATERIALIZED (
+       |  SELECT x.id AS ia, y.id AS ib, COUNT(*) AS inter
+       |  FROM ${tag}sh x JOIN ${tag}sh y ON y.h = x.h AND x.id < y.id
+       |  GROUP BY 1, 2),
+       |${tag}truth AS MATERIALIZED (
+       |  SELECT i.ia, i.ib FROM ${tag}inter i
+       |  JOIN ${tag}sizes na ON na.id = i.ia JOIN ${tag}sizes nb ON nb.id = i.ib
+       |  WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.5),
+       |${tag}nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM ${tag}truth),
+       |${st26Block(tag, 2)},
+       |${st26Block(tag, 4)},
+       |${st26Block(tag, 8)},
+       |${tag}tbl AS (SELECT * FROM ${tag}row2 UNION ALL SELECT * FROM ${tag}row4
+       |              UNION ALL SELECT * FROM ${tag}row8),
+       |${tag}calc AS (
+       |  SELECT *,
+       |    CASE WHEN n_candidates = 0 THEN NULL
+       |         ELSE n_verified * 1000000 // n_candidates END AS precision_ppm,
+       |    CASE WHEN n_true = 0 THEN NULL
+       |         ELSE n_verified * 1000000 // n_true END AS recall_ppm
+       |  FROM ${tag}tbl),
+       |${tag}feas AS (
+       |  SELECT *, COALESCE(precision_ppm >= 0, FALSE)
+       |        AND COALESCE(recall_ppm >= 600000, FALSE) AS feasible
+       |  FROM ${tag}calc),
+       |${tag}sel AS (SELECT rows_per_band FROM ${tag}feas WHERE feasible
+       |  ORDER BY n_candidates, rows_per_band DESC LIMIT 1)""".stripMargin
+
+  val st26StoreRebandSql: String =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id AS id,
+       |    array_to_string(list_transform(generate_series(0, 9),
+       |      j -> 'tok'||doc_id||'w'||j), ' ') AS text
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 500000,
+       |    array_to_string(list_transform(generate_series(0, 9), j ->
+       |      CASE WHEN j >= 8 THEN 'mut'||doc_id||'x'||j
+       |           ELSE 'tok'||doc_id||'w'||j END), ' ')
+       |  FROM documents
+       |  UNION ALL SELECT 9000001, '$st26BirthText'
+       |  UNION ALL SELECT 9000002, '$st26BirthText'),
+       |${PipelineQueries.shingleSql},
+       |mh AS (
+       |${Dedup.minhashSql(16)}),
+       |bsh AS (SELECT * FROM sh WHERE id >= 9000000),
+       |bmh AS (SELECT * FROM mh WHERE id >= 9000000),
+       |fsh AS (SELECT * FROM sh),
+       |fmh AS (SELECT * FROM mh),
+       |${st26Chooser("b")},
+       |${st26Chooser("f")},
+       |chosenCand AS (
+       |  SELECT ia, ib FROM fcand2 WHERE 2 = (SELECT rows_per_band FROM fsel)
+       |  UNION ALL
+       |  SELECT ia, ib FROM fcand4 WHERE 4 = (SELECT rows_per_band FROM fsel)
+       |  UNION ALL
+       |  SELECT ia, ib FROM fcand8 WHERE 8 = (SELECT rows_per_band FROM fsel)),
+       |pairs AS (
+       |  SELECT c.ia, c.ib FROM chosenCand c
+       |  JOIN ftruth t ON t.ia = c.ia AND t.ib = c.ib),
+       |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labels AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+       |scores AS (
+       |  SELECT id, ${TextOps.hash60Sql("CAST(id AS VARCHAR)")} % 1000 AS score
+       |  FROM corpus),
+       |ranked AS (
+       |  SELECT l.id, ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+       |    ORDER BY s.score DESC, l.id) AS rk
+       |  FROM labels l JOIN scores s ON s.id = l.id)
+       |SELECT c.id, s.score,
+       |  (SELECT rows_per_band FROM bsel) AS born_rpb,
+       |  (SELECT rows_per_band FROM fsel) AS final_rpb,
+       |  (SELECT rows_per_band FROM bsel) <> (SELECT rows_per_band FROM fsel) AS rebanded
+       |FROM corpus c JOIN scores s ON s.id = c.id
+       |WHERE c.id NOT IN (SELECT r.id FROM ranked r WHERE r.rk > 1)
+       |ORDER BY c.id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q_d26_auto_dedup_budgeted" -> d26AutoDedupBudgeted,
     "q_e25_auto_cosine_budgeted" -> e25AutoCosineBudgeted,
     "q_st24_store_serve_memo" -> st24StoreServeMemo,
-    "q_st25_store_retrain" -> st25StoreRetrain
+    "q_st25_store_retrain" -> st25StoreRetrain,
+    "q_st26_store_reband" -> st26StoreReband
   )
 
   val oracles: Map[String, String] = Map(
     "q_d26_auto_dedup_budgeted" -> d26AutoDedupBudgetedSql,
     "q_e25_auto_cosine_budgeted" -> e25AutoCosineBudgetedSql,
     "q_st24_store_serve_memo" -> st24StoreServeMemoSql,
-    "q_st25_store_retrain" -> st25StoreRetrainSql
+    "q_st25_store_retrain" -> st25StoreRetrainSql,
+    "q_st26_store_reband" -> st26StoreRebandSql
   )
 }
