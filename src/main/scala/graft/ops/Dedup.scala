@@ -1739,11 +1739,36 @@ object Dedup {
                                threshold: Double = 0.5,
                                precisionFloorPpm: Long = 0L,
                                recallFloorPpm: Long = 0L): DataFrame = {
-    val m = chooseSampleMod(df.count(), budget)
-    nearDupPairsAuto(df, idCol, textCol, truthDfCap, shingleN, k,
-        rowsPerBandConfigs, threshold, m, precisionFloorPpm, recallFloorPpm,
-        sampleRepCap = Some(budget))
+    // ONE corpus pass, period: the groups frame is the only thing that
+    // ever reads the corpus — the id count the derivation needs is
+    // Σ |members| over the cached group rows (ids partition into
+    // groups), NOT a second df scan (df may be a computed view whose
+    // count() would re-run its whole lineage).
+    val grouped = contentGroups(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grouped.count()
+    val n = grouped
+      .agg(coalesce(sum(size(col("members")).cast(LongType)), lit(0L)))
+      .first().getLong(0)
+    val m = chooseSampleMod(n, budget)
+    val choice =
+      try chooseLshConfigFromGroups(sampleGroupsOf(grouped, m), k,
+          rowsPerBandConfigs, threshold, precisionFloorPpm, recallFloorPpm,
+          truthDfCap, sampleRepCap = Some(budget))
+        .filter(col("chosen")).select(col("rows_per_band")).collect()
+      catch { case e: Throwable => grouped.unpersist(); throw e }
+    if (choice.isEmpty) grouped.unpersist()
+    require(choice.nonEmpty,
+      "nearDupPairsAutoBudgeted: no banding configuration meets the " +
+        "precision/recall floors on the sample — loosen a floor or extend " +
+        "rowsPerBandConfigs (a silent default would run the corpus at an " +
+        "operating point the floors just rejected)")
+    val rpb = choice.head.getInt(0)
+    val out = nearDupPairsFromGroups(grouped, k, rpb, threshold)
+      .withColumn("rows_per_band", lit(rpb))
       .withColumn("sample_mod", lit(m))
+    grouped.unpersist()
+    out
   }
 
   /** Distinct weighted rep-level SimHash pairs under an `nb`-band

@@ -245,23 +245,75 @@ object Vectors {
     * shape evaluates for an identical-vector pair, so the output
     * relation is bit-identical.
     */
+  private def planeMask(p: Int): Long = (1L << p) - 1
+
+  /** Distinct-vector groups with the bucket at `nPlanes` — the ONE
+    * corpus representation the cosine family's compute-once seam
+    * shares (the q_d25 pattern on the vector family): plane i's
+    * hyperplane is keyed by the plane INDEX alone
+    * ([[hyperplaneValues]]), so bucket(p) = bucket(pMax) & (2^p − 1)
+    * for any p ≤ pMax — one grouping exchange + one bucket pass at
+    * pMax serves every configuration downstream.
+    */
+  private[graft] def vectorGroups(vecs: DataFrame, vecCol: String,
+                                  idCol: String, nPlanes: Int,
+                                  dim: Int): DataFrame =
+    Partitioning.spread(vecs)
+      .select(col(idCol).as("vid"), col(vecCol).as("e"))
+      .groupBy(col("e"))
+      .agg(sort_array(collect_list(col("vid"))).as("members"))
+      .withColumn("rep", element_at(col("members"), 1))
+      .withColumn("m", size(col("members")).cast("long"))
+      .withColumn("bucket", bucketExpr("e", nPlanes, dim))
+
+  /** The [[vectorGroups]] of the deterministic hash-gated sample,
+    * DERIVED from the full corpus's groups — the value key (the vector
+    * itself) is untouched by which vids survive the gate, so
+    * restriction filters each sorted member list and drops emptied
+    * groups; buckets carry over verbatim. Zero corpus passes.
+    * VectorsSpec pins the equivalence.
+    */
+  private[graft] def sampleVectorGroupsOf(groups: DataFrame,
+                                          sampleMod: Int): DataFrame =
+    groups
+      .select(col("e"), col("bucket"),
+        filter(col("members"), v =>
+          pmod(graft.ops.TextOps.hash60(v.cast("string")),
+            lit(sampleMod.toLong)) === 0).as("members"))
+      .where(size(col("members")) > 0)
+      .withColumn("rep", element_at(col("members"), 1))
+      .withColumn("m", size(col("members")).cast("long"))
+
   def cosineDupPairs(vecs: DataFrame, vecCol: String, idCol: String,
                      nPlanes: Int, dim: Int, threshold: Double): DataFrame = {
+    val grouped = vectorGroups(vecs, vecCol, idCol, nPlanes, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grouped.count()
+    val out = cosineDupPairsFromGroups(grouped, nPlanes, threshold)
+    grouped.unpersist()
+    out
+  }
+
+  /** [[cosineDupPairs]] off an ALREADY-computed (and caller-persisted)
+    * [[vectorGroups]] frame — the compute-once contract
+    * [[cosineDupPairsAuto]] needs: the corpus is grouped and bucketed
+    * exactly once (at the grid's pMax) and the same cached frame feeds
+    * the chooser's sample scaffold and every candidate config's corpus
+    * pass (candidacy at p is a mask of the pMax bucket). The returned
+    * pair relation is an eager localCheckpoint, so releasing the cache
+    * after this returns is safe.
+    */
+  def cosineDupPairsFromGroups(grouped: DataFrame, nPlanes: Int,
+                               threshold: Double): DataFrame = {
     // The distinct-embedding groups feed the bucketed rep enumeration,
     // the within-group expansion, and both sides of the cross-group
     // expansion (4 plan references): the group-by-vector exchange AND
     // its sort-aggregation (ordering on a dim-wide double-array key —
     // the expensive part) would otherwise re-execute per reference.
-    // Materialized eagerly, released after the eager output checkpoint
-    // below — same contract as Dedup.nearDupPairs.
-    val groups = Partitioning.spread(vecs)
-      .select(col(idCol).as("vid"), col(vecCol).as("e"))
-      .groupBy(col("e"))
-      .agg(sort_array(collect_list(col("vid"))).as("members"))
-      .withColumn("rep", element_at(col("members"), 1))
-      .withColumn("bucket", bucketExpr("e", nPlanes, dim))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    groups.count()
+    // Caller-persisted, caller-released — same contract as
+    // Dedup.nearDupPairsFromGroups.
+    val groups = grouped
+      .withColumn("bucket", col("bucket").bitwiseAND(lit(planeMask(nPlanes))))
     // Pairs are generated INSIDE the bucket aggregation (the same
     // shape as Dedup.lshCandidates): one keyed shuffle carrying each
     // distinct vector once. Each vector sits in exactly one bucket, so
@@ -302,10 +354,8 @@ object Vectors {
       .select(least(col("a"), col("b")).as("ia"),
         greatest(col("a"), col("b")).as("ib"), col("bucket"), col("cos_sim"))
     // Verified pairs are linear in candidates, not corpus: materialize
-    // eagerly, then release the cache this pipeline pinned.
-    val out = withinGroup.unionByName(crossGroup).localCheckpoint(eager = true)
-    groups.unpersist()
-    out
+    // eagerly so the caller can release the groups cache.
+    withinGroup.unionByName(crossGroup).localCheckpoint(eager = true)
   }
 
   /** COSINE-LSH PLANE-COUNT CHOOSER — the chooser pattern
@@ -358,26 +408,45 @@ object Vectors {
       s"plane counts must be in [1, 62] (the bucket is a sign-bit-packed " +
         s"long), got $planeConfigs")
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
-    require(truthRepCap >= 1, s"truthRepCap must be >= 1, got $truthRepCap")
-    val spark = vecs.sparkSession
-    val pMax = planeConfigs.max
-    val pMin = planeConfigs.min
-    def mask(p: Int): Long = (1L << p) - 1
     val sample = vecs.filter(
       pmod(graft.ops.TextOps.hash60(col(idCol).cast("string")),
         lit(sampleMod.toLong)) === 0)
-    val groups = Partitioning.spread(sample)
-      .select(col(idCol).as("vid"), col(vecCol).as("e"))
-      .groupBy(col("e"))
-      .agg(count(lit(1)).cast("long").as("m"), min(col("vid")).as("rep"))
-      .withColumn("bucket", bucketExpr("e", pMax, dim))
+    chooseCosinePlanesFromGroups(
+      vectorGroups(sample, vecCol, idCol, planeConfigs.max, dim),
+      planeConfigs, threshold, precisionFloorPpm, recallFloorPpm, truthRepCap)
+  }
+
+  /** [[chooseCosinePlanes]] off an ALREADY-derived sample
+    * [[vectorGroups]] frame (bucketed at ≥ max(planeConfigs)) — the
+    * hash gating (and, in [[cosineDupPairsAuto]], the
+    * [[sampleVectorGroupsOf]] derivation off the full corpus's cached
+    * groups) is the caller's, so the corpus is never re-grouped or
+    * re-bucketed for the chooser.
+    */
+  def chooseCosinePlanesFromGroups(sampleGroups: DataFrame,
+                                   planeConfigs: Seq[Int], threshold: Double,
+                                   precisionFloorPpm: Long,
+                                   recallFloorPpm: Long,
+                                   truthRepCap: Int): DataFrame = {
+    require(planeConfigs.nonEmpty && planeConfigs.forall(p => p >= 1 && p <= 62),
+      s"plane counts must be in [1, 62] (the bucket is a sign-bit-packed " +
+        s"long), got $planeConfigs")
+    require(truthRepCap >= 1, s"truthRepCap must be >= 1, got $truthRepCap")
+    val spark = sampleGroups.sparkSession
+    val pMin = planeConfigs.min
+    def mask(p: Int): Long = planeMask(p)
+    val groups = sampleGroups
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nReps = groups.count()
-    require(nReps <= truthRepCap,
-      s"chooseCosinePlanes: the sample has $nReps distinct vectors, above " +
-        s"truthRepCap=$truthRepCap — the exact-truth pass would pay an " +
-        s"unbudgeted O(reps²·dim) bill; raise sampleMod (or the cap, " +
-        s"knowingly) instead of letting the chooser become the quadratic step")
+    if (nReps > truthRepCap) {
+      groups.unpersist()
+      throw new IllegalArgumentException(
+        s"requirement failed: chooseCosinePlanes: the sample has $nReps " +
+          s"distinct vectors, above truthRepCap=$truthRepCap — the " +
+          "exact-truth pass would pay an unbudgeted O(reps²·dim) bill; " +
+          "raise sampleMod (or the cap, knowingly) instead of letting the " +
+          "chooser become the quadratic step")
+    }
     val selfCos = rankCosine(col("e"), col("e"))
     val wrow = groups.agg(
       coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)),
@@ -451,17 +520,37 @@ object Vectors {
                          sampleMod: Int,
                          precisionFloorPpm: Long, recallFloorPpm: Long,
                          truthRepCap: Int = 10000): DataFrame = {
-    val choice = chooseCosinePlanes(vecs, vecCol, idCol, planeConfigs, dim,
-        threshold, sampleMod, precisionFloorPpm, recallFloorPpm, truthRepCap)
-      .filter(col("chosen")).select(col("n_planes")).collect()
+    require(planeConfigs.nonEmpty && planeConfigs.forall(p => p >= 1 && p <= 62),
+      s"plane counts must be in [1, 62] (the bucket is a sign-bit-packed " +
+        s"long), got $planeConfigs")
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    // ONE corpus representation pass (the q_d25/q_d22-FromGroups
+    // pattern on the vector family): group + bucket the FULL corpus
+    // once at the grid's pMax, derive the chooser's sample groups off
+    // the cached rows (an array filter — zero corpus passes), and run
+    // the chosen config's corpus pass off the same cache (candidacy at
+    // p is a mask of the pMax bucket). The pre-r15 shape re-grouped
+    // and re-bucketed the corpus after the chooser's sample pass.
+    val grouped = vectorGroups(vecs, vecCol, idCol, planeConfigs.max, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grouped.count()
+    val choice =
+      try chooseCosinePlanesFromGroups(sampleVectorGroupsOf(grouped, sampleMod),
+          planeConfigs, threshold, precisionFloorPpm, recallFloorPpm,
+          truthRepCap)
+        .filter(col("chosen")).select(col("n_planes")).collect()
+      catch { case e: Throwable => grouped.unpersist(); throw e }
+    if (choice.isEmpty) grouped.unpersist()
     require(choice.nonEmpty,
       "cosineDupPairsAuto: no plane count meets the precision/recall " +
         "floors on the sample — loosen a floor or extend planeConfigs " +
         "(a silent default would run the corpus at an operating point the " +
         "floors just rejected)")
     val p = choice.head.getInt(0)
-    cosineDupPairs(vecs, vecCol, idCol, p, dim, threshold)
+    val out = cosineDupPairsFromGroups(grouped, p, threshold)
       .withColumn("n_planes", lit(p))
+    grouped.unpersist()
+    out
   }
 
   /** [[cosineDupPairsAuto]] with the sample SELF-SIZED to the truth
@@ -479,10 +568,35 @@ object Vectors {
                                  dim: Int, threshold: Double, budget: Int,
                                  precisionFloorPpm: Long,
                                  recallFloorPpm: Long): DataFrame = {
-    val m = Dedup.chooseSampleMod(vecs.count(), budget.toLong)
-    cosineDupPairsAuto(vecs, vecCol, idCol, planeConfigs, dim, threshold,
-        m, precisionFloorPpm, recallFloorPpm, truthRepCap = budget)
-      .withColumn("sample_mod", lit(m))
+    require(planeConfigs.nonEmpty && planeConfigs.forall(p => p >= 1 && p <= 62),
+      s"plane counts must be in [1, 62] (the bucket is a sign-bit-packed " +
+        s"long), got $planeConfigs")
+    // one corpus pass, period (the nearDupPairsAutoBudgeted rule): the
+    // id count the derivation needs is Σ m over the cached group rows,
+    // never a second scan of a possibly-computed input view
+    val grouped = vectorGroups(vecs, vecCol, idCol, planeConfigs.max, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grouped.count()
+    val n = grouped.agg(coalesce(sum(col("m")), lit(0L))).first().getLong(0)
+    val sm = Dedup.chooseSampleMod(n, budget.toLong)
+    val choice =
+      try chooseCosinePlanesFromGroups(sampleVectorGroupsOf(grouped, sm),
+          planeConfigs, threshold, precisionFloorPpm, recallFloorPpm,
+          truthRepCap = budget)
+        .filter(col("chosen")).select(col("n_planes")).collect()
+      catch { case e: Throwable => grouped.unpersist(); throw e }
+    if (choice.isEmpty) grouped.unpersist()
+    require(choice.nonEmpty,
+      "cosineDupPairsAutoBudgeted: no plane count meets the precision/recall " +
+        "floors on the sample — loosen a floor or extend planeConfigs " +
+        "(a silent default would run the corpus at an operating point the " +
+        "floors just rejected)")
+    val p = choice.head.getInt(0)
+    val out = cosineDupPairsFromGroups(grouped, p, threshold)
+      .withColumn("n_planes", lit(p))
+      .withColumn("sample_mod", lit(sm))
+    grouped.unpersist()
+    out
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

@@ -314,6 +314,40 @@ class VectorsSpec extends SparkSpec {
     }
   }
 
+  test("sampleVectorGroupsOf derived off the full corpus's vectorGroups equals " +
+    "direct grouping of the hash-gated sample, and cosineDupPairsFromGroups " +
+    "over a pMax-bucketed cache equals the from-vecs form at every p") {
+    import spark.implicits._
+    val base = Seq(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.99, 0.14, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0), Array(0.0, 0.0, 0.7, 0.7))
+    val vecs = (for {
+      (e, ei) <- base.zipWithIndex
+      copy <- 0 until 6
+    } yield (ei * 100L + copy, e)).toDF("vec_id", "emb")
+    val full = Vectors.vectorGroups(vecs, "emb", "vec_id", nPlanes = 6, dim = 4)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("e").cast("string"), col("members").cast("string"),
+        col("rep").cast("string"), col("m"), col("bucket"))
+      .collect().map(_.toSeq).toSet
+    for (sm <- Seq(1, 2, 3)) {
+      val direct = Vectors.vectorGroups(
+        vecs.filter(org.apache.spark.sql.functions.pmod(
+          graft.ops.TextOps.hash60(col("vec_id").cast("string")),
+          lit(sm.toLong)) === 0), "emb", "vec_id", nPlanes = 6, dim = 4)
+      key(Vectors.sampleVectorGroupsOf(full, sm)) shouldBe key(direct)
+    }
+    val cached = full.cache(); cached.count()
+    for (p <- Seq(2, 3, 6)) {
+      val fromGroups = Vectors.cosineDupPairsFromGroups(cached, p, 0.9)
+        .collect().map(_.toSeq).toSet
+      val fromVecs = Vectors.cosineDupPairs(vecs, "emb", "vec_id", p, 4, 0.9)
+        .collect().map(_.toSeq).toSet
+      fromGroups shouldBe fromVecs
+    }
+    cached.unpersist()
+  }
+
   test("cosineDupPairs exact-dup collapse preserves the pair relation on a dup-heavy corpus") {
     import spark.implicits._
     // Duplicated documents re-embed to the identical vector: 4 distinct
