@@ -26,27 +26,29 @@ object Round15Queries {
 
   // ---- D26: budget-sized auto near-dup (MinHash family) -----------------
 
-  /** The rep budget the d26 gate states instead of a sampleMod: at the
-    * gated scales the derivation moves (672 docs → mod 2; 6715 docs →
-    * mod 17) while the actual gated sample stays within budget
-    * (352/352/391 ids), so the cap never refuses and the choice is
-    * provably scale-dependent.
+  /** The rep budget the d26 gate states instead of a sampleMod: the
+    * slacked target (400 − ⌈3√400⌉ = 340) derives mod 2 at
+    * sf0.001/0.01 (672 docs), 20 at sf0.1 (6715), 198 at the 10x
+    * decade (67143) — the gated samples (352/352/332/316 ids) all sit
+    * under the cap with 3σ headroom, so the cap never coin-flips and
+    * the choice is provably scale-dependent.
     */
   val d26Budget = 400L
 
   /** D26: [[Dedup.nearDupPairsAutoBudgeted]] — the q_d22 auto path
     * with `sampleMod` DERIVED, not guessed: one corpus count, one
-    * ceiling division (⌈n/budget⌉ — the minimal mod whose expected
-    * sample fits the budget), the chooser's `sampleRepCap` armed at
-    * the same budget so skew overshoot refuses, and the derived mod
-    * riding out as `sample_mod` provenance beside the chosen
-    * `rows_per_band`. The oracle replays the DERIVATION ITSELF (the
-    * count and the ceiling division live in the SQL), then the full
-    * q_d22 dynamic decision at that mod — so the gate stays green
-    * when a data regeneration moves the derived mod, and the choice
-    * demonstrably moves with it (rpb 4 at sf0.01/mod 2, rpb 8 at
-    * sf0.1/mod 17). `truthDfCap = None` is the q_d22 documented
-    * posture: the planted corpus is boilerplate-free by construction.
+    * ceiling division against the 3σ-slacked target
+    * ([[Dedup.chooseSampleMod]] — m = ⌈n / (budget − ⌈3√budget⌉)⌉),
+    * the chooser's `sampleRepCap` armed at the budget so >3σ skew
+    * refuses, and the derived mod riding out as `sample_mod`
+    * provenance beside the chosen `rows_per_band`. The oracle replays
+    * the DERIVATION ITSELF (count, slack, and ceiling division live in
+    * the SQL), then the full q_d22 dynamic decision at that mod — so
+    * the gate stays green when a data regeneration moves the derived
+    * mod, and the choice demonstrably moves with it (rpb 4 at
+    * sf0.01/mod 2, rpb 8 at sf0.1/mod 20). `truthDfCap = None` is the
+    * q_d22 documented posture: the planted corpus is boilerplate-free
+    * by construction.
     */
   val d26AutoDedupBudgeted: Q = (s, d) =>
     Dedup.nearDupPairsAutoBudgeted(PipelineQueries.corpus(s, d), "id", "text",
@@ -57,10 +59,11 @@ object Round15Queries {
         col("jac"))
       .orderBy("ia", "ib")
 
-  /** The q_d22 oracle chain with three changes: a `nrow`/`smod`
-    * prelude computing ⌈count/budget⌉, the sample gate moduled by the
-    * DERIVED value instead of a literal, and `sample_mod` in the
-    * output. Every other CTE is the shared d22 builder, untouched.
+  /** The q_d22 oracle chain with three changes: a `nrow`/`starget`/
+    * `smod` prelude replaying the slacked derivation, the sample gate
+    * moduled by the DERIVED value instead of a literal, and
+    * `sample_mod` in the output. Every other CTE is the shared d22
+    * builder, untouched.
     */
   val d26AutoDedupBudgetedSql: String =
     s"""WITH ${PipelineQueries.corpusSql},
@@ -68,7 +71,9 @@ object Round15Queries {
        |mh AS (
        |${Dedup.minhashSql(16)}),
        |nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM corpus),
-       |smod AS (SELECT CAST((n + ${d26Budget - 1}) // $d26Budget AS BIGINT) AS m FROM nrow),
+       |starget AS (SELECT GREATEST(1, $d26Budget
+       |  - CAST(CEIL(3 * SQRT($d26Budget)) AS BIGINT)) AS t),
+       |smod AS (SELECT CAST((n + t - 1) // t AS BIGINT) AS m FROM nrow, starget),
        |smp AS (
        |  SELECT id FROM corpus
        |  WHERE ${TextOps.hash60Sql("CAST(id AS VARCHAR)")} % (SELECT m FROM smod) = 0),
@@ -132,26 +137,33 @@ object Round15Queries {
 
   // ---- E25: budget-sized auto cosine near-dup ---------------------------
 
-  /** Budget calibrated so the derivation moves across the gated scales
-    * (500 vecs → mod 2; 2000 → mod 7) with the actual gated sample
-    * inside the cap everywhere (265/265/303 distinct vectors ≤ 310).
+  /** Budget sized so the gated sample stays DENSE enough to measure
+    * recall of the corpus's rare true pairs at every scale (a ~300-vec
+    * sample catches only ~12 true pairs at sf0.1 — too sparse for any
+    * stable floor): slacked target 1096 derives mod 1/1/2 at the gated
+    * scales and 19 at the 10x decade, samples 500/500/1026/~1052, all
+    * under the cap with 3-sigma headroom.
     */
-  val e25Budget = 310
+  val e25Budget = 1200
 
-  /** Floors measured on the BUDGET-GATED samples (sf0.001 mod-2 sample:
-    * precision 437/414/0 ppm, recall 250000/62500/0 for 2/4/6 planes;
-    * sf0.01: 455/1274/1626 and 444444/333333/111111; sf0.1 mod-7:
-    * 503/1308/0 and 375000/250000/0) so every gated scale certifies,
-    * both floors bite somewhere (6 planes fails recall everywhere,
-    * precision rejects it outright at two scales), and the CHOICE
-    * MOVES: 2 planes at sf0.001, 4 at sf0.01/sf0.1.
+  /** Floors measured on the BUDGET-GATED samples (per-scale
+    * (precision, recall) ppm for 2/4/6 planes: sf0.001
+    * 747/1540/1283 and 363636/196969/45454; sf0.01 783/1332/2722 and
+    * 423728/186440/101694; sf0.1 mod-2 776/1426/1722 and
+    * 448717/209401/68376; decade mod-19 712/1106/1663 and
+    * 403636/160000/65454): BOTH axes bite at every scale — the
+    * precision floor rejects the 2-plane single-bucket point
+    * everywhere, the recall floor rejects 6 planes everywhere — and
+    * 4 planes is the certified operating point at all four, so the
+    * provenance that MOVES here is the derived mod (1/1/2/19), the
+    * self-sizing this gate exists to prove.
     */
-  val e25PrecisionFloorPpm = 400L
-  val e25RecallFloorPpm = 200000L
+  val e25PrecisionFloorPpm = 1100L
+  val e25RecallFloorPpm = 150000L
 
   /** E25: [[Vectors.cosineDupPairsAutoBudgeted]] — q_d26's derived
-    * sample gate on the cosine hyperplane family: ⌈count/budget⌉ picks
-    * the mod, `truthRepCap = budget` arms the family's own quadratic
+    * sample gate on the cosine hyperplane family: the slacked ceiling
+    * division picks the mod, `truthRepCap = budget` arms the family's own quadratic
     * refusal at exactly the stated budget, and the chooser prices the
     * plane grid on the gated sample before the FULL corpus runs at the
     * chosen count. The oracle replays derivation, chooser (the shared
@@ -183,7 +195,9 @@ object Round15Queries {
 
   val e25AutoCosineBudgetedSql: String =
     s"""WITH nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
-       |smod AS (SELECT CAST((n + ${e25Budget - 1}) // $e25Budget AS BIGINT) AS m FROM nrow),
+       |starget AS (SELECT GREATEST(1, $e25Budget
+       |  - CAST(CEIL(3 * SQRT($e25Budget)) AS BIGINT)) AS t),
+       |smod AS (SELECT CAST((n + t - 1) // t AS BIGINT) AS m FROM nrow, starget),
        |${Round14Queries.e22ChooserCtes("SELECT m FROM smod",
           e25PrecisionFloorPpm, e25RecallFloorPpm)},
        |sigf AS (

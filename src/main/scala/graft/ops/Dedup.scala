@@ -1705,21 +1705,37 @@ object Dedup {
     out
   }
 
-  /** Smallest `sampleMod` whose hash-gated sample fits a rep budget in
-    * EXPECTATION: the `hash60(id) mod m == 0` gate admits ~count/m ids
-    * (hash60 is uniform over ids), so the minimal integer m with
-    * count/m ≤ budget is ⌈count/budget⌉ — one count and a ceiling
+  /** The sample-size TARGET a rep budget derives: the budget minus 3σ
+    * of binomial headroom (sample size under the `hash60(id) mod m`
+    * gate is ~Binomial(n, 1/m), sd ≤ √budget near the budget), floored
+    * at 1. Deriving the mod against the RAW budget leaves zero
+    * headroom — the expected sample ≈ budget, so roughly half of all
+    * corpus sizes overshoot the cap and REFUSE (measured: the
+    * plain-ceiling e25 posture refused at the 10× decade, sample 336
+    * vs cap 310). Against the slacked target, the cap stays armed but
+    * fires only on >3σ skew — genuinely exceptional, not a coin flip
+    * at every new corpus size.
+    */
+  def sampleTargetOf(repBudget: Long): Long = {
+    require(repBudget >= 1, s"repBudget must be >= 1, got $repBudget")
+    math.max(1L,
+      repBudget - math.ceil(3.0 * math.sqrt(repBudget.toDouble)).toLong)
+  }
+
+  /** Smallest `sampleMod` whose hash-gated sample fits a rep budget
+    * with 3σ of headroom: m = ⌈count / target⌉ for
+    * target = [[sampleTargetOf]](budget) — one count and a ceiling
     * division, nothing corpus-scale. The budget is conservative for
     * the content-collapsed choosers (distinct contents ≤ sampled ids).
     * Pair it with the chooser's cap (`sampleRepCap` here,
     * `truthRepCap` in [[Vectors.chooseCosinePlanes]]) so hash-skew
     * overshoot REFUSES instead of silently exceeding the budget —
-    * q_d26/q_e25 gate the derivation end to end.
+    * q_d26/q_e25 gate the derivation (slack included) end to end.
     */
   def chooseSampleMod(corpusCount: Long, repBudget: Long): Int = {
     require(corpusCount >= 0, s"corpusCount must be >= 0, got $corpusCount")
-    require(repBudget >= 1, s"repBudget must be >= 1, got $repBudget")
-    math.max(1L, (corpusCount + repBudget - 1) / repBudget).toInt
+    val target = sampleTargetOf(repBudget)
+    math.max(1L, (corpusCount + target - 1) / target).toInt
   }
 
   /** [[nearDupPairsAuto]] with the sample SELF-SIZED to a rep budget:

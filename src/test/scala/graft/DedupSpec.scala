@@ -351,15 +351,22 @@ class DedupSpec extends SparkSpec {
     fromGroups shouldBe fromText
   }
 
-  test("chooseSampleMod returns the minimal mod fitting the rep budget in " +
-    "expectation, and chooseLshConfig's sampleRepCap refuses one step below " +
+  test("chooseSampleMod returns the minimal mod fitting the 3-sigma-slacked " +
+    "target, and chooseLshConfig's sampleRepCap refuses one step below " +
     "the actual sample size") {
-    // minimality: m = ceil(n/b) is the smallest integer with n/m <= b
-    for (n <- Seq(1L, 7L, 40L, 41L, 1000L); b <- Seq(1L, 3L, 10L, 40L)) {
+    // the slack: target = max(1, b - ceil(3*sqrt(b))) — headroom so the
+    // cap fires on >3-sigma skew, never as a coin flip at a new scale
+    Dedup.sampleTargetOf(400L) shouldBe 340L
+    Dedup.sampleTargetOf(1200L) shouldBe 1096L
+    Dedup.sampleTargetOf(4L) shouldBe 1L
+    // minimality wrt the target: m = ceil(n/t) is the smallest integer
+    // with n/m <= t
+    for (n <- Seq(1L, 7L, 40L, 41L, 1000L); b <- Seq(1L, 36L, 100L, 400L)) {
+      val t = Dedup.sampleTargetOf(b)
       val m = Dedup.chooseSampleMod(n, b)
-      assert(n <= m.toLong * b, s"derived mod $m does not fit n=$n b=$b")
-      if (m > 1) assert(n > (m - 1).toLong * b,
-        s"derived mod $m is not minimal for n=$n b=$b")
+      assert(n <= m.toLong * t, s"derived mod $m does not fit n=$n t=$t")
+      if (m > 1) assert(n > (m - 1).toLong * t,
+        s"derived mod $m is not minimal for n=$n t=$t")
     }
     Dedup.chooseSampleMod(0L, 5L) shouldBe 1
     // refusal is exact at the actual sample rep count: mod 1 samples the
@@ -380,12 +387,16 @@ class DedupSpec extends SparkSpec {
     "the auto path at it, and carries sample_mod provenance") {
     import spark.implicits._
     val n = dupHeavy.count()
+    val budget = 4 * n + 100 // slacked target >= n, so the derived mod is 1
+    val expectMod = Dedup.chooseSampleMod(n, budget)
+    expectMod shouldBe 1
     val budgeted = Dedup.nearDupPairsAutoBudgeted(dupHeavy, "id", "text",
-      truthDfCap = None, budget = n,
+      truthDfCap = None, budget = budget,
       precisionFloorPpm = 0L, recallFloorPpm = 0L)
-    budgeted.select("sample_mod").distinct().as[Int].collect() shouldBe Array(1)
+    budgeted.select("sample_mod").distinct().as[Int].collect() shouldBe
+      Array(expectMod)
     val manual = Dedup.nearDupPairsAuto(dupHeavy, "id", "text",
-      truthDfCap = None, sampleMod = 1,
+      truthDfCap = None, sampleMod = expectMod,
       precisionFloorPpm = 0L, recallFloorPpm = 0L)
     budgeted.select("rows_per_band", "ia", "ib", "jac")
         .as[(Int, Long, Long, Double)].collect().toSet shouldBe
@@ -397,29 +408,34 @@ class DedupSpec extends SparkSpec {
     "matches the explicit-mod auto path, and refuses on hash-skew overshoot") {
     import spark.implicits._
     val n = dupHeavy.count()
+    val budget = 4 * n + 100 // slacked target >= n -> derived mod 1
+    val expectMod = Dedup.chooseSampleMod(n, budget)
+    expectMod shouldBe 1
     val budgeted = Dedup.simhashPairsAutoBudgeted(dupHeavy, "id", "text",
-      bandConfigs = Seq(2, 3, 4), maxDist = 8, budget = n,
+      bandConfigs = Seq(2, 3, 4), maxDist = 8, budget = budget,
       precisionFloorPpm = 0L, recallFloorPpm = 0L)
-    budgeted.select("sample_mod").distinct().as[Int].collect() shouldBe Array(1)
+    budgeted.select("sample_mod").distinct().as[Int].collect() shouldBe
+      Array(expectMod)
     val manual = Dedup.simhashPairsAuto(dupHeavy, "id", "text",
-      Seq(2, 3, 4), maxDist = 8, sampleMod = 1,
+      Seq(2, 3, 4), maxDist = 8, sampleMod = expectMod,
       precisionFloorPpm = 0L, recallFloorPpm = 0L)
     budgeted.select("n_bands", "ia", "ib").as[(Int, Long, Long)]
         .collect().toSet shouldBe
       manual.select("n_bands", "ia", "ib").as[(Int, Long, Long)]
         .collect().toSet
-    // hash-skew overshoot refuses: a corpus whose ids ALL pass the
-    // mod-2 gate (chosen by their hash parity) admits the whole corpus
-    // at the derived mod 2, above the budget that derived it
-    val evenIds = Iterator.from(1).map(_.toLong)
+    // hash-skew overshoot refuses: 40 ids ALL passing the gate of the
+    // mod the budget derives (chooseSampleMod(40, 36) = 3 under the
+    // slacked target 18) admit the whole corpus, above the budget
+    Dedup.chooseSampleMod(40L, 36L) shouldBe 3
+    val gateIds = Iterator.from(1).map(_.toLong)
       .filter(i => graft.functions.Hash60Impl.hash60(
-        org.apache.spark.unsafe.types.UTF8String.fromString(i.toString)) % 2 == 0)
-      .take(8).toSeq
-    val skew = evenIds.map(i => (i, s"doc number $i with some shared tokens"))
+        org.apache.spark.unsafe.types.UTF8String.fromString(i.toString)) % 3 == 0)
+      .take(40).toSeq
+    val skew = gateIds.map(i => (i, s"doc number $i with some shared tokens"))
       .toDF("id", "text")
     val boom = intercept[IllegalArgumentException](
       Dedup.simhashPairsAutoBudgeted(skew, "id", "text", Seq(2, 3), 8,
-        budget = 7L, precisionFloorPpm = 0L, recallFloorPpm = 0L))
+        budget = 36L, precisionFloorPpm = 0L, recallFloorPpm = 0L))
     boom.getMessage should include("above the stated budget")
   }
 

@@ -251,15 +251,17 @@ class KeepBestStoreSpec extends SparkSpec {
           Seq(2, 4, 8), 0.5, sampleMod = 1, 0L, 0L, truthDfCap = Some(cap))
         .filter(col("chosen")).select("rows_per_band").as[Int].collect()
       c2.chosenRowsPerBand shouldBe expectedRpb.headOption
-      // a stated sampleBudget SELF-SIZES the birth gate: budget >= the
-      // batch count derives mod 1, so the born choice equals the
-      // explicit mod-1 run above — and the budget rides as the armed
-      // rep cap (the Dedup.chooseSampleMod contract at birth)
+      // a stated sampleBudget SELF-SIZES the birth gate: a budget whose
+      // slacked target covers the batch derives mod 1, so the born
+      // choice equals the explicit mod-1 run above — and the budget
+      // rides as the armed rep cap (the Dedup.chooseSampleMod contract
+      // at birth)
+      Dedup.chooseSampleMod(b2.count(), 200L) shouldBe 1
       val c3 = KeepBestIndexStore.openAuto(spark,
         new java.io.File(root, "capped3").getAbsolutePath,
         KeepBestIndex.AutoTune(Seq(2, 4, 8), sampleMod = 999,
           precisionFloorPpm = 0L, recallFloorPpm = 0L,
-          truthDfCap = Some(cap), sampleBudget = Some(b2.count())))
+          truthDfCap = Some(cap), sampleBudget = Some(200L)))
       c3.ingest(b2, "id", "text", col("sc"))
       c3.chosenRowsPerBand shouldBe expectedRpb.headOption
     }

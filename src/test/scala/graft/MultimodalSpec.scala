@@ -452,8 +452,9 @@ class MultimodalSpec extends SparkSpec {
         (9L, 0xF0F0F0F0L, 0x0F0F0F0FL))
       .toDF("media_id", "dh_hi", "dh_lo")
     val budgeted = Multimodal.bandedHammingPairsAutoBudgeted(hashes,
-      maxDist = 4, bandConfigs = Seq(2, 4), budget = hashes.count(),
+      maxDist = 4, bandConfigs = Seq(2, 4), budget = 40L,
       precisionFloorPpm = 0L, recallFloorPpm = 0L)
+    // slacked target 21 >= the 5-row corpus -> derived mod 1
     budgeted.select("sample_mod").distinct().collect()
       .map(_.getInt(0)).toSeq shouldBe Seq(1)
     val manual = Multimodal.bandedHammingPairsAuto(hashes, maxDist = 4,
@@ -461,17 +462,18 @@ class MultimodalSpec extends SparkSpec {
       precisionFloorPpm = 0L, recallFloorPpm = 0L)
     budgeted.select("n_bands", "ia", "ib").collect().map(_.toSeq).toSet shouldBe
       manual.select("n_bands", "ia", "ib").collect().map(_.toSeq).toSet
-    // skew: ids chosen to ALL pass the mod-2 gate — the derived mod
-    // admits every row, above the budget that derived it
-    val evenIds = Iterator.from(1).map(_.toLong)
+    // skew: 40 ids ALL passing the gate of the mod the budget derives
+    // (chooseSampleMod(40, 36) = 3) — the derived mod admits every
+    // row, above the budget that derived it
+    val gateIds = Iterator.from(1).map(_.toLong)
       .filter(i => graft.functions.Hash60Impl.hash60(
-        org.apache.spark.unsafe.types.UTF8String.fromString(i.toString)) % 2 == 0)
-      .take(6).toSeq
-    val skew = evenIds.map(i => (i, i * 17L, i * 31L))
+        org.apache.spark.unsafe.types.UTF8String.fromString(i.toString)) % 3 == 0)
+      .take(40).toSeq
+    val skew = gateIds.map(i => (i, i * 17L, i * 31L))
       .toDF("media_id", "dh_hi", "dh_lo")
     val boom = intercept[IllegalArgumentException](
       Multimodal.bandedHammingPairsAutoBudgeted(skew, maxDist = 4,
-        bandConfigs = Seq(2, 4), budget = 5L,
+        bandConfigs = Seq(2, 4), budget = 36L,
         precisionFloorPpm = 0L, recallFloorPpm = 0L))
     boom.getMessage should include("sampleRepCap")
   }
