@@ -70,7 +70,7 @@ object Round15Queries {
        |${PipelineQueries.shingleSql},
        |mh AS (
        |${Dedup.minhashSql(16)}),
-       |nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM corpus),
+       |nrow AS (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n FROM sh),
        |starget AS (SELECT GREATEST(1, $d26Budget
        |  - CAST(CEIL(3 * SQRT($d26Budget)) AS BIGINT)) AS t),
        |smod AS (SELECT CAST((n + t - 1) // t AS BIGINT) AS m FROM nrow, starget),

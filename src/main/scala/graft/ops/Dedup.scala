@@ -613,7 +613,7 @@ object Dedup {
     * the derivation is an array filter over already-cached group rows,
     * zero corpus passes. DedupSpec pins the equivalence.
     */
-  private[graft] def sampleGroupsOf(groups: DataFrame, sampleMod: Int): DataFrame =
+  private[graft] def sampleGroupsOf(groups: DataFrame, sampleMod: Long): DataFrame =
     groups
       .select(col("hs"),
         filter(col("members"), m =>
@@ -1467,7 +1467,7 @@ object Dedup {
     */
   def lshRecall(df: DataFrame, idCol: String, textCol: String, shingleN: Int,
                 k: Int, rowsPerBandConfigs: Seq[Int], threshold: Double,
-                sampleMod: Int, truthDfCap: Option[Int] = None): DataFrame = {
+                sampleMod: Long, truthDfCap: Option[Int] = None): DataFrame = {
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
     require(truthDfCap.forall(_ >= 1), s"truthDfCap must be >= 1, got $truthDfCap")
     val spark = df.sparkSession
@@ -1547,7 +1547,7 @@ object Dedup {
     */
   def chooseLshConfig(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, k: Int, rowsPerBandConfigs: Seq[Int],
-                      threshold: Double, sampleMod: Int,
+                      threshold: Double, sampleMod: Long,
                       precisionFloorPpm: Long, recallFloorPpm: Long,
                       truthDfCap: Option[Int] = None,
                       sampleRepCap: Option[Long] = None): DataFrame = {
@@ -1670,7 +1670,7 @@ object Dedup {
                        truthDfCap: Option[Int],
                        shingleN: Int = 3, k: Int = 16,
                        rowsPerBandConfigs: Seq[Int] = Seq(2, 4, 8),
-                       threshold: Double = 0.5, sampleMod: Int = 2,
+                       threshold: Double = 0.5, sampleMod: Long = 2,
                        precisionFloorPpm: Long = 0L,
                        recallFloorPpm: Long = 0L,
                        sampleRepCap: Option[Long] = None): DataFrame = {
@@ -1732,10 +1732,13 @@ object Dedup {
     * overshoot REFUSES instead of silently exceeding the budget —
     * q_d26/q_e25 gate the derivation (slack included) end to end.
     */
-  def chooseSampleMod(corpusCount: Long, repBudget: Long): Int = {
+  def chooseSampleMod(corpusCount: Long, repBudget: Long): Long = {
     require(corpusCount >= 0, s"corpusCount must be >= 0, got $corpusCount")
     val target = sampleTargetOf(repBudget)
-    math.max(1L, (corpusCount + target - 1) / target).toInt
+    // Long, not Int: at 100 TB a trillion-doc corpus against a small
+    // budget derives a mod above 2^31 — truncating it would wrap the
+    // pmod gate to a negative modulus and silently break the sample.
+    math.max(1L, (corpusCount + target - 1) / target)
   }
 
   /** [[nearDupPairsAuto]] with the sample SELF-SIZED to a rep budget:
@@ -1747,6 +1750,17 @@ object Dedup {
     * the truth budget they can afford; the engine sizes the gate.
     * The derived `sample_mod` rides out as a provenance column beside
     * the chosen `rows_per_band`.
+    *
+    * COUNT SEMANTICS: the corpus count feeding the derivation is the
+    * SHINGLED-doc count — ids contributing at least one `shingleN`-gram
+    * (Σ |members| over [[contentGroups]], the only frame that ever
+    * reads the corpus). Docs with null text or fewer than `shingleN`
+    * tokens yield no shingles, participate in no pair, and are
+    * excluded from the count — they would only inflate the derived mod
+    * and shrink the sample the chooser actually measures. An oracle
+    * replaying the derivation must count `DISTINCT id` over the
+    * shingle relation, not `COUNT(*)` over the raw corpus (DedupSpec
+    * pins the degenerate sub-shingleN case).
     */
   def nearDupPairsAutoBudgeted(df: DataFrame, idCol: String, textCol: String,
                                truthDfCap: Option[Int], budget: Long,
@@ -1849,7 +1863,7 @@ object Dedup {
     * not passing evidence — the [[chooseLshConfig]] rule).
     */
   def chooseSimhashBands(df: DataFrame, idCol: String, textCol: String,
-                         bandConfigs: Seq[Int], maxDist: Int, sampleMod: Int,
+                         bandConfigs: Seq[Int], maxDist: Int, sampleMod: Long,
                          precisionFloorPpm: Long,
                          recallFloorPpm: Long): DataFrame = {
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
@@ -1930,7 +1944,7 @@ object Dedup {
     * crosses the driver between phases.
     */
   def simhashPairsAuto(df: DataFrame, idCol: String, textCol: String,
-                       bandConfigs: Seq[Int], maxDist: Int, sampleMod: Int,
+                       bandConfigs: Seq[Int], maxDist: Int, sampleMod: Long,
                        precisionFloorPpm: Long,
                        recallFloorPpm: Long): DataFrame = {
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")

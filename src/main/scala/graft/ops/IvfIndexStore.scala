@@ -237,7 +237,7 @@ final class IvfIndexStore private (spark: SparkSession, dir: String,
       .agg(coalesce(max(col("n")), lit(0L)), coalesce(sum(col("n")), lit(0L)))
       .first()
     val (nMax, nTotal) = (row.getLong(0), row.getLong(1))
-    if (nTotal == 0L) 0L else nMax * nCents * 10000L / nTotal
+    IvfIndexStore.imbalanceOf(nMax, nCents, nTotal)
   }
 
   /** Fold the committed view into one fresh batch and drop the
@@ -265,6 +265,17 @@ final class IvfIndexStore private (spark: SparkSession, dir: String,
 object IvfIndexStore {
 
   private val BatchDir = "b=(\\d+)".r
+
+  /** `max_cell × k × 1e4 / total` through a BigInt product: the naive
+    * Long product overflows once the hot cell and the centroid count
+    * are both large (65k cells × a tens-of-billions cell × 1e4 >
+    * 2^63), and a wrapped-negative metric would silently suppress the
+    * retrain trigger it feeds. Integer-division semantics preserved
+    * exactly (the st25 oracle replays `//`).
+    */
+  private[graft] def imbalanceOf(nMax: Long, nCents: Long, nTotal: Long): Long =
+    if (nTotal == 0L) 0L
+    else (BigInt(nMax) * nCents * 10000 / nTotal).toLong
 
   private val assignedSchema = StructType(Seq(
     StructField("vid", LongType), StructField("cid", LongType),

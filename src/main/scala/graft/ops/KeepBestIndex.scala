@@ -200,7 +200,7 @@ object KeepBestIndex {
     * matching [[Dedup.chooseLshConfig]] at the same cap).
     */
   final case class AutoTune(rowsPerBandConfigs: Seq[Int],
-                            sampleMod: Int,
+                            sampleMod: Long,
                             precisionFloorPpm: Long,
                             recallFloorPpm: Long,
                             truthDfCap: Option[Int],
@@ -213,7 +213,7 @@ object KeepBestIndex {
       * the raw `sampleMod` uncapped (the pre-r15 contract, unchanged).
       * The count is by-name — only a budgeted tune pays it.
       */
-    private[ops] def gateFor(batchCount: => Long): (Int, Option[Long]) =
+    private[ops] def gateFor(batchCount: => Long): (Long, Option[Long]) =
       sampleBudget match {
         case Some(b) => (Dedup.chooseSampleMod(batchCount, b), Some(b))
         case None => (sampleMod, None)

@@ -570,7 +570,7 @@ object Multimodal {
     * evidence is not passing evidence).
     */
   def chooseHammingBands(hashes: DataFrame, bandConfigs: Seq[Int],
-                         maxDist: Int, sampleMod: Int,
+                         maxDist: Int, sampleMod: Long,
                          precisionFloorPpm: Long,
                          recallFloorPpm: Long,
                          idCol: String = "media_id",
@@ -660,7 +660,7 @@ object Multimodal {
     * just rejected. ONE integer crosses the driver between phases.
     */
   def bandedHammingPairsAuto(hashes: DataFrame, maxDist: Int,
-                             bandConfigs: Seq[Int], sampleMod: Int,
+                             bandConfigs: Seq[Int], sampleMod: Long,
                              precisionFloorPpm: Long,
                              recallFloorPpm: Long): DataFrame = {
     val choice = chooseHammingBands(hashes, bandConfigs, maxDist, sampleMod,

@@ -6,36 +6,58 @@ import org.apache.spark.sql.SparkSession
 /** The pointer-managed versioned-root protocol SHARED by the durable
   * index stores ([[IvfIndexStore]]'s retrain lifecycle,
   * [[KeepBestIndexStore]]'s reband lifecycle): immutable `v=N` store
-  * directories under one root, a tiny `_latest` file naming the live
-  * one, and a temp-write + rename publish (the [[Versioned]] rule — a
-  * crash mid-publish leaves the previous version live, an orphaned
+  * directories under one root, a tiny pointer MARKER naming the live
+  * one, and a create-marker publish (the `_COMMIT` rule — a crash
+  * mid-publish leaves the previous version live, an orphaned
   * unpublished directory is rebuilt by the next lifecycle attempt and
   * never adopted). Readers get snapshot isolation at directory
   * granularity: a reader that resolved `v=N` keeps reading a
   * consistent, untouched index while a maintainer publishes `v=N+1`.
+  *
+  * PUBLISH IS ATOMIC BY CONSTRUCTION, not by rename: the pointer is a
+  * zero-length marker file whose NAME carries the version
+  * (`_latest.v=N`), created in one namespace operation — the exact
+  * `_COMMIT` pattern the batch protocol already trusts. [[pointerOf]]
+  * takes the max over one glob listing, so at every instant a
+  * concurrent reader (or a crash-then-reopen) resolves either the
+  * previous version or the new one — never a root with NO pointer.
+  * (The earlier single-file delete-then-rename had exactly that
+  * window, and Hadoop's overwriting `FileContext.rename` is itself
+  * delete-then-rename on local/checksum filesystems — renames cannot
+  * carry this contract portably; atomic creates can, on HDFS and on
+  * object stores alike.) Older markers are swept best-effort AFTER the
+  * new one lands; lifecycle versions are monotone (`nextVersion` =
+  * max + 1), so max-wins is exact even when a crash leaves two.
   */
-private[ops] object StoreRoot {
+private[graft] object StoreRoot {
 
-  private val Pointer = "_latest"
+  private val Marker = "_latest.v=(\\d+)".r
   private val VersionDir = "v=(\\d+)".r
 
   def fsOf(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The live version: max over the pointer markers, one glob listing. */
   def pointerOf(fs: FileSystem, root: Path): Option[Int] = {
-    val p = new Path(root, Pointer)
-    if (!fs.exists(p)) None
-    else Some(KeepBestIndexStore.readText(fs, p).trim.toInt)
+    val ms = Option(fs.globStatus(new Path(root, "_latest.v=*"))).toSeq.flatten
+      .map(_.getPath.getName)
+      .collect { case Marker(n) => n.toInt }
+    if (ms.isEmpty) None else Some(ms.max)
   }
 
-  /** Atomic pointer publish — temp write + rename. */
+  /** Atomic pointer publish — ONE marker create, then a best-effort
+    * sweep of the older markers (a crash mid-sweep leaves extras;
+    * max-wins keeps the answer exact and the next publish re-sweeps).
+    */
   def flipPointer(fs: FileSystem, root: Path, v: Int): Unit = {
-    val tmp = new Path(root, s"$Pointer.tmp")
-    KeepBestIndexStore.writeText(fs, tmp, v.toString)
-    val dst = new Path(root, Pointer)
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      sys.error(s"StoreRoot: pointer publish failed under $root")
+    fs.create(new Path(root, s"_latest.v=$v"), true).close()
+    Option(fs.globStatus(new Path(root, "_latest.v=*"))).toSeq.flatten
+      .map(_.getPath).foreach { p =>
+        p.getName match {
+          case Marker(n) if n.toInt < v => fs.delete(p, false)
+          case _ => ()
+        }
+      }
   }
 
   def liveVersion(spark: SparkSession, root: String): Option[Int] = {

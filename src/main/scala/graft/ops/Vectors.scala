@@ -274,7 +274,7 @@ object Vectors {
     * VectorsSpec pins the equivalence.
     */
   private[graft] def sampleVectorGroupsOf(groups: DataFrame,
-                                          sampleMod: Int): DataFrame =
+                                          sampleMod: Long): DataFrame =
     groups
       .select(col("e"), col("bucket"),
         filter(col("members"), v =>
@@ -401,7 +401,7 @@ object Vectors {
     */
   def chooseCosinePlanes(vecs: DataFrame, vecCol: String, idCol: String,
                          planeConfigs: Seq[Int], dim: Int, threshold: Double,
-                         sampleMod: Int,
+                         sampleMod: Long,
                          precisionFloorPpm: Long, recallFloorPpm: Long,
                          truthRepCap: Int = 10000): DataFrame = {
     require(planeConfigs.nonEmpty && planeConfigs.forall(p => p >= 1 && p <= 62),
@@ -517,7 +517,7 @@ object Vectors {
     */
   def cosineDupPairsAuto(vecs: DataFrame, vecCol: String, idCol: String,
                          planeConfigs: Seq[Int], dim: Int, threshold: Double,
-                         sampleMod: Int,
+                         sampleMod: Long,
                          precisionFloorPpm: Long, recallFloorPpm: Long,
                          truthRepCap: Int = 10000): DataFrame = {
     require(planeConfigs.nonEmpty && planeConfigs.forall(p => p >= 1 && p <= 62),

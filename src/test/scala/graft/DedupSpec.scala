@@ -393,7 +393,7 @@ class DedupSpec extends SparkSpec {
     val budgeted = Dedup.nearDupPairsAutoBudgeted(dupHeavy, "id", "text",
       truthDfCap = None, budget = budget,
       precisionFloorPpm = 0L, recallFloorPpm = 0L)
-    budgeted.select("sample_mod").distinct().as[Int].collect() shouldBe
+    budgeted.select("sample_mod").distinct().as[Long].collect() shouldBe
       Array(expectMod)
     val manual = Dedup.nearDupPairsAuto(dupHeavy, "id", "text",
       truthDfCap = None, sampleMod = expectMod,
@@ -402,6 +402,31 @@ class DedupSpec extends SparkSpec {
         .as[(Int, Long, Long, Double)].collect().toSet shouldBe
       manual.select("rows_per_band", "ia", "ib", "jac")
         .as[(Int, Long, Long, Double)].collect().toSet
+  }
+
+  test("nearDupPairsAutoBudgeted counts SHINGLED docs: a sub-shingleN doc " +
+    "neither inflates the derived mod nor joins any pair") {
+    import spark.implicits._
+    val n = dupHeavy.count()
+    // the budget whose slacked target is EXACTLY n: with the short doc
+    // correctly excluded the derived mod is ceil(n/n) = 1; if it were
+    // (wrongly) counted the mod would jump to ceil((n+1)/n) = 2 and the
+    // whole choice would run on a different sample
+    val b = Iterator.from(n.toInt).map(_.toLong)
+      .find(bb => Dedup.sampleTargetOf(bb) == n).get
+    val short = Seq((999L, "too short")).toDF("id", "text") // 2 tokens < 3
+    val out = Dedup.nearDupPairsAutoBudgeted(dupHeavy.unionByName(short),
+      "id", "text", truthDfCap = None, budget = b,
+      precisionFloorPpm = 0L, recallFloorPpm = 0L)
+    out.select("sample_mod").distinct().as[Long].collect() shouldBe Array(1L)
+    out.filter($"ia" === 999L || $"ib" === 999L).count() shouldBe 0L
+  }
+
+  test("chooseSampleMod stays exact above Int range — the trillion-doc " +
+    "corpus against a small budget") {
+    val m = Dedup.chooseSampleMod(1000000000000L, 400L) // target 340
+    m shouldBe 2941176471L // ceil(1e12 / 340), > 2^31
+    m should be > Int.MaxValue.toLong
   }
 
   test("simhashPairsAutoBudgeted derives the mod from the signature count, " +
@@ -414,7 +439,7 @@ class DedupSpec extends SparkSpec {
     val budgeted = Dedup.simhashPairsAutoBudgeted(dupHeavy, "id", "text",
       bandConfigs = Seq(2, 3, 4), maxDist = 8, budget = budget,
       precisionFloorPpm = 0L, recallFloorPpm = 0L)
-    budgeted.select("sample_mod").distinct().as[Int].collect() shouldBe
+    budgeted.select("sample_mod").distinct().as[Long].collect() shouldBe
       Array(expectMod)
     val manual = Dedup.simhashPairsAuto(dupHeavy, "id", "text",
       Seq(2, 3, 4), maxDist = 8, sampleMod = expectMod,

@@ -456,7 +456,7 @@ class MultimodalSpec extends SparkSpec {
       precisionFloorPpm = 0L, recallFloorPpm = 0L)
     // slacked target 21 >= the 5-row corpus -> derived mod 1
     budgeted.select("sample_mod").distinct().collect()
-      .map(_.getInt(0)).toSeq shouldBe Seq(1)
+      .map(_.getLong(0)).toSeq shouldBe Seq(1L)
     val manual = Multimodal.bandedHammingPairsAuto(hashes, maxDist = 4,
       bandConfigs = Seq(2, 4), sampleMod = 1,
       precisionFloorPpm = 0L, recallFloorPpm = 0L)

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import graft.ops.{StoreRoot, TempFiles}
+
+/** The pointer-root publish protocol shared by the retrain/reband
+  * lifecycles: the pointer flip must be ATOMIC — at every instant a
+  * concurrent reader (or a crash-then-reopen) sees either the previous
+  * version or the new one, never a root with no `_latest`. The
+  * pre-r16 delete-then-rename shape had exactly that window; this
+  * suite races a polling reader against a publish loop to pin the
+  * overwriting-rename contract.
+  */
+class StoreRootSpec extends SparkSpec {
+
+  test("flipPointer is atomic: a concurrent reader polling pointerOf never " +
+    "observes a missing pointer while publishes race past it") {
+    TempFiles.withTempDir("graft-storeroot") { dir =>
+      val root = new Path(dir.getAbsolutePath)
+      val fs = StoreRoot.fsOf(spark, root)
+      StoreRoot.flipPointer(fs, root, 0)
+      @volatile var failure: Option[String] = None
+      @volatile var stop = false
+      var reads = 0L
+      val reader = new Thread(() => {
+        while (!stop && failure.isEmpty) {
+          if (StoreRoot.pointerOf(fs, root).isEmpty)
+            failure = Some(s"read $reads observed a root with NO pointer " +
+              "mid-publish — the flip is not atomic")
+          reads += 1
+        }
+      })
+      reader.start()
+      try (1 to 200).foreach(v => StoreRoot.flipPointer(fs, root, v))
+      finally { stop = true; reader.join(30000) }
+      failure shouldBe None
+      assert(reads > 0, "the reader thread never got a read in")
+      StoreRoot.pointerOf(fs, root) shouldBe Some(200)
+    }
+  }
+
+  test("a crash mid-sweep (two markers on disk) still resolves to the newest " +
+    "version, and the next publish reclaims the leftovers") {
+    TempFiles.withTempDir("graft-storeroot-stale") { dir =>
+      val root = new Path(dir.getAbsolutePath)
+      val fs = StoreRoot.fsOf(spark, root)
+      StoreRoot.flipPointer(fs, root, 3)
+      // simulate a publish that crashed between the marker create and
+      // the old-marker sweep: both markers present — max wins
+      fs.create(new Path(root, "_latest.v=4"), true).close()
+      StoreRoot.pointerOf(fs, root) shouldBe Some(4)
+      StoreRoot.flipPointer(fs, root, 5)
+      StoreRoot.pointerOf(fs, root) shouldBe Some(5)
+      // the sweep reclaimed every older marker
+      fs.globStatus(new Path(root, "_latest.v=*")).length shouldBe 1
+    }
+  }
+}
