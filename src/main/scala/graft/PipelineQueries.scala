@@ -52,14 +52,21 @@ object PipelineQueries {
 
   /** Shared hashed-shingle-set CTE: distinct (id, hash60(3-gram)) per
     * id — mirrors `Dedup.shingleHashSet` (the pipeline shuffles 8-byte
-    * hashes, never shingle strings).
+    * hashes, never shingle strings). The source frame is a PARAMETER
+    * (default `corpus`) — oracle builders that shingle a different
+    * relation (a hash-gated `sample`, an inlined documents subquery)
+    * pass it here instead of text-surgering the emitted SQL, so a
+    * future change to this CTE's shape can never make a `.replace`
+    * silently miss and read the wrong frame.
     */
-  val shingleSql: String =
+  def shingleSqlFrom(frame: String): String =
     s"""sh AS (
       |  SELECT DISTINCT id, ${hash60Sql("sh")} AS h
       |  FROM (SELECT id, unnest(list_transform(generate_series(1, len(toks) - 2),
       |          i -> array_to_string(toks[i:i+2], ' '))) AS sh
-      |        FROM (SELECT id, string_split_regex(text, '\\s+') AS toks FROM corpus)))""".stripMargin
+      |        FROM (SELECT id, string_split_regex(text, '\\s+') AS toks FROM $frame)))""".stripMargin
+
+  val shingleSql: String = shingleSqlFrom("corpus")
 
   // ---- D1: exact dedup ------------------------------------------------
 
@@ -1621,7 +1628,7 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
   val t4FingerprintSql: String =
-    s"""WITH ${shingleSql.replace("FROM corpus", "FROM (SELECT doc_id AS id, text FROM documents) corpus")}
+    s"""WITH ${shingleSqlFrom("(SELECT doc_id AS id, text FROM documents) corpus")}
        |SELECT id AS doc_id, MIN(h) AS fp_min,
        |  MAX(h) AS fp_max, COUNT(*) AS n_shingles
        |FROM sh GROUP BY 1 ORDER BY doc_id""".stripMargin

@@ -72,7 +72,7 @@ object Round13Queries {
        |sample AS (
        |  SELECT id, text FROM corpus
        |  WHERE ${TextOps.hash60Sql("CAST(id AS VARCHAR)")} % 2 = 0),
-       |${PipelineQueries.shingleSql.replace("FROM corpus", "FROM sample")},
+       |${PipelineQueries.shingleSqlFrom("sample")},
        |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT x.id AS ia, y.id AS ib, COUNT(*) AS inter

@@ -126,7 +126,7 @@ object Round14Queries {
        |sample AS (
        |  SELECT id, text FROM corpusB
        |  WHERE ${TextOps.hash60Sql("CAST(id AS VARCHAR)")} % 2 = 0),
-       |${PipelineQueries.shingleSql.replace("FROM corpus", "FROM sample")},
+       |${PipelineQueries.shingleSqlFrom("sample")},
        |perdoc AS (
        |  SELECT id, string_agg(CAST(h AS VARCHAR), ',' ORDER BY h) AS ck
        |  FROM sh GROUP BY id),
