@@ -1284,7 +1284,7 @@ object Queries {
     "q_c19_edit_distance" -> c19EditDistance
   ) ++ WindowQueries.all ++ PipelineQueries.all ++ ScalarQueries.all ++
     TemporalQueries.all ++ SketchQueries.all ++ MaintainQueries.all ++
-    StreamQueries.all ++ CurationQueries.all ++ RoundNineQueries.all ++ Round13Queries.all ++ Round14Queries.all ++ Round15Queries.all
+    StreamQueries.all ++ CurationQueries.all ++ RoundNineQueries.all ++ Round13Queries.all ++ Round14Queries.all ++ Round15Queries.all ++ Round16Queries.all
 
   val oracles: Map[String, String] = Map(
     "q_f1_snapshot" -> f1SnapshotSql,
@@ -1336,5 +1336,5 @@ object Queries {
     "q_c19_edit_distance" -> c19EditDistanceSql
   ) ++ WindowQueries.oracles ++ PipelineQueries.oracles ++ ScalarQueries.oracles ++
     TemporalQueries.oracles ++ SketchQueries.oracles ++ MaintainQueries.oracles ++
-    StreamQueries.oracles ++ CurationQueries.oracles ++ RoundNineQueries.oracles ++ Round13Queries.oracles ++ Round14Queries.oracles ++ Round15Queries.oracles
+    StreamQueries.oracles ++ CurationQueries.oracles ++ RoundNineQueries.oracles ++ Round13Queries.oracles ++ Round14Queries.oracles ++ Round15Queries.oracles ++ Round16Queries.oracles
 }

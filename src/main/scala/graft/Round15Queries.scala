@@ -276,7 +276,7 @@ object Round15Queries {
     * committed views the serves actually ran against (A = batches
     * 1+2 = vid%3 ∈ {1,2}; B = all three).
     */
-  private def st24StateCtes(tag: String, pred: String): String =
+  private[graft] def st24StateCtes(tag: String, pred: String): String =
     s"""corpus$tag AS (SELECT vid, e FROM corpus WHERE $pred),
        |a$tag AS (SELECT vid, cid, e FROM (
        |  SELECT c2.vid, c.cid, c2.e,
@@ -286,7 +286,7 @@ object Round15Queries {
        |brute$tag AS (SELECT vid FROM corpus$tag, tq
        |  ORDER BY ${cosSql("e", "tqe")} DESC, vid LIMIT 10)""".stripMargin
 
-  private def st24TuneBlock(tag: String, np: Int): String =
+  private[graft] def st24TuneBlock(tag: String, np: Int): String =
     s"""tscan$tag$np AS (SELECT a.vid, ${cosSql("a.e", "tq.tqe")} AS cs
        |  FROM a$tag a JOIN tc$np USING (cid), tq),
        |ttop$tag$np AS (SELECT vid FROM tscan$tag$np ORDER BY cs DESC, vid LIMIT 10),
@@ -295,14 +295,14 @@ object Round15Queries {
        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ttop$tag$np JOIN brute$tag USING (vid))
        |    * 1000000 // 10 AS recall_ppm)""".stripMargin
 
-  private def st24ServeBlock(tag: String, qn: String, np: Int): String =
+  private[graft] def st24ServeBlock(tag: String, qn: String, np: Int): String =
     s"""serve$tag$qn$np AS (
        |  SELECT vec_id, cid, cos_sim FROM (
        |    SELECT a.vid AS vec_id, a.cid, ${cosSql("a.e", s"q$qn.qq$qn")} AS cos_sim
        |    FROM a$tag a JOIN sc$qn$np USING (cid), q$qn
        |    ORDER BY cos_sim DESC, a.vid LIMIT 10))""".stripMargin
 
-  private def st24ServePick(id: Int, tag: String, qn: String): String =
+  private[graft] def st24ServePick(id: Int, tag: String, qn: String): String =
     Seq(1, 2, 4).map(np =>
       s"""  SELECT $id AS serve_id, vec_id, cid, cos_sim, $np AS nprobe
          |  FROM serve$tag$qn$np WHERE $np = (SELECT nprobe FROM sel$tag)""".stripMargin)

@@ -145,16 +145,71 @@ final class IvfIndexStore private (spark: SparkSession, dir: String,
   /** One certified serving state: the committed version it was tuned
     * against (the latest committed batch number — the store's logical
     * version: ingest and compact both move it), the anchor/config
-    * inputs it is valid for, the certified width, and the materialized
-    * effective view it serves from. At most ONE memo is live, released
-    * the moment state moves — the view is a `persist`, not a
-    * `localCheckpoint`, so a lost executor recomputes it from the
-    * committed parquet instead of killing the serving instance.
+    * CONTENT fingerprints it is valid for, the certified width, and
+    * the materialized effective view it serves from. At most ONE memo
+    * is live, released the moment state moves — the view is a
+    * `persist`, not a `localCheckpoint`, so a lost executor recomputes
+    * it from the committed parquet instead of killing the serving
+    * instance.
     */
-  private final case class Certified(version: Int, tuneRef: AnyRef, k: Int,
-                                     nprobes: Seq[Int], floorPpm: Long,
-                                     width: Int, eff: DataFrame)
+  private final case class Certified(version: Int, anchorFp: String,
+                                     configFp: String, width: Int,
+                                     eff: DataFrame)
   private var cert: Option[Certified] = None
+
+  /** Anchor frames keyed by REFERENCE to their content fingerprint —
+    * the common serving pattern passes one frame per epoch, and this
+    * identity cache means it pays the anchor collect once; a re-created
+    * frame with the same rows re-collects, lands on the same
+    * fingerprint, and still hits the memo (content-keyed, unlike the
+    * pre-r16 `eq` check that spuriously re-certified it). Weak keys:
+    * the cache never pins a dropped frame.
+    */
+  private val anchorFps =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, String]())
+
+  /** Canonical content fingerprint of a bounded anchor query: its `e`
+    * vectors rendered by exact double round-trip, SORTED (row order is
+    * not content), under an algebra-version prefix — the
+    * [[IvfIndexStore.open]] centroid-fingerprint rule applied to the
+    * tuning input. The collect is bounded by the anchor contract (the
+    * tuning pass itself collects scalars over the same frame).
+    */
+  private def anchorFpOf(tuneQuery: DataFrame): String = {
+    Option(anchorFps.get(tuneQuery)).getOrElse {
+      val repr = ("ivf-anchor-alg=1" +:
+        tuneQuery.select(col("e").cast(ArrayType(DoubleType))).collect()
+          .map(_.getSeq[Double](0).mkString(",")).sorted.toIndexedSeq)
+        .mkString("\n")
+      val fp = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      anchorFps.put(tuneQuery, fp)
+      fp
+    }
+  }
+
+  /** The persisted form of one certification decision: a tiny file
+    * whose NAME carries (version, anchor fp, config fp) and whose body
+    * is the certified width — the `_tuned_rpb` birth-choice pattern
+    * applied to the serving tier, so a RESTARTED process serving
+    * unchanged state re-pays neither the shadowing assembly's anchor
+    * truth pass nor a spurious re-certification. Versions are
+    * monotone within a store directory (ingest and compact both take
+    * max+1), so a stale file is simply never read again; [[compact]]
+    * sweeps the old-version files.
+    */
+  private def certPath(version: Int, anchorFp: String, configFp: String): Path =
+    new Path(root, s"_certified/v=$version,a=${anchorFp.take(16)}," +
+      s"c=$configFp")
+
+  private def readCertified(version: Int, anchorFp: String,
+                            configFp: String): Option[Int] = {
+    val p = certPath(version, anchorFp, configFp)
+    if (!fs.exists(p)) None
+    else scala.util.Try(KeepBestIndexStore.readText(fs, p).trim.toInt)
+      .toOption // a torn write re-certifies and overwrites — never throws
+  }
 
   /** Drop the memoized certification and release its pinned view —
     * called by every mutation: the width was certified against state
@@ -178,36 +233,48 @@ final class IvfIndexStore private (spark: SparkSession, dir: String,
     * MEMOIZED per committed version + anchor/config, so N serves
     * between ingests pay ONE shadowing assembly and ONE anchor truth
     * pass, re-certifying exactly when ingest/compact move the version.
-    * The anchor query is keyed by reference — pass the same frame per
-    * serving epoch (a different anchor frame re-certifies, correctly).
-    * Serve results are eagerly checkpointed so they outlive a later
-    * invalidation's release of the view.
+    * The anchor is keyed by CONTENT fingerprint — a re-created frame
+    * with the same rows (the normal event after a frame re-read) hits
+    * the memo; different rows re-certify, correctly. The decision is
+    * also PERSISTED beside the store (`_certified/`, the `_tuned_rpb`
+    * pattern): a restarted serving process on unchanged state pays the
+    * one shadowing assembly the state inherently costs but ZERO
+    * re-certification — `certifications` stays 0 on the reopened
+    * instance (q_st27 gates close-reopen-serve; IvfStoreSpec pins the
+    * re-created-anchor hit). Serve results are eagerly checkpointed so
+    * they outlive a later invalidation's release of the view.
     */
   def searchAuto(tuneQuery: DataFrame, serveQuery: DataFrame,
                  k: Int, nprobes: Seq[Int],
                  recallFloorPpm: Long): DataFrame = {
     val version = committed.lastOption.getOrElse(-1)
-    val hit = cert.filter(c => c.version == version && (c.tuneRef eq tuneQuery) &&
-      c.k == k && c.nprobes == nprobes && c.floorPpm == recallFloorPpm)
+    val aFp = anchorFpOf(tuneQuery)
+    val cFp = s"k${k}_np${nprobes.mkString("-")}_f$recallFloorPpm"
+    val hit = cert.filter(c => c.version == version && c.anchorFp == aFp &&
+      c.configFp == cFp)
     val c = hit.getOrElse {
       invalidateCert()
       val eff = assigned
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       eff.count()
-      val choice =
-        try Vectors.tuningRows(eff, centroids, tuneQuery, k, nprobes)
-          .filter(_._3 >= recallFloorPpm)
-          .sortBy(r => (r._2, r._1)).headOption.map(_._1)
-        catch { case e: Throwable => eff.unpersist(); throw e }
-      if (choice.isEmpty) eff.unpersist()
-      require(choice.nonEmpty,
-        s"IvfIndexStore.searchAuto: no probe width in $nprobes reaches recall " +
-          s"$recallFloorPpm ppm on the anchor query — widen nprobes or lower " +
-          "the floor (a silent default would serve traffic at a recall the " +
-          "floor just rejected)")
-      certifications += 1
-      val built = Certified(version, tuneQuery, k, nprobes, recallFloorPpm,
-        choice.get, eff)
+      val width = readCertified(version, aFp, cFp).getOrElse {
+        val choice =
+          try Vectors.tuningRows(eff, centroids, tuneQuery, k, nprobes)
+            .filter(_._3 >= recallFloorPpm)
+            .sortBy(r => (r._2, r._1)).headOption.map(_._1)
+          catch { case e: Throwable => eff.unpersist(); throw e }
+        if (choice.isEmpty) eff.unpersist()
+        require(choice.nonEmpty,
+          s"IvfIndexStore.searchAuto: no probe width in $nprobes reaches recall " +
+            s"$recallFloorPpm ppm on the anchor query — widen nprobes or lower " +
+            "the floor (a silent default would serve traffic at a recall the " +
+            "floor just rejected)")
+        certifications += 1
+        KeepBestIndexStore.writeText(fs, certPath(version, aFp, cFp),
+          choice.get.toString)
+        choice.get
+      }
+      val built = Certified(version, aFp, cFp, width, eff)
       cert = Some(built)
       built
     }
@@ -257,6 +324,10 @@ final class IvfIndexStore private (spark: SparkSession, dir: String,
       .write.parquet(new Path(bdir, "assigned").toString)
     fs.create(new Path(bdir, "_COMMIT"), true).close()
     bs.foreach(o => fs.delete(new Path(root, s"b=$o"), true))
+    // every persisted certification references a version < n (versions
+    // are monotone and n was just created) — reclaim them all with the
+    // shadowed batches
+    fs.delete(new Path(root, "_certified"), true)
     committedCache = Some(Seq(n))
     invalidateCert() // compaction moves the version too
   }

@@ -227,6 +227,51 @@ class IvfStoreSpec extends SparkSpec {
     }
   }
 
+  test("the certification PERSISTS beside the store: a reopened instance on " +
+    "unchanged state pays ZERO re-certification, a content-identical " +
+    "re-created anchor frame hits the memo, and compact reclaims the files") {
+    import spark.implicits._
+    TempFiles.withTempDir("ivfstore-certpersist") { root =>
+      val dir = new java.io.File(root, "s").getAbsolutePath
+      val idx = IvfIndexStore.open(spark, dir, centroids)
+      idx.ingest(batch(1L, 3L))
+      idx.ingest(batch(2L, 4L))
+      val tune = Seq(Tuple1(Seq(1.0, 0.0))).toDF("e")
+      val serveQ = Seq(Tuple1(Seq(0.9, 0.1))).toDF("e")
+      val r1 = idx.searchAuto(tune, serveQ, k = 2, nprobes = Seq(1, 2),
+        recallFloorPpm = 1000000L).collect()
+      idx.certifications shouldBe 1
+      // content-identical but RE-CREATED anchor frame (same rows, new
+      // object): content keying hits the memo — the pre-r16 reference
+      // keying re-certified here, spuriously
+      val tuneAgain = Seq(Tuple1(Seq(1.0, 0.0))).toDF("e")
+      idx.searchAuto(tuneAgain, serveQ, k = 2, nprobes = Seq(1, 2),
+        recallFloorPpm = 1000000L).collect()
+      idx.certifications shouldBe 1
+      // THE RESTART: a fresh instance on the same dir reads the
+      // persisted decision — zero re-certification, identical serves
+      val re = IvfIndexStore.open(spark, dir, centroids)
+      val r2 = re.searchAuto(tuneAgain, serveQ, k = 2, nprobes = Seq(1, 2),
+        recallFloorPpm = 1000000L).collect()
+      re.certifications shouldBe 0
+      r2.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+        r1.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // a DIFFERENT config is a different persisted question
+      re.searchAuto(tuneAgain, serveQ, k = 2, nprobes = Seq(2),
+        recallFloorPpm = 1000000L).collect()
+      re.certifications shouldBe 1
+      // compact moves the version and sweeps every stale _certified
+      // file; the next serve re-certifies against the new version
+      re.compact()
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(new org.apache.hadoop.fs.Path(dir, "_certified")) shouldBe false
+      re.searchAuto(tuneAgain, serveQ, k = 2, nprobes = Seq(1, 2),
+        recallFloorPpm = 1000000L).collect()
+      re.certifications shouldBe 2
+    }
+  }
+
   test("openPinned resumes a store from its own persisted centroid layout, " +
     "bit-identical to reopening with the original centroids") {
     TempFiles.withTempDir("ivfstore-pinned") { root =>
