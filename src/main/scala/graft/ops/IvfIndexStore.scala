@@ -59,24 +59,41 @@ final class IvfIndexStore private (spark: SparkSession, dir: String,
   private def empty(st: StructType): DataFrame =
     spark.createDataFrame(java.util.Collections.emptyList[Row](), st)
 
-  /** Committed-set cache, valid ONLY between this instance's own
-    * mutations — the [[KeepBestIndexStore]] rule: the single-writer
-    * contract makes the writer's view authoritative, so mutations list
-    * once and maintain the set (O(1) object-store round trips per tick
-    * in history length); a pure reader never populates it and re-lists
-    * every call.
+  /** Committed-set SNAPSHOT, pinned at open and maintained by this
+    * instance's own mutations (the single-writer contract makes the
+    * writer's view authoritative): every read serves the at-open
+    * state — snapshot isolation at version granularity, the same
+    * promise the pointer-root gives across versions — and a long-lived
+    * PURE READER pays exactly ONE object-store LIST at open, not one
+    * per view assembly (the pre-r16 reader re-listed every call).
+    * [[refresh]] re-pins explicitly when a reader wants to observe the
+    * single writer's later commits. Mutations still list fresh at the
+    * start of their tick — a pinned snapshot can never make the writer
+    * stale.
     */
   private var committedCache: Option[Seq[Int]] = None
+
+  /** Re-pin the committed-set snapshot to the store's CURRENT on-disk
+    * state — the reader's explicit "observe the writer's new commits"
+    * hook. One LIST.
+    */
+  def refresh(): Unit = committedCache = Some(listCommitted)
 
   /** Committed batch numbers, ascending — a batch exists iff its
     * `_COMMIT` marker does.
     */
   private def committed: Seq[Int] = committedCache.getOrElse(listCommitted)
 
+  /** LIST calls actually paid — observability for the one-LIST-per-
+    * reader-open contract (IvfStoreSpec counts them).
+    */
+  private[graft] var listCalls: Long = 0L
+
   /** One glob listing collects every marker — a single namenode/LIST
     * round trip, never a per-directory `exists` cascade.
     */
   private def listCommitted: Seq[Int] = {
+    listCalls += 1
     if (!fs.exists(root)) return Seq.empty
     Option(fs.globStatus(new Path(root, "b=*/_COMMIT"))).toSeq.flatten
       .map(_.getPath.getParent.getName)
@@ -431,7 +448,9 @@ object IvfIndexStore {
         case _ => ()
       }
     }
-    new IvfIndexStore(spark, dir, pinned, compactEvery)
+    val st = new IvfIndexStore(spark, dir, pinned, compactEvery)
+    st.refresh() // pin the at-open snapshot: a pure reader LISTs once
+    st
   }
 
   /** Open a store from its OWN persisted centroid layout (`_centroids`,

@@ -77,16 +77,25 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
   private def empty(st: StructType): DataFrame =
     spark.createDataFrame(java.util.Collections.emptyList[Row](), st)
 
-  /** Committed-set cache, valid ONLY between this instance's own
-    * mutations: the single-writer contract makes the writer's view
-    * authoritative (nothing else appends or compacts), so [[ingest]]
-    * lists ONCE per tick and maintains the set itself — O(1)
-    * object-store round-trips per tick in history length instead of
-    * O(batches) `exists` probes per [[committed]] call. A pure READER
-    * instance never mutates, never populates the cache, and re-lists
-    * on every view assembly — always fresh.
+  /** Committed-set SNAPSHOT, pinned at open and maintained by this
+    * instance's own mutations (the single-writer contract makes the
+    * writer's view authoritative — nothing else appends or compacts):
+    * every read serves the at-open state, and a long-lived PURE READER
+    * pays exactly ONE object-store LIST at open instead of one per
+    * view assembly (the pre-r16 reader re-listed every call).
+    * [[refresh]] re-pins explicitly when a reader wants to observe the
+    * single writer's later commits. [[ingest]] still lists fresh at
+    * the start of its tick — a pinned snapshot can never make the
+    * writer stale — and maintains the set itself afterwards (O(1)
+    * round-trips per tick in history length).
     */
   private var committedCache: Option[Seq[Int]] = None
+
+  /** Re-pin the committed-set snapshot to the store's CURRENT on-disk
+    * state — the reader's explicit "observe the writer's new commits"
+    * hook. One LIST.
+    */
+  def refresh(): Unit = committedCache = Some(listCommitted)
 
   /** Committed batch numbers, ascending — a batch exists iff its
     * `_COMMIT` marker does (the write order makes the marker the
@@ -94,10 +103,16 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     */
   private def committed: Seq[Int] = committedCache.getOrElse(listCommitted)
 
+  /** LIST calls actually paid — observability for the one-LIST-per-
+    * reader-open contract (KeepBestStoreSpec counts them).
+    */
+  private[graft] var listCalls: Long = 0L
+
   /** One glob listing collects every marker — a single namenode/LIST
     * round trip, never a per-directory `exists` cascade.
     */
   private def listCommitted: Seq[Int] = {
+    listCalls += 1
     if (!fs.exists(root)) return Seq.empty
     Option(fs.globStatus(new Path(root, "b=*/_COMMIT"))).toSeq.flatten
       .map(_.getPath.getParent.getName)
@@ -375,8 +390,10 @@ object KeepBestIndexStore {
           "delete this one) to run with the new parameters")
     } else writeText(fs, fpPath, fp)
     sweepPartials(fs, root)
-    new KeepBestIndexStore(spark, dir, shingleN, k, Some(rowsPerBand),
+    val st = new KeepBestIndexStore(spark, dir, shingleN, k, Some(rowsPerBand),
       threshold, compactEvery, tuning = None)
+    st.refresh() // pin the at-open snapshot: a pure reader LISTs once
+    st
   }
 
   /** Open a store whose banding is CHOSEN AT BIRTH — the
@@ -420,8 +437,10 @@ object KeepBestIndexStore {
         None
       }
     sweepPartials(fs, root)
-    new KeepBestIndexStore(spark, dir, shingleN, k, stored, threshold,
+    val st = new KeepBestIndexStore(spark, dir, shingleN, k, stored, threshold,
       compactEvery, tuning = Some(tune))
+    st.refresh() // pin the at-open snapshot: a pure reader LISTs once
+    st
   }
 
   // ---- Pointer-managed serving root (the reband lifecycle) ------------

@@ -272,6 +272,30 @@ class IvfStoreSpec extends SparkSpec {
     }
   }
 
+  test("a pure reader pays exactly ONE LIST at open across N reads — the " +
+    "pinned snapshot — and refresh() re-pins to observe the writer's later " +
+    "commits") {
+    import spark.implicits._
+    TempFiles.withTempDir("ivfstore-readerpin") { root =>
+      val dir = new java.io.File(root, "s").getAbsolutePath
+      val w = IvfIndexStore.open(spark, dir, centroids)
+      w.ingest(batch(1L, 3L))
+      val r = IvfIndexStore.open(spark, dir, centroids)
+      r.listCalls shouldBe 1L // the at-open pin, nothing else
+      cellOf(r) shouldBe Map(1L -> 0L, 3L -> 1L)
+      top(r)
+      r.assigned.count()
+      r.listCalls shouldBe 1L // N reads, zero new LISTs
+      // snapshot semantics: the single writer's later commit is
+      // invisible until the reader explicitly re-pins
+      w.ingest(batch(2L))
+      cellOf(r).keySet should not contain 2L
+      r.refresh()
+      r.listCalls shouldBe 2L
+      cellOf(r) shouldBe Map(1L -> 0L, 2L -> 0L, 3L -> 1L)
+    }
+  }
+
   test("openPinned resumes a store from its own persisted centroid layout, " +
     "bit-identical to reopening with the original centroids") {
     TempFiles.withTempDir("ivfstore-pinned") { root =>

@@ -60,6 +60,28 @@ class KeepBestStoreSpec extends SparkSpec {
     }
   }
 
+  test("a pure reader pays exactly ONE LIST at open across N reads — the " +
+    "pinned snapshot — and refresh() re-pins to observe the writer's later " +
+    "commits") {
+    TempFiles.withTempDir("kbstore-readerpin") { root =>
+      val dir = new java.io.File(root, "s").getAbsolutePath
+      val w = KeepBestIndexStore.open(spark, dir)
+      w.ingest(batch(1L, 4L), "id", "text", col("sc"))
+      val r = KeepBestIndexStore.open(spark, dir)
+      r.listCalls shouldBe 1L // the at-open pin, nothing else
+      surv(r) shouldBe Map(1L -> 10L, 4L -> 5L)
+      r.survivors.count()
+      r.listCalls shouldBe 1L // N reads, zero new LISTs
+      // snapshot semantics: the single writer's later commit is
+      // invisible until the reader explicitly re-pins
+      w.ingest(batch(2L), "id", "text", col("sc"))
+      surv(r) shouldBe Map(1L -> 10L, 4L -> 5L)
+      r.refresh()
+      r.listCalls shouldBe 2L
+      surv(r) shouldBe Map(2L -> 30L, 4L -> 5L)
+    }
+  }
+
   test("re-delivery REPLACES logically over append-only storage: a re-delivered " +
     "id never ranks against its stale copy, and a content update moves the id " +
     "to its new cluster (the KeepBestIndex contract, store-backed)") {
