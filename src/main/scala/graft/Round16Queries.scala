@@ -126,11 +126,259 @@ object Round16Queries {
        |ORDER BY serve_id, cos_sim DESC, vec_id""".stripMargin
   }
 
+  // ---- ST28: the composed maintenance tick -------------------------------
+
+  /** The drift fixture for the maintenance tick: planted 8-dim
+    * clustered vectors (the q_st25 jitter recipe — fully
+    * SQL-replayable) whose CLUSTER DISTRIBUTION drifts across the
+    * stream's batches. Batch membership is `vid % 3` (1 → first, 2 →
+    * second, 0 → third; vid 0 reserved as the anchor); with g = vid/3,
+    * the first batch is uniform over the 8 clusters (cluster = g % 8 —
+    * round-robin, so its imbalance under the axis layout is ~10000 at
+    * every scale), while the later batches are DRIFTED: cluster 0 for
+    * 75% of vids (g % 4 ≠ 0) and g % 8 for the rest — ~87.5% of their
+    * mass lands in cell 0, driving the post-batch-2 imbalance to
+    * ~40000 deterministically.
+    */
+  private[graft] def st28Vecs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d).select($"vec_id".as("vid"))
+      .withColumn("g", ($"vid" / 3).cast("long"))
+      .withColumn("cluster",
+        when(pmod($"vid", lit(3L)) === 1, pmod($"g", lit(8L)))
+          .otherwise(when(pmod($"g", lit(4L)) =!= 0, lit(0L))
+            .otherwise(pmod($"g", lit(8L)))))
+      .withColumn("e", transform(sequence(lit(1), lit(8)), dd =>
+        when($"cluster" === (dd - lit(1)).cast("long"), lit(1.0))
+          .otherwise(lit(0.0)) +
+        pmod(graft.ops.TextOps.hash60(concat($"vid".cast("string"), lit("_"),
+            dd.cast("string"))), lit(1000L)).cast("double") / lit(10000.0)))
+      .select($"vid", $"e")
+  }
+
+  /** The birth layout: the 8 unit axes — correct for the first batch's
+    * uniform distribution, stale once the drift arrives.
+    */
+  private[graft] def st28AxisCentroids(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 until 8).map(c => (c.toLong, Seq.tabulate(8)(dd =>
+        if (dd == c) 1.0 else 0.0)))
+      .toDF("cid", "ce").localCheckpoint(eager = true)
+  }
+
+  /** The q_st28 policy threshold, MEASURED (St28Probe, sf0.001/0.01/
+    * 0.1): tick-1 imbalance ~10060-10074 (the uniform batch under the
+    * axis layout — round-robin clusters, so ~1.0× at every scale),
+    * tick-2 ~39879-40030 (the drifted batch concentrates ~87.5% of its
+    * mass in cell 0), tick-3 ~17955-19289 (the same drift arriving on
+    * the RETRAINED layout, which splits the hot blob). 25000 sits
+    * between the firing state (~40000) and both quiet states with wide
+    * margins in both directions — the tick-3 reading rises mildly with
+    * scale (17955 → 19289 across 4×), so 20000 would have been a
+    * coin flip at the decade.
+    */
+  val st28MaxImbalance1e4 = 25000L
+
+  /** Write `df` as exactly ONE parquet file named `name` under `dir`
+    * with a forced modification time — the file-source micro-batch
+    * ORDER is (modTime, path), and the maintenance tick's trajectory
+    * is order-sensitive (the uniform batch must land before the
+    * drifted one), so the gate controls both keys instead of hoping.
+    */
+  private def writeSingleFile(df: DataFrame, dir: java.io.File, name: String,
+                              mtime: Long): Unit = {
+    val tmp = new java.io.File(dir.getParentFile, name + ".tmp")
+    df.repartition(1).write.parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"st28: no part file under $tmp"))
+    dir.mkdirs()
+    val dst = new java.io.File(dir, name)
+    require(part.renameTo(dst), s"st28: rename to $dst failed")
+    dst.setLastModified(mtime)
+    graft.ops.TempFiles.rmTree(tmp)
+  }
+
+  /** ST28: THE COMPOSED MAINTENANCE TICK — q_st25's lifecycle wired
+    * where production runs it: inside a streaming ingest over the
+    * pointer-managed root ([[IvfIndexStore.maintainedIngest]] — ingest
+    * into the live version, read the q_e14 health metric, fire the
+    * retrain rebuild when it crosses the policy). The drift fixture
+    * streams three micro-batches: uniform (tick 1 stays quiet, imb
+    * ~1.0×), drifted (tick 2 crosses ~4.0× → k-means retrain into a
+    * fresh fingerprinted `v=1`, atomic marker flip, MID-STREAM — the
+    * first stream is one AvailableNow run over two order-controlled
+    * files), then THE KILL: the first stream's instance is gone, and a
+    * second stream delivers the third drifted batch, whose tick opens
+    * the root and lands on `v=1` as if the flip had happened in its
+    * own process (tick 3 stays quiet on the retrained layout, ~1.9×).
+    * Engine-`require`s pin the whole trajectory (versions 0→1→1, imb
+    * quiet/fire/quiet). Readers never observe a torn state: `v=0` is
+    * untouched by the flip — serve 2 re-opens it pinned AFTER
+    * everything and serves exactly the pre-flip state. The oracle
+    * replays both epochs end to end: axis assignment + both imbalance
+    * readings, the three Lloyd iterations over the tick-2 state, the
+    * post-flip assignment + tick-3 imbalance, and both serves.
+    * Columns: serve_id (1 = live v=1, 2 = pinned v=0), vec_id,
+    * cos_sim, imb_t1/t2/t3, live_version.
+    */
+  val st28MaintainedStream: Q = (s, d) => {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    graft.ops.TempFiles.withTempDir("graft-st28") { root =>
+      val vroot = new java.io.File(root, "live").getAbsolutePath
+      val vecs = st28Vecs(s, d).localCheckpoint(eager = true)
+      val corpus = vecs.filter($"vid" >= 1)
+      val anchor = vecs.filter($"vid" === 0).select($"e").localCheckpoint(true)
+      IvfIndexStore.createLive(s, vroot, st28AxisCentroids(s))
+      val now = System.currentTimeMillis()
+      val src1 = new java.io.File(root, "src1")
+      writeSingleFile(corpus.filter(pmod($"vid", lit(3L)) === 1), src1,
+        "b1.parquet", now - 60000)
+      writeSingleFile(corpus.filter(pmod($"vid", lit(3L)) === 2), src1,
+        "b2.parquet", now - 30000)
+      val ticks = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+      def run(src: java.io.File): Unit = {
+        val schema = s.read.parquet(src.getAbsolutePath).schema
+        val step: (Dataset[Row], Long) => Unit = (batch, _) =>
+          ticks.add(IvfIndexStore.maintainedIngest(s, vroot, batch.toDF(),
+            st28MaxImbalance1e4, kNew = 8, iters = 3))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src.getAbsolutePath)
+          .writeStream.foreachBatch(step)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run(src1)
+      // THE KILL: the first stream's instance (and every in-memory
+      // store handle) is gone; the root's committed state is the only
+      // survivor. The resume is a new stream delivering the third batch.
+      val src2 = new java.io.File(root, "src2")
+      writeSingleFile(corpus.filter(pmod($"vid", lit(3L)) === 0), src2,
+        "b3.parquet", now)
+      run(src2)
+      val tr = {
+        val it = ticks.iterator(); val b = Seq.newBuilder[(Int, Long)]
+        while (it.hasNext) b += it.next(); b.result()
+      }
+      require(tr.map(_._1) == Seq(0, 1, 1),
+        s"st28: the version trajectory must be 0 -> 1 (mid-stream flip) -> 1, " +
+          s"got ${tr.map(_._1)}")
+      require(tr(0)._2 <= st28MaxImbalance1e4 &&
+          tr(1)._2 > st28MaxImbalance1e4 && tr(2)._2 <= st28MaxImbalance1e4,
+        s"st28: the imbalance trajectory must be quiet/fire/quiet around " +
+          s"$st28MaxImbalance1e4, got ${tr.map(_._2)}")
+      require(IvfIndexStore.liveVersion(s, vroot).contains(1),
+        "st28: the pointer must name the retrained version after the stream")
+      val s1 = IvfIndexStore.openLive(s, vroot)
+        .search(anchor, nProbe = 1, k = 10)
+        .select(lit(1).as("serve_id"), $"vid".as("vec_id"), $"cos_sim")
+      val s2 = IvfIndexStore.openPinned(s,
+          new java.io.File(vroot, "v=0").getAbsolutePath)
+        .search(anchor, nProbe = 1, k = 10)
+        .select(lit(2).as("serve_id"), $"vid".as("vec_id"), $"cos_sim")
+      s1.unionByName(s2)
+        .withColumn("imb_t1", lit(tr(0)._2))
+        .withColumn("imb_t2", lit(tr(1)._2))
+        .withColumn("imb_t3", lit(tr(2)._2))
+        .withColumn("live_version", lit(1L))
+        .orderBy(col("serve_id"), col("cos_sim").desc, col("vec_id"))
+        .localCheckpoint(eager = true)
+    }
+  }
+
+  import Round14Queries.cosSql
+
+  /** One Lloyd iteration over the tick-2 state (`s2`) — the q_st25
+    * replay shape: assign to the previous centroids, per-cell
+    * element-wise mean, COALESCE keeps an emptied cell's previous
+    * centroid.
+    */
+  private def st28KmeansIter(t: Int): String =
+    s"""a_$t AS (SELECT vid, cid, e FROM (
+       |  SELECT c2.vid, c.cid, c2.e,
+       |    ROW_NUMBER() OVER (PARTITION BY c2.vid ORDER BY
+       |      ${cosSql("c2.e", "c.ce")} DESC, c.cid) AS rn
+       |  FROM s2 c2, c_${t - 1} c) WHERE rn = 1),
+       |m_$t AS (SELECT cid, i, AVG(e[i]) AS mv FROM a_$t, dims GROUP BY 1, 2),
+       |c_$t AS (SELECT p.cid, COALESCE(l.ce1, p.ce) AS ce FROM c_${t - 1} p
+       |  LEFT JOIN (SELECT cid, list(mv ORDER BY i) AS ce1 FROM m_$t GROUP BY 1) l
+       |  USING (cid))""".stripMargin
+
+  private def st28Assign(name: String, state: String, cents: String): String =
+    s"""$name AS (SELECT vid, cid, e FROM (
+       |  SELECT c2.vid, c.cid, c2.e,
+       |    ROW_NUMBER() OVER (PARTITION BY c2.vid ORDER BY
+       |      ${cosSql("c2.e", "c.ce")} DESC, c.cid) AS rn
+       |  FROM $state c2, $cents c) WHERE rn = 1)""".stripMargin
+
+  private def st28Imb(name: String, assigned: String): String =
+    s"""$name AS (SELECT CAST(MAX(n) * 8 * 10000 // SUM(n) AS BIGINT) AS i
+       |  FROM (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n
+       |        FROM $assigned GROUP BY 1))""".stripMargin
+
+  val st28MaintainedStreamSql: String =
+    s"""WITH vc AS (
+       |  SELECT vec_id AS vid,
+       |    CASE WHEN vec_id % 3 = 1 THEN (vec_id // 3) % 8
+       |         WHEN (vec_id // 3) % 4 <> 0 THEN 0
+       |         ELSE (vec_id // 3) % 8 END AS cluster
+       |  FROM embeddings),
+       |v AS (
+       |  SELECT vid,
+       |    list_transform(generate_series(1, 8), d ->
+       |      (CASE WHEN cluster = d - 1 THEN 1.0 ELSE 0.0 END)
+       |      + (${graft.ops.TextOps.hash60Sql("CAST(vid AS VARCHAR)||'_'||CAST(d AS VARCHAR)")} % 1000) / 10000.0) AS e
+       |  FROM vc),
+       |corpus AS (SELECT vid, e FROM v WHERE vid >= 1),
+       |b1 AS (SELECT vid, e FROM corpus WHERE vid % 3 = 1),
+       |s2 AS (SELECT vid, e FROM corpus WHERE vid % 3 <> 0),
+       |cent0 AS (
+       |  SELECT cid, list_transform(generate_series(1, 8), d ->
+       |    CASE WHEN d - 1 = cid THEN 1.0 ELSE 0.0 END) AS ce
+       |  FROM (SELECT unnest(generate_series(0, 7)) AS cid)),
+       |${st28Assign("a1", "b1", "cent0")},
+       |${st28Imb("imb1", "a1")},
+       |${st28Assign("a2", "s2", "cent0")},
+       |${st28Imb("imb2", "a2")},
+       |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cid, e AS ce
+       |          FROM s2 ORDER BY vid LIMIT 8),
+       |dims AS (SELECT unnest(generate_series(1, 8)) AS i),
+       |c_0 AS (SELECT cid, ce FROM seeds),
+       |${st28KmeansIter(1)},
+       |${st28KmeansIter(2)},
+       |${st28KmeansIter(3)},
+       |${st28Assign("a3", "corpus", "c_3")},
+       |${st28Imb("imb3", "a3")},
+       |tq AS (SELECT e AS tqe FROM v WHERE vid = 0),
+       |nc AS (SELECT cid FROM c_3, tq ORDER BY ${cosSql("ce", "tqe")} DESC, cid LIMIT 1),
+       |serve1 AS (SELECT vid, cs FROM (
+       |  SELECT a.vid, ${cosSql("a.e", "tq.tqe")} AS cs
+       |  FROM a3 a JOIN nc USING (cid), tq ORDER BY cs DESC, a.vid LIMIT 10)),
+       |oc AS (SELECT cid FROM cent0, tq ORDER BY ${cosSql("ce", "tqe")} DESC, cid LIMIT 1),
+       |serve2 AS (SELECT vid, cs FROM (
+       |  SELECT a.vid, ${cosSql("a.e", "tq.tqe")} AS cs
+       |  FROM a2 a JOIN oc USING (cid), tq ORDER BY cs DESC, a.vid LIMIT 10))
+       |SELECT serve_id, vec_id, cos_sim,
+       |  (SELECT i FROM imb1) AS imb_t1,
+       |  (SELECT i FROM imb2) AS imb_t2,
+       |  (SELECT i FROM imb3) AS imb_t3,
+       |  CAST(1 AS BIGINT) AS live_version
+       |FROM (
+       |  SELECT 1 AS serve_id, vid AS vec_id, cs AS cos_sim FROM serve1
+       |  UNION ALL
+       |  SELECT 2, vid, cs FROM serve2)
+       |ORDER BY serve_id, cos_sim DESC, vec_id""".stripMargin
+
   val all: Map[String, Q] = Map(
-    "q_st27_store_cert_persist" -> st27StoreCertPersist
+    "q_st27_store_cert_persist" -> st27StoreCertPersist,
+    "q_st28_maintained_stream" -> st28MaintainedStream
   )
 
   val oracles: Map[String, String] = Map(
-    "q_st27_store_cert_persist" -> st27StoreCertPersistSql
+    "q_st27_store_cert_persist" -> st27StoreCertPersistSql,
+    "q_st28_maintained_stream" -> st28MaintainedStreamSql
   )
 }

@@ -546,21 +546,65 @@ object IvfIndexStore {
                           compactEvery: Option[Int] = None): Option[IvfIndexStore] = {
     val cur = openLive(spark, root, compactEvery)
     if (cur.imbalance1e4 <= maxImbalance1e4) None
-    else {
-      val r = new Path(root)
-      val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val eff = cur.assigned.select(col("vid"), col("e"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      eff.count()
-      val cents = Vectors.kmeansCentroids(eff, kNew, iters)
-      val next = StoreRoot.nextVersion(fs, r)
-      val dir = StoreRoot.versionDir(r, next)
-      if (fs.exists(dir)) fs.delete(dir, true) // crashed prior attempt
-      val st = open(spark, dir.toString, cents, compactEvery)
-      st.ingest(eff)
-      eff.unpersist()
-      StoreRoot.flipPointer(fs, r, next)
-      Some(st)
-    }
+    else Some(retrainFrom(spark, root, cur, kNew, iters, compactEvery))
+  }
+
+  /** The retrain rebuild itself — k-means on the CURRENT effective
+    * vectors, fresh fingerprinted `v=N+1`, bulk assign, atomic pointer
+    * flip. Shared by [[retrainIfImbalanced]] and the streaming
+    * maintenance tick ([[maintainedIngest]]), which have already made
+    * the policy decision.
+    */
+  private def retrainFrom(spark: SparkSession, root: String,
+                          cur: IvfIndexStore, kNew: Int, iters: Int,
+                          compactEvery: Option[Int]): IvfIndexStore = {
+    val r = new Path(root)
+    val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val eff = cur.assigned.select(col("vid"), col("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    eff.count()
+    val cents = Vectors.kmeansCentroids(eff, kNew, iters)
+    val next = StoreRoot.nextVersion(fs, r)
+    val dir = StoreRoot.versionDir(r, next)
+    if (fs.exists(dir)) fs.delete(dir, true) // crashed prior attempt
+    val st = open(spark, dir.toString, cents, compactEvery)
+    st.ingest(eff)
+    eff.unpersist()
+    StoreRoot.flipPointer(fs, r, next)
+    st
+  }
+
+  /** THE MAINTENANCE TICK — ingest → health metric → conditional
+    * lifecycle, composed as the one step a streaming job runs per
+    * micro-batch over a pointer-managed root (the production shape the
+    * r15 gates invoked manually): fold the batch into the LIVE
+    * version, read the q_e14 imbalance off the updated effective view,
+    * and when it crosses the policy fire the retrain rebuild
+    * ([[retrainFrom]] — fresh fingerprinted `v=N+1`, atomic marker
+    * flip). Serving never tears: the flip is one atomic marker create,
+    * readers pinned to `v=N` keep their snapshot (directories are
+    * never mutated, only superseded), and the next tick's `openLive`
+    * lands on the new version. A kill between ticks resumes exactly —
+    * every sub-step is the already-crash-safe store protocol (q_st28
+    * gates the mid-stream flip + kill/resume end to end).
+    *
+    * Returns (live version after the tick, the imbalance that was
+    * checked) — the stream's observability hook: the version sequence
+    * IS the lifecycle provenance.
+    *
+    * Per-tick cost: the ingest's delta-bounded write, one imbalance
+    * aggregate over the effective view, and — only on a fired tick —
+    * the k-means passes + one bulk assign. Nothing quadratic.
+    */
+  def maintainedIngest(spark: SparkSession, root: String, batch: DataFrame,
+                       maxImbalance1e4: Long, kNew: Int, iters: Int,
+                       compactEvery: Option[Int] = None): (Int, Long) = {
+    val cur = openLive(spark, root, compactEvery)
+    cur.ingest(batch)
+    val imb = cur.imbalance1e4
+    if (imb > maxImbalance1e4)
+      retrainFrom(spark, root, cur, kNew, iters, compactEvery)
+    (liveVersion(spark, root).getOrElse(
+      sys.error(s"maintainedIngest: $root lost its pointer mid-tick")), imb)
   }
 }

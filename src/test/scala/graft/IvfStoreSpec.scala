@@ -272,6 +272,32 @@ class IvfStoreSpec extends SparkSpec {
     }
   }
 
+  test("maintainedIngest composes ingest -> health -> conditional retrain: a " +
+    "quiet tick keeps the version, a crossing tick flips it mid-sequence, " +
+    "and the superseded version stays readable") {
+    import spark.implicits._
+    TempFiles.withTempDir("ivfstore-maintained") { root =>
+      val vroot = new java.io.File(root, "live").getAbsolutePath
+      IvfIndexStore.createLive(spark, vroot, centroids)
+      // tick 1: one vector per cell — imb 1.0x (10000), quiet
+      val (v1, i1) = IvfIndexStore.maintainedIngest(spark, vroot,
+        batch(1L, 3L), maxImbalance1e4 = 12000L, kNew = 2, iters = 2)
+      (v1, i1) shouldBe ((0, 10000L))
+      // tick 2: both new vectors land in cell 0 — cells {1,2,5}/{3},
+      // imb = 3 * 2 * 1e4 / 4 = 15000 > 12000: the lifecycle fires
+      val (v2, i2) = IvfIndexStore.maintainedIngest(spark, vroot,
+        batch(2L, 5L), maxImbalance1e4 = 12000L, kNew = 2, iters = 2)
+      (v2, i2) shouldBe ((1, 15000L))
+      IvfIndexStore.liveVersion(spark, vroot) shouldBe Some(1)
+      // the retrained live version holds the full state; the superseded
+      // v=0 is untouched and still serves its pre-flip snapshot
+      IvfIndexStore.openLive(spark, vroot).assigned.count() shouldBe 4L
+      val old = IvfIndexStore.openPinned(spark,
+        new java.io.File(vroot, "v=0").getAbsolutePath)
+      cellOf(old) shouldBe Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 5L -> 0L)
+    }
+  }
+
   test("a pure reader pays exactly ONE LIST at open across N reads — the " +
     "pinned snapshot — and refresh() re-pins to observe the writer's later " +
     "commits") {
