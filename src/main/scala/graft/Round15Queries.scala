@@ -588,7 +588,7 @@ object Round15Queries {
     }
   }
 
-  private def st26Block(tag: String, r: Int): String =
+  private[graft] def st26Block(tag: String, r: Int): String =
     s"""${tag}bands$r AS (
        |  SELECT id, j // $r AS band,
        |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
@@ -608,7 +608,7 @@ object Round15Queries {
     * axes, floors, argmin) over `${tag}sh`/`${tag}mh` — run TWICE: on
     * the birth corpus and on the grown corpus.
     */
-  private def st26Chooser(tag: String): String =
+  private[graft] def st26Chooser(tag: String): String =
     s"""${tag}sizes AS (SELECT id, COUNT(*) AS n FROM ${tag}sh GROUP BY 1),
        |${tag}inter AS MATERIALIZED (
        |  SELECT x.id AS ia, y.id AS ib, COUNT(*) AS inter

@@ -372,13 +372,172 @@ object Round16Queries {
        |  SELECT 2, vid, cs FROM serve2)
        |ORDER BY serve_id, cos_sim DESC, vec_id""".stripMargin
 
+  // ---- ST29: the maintenance tick on the banding axis --------------------
+
+  /** ST29: q_st28's composition applied to the keep-best store —
+    * [[graft.ops.KeepBestIndexStore.maintainedIngest]] as the one step
+    * a streaming dedup guard runs per micro-batch: tick 1 is the BIRTH
+    * batch (the q_st26 two-identical-docs pair — every banding
+    * certifies, the tie rule picks 8 rows/band; the post-ingest reband
+    * check certifies the same config and no-ops), tick 2 delivers the
+    * even-bid half of the grown corpus (one moderate-similarity pair
+    * per row — the 8-row banding hits such a pair with probability
+    * ~2·0.6⁸ ≈ 3%, far under the 60% recall floor: the birth choice
+    * DE-CERTIFIES and the reband rebuild fires MID-STREAM into `v=1`
+    * at the newly certified 2 rows/band), then THE KILL, and a second
+    * stream's tick delivers the odd-bid half onto the rebanded live
+    * version (the chooser re-certifies 2 — no second flip).
+    * Engine-`require`s pin the whole trajectory ((v, rpb) = (0,8) →
+    * (1,2) → (1,2)). Output = the live store's survivors plus the
+    * decision provenance; the oracle replays ALL THREE chooser runs
+    * (birth state, tick-2 state, full state — the version counters are
+    * DERIVED from their disagreements, not asserted), the full-corpus
+    * pair relation at the tick-2-certified banding, the
+    * connected-component clusters, and the keep-best rule.
+    */
+  val st29MaintainedKeepBest: Q = (s, d) => {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    graft.ops.TempFiles.withTempDir("graft-st29") { root =>
+      val vroot = new java.io.File(root, "live").getAbsolutePath
+      val ids = Tables.documents(s, d).select($"doc_id".as("bid"))
+      def tokText(mutate: Boolean) = concat_ws(" ",
+        transform(sequence(lit(0), lit(9)), j =>
+          when(lit(mutate) && j >= 8,
+            concat(lit("mut"), $"bid", lit("x"), j.cast("string")))
+          .otherwise(concat(lit("tok"), $"bid", lit("w"), j.cast("string")))))
+      val grown = ids.select($"bid".as("id"), tokText(mutate = false).as("text"))
+        .unionByName(ids.select(($"bid" + 500000L).as("id"),
+          tokText(mutate = true).as("text")))
+      val birth = Seq((9000001L, Round15Queries.st26BirthText),
+          (9000002L, Round15Queries.st26BirthText))
+        .toDF("id", "text")
+      val score = pmod(graft.ops.TextOps.hash60(col("id").cast("string")),
+        lit(1000L))
+      val tune = graft.ops.KeepBestIndex.AutoTune(Seq(2, 4, 8), sampleMod = 1,
+        precisionFloorPpm = 0L, recallFloorPpm = 600000L, truthDfCap = None)
+      graft.ops.KeepBestIndexStore.createLive(s, vroot, tune)
+      val now = System.currentTimeMillis()
+      val src1 = new java.io.File(root, "src1")
+      // mutated ids are bid + 500000 (even), so id parity IS bid parity:
+      // the even-bid half carries both members of its moderate pairs
+      writeSingleFile(birth, src1, "b1.parquet", now - 60000)
+      writeSingleFile(grown.filter(pmod($"id", lit(2L)) === 0), src1,
+        "b2.parquet", now - 30000)
+      val ticks = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int)]()
+      def run(src: java.io.File): Unit = {
+        val schema = s.read.parquet(src.getAbsolutePath).schema
+        val step: (Dataset[Row], Long) => Unit = (batch, _) =>
+          ticks.add(graft.ops.KeepBestIndexStore.maintainedIngest(s, vroot,
+            tune, batch.toDF(), "id", "text", score))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src.getAbsolutePath)
+          .writeStream.foreachBatch(step)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run(src1)
+      // THE KILL: the first stream's instance is gone; resume = a new
+      // stream over the odd-bid half against the same root.
+      val src2 = new java.io.File(root, "src2")
+      writeSingleFile(grown.filter(pmod($"id", lit(2L)) === 1), src2,
+        "b3.parquet", now)
+      run(src2)
+      val tr = {
+        val it = ticks.iterator(); val b = Seq.newBuilder[(Int, Int)]
+        while (it.hasNext) b += it.next(); b.result()
+      }
+      require(tr == Seq((0, 8), (1, 2), (1, 2)),
+        s"st29: the (version, banding) trajectory must be (0,8) -> (1,2) " +
+          s"mid-stream flip -> (1,2), got $tr")
+      graft.ops.KeepBestIndexStore.openLive(s, vroot, tune).survivors
+        .withColumn("born_rpb", lit(tr(0)._2))
+        .withColumn("live_rpb", lit(tr(2)._2))
+        .withColumn("v_t1", lit(tr(0)._1))
+        .withColumn("v_t2", lit(tr(1)._1))
+        .withColumn("v_t3", lit(tr(2)._1))
+        .orderBy("id")
+        .localCheckpoint(eager = true)
+    }
+  }
+
+  /** Three chooser replays (birth / tick-2 state / full state) over
+    * shared shingle+minhash CTEs, survivors at the tick-2-certified
+    * banding, version counters DERIVED from the choosers' moves.
+    */
+  val st29MaintainedKeepBestSql: String =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id AS id,
+       |    array_to_string(list_transform(generate_series(0, 9),
+       |      j -> 'tok'||doc_id||'w'||j), ' ') AS text
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 500000,
+       |    array_to_string(list_transform(generate_series(0, 9), j ->
+       |      CASE WHEN j >= 8 THEN 'mut'||doc_id||'x'||j
+       |           ELSE 'tok'||doc_id||'w'||j END), ' ')
+       |  FROM documents
+       |  UNION ALL SELECT 9000001, '${Round15Queries.st26BirthText}'
+       |  UNION ALL SELECT 9000002, '${Round15Queries.st26BirthText}'),
+       |${PipelineQueries.shingleSql},
+       |mh AS (
+       |${graft.ops.Dedup.minhashSql(16)}),
+       |bsh AS (SELECT * FROM sh WHERE id >= 9000000),
+       |bmh AS (SELECT * FROM mh WHERE id >= 9000000),
+       |msh AS (SELECT * FROM sh WHERE id >= 9000000 OR id % 2 = 0),
+       |mmh AS (SELECT * FROM mh WHERE id >= 9000000 OR id % 2 = 0),
+       |fsh AS (SELECT * FROM sh),
+       |fmh AS (SELECT * FROM mh),
+       |${Round15Queries.st26Chooser("b")},
+       |${Round15Queries.st26Chooser("m")},
+       |${Round15Queries.st26Chooser("f")},
+       |chosenCand AS (
+       |  SELECT ia, ib FROM fcand2 WHERE 2 = (SELECT rows_per_band FROM msel)
+       |  UNION ALL
+       |  SELECT ia, ib FROM fcand4 WHERE 4 = (SELECT rows_per_band FROM msel)
+       |  UNION ALL
+       |  SELECT ia, ib FROM fcand8 WHERE 8 = (SELECT rows_per_band FROM msel)),
+       |pairs AS (
+       |  SELECT c.ia, c.ib FROM chosenCand c
+       |  JOIN ftruth t ON t.ia = c.ia AND t.ib = c.ib),
+       |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labels AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+       |scores AS (
+       |  SELECT id, ${graft.ops.TextOps.hash60Sql("CAST(id AS VARCHAR)")} % 1000 AS score
+       |  FROM corpus),
+       |ranked AS (
+       |  SELECT l.id, ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+       |    ORDER BY s.score DESC, l.id) AS rk
+       |  FROM labels l JOIN scores s ON s.id = l.id)
+       |SELECT c.id, s.score,
+       |  (SELECT rows_per_band FROM bsel) AS born_rpb,
+       |  (SELECT rows_per_band FROM msel) AS live_rpb,
+       |  0 AS v_t1,
+       |  CASE WHEN (SELECT rows_per_band FROM bsel)
+       |         <> (SELECT rows_per_band FROM msel) THEN 1 ELSE 0 END AS v_t2,
+       |  CASE WHEN (SELECT rows_per_band FROM bsel)
+       |         <> (SELECT rows_per_band FROM msel) THEN 1 ELSE 0 END
+       |  + CASE WHEN (SELECT rows_per_band FROM msel)
+       |           <> (SELECT rows_per_band FROM fsel) THEN 1 ELSE 0 END AS v_t3
+       |FROM corpus c JOIN scores s ON s.id = c.id
+       |WHERE c.id NOT IN (SELECT r.id FROM ranked r WHERE r.rk > 1)
+       |ORDER BY c.id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q_st27_store_cert_persist" -> st27StoreCertPersist,
-    "q_st28_maintained_stream" -> st28MaintainedStream
+    "q_st28_maintained_stream" -> st28MaintainedStream,
+    "q_st29_maintained_keepbest" -> st29MaintainedKeepBest
   )
 
   val oracles: Map[String, String] = Map(
     "q_st27_store_cert_persist" -> st27StoreCertPersistSql,
-    "q_st28_maintained_stream" -> st28MaintainedStreamSql
+    "q_st28_maintained_stream" -> st28MaintainedStreamSql,
+    "q_st29_maintained_keepbest" -> st29MaintainedKeepBestSql
   )
 }

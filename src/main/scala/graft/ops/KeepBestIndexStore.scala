@@ -552,6 +552,46 @@ object KeepBestIndexStore {
     }
   }
 
+  /** THE MAINTENANCE TICK on the banding axis —
+    * [[IvfIndexStore.maintainedIngest]]'s analogue, the one step a
+    * streaming guard runs per micro-batch over a pointer-managed root:
+    * fold the batch into the LIVE version (the first tick is birth —
+    * the banding certifies on that batch or refuses with nothing
+    * written), then re-certify the banding on the CURRENT state from
+    * STORED hashes and fire the reband rebuild when the certified
+    * config moved ([[rebandIfStale]] — fresh fingerprinted `v=N+1`,
+    * atomic marker flip, readers pinned to `v=N` untouched). A kill
+    * between ticks resumes exactly: every sub-step is the store's
+    * already-crash-safe protocol (q_st29 gates the mid-stream flip +
+    * kill/resume end to end).
+    *
+    * Returns (live version after the tick, the live banding after the
+    * tick) — the version sequence is the lifecycle's provenance.
+    *
+    * Per-tick cost: the ingest's delta-bounded write + incremental
+    * probe, one chooser pass over the gated sample of the state
+    * (budget-bounded when the tune states a `sampleBudget`), and —
+    * only on a fired tick — the signature re-banding + one copy of the
+    * effective frames. Never a corpus re-scan.
+    */
+  def maintainedIngest(spark: SparkSession, root: String,
+                       tune: KeepBestIndex.AutoTune,
+                       batch: DataFrame, idCol: String, textCol: String,
+                       score: Column,
+                       shingleN: Int = 3, k: Int = 16, threshold: Double = 0.5,
+                       compactEvery: Option[Int] = None): (Int, Int) = {
+    val cur = openLive(spark, root, tune, shingleN, k, threshold, compactEvery)
+    cur.ingest(batch, idCol, textCol, score)
+    val rebanded = rebandIfStale(spark, root, tune, shingleN, k, threshold,
+      compactEvery)
+    val live = rebanded.getOrElse(cur)
+    (liveVersion(spark, root).getOrElse(
+       sys.error(s"maintainedIngest: $root lost its pointer mid-tick")),
+     live.chosenRowsPerBand.getOrElse(
+       sys.error("maintainedIngest: the live store has no banding after " +
+         "an ingest — birth tuning should have set it or refused")))
+  }
+
   private def requireCadence(compactEvery: Option[Int]): Unit =
     require(compactEvery.forall(_ >= 2),
       s"compactEvery must be >= 2 (a 1-cadence would fold after every " +
