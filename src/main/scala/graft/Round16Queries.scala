@@ -238,7 +238,8 @@ object Round16Queries {
         "b1.parquet", now - 60000)
       writeSingleFile(corpus.filter(pmod($"vid", lit(3L)) === 2), src1,
         "b2.parquet", now - 30000)
-      val ticks = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+      val ticks =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Int, Option[Long])]()
       def run(src: java.io.File): Unit = {
         val schema = s.read.parquet(src.getAbsolutePath).schema
         val step: (Dataset[Row], Long) => Unit = (batch, _) =>
@@ -260,16 +261,20 @@ object Round16Queries {
         "b3.parquet", now)
       run(src2)
       val tr = {
-        val it = ticks.iterator(); val b = Seq.newBuilder[(Int, Long)]
+        val it = ticks.iterator()
+        val b = Seq.newBuilder[(Int, Option[Long])]
         while (it.hasNext) b += it.next(); b.result()
       }
       require(tr.map(_._1) == Seq(0, 1, 1),
         s"st28: the version trajectory must be 0 -> 1 (mid-stream flip) -> 1, " +
           s"got ${tr.map(_._1)}")
-      require(tr(0)._2 <= st28MaxImbalance1e4 &&
-          tr(1)._2 > st28MaxImbalance1e4 && tr(2)._2 <= st28MaxImbalance1e4,
+      require(tr.forall(_._2.nonEmpty),
+        "st28: every tick checks at the default cadence")
+      val imbs = tr.map(_._2.get)
+      require(imbs(0) <= st28MaxImbalance1e4 &&
+          imbs(1) > st28MaxImbalance1e4 && imbs(2) <= st28MaxImbalance1e4,
         s"st28: the imbalance trajectory must be quiet/fire/quiet around " +
-          s"$st28MaxImbalance1e4, got ${tr.map(_._2)}")
+          s"$st28MaxImbalance1e4, got $imbs")
       require(IvfIndexStore.liveVersion(s, vroot).contains(1),
         "st28: the pointer must name the retrained version after the stream")
       val s1 = IvfIndexStore.openLive(s, vroot)
@@ -280,9 +285,9 @@ object Round16Queries {
         .search(anchor, nProbe = 1, k = 10)
         .select(lit(2).as("serve_id"), $"vid".as("vec_id"), $"cos_sim")
       s1.unionByName(s2)
-        .withColumn("imb_t1", lit(tr(0)._2))
-        .withColumn("imb_t2", lit(tr(1)._2))
-        .withColumn("imb_t3", lit(tr(2)._2))
+        .withColumn("imb_t1", lit(imbs(0)))
+        .withColumn("imb_t2", lit(imbs(1)))
+        .withColumn("imb_t3", lit(imbs(2)))
         .withColumn("live_version", lit(1L))
         .orderBy(col("serve_id"), col("cos_sim").desc, col("vec_id"))
         .localCheckpoint(eager = true)

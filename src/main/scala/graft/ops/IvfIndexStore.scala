@@ -84,6 +84,13 @@ final class IvfIndexStore private (spark: SparkSession, dir: String,
     */
   private def committed: Seq[Int] = committedCache.getOrElse(listCommitted)
 
+  /** The latest committed batch number (None on an empty store) — the
+    * store's logical version, and the maintenance tick's durable
+    * cadence counter (derived from state, so a kill/resume never
+    * resets it).
+    */
+  private[ops] def lastCommittedBatch: Option[Int] = committed.lastOption
+
   /** LIST calls actually paid — observability for the one-LIST-per-
     * reader-open contract (IvfStoreSpec counts them).
     */
@@ -588,21 +595,33 @@ object IvfIndexStore {
     * every sub-step is the already-crash-safe store protocol (q_st28
     * gates the mid-stream flip + kill/resume end to end).
     *
-    * Returns (live version after the tick, the imbalance that was
-    * checked) — the stream's observability hook: the version sequence
-    * IS the lifecycle provenance.
+    * Returns (live version after the tick, the imbalance if this tick
+    * checked it — None on a cadence-skipped tick) — the stream's
+    * observability hook: the version sequence IS the lifecycle
+    * provenance.
     *
-    * Per-tick cost: the ingest's delta-bounded write, one imbalance
-    * aggregate over the effective view, and — only on a fired tick —
-    * the k-means passes + one bulk assign. Nothing quadratic.
+    * `checkEvery` amortizes the health check the way `compactEvery`
+    * amortizes folds: the imbalance aggregate (one state-view pass)
+    * runs only when the latest committed batch number + 1 is a
+    * multiple of the cadence — DERIVED FROM DURABLE STATE, so a
+    * kill/resume never resets the rhythm (an in-memory tick counter
+    * would). 1 (the default, and the gates' setting) checks every
+    * tick; a skipped tick can never fire the lifecycle.
+    *
+    * Per-tick cost: the ingest's delta-bounded write, the imbalance
+    * aggregate on checked ticks, and — only on a fired tick — the
+    * k-means passes + one bulk assign. Nothing quadratic.
     */
   def maintainedIngest(spark: SparkSession, root: String, batch: DataFrame,
                        maxImbalance1e4: Long, kNew: Int, iters: Int,
-                       compactEvery: Option[Int] = None): (Int, Long) = {
+                       compactEvery: Option[Int] = None,
+                       checkEvery: Int = 1): (Int, Option[Long]) = {
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val cur = openLive(spark, root, compactEvery)
     cur.ingest(batch)
-    val imb = cur.imbalance1e4
-    if (imb > maxImbalance1e4)
+    val checked = cur.lastCommittedBatch.exists(n => (n + 1) % checkEvery == 0)
+    val imb = if (checked) Some(cur.imbalance1e4) else None
+    if (imb.exists(_ > maxImbalance1e4))
       retrainFrom(spark, root, cur, kNew, iters, compactEvery)
     (liveVersion(spark, root).getOrElse(
       sys.error(s"maintainedIngest: $root lost its pointer mid-tick")), imb)

@@ -103,6 +103,12 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     */
   private def committed: Seq[Int] = committedCache.getOrElse(listCommitted)
 
+  /** The latest committed batch number (None on an empty store) — the
+    * maintenance tick's durable cadence counter (derived from state,
+    * so a kill/resume never resets it).
+    */
+  private[ops] def lastCommittedBatch: Option[Int] = committed.lastOption
+
   /** LIST calls actually paid — observability for the one-LIST-per-
     * reader-open contract (KeepBestStoreSpec counts them).
     */
@@ -268,6 +274,27 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
       .agg(sort_array(collect_list(col("id"))).as("members"))
       .withColumn("rep", element_at(col("members"), 1))
 
+  /** [[effectiveGroups]] of the hash-gated SAMPLE, with the gate
+    * applied to the id BEFORE the two grouping shuffles — the
+    * [[Dedup.sampleGroupsOf]] equivalence run in the cheap direction
+    * (restricting ids can never merge or split content groups — the hs
+    * key is a pure function of the content — so gate-then-group ≡
+    * group-then-filter-members; KeepBestStoreSpec pins it on stored
+    * state). This is what makes a PER-TICK re-certification
+    * ([[KeepBestIndexStore.maintainedIngest]]) affordable: the state
+    * is scanned once map-side, but only the sample's rows ever cross a
+    * shuffle — grouping the full state first would make every
+    * maintenance tick a corpus-scale shuffle job.
+    */
+  private[graft] def effectiveSampleGroups(sampleMod: Long): DataFrame =
+    effective("sh", shSchema)
+      .filter(pmod(TextOps.hash60(col("id").cast("string")),
+        lit(sampleMod)) === 0)
+      .groupBy(col("id")).agg(sort_array(collect_set(col("h"))).as("hs"))
+      .groupBy(col("hs"))
+      .agg(sort_array(collect_list(col("id"))).as("members"))
+      .withColumn("rep", element_at(col("members"), 1))
+
   /** RE-CERTIFY the banding on the CURRENT state — the birth chooser's
     * exact algebra ([[Dedup.chooseLshConfigFromGroups]]) off the
     * stored hashes: the operating point that certified on the birth
@@ -279,8 +306,7 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     */
   def rebandChoice(tune: KeepBestIndex.AutoTune): Option[Int] = {
     val (mod, cap) = tune.gateFor(idsLatest.count())
-    Dedup.chooseLshConfigFromGroups(
-        Dedup.sampleGroupsOf(effectiveGroups, mod), k,
+    Dedup.chooseLshConfigFromGroups(effectiveSampleGroups(mod), k,
         tune.rowsPerBandConfigs, threshold,
         tune.precisionFloorPpm, tune.recallFloorPpm, tune.truthDfCap, cap)
       .filter(col("chosen")).select(col("rows_per_band")).collect()
@@ -568,22 +594,37 @@ object KeepBestIndexStore {
     * Returns (live version after the tick, the live banding after the
     * tick) — the version sequence is the lifecycle's provenance.
     *
+    * `checkEvery` amortizes the re-certification the way
+    * `compactEvery` amortizes folds: the chooser pass runs only when
+    * the latest committed batch number + 1 is a multiple of the
+    * cadence — derived from durable state, so a kill/resume never
+    * resets the rhythm. 1 (the default, and the gates' setting)
+    * re-certifies every tick; a skipped tick can never fire the
+    * lifecycle.
+    *
     * Per-tick cost: the ingest's delta-bounded write + incremental
-    * probe, one chooser pass over the gated sample of the state
-    * (budget-bounded when the tune states a `sampleBudget`), and —
-    * only on a fired tick — the signature re-banding + one copy of the
-    * effective frames. Never a corpus re-scan.
+    * probe; on checked ticks one chooser pass whose SHUFFLES carry
+    * only the hash-gated sample ([[effectiveSampleGroups]] — the state
+    * is scanned map-side, never re-grouped in full) and whose truth is
+    * budget-bounded when the tune states a `sampleBudget`; and — only
+    * on a fired tick — the signature re-banding + one copy of the
+    * effective frames. Never a corpus re-scan, never text.
     */
   def maintainedIngest(spark: SparkSession, root: String,
                        tune: KeepBestIndex.AutoTune,
                        batch: DataFrame, idCol: String, textCol: String,
                        score: Column,
                        shingleN: Int = 3, k: Int = 16, threshold: Double = 0.5,
-                       compactEvery: Option[Int] = None): (Int, Int) = {
+                       compactEvery: Option[Int] = None,
+                       checkEvery: Int = 1): (Int, Int) = {
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val cur = openLive(spark, root, tune, shingleN, k, threshold, compactEvery)
     cur.ingest(batch, idCol, textCol, score)
-    val rebanded = rebandIfStale(spark, root, tune, shingleN, k, threshold,
-      compactEvery)
+    val checked = cur.lastCommittedBatch.exists(n => (n + 1) % checkEvery == 0)
+    val rebanded =
+      if (checked)
+        rebandIfStale(spark, root, tune, shingleN, k, threshold, compactEvery)
+      else None
     val live = rebanded.getOrElse(cur)
     (liveVersion(spark, root).getOrElse(
        sys.error(s"maintainedIngest: $root lost its pointer mid-tick")),

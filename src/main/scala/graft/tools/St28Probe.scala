@@ -29,7 +29,7 @@ object St28Probe {
           val batch = corpus.filter(pmod($"vid", lit(3L)) === m)
           val (v, imb) = IvfIndexStore.maintainedIngest(spark, vroot, batch,
             maxImbalance1e4 = 20000L, kNew = 8, iters = 3)
-          s"tick${i + 1}: n=${batch.count()} imb=$imb v=$v"
+          s"tick${i + 1}: n=${batch.count()} imb=${imb.getOrElse(-1L)} v=$v"
         }
         println(s"SF $d -> ${ticks.mkString(" | ")}")
       }

@@ -282,12 +282,12 @@ class IvfStoreSpec extends SparkSpec {
       // tick 1: one vector per cell — imb 1.0x (10000), quiet
       val (v1, i1) = IvfIndexStore.maintainedIngest(spark, vroot,
         batch(1L, 3L), maxImbalance1e4 = 12000L, kNew = 2, iters = 2)
-      (v1, i1) shouldBe ((0, 10000L))
+      (v1, i1) shouldBe ((0, Some(10000L)))
       // tick 2: both new vectors land in cell 0 — cells {1,2,5}/{3},
       // imb = 3 * 2 * 1e4 / 4 = 15000 > 12000: the lifecycle fires
       val (v2, i2) = IvfIndexStore.maintainedIngest(spark, vroot,
         batch(2L, 5L), maxImbalance1e4 = 12000L, kNew = 2, iters = 2)
-      (v2, i2) shouldBe ((1, 15000L))
+      (v2, i2) shouldBe ((1, Some(15000L)))
       IvfIndexStore.liveVersion(spark, vroot) shouldBe Some(1)
       // the retrained live version holds the full state; the superseded
       // v=0 is untouched and still serves its pre-flip snapshot
@@ -295,6 +295,30 @@ class IvfStoreSpec extends SparkSpec {
       val old = IvfIndexStore.openPinned(spark,
         new java.io.File(vroot, "v=0").getAbsolutePath)
       cellOf(old) shouldBe Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 5L -> 0L)
+    }
+  }
+
+  test("maintainedIngest checkEvery amortizes the health check: a cadence-" +
+    "skipped tick pays no imbalance pass and can never fire, even when the " +
+    "state would cross the policy") {
+    import spark.implicits._
+    TempFiles.withTempDir("ivfstore-cadence") { root =>
+      val vroot = new java.io.File(root, "live").getAbsolutePath
+      IvfIndexStore.createLive(spark, vroot, centroids)
+      // tick 1 (batch number 0): skipped at cadence 2 — the state is
+      // maximally imbalanced (both vectors in cell 0) yet nothing fires
+      val (v1, i1) = IvfIndexStore.maintainedIngest(spark, vroot,
+        batch(1L, 2L), maxImbalance1e4 = 11000L, kNew = 2, iters = 2,
+        checkEvery = 2)
+      (v1, i1) shouldBe ((0, None))
+      // tick 2 (batch number 1): the cadence fires the check, the
+      // accumulated imbalance crosses, the lifecycle retrains
+      val (v2, i2) = IvfIndexStore.maintainedIngest(spark, vroot,
+        batch(5L, 3L), maxImbalance1e4 = 11000L, kNew = 2, iters = 2,
+        checkEvery = 2)
+      v2 shouldBe 1
+      i2 shouldBe Some(15000L) // cells {1,2,5}/{3}: 3 * 2 * 1e4 / 4
+      IvfIndexStore.openLive(spark, vroot).assigned.count() shouldBe 4L
     }
   }
 

@@ -60,6 +60,55 @@ class KeepBestStoreSpec extends SparkSpec {
     }
   }
 
+  test("effectiveSampleGroups gates BEFORE the grouping shuffles, exactly " +
+    "equal to filtering the full groups' members (the sampleGroupsOf " +
+    "equivalence on stored state)") {
+    import spark.implicits._
+    TempFiles.withTempDir("kbstore-samplegroups") { root =>
+      val idx = KeepBestIndexStore.open(spark,
+        new java.io.File(root, "s").getAbsolutePath)
+      idx.ingest(batch(1L, 2L, 3L, 4L, 5L), "id", "text", col("sc"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("rep"), col("members"))
+          .as[(Long, Seq[Long])].collect().toSet
+      for (m <- Seq(1L, 2L, 3L)) {
+        rows(idx.effectiveSampleGroups(m)) shouldBe
+          rows(graft.ops.Dedup.sampleGroupsOf(idx.effectiveGroups, m))
+      }
+    }
+  }
+
+  test("maintainedIngest checkEvery amortizes the re-certification: a " +
+    "cadence-skipped tick pays no chooser pass and can never fire; the " +
+    "firing tick rebands as q_st29") {
+    TempFiles.withTempDir("kbstore-cadence") { root =>
+      val vroot = new java.io.File(root, "live").getAbsolutePath
+      val tune = graft.ops.KeepBestIndex.AutoTune(Seq(2, 4, 8), sampleMod = 1,
+        precisionFloorPpm = 0L, recallFloorPpm = 600000L, truthDfCap = None)
+      KeepBestIndexStore.createLive(spark, vroot, tune)
+      import spark.implicits._
+      val birth = Seq((11L, T), (12L, T)).toDF("id", "text")
+      // the q_st26 drift in miniature: 20 moderate pairs (last 2 of 10
+      // tokens mutated -> 3-shingle jaccard 0.6) the birth 8-banding
+      // hits w.p. ~3% each — recall collapses far under the 60% floor
+      val grown = (0 until 20).flatMap { i =>
+        val toks = (0 until 10).map(j => s"g${i}t$j")
+        val mut = toks.take(8) ++ Seq(s"m${i}a", s"m${i}b")
+        Seq((100L + i, toks.mkString(" ")), (200L + i, mut.mkString(" ")))
+      }.toDF("id", "text")
+      // tick 1 (batch 0): birth certifies 8; cadence 2 skips the check
+      val (v1, r1) = KeepBestIndexStore.maintainedIngest(spark, vroot, tune,
+        birth, "id", "text", lit(1L), checkEvery = 2)
+      (v1, r1) shouldBe ((0, 8))
+      // tick 2 (batch 1): the cadence fires; the grown state
+      // de-certifies 8 and the reband rebuild flips to v=1
+      val (v2, r2) = KeepBestIndexStore.maintainedIngest(spark, vroot, tune,
+        grown, "id", "text", lit(1L), checkEvery = 2)
+      (v2, r2) shouldBe ((1, 2))
+      KeepBestIndexStore.liveVersion(spark, vroot) shouldBe Some(1)
+    }
+  }
+
   test("a pure reader pays exactly ONE LIST at open across N reads — the " +
     "pinned snapshot — and refresh() re-pins to observe the writer's later " +
     "commits") {
