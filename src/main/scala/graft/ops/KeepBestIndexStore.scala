@@ -275,25 +275,35 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
       .withColumn("rep", element_at(col("members"), 1))
 
   /** [[effectiveGroups]] of the hash-gated SAMPLE, with the gate
-    * applied to the id BEFORE the two grouping shuffles — the
+    * applied to the id BEFORE every shuffle in the assembly — the
     * [[Dedup.sampleGroupsOf]] equivalence run in the cheap direction
     * (restricting ids can never merge or split content groups — the hs
     * key is a pure function of the content — so gate-then-group ≡
     * group-then-filter-members; KeepBestStoreSpec pins it on stored
-    * state). This is what makes a PER-TICK re-certification
-    * ([[KeepBestIndexStore.maintainedIngest]]) affordable: the state
-    * is scanned once map-side, but only the sample's rows ever cross a
-    * shuffle — grouping the full state first would make every
-    * maintenance tick a corpus-scale shuffle job.
+    * state). The gate sits STRUCTURALLY on both inputs of the
+    * shadowing join (the stored sh rows AND the ids frame feeding the
+    * latest-batch pivot — an inner join on id keeps the restriction
+    * exact), not merely above it waiting for the optimizer to push a
+    * custom-expression predicate. This is what makes a PER-TICK
+    * re-certification ([[KeepBestIndexStore.maintainedIngest]])
+    * affordable: the state is scanned once map-side, but only the
+    * sample's rows ever cross a shuffle — grouping the full state
+    * first would make every maintenance tick a corpus-scale shuffle
+    * job.
     */
-  private[graft] def effectiveSampleGroups(sampleMod: Long): DataFrame =
-    effective("sh", shSchema)
-      .filter(pmod(TextOps.hash60(col("id").cast("string")),
-        lit(sampleMod)) === 0)
+  private[graft] def effectiveSampleGroups(sampleMod: Long): DataFrame = {
+    def gated(df: DataFrame): DataFrame = df.filter(
+      pmod(TextOps.hash60(col("id").cast("string")), lit(sampleMod)) === 0)
+    val latest = gated(readFrame("ids", idsSchema))
+      .groupBy(col("id")).agg(max(col("b")).as("lb"))
+    gated(readFrame("sh", shSchema))
+      .join(latest, Seq("id"))
+      .filter(col("b") === col("lb")).drop("b", "lb")
       .groupBy(col("id")).agg(sort_array(collect_set(col("h"))).as("hs"))
       .groupBy(col("hs"))
       .agg(sort_array(collect_list(col("id"))).as("members"))
       .withColumn("rep", element_at(col("members"), 1))
+  }
 
   /** RE-CERTIFY the banding on the CURRENT state — the birth chooser's
     * exact algebra ([[Dedup.chooseLshConfigFromGroups]]) off the
