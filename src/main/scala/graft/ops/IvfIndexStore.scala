@@ -565,20 +565,59 @@ object IvfIndexStore {
   private def retrainFrom(spark: SparkSession, root: String,
                           cur: IvfIndexStore, kNew: Int, iters: Int,
                           compactEvery: Option[Int]): IvfIndexStore = {
-    val r = new Path(root)
-    val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val eff = cur.assigned.select(col("vid"), col("e"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     eff.count()
     val cents = Vectors.kmeansCentroids(eff, kNew, iters)
+    val st = publishRebuild(spark, root, eff, cents, compactEvery)
+    eff.unpersist()
+    st
+  }
+
+  /** Publish a rebuild of the live effective view under a
+    * CALLER-SUPPLIED centroid layout — the externally-trained path
+    * (centroids fit offline on a sample, a specialised trainer, a
+    * layout promoted from a staging root): same protocol as the
+    * self-trained retrain minus the k-means passes — fresh
+    * fingerprinted `v=N+1`, one bulk assign of the current effective
+    * vectors, atomic marker flip; readers pinned to `v=N` keep their
+    * snapshot. Cost: one state scan + one map-side broadcast assign +
+    * one parquet write.
+    */
+  def relayout(spark: SparkSession, root: String, centroids: DataFrame,
+               compactEvery: Option[Int] = None): IvfIndexStore = {
+    val cur = openLive(spark, root, compactEvery)
+    publishRebuild(spark, root, cur.assigned.select(col("vid"), col("e")),
+      centroids, compactEvery)
+  }
+
+  /** The shared rebuild-and-publish tail of [[retrainFrom]] and
+    * [[relayout]]: next version number (past any crash orphan), fresh
+    * fingerprinted dir, bulk assign, atomic pointer flip.
+    */
+  private def publishRebuild(spark: SparkSession, root: String,
+                             eff: DataFrame, cents: DataFrame,
+                             compactEvery: Option[Int]): IvfIndexStore = {
+    val r = new Path(root)
+    val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = StoreRoot.nextVersion(fs, r)
     val dir = StoreRoot.versionDir(r, next)
     if (fs.exists(dir)) fs.delete(dir, true) // crashed prior attempt
     val st = open(spark, dir.toString, cents, compactEvery)
     st.ingest(eff)
-    eff.unpersist()
     StoreRoot.flipPointer(fs, r, next)
     st
+  }
+
+  /** [[StoreRoot.gcSuperseded]] on this root — the retention sweep
+    * serving reads defer to an explicit policy: keep the newest
+    * `keepSuperseded` superseded versions for pinned readers, delete
+    * the rest (each is a full-size rebuild copy). Returns the versions
+    * deleted.
+    */
+  def vacuum(spark: SparkSession, root: String, keepSuperseded: Int): Seq[Int] = {
+    val r = new Path(root)
+    StoreRoot.gcSuperseded(StoreRoot.fsOf(spark, r), r, keepSuperseded)
   }
 
   /** THE MAINTENANCE TICK — ingest → health metric → conditional
@@ -615,14 +654,19 @@ object IvfIndexStore {
   def maintainedIngest(spark: SparkSession, root: String, batch: DataFrame,
                        maxImbalance1e4: Long, kNew: Int, iters: Int,
                        compactEvery: Option[Int] = None,
-                       checkEvery: Int = 1): (Int, Option[Long]) = {
+                       checkEvery: Int = 1,
+                       retainSuperseded: Option[Int] = None): (Int, Option[Long]) = {
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val cur = openLive(spark, root, compactEvery)
     cur.ingest(batch)
     val checked = cur.lastCommittedBatch.exists(n => (n + 1) % checkEvery == 0)
     val imb = if (checked) Some(cur.imbalance1e4) else None
-    if (imb.exists(_ > maxImbalance1e4))
+    if (imb.exists(_ > maxImbalance1e4)) {
       retrainFrom(spark, root, cur, kNew, iters, compactEvery)
+      // retention rides the flip: a fired tick is the only event that
+      // creates a superseded version, so the sweep runs exactly then
+      retainSuperseded.foreach(keep => vacuum(spark, root, keep))
+    }
     (liveVersion(spark, root).getOrElse(
       sys.error(s"maintainedIngest: $root lost its pointer mid-tick")), imb)
   }

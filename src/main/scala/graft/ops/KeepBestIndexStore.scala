@@ -626,7 +626,8 @@ object KeepBestIndexStore {
                        score: Column,
                        shingleN: Int = 3, k: Int = 16, threshold: Double = 0.5,
                        compactEvery: Option[Int] = None,
-                       checkEvery: Int = 1): (Int, Int) = {
+                       checkEvery: Int = 1,
+                       retainSuperseded: Option[Int] = None): (Int, Int) = {
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val cur = openLive(spark, root, tune, shingleN, k, threshold, compactEvery)
     cur.ingest(batch, idCol, textCol, score)
@@ -635,12 +636,26 @@ object KeepBestIndexStore {
       if (checked)
         rebandIfStale(spark, root, tune, shingleN, k, threshold, compactEvery)
       else None
+    // retention rides the flip: a fired tick is the only event that
+    // creates a superseded version, so the sweep runs exactly then
+    if (rebanded.nonEmpty)
+      retainSuperseded.foreach(keep => vacuum(spark, root, keep))
     val live = rebanded.getOrElse(cur)
     (liveVersion(spark, root).getOrElse(
        sys.error(s"maintainedIngest: $root lost its pointer mid-tick")),
      live.chosenRowsPerBand.getOrElse(
        sys.error("maintainedIngest: the live store has no banding after " +
          "an ingest — birth tuning should have set it or refused")))
+  }
+
+  /** [[StoreRoot.gcSuperseded]] on this root — the retention sweep for
+    * versions the reband lifecycle has superseded (each a full-size
+    * rebuild copy): keep the newest `keepSuperseded` for pinned
+    * readers, delete the rest. Returns the versions deleted.
+    */
+  def vacuum(spark: SparkSession, root: String, keepSuperseded: Int): Seq[Int] = {
+    val r = new Path(root)
+    StoreRoot.gcSuperseded(StoreRoot.fsOf(spark, r), r, keepSuperseded)
   }
 
   private def requireCadence(compactEvery: Option[Int]): Unit =

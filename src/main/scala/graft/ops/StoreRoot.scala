@@ -77,4 +77,39 @@ private[graft] object StoreRoot {
       .foldLeft(-1)(math.max) + 1
 
   def versionDir(root: Path, v: Int): Path = new Path(root, s"v=$v")
+
+  /** RETENTION SWEEP — the protocol's VACUUM analogue: delete version
+    * directories the live pointer has SUPERSEDED, keeping the newest
+    * `keepSuperseded` of them for still-pinned readers (the explicit
+    * cleanup [[flipPointer]]'s snapshot isolation defers — superseded
+    * versions are full-size rebuild copies, so an unswept root grows
+    * by one corpus per lifecycle event forever). Deliberately NOT part
+    * of publish: retention is a POLICY (how long a pinned reader may
+    * hold a superseded snapshot), so it runs only when the maintainer
+    * states one — a reader pinned below the horizon loses its
+    * directory, exactly the snapshot-retention contract.
+    *
+    * Scope is exact, not best-effort: the live version is never
+    * touched, nor is anything ABOVE it (an in-flight publish under the
+    * single-writer contract), nor the pointer markers. Versions below
+    * live include crash-orphaned unpublished dirs — never adoptable
+    * ([[nextVersion]] counts past them), so they age out with the
+    * superseded ones they sit between. An unpublished root (no marker)
+    * is a no-op: its dirs belong to an in-flight first publish.
+    * Idempotent; returns the versions actually deleted.
+    */
+  def gcSuperseded(fs: FileSystem, root: Path, keepSuperseded: Int): Seq[Int] = {
+    require(keepSuperseded >= 0,
+      s"gcSuperseded: keepSuperseded must be >= 0, got $keepSuperseded")
+    pointerOf(fs, root) match {
+      case None => Seq.empty
+      case Some(live) =>
+        val below = fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .collect { case VersionDir(n) => n.toInt }
+          .filter(_ < live).sorted
+        val doomed = below.dropRight(keepSuperseded)
+        doomed.foreach(v => fs.delete(versionDir(root, v), true))
+        doomed
+    }
+  }
 }

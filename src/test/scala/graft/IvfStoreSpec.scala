@@ -322,6 +322,72 @@ class IvfStoreSpec extends SparkSpec {
     }
   }
 
+  test("relayout publishes the live effective view under a caller-supplied " +
+    "layout: fresh version, one bulk assign, pointer flipped, old version " +
+    "untouched") {
+    import spark.implicits._
+    TempFiles.withTempDir("ivfstore-relayout") { root =>
+      val bad = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(-1.0, 0.0))).toDF("cid", "ce")
+      val vroot = root.getAbsolutePath
+      IvfIndexStore.createLive(spark, vroot, bad).ingest(batch(1L, 2L, 3L, 4L, 5L))
+      // the externally-trained path: promote the orthogonal layout
+      val st1 = IvfIndexStore.relayout(spark, vroot, centroids)
+      IvfIndexStore.liveVersion(spark, vroot) shouldBe Some(1)
+      cellOf(st1) shouldBe expected
+      st1.imbalance1e4 shouldBe 12000L // cells {1,2,5}/{3,4}: 3*2*1e4/5
+      // the superseded version still serves its own layout
+      IvfIndexStore.openPinned(spark,
+          new java.io.File(vroot, "v=0").getAbsolutePath)
+        .assigned.collect().map(_.getLong(1)).distinct.toSeq shouldBe Seq(0L)
+    }
+  }
+
+  test("vacuum deletes superseded versions per the stated retention, never " +
+    "the live one; the retained superseded version stays readable and the " +
+    "live serve is unchanged; a second sweep is a no-op") {
+    import spark.implicits._
+    TempFiles.withTempDir("ivfstore-vacuum") { root =>
+      val bad = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(-1.0, 0.0))).toDF("cid", "ce")
+      val mid = Seq((0L, Seq(1.0, 1.0)), (1L, Seq(1.0, -1.0))).toDF("cid", "ce")
+      val vroot = root.getAbsolutePath
+      IvfIndexStore.createLive(spark, vroot, bad).ingest(batch(1L, 2L, 3L, 4L, 5L))
+      IvfIndexStore.relayout(spark, vroot, mid)       // v=1
+      IvfIndexStore.relayout(spark, vroot, centroids) // v=2 live
+      val before = top(IvfIndexStore.openLive(spark, vroot))
+      IvfIndexStore.vacuum(spark, vroot, keepSuperseded = 1) shouldBe Seq(0)
+      assert(!new java.io.File(vroot, "v=0").exists())
+      // the retained superseded version still serves; the live serve is
+      // byte-identical pre/post sweep; the pointer never moved
+      IvfIndexStore.openPinned(spark,
+        new java.io.File(vroot, "v=1").getAbsolutePath).assigned.count() shouldBe 5L
+      top(IvfIndexStore.openLive(spark, vroot)) shouldBe before
+      IvfIndexStore.liveVersion(spark, vroot) shouldBe Some(2)
+      IvfIndexStore.vacuum(spark, vroot, keepSuperseded = 1) shouldBe Seq.empty
+      IvfIndexStore.vacuum(spark, vroot, keepSuperseded = 0) shouldBe Seq(1)
+    }
+  }
+
+  test("maintainedIngest retainSuperseded sweeps exactly when the lifecycle " +
+    "fires: quiet ticks never vacuum, the fired tick leaves only the stated " +
+    "retention behind") {
+    import spark.implicits._
+    TempFiles.withTempDir("ivfstore-tick-retain") { root =>
+      val vroot = new java.io.File(root, "live").getAbsolutePath
+      IvfIndexStore.createLive(spark, vroot, centroids)
+      val (v1, _) = IvfIndexStore.maintainedIngest(spark, vroot,
+        batch(1L, 3L), maxImbalance1e4 = 12000L, kNew = 2, iters = 2,
+        retainSuperseded = Some(0))
+      v1 shouldBe 0 // quiet: nothing superseded, nothing swept
+      assert(new java.io.File(vroot, "v=0").exists())
+      val (v2, _) = IvfIndexStore.maintainedIngest(spark, vroot,
+        batch(2L, 5L), maxImbalance1e4 = 12000L, kNew = 2, iters = 2,
+        retainSuperseded = Some(0))
+      v2 shouldBe 1 // fired: the flip's retention sweep reclaims v=0
+      assert(!new java.io.File(vroot, "v=0").exists())
+      IvfIndexStore.openLive(spark, vroot).assigned.count() shouldBe 4L
+    }
+  }
+
   test("a pure reader pays exactly ONE LIST at open across N reads — the " +
     "pinned snapshot — and refresh() re-pins to observe the writer's later " +
     "commits") {

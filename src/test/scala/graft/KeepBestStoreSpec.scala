@@ -109,6 +109,39 @@ class KeepBestStoreSpec extends SparkSpec {
     }
   }
 
+  test("vacuum reclaims reband-superseded versions per the stated retention " +
+    "and maintainedIngest retainSuperseded sweeps exactly on the fired tick; " +
+    "survivors are unchanged by the sweep") {
+    import spark.implicits._
+    TempFiles.withTempDir("kbstore-vacuum") { root =>
+      val vroot = new java.io.File(root, "live").getAbsolutePath
+      val tune = graft.ops.KeepBestIndex.AutoTune(Seq(2, 4, 8), sampleMod = 1,
+        precisionFloorPpm = 0L, recallFloorPpm = 600000L, truthDfCap = None)
+      KeepBestIndexStore.createLive(spark, vroot, tune)
+      val birth = Seq((11L, T), (12L, T)).toDF("id", "text")
+      val grown = (0 until 20).flatMap { i =>
+        val toks = (0 until 10).map(j => s"g${i}t$j")
+        val mut = toks.take(8) ++ Seq(s"m${i}a", s"m${i}b")
+        Seq((100L + i, toks.mkString(" ")), (200L + i, mut.mkString(" ")))
+      }.toDF("id", "text")
+      // tick 1: birth at 8, quiet — retention never runs without a flip
+      val (v1, _) = KeepBestIndexStore.maintainedIngest(spark, vroot, tune,
+        birth, "id", "text", lit(1L), retainSuperseded = Some(0))
+      v1 shouldBe 0
+      assert(new java.io.File(vroot, "v=0").exists())
+      // tick 2: the grown state de-certifies 8, rebands into v=1, and the
+      // flip's retention sweep (keep 0) reclaims the superseded v=0
+      val (v2, r2) = KeepBestIndexStore.maintainedIngest(spark, vroot, tune,
+        grown, "id", "text", lit(1L), retainSuperseded = Some(0))
+      (v2, r2) shouldBe ((1, 2))
+      assert(!new java.io.File(vroot, "v=0").exists())
+      val live = KeepBestIndexStore.openLive(spark, vroot, tune)
+      surv(live).keySet should contain(11L)
+      // explicit vacuum on a swept root is a no-op
+      KeepBestIndexStore.vacuum(spark, vroot, keepSuperseded = 0) shouldBe Seq.empty
+    }
+  }
+
   test("a pure reader pays exactly ONE LIST at open across N reads — the " +
     "pinned snapshot — and refresh() re-pins to observe the writer's later " +
     "commits") {

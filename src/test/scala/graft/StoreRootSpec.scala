@@ -39,6 +39,37 @@ class StoreRootSpec extends SparkSpec {
     }
   }
 
+  test("gcSuperseded deletes exactly the oldest superseded versions: live and " +
+    "above-live (in-flight) untouched, newest keepSuperseded retained, " +
+    "idempotent, no-op on an unpublished root") {
+    TempFiles.withTempDir("graft-storeroot-gc") { dir =>
+      val root = new Path(dir.getAbsolutePath)
+      val fs = StoreRoot.fsOf(spark, root)
+      def mkv(v: Int): Unit = fs.mkdirs(StoreRoot.versionDir(root, v))
+      // unpublished root: version dirs belong to an in-flight first
+      // publish — the sweep must refuse to touch them
+      mkv(0)
+      StoreRoot.gcSuperseded(fs, root, 0) shouldBe Seq.empty
+      assert(fs.exists(StoreRoot.versionDir(root, 0)))
+      // live = 3; v=0..2 superseded (v=1 a crash orphan is
+      // indistinguishable and equally doomed), v=4 in-flight above live
+      (1 to 4).foreach(mkv)
+      StoreRoot.flipPointer(fs, root, 3)
+      StoreRoot.gcSuperseded(fs, root, 1) shouldBe Seq(0, 1)
+      assert(!fs.exists(StoreRoot.versionDir(root, 0)))
+      assert(!fs.exists(StoreRoot.versionDir(root, 1)))
+      assert(fs.exists(StoreRoot.versionDir(root, 2)), "newest superseded retained")
+      assert(fs.exists(StoreRoot.versionDir(root, 3)), "live untouched")
+      assert(fs.exists(StoreRoot.versionDir(root, 4)), "in-flight untouched")
+      StoreRoot.pointerOf(fs, root) shouldBe Some(3)
+      // idempotent at the same policy; keep=0 then takes the last one
+      StoreRoot.gcSuperseded(fs, root, 1) shouldBe Seq.empty
+      StoreRoot.gcSuperseded(fs, root, 0) shouldBe Seq(2)
+      an[IllegalArgumentException] should be thrownBy
+        StoreRoot.gcSuperseded(fs, root, -1)
+    }
+  }
+
   test("a crash mid-sweep (two markers on disk) still resolves to the newest " +
     "version, and the next publish reclaims the leftovers") {
     TempFiles.withTempDir("graft-storeroot-stale") { dir =>
