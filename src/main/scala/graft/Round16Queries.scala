@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.IvfIndexStore
 
@@ -324,8 +325,12 @@ object Round16Queries {
        |  FROM (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n
        |        FROM $assigned GROUP BY 1))""".stripMargin
 
-  val st28MaintainedStreamSql: String =
-    s"""WITH vc AS (
+  /** The [[st28Vecs]] planted corpus in SQL — shared by the st28 and
+    * st30 oracles so the replayed vectors can never diverge from one
+    * another.
+    */
+  private def st28VecCtes: String =
+    s"""vc AS (
        |  SELECT vec_id AS vid,
        |    CASE WHEN vec_id % 3 = 1 THEN (vec_id // 3) % 8
        |         WHEN (vec_id // 3) % 4 <> 0 THEN 0
@@ -336,7 +341,10 @@ object Round16Queries {
        |    list_transform(generate_series(1, 8), d ->
        |      (CASE WHEN cluster = d - 1 THEN 1.0 ELSE 0.0 END)
        |      + (${graft.ops.TextOps.hash60Sql("CAST(vid AS VARCHAR)||'_'||CAST(d AS VARCHAR)")} % 1000) / 10000.0) AS e
-       |  FROM vc),
+       |  FROM vc)""".stripMargin
+
+  val st28MaintainedStreamSql: String =
+    s"""WITH ${st28VecCtes},
        |corpus AS (SELECT vid, e FROM v WHERE vid >= 1),
        |b1 AS (SELECT vid, e FROM corpus WHERE vid % 3 = 1),
        |s2 AS (SELECT vid, e FROM corpus WHERE vid % 3 <> 0),
@@ -534,15 +542,129 @@ object Round16Queries {
        |WHERE c.id NOT IN (SELECT r.id FROM ranked r WHERE r.rk > 1)
        |ORDER BY c.id""".stripMargin
 
+  // ---- ST30: snapshot retention on the pointer root -----------------------
+
+  /** A deterministic 8-centroid layout picked FROM the planted corpus:
+    * the rows with `vid % 8 == pick`, first 8 by vid, re-keyed
+    * 0..7 — the q_st25 degraded-layout recipe, reused here as two
+    * distinct externally-trained layouts (pick 1 and pick 3).
+    */
+  private def st30Cents(s: SparkSession, corpus: DataFrame, pick: Long): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy("vid")
+    corpus.filter(pmod($"vid", lit(8L)) === pick).orderBy("vid").limit(8)
+      .select((row_number().over(w) - 1).cast("long").as("cid"), $"e".as("ce"))
+      .localCheckpoint(true)
+  }
+
+  /** ST30: SNAPSHOT RETENTION — the explicit cleanup the lifecycle
+    * gates (q_st25/26/28/29) deliberately defer: every retrain/reband
+    * publishes a FULL-SIZE rebuild copy, so an unswept root grows by
+    * one corpus per lifecycle event forever — at scale the sweep is
+    * not optional. Three publish epochs land via the public protocol
+    * (birth at the axis layout, then two [[IvfIndexStore.relayout]]
+    * promotions of externally-trained layouts — the retrain minus the
+    * k-means passes, so the oracle replays ONE bulk assign per epoch
+    * instead of Lloyd iterations), then `vacuum(keepSuperseded = 1)`:
+    * engine-`require`s pin that EXACTLY `v=0` is deleted (the sweep's
+    * scope is exact, not best-effort), that a pinned reader below the
+    * horizon now REFUSES (the snapshot-retention contract — not a
+    * silent wrong answer), that the retained `v=1` still serves, that
+    * the LIVE serve is identical before and after the sweep, that the
+    * pointer never moved, and that a second sweep is a no-op
+    * (idempotent). The oracle replays both surviving layouts'
+    * assignments and serves. Columns: serve_id (1 = live v=2, 2 =
+    * retained v=1), vec_id, cos_sim, deleted_version, live_version,
+    * v0_refused.
+    */
+  val st30StoreVacuum: Q = (s, d) => {
+    import s.implicits._
+    graft.ops.TempFiles.withTempDir("graft-st30") { root =>
+      val vroot = new java.io.File(root, "live").getAbsolutePath
+      val vecs = st28Vecs(s, d).localCheckpoint(eager = true)
+      val corpus = vecs.filter($"vid" >= 1)
+      val anchor = vecs.filter($"vid" === 0).select($"e").localCheckpoint(true)
+      val st0 = IvfIndexStore.createLive(s, vroot, st28AxisCentroids(s))
+      st0.ingest(corpus)
+      IvfIndexStore.relayout(s, vroot, st30Cents(s, corpus, pick = 1)) // v=1
+      IvfIndexStore.relayout(s, vroot, st30Cents(s, corpus, pick = 3)) // v=2
+      def serveIds(st: IvfIndexStore): Seq[Long] =
+        st.search(anchor, nProbe = 1, k = 10)
+          .select("vid").as[Long].collect().toSeq
+      val pre = serveIds(IvfIndexStore.openLive(s, vroot))
+      val deleted = IvfIndexStore.vacuum(s, vroot, keepSuperseded = 1)
+      require(deleted == Seq(0),
+        s"st30: the sweep must delete exactly the superseded v=0, got $deleted")
+      // a reader pinned below the retention horizon REFUSES — loudly,
+      // not with a silently wrong answer
+      val v0Refused = scala.util.Try(IvfIndexStore.openPinned(s,
+        new java.io.File(vroot, "v=0").getAbsolutePath)).isFailure
+      require(v0Refused,
+        "st30: opening the vacuumed version must refuse, not resurrect")
+      val retained = IvfIndexStore.openPinned(s,
+        new java.io.File(vroot, "v=1").getAbsolutePath)
+      val post = IvfIndexStore.openLive(s, vroot)
+      require(serveIds(post) == pre,
+        "st30: the live serve must be identical before and after the sweep")
+      require(IvfIndexStore.liveVersion(s, vroot).contains(2),
+        "st30: the sweep must never move the pointer")
+      require(IvfIndexStore.vacuum(s, vroot, keepSuperseded = 1).isEmpty,
+        "st30: a second sweep at the same retention must be a no-op")
+      val s1 = post.search(anchor, nProbe = 1, k = 10)
+        .select(lit(1).as("serve_id"), $"vid".as("vec_id"), $"cos_sim")
+      val s2 = retained.search(anchor, nProbe = 1, k = 10)
+        .select(lit(2).as("serve_id"), $"vid".as("vec_id"), $"cos_sim")
+      s1.unionByName(s2)
+        .withColumn("deleted_version", lit(0L))
+        .withColumn("live_version", lit(2L))
+        .withColumn("v0_refused", lit(v0Refused))
+        .orderBy(col("serve_id"), col("cos_sim").desc, col("vec_id"))
+        .localCheckpoint(eager = true)
+    }
+  }
+
+  /** Both surviving layouts replayed: the %8-picked centroid sets, one
+    * assignment + one serve each.
+    */
+  val st30StoreVacuumSql: String =
+    s"""WITH ${st28VecCtes},
+       |corpus AS (SELECT vid, e FROM v WHERE vid >= 1),
+       |cent1 AS (SELECT ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cid, e AS ce
+       |          FROM corpus WHERE vid % 8 = 1 ORDER BY vid LIMIT 8),
+       |cent2 AS (SELECT ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cid, e AS ce
+       |          FROM corpus WHERE vid % 8 = 3 ORDER BY vid LIMIT 8),
+       |${st28Assign("a1", "corpus", "cent1")},
+       |${st28Assign("a2", "corpus", "cent2")},
+       |tq AS (SELECT e AS tqe FROM v WHERE vid = 0),
+       |c1 AS (SELECT cid FROM cent1, tq ORDER BY ${cosSql("ce", "tqe")} DESC, cid LIMIT 1),
+       |c2 AS (SELECT cid FROM cent2, tq ORDER BY ${cosSql("ce", "tqe")} DESC, cid LIMIT 1),
+       |serve1 AS (SELECT vid, cs FROM (
+       |  SELECT a.vid, ${cosSql("a.e", "tq.tqe")} AS cs
+       |  FROM a2 a JOIN c2 USING (cid), tq ORDER BY cs DESC, a.vid LIMIT 10)),
+       |serve2 AS (SELECT vid, cs FROM (
+       |  SELECT a.vid, ${cosSql("a.e", "tq.tqe")} AS cs
+       |  FROM a1 a JOIN c1 USING (cid), tq ORDER BY cs DESC, a.vid LIMIT 10))
+       |SELECT serve_id, vec_id, cos_sim,
+       |  CAST(0 AS BIGINT) AS deleted_version,
+       |  CAST(2 AS BIGINT) AS live_version,
+       |  TRUE AS v0_refused
+       |FROM (
+       |  SELECT 1 AS serve_id, vid AS vec_id, cs AS cos_sim FROM serve1
+       |  UNION ALL
+       |  SELECT 2, vid, cs FROM serve2)
+       |ORDER BY serve_id, cos_sim DESC, vec_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q_st27_store_cert_persist" -> st27StoreCertPersist,
     "q_st28_maintained_stream" -> st28MaintainedStream,
-    "q_st29_maintained_keepbest" -> st29MaintainedKeepBest
+    "q_st29_maintained_keepbest" -> st29MaintainedKeepBest,
+    "q_st30_store_vacuum" -> st30StoreVacuum
   )
 
   val oracles: Map[String, String] = Map(
     "q_st27_store_cert_persist" -> st27StoreCertPersistSql,
     "q_st28_maintained_stream" -> st28MaintainedStreamSql,
-    "q_st29_maintained_keepbest" -> st29MaintainedKeepBestSql
+    "q_st29_maintained_keepbest" -> st29MaintainedKeepBestSql,
+    "q_st30_store_vacuum" -> st30StoreVacuumSql
   )
 }
