@@ -148,11 +148,11 @@ final class IvfIndexStore private (spark: SparkSession, dir: String,
     committedCache = Some(before)
     val n = before.lastOption.fold(0)(_ + 1)
     val bdir = new Path(root, s"b=$n")
-    if (fs.exists(bdir)) fs.delete(bdir, true) // failed prior attempt
+    StoreRoot.claimBatchDir(fs, bdir)
     Vectors.ivfAssign(batch.select(col("vid"), col("e")), centroids)
       .withColumn("b", lit(n))
       .write.parquet(new Path(bdir, "assigned").toString)
-    fs.create(new Path(bdir, "_COMMIT"), true).close()
+    StoreRoot.commitBatch(fs, bdir)
     committedCache = Some(before :+ n)
     invalidateCert() // the version moved; any certified width is stale
     compactEvery.foreach(c => if (committed.size >= c) compact())
@@ -343,10 +343,10 @@ final class IvfIndexStore private (spark: SparkSession, dir: String,
     if (bs.size <= 1) return
     val n = bs.last + 1
     val bdir = new Path(root, s"b=$n")
-    if (fs.exists(bdir)) fs.delete(bdir, true)
+    StoreRoot.claimBatchDir(fs, bdir)
     assigned.withColumn("b", lit(n))
       .write.parquet(new Path(bdir, "assigned").toString)
-    fs.create(new Path(bdir, "_COMMIT"), true).close()
+    StoreRoot.commitBatch(fs, bdir)
     bs.foreach(o => fs.delete(new Path(root, s"b=$o"), true))
     // every persisted certification references a version < n (versions
     // are monotone and n was just created) — reclaim them all with the

@@ -218,8 +218,7 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     committedCache = Some(before)
     val n = before.lastOption.fold(0)(_ + 1)
     val bdir = new Path(root, s"b=$n")
-    // a partial from a previous failed attempt at THIS batch number
-    if (fs.exists(bdir)) fs.delete(bdir, true)
+    StoreRoot.claimBatchDir(fs, bdir)
     val dSh = Dedup.shingleHashSet(batch, idCol, textCol, shingleN)
       .select(col("id").cast(LongType).as("id"), col("h"))
       .localCheckpoint(eager = true)
@@ -238,7 +237,7 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
       score.cast(LongType).as("score")))
     put("ids", dSh.select(col("id")).distinct())
     put("pairs", newPairs)
-    fs.create(new Path(bdir, "_COMMIT"), true).close()
+    StoreRoot.commitBatch(fs, bdir)
     committedCache = Some(before :+ n)
     // the amortization cadence: fold every C committed batches, so the
     // shadowed history is bounded at C deltas and total maintenance
@@ -358,7 +357,7 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     if (bs.size <= 1) return
     val n = bs.last + 1
     val bdir = new Path(root, s"b=$n")
-    if (fs.exists(bdir)) fs.delete(bdir, true)
+    StoreRoot.claimBatchDir(fs, bdir)
     def put(name: String, df: DataFrame): Unit =
       df.withColumn("b", lit(n))
         .write.parquet(new Path(bdir, name).toString)
@@ -368,7 +367,7 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     put("scored", effective("scored", scoredSchema))
     put("ids", readFrame("ids", idsSchema).select(col("id")).distinct())
     put("pairs", effectivePairs)
-    fs.create(new Path(bdir, "_COMMIT"), true).close()
+    StoreRoot.commitBatch(fs, bdir)
     bs.foreach(o => fs.delete(new Path(root, s"b=$o"), true))
     committedCache = Some(Seq(n))
   }
@@ -581,7 +580,7 @@ object KeepBestIndexStore {
         df.withColumn("b", lit(0))
           .write.parquet(new Path(bdir, name).toString)
       }
-      fs.create(new Path(bdir, "_COMMIT"), true).close()
+      StoreRoot.commitBatch(fs, bdir)
       StoreRoot.flipPointer(fs, r, next)
       Some(openAuto(spark, dir.toString, tune, shingleN, k, threshold,
         compactEvery))

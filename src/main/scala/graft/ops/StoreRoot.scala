@@ -78,6 +78,45 @@ private[graft] object StoreRoot {
 
   def versionDir(root: Path, v: Int): Path = new Path(root, s"v=$v")
 
+  /** Claim a batch directory for writing — the front half of the
+    * batch protocol's concurrent-writer trip-wire. The stores are
+    * SINGLE-WRITER by contract; these guards turn an accidental
+    * violation (two maintenance jobs pointed at one root — a real ops
+    * event at fleet scale) from silent corruption into a loud failure:
+    * a directory already carrying `_COMMIT` here means another writer
+    * committed this batch number between our listing and now — the old
+    * unconditional delete would have DESTROYED COMMITTED DATA in that
+    * race. A commit-less directory is a crashed prior attempt (or, in
+    * a narrow simultaneous-write window the trip-wire cannot close
+    * without unique data paths, an in-flight concurrent writer) and is
+    * reclaimed as before.
+    */
+  def claimBatchDir(fs: FileSystem, bdir: Path): Unit = {
+    if (fs.exists(new Path(bdir, "_COMMIT")))
+      throw new java.util.ConcurrentModificationException(
+        s"$bdir was committed by ANOTHER WRITER between this writer's " +
+          "listing and its claim — the store is single-writer by contract; " +
+          "stop one of the jobs sharing this root")
+    if (fs.exists(bdir)) fs.delete(bdir, true) // crashed prior attempt
+  }
+
+  /** The back half of the trip-wire: publish a claimed batch with an
+    * EXCLUSIVE marker create (overwrite = false — the atomic primitive
+    * the pointer markers already trust). [[claimBatchDir]] removed any
+    * stale marker, so an existing one here was raced in by a
+    * concurrent writer; the loser aborts loudly and must NOT touch the
+    * directory (it now holds the winner's committed state).
+    */
+  def commitBatch(fs: FileSystem, bdir: Path): Unit =
+    try fs.create(new Path(bdir, "_COMMIT"), false).close()
+    catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"$bdir was committed by ANOTHER WRITER while this writer was " +
+            "filling it — the store is single-writer by contract; stop one " +
+            s"of the jobs sharing this root (${e.getMessage})")
+    }
+
   /** RETENTION SWEEP — the protocol's VACUUM analogue: delete version
     * directories the live pointer has SUPERSEDED, keeping the newest
     * `keepSuperseded` of them for still-pinned readers (the explicit

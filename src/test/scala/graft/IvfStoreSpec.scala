@@ -322,6 +322,28 @@ class IvfStoreSpec extends SparkSpec {
     }
   }
 
+  test("the concurrent-writer trip-wire catches the stale-cache compaction " +
+    "race: a second writer's committed batch is never deleted — the " +
+    "compacting writer aborts loudly instead") {
+    TempFiles.withTempDir("ivfstore-tripwire") { root =>
+      val dir = new java.io.File(root, "s").getAbsolutePath
+      val a = IvfIndexStore.open(spark, dir, centroids)
+      a.ingest(batch(1L))
+      a.ingest(batch(3L))
+      // a SECOND writer on the same root (the contract violation):
+      // its ingest commits b=2, invisible to A's cached committed set
+      val b = IvfIndexStore.open(spark, dir, centroids)
+      b.ingest(batch(4L))
+      // A's compact folds its cached {0,1} into n = 2 — the number B
+      // just committed. Pre-trip-wire this DELETED B's committed batch;
+      // now the claim refuses and B's data survives
+      an[java.util.ConcurrentModificationException] should be thrownBy
+        a.compact()
+      val fresh = IvfIndexStore.open(spark, dir, centroids)
+      cellOf(fresh) shouldBe Map(1L -> 0L, 3L -> 1L, 4L -> 1L)
+    }
+  }
+
   test("relayout publishes the live effective view under a caller-supplied " +
     "layout: fresh version, one bulk assign, pointer flipped, old version " +
     "untouched") {

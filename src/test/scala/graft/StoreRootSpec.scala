@@ -70,6 +70,33 @@ class StoreRootSpec extends SparkSpec {
     }
   }
 
+  test("the batch trip-wire: claimBatchDir refuses a concurrently-committed " +
+    "directory (never deletes committed data) and reclaims a commit-less " +
+    "partial; commitBatch is exclusive — a raced-in marker aborts loudly") {
+    TempFiles.withTempDir("graft-storeroot-claim") { dir =>
+      val root = new Path(dir.getAbsolutePath)
+      val fs = StoreRoot.fsOf(spark, root)
+      val bdir = new Path(root, "b=0")
+      // fresh claim + exclusive commit
+      StoreRoot.claimBatchDir(fs, bdir)
+      fs.mkdirs(bdir)
+      StoreRoot.commitBatch(fs, bdir)
+      // another writer committed this number: the claim must refuse,
+      // and the committed directory must survive the refusal
+      an[java.util.ConcurrentModificationException] should be thrownBy
+        StoreRoot.claimBatchDir(fs, bdir)
+      assert(fs.exists(new Path(bdir, "_COMMIT")))
+      // a second commit of the same number is the race's loser
+      an[java.util.ConcurrentModificationException] should be thrownBy
+        StoreRoot.commitBatch(fs, bdir)
+      // a commit-less partial is a crashed attempt: reclaimed
+      val partial = new Path(root, "b=1")
+      fs.mkdirs(new Path(partial, "frame"))
+      StoreRoot.claimBatchDir(fs, partial)
+      assert(!fs.exists(partial))
+    }
+  }
+
   test("a crash mid-sweep (two markers on disk) still resolves to the newest " +
     "version, and the next publish reclaims the leftovers") {
     TempFiles.withTempDir("graft-storeroot-stale") { dir =>
