@@ -587,8 +587,14 @@ object IvfIndexStore {
   def relayout(spark: SparkSession, root: String, centroids: DataFrame,
                compactEvery: Option[Int] = None): IvfIndexStore = {
     val cur = openLive(spark, root, compactEvery)
-    publishRebuild(spark, root, cur.assigned.select(col("vid"), col("e")),
-      centroids, compactEvery)
+    // one state scan: ingest runs two actions (dup-check + assign
+    // write) — unpersisted, each would re-run the shadowing assembly
+    val eff = cur.assigned.select(col("vid"), col("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    eff.count()
+    val st = publishRebuild(spark, root, eff, centroids, compactEvery)
+    eff.unpersist()
+    st
   }
 
   /** The shared rebuild-and-publish tail of [[retrainFrom]] and
@@ -602,7 +608,7 @@ object IvfIndexStore {
     val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = StoreRoot.nextVersion(fs, r)
     val dir = StoreRoot.versionDir(r, next)
-    if (fs.exists(dir)) fs.delete(dir, true) // crashed prior attempt
+    StoreRoot.claimVersionDir(fs, dir)
     val st = open(spark, dir.toString, cents, compactEvery)
     st.ingest(eff)
     StoreRoot.flipPointer(fs, r, next)

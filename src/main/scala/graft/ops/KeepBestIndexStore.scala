@@ -568,7 +568,7 @@ object KeepBestIndexStore {
       val fs = StoreRoot.fsOf(spark, r)
       val next = StoreRoot.nextVersion(fs, r)
       val dir = StoreRoot.versionDir(r, next)
-      if (fs.exists(dir)) fs.delete(dir, true) // crashed prior attempt
+      StoreRoot.claimVersionDir(fs, dir)
       fs.mkdirs(dir)
       // the birth persistence order (choice first, fingerprint second —
       // a crash between the two heals on reopen)

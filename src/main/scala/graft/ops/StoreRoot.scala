@@ -32,6 +32,7 @@ import org.apache.spark.sql.SparkSession
 private[graft] object StoreRoot {
 
   private val Marker = "_latest.v=(\\d+)".r
+  private val Published = "_published.v=(\\d+)".r
   private val VersionDir = "v=(\\d+)".r
 
   def fsOf(spark: SparkSession, root: Path): FileSystem =
@@ -50,6 +51,14 @@ private[graft] object StoreRoot {
     * max-wins keeps the answer exact and the next publish re-sweeps).
     */
   def flipPointer(fs: FileSystem, root: Path, v: Int): Unit = {
+    // a PERMANENT publish record first (never swept while its dir
+    // lives): [[gcSuperseded]] uses it to tell genuinely superseded
+    // snapshots — the only dirs a reader can be pinned to — from crash
+    // orphans, so orphans can never consume retention slots. Marker
+    // before pointer: a crash between the two leaves a published-
+    // looking orphan that at worst OVER-retains; the reverse order
+    // would under-retain a real snapshot.
+    fs.create(new Path(root, s"_published.v=$v"), true).close()
     fs.create(new Path(root, s"_latest.v=$v"), true).close()
     Option(fs.globStatus(new Path(root, "_latest.v=*"))).toSeq.flatten
       .map(_.getPath).foreach { p =>
@@ -110,11 +119,19 @@ private[graft] object StoreRoot {
   def commitBatch(fs: FileSystem, bdir: Path): Unit =
     try fs.create(new Path(bdir, "_COMMIT"), false).close()
     catch {
-      case e: java.io.IOException =>
+      // exactly the already-exists signal — a transient I/O failure
+      // (quota, safe-mode, network) must surface as itself, not send
+      // the operator hunting for a nonexistent second job
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
           s"$bdir was committed by ANOTHER WRITER while this writer was " +
             "filling it — the store is single-writer by contract; stop one " +
-            s"of the jobs sharing this root (${e.getMessage})")
+            s"of the jobs sharing this root").initCause(e)
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"$bdir was committed by ANOTHER WRITER while this writer was " +
+            "filling it — the store is single-writer by contract; stop one " +
+            s"of the jobs sharing this root").initCause(e)
     }
 
   /** RETENTION SWEEP — the protocol's VACUUM analogue: delete version
@@ -130,12 +147,15 @@ private[graft] object StoreRoot {
     *
     * Scope is exact, not best-effort: the live version is never
     * touched, nor is anything ABOVE it (an in-flight publish under the
-    * single-writer contract), nor the pointer markers. Versions below
-    * live include crash-orphaned unpublished dirs — never adoptable
-    * ([[nextVersion]] counts past them), so they age out with the
-    * superseded ones they sit between. An unpublished root (no marker)
-    * is a no-op: its dirs belong to an in-flight first publish.
-    * Idempotent; returns the versions actually deleted.
+    * single-writer contract), nor the pointer markers. The retention
+    * budget counts only GENUINELY PUBLISHED versions (the permanent
+    * `_published.v=N` record [[flipPointer]] leaves) — the only dirs a
+    * reader can be pinned to; crash-orphaned unpublished dirs below
+    * live are junk no reader ever resolved, deleted unconditionally so
+    * they can never displace a real snapshot from the budget. An
+    * unpublished root (no pointer) is a no-op: its dirs belong to an
+    * in-flight first publish. Idempotent; returns the versions
+    * actually deleted.
     */
   def gcSuperseded(fs: FileSystem, root: Path, keepSuperseded: Int): Seq[Int] = {
     require(keepSuperseded >= 0,
@@ -143,12 +163,38 @@ private[graft] object StoreRoot {
     pointerOf(fs, root) match {
       case None => Seq.empty
       case Some(live) =>
+        val published = Option(fs.globStatus(new Path(root, "_published.v=*")))
+          .toSeq.flatten.map(_.getPath.getName)
+          .collect { case Published(n) => n.toInt }.toSet
         val below = fs.listStatus(root).toSeq.map(_.getPath.getName)
           .collect { case VersionDir(n) => n.toInt }
           .filter(_ < live).sorted
-        val doomed = below.dropRight(keepSuperseded)
-        doomed.foreach(v => fs.delete(versionDir(root, v), true))
+        val (superseded, orphans) = below.partition(published)
+        val doomed = (orphans ++ superseded.dropRight(keepSuperseded)).sorted
+        doomed.foreach { v =>
+          fs.delete(versionDir(root, v), true)
+          fs.delete(new Path(root, s"_published.v=$v"), false)
+        }
         doomed
     }
   }
+
+  /** Claim a lifecycle version directory for building — the version-
+    * level analogue of [[claimBatchDir]]. In single-writer operation
+    * this branch is unreachable: [[nextVersion]] counts past every
+    * existing dir (crash orphans included), so a dir already at the
+    * chosen number can only mean ANOTHER MAINTAINER's in-flight or
+    * just-published rebuild — the old unconditional delete destroyed
+    * it silently (a pointer-referenced live version, if the other
+    * maintainer had already flipped). Refuse loudly instead.
+    */
+  def claimVersionDir(fs: FileSystem, dir: Path): Unit =
+    if (fs.exists(dir))
+      throw new java.util.ConcurrentModificationException(
+        s"$dir appeared between this maintainer's version listing and its " +
+          "build — versions are claimed by directory creation and " +
+          "nextVersion counts past crash orphans, so an existing directory " +
+          "here is another maintainer's rebuild; the lifecycle is " +
+          "single-maintainer by contract — stop one of the jobs sharing " +
+          "this root")
 }

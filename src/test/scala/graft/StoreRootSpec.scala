@@ -39,9 +39,9 @@ class StoreRootSpec extends SparkSpec {
     }
   }
 
-  test("gcSuperseded deletes exactly the oldest superseded versions: live and " +
-    "above-live (in-flight) untouched, newest keepSuperseded retained, " +
-    "idempotent, no-op on an unpublished root") {
+  test("gcSuperseded: the retention budget counts only PUBLISHED versions — " +
+    "orphans never displace a real snapshot; live and above-live untouched; " +
+    "idempotent; no-op on an unpublished root") {
     TempFiles.withTempDir("graft-storeroot-gc") { dir =>
       val root = new Path(dir.getAbsolutePath)
       val fs = StoreRoot.fsOf(spark, root)
@@ -51,22 +51,45 @@ class StoreRootSpec extends SparkSpec {
       mkv(0)
       StoreRoot.gcSuperseded(fs, root, 0) shouldBe Seq.empty
       assert(fs.exists(StoreRoot.versionDir(root, 0)))
-      // live = 3; v=0..2 superseded (v=1 a crash orphan is
-      // indistinguishable and equally doomed), v=4 in-flight above live
-      (1 to 4).foreach(mkv)
-      StoreRoot.flipPointer(fs, root, 3)
-      StoreRoot.gcSuperseded(fs, root, 1) shouldBe Seq(0, 1)
+      // publish 0, 1, 3 through the real protocol; v=2 is a crash
+      // orphan (built, never flipped); v=5 is in-flight above live
+      StoreRoot.flipPointer(fs, root, 0)
+      mkv(1); StoreRoot.flipPointer(fs, root, 1)
+      mkv(2)
+      mkv(3); StoreRoot.flipPointer(fs, root, 3)
+      mkv(5)
+      // keep=1 must retain v=1 (the newest REAL snapshot a reader can
+      // be pinned to), not the younger orphan v=2 — and the orphan
+      // goes unconditionally
+      StoreRoot.gcSuperseded(fs, root, 1) shouldBe Seq(0, 2)
       assert(!fs.exists(StoreRoot.versionDir(root, 0)))
-      assert(!fs.exists(StoreRoot.versionDir(root, 1)))
-      assert(fs.exists(StoreRoot.versionDir(root, 2)), "newest superseded retained")
+      assert(!fs.exists(StoreRoot.versionDir(root, 2)))
+      assert(fs.exists(StoreRoot.versionDir(root, 1)), "newest published retained")
       assert(fs.exists(StoreRoot.versionDir(root, 3)), "live untouched")
-      assert(fs.exists(StoreRoot.versionDir(root, 4)), "in-flight untouched")
+      assert(fs.exists(StoreRoot.versionDir(root, 5)), "in-flight untouched")
+      assert(!fs.exists(new Path(root, "_published.v=0")),
+        "a deleted version's publish record goes with it")
+      assert(fs.exists(new Path(root, "_published.v=1")))
       StoreRoot.pointerOf(fs, root) shouldBe Some(3)
       // idempotent at the same policy; keep=0 then takes the last one
       StoreRoot.gcSuperseded(fs, root, 1) shouldBe Seq.empty
-      StoreRoot.gcSuperseded(fs, root, 0) shouldBe Seq(2)
+      StoreRoot.gcSuperseded(fs, root, 0) shouldBe Seq(1)
       an[IllegalArgumentException] should be thrownBy
         StoreRoot.gcSuperseded(fs, root, -1)
+    }
+  }
+
+  test("claimVersionDir refuses an existing version directory — another " +
+    "maintainer's rebuild is never silently destroyed") {
+    TempFiles.withTempDir("graft-storeroot-vclaim") { dir =>
+      val root = new Path(dir.getAbsolutePath)
+      val fs = StoreRoot.fsOf(spark, root)
+      val v = StoreRoot.versionDir(root, 1)
+      StoreRoot.claimVersionDir(fs, v) // free: fine, claims by creation
+      fs.mkdirs(v)
+      an[java.util.ConcurrentModificationException] should be thrownBy
+        StoreRoot.claimVersionDir(fs, v)
+      assert(fs.exists(v), "the refusal must not touch the other build")
     }
   }
 
