@@ -78,6 +78,35 @@ class KeepBestStoreSpec extends SparkSpec {
     }
   }
 
+  test("effectiveSampleGroups' hash gate sits BELOW every shuffle in the " +
+    "physical plan — only the sample's rows ever cross an exchange") {
+    TempFiles.withTempDir("kbstore-sampleplan") { root =>
+      val idx = KeepBestIndexStore.open(spark,
+        new java.io.File(root, "s").getAbsolutePath)
+      idx.ingest(batch(1L, 2L, 3L, 4L, 5L), "id", "text", col("sc"))
+      // AQE off for the assertion only: the adaptive wrapper hides the
+      // exchange tree from traversal (sparkPlan predates
+      // EnsureRequirements; executedPlan is an opaque adaptive root)
+      val p = {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try idx.effectiveSampleGroups(2L).queryExecution.executedPlan
+        finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+      val exchanges = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      exchanges should not be empty
+      // every exchange's SUBTREE carries the pmod gate: the full state
+      // is scanned map-side only — a regression that lifts the gate
+      // above a shuffle re-groups the whole corpus per maintenance tick
+      exchanges.foreach { e =>
+        withClue(s"an exchange without the sample gate below it:\n$e") {
+          assert(e.toString.toLowerCase.contains("pmod"))
+        }
+      }
+    }
+  }
+
   test("maintainedIngest checkEvery amortizes the re-certification: a " +
     "cadence-skipped tick pays no chooser pass and can never fire; the " +
     "firing tick rebands as q_st29") {
