@@ -351,8 +351,9 @@ object Round14Queries {
     * in the store's committed parquet, not in the JVM); a poisoned
     * MID-BATCH partial (absurd scores, no `_COMMIT` marker) is planted
     * to simulate a crash during the next write; a SECOND instance
-    * opens the same directory — the sweep must drop the partial (the
-    * gate asserts the directory is gone) — and ingests the rest. Final
+    * opens the same directory — open() must NOT touch it (reader-safe
+    * open; the partial stays invisible until the resumed ingest claims
+    * its number, both asserted) — and ingests the rest. Final
     * survivors must equal the BATCH keep-best purge of the whole
     * corpus: the oracle is literally q_d20's SQL, the q_st17 bar, now
     * passed ACROSS a kill/resume boundary.
@@ -395,11 +396,14 @@ object Round14Queries {
           lit(nA).as("b"))
         .write.parquet(new java.io.File(partial, "scored").getAbsolutePath)
       val idx2 = KeepBestIndexStore.open(s, storeDir)
-      require(!partial.exists(),
-        "resume did not sweep the uncommitted mid-batch partial")
+      require(partial.exists(),
+        "open() must not mutate the root — the partial is the writer's to " +
+          "reclaim at its next claim of the number")
       val nB = stream(srcB, idx2)
       require(nB >= 2,
         s"second stream delivered $nB batch(es); the multi-batch contract needs >= 2")
+      require(new java.io.File(partial, "_COMMIT").exists(),
+        "the resumed ingest must claim the partial's number and commit over it")
       idx2.survivors.orderBy("id").localCheckpoint(eager = true)
     }
   }
@@ -1061,7 +1065,9 @@ object Round14Queries {
     * vector, so if resume ever read it, it would top the search at
     * cosine 1.0 and flip the oracle hash; a SECOND instance opens the
     * same directory under the SAME centroid layout (the fingerprint
-    * admits it), must sweep the partial (asserted), ingests the rest,
+    * admits it) WITHOUT touching the partial (reader-safe open — it
+    * stays invisible until the resumed ingest claims its number, both
+    * asserted), ingests the rest,
     * and searches. The final top-k must equal the from-scratch IVF
     * build + search: the oracle is literally q_e13's full-rebuild SQL
     * — the q_st15 bar, now passed across a kill/resume boundary.
@@ -1112,11 +1118,14 @@ object Round14Queries {
           lit(nA).as("b"))
         .write.parquet(new java.io.File(partial, "assigned").getAbsolutePath)
       val idx2 = IvfIndexStore.open(s, storeDir, centroids)
-      require(!partial.exists(),
-        "resume did not sweep the uncommitted mid-batch partial")
+      require(partial.exists(),
+        "open() must not mutate the root — the partial is the writer's to " +
+          "reclaim at its next claim of the number")
       val nB = stream(srcB, idx2)
       require(nB >= 2,
         s"second stream delivered $nB batch(es); the multi-batch contract needs >= 2")
+      require(new java.io.File(partial, "_COMMIT").exists(),
+        "the resumed ingest must claim the partial's number and commit over it")
       idx2.search(query, nProbe = 2, k = 8)
         .select($"vid".as("vec_id"), $"cid", $"cos_sim")
         .localCheckpoint(eager = true)
@@ -1183,11 +1192,18 @@ object Round14Queries {
           lit(nextB).as("b"))
         .write.parquet(new java.io.File(partial, "scored").getAbsolutePath)
       val idx2 = KeepBestIndexStore.open(s, storeDir, compactEvery = Some(2))
-      require(!partial.exists(),
-        "resume did not sweep the uncommitted mid-batch partial")
+      require(partial.exists(),
+        "open() must not mutate the root — the partial is the writer's to " +
+          "reclaim at its next claim of the number")
       val nB = stream(srcB, idx2)
       require(nB >= 2,
         s"second stream delivered $nB batch(es); the multi-batch contract needs >= 2")
+      // the resumed ingest claims the partial's number; a later fold at
+      // the 2-cadence may then reclaim the whole committed batch dir
+      require(!partial.exists() ||
+          new java.io.File(partial, "_COMMIT").exists(),
+        "the poisoned partial must be claimed-and-committed over (or folded " +
+          "away), never left uncommitted")
       idx2.survivors.orderBy("id").localCheckpoint(eager = true)
     }
   }
@@ -1273,13 +1289,16 @@ object Round14Queries {
           lit(nA).as("b"))
         .write.parquet(new java.io.File(partial, "scored").getAbsolutePath)
       val idx2 = KeepBestIndexStore.openAuto(s, storeDir, tune)
-      require(!partial.exists(),
-        "resume did not sweep the uncommitted mid-batch partial")
+      require(partial.exists(),
+        "open() must not mutate the root — the partial is the writer's to " +
+          "reclaim at its next claim of the number")
       require(idx2.chosenRowsPerBand.contains(bornAt),
         "resume did not read the birth choice from _tuned_rpb")
       val nB = stream(srcB, idx2, assertFirstIsSplit0 = false)
       require(nB >= 2,
         s"second stream delivered $nB batch(es); the multi-batch contract needs >= 2")
+      require(new java.io.File(partial, "_COMMIT").exists(),
+        "the resumed ingest must claim the partial's number and commit over it")
       idx2.survivors
         .withColumn("rows_per_band", lit(bornAt))
         .orderBy("id").localCheckpoint(eager = true)
@@ -1344,11 +1363,14 @@ object Round14Queries {
           lit(nA).as("b"))
         .write.parquet(new java.io.File(partial, "assigned").getAbsolutePath)
       val idx2 = IvfIndexStore.open(s, storeDir, centroids)
-      require(!partial.exists(),
-        "resume did not sweep the uncommitted mid-batch partial")
+      require(partial.exists(),
+        "open() must not mutate the root — the partial is the writer's to " +
+          "reclaim at its next claim of the number")
       val nB = stream(srcB, idx2)
       require(nB >= 2,
         s"second stream delivered $nB batch(es); the multi-batch contract needs >= 2")
+      require(new java.io.File(partial, "_COMMIT").exists(),
+        "the resumed ingest must claim the partial's number and commit over it")
       idx2.searchAuto(tuneQ, serveQ, k = 10, nprobes = Seq(1, 2, 4),
           recallFloorPpm = e24RecallFloorPpm)
         .select($"vid".as("vec_id"), $"cid", $"cos_sim", $"nprobe")

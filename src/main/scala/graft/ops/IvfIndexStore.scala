@@ -109,8 +109,7 @@ final class IvfIndexStore private (spark: SparkSession, dir: String,
   }
 
   /** The stored assignment across committed batches (explicit paths,
-    * never a glob — uncommitted partials are invisible even before
-    * open()'s sweep).
+    * never a glob — uncommitted partials are simply invisible).
     */
   private def readAssigned: DataFrame = {
     val bs = committed
@@ -394,9 +393,15 @@ object IvfIndexStore {
     * layout is fingerprinted — reopening under different centroids or
     * a different algebra version refuses (the stored cids were argmax
     * decisions against the OLD set; folding new-layout batches in
-    * would silently mix two indexes). Uncommitted batch directories
-    * (mid-write crashes) are swept here. `compactEvery` is a
-    * maintenance cadence, not state algebra — never fingerprinted.
+    * would silently mix two indexes). open() NEVER mutates committed
+    * state or batch directories — a pure reader can open concurrently
+    * with a writer mid-ingest; crashed mid-write partials stay
+    * invisible (reads use explicit committed paths) until the writer's
+    * next claim of that batch number reclaims them
+    * ([[StoreRoot.claimBatchDir]] — reclamation belongs to the single
+    * writer; an open()-time sweep would let any READER destroy the
+    * writer's in-flight batch). `compactEvery` is a maintenance
+    * cadence, not state algebra — never fingerprinted.
     */
   def open(spark: SparkSession, dir: String, centroids: DataFrame,
            compactEvery: Option[Int] = None): IvfIndexStore = {
@@ -445,15 +450,6 @@ object IvfIndexStore {
           .mkString("\n"))
       val out = fs.create(fpPath, true)
       try out.write(fp.getBytes("UTF-8")) finally out.close()
-    }
-    // sweep mid-write partials: a batch directory without _COMMIT is a
-    // crash artifact — its rows were never visible
-    fs.listStatus(root).toSeq.map(_.getPath).foreach { p =>
-      p.getName match {
-        case BatchDir(_) if !fs.exists(new Path(p, "_COMMIT")) =>
-          fs.delete(p, true)
-        case _ => ()
-      }
     }
     val st = new IvfIndexStore(spark, dir, pinned, compactEvery)
     st.refresh() // pin the at-open snapshot: a pure reader LISTs once

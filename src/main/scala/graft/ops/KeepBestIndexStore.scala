@@ -14,8 +14,9 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField
   * long-lived 100 TB ingest guard. Here every batch persists ONLY its
   * delta as parquet under a run directory, commits it atomically with
   * a trailing `_COMMIT` marker (the `Curate.pipelineStaged` /
-  * `_SUCCESS` pattern — a marker-less directory is a mid-write crash
-  * and is dropped on the next open), and the ACCUMULATED state is a
+  * `_SUCCESS` pattern — a marker-less directory is a mid-write crash,
+  * invisible to every read and reclaimed when the writer next claims
+  * its batch number), and the ACCUMULATED state is a
   * read-time view over the committed deltas. A killed stream resumes
   * by reopening the directory: state is whatever was committed, the
   * next batch folds in exactly as if the crash never happened
@@ -128,8 +129,7 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
 
   /** One stored frame across the committed batches (each row carries
     * the `b` it was written in). Reading by explicit committed paths —
-    * never a glob — is what makes uncommitted partials invisible even
-    * before open()'s cleanup sweep.
+    * never a glob — is what makes uncommitted partials invisible.
     */
   private def readFrame(name: String, schema: StructType): DataFrame = {
     val bs = committed
@@ -171,8 +171,9 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     * dropped inside the probe and shadowed in the store), write the
     * six delta frames under the next batch directory, then commit
     * with the trailing marker. A crash anywhere before the marker
-    * leaves a partial directory the next open() deletes; the batch
-    * re-ingests cleanly.
+    * leaves a partial directory that stays invisible (reads use
+    * explicit committed paths) until the next ingest claims the same
+    * batch number and reclaims it; the batch re-ingests cleanly.
     */
   def ingest(batch: DataFrame, idCol: String, textCol: String,
              score: Column): Unit = {
@@ -401,8 +402,11 @@ object KeepBestIndexStore {
     * under a different state ALGEBRA version — is refused, because the
     * stored deltas were computed under the old configuration and
     * folding new-configuration batches into them would silently mix
-    * two indexes. Uncommitted batch directories (mid-write crashes)
-    * are swept here.
+    * two indexes. open() NEVER mutates committed state or batch
+    * directories — a pure reader can open concurrently with a writer
+    * mid-ingest; crashed partials stay invisible until the writer's
+    * next claim of their batch number reclaims them
+    * ([[StoreRoot.claimBatchDir]]).
     *
     * `compactEvery`: auto-fold the committed view whenever that many
     * batch deltas have accumulated (after the triggering ingest
@@ -424,7 +428,6 @@ object KeepBestIndexStore {
           "resuming would silently mix two indexes; pass a fresh dir (or " +
           "delete this one) to run with the new parameters")
     } else writeText(fs, fpPath, fp)
-    sweepPartials(fs, root)
     val st = new KeepBestIndexStore(spark, dir, shingleN, k, Some(rowsPerBand),
       threshold, compactEvery, tuning = None)
     st.refresh() // pin the at-open snapshot: a pure reader LISTs once
@@ -471,7 +474,6 @@ object KeepBestIndexStore {
             "original banding instead of openAuto")
         None
       }
-    sweepPartials(fs, root)
     val st = new KeepBestIndexStore(spark, dir, shingleN, k, stored, threshold,
       compactEvery, tuning = Some(tune))
     st.refresh() // pin the at-open snapshot: a pure reader LISTs once
@@ -688,15 +690,4 @@ object KeepBestIndexStore {
     try out.write(s.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Sweep mid-write partials: a batch directory without `_COMMIT` is
-    * a crash artifact — delete it whole (its rows were never visible).
-    */
-  private def sweepPartials(fs: FileSystem, root: Path): Unit =
-    fs.listStatus(root).toSeq.map(_.getPath).foreach { p =>
-      p.getName match {
-        case BatchDir(_) if !fs.exists(new Path(p, "_COMMIT")) =>
-          fs.delete(p, true)
-        case _ => ()
-      }
-    }
 }

@@ -54,14 +54,20 @@ class IvfStoreSpec extends SparkSpec {
         // the kill: instance a is dropped. Plant a mid-batch crash
         // artifact — a partial next-batch dir whose rows would flip the
         // search if ever read (a fake vid at cosine 1.0 in the probed
-        // cell), with no _COMMIT; resume must sweep it.
+        // cell), with no _COMMIT. open() must NOT touch it (a pure
+        // reader opening mid-ingest must never destroy a writer's
+        // in-flight batch); it stays invisible until the resumed
+        // writer's ingest claims the number.
         import spark.implicits._
         val partial = new java.io.File(dir, s"b=$cut")
         Seq((999L, 0L, Seq(1.0, 0.0), cut)).toDF("vid", "cid", "e", "b")
           .write.parquet(new java.io.File(partial, "assigned").getAbsolutePath)
         val b = IvfIndexStore.open(spark, dir, centroids)
-        assert(!partial.exists(), "open() must sweep the uncommitted partial")
+        assert(partial.exists(), "open() must not mutate the root")
+        cellOf(b).keySet should not contain 999L
         feed.drop(cut).foreach(ids => b.ingest(batch(ids: _*)))
+        assert(new java.io.File(partial, "_COMMIT").exists(),
+          "the resumed ingest claims the partial's number and commits over it")
         cellOf(b) shouldBe expected
         top(b) shouldBe Seq(1L, 2L)
       }

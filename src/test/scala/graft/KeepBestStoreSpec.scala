@@ -46,15 +46,21 @@ class KeepBestStoreSpec extends SparkSpec {
         feed.take(cut).foreach(ids => a.ingest(batch(ids: _*), "id", "text", col("sc")))
         // the kill: instance a is dropped. Plant a mid-batch crash
         // artifact — a partial next-batch dir with poisoned scores and
-        // no _COMMIT; resume must sweep it (and must never read it).
+        // no _COMMIT. open() must NOT touch it (a pure reader opening
+        // mid-ingest must never destroy a writer's in-flight batch);
+        // it stays invisible until the resumed writer's ingest claims
+        // the number and reclaims it.
         val partial = new java.io.File(dir, s"b=$cut")
         batch(feed(cut): _*)
           .select(col("id").cast("long").as("id"), lit(999999L).as("score"),
             lit(cut).as("b"))
           .write.parquet(new java.io.File(partial, "scored").getAbsolutePath)
         val b = KeepBestIndexStore.open(spark, dir)
-        assert(!partial.exists(), "open() must sweep the uncommitted partial")
+        assert(partial.exists(), "open() must not mutate the root")
+        surv(b).values should not contain 999999L
         feed.drop(cut).foreach(ids => b.ingest(batch(ids: _*), "id", "text", col("sc")))
+        assert(new java.io.File(partial, "_COMMIT").exists(),
+          "the resumed ingest claims the partial's number and commits over it")
         surv(b) shouldBe expected
       }
     }
