@@ -226,12 +226,17 @@ final class IvfIndexStore private (spark: SparkSession, dir: String,
     new Path(root, s"_certified/v=$version,a=${anchorFp.take(16)}," +
       s"c=$configFp")
 
-  private def readCertified(version: Int, anchorFp: String,
-                            configFp: String): Option[Int] = {
+  private def readCertified(version: Int, anchorFp: String, configFp: String,
+                            nprobes: Seq[Int]): Option[Int] = {
     val p = certPath(version, anchorFp, configFp)
     if (!fs.exists(p)) None
     else scala.util.Try(KeepBestIndexStore.readText(fs, p).trim.toInt)
-      .toOption // a torn write re-certifies and overwrites — never throws
+      .toOption // an unparseable file re-certifies and overwrites
+      // belt over the atomic-write braces: only a width the CURRENT
+      // grid contains is trusted — a '1' torn from '12' (or a file
+      // from an older, wider grid) must re-certify, never serve below
+      // the recall floor silently
+      .filter(nprobes.contains)
   }
 
   /** Drop the memoized certification and release its pinned view —
@@ -280,7 +285,7 @@ final class IvfIndexStore private (spark: SparkSession, dir: String,
       val eff = assigned
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       eff.count()
-      val width = readCertified(version, aFp, cFp).getOrElse {
+      val width = readCertified(version, aFp, cFp, nprobes).getOrElse {
         val choice =
           try Vectors.tuningRows(eff, centroids, tuneQuery, k, nprobes)
             .filter(_._3 >= recallFloorPpm)
@@ -293,7 +298,7 @@ final class IvfIndexStore private (spark: SparkSession, dir: String,
             "the floor (a silent default would serve traffic at a recall the " +
             "floor just rejected)")
         certifications += 1
-        KeepBestIndexStore.writeText(fs, certPath(version, aFp, cFp),
+        KeepBestIndexStore.writeTextAtomic(fs, certPath(version, aFp, cFp),
           choice.get.toString)
         choice.get
       }
@@ -445,11 +450,10 @@ object IvfIndexStore {
       // leaves a healable dir (reopening recomputes the fingerprint
       // from the stored layout), never a fingerprint whose layout is
       // unrecoverable from its hash.
-      KeepBestIndexStore.writeText(fs, new Path(root, "_centroids"),
+      KeepBestIndexStore.writeTextAtomic(fs, new Path(root, "_centroids"),
         rows.map { case (cid, ce) => s"$cid:${ce.mkString(",")}" }
           .mkString("\n"))
-      val out = fs.create(fpPath, true)
-      try out.write(fp.getBytes("UTF-8")) finally out.close()
+      KeepBestIndexStore.writeTextAtomic(fs, fpPath, fp)
     }
     val st = new IvfIndexStore(spark, dir, pinned, compactEvery)
     st.refresh() // pin the at-open snapshot: a pure reader LISTs once
@@ -497,9 +501,7 @@ object IvfIndexStore {
     val r = new Path(root)
     val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(r)) fs.mkdirs(r)
-    require(StoreRoot.pointerOf(fs, r).isEmpty,
-      s"IvfIndexStore.createLive: $root already has a live version — " +
-        "open it with openLive (or retrain it) instead of re-creating")
+    StoreRoot.requireCreatable(fs, r, "IvfIndexStore.createLive")
     val st = open(spark, new Path(r, "v=0").toString, centroids, compactEvery)
     StoreRoot.flipPointer(fs, r, 0)
     st
@@ -643,11 +645,13 @@ object IvfIndexStore {
     *
     * `checkEvery` amortizes the health check the way `compactEvery`
     * amortizes folds: the imbalance aggregate (one state-view pass)
-    * runs only when the latest committed batch number + 1 is a
-    * multiple of the cadence — DERIVED FROM DURABLE STATE, so a
-    * kill/resume never resets the rhythm (an in-memory tick counter
-    * would). 1 (the default, and the gates' setting) checks every
-    * tick; a skipped tick can never fire the lifecycle.
+    * runs only every `checkEvery`-th tick of the root's DURABLE tick
+    * counter ([[StoreRoot.bumpTick]] — marker files beside the
+    * pointer, so a kill/resume never resets the rhythm, and compaction
+    * consuming batch numbers can never skew it: the r16 batch-number
+    * derivation silently suppressed an even cadence forever whenever a
+    * fold fired every tick). 1 (the default, and the gates' setting)
+    * checks every tick; a skipped tick can never fire the lifecycle.
     *
     * Per-tick cost: the ingest's delta-bounded write, the imbalance
     * aggregate on checked ticks, and — only on a fired tick — the
@@ -658,18 +662,16 @@ object IvfIndexStore {
                        compactEvery: Option[Int] = None,
                        checkEvery: Int = 1,
                        retainSuperseded: Option[Int] = None): (Int, Option[Long]) = {
-    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val cur = openLive(spark, root, compactEvery)
-    cur.ingest(batch)
-    val checked = cur.lastCommittedBatch.exists(n => (n + 1) % checkEvery == 0)
-    val imb = if (checked) Some(cur.imbalance1e4) else None
-    if (imb.exists(_ > maxImbalance1e4)) {
-      retrainFrom(spark, root, cur, kNew, iters, compactEvery)
-      // retention rides the flip: a fired tick is the only event that
-      // creates a superseded version, so the sweep runs exactly then
-      retainSuperseded.foreach(keep => vacuum(spark, root, keep))
+    var imb: Option[Long] = None
+    val v = StoreRoot.maintainedTick(spark, root, checkEvery,
+      retainSuperseded)(() => cur.ingest(batch)) { () =>
+      val i = cur.imbalance1e4
+      imb = Some(i)
+      val fire = i > maxImbalance1e4
+      if (fire) retrainFrom(spark, root, cur, kNew, iters, compactEvery)
+      fire
     }
-    (liveVersion(spark, root).getOrElse(
-      sys.error(s"maintainedIngest: $root lost its pointer mid-tick")), imb)
+    (v, imb)
   }
 }

@@ -205,8 +205,8 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
             "store at an operating point the floors just rejected); loosen a " +
             "floor or extend rowsPerBandConfigs")
         val rpb = choice.head.getInt(0)
-        writeText(fs, new Path(root, "_tuned_rpb"), rpb.toString)
-        writeText(fs, new Path(root, "_params.sha256"),
+        writeTextAtomic(fs, new Path(root, "_tuned_rpb"), rpb.toString)
+        writeTextAtomic(fs, new Path(root, "_params.sha256"),
           fingerprint(shingleN, k, rpb, threshold))
         tunedRpb = Some(rpb)
       }
@@ -427,7 +427,7 @@ object KeepBestIndexStore {
           "configuration or algebra version (params fingerprint mismatch) — " +
           "resuming would silently mix two indexes; pass a fresh dir (or " +
           "delete this one) to run with the new parameters")
-    } else writeText(fs, fpPath, fp)
+    } else writeTextAtomic(fs, fpPath, fp)
     val st = new KeepBestIndexStore(spark, dir, shingleN, k, Some(rowsPerBand),
       threshold, compactEvery, tuning = None)
     st.refresh() // pin the at-open snapshot: a pure reader LISTs once
@@ -458,13 +458,23 @@ object KeepBestIndexStore {
     val stored: Option[Int] =
       if (fs.exists(rpbPath)) {
         val rpb = readText(fs, rpbPath).trim.toInt
+        // the stored choice must be a member of the grid that could
+        // have certified it — the cheap tripwire against a torn write
+        // that parses (a '1' torn from '12') or a hand-edited file:
+        // running at an uncertified banding silently is the exact
+        // failure the floors exist to refuse
+        require(tune.rowsPerBandConfigs.contains(rpb),
+          s"KeepBestIndexStore: $dir's persisted banding choice ($rpb) is " +
+            s"not in the tuning grid ${tune.rowsPerBandConfigs} — the file " +
+            "is torn or the grid changed; restore _tuned_rpb (or rebuild) " +
+            "rather than serving at an uncertified operating point")
         val fp = fingerprint(shingleN, k, rpb, threshold)
         if (fs.exists(fpPath)) {
           require(readText(fs, fpPath) == fp,
             s"KeepBestIndexStore: $dir was tuned under DIFFERENT non-banding " +
               "parameters or algebra version (params fingerprint mismatch) — " +
               "resuming would silently mix two indexes")
-        } else writeText(fs, fpPath, fp) // heal a crash between the two writes
+        } else writeTextAtomic(fs, fpPath, fp) // heal a crash between the two
         Some(rpb)
       } else {
         require(!fs.exists(fpPath),
@@ -498,9 +508,7 @@ object KeepBestIndexStore {
     val r = new Path(root)
     val fs = StoreRoot.fsOf(spark, r)
     if (!fs.exists(r)) fs.mkdirs(r)
-    require(StoreRoot.pointerOf(fs, r).isEmpty,
-      s"KeepBestIndexStore.createLive: $root already has a live version — " +
-        "open it with openLive (or reband it) instead of re-creating")
+    StoreRoot.requireCreatable(fs, r, "KeepBestIndexStore.createLive")
     val st = openAuto(spark, StoreRoot.versionDir(r, 0).toString, tune,
       shingleN, k, threshold, compactEvery)
     StoreRoot.flipPointer(fs, r, 0)
@@ -574,8 +582,8 @@ object KeepBestIndexStore {
       fs.mkdirs(dir)
       // the birth persistence order (choice first, fingerprint second —
       // a crash between the two heals on reopen)
-      writeText(fs, new Path(dir, "_tuned_rpb"), rpbNew.toString)
-      writeText(fs, new Path(dir, "_params.sha256"),
+      writeTextAtomic(fs, new Path(dir, "_tuned_rpb"), rpbNew.toString)
+      writeTextAtomic(fs, new Path(dir, "_params.sha256"),
         fingerprint(shingleN, k, rpbNew, threshold))
       val bdir = new Path(dir, "b=0")
       cur.stateAt(rpbNew).foreach { case (name, df) =>
@@ -606,12 +614,12 @@ object KeepBestIndexStore {
     * tick) — the version sequence is the lifecycle's provenance.
     *
     * `checkEvery` amortizes the re-certification the way
-    * `compactEvery` amortizes folds: the chooser pass runs only when
-    * the latest committed batch number + 1 is a multiple of the
-    * cadence — derived from durable state, so a kill/resume never
-    * resets the rhythm. 1 (the default, and the gates' setting)
-    * re-certifies every tick; a skipped tick can never fire the
-    * lifecycle.
+    * `compactEvery` amortizes folds: the chooser pass runs only every
+    * `checkEvery`-th tick of the root's DURABLE tick counter
+    * ([[StoreRoot.bumpTick]] — kill/resume never resets the rhythm,
+    * and compaction consuming batch numbers can never skew it). 1 (the
+    * default, and the gates' setting) re-certifies every tick; a
+    * skipped tick can never fire the lifecycle.
     *
     * Per-tick cost: the ingest's delta-bounded write + incremental
     * probe; on checked ticks one chooser pass whose SHUFFLES carry
@@ -629,24 +637,18 @@ object KeepBestIndexStore {
                        compactEvery: Option[Int] = None,
                        checkEvery: Int = 1,
                        retainSuperseded: Option[Int] = None): (Int, Int) = {
-    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val cur = openLive(spark, root, tune, shingleN, k, threshold, compactEvery)
-    cur.ingest(batch, idCol, textCol, score)
-    val checked = cur.lastCommittedBatch.exists(n => (n + 1) % checkEvery == 0)
-    val rebanded =
-      if (checked)
+    var live: KeepBestIndexStore = cur
+    val v = StoreRoot.maintainedTick(spark, root, checkEvery,
+      retainSuperseded)(() => cur.ingest(batch, idCol, textCol, score)) { () =>
+      val rebanded =
         rebandIfStale(spark, root, tune, shingleN, k, threshold, compactEvery)
-      else None
-    // retention rides the flip: a fired tick is the only event that
-    // creates a superseded version, so the sweep runs exactly then
-    if (rebanded.nonEmpty)
-      retainSuperseded.foreach(keep => vacuum(spark, root, keep))
-    val live = rebanded.getOrElse(cur)
-    (liveVersion(spark, root).getOrElse(
-       sys.error(s"maintainedIngest: $root lost its pointer mid-tick")),
-     live.chosenRowsPerBand.getOrElse(
-       sys.error("maintainedIngest: the live store has no banding after " +
-         "an ingest — birth tuning should have set it or refused")))
+      rebanded.foreach(live = _)
+      rebanded.nonEmpty
+    }
+    (v, live.chosenRowsPerBand.getOrElse(
+      sys.error("maintainedIngest: the live store has no banding after " +
+        "an ingest — birth tuning should have set it or refused")))
   }
 
   /** [[StoreRoot.gcSuperseded]] on this root — the retention sweep for
@@ -688,6 +690,24 @@ object KeepBestIndexStore {
   private[ops] def writeText(fs: FileSystem, p: Path, s: String): Unit = {
     val out = fs.create(p, true)
     try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Temp-write + rename for the tiny metadata files whose CONTENT is
+    * a decision (`_tuned_rpb`, the `_certified` files,
+    * `_params.sha256`): a
+    * plain create can tear mid-write, and a torn NUMERIC prefix (a
+    * lone '1' torn from '12') parses fine — a restarted process would
+    * then run at a banding/width the floors never certified, silently.
+    * The rename makes the content all-or-nothing; the brief
+    * delete-before-rename gap only ever loses the FILE, which every
+    * reader treats as "decide again" (safe), never as a wrong value.
+    */
+  private[ops] def writeTextAtomic(fs: FileSystem, p: Path, s: String): Unit = {
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    writeText(fs, tmp, s)
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      sys.error(s"KeepBestIndexStore: atomic metadata publish failed for $p")
   }
 
 }

@@ -34,16 +34,33 @@ private[graft] object StoreRoot {
   private val Marker = "_latest.v=(\\d+)".r
   private val Published = "_published.v=(\\d+)".r
   private val VersionDir = "v=(\\d+)".r
+  private val TickMarker = "_tick.n=(\\d+)".r
 
   def fsOf(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The live version: max over the pointer markers, one glob listing. */
+  /** The pre-marker protocol's single `_latest` FILE (content = the
+    * version number) — readable forever: a root last published by the
+    * old protocol must resolve to its real live version, not to None
+    * (which would steer the operator to createLive and silently roll
+    * serving back to v=0). The first marker-based [[flipPointer]]
+    * migrates and retires it.
+    */
+  private def legacyPointer(fs: FileSystem, root: Path): Option[Int] = {
+    val legacy = new Path(root, "_latest")
+    if (!fs.exists(legacy) || !fs.getFileStatus(legacy).isFile) None
+    else scala.util.Try(
+      KeepBestIndexStore.readText(fs, legacy).trim.toInt).toOption
+  }
+
+  /** The live version: max over the pointer markers, one glob listing;
+    * a marker-less root falls back to the legacy single-file pointer.
+    */
   def pointerOf(fs: FileSystem, root: Path): Option[Int] = {
     val ms = Option(fs.globStatus(new Path(root, "_latest.v=*"))).toSeq.flatten
       .map(_.getPath.getName)
       .collect { case Marker(n) => n.toInt }
-    if (ms.isEmpty) None else Some(ms.max)
+    if (ms.nonEmpty) Some(ms.max) else legacyPointer(fs, root)
   }
 
   /** Atomic pointer publish — ONE marker create, then a best-effort
@@ -51,13 +68,46 @@ private[graft] object StoreRoot {
     * max-wins keeps the answer exact and the next publish re-sweeps).
     */
   def flipPointer(fs: FileSystem, root: Path, v: Int): Unit = {
+    val liveBefore = pointerOf(fs, root)
+    // HEAL CRASHED FLIPS before adding our own records: a publish
+    // record ABOVE the current live pointer (and not the version being
+    // published now) is a flip that crashed between its `_published`
+    // create and its `_latest` create — that version never served, so
+    // letting the record stand would make [[gcSuperseded]] count a
+    // never-live orphan toward the retention budget, displacing a real
+    // snapshot a reader could actually be pinned to (UNDER-retention).
+    // Markers are only swept when a newer one exists, so live >= M for
+    // every M that ever had a marker — "record above live" is exact.
+    Option(fs.globStatus(new Path(root, "_published.v=*"))).toSeq.flatten
+      .map(_.getPath).foreach { p =>
+        p.getName match {
+          case Published(n)
+            if n.toInt > liveBefore.getOrElse(-1) && n.toInt != v =>
+            fs.delete(p, false)
+          case _ => ()
+        }
+      }
+    // legacy-protocol versions were genuinely published but predate
+    // the records — give every legacy dir at-or-below the legacy live
+    // one before they go below the new live, or [[gcSuperseded]] would
+    // treat them as unconditional orphans and under-retain. Dirs below
+    // a legacy live COULD be crash orphans, but that is unknowable
+    // post hoc; recording them all errs toward OVER-retention, the
+    // protocol's stated failure direction.
+    legacyPointer(fs, root).foreach { lv =>
+      fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .collect { case VersionDir(n) => n.toInt }
+        .filter(n => n <= lv && n != v)
+        .foreach(n =>
+          fs.create(new Path(root, s"_published.v=$n"), true).close())
+    }
     // a PERMANENT publish record first (never swept while its dir
     // lives): [[gcSuperseded]] uses it to tell genuinely superseded
     // snapshots — the only dirs a reader can be pinned to — from crash
     // orphans, so orphans can never consume retention slots. Marker
     // before pointer: a crash between the two leaves a published-
-    // looking orphan that at worst OVER-retains; the reverse order
-    // would under-retain a real snapshot.
+    // looking orphan which the NEXT flip's heal above deletes; the
+    // reverse order would under-retain a real snapshot.
     fs.create(new Path(root, s"_published.v=$v"), true).close()
     fs.create(new Path(root, s"_latest.v=$v"), true).close()
     Option(fs.globStatus(new Path(root, "_latest.v=*"))).toSeq.flatten
@@ -67,6 +117,9 @@ private[graft] object StoreRoot {
           case _ => ()
         }
       }
+    // retire the legacy single-file pointer AFTER the markers landed —
+    // max-wins already ignores it, this is just migration hygiene
+    fs.delete(new Path(root, "_latest"), false)
   }
 
   def liveVersion(spark: SparkSession, root: String): Option[Int] = {
@@ -177,6 +230,102 @@ private[graft] object StoreRoot {
         }
         doomed
     }
+  }
+
+  /** The durable maintenance-tick count: max over the `_tick.n=N`
+    * markers (zero on a fresh root) — the SAME max-wins marker algebra
+    * as the pointer. The counter exists because the r16 cadence was
+    * derived from the latest committed BATCH number, and compaction
+    * also consumes batch numbers: with `compactEvery` set so a fold
+    * fires every tick, the batch number advances by two per tick and
+    * keeps one parity forever, so an even `checkEvery` was NEVER hit —
+    * the health check (and with it the whole retrain/reband lifecycle)
+    * was permanently and silently suppressed. Ticks count MAINTENANCE
+    * CALLS, which nothing else advances.
+    */
+  def tickCount(fs: FileSystem, root: Path): Int =
+    Option(fs.globStatus(new Path(root, "_tick.n=*"))).toSeq.flatten
+      .map(_.getPath.getName)
+      .collect { case TickMarker(n) => n.toInt }
+      .foldLeft(0)(math.max)
+
+  /** Durably advance the tick counter by one: create the next marker,
+    * then best-effort sweep the older ones (max-wins absorbs a crash
+    * mid-sweep). A kill between a tick's ingest commit and this bump
+    * re-delivers the batch under at-least-once, so the counter drifts
+    * by at most the crash count — it never RESETS, which is the
+    * property the cadence needs (an in-memory counter restarts at 0
+    * and can skew the rhythm arbitrarily).
+    */
+  def bumpTick(fs: FileSystem, root: Path): Int = {
+    val t = tickCount(fs, root) + 1
+    fs.create(new Path(root, s"_tick.n=$t"), true).close()
+    Option(fs.globStatus(new Path(root, "_tick.n=*"))).toSeq.flatten
+      .map(_.getPath).foreach { p =>
+        p.getName match {
+          case TickMarker(n) if n.toInt < t => fs.delete(p, false)
+          case _ => ()
+        }
+      }
+    t
+  }
+
+  /** THE SHARED MAINTENANCE-TICK DRIVER — the one contract both
+    * stores' `maintainedIngest` twins instantiate (ingest → durable
+    * cadence check → health/lifecycle thunk → retention-rides-the-flip
+    * → pointer-loss error), extracted so the invariants are pinned
+    * ONCE for any future store:
+    *
+    *  - `ingest` folds the batch into the live version (the store's
+    *    own crash-safe batch protocol).
+    *  - the tick counter then advances DURABLY ([[bumpTick]] — marker
+    *    create, kill/resume-safe, and immune to compaction consuming
+    *    batch numbers), and the health check runs only when the count
+    *    is a multiple of `checkEvery` — a skipped tick can never fire
+    *    the lifecycle.
+    *  - `checkAndMaybeFire` reads the store's health metric and fires
+    *    its lifecycle rebuild when policy says so, returning whether it
+    *    fired; a fired tick is the only event that creates a
+    *    superseded version, so the retention sweep runs exactly then.
+    *
+    * Returns the live version after the tick, erroring loudly if the
+    * root lost its pointer mid-tick.
+    */
+  def maintainedTick(spark: SparkSession, root: String, checkEvery: Int,
+                     retainSuperseded: Option[Int])(ingest: () => Unit)(
+                     checkAndMaybeFire: () => Boolean): Int = {
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
+    val r = new Path(root)
+    val fs = fsOf(spark, r)
+    ingest()
+    val t = bumpTick(fs, r)
+    if (t % checkEvery == 0 && checkAndMaybeFire())
+      retainSuperseded.foreach(keep => gcSuperseded(fs, r, keep))
+    liveVersion(spark, root).getOrElse(
+      sys.error(s"maintainedIngest: $root lost its pointer mid-tick"))
+  }
+
+  /** The createLive guard: refuse to mint `v=0` over a root that
+    * already has history. A resolvable pointer (marker OR legacy
+    * single-file) refuses toward openLive; version directories with NO
+    * resolvable pointer refuse too — re-creating would adopt `v=0` and
+    * silently roll serving back from whatever version the lost pointer
+    * named. The one exception is a root whose ONLY version directory
+    * is `v=0` itself: that is a first publish that crashed before its
+    * flip, and re-running createLive is exactly its recovery.
+    */
+  def requireCreatable(fs: FileSystem, root: Path, who: String): Unit = {
+    require(pointerOf(fs, root).isEmpty,
+      s"$who: $root already has a live version — open it with openLive " +
+        "(or run its lifecycle) instead of re-creating")
+    val vs = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case VersionDir(n) => n.toInt }
+    require(vs.forall(_ == 0),
+      s"$who: $root holds version directories " +
+        s"(${vs.sorted.map(v => s"v=$v").mkString(", ")}) but NO resolvable " +
+        "pointer — re-creating would adopt v=0 and silently roll serving " +
+        "back from whatever version the lost pointer named; restore the " +
+        "pointer marker (or clear the root) instead")
   }
 
   /** Claim a lifecycle version directory for building — the version-

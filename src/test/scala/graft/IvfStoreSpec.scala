@@ -328,6 +328,57 @@ class IvfStoreSpec extends SparkSpec {
     }
   }
 
+  test("the maintenance cadence survives compaction consuming batch numbers: " +
+    "with compactEvery=2 every tick folds (batch numbers advance by two and " +
+    "keep one parity), yet checkEvery=2 still fires every second tick — the " +
+    "r16 batch-number derivation suppressed it permanently") {
+    import spark.implicits._
+    TempFiles.withTempDir("ivfstore-tick-cadence") { root =>
+      val vroot = new java.io.File(root, "live").getAbsolutePath
+      IvfIndexStore.createLive(spark, vroot, centroids,
+        compactEvery = Some(2))
+      def tick(ids: Long*): Option[Long] =
+        IvfIndexStore.maintainedIngest(spark, vroot, batch(ids: _*),
+          maxImbalance1e4 = 100000L, kNew = 2, iters = 2,
+          compactEvery = Some(2), checkEvery = 2)._2
+      tick(1L) shouldBe None          // tick 1: cadence-skipped
+      tick(2L) shouldBe Some(20000L)  // tick 2: MUST check ({1,2} in cell 0)
+      tick(5L) shouldBe None          // tick 3: skipped
+      tick(3L) shouldBe Some(15000L)  // tick 4: checks ({1,2,5}/{3})
+    }
+  }
+
+  test("a torn or out-of-grid _certified file re-certifies instead of " +
+    "serving at an uncertified width") {
+    import spark.implicits._
+    TempFiles.withTempDir("ivfstore-torncert") { root =>
+      val dir = new java.io.File(root, "s").getAbsolutePath
+      val idx = IvfIndexStore.open(spark, dir, centroids)
+      idx.ingest(batch(1L, 3L))
+      val tune = Seq(Tuple1(Seq(1.0, 0.0))).toDF("e")
+      val serveQ = Seq(Tuple1(Seq(0.9, 0.1))).toDF("e")
+      def serve(st: IvfIndexStore) =
+        st.searchAuto(tune, serveQ, k = 1, nprobes = Seq(2),
+          recallFloorPpm = 1000000L).collect()
+      serve(idx)
+      idx.certifications shouldBe 1
+      // tear the persisted decision down to a numeric prefix that
+      // PARSES but sits outside the grid — the exact r16 ADVICE
+      // scenario (a '1' torn from a wider width)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val certs = fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, "_certified/*"))
+      certs.length shouldBe 1
+      val out = fs.create(certs.head.getPath, true)
+      out.write("1".getBytes("UTF-8")); out.close()
+      val re = IvfIndexStore.open(spark, dir, centroids)
+      val rows = serve(re)
+      re.certifications shouldBe 1 // re-certified, did NOT trust the file
+      rows.map(_.getAs[Int]("nprobe")).toSeq shouldBe Seq(2)
+    }
+  }
+
   test("the concurrent-writer trip-wire catches the stale-cache compaction " +
     "race: a second writer's committed batch is never deleted — the " +
     "compacting writer aborts loudly instead") {

@@ -144,6 +144,29 @@ class KeepBestStoreSpec extends SparkSpec {
     }
   }
 
+  test("openAuto refuses a persisted banding outside the tuning grid — the " +
+    "torn-write tripwire: a numeric prefix that parses must not run the " +
+    "store at an uncertified operating point") {
+    import spark.implicits._
+    TempFiles.withTempDir("kbstore-tornrpb") { root =>
+      val dir = new java.io.File(root, "s").getAbsolutePath
+      val tune = graft.ops.KeepBestIndex.AutoTune(Seq(2, 4, 8), sampleMod = 1,
+        precisionFloorPpm = 0L, recallFloorPpm = 0L, truthDfCap = None)
+      val st = KeepBestIndexStore.openAuto(spark, dir, tune)
+      st.ingest(Seq((11L, T), (12L, T)).toDF("id", "text"), "id", "text",
+        lit(1L))
+      // tear the birth choice down to '1' — parses fine, certified never
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_tuned_rpb"), true)
+      out.write("1".getBytes("UTF-8")); out.close()
+      val e = intercept[IllegalArgumentException] {
+        KeepBestIndexStore.openAuto(spark, dir, tune)
+      }
+      assert(e.getMessage.contains("not in the tuning grid"))
+    }
+  }
+
   test("vacuum reclaims reband-superseded versions per the stated retention " +
     "and maintainedIngest retainSuperseded sweeps exactly on the fired tick; " +
     "survivors are unchanged by the sweep") {

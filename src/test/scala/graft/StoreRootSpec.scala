@@ -120,6 +120,100 @@ class StoreRootSpec extends SparkSpec {
     }
   }
 
+  test("legacy single-file pointer: a pre-marker root resolves to its real " +
+    "live version, requireCreatable refuses it, and the first marker flip " +
+    "migrates — publish records for the legacy dirs, legacy file retired") {
+    TempFiles.withTempDir("graft-storeroot-legacy") { dir =>
+      val root = new Path(dir.getAbsolutePath)
+      val fs = StoreRoot.fsOf(spark, root)
+      (0 to 2).foreach(v => fs.mkdirs(StoreRoot.versionDir(root, v)))
+      val out = fs.create(new Path(root, "_latest"), true)
+      out.write("2".getBytes("UTF-8")); out.close()
+      // the r16 regression: a marker-less root resolved to None, which
+      // steered the operator to createLive and a silent rollback to v=0
+      StoreRoot.pointerOf(fs, root) shouldBe Some(2)
+      an[IllegalArgumentException] should be thrownBy
+        StoreRoot.requireCreatable(fs, root, "t")
+      // the next lifecycle publish migrates the root to the marker
+      // protocol: legacy dirs get their publish records (they were
+      // genuinely live once — the budget must be able to retain them),
+      // the single-file pointer is retired
+      fs.mkdirs(StoreRoot.versionDir(root, 3))
+      StoreRoot.flipPointer(fs, root, 3)
+      StoreRoot.pointerOf(fs, root) shouldBe Some(3)
+      assert(!fs.exists(new Path(root, "_latest")))
+      (0 to 3).foreach(v =>
+        assert(fs.exists(new Path(root, s"_published.v=$v")),
+          s"v=$v must carry a publish record after migration"))
+      // keep=1 retains the newest REAL snapshot (v=2, the legacy live)
+      StoreRoot.gcSuperseded(fs, root, 1) shouldBe Seq(0, 1)
+      assert(fs.exists(StoreRoot.versionDir(root, 2)))
+    }
+  }
+
+  test("a flip that crashed between its publish record and its marker is " +
+    "healed by the next flip: the never-live record goes, its dir is an " +
+    "orphan, and retention keeps the real snapshot it would have displaced") {
+    TempFiles.withTempDir("graft-storeroot-crashflip") { dir =>
+      val root = new Path(dir.getAbsolutePath)
+      val fs = StoreRoot.fsOf(spark, root)
+      def mkv(v: Int): Unit = fs.mkdirs(StoreRoot.versionDir(root, v))
+      mkv(0); StoreRoot.flipPointer(fs, root, 0)
+      mkv(1); StoreRoot.flipPointer(fs, root, 1)
+      // the crashed flip to v=2: publish record created, marker never —
+      // v=2 never served a single reader
+      mkv(2)
+      fs.create(new Path(root, "_published.v=2"), true).close()
+      StoreRoot.pointerOf(fs, root) shouldBe Some(1)
+      // the next real publish heals: the never-live record is deleted
+      mkv(3); StoreRoot.flipPointer(fs, root, 3)
+      assert(!fs.exists(new Path(root, "_published.v=2")),
+        "the crashed flip's publish record must be healed away")
+      // keep=1 must keep v=1 — the newest snapshot a reader can
+      // actually be pinned to; pre-heal, the v=2 record displaced it
+      StoreRoot.gcSuperseded(fs, root, 1) shouldBe Seq(0, 2)
+      assert(fs.exists(StoreRoot.versionDir(root, 1)))
+    }
+  }
+
+  test("the durable tick counter: zero on a fresh root, bump is max-wins " +
+    "marker algebra (a crash mid-sweep never double-counts), and the sweep " +
+    "keeps exactly one marker") {
+    TempFiles.withTempDir("graft-storeroot-tick") { dir =>
+      val root = new Path(dir.getAbsolutePath)
+      val fs = StoreRoot.fsOf(spark, root)
+      StoreRoot.tickCount(fs, root) shouldBe 0
+      StoreRoot.bumpTick(fs, root) shouldBe 1
+      StoreRoot.bumpTick(fs, root) shouldBe 2
+      StoreRoot.tickCount(fs, root) shouldBe 2
+      // a crash mid-sweep leaves an older marker behind: max wins
+      fs.create(new Path(root, "_tick.n=1"), true).close()
+      StoreRoot.tickCount(fs, root) shouldBe 2
+      StoreRoot.bumpTick(fs, root) shouldBe 3
+      fs.globStatus(new Path(root, "_tick.n=*")).length shouldBe 1
+    }
+  }
+
+  test("requireCreatable: a virgin root and a crashed first publish (only " +
+    "v=0) pass; a live pointer or pointer-lost history refuses") {
+    TempFiles.withTempDir("graft-storeroot-creatable") { dir =>
+      val root = new Path(dir.getAbsolutePath)
+      val fs = StoreRoot.fsOf(spark, root)
+      StoreRoot.requireCreatable(fs, root, "t") // virgin
+      fs.mkdirs(StoreRoot.versionDir(root, 0))
+      StoreRoot.requireCreatable(fs, root, "t") // crashed first publish
+      StoreRoot.flipPointer(fs, root, 0)
+      an[IllegalArgumentException] should be thrownBy
+        StoreRoot.requireCreatable(fs, root, "t") // live
+      // pointer lost but history present: adopting v=0 would roll back
+      fs.globStatus(new Path(root, "_latest.v=*"))
+        .foreach(s => fs.delete(s.getPath, false))
+      fs.mkdirs(StoreRoot.versionDir(root, 1))
+      an[IllegalArgumentException] should be thrownBy
+        StoreRoot.requireCreatable(fs, root, "t")
+    }
+  }
+
   test("a crash mid-sweep (two markers on disk) still resolves to the newest " +
     "version, and the next publish reclaims the leftovers") {
     TempFiles.withTempDir("graft-storeroot-stale") { dir =>
