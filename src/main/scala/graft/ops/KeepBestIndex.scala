@@ -136,35 +136,53 @@ final class KeepBestIndex(spark: SparkSession, shingleN: Int = 3, k: Int = 16,
         tunedRpb = Some(choice.head.getInt(0))
       }
     }
-    val dSh = Dedup.shingleHashSet(batch, idCol, textCol, shingleN)
-      .select(col("id").cast(LongType).as("id"), col("h"))
-      .localCheckpoint(eager = true)
-    val deltaIds = batch.select(col(idCol).cast(LongType).as("id")).distinct()
-      .localCheckpoint(eager = true)
+    // The two delta frames are independent — materialize them
+    // concurrently (guide §2.6), then derive the five state updates.
+    var dSh: DataFrame = null
+    var deltaIds: DataFrame = null
+    Concurrent.runAll(Seq(
+      () => dSh = Dedup.shingleHashSet(batch, idCol, textCol, shingleN)
+        .select(col("id").cast(LongType).as("id"), col("h"))
+        .localCheckpoint(eager = true),
+      () => deltaIds = batch.select(col(idCol).cast(LongType).as("id"))
+        .distinct()
+        .localCheckpoint(eager = true)))
     def dropDelta(df: DataFrame): DataFrame =
       df.join(broadcast(deltaIds), Seq("id"), "left_anti")
-    baseSh = dropDelta(baseSh)
-    baseSigs = dropDelta(baseSigs)
-    baseSizes = dropDelta(baseSizes)
-    scored = dropDelta(scored)
-    pairs = pairs
+    val shKept = dropDelta(baseSh)
+    val sigsKept = dropDelta(baseSigs)
+    val sizesKept = dropDelta(baseSizes)
+    val scoredKept = dropDelta(scored)
+    val pairsKept = pairs
       .join(broadcast(deltaIds.select(col("id").as("ia"))), Seq("ia"), "left_anti")
       .join(broadcast(deltaIds.select(col("id").as("ib"))), Seq("ib"), "left_anti")
       .select(col("ia"), col("ib"))
-    pairs = pairs.unionByName(
-        Dedup.incrementalNearDupPairsFromSets(baseSh, baseSigs, dSh,
-            k, effectiveRpb, threshold, baseSizes = Some(baseSizes))
-          .select(col("ia"), col("ib")))
-      .localCheckpoint(eager = true)
-    baseSh = baseSh.unionByName(dSh).localCheckpoint(eager = true)
-    baseSigs = baseSigs.unionByName(Dedup.minhashSigs(dSh, k))
-      .localCheckpoint(eager = true)
-    baseSizes = baseSizes
-      .unionByName(dSh.groupBy(col("id")).agg(count(lit(1)).as("n")))
-      .localCheckpoint(eager = true)
-    scored = scored.unionByName(batch.select(
-        col(idCol).cast(LongType).as("id"), score.cast(LongType).as("score")))
-      .localCheckpoint(eager = true)
+    // Five independent re-materializations of the accumulated state
+    // (every input is a checkpointed block or the materialized delta)
+    // — sequentially each was its own Spark job whose stage tail idled
+    // most cores; overlapping them, the four cheap unions back-fill
+    // the probe's stages (guide §2.6). Fields are assigned only after
+    // ALL five succeed, so a mid-batch failure leaves the index state
+    // exactly as before the batch (the sequential form could fail
+    // half-mutated).
+    var pairs2, sh2, sigs2, sizes2, scored2: DataFrame = null
+    Concurrent.runAll(Seq(
+      () => pairs2 = pairsKept.unionByName(
+          Dedup.incrementalNearDupPairsFromSets(shKept, sigsKept, dSh,
+              k, effectiveRpb, threshold, baseSizes = Some(sizesKept))
+            .select(col("ia"), col("ib")))
+        .localCheckpoint(eager = true),
+      () => sh2 = shKept.unionByName(dSh).localCheckpoint(eager = true),
+      () => sigs2 = sigsKept.unionByName(Dedup.minhashSigs(dSh, k))
+        .localCheckpoint(eager = true),
+      () => sizes2 = sizesKept
+        .unionByName(dSh.groupBy(col("id")).agg(count(lit(1)).as("n")))
+        .localCheckpoint(eager = true),
+      () => scored2 = scoredKept.unionByName(batch.select(
+          col(idCol).cast(LongType).as("id"), score.cast(LongType).as("score")))
+        .localCheckpoint(eager = true)))
+    pairs = pairs2; baseSh = sh2; baseSigs = sigs2; baseSizes = sizes2
+    scored = scored2
   }
 
   /** The CURRENT surviving (id, score) rows: every ingested document

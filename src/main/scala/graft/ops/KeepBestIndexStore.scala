@@ -147,7 +147,19 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     * delivered the id.
     */
   private def effective(name: String, schema: StructType): DataFrame =
-    readFrame(name, schema).join(idsLatest, Seq("id"))
+    effectiveFrom(idsLatest, name, schema)
+
+  /** [[effective]] against a CALLER-SUPPLIED shadowing pivot — the
+    * multi-action assemblies (compact, the reband rebuild) persist
+    * [[idsLatest]] once and feed it to every frame view, instead of
+    * re-deriving the pivot inside each write action (within ONE action
+    * duplicate pivot subtrees already share an exchange via
+    * ReuseExchange; across the six write ACTIONS nothing is shared
+    * without the persist).
+    */
+  private def effectiveFrom(latest: DataFrame, name: String,
+                            schema: StructType): DataFrame =
+    readFrame(name, schema).join(latest, Seq("id"))
       .filter(col("b") === col("lb")).drop("b", "lb")
 
   /** Current pair rows: neither endpoint re-delivered after the pair
@@ -155,8 +167,9 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     * verified against — its replacement batch re-probed and re-wrote
     * every still-true pair).
     */
-  private def effectivePairs: DataFrame = {
-    val latest = idsLatest
+  private def effectivePairs: DataFrame = effectivePairsFrom(idsLatest)
+
+  private def effectivePairsFrom(latest: DataFrame): DataFrame = {
     readFrame("pairs", pairsSchema)
       .join(latest.select(col("id").as("ia"), col("lb").as("la")), Seq("ia"))
       .join(latest.select(col("id").as("ib"), col("lb").as("lbb")), Seq("ib"))
@@ -223,21 +236,31 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     val dSh = Dedup.shingleHashSet(batch, idCol, textCol, shingleN)
       .select(col("id").cast(LongType).as("id"), col("h"))
       .localCheckpoint(eager = true)
-    val newPairs = Dedup.incrementalNearDupPairsFromSets(
-        effective("sh", shSchema), effective("sigs", sigsSchema), dSh,
-        k, effectiveRpb, threshold,
-        baseSizes = Some(effective("sizes", sizesSchema)))
-      .select(col("ia"), col("ib"))
     def put(name: String, df: DataFrame): Unit =
       df.withColumn("b", lit(n))
         .write.parquet(new Path(bdir, name).toString)
-    put("sh", dSh)
-    put("sigs", Dedup.minhashSigs(dSh, k))
-    put("sizes", dSh.groupBy(col("id")).agg(count(lit(1)).as("n")))
-    put("scored", batch.select(col(idCol).cast(LongType).as("id"),
-      score.cast(LongType).as("score")))
-    put("ids", dSh.select(col("id")).distinct())
-    put("pairs", newPairs)
+    // The six delta-frame jobs are INDEPENDENT once dSh is
+    // materialized: five are map/one-exchange derivations of the
+    // checkpointed delta (or of the batch itself), the sixth — the
+    // incremental probe — reads only the COMMITTED view (the new batch
+    // dir is not in `committed`, so the concurrent writes are invisible
+    // to it). Overlap them (guide §2.6): sequentially each job's stage
+    // tail idled most cores; concurrently the delta writes back-fill
+    // the probe's tails. A failure in any job leaves a marker-less
+    // partial — the same crash shape as the sequential code — because
+    // runAll rethrows before the `_COMMIT` below.
+    Concurrent.runAll(Seq(
+      () => put("pairs", Dedup.incrementalNearDupPairsFromSets(
+          effective("sh", shSchema), effective("sigs", sigsSchema), dSh,
+          k, effectiveRpb, threshold,
+          baseSizes = Some(effective("sizes", sizesSchema)))
+        .select(col("ia"), col("ib"))),
+      () => put("sh", dSh),
+      () => put("sigs", Dedup.minhashSigs(dSh, k)),
+      () => put("sizes", dSh.groupBy(col("id")).agg(count(lit(1)).as("n"))),
+      () => put("scored", batch.select(col(idCol).cast(LongType).as("id"),
+        score.cast(LongType).as("score"))),
+      () => put("ids", dSh.select(col("id")).distinct())))
     StoreRoot.commitBatch(fs, bdir)
     committedCache = Some(before :+ n)
     // the amortization cadence: fold every C committed batches, so the
@@ -323,26 +346,50 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
       .headOption.map(_.getInt(0))
   }
 
-  /** The effective per-id frames + recomputed pair relation at a NEW
-    * banding — the reband rebuild's payload: signatures are
-    * banding-independent (k minhashes; `rowsPerBand` only slices
-    * them), so the new pair relation re-bands the STORED sigs and
-    * re-verifies candidates against the STORED shingle postings —
-    * zero text, zero re-shingling, one banding + one candidate-bounded
-    * verify join over the state.
+  /** Write the effective per-id frames + the recomputed pair relation
+    * at a NEW banding under `bdir` as batch 0 — the reband rebuild's
+    * payload: signatures are banding-independent (k minhashes;
+    * `rowsPerBand` only slices them), so the new pair relation re-bands
+    * the STORED sigs and re-verifies candidates against the STORED
+    * shingle postings — zero text, zero re-shingling, one banding + one
+    * candidate-bounded verify join over the state.
+    *
+    * The effective frames are persisted once and the six writes overlap
+    * (guide §2.6): the earlier sequential form re-assembled the
+    * shadowing view inside EVERY write action — the pairs write alone
+    * re-derived sh, sigs, sizes and three idsLatest pivots, four extra
+    * corpus-scale assemblies per reband. MEMORY_AND_DISK, not
+    * localCheckpoint: executor loss recomputes from committed parquet
+    * instead of failing the rebuild.
     */
-  private[graft] def stateAt(rpb: Int): Map[String, DataFrame] = {
-    val sh = effective("sh", shSchema)
-    val sigs = effective("sigs", sigsSchema)
-    val sizes = effective("sizes", sizesSchema)
-    val cand = Dedup.lshCandidatesFromSigs(sigs, rpb, k)
-    val pairs = Dedup.jaccardVerifySized(cand, sh, sizes, setCol = "h")
-      .filter(col("jac") >= threshold)
-      .select(col("ia"), col("ib"))
-    Map("sh" -> sh, "sigs" -> sigs, "sizes" -> sizes,
-      "scored" -> effective("scored", scoredSchema),
-      "ids" -> readFrame("ids", idsSchema).select(col("id")).distinct(),
-      "pairs" -> pairs)
+  private[graft] def writeStateAt(rpb: Int, bdir: Path): Unit = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val latest = idsLatest.persist(mad)
+    val sh = effectiveFrom(latest, "sh", shSchema).persist(mad)
+    val sigs = effectiveFrom(latest, "sigs", sigsSchema).persist(mad)
+    val sizes = effectiveFrom(latest, "sizes", sizesSchema).persist(mad)
+    def put(name: String, df: DataFrame): Unit =
+      df.withColumn("b", lit(0))
+        .write.parquet(new Path(bdir, name).toString)
+    try {
+      latest.count() // fill the pivot before its three dependents race
+      Concurrent.runAll(Seq(
+        () => sh.count(), () => sigs.count(), () => sizes.count()))
+      val cand = Dedup.lshCandidatesFromSigs(sigs, rpb, k)
+      val pairs = Dedup.jaccardVerifySized(cand, sh, sizes, setCol = "h")
+        .filter(col("jac") >= threshold)
+        .select(col("ia"), col("ib"))
+      Concurrent.runAll(Seq(
+        () => put("sh", sh),
+        () => put("sigs", sigs),
+        () => put("sizes", sizes),
+        () => put("scored", effectiveFrom(latest, "scored", scoredSchema)),
+        () => put("ids",
+          readFrame("ids", idsSchema).select(col("id")).distinct()),
+        () => put("pairs", pairs)))
+    } finally {
+      sh.unpersist(); sigs.unpersist(); sizes.unpersist(); latest.unpersist()
+    }
   }
 
   /** Fold the committed view into one fresh batch and drop the
@@ -362,12 +409,23 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     def put(name: String, df: DataFrame): Unit =
       df.withColumn("b", lit(n))
         .write.parquet(new Path(bdir, name).toString)
-    put("sh", effective("sh", shSchema))
-    put("sigs", effective("sigs", sigsSchema))
-    put("sizes", effective("sizes", sizesSchema))
-    put("scored", effective("scored", scoredSchema))
-    put("ids", readFrame("ids", idsSchema).select(col("id")).distinct())
-    put("pairs", effectivePairs)
+    // Six write ACTIONS over the effective view: persist the shadowing
+    // pivot once (each action re-derived idsLatest — six scans + six
+    // pivot shuffles for one tiny relation), materialize it, then
+    // overlap the independent writes (guide §2.6). MEMORY_AND_DISK, not
+    // localCheckpoint: an executor loss recomputes the pivot from the
+    // committed parquet instead of failing the fold.
+    val latest = idsLatest
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    latest.count()
+    try Concurrent.runAll(Seq(
+      () => put("sh", effectiveFrom(latest, "sh", shSchema)),
+      () => put("sigs", effectiveFrom(latest, "sigs", sigsSchema)),
+      () => put("sizes", effectiveFrom(latest, "sizes", sizesSchema)),
+      () => put("scored", effectiveFrom(latest, "scored", scoredSchema)),
+      () => put("ids", readFrame("ids", idsSchema).select(col("id")).distinct()),
+      () => put("pairs", effectivePairsFrom(latest))))
+    finally latest.unpersist()
     StoreRoot.commitBatch(fs, bdir)
     bs.foreach(o => fs.delete(new Path(root, s"b=$o"), true))
     committedCache = Some(Seq(n))
@@ -586,10 +644,7 @@ object KeepBestIndexStore {
       writeTextAtomic(fs, new Path(dir, "_params.sha256"),
         fingerprint(shingleN, k, rpbNew, threshold))
       val bdir = new Path(dir, "b=0")
-      cur.stateAt(rpbNew).foreach { case (name, df) =>
-        df.withColumn("b", lit(0))
-          .write.parquet(new Path(bdir, name).toString)
-      }
+      cur.writeStateAt(rpbNew, bdir)
       StoreRoot.commitBatch(fs, bdir)
       StoreRoot.flipPointer(fs, r, next)
       Some(openAuto(spark, dir.toString, tune, shingleN, k, threshold,
