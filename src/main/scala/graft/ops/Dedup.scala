@@ -1598,27 +1598,44 @@ object Dedup {
     val mOf = groups.select(col("rep"), size(col("members")).cast(LongType).as("m"))
     val (postings, sizes, ownPostings) =
       truthScaffold(repSh, fullSizes, truthDfCap)
-    // Within-group pairs stay CANDIDATES unconditionally (nCand below
-    // adds nWithin) but are TRUE/verified only while their informative
-    // set is non-empty — see [[withinTrueOf]].
-    val withinTrue = withinTrueOf(groups, nWithin, postings, ownPostings,
-      threshold)
-    // truth: the lshRecall inverted-index join, rep level, weighted
-    val truth = repTruth(postings, sizes, mOf, threshold)
-    val nTrue = withinTrue +
-      truth.agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
-    // candidates: the lshTuning weighted banding, all configs one pass
-    val repCandAll = weightedRepCandAll(groups, rowsPerBandConfigs, k)
-    val candByCfg = repCandAll.groupBy(col("rpb"))
-      .agg(coalesce(sum(col("w")), lit(0L)).as("nc"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // verified = truth ∩ candidates: one candidate-bounded join prices
-    // both precision's numerator and recall's hit count
-    val verByCfg = repCandAll
-      .join(truth.select(col("ia"), col("ib")), Seq("ia", "ib"))
-      .groupBy(col("rpb"))
-      .agg(coalesce(sum(col("w")), lit(0L)).as("nv"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // The chooser's measurement jobs fall into two independent waves
+    // over the persisted groups/postings — overlap each wave
+    // (guide §2.6; sequentially every job's stage tail idled the
+    // cores). Wave 1 materializes the two checkpointed relations
+    // (truth — the inverted-index join; the multi-config banding) plus
+    // the capped within-group weight; wave 2 runs the three aggregates
+    // off those checkpoints. Same relations, same arithmetic, same
+    // collected Longs as the sequential form.
+    var truth: DataFrame = null
+    var repCandAll: DataFrame = null
+    var withinTrue = 0L
+    Concurrent.runAll(Seq(
+      // truth: the lshRecall inverted-index join, rep level, weighted
+      () => truth = repTruth(postings, sizes, mOf, threshold),
+      // candidates: the lshTuning weighted banding, all configs one pass
+      () => repCandAll = weightedRepCandAll(groups, rowsPerBandConfigs, k),
+      // Within-group pairs stay CANDIDATES unconditionally (nCand below
+      // adds nWithin) but are TRUE/verified only while their informative
+      // set is non-empty — see [[withinTrueOf]].
+      () => withinTrue = withinTrueOf(groups, nWithin, postings, ownPostings,
+        threshold)))
+    var truthW = 0L
+    var candByCfg: Map[Int, Long] = null
+    var verByCfg: Map[Int, Long] = null
+    Concurrent.runAll(Seq(
+      () => truthW =
+        truth.agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0),
+      () => candByCfg = repCandAll.groupBy(col("rpb"))
+        .agg(coalesce(sum(col("w")), lit(0L)).as("nc"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap,
+      // verified = truth ∩ candidates: one candidate-bounded join prices
+      // both precision's numerator and recall's hit count
+      () => verByCfg = repCandAll
+        .join(truth.select(col("ia"), col("ib")), Seq("ia", "ib"))
+        .groupBy(col("rpb"))
+        .agg(coalesce(sum(col("w")), lit(0L)).as("nv"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap))
+    val nTrue = withinTrue + truthW
     case class Cfg(rpb: Int, nCand: Long, nVer: Long,
                    prec: Option[Long], rec: Option[Long], feasible: Boolean)
     val cfgs = rowsPerBandConfigs.map { r =>
