@@ -612,23 +612,36 @@ object Multimodal {
             "instead of paying an unbudgeted truth pass")
       }
     }
-    val nWithin = groups
-      .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)))
-      .first().getLong(0)
-    val candAll = bandConfigs.map(nb =>
-        hammingRepCand(groups, nb).withColumn("nb", lit(nb)))
-      .reduce(_ unionByName _)
-      .localCheckpoint(eager = true)
-    val candByCfg = candAll.groupBy(col("nb"))
-      .agg(coalesce(sum(col("w")), lit(0L)).as("nc"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val verByCfg = candAll.filter(col("hamming") <= maxDist)
-      .groupBy(col("nb"))
-      .agg(coalesce(sum(col("w")), lit(0L)).as("nv"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val nCross = hammingRepCand(groups, 16)
-      .filter(col("hamming") <= maxDist)
-      .agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
+    // Two waves of independent jobs over the persisted groups
+    // (guide §2.6 — the sequential form idled the cores in every
+    // job's stage tail): wave 1 = within-group weight, the
+    // multi-config candidate checkpoint, the 16-band truth count;
+    // wave 2 = the two per-config aggregates off the checkpoint. Same
+    // relations, same arithmetic, same collected Longs.
+    var nWithin = 0L
+    var candAll: DataFrame = null
+    var nCross = 0L
+    Concurrent.runAll(Seq(
+      () => nWithin = groups
+        .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)))
+        .first().getLong(0),
+      () => candAll = bandConfigs.map(nb =>
+          hammingRepCand(groups, nb).withColumn("nb", lit(nb)))
+        .reduce(_ unionByName _)
+        .localCheckpoint(eager = true),
+      () => nCross = hammingRepCand(groups, 16)
+        .filter(col("hamming") <= maxDist)
+        .agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)))
+    var candByCfg: Map[Int, Long] = null
+    var verByCfg: Map[Int, Long] = null
+    Concurrent.runAll(Seq(
+      () => candByCfg = candAll.groupBy(col("nb"))
+        .agg(coalesce(sum(col("w")), lit(0L)).as("nc"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap,
+      () => verByCfg = candAll.filter(col("hamming") <= maxDist)
+        .groupBy(col("nb"))
+        .agg(coalesce(sum(col("w")), lit(0L)).as("nv"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap))
     val nTrue = nWithin + nCross
     case class Cfg(nb: Int, nCand: Long, nVer: Long,
                    prec: Option[Long], rec: Option[Long], feasible: Boolean)

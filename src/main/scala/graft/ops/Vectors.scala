@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorExpressions
 
@@ -448,12 +448,6 @@ object Vectors {
           "chooser become the quadratic step")
     }
     val selfCos = rankCosine(col("e"), col("e"))
-    val wrow = groups.agg(
-      coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)),
-      coalesce(sum(when(selfCos >= threshold, expr("m * (m - 1) div 2"))
-        .otherwise(0L)), lit(0L))).first()
-    val nWithin = wrow.getLong(0)
-    val nWithinTrue = wrow.getLong(1)
     // pairs once, in the coarsest buckets; per-config candidacy is a
     // mask test on the signature XOR carried out of the bucket
     val pairs = groups
@@ -474,16 +468,32 @@ object Vectors {
         coalesce(sum(when(in && col("cos") >= threshold, col("w"))
           .otherwise(0L)), lit(0L)).as(s"nv_$p"))
     }
-    val arow = pairs.agg(aggs.head, aggs.tail: _*).first()
-    // exact truth: cap-bounded rep-level brute force (see scaladoc)
-    val gy = groups.select(col("rep").as("ry"), col("m").as("my"),
-      col("e").as("ey"))
-    val nCrossTrue = groups
-      .select(col("rep").as("rx"), col("m").as("mx"), col("e").as("ex"))
-      .crossJoin(broadcast(gy))
-      .where(col("rx") < col("ry") &&
-        rankCosine(col("ex"), col("ey")) >= threshold)
-      .agg(coalesce(sum(col("mx") * col("my")), lit(0L))).first().getLong(0)
+    // The three measurement aggregates — within-group weights, the
+    // bucketed candidate/verify row, the cap-bounded exact truth — are
+    // independent reads of the persisted groups: overlap them
+    // (guide §2.6). Same aggregates, same collected Longs.
+    var wrow: Row = null
+    var arow: Row = null
+    var nCrossTrue = 0L
+    Concurrent.runAll(Seq(
+      () => wrow = groups.agg(
+        coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)),
+        coalesce(sum(when(selfCos >= threshold, expr("m * (m - 1) div 2"))
+          .otherwise(0L)), lit(0L))).first(),
+      () => arow = pairs.agg(aggs.head, aggs.tail: _*).first(),
+      // exact truth: cap-bounded rep-level brute force (see scaladoc)
+      () => {
+        val gy = groups.select(col("rep").as("ry"), col("m").as("my"),
+          col("e").as("ey"))
+        nCrossTrue = groups
+          .select(col("rep").as("rx"), col("m").as("mx"), col("e").as("ex"))
+          .crossJoin(broadcast(gy))
+          .where(col("rx") < col("ry") &&
+            rankCosine(col("ex"), col("ey")) >= threshold)
+          .agg(coalesce(sum(col("mx") * col("my")), lit(0L))).first().getLong(0)
+      }))
+    val nWithin = wrow.getLong(0)
+    val nWithinTrue = wrow.getLong(1)
     val nTrue = nWithinTrue + nCrossTrue
     groups.unpersist()
     case class Cfg(p: Int, nCand: Long, nVer: Long,
