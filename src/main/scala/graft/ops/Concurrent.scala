@@ -45,4 +45,24 @@ private[graft] object Concurrent {
     val settled = fs.map(f => Await.ready(f, Duration.Inf).value.get)
     settled.collectFirst { case scala.util.Failure(e) => throw e }
   }
+
+  /** [[runAll]] with per-task job descriptions (guide §1.5 — label your
+    * jobs): descriptions are thread-local, so each task labels its own
+    * pool thread for exactly its own actions.
+    */
+  def runLabeled(spark: org.apache.spark.sql.SparkSession,
+                 tasks: Seq[(String, () => Unit)]): Unit =
+    runAll(tasks.map { case (label, t) =>
+      () => {
+        spark.sparkContext.setJobDescription(label)
+        try t() finally spark.sparkContext.setJobDescription(null)
+      }
+    })
+
+  /** Label the CURRENT thread's jobs for the duration of `body`. */
+  def labeled[A](spark: org.apache.spark.sql.SparkSession, label: String)(
+      body: => A): A = {
+    spark.sparkContext.setJobDescription(label)
+    try body finally spark.sparkContext.setJobDescription(null)
+  }
 }

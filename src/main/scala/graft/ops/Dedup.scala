@@ -403,8 +403,19 @@ object Dedup {
                                       dSh: DataFrame, k: Int = 16,
                                       rowsPerBand: Int = 4,
                                       threshold: Double = 0.5,
-                                      baseSizes: Option[DataFrame] = None): DataFrame = {
-    val dBands = bandsOf(minhashSigs(dSh, k), rowsPerBand, k)
+                                      baseSizes: Option[DataFrame] = None,
+                                      dSigs: Option[DataFrame] = None,
+                                      dSizes: Option[DataFrame] = None,
+                                      dIds: Option[DataFrame] = None): DataFrame = {
+    // The delta's signatures / sizes / distinct ids are index artifacts
+    // an index-maintaining caller stores anyway: accept them
+    // pre-materialized (dSigs/dSizes/dIds) so one tick computes each
+    // ONCE — otherwise this probe re-runs the delta's signature groupBy
+    // and sizes aggregation that the caller's own frame writes just
+    // paid (two redundant delta shuffles per tick). Semantics are
+    // identical: each option must be exactly the corresponding
+    // derivation of dSh.
+    val dBands = bandsOf(dSigs.getOrElse(minhashSigs(dSh, k)), rowsPerBand, k)
     val allBands = bandsOf(baseSigs, rowsPerBand, k).unionByName(dBands)
     val cand = dBands.select(col("band"), col("sig"), col("id").as("ida"))
       .join(allBands.select(col("band"), col("sig"), col("id").as("idb")),
@@ -421,12 +432,13 @@ object Dedup {
     // content when the text changed). Delta ids are batch-bounded, so
     // the drop is a broadcast anti-join — a map-side filter on the
     // base, no extra exchange.
-    val deltaIds = dSh.select(col("id")).distinct()
+    val deltaIds = dIds.getOrElse(dSh.select(col("id")).distinct())
     val mergedSh = baseSh.join(broadcast(deltaIds), Seq("id"), "left_anti")
       .unionByName(dSh)
     val sizes = baseSizes match {
       case Some(bs) => bs.join(broadcast(deltaIds), Seq("id"), "left_anti")
-        .unionByName(dSh.groupBy("id").agg(count(lit(1)).as("n")))
+        .unionByName(dSizes.getOrElse(
+          dSh.groupBy("id").agg(count(lit(1)).as("n"))))
       case None => mergedSh.groupBy("id").agg(count(lit(1)).as("n"))
     }
     jaccardVerifySized(cand, mergedSh, sizes, setCol = "h")

@@ -165,18 +165,27 @@ final class KeepBestIndex(spark: SparkSession, shingleN: Int = 3, k: Int = 16,
     // ALL five succeed, so a mid-batch failure leaves the index state
     // exactly as before the batch (the sequential form could fail
     // half-mutated).
+    // The delta's signatures and sizes feed BOTH the probe and the
+    // state unions — materialize each once (the probe used to re-run
+    // the signature groupBy / sizes aggregation the unions also pay).
+    var dSigs: DataFrame = null
+    var dSizes: DataFrame = null
+    Concurrent.runAll(Seq(
+      () => dSigs = Dedup.minhashSigs(dSh, k).localCheckpoint(eager = true),
+      () => dSizes = dSh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = true)))
     var pairs2, sh2, sigs2, sizes2, scored2: DataFrame = null
     Concurrent.runAll(Seq(
       () => pairs2 = pairsKept.unionByName(
           Dedup.incrementalNearDupPairsFromSets(shKept, sigsKept, dSh,
-              k, effectiveRpb, threshold, baseSizes = Some(sizesKept))
+              k, effectiveRpb, threshold, baseSizes = Some(sizesKept),
+              dSigs = Some(dSigs), dSizes = Some(dSizes),
+              dIds = Some(deltaIds))
             .select(col("ia"), col("ib")))
         .localCheckpoint(eager = true),
       () => sh2 = shKept.unionByName(dSh).localCheckpoint(eager = true),
-      () => sigs2 = sigsKept.unionByName(Dedup.minhashSigs(dSh, k))
-        .localCheckpoint(eager = true),
-      () => sizes2 = sizesKept
-        .unionByName(dSh.groupBy(col("id")).agg(count(lit(1)).as("n")))
+      () => sigs2 = sigsKept.unionByName(dSigs).localCheckpoint(eager = true),
+      () => sizes2 = sizesKept.unionByName(dSizes)
         .localCheckpoint(eager = true),
       () => scored2 = scoredKept.unionByName(batch.select(
           col(idCol).cast(LongType).as("id"), score.cast(LongType).as("score")))

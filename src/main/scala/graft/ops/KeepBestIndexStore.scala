@@ -190,8 +190,9 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     */
   def ingest(batch: DataFrame, idCol: String, textCol: String,
              score: Column): Unit = {
-    val dupId = batch.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).limit(1).collect()
+    val dupId = Concurrent.labeled(spark, "kbs:ingest dup-check")(
+      batch.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).limit(1).collect())
     require(dupId.isEmpty,
       s"KeepBestIndexStore.ingest: id ${dupId.headOption.map(_.get(0)).orNull} " +
         "appears more than once WITHIN the batch — the keyed-upsert contract " +
@@ -207,10 +208,11 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     tuning.foreach { t =>
       if (tunedRpb.isEmpty) {
         val (mod, cap) = t.gateFor(batch.count())
-        val choice = Dedup.chooseLshConfig(batch, idCol, textCol, shingleN, k,
+        val choice = Concurrent.labeled(spark, "kbs:birth tuning")(
+          Dedup.chooseLshConfig(batch, idCol, textCol, shingleN, k,
             t.rowsPerBandConfigs, threshold, mod,
             t.precisionFloorPpm, t.recallFloorPpm, t.truthDfCap, cap)
-          .filter(col("chosen")).select(col("rows_per_band")).collect()
+          .filter(col("chosen")).select(col("rows_per_band")).collect())
         require(choice.nonEmpty,
           "KeepBestIndexStore: no banding configuration meets the precision/" +
             "recall floors on the first batch's sample — refusing BEFORE " +
@@ -233,9 +235,10 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     val n = before.lastOption.fold(0)(_ + 1)
     val bdir = new Path(root, s"b=$n")
     StoreRoot.claimBatchDir(fs, bdir)
-    val dSh = Dedup.shingleHashSet(batch, idCol, textCol, shingleN)
-      .select(col("id").cast(LongType).as("id"), col("h"))
-      .localCheckpoint(eager = true)
+    val dSh = Concurrent.labeled(spark, "kbs:ingest delta shingles")(
+      Dedup.shingleHashSet(batch, idCol, textCol, shingleN)
+        .select(col("id").cast(LongType).as("id"), col("h"))
+        .localCheckpoint(eager = true))
     def put(name: String, df: DataFrame): Unit =
       df.withColumn("b", lit(n))
         .write.parquet(new Path(bdir, name).toString)
@@ -249,18 +252,37 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     // the probe's tails. A failure in any job leaves a marker-less
     // partial — the same crash shape as the sequential code — because
     // runAll rethrows before the `_COMMIT` below.
-    Concurrent.runAll(Seq(
-      () => put("pairs", Dedup.incrementalNearDupPairsFromSets(
-          effective("sh", shSchema), effective("sigs", sigsSchema), dSh,
-          k, effectiveRpb, threshold,
-          baseSizes = Some(effective("sizes", sizesSchema)))
-        .select(col("ia"), col("ib"))),
-      () => put("sh", dSh),
-      () => put("sigs", Dedup.minhashSigs(dSh, k)),
-      () => put("sizes", dSh.groupBy(col("id")).agg(count(lit(1)).as("n"))),
-      () => put("scored", batch.select(col(idCol).cast(LongType).as("id"),
-        score.cast(LongType).as("score"))),
-      () => put("ids", dSh.select(col("id")).distinct())))
+    // The delta's signature / sizes / ids frames feed BOTH their own
+    // frame writes and the probe — materialize each ONCE (the probe
+    // used to re-run the signature groupBy and sizes aggregation the
+    // writes had just paid), then overlap the six independent writes.
+    var dSigs: DataFrame = null
+    var dSizes: DataFrame = null
+    var dIds: DataFrame = null
+    Concurrent.runLabeled(spark, Seq(
+      "kbs:ingest delta sigs" -> (() =>
+        dSigs = Dedup.minhashSigs(dSh, k).localCheckpoint(eager = true)),
+      "kbs:ingest delta sizes" -> (() =>
+        dSizes = dSh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+          .localCheckpoint(eager = true)),
+      "kbs:ingest delta ids" -> (() =>
+        dIds = dSh.select(col("id")).distinct()
+          .localCheckpoint(eager = true))))
+    Concurrent.runLabeled(spark, Seq(
+      "kbs:ingest probe+pairs" -> (() =>
+        put("pairs", Dedup.incrementalNearDupPairsFromSets(
+            effective("sh", shSchema), effective("sigs", sigsSchema), dSh,
+            k, effectiveRpb, threshold,
+            baseSizes = Some(effective("sizes", sizesSchema)),
+            dSigs = Some(dSigs), dSizes = Some(dSizes), dIds = Some(dIds))
+          .select(col("ia"), col("ib")))),
+      "kbs:ingest write sh" -> (() => put("sh", dSh)),
+      "kbs:ingest write sigs" -> (() => put("sigs", dSigs)),
+      "kbs:ingest write sizes" -> (() => put("sizes", dSizes)),
+      "kbs:ingest write scored" -> (() =>
+        put("scored", batch.select(col(idCol).cast(LongType).as("id"),
+          score.cast(LongType).as("score")))),
+      "kbs:ingest write ids" -> (() => put("ids", dIds))))
     StoreRoot.commitBatch(fs, bdir)
     committedCache = Some(before :+ n)
     // the amortization cadence: fold every C committed batches, so the
