@@ -20,6 +20,8 @@ import scala.concurrent.duration.Duration
   */
 private[graft] object Concurrent {
 
+  private val PoolThreadName = "graft-parallel-actions"
+
   /** Small and bounded: 2-4 jobs in flight is enough to fill stage
     * tails (guide §2.6); more just makes them fight for cores. Daemon
     * threads — the pool must never hold the JVM open.
@@ -28,7 +30,7 @@ private[graft] object Concurrent {
     java.util.concurrent.Executors.newFixedThreadPool(
       4,
       (r: Runnable) => {
-        val t = new Thread(r, "graft-parallel-actions")
+        val t = new Thread(r, PoolThreadName)
         t.setDaemon(true)
         t
       }))
@@ -36,10 +38,23 @@ private[graft] object Concurrent {
   /** Run every task, wait for all, rethrow the FIRST failure (after all
     * have settled — a failed sibling must not leave another task still
     * writing while the caller begins cleanup).
+    *
+    * REENTRANCY: a task that itself calls runAll (a chooser invoked
+    * from inside a store-tick task, say) must not be scheduled back
+    * onto this same fixed pool — with all 4 threads blocked in Await
+    * waiting on futures queued BEHIND them, the nest would deadlock
+    * silently and forever. Detected by thread name: a nested call runs
+    * its tasks inline (sequentially) on the pool thread it already
+    * owns, degrading to the pre-overlap sequential behaviour instead of
+    * hanging.
     */
   def runAll(tasks: Seq[() => Unit]): Unit = {
     if (tasks.isEmpty) return
-    if (tasks.size == 1) { tasks.head(); return }
+    if (tasks.size == 1 ||
+        Thread.currentThread().getName == PoolThreadName) {
+      tasks.foreach(_())
+      return
+    }
     implicit val ec: ExecutionContext = pool
     val fs = tasks.map(t => Future(t()))
     val settled = fs.map(f => Await.ready(f, Duration.Inf).value.get)
@@ -48,21 +63,24 @@ private[graft] object Concurrent {
 
   /** [[runAll]] with per-task job descriptions (guide §1.5 — label your
     * jobs): descriptions are thread-local, so each task labels its own
-    * pool thread for exactly its own actions.
+    * pool thread for exactly its own actions — and restores the
+    * thread's PRIOR description afterwards (pool threads are reused;
+    * setting null would clobber an outer label when the nested-runAll
+    * inline path runs a labeled task on the caller's own thread).
     */
   def runLabeled(spark: org.apache.spark.sql.SparkSession,
                  tasks: Seq[(String, () => Unit)]): Unit =
     runAll(tasks.map { case (label, t) =>
-      () => {
-        spark.sparkContext.setJobDescription(label)
-        try t() finally spark.sparkContext.setJobDescription(null)
-      }
+      () => labeled(spark, label)(t())
     })
 
-  /** Label the CURRENT thread's jobs for the duration of `body`. */
+  /** Label the CURRENT thread's jobs for the duration of `body`,
+    * restoring the previous label (not null) on exit.
+    */
   def labeled[A](spark: org.apache.spark.sql.SparkSession, label: String)(
       body: => A): A = {
+    val prev = spark.sparkContext.getLocalProperty("spark.job.description")
     spark.sparkContext.setJobDescription(label)
-    try body finally spark.sparkContext.setJobDescription(null)
+    try body finally spark.sparkContext.setJobDescription(prev)
   }
 }
