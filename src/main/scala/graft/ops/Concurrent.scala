@@ -56,7 +56,23 @@ private[graft] object Concurrent {
       return
     }
     implicit val ec: ExecutionContext = pool
-    val fs = tasks.map(t => Future(t()))
+    // Spark local properties are InheritableThreadLocal: the 4 pool
+    // threads are created lazily ONCE and permanently inherit whatever
+    // job description / job group the creating thread carried at that
+    // moment — every later unlabeled task would then run (and be
+    // profiled, and be cancellable) under that stale identity. Capture
+    // the SUBMITTING thread's properties here and stamp them onto the
+    // pool thread per task, so attribution follows the caller.
+    val sc = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext)
+    val props = Seq("spark.job.description", "spark.jobGroup.id",
+      "spark.scheduler.pool")
+    val callerProps = sc.map(c => props.map(p => p -> c.getLocalProperty(p)))
+    val fs = tasks.map(t => Future {
+      for (c <- sc; ps <- callerProps; (k, v) <- ps) c.setLocalProperty(k, v)
+      t()
+    })
     val settled = fs.map(f => Await.ready(f, Duration.Inf).value.get)
     settled.collectFirst { case scala.util.Failure(e) => throw e }
   }

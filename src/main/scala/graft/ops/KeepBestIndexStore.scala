@@ -96,7 +96,33 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     * state — the reader's explicit "observe the writer's new commits"
     * hook. One LIST.
     */
-  def refresh(): Unit = committedCache = Some(listCommitted)
+  def refresh(): Unit = {
+    committedCache = Some(listCommitted)
+    refsCache = None
+  }
+
+  /** REFERENCED batch directories from PRIOR lifecycle versions — the
+    * reband manifest (`_refs`, one `v=K/b=N` line per referenced dir,
+    * resolved against the pointer root this version dir lives under).
+    * The per-id frames (sh/sigs/sizes/scored/ids) in these dirs are
+    * part of this store's committed view exactly as if they were its
+    * own batches; their `pairs` are NOT (pairs are banding-dependent —
+    * the reband batch rewrote the pair relation at the new banding).
+    * The manifest is immutable once the version is built; [[compact]]
+    * folds the referenced rows into an owned batch and retires it.
+    * Cached: one metadata read per open/refresh, like the committed
+    * set.
+    */
+  private var refsCache: Option[Seq[Path]] = None
+  private def refs: Seq[Path] = refsCache.getOrElse {
+    val p = new Path(root, RefsFile)
+    val r =
+      if (!fs.exists(p)) Seq.empty
+      else readText(fs, p).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map(line => new Path(root.getParent, line))
+    refsCache = Some(r)
+    r
+  }
 
   /** Committed batch numbers, ascending — a batch exists iff its
     * `_COMMIT` marker does (the write order makes the marker the
@@ -128,13 +154,21 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
   }
 
   /** One stored frame across the committed batches (each row carries
-    * the `b` it was written in). Reading by explicit committed paths —
-    * never a glob — is what makes uncommitted partials invisible.
+    * the `b` it was written in), PLUS — for the banding-independent
+    * per-id frames — the batches the reband manifest references from
+    * prior versions. Reading by explicit committed paths — never a
+    * glob — is what makes uncommitted partials invisible. The schema
+    * is declared, not footer-inferred: the reband batch's per-id
+    * frames are EMPTY directories (the manifest replaces their data),
+    * which an inference pass cannot type.
     */
   private def readFrame(name: String, schema: StructType): DataFrame = {
-    val bs = committed
-    if (bs.isEmpty) empty(schema)
-    else spark.read.parquet(bs.map(n => s"$dir/b=$n/$name"): _*)
+    val own = committed.map(n => s"$dir/b=$n/$name")
+    val paths =
+      if (name == "pairs") own
+      else refs.map(r => new Path(r, name).toString) ++ own
+    if (paths.isEmpty) empty(schema)
+    else spark.read.schema(schema).parquet(paths: _*)
   }
 
   /** (id, lb): the LATEST committed batch that delivered each id — the
@@ -368,50 +402,62 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
       .headOption.map(_.getInt(0))
   }
 
-  /** Write the effective per-id frames + the recomputed pair relation
-    * at a NEW banding under `bdir` as batch 0 — the reband rebuild's
-    * payload: signatures are banding-independent (k minhashes;
-    * `rowsPerBand` only slices them), so the new pair relation re-bands
-    * the STORED sigs and re-verifies candidates against the STORED
-    * shingle postings — zero text, zero re-shingling, one banding + one
-    * candidate-bounded verify join over the state.
+  /** Build the reband payload for a NEW version at `newDir` — BY
+    * REFERENCE, not by copy (guide §6: don't rewrite data you didn't
+    * change). The per-id frames (sh/sigs/sizes/scored/ids) are
+    * banding-INDEPENDENT (k minhashes; `rowsPerBand` only slices
+    * them), so the new version's `_refs` manifest simply names this
+    * store's committed batch dirs (plus whatever ITS manifest already
+    * referenced — flattened here, so reads never chase chains) and the
+    * only data written is the one banding-DEPENDENT artifact: the pair
+    * relation, re-banded from the STORED sigs and re-verified against
+    * the STORED shingle postings — zero text, zero re-shingling, and
+    * zero corpus-scale copy. The pre-r18 form rewrote all five per-id
+    * frames: O(corpus) per reband, the one full-state copy left in the
+    * lifecycle.
     *
-    * The effective frames are persisted once and the six writes overlap
-    * (guide §2.6): the earlier sequential form re-assembled the
-    * shadowing view inside EVERY write action — the pairs write alone
-    * re-derived sh, sigs, sizes and three idsLatest pivots, four extra
-    * corpus-scale assemblies per reband. MEMORY_AND_DISK, not
-    * localCheckpoint: executor loss recomputes from committed parquet
-    * instead of failing the rebuild.
+    * The pairs write is ONE action, so the three shadowing-pivot
+    * subtrees inside it share their exchange (ReuseExchange) without
+    * any persist. Its batch number continues this store's sequence
+    * (own committed batches are always numbered ABOVE every referenced
+    * batch, so the read-time shadowing rule — `latest(id) <= pair.b`
+    * for still-current pairs — holds across the version boundary), and
+    * the new batch's per-id frames are written EMPTY to keep the
+    * uniform per-batch layout ([[readFrame]] declares schemas, so an
+    * empty directory reads as zero rows).
+    *
+    * Returns the batch dir for the caller to commit — everything
+    * before that marker is invisible; a crash leaves an orphaned
+    * version dir the lifecycle never adopts.
     */
-  private[graft] def writeStateAt(rpb: Int, bdir: Path): Unit = {
-    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val latest = idsLatest.persist(mad)
-    val sh = effectiveFrom(latest, "sh", shSchema).persist(mad)
-    val sigs = effectiveFrom(latest, "sigs", sigsSchema).persist(mad)
-    val sizes = effectiveFrom(latest, "sizes", sizesSchema).persist(mad)
+  private[graft] def writeRebandInto(rpb: Int, newDir: Path): Path = {
+    val sources = refs ++ committed.map(n => new Path(root, s"b=$n"))
+    writeTextAtomic(fs, new Path(newDir, RefsFile),
+      sources.map(p => s"${p.getParent.getName}/${p.getName}").mkString("\n"))
+    val n = lastCommittedBatch.fold(0)(_ + 1)
+    val bdir = new Path(newDir, s"b=$n")
+    StoreRoot.claimBatchDir(fs, bdir)
     def put(name: String, df: DataFrame): Unit =
-      df.withColumn("b", lit(0))
+      df.withColumn("b", lit(n))
         .write.parquet(new Path(bdir, name).toString)
-    try {
-      latest.count() // fill the pivot before its three dependents race
-      Concurrent.runAll(Seq(
-        () => sh.count(), () => sigs.count(), () => sizes.count()))
-      val cand = Dedup.lshCandidatesFromSigs(sigs, rpb, k)
-      val pairs = Dedup.jaccardVerifySized(cand, sh, sizes, setCol = "h")
-        .filter(col("jac") >= threshold)
-        .select(col("ia"), col("ib"))
-      Concurrent.runAll(Seq(
-        () => put("sh", sh),
-        () => put("sigs", sigs),
-        () => put("sizes", sizes),
-        () => put("scored", effectiveFrom(latest, "scored", scoredSchema)),
-        () => put("ids",
-          readFrame("ids", idsSchema).select(col("id")).distinct()),
-        () => put("pairs", pairs)))
-    } finally {
-      sh.unpersist(); sigs.unpersist(); sizes.unpersist(); latest.unpersist()
+    val latest = idsLatest
+    val cand = Dedup.lshCandidatesFromSigs(
+      effectiveFrom(latest, "sigs", sigsSchema), rpb, k)
+    val pairs = Dedup.jaccardVerifySized(cand,
+        effectiveFrom(latest, "sh", shSchema),
+        effectiveFrom(latest, "sizes", sizesSchema), setCol = "h")
+      .filter(col("jac") >= threshold)
+      .select(col("ia"), col("ib"))
+    Concurrent.labeled(spark, "kbs:reband pairs")(put("pairs", pairs))
+    Seq("sh" -> shSchema, "sigs" -> sigsSchema, "sizes" -> sizesSchema,
+      "scored" -> scoredSchema, "ids" -> idsSchema).foreach {
+      case (name, st) =>
+        // repartition(1): one footer-bearing (empty) part file, so the
+        // directory stays schema-readable even without a declared schema
+        put(name, empty(StructType(st.filterNot(_.name == "b")))
+          .repartition(1))
     }
+    bdir
   }
 
   /** Fold the committed view into one fresh batch and drop the
@@ -424,7 +470,10 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     */
   def compact(): Unit = {
     val bs = committed
-    if (bs.size <= 1) return
+    // a 1-batch store with a reband manifest still folds: the fold is
+    // what makes the version self-contained (references retired), so
+    // the referenced prior version becomes reclaimable by [[vacuum]]
+    if (bs.size <= 1 && refs.isEmpty) return
     val n = bs.last + 1
     val bdir = new Path(root, s"b=$n")
     StoreRoot.claimBatchDir(fs, bdir)
@@ -450,6 +499,14 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
     finally latest.unpersist()
     StoreRoot.commitBatch(fs, bdir)
     bs.foreach(o => fs.delete(new Path(root, s"b=$o"), true))
+    // the fold re-delivered every id at batch n, so every referenced
+    // row is shadowed — retire the manifest (referenced dirs belong to
+    // the PRIOR version and are vacuum's business, never deleted here).
+    // A crash between the commit above and this delete leaves a stale
+    // manifest over fully-shadowed rows: correct, just unreclaimed
+    // until the next fold.
+    fs.delete(new Path(root, RefsFile), false)
+    refsCache = Some(Seq.empty)
     committedCache = Some(Seq(n))
   }
 }
@@ -457,6 +514,12 @@ final class KeepBestIndexStore private (spark: SparkSession, dir: String,
 object KeepBestIndexStore {
 
   private val BatchDir = "b=(\\d+)".r
+
+  /** The reband manifest's file name — the name is owned by
+    * [[StoreRoot]] (its GC must honor references); the CONTENT (which
+    * frames are reference-safe) is this store's algebra.
+    */
+  private[ops] val RefsFile: String = StoreRoot.RefsFile
 
   private val idsSchema = StructType(Seq(
     StructField("id", LongType), StructField("b", IntegerType)))
@@ -622,7 +685,10 @@ object KeepBestIndexStore {
     * live one, rebuilds into a fresh fingerprinted `v=N+1`: signatures
     * re-band directly (they are banding-independent), the pair
     * relation re-verifies candidates against the stored postings, the
-    * per-id frames copy over as one batch, and the root pointer flips
+    * per-id frames are REFERENCED from the live version's committed
+    * batches via the `_refs` manifest (never copied — the reband
+    * writes only the banding-dependent pairs artifact), and the root
+    * pointer flips
     * atomically. Returns None when the live banding is still the
     * certified choice; REFUSES when the current state certifies
     * nothing (floors unreachable — serving at the stale point silently
@@ -634,8 +700,9 @@ object KeepBestIndexStore {
     * is untouched and stays readable.
     *
     * Scale shape: one chooser pass over the budget-gated sample of the
-    * state, one banding + candidate-bounded verify join, one copy of
-    * the effective frames. Never quadratic, never a corpus re-scan.
+    * state, one banding + candidate-bounded verify join, ZERO copy of
+    * the effective frames (manifest reference). Never quadratic, never
+    * a corpus re-scan, never a corpus-scale write.
     */
   def rebandIfStale(spark: SparkSession, root: String,
                     tune: KeepBestIndex.AutoTune,
@@ -665,8 +732,7 @@ object KeepBestIndexStore {
       writeTextAtomic(fs, new Path(dir, "_tuned_rpb"), rpbNew.toString)
       writeTextAtomic(fs, new Path(dir, "_params.sha256"),
         fingerprint(shingleN, k, rpbNew, threshold))
-      val bdir = new Path(dir, "b=0")
-      cur.writeStateAt(rpbNew, bdir)
+      val bdir = cur.writeRebandInto(rpbNew, dir)
       StoreRoot.commitBatch(fs, bdir)
       StoreRoot.flipPointer(fs, r, next)
       Some(openAuto(spark, dir.toString, tune, shingleN, k, threshold,
@@ -729,9 +795,12 @@ object KeepBestIndexStore {
   }
 
   /** [[StoreRoot.gcSuperseded]] on this root — the retention sweep for
-    * versions the reband lifecycle has superseded (each a full-size
-    * rebuild copy): keep the newest `keepSuperseded` for pinned
-    * readers, delete the rest. Returns the versions deleted.
+    * versions the reband lifecycle has superseded: keep the newest
+    * `keepSuperseded` for pinned readers, delete the rest — EXCEPT a
+    * version whose frames a surviving version still references via its
+    * reband manifest (deleting it would gut the live index; it becomes
+    * reclaimable once the referencing version compacts). Returns the
+    * versions deleted.
     */
   def vacuum(spark: SparkSession, root: String, keepSuperseded: Int): Seq[Int] = {
     val r = new Path(root)

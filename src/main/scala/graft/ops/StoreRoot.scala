@@ -36,6 +36,29 @@ private[graft] object StoreRoot {
   private val VersionDir = "v=(\\d+)".r
   private val TickMarker = "_tick.n=(\\d+)".r
 
+  /** A version dir's reference manifest (`v=N/_refs`): each line names
+    * a batch directory of a PRIOR version (`v=K/b=M`) whose data this
+    * version reads instead of copying — the reband lifecycle publishes
+    * by reference, so a rebuild writes only its banding-dependent
+    * artifact, never a corpus copy. The GC contract that makes this
+    * safe lives in [[gcSuperseded]]: a referenced version is
+    * load-bearing data of the referencing snapshot and is never
+    * reclaimable while that snapshot is retained.
+    */
+  private[ops] val RefsFile = "_refs"
+  private val RefLine = "v=(\\d+)/b=\\d+".r
+
+  /** The versions `v`'s manifest references (empty when it has none —
+    * every pre-manifest store, and every compacted version).
+    */
+  private[ops] def referencedVersions(fs: FileSystem, root: Path,
+                                      v: Int): Set[Int] = {
+    val p = new Path(versionDir(root, v), RefsFile)
+    if (!fs.exists(p)) Set.empty
+    else KeepBestIndexStore.readText(fs, p).split("\n").toSeq.map(_.trim)
+      .collect { case RefLine(k) => k.toInt }.toSet
+  }
+
   def fsOf(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -223,12 +246,31 @@ private[graft] object StoreRoot {
           .collect { case VersionDir(n) => n.toInt }
           .filter(_ < live).sorted
         val (superseded, orphans) = below.partition(published)
-        val doomed = (orphans ++ superseded.dropRight(keepSuperseded)).sorted
-        doomed.foreach { v =>
+        var doomed = (orphans ++ superseded.dropRight(keepSuperseded)).toSet
+        // MANIFEST-AWARE: a version referenced by any SURVIVING version
+        // (live, above-live in-flight, retained — or itself rescued by
+        // this rule) holds that snapshot's per-id data; deleting it
+        // would break a version the sweep promised to keep. Rescue
+        // transitively until a fixpoint; the budget deliberately does
+        // NOT re-expand (rescued versions err toward over-retention,
+        // the protocol's stated failure direction). They become
+        // reclaimable the moment the referencing version compacts
+        // (folding retires its manifest) or is itself swept.
+        val allDirs = fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .collect { case VersionDir(n) => n.toInt }.toSet
+        var kept = allDirs -- doomed
+        var rescued = kept.flatMap(referencedVersions(fs, root, _)) & doomed
+        while (rescued.nonEmpty) {
+          doomed --= rescued
+          kept ++= rescued
+          rescued = rescued.flatMap(referencedVersions(fs, root, _)) & doomed
+        }
+        val order = doomed.toSeq.sorted
+        order.foreach { v =>
           fs.delete(versionDir(root, v), true)
           fs.delete(new Path(root, s"_published.v=$v"), false)
         }
-        doomed
+        order
     }
   }
 

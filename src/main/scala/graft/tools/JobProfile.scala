@@ -34,12 +34,19 @@ object JobProfile {
     // one warmup query to pay JIT/codegen once, as Bench does
     graft.SparkEntry.queries("q_a5_multiagg")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
+    // the listener bus is ASYNC: give late onJobEnd events a beat to
+    // drain before clearing/snapshotting, or a previous query's jobs
+    // get attributed to the next one (the exact skew this tool exists
+    // to avoid)
+    def drain(): Unit = Thread.sleep(500)
+    drain()
     args.foreach { name =>
       done.clear()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
+      drain()
       val js = {
         import scala.jdk.CollectionConverters._
         done.asScala.toSeq.sortBy(_.t0)

@@ -167,9 +167,9 @@ class KeepBestStoreSpec extends SparkSpec {
     }
   }
 
-  test("vacuum reclaims reband-superseded versions per the stated retention " +
-    "and maintainedIngest retainSuperseded sweeps exactly on the fired tick; " +
-    "survivors are unchanged by the sweep") {
+  test("vacuum honors the reband manifest: a referenced version survives a " +
+    "keep-0 sweep (it is the live index's data), becomes reclaimable once " +
+    "the live version compacts, and survivors are unchanged throughout") {
     import spark.implicits._
     TempFiles.withTempDir("kbstore-vacuum") { root =>
       val vroot = new java.io.File(root, "live").getAbsolutePath
@@ -187,16 +187,89 @@ class KeepBestStoreSpec extends SparkSpec {
         birth, "id", "text", lit(1L), retainSuperseded = Some(0))
       v1 shouldBe 0
       assert(new java.io.File(vroot, "v=0").exists())
-      // tick 2: the grown state de-certifies 8, rebands into v=1, and the
-      // flip's retention sweep (keep 0) reclaims the superseded v=0
+      // tick 2: the grown state de-certifies 8 and rebands into v=1.
+      // v=1 is published BY REFERENCE (its per-id frames are v=0's
+      // committed batches), so the flip's keep-0 retention sweep must
+      // NOT reclaim v=0 — deleting it would gut the live index.
       val (v2, r2) = KeepBestIndexStore.maintainedIngest(spark, vroot, tune,
         grown, "id", "text", lit(1L), retainSuperseded = Some(0))
       (v2, r2) shouldBe ((1, 2))
-      assert(!new java.io.File(vroot, "v=0").exists())
+      assert(new java.io.File(vroot, "v=0").exists(),
+        "the sweep deleted a version the live manifest references")
+      assert(new java.io.File(vroot, "v=1/_refs").exists())
       val live = KeepBestIndexStore.openLive(spark, vroot, tune)
-      surv(live).keySet should contain(11L)
-      // explicit vacuum on a swept root is a no-op
+      val sBefore = surv(live)
+      sBefore.keySet should contain(11L)
+      // an explicit keep-0 vacuum is likewise a no-op while referenced
       KeepBestIndexStore.vacuum(spark, vroot, keepSuperseded = 0) shouldBe Seq.empty
+      // compacting the live version folds the referenced rows into its
+      // own batch and retires the manifest — NOW v=0 is reclaimable
+      live.compact()
+      assert(!new java.io.File(vroot, "v=1/_refs").exists())
+      surv(live) shouldBe sBefore
+      KeepBestIndexStore.vacuum(spark, vroot, keepSuperseded = 0) shouldBe Seq(0)
+      assert(!new java.io.File(vroot, "v=0").exists())
+      surv(KeepBestIndexStore.openLive(spark, vroot, tune)) shouldBe sBefore
+      // a second sweep is a no-op
+      KeepBestIndexStore.vacuum(spark, vroot, keepSuperseded = 0) shouldBe Seq.empty
+    }
+  }
+
+  test("the reband rebuild publishes BY REFERENCE: v=N+1 writes only the " +
+    "re-banded pairs artifact (per-id frames empty + manifest), reads the " +
+    "prior version's frames through it, and keeps ingesting/compacting") {
+    import graft.ops.KeepBestIndex
+    import spark.implicits._
+    TempFiles.withTempDir("kbstore-refreband") { root =>
+      val vroot = new java.io.File(root, "live").getAbsolutePath
+      val birth = Seq((1L, T, 10L), (2L, T, 30L)).toDF("id", "text", "sc")
+      def toks(i: Int, mutate: Boolean) = (0 until 10).map { j =>
+        if (mutate && j >= 8) s"mut${i}x$j" else s"tok${i}w$j"
+      }.mkString(" ")
+      val grown = (1 to 8).flatMap(i => Seq(
+        (100L + i, toks(i, mutate = false), 100L + i),
+        (200L + i, toks(i, mutate = true), 200L + i)))
+        .toDF("id", "text", "sc")
+      val tune = KeepBestIndex.AutoTune(Seq(2, 4, 8), sampleMod = 1,
+        precisionFloorPpm = 0L, recallFloorPpm = 600000L, truthDfCap = None)
+      val st0 = KeepBestIndexStore.createLive(spark, vroot, tune)
+      st0.ingest(birth, "id", "text", col("sc"))
+      st0.ingest(grown, "id", "text", col("sc"))
+      val st1 = KeepBestIndexStore.rebandIfStale(spark, vroot, tune).get
+      // the manifest names v=0's committed batches; the reband batch
+      // continues v=0's numbering (b=2) and its per-id frames are EMPTY
+      // — the corpus-scale copy is gone
+      val refs = {
+        val src = scala.io.Source.fromFile(new java.io.File(vroot, "v=1/_refs"))
+        try src.getLines().toList finally src.close()
+      }
+      refs should contain theSameElementsAs Seq("v=0/b=0", "v=0/b=1")
+      val b2 = new java.io.File(vroot, "v=1/b=2")
+      assert(b2.exists() && new java.io.File(b2, "_COMMIT").exists())
+      Seq("sh", "sigs", "sizes", "scored", "ids").foreach { fr =>
+        spark.read.parquet(new java.io.File(b2, fr).getAbsolutePath)
+          .count() shouldBe 0L
+      }
+      spark.read.parquet(new java.io.File(b2, "pairs").getAbsolutePath)
+        .count() should be > 0L
+      // a fresh reader over the referenced view serves identically to a
+      // from-text rebuild at the new banding
+      val fresh = KeepBestIndexStore.open(spark,
+        new java.io.File(root, "fresh").getAbsolutePath,
+        rowsPerBand = st1.chosenRowsPerBand.get)
+      fresh.ingest(birth.unionByName(grown), "id", "text", col("sc"))
+      surv(st1) shouldBe surv(fresh)
+      // ingest into the referencing version: the delta probes against
+      // the referenced state (a better copy demotes the old survivor)
+      val better = Seq((900L, toks(1, mutate = false), 999L))
+        .toDF("id", "text", "sc")
+      st1.ingest(better, "id", "text", col("sc"))
+      fresh.ingest(better, "id", "text", col("sc"))
+      surv(st1) shouldBe surv(fresh)
+      // double reband: push the corpus so the chooser moves again and
+      // the NEW manifest flattens transitively (v=0 dirs + v=1's own)
+      st1.compact()
+      surv(st1) shouldBe surv(fresh)
     }
   }
 
